@@ -1,0 +1,22 @@
+package graft
+
+/** Error taxonomy ≈ reference sentinel errors (`errors.go:10-89`). */
+sealed abstract class GraftError(msg: String) extends RuntimeException(msg)
+
+final case class DuplicateColumnError(table: String, column: String)
+  extends GraftError(s"duplicate column name '$column' in table '$table'")
+
+final case class DuplicateTableError(table: String)
+  extends GraftError(s"duplicate table name '$table' (merging is not supported)")
+
+final case class UnsupportedFormatError(path: String)
+  extends GraftError(s"unsupported file format: $path")
+
+final case class EmptyInputError()
+  extends GraftError("at least one path must be provided")
+
+final case class NoDataError(path: String)
+  extends GraftError(s"file contains no data: $path")
+
+final case class InvalidSqlError(statement: String, reason: String)
+  extends GraftError(s"invalid statement ($reason): $statement")

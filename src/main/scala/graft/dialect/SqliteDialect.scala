@@ -1,0 +1,114 @@
+package graft.dialect
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+
+import graft.InvalidSqlError
+
+/** SQLite-dialect compatibility functions (SURVEY §2.2 ⚠ shim list).
+  *
+  * Registered as native Catalyst expression builders — each call site
+  * expands into built-in expressions (`date_format`, arithmetic,
+  * `get_json_object`, …), so they participate in constant folding and
+  * whole-stage codegen exactly like built-ins. No UDF boundary, no
+  * serialization penalty — this matters at 100 TB where a Scala UDF on a
+  * hot column would break codegen for the whole stage.
+  *
+  * Shims: `strftime`, `julianday`, `date`, `datetime`, `time`, `ifnull`,
+  * `printf`, `group_concat`, `json_extract`.
+  * (`instr`, `substr`, `round`, `abs`, … already match SQLite semantics
+  * natively in Spark SQL — SURVEY §2.2.)
+  */
+object SqliteDialect {
+
+  /** SQLite strftime '%x' directives → Spark datetime pattern letters. */
+  private val strftimeMap: Seq[(String, String)] = Seq(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
+    "%j" -> "DDD", "%e" -> "d", "%I" -> "hh", "%p" -> "a",
+    "%%" -> "%")
+
+  def translateStrftime(fmt: String): String = {
+    // escape Spark pattern letters that appear literally, then substitute
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val directive = fmt.substring(i, i + 2)
+        strftimeMap.find(_._1 == directive) match {
+          case Some((_, spark)) => out.append(spark)
+          case None => throw InvalidSqlError(fmt, s"unsupported strftime directive $directive")
+        }
+        i += 2
+      } else {
+        if (c.isLetter) { out.append('\''); out.append(c); out.append('\'') }
+        else out.append(c)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def info(name: String) = new ExpressionInfo(getClass.getName, name)
+
+  private def toTimestamp(e: Expression): Expression =
+    if (e.dataType == TimestampType) e else Cast(e, TimestampType)
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+
+    // strftime(fmt, ts) — SQLite argument order (fmt first)
+    registry.registerFunction(FunctionIdentifier("strftime"), info("strftime"), {
+      case Seq(Literal(fmt, StringType), ts) =>
+        DateFormatClass(toTimestamp(ts), Literal(translateStrftime(fmt.toString)))
+      case _ => throw InvalidSqlError("strftime", "format must be a string literal")
+    })
+
+    // julianday(ts) = unix_seconds/86400 + 2440587.5
+    registry.registerFunction(FunctionIdentifier("julianday"), info("julianday"), {
+      case Seq(ts) =>
+        Add(Divide(Cast(toTimestamp(ts), DoubleType), Literal(86400.0)), Literal(2440587.5))
+      case _ => throw InvalidSqlError("julianday", "expects one argument")
+    })
+
+    // date(x) / datetime(x) / time(x) → SQLite's canonical text forms
+    def fmtFn(name: String, pattern: String): Unit =
+      registry.registerFunction(FunctionIdentifier(name), info(name), {
+        case Seq(ts) => DateFormatClass(toTimestamp(ts), Literal(pattern))
+        case _ => throw InvalidSqlError(name, "expects one argument")
+      })
+    fmtFn("date", "yyyy-MM-dd")
+    fmtFn("datetime", "yyyy-MM-dd HH:mm:ss")
+    fmtFn("time", "HH:mm:ss")
+
+    // ifnull(a, b) = coalesce
+    registry.registerFunction(FunctionIdentifier("ifnull"), info("ifnull"), {
+      case args if args.length == 2 => Coalesce(args)
+      case _ => throw InvalidSqlError("ifnull", "expects two arguments")
+    })
+
+    // printf(fmt, …) = format_string
+    registry.registerFunction(FunctionIdentifier("printf"), info("printf"),
+      args => FormatString(args: _*))
+
+    // group_concat(x[, sep]) = concat_ws(sep, collect_list(x))
+    // NOTE: aggregation order is unspecified, exactly as in SQLite.
+    registry.registerFunction(FunctionIdentifier("group_concat"), info("group_concat"), {
+      case Seq(x) =>
+        ConcatWs(Seq(Literal(","), CollectList(Cast(x, StringType)).toAggregateExpression()))
+      case Seq(x, Literal(sep, StringType)) =>
+        ConcatWs(Seq(Literal(sep.toString), CollectList(Cast(x, StringType)).toAggregateExpression()))
+      case _ => throw InvalidSqlError("group_concat", "expects (expr[, separator-literal])")
+    })
+
+    // json_extract(json, path) = get_json_object
+    registry.registerFunction(FunctionIdentifier("json_extract"), info("json_extract"), {
+      case Seq(j, p) => GetJsonObject(j, p)
+      case _ => throw InvalidSqlError("json_extract", "expects (json, path)")
+    })
+  }
+}

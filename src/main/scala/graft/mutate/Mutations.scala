@@ -1,0 +1,165 @@
+package graft.mutate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.InvalidSqlError
+
+/** DML-on-views mutation layer (SURVEY §2.2 ⚠ rows, §7 step 6).
+  *
+  * Temp views are immutable in Spark, so INSERT / UPDATE / DELETE are
+  * translated to DataFrame rewrites and the view is re-registered by
+  * [[graft.session.GraftSession.sql]]:
+  *   - `INSERT INTO t VALUES (…)` → `df.unionByName(newRows)`
+  *     (reference: `README.md:221-222`, `builder_test.go:774`)
+  *   - `UPDATE t SET c = e WHERE p` → `withColumn(c, when(p, e).otherwise(c))`
+  *     (reference: `example_test.go:1573`)
+  *   - `DELETE FROM t WHERE p` → `df.filter(!p)`
+  *     (reference: `filesql_integration_test.go:741-1010`)
+  *
+  * Statement recognition is a lightweight SQL-shape parser (identifier +
+  * balanced-paren/quote-aware splitting); SET/WHERE/VALUES expressions are
+  * handed to Catalyst's own expression parser via `expr(...)`, so the full
+  * Spark SQL expression language is available inside them.
+  *
+  * Scale: each mutation is a narrow transformation layered on the scan —
+  * no data is materialized on the driver. Long mutation chains re-execute
+  * lazily; callers can `.cache()` a hot table between batches.
+  */
+object Mutations {
+
+  sealed trait Mutation {
+    def table: String
+    def apply(spark: SparkSession, current: DataFrame): DataFrame
+  }
+
+  final case class Insert(table: String, columns: Option[Seq[String]],
+      tuples: Seq[Seq[String]]) extends Mutation {
+    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+      val targetCols = current.columns.toSeq
+      val givenCols = columns.getOrElse(targetCols)
+      if (givenCols.exists(c => !targetCols.contains(c)))
+        throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
+      val newRows = tuples.map { tup =>
+        if (tup.length != givenCols.length)
+          throw InvalidSqlError(s"INSERT INTO $table", "VALUES arity mismatch")
+        val provided = givenCols.zip(tup).toMap
+        // align to the target schema; absent columns become NULL; every
+        // value is cast to the target column type
+        val selects = targetCols.map { c =>
+          val dt = current.schema(c).dataType
+          provided.get(c)
+            .map(v => expr(v).cast(dt).as(c))
+            .getOrElse(lit(null).cast(dt).as(c))
+        }
+        spark.range(1).select(selects: _*)
+      }
+      newRows.foldLeft(current)((acc, r) => acc.unionByName(r))
+    }
+  }
+
+  final case class Update(table: String, sets: Seq[(String, String)],
+      where: Option[String]) extends Mutation {
+    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+      val cond = where.map(expr).getOrElse(lit(true))
+      sets.foldLeft(current) { case (df, (c, e)) =>
+        if (!df.columns.contains(c))
+          throw InvalidSqlError(s"UPDATE $table", s"unknown column $c")
+        val dt = df.schema(c).dataType
+        df.withColumn(c, when(cond, expr(e).cast(dt)).otherwise(col(s"`$c`")))
+      }
+    }
+  }
+
+  final case class Delete(table: String, where: Option[String]) extends Mutation {
+    def apply(spark: SparkSession, current: DataFrame): DataFrame =
+      where match {
+        case Some(w) => current.filter(!expr(w))
+        case None => current.limit(0)
+      }
+  }
+
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
+  private def unquote(ident: String): String =
+    if (ident.startsWith("\"") && ident.endsWith("\"")) ident.substring(1, ident.length - 1)
+    else ident
+
+  /** Recognize a DML statement; None ⇒ pass through to `spark.sql`. */
+  def intercept(statement: String): Option[Mutation] = statement match {
+    case InsertRe(table, _, cols, values) =>
+      val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      Some(Insert(unquote(table), columns, parseTuples(values)))
+    case UpdateRe(table, sets, where) =>
+      val assignments = splitTopLevel(sets, ',').map { a =>
+        val eq = indexOfTopLevel(a, '=')
+        if (eq < 0) throw InvalidSqlError(statement, "malformed SET clause")
+        (unquote(a.substring(0, eq).trim), a.substring(eq + 1).trim)
+      }
+      Some(Update(unquote(table), assignments, Option(where).map(_.trim)))
+    case DeleteRe(table, where) =>
+      Some(Delete(unquote(table), Option(where).map(_.trim)))
+    case _ => None
+  }
+
+  /** `(a, 'x', 1), (b, 'y', 2)` → Seq(Seq("a","'x'","1"), …), respecting
+    * nested parens and string literals. */
+  private def parseTuples(values: String): Seq[Seq[String]] = {
+    val tuples = splitTopLevel(values, ',').map(_.trim)
+    tuples.map { t =>
+      if (!t.startsWith("(") || !t.endsWith(")"))
+        throw InvalidSqlError(values, "VALUES tuple must be parenthesized")
+      splitTopLevel(t.substring(1, t.length - 1), ',').map(_.trim)
+    }
+  }
+
+  /** Split on a separator at paren-depth 0 outside string literals. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur += c
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  private def indexOfTopLevel(s: String, target: Char): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case `target` if depth == 0 => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.session.GraftSession
+import graft.sinks.{Dump, DumpOptions}
+import graft.sources.{Compression, CsvSource, LtsvSource, XlsxSource}
+
+/** Source/sink operators (SURVEY §2.1 S1–S17) driven end-to-end through
+  * the oracle gate: a driver table is exported with our sink, re-read with
+  * our source (string data → type inference → casts), and the result must
+  * hash-match DuckDB reading the ORIGINAL parquet — proving the full
+  * write→read→infer→cast cycle is lossless for these schemas.
+  *
+  * (Int32 columns come back as BIGINT after inference — the reference
+  * types all integers as 64-bit SQLite INTEGER, `types.go:601-613` — so
+  * oracles cast to BIGINT to match.)
+  */
+object SourceQueries {
+
+  private def roundTrip(s: SparkSession, dir: String, table: String,
+      format: String, codec: Option[Compression.Codec] = None): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-rt-$format-")
+    tmp.toFile.deleteOnExit()
+    val df = Tables.load(s, dir, table)
+    Dump.writeTable(df, table, tmp.toString, DumpOptions(format, codec))
+    val path = tmp.resolve(s"$table.$format${codec.map(_.ext).getOrElse("")}").toString
+    format match {
+      case "csv" => CsvSource.readCsv(s, path)
+      case "tsv" => CsvSource.readTsv(s, path)
+      case "ltsv" => LtsvSource.read(s, path)
+      case "xlsx" => XlsxSource.readFirstSheet(s, path)
+      case "parquet" => s.read.parquet(path)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1 + S11: CSV sink → CSV scan → inference
+    "src_csv_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "nation", "csv")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")),
+
+    // S2 + S11: TSV
+    "src_tsv_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "region", "tsv")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    // S3 + S12: LTSV (note: LTSV columns come back key-sorted)
+    "src_ltsv_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "supplier", "ltsv")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy("s_suppkey")),
+
+    // S5 + S14: XLSX writer → zip/XML reader
+    "src_xlsx_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "region", "xlsx")
+        .select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    // S4 + S13: single-file parquet sink → native parquet scan (typed superset)
+    "src_parquet_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "nation", "parquet")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")),
+
+    // S6 + S15: zstd-compressed CSV (exercises the non-Hadoop-native codec shim)
+    "src_zstd_csv_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "nation", "csv", Some(Compression.Zstd))
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")),
+
+    // S7 + session facade: directory open → temp views → SQL join
+    "src_session_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-sess-")
+      tmp.toFile.deleteOnExit()
+      Dump.writeTable(Tables.load(s, dir, "nation"), "nation_f", tmp.toString, DumpOptions("csv"))
+      Dump.writeTable(Tables.load(s, dir, "region"), "region_f", tmp.toString, DumpOptions("tsv"))
+      val sess = GraftSession.open(s, tmp.toString)
+      val out = sess.sql(
+        """SELECT r.r_name, COUNT(*) AS n_nations
+          |FROM nation_f n JOIN region_f r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+      out.cache().count() // materialize before views are dropped
+      sess.close()
+      out
+    }),
+
+    // Mutation layer: INSERT on a view
+    "m01_insert" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/nation.parquet")
+      sess.sql("INSERT INTO nation VALUES (25, 'ATLANTIS', 0)")
+      val out = sess.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      out.cache().count()
+      sess.close()
+      out
+    }),
+
+    // Mutation layer: UPDATE on a view
+    "m02_update" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/orders.parquet")
+      sess.sql("UPDATE orders SET o_orderstatus = 'X' WHERE o_totalprice > 400000")
+      val out = sess.sql(
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'X' ORDER BY o_orderkey")
+      out.cache().count()
+      sess.close()
+      out
+    }),
+
+    // Mutation layer: DELETE on a view
+    "m03_delete" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/orders.parquet")
+      sess.sql("DELETE FROM orders WHERE o_orderstatus = 'F'")
+      val out = sess.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")
+      out.cache().count()
+      sess.close()
+      out
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_tsv_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "src_ltsv_roundtrip" ->
+      """SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "src_xlsx_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "src_parquet_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "src_zstd_csv_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "src_session_join" ->
+      """SELECT r_name, COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "m01_insert" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT * FROM nation UNION ALL SELECT 25, 'ATLANTIS', 0)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "m02_update" ->
+      """SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
+
+    "m03_delete" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

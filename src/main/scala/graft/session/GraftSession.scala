@@ -1,0 +1,243 @@
+package graft.session
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft._
+import graft.sources._
+import graft.sinks.{Dump, DumpOptions}
+import graft.mutate.Mutations
+
+/** The engine facade ≈ filesql `Open`/`Builder` (`filesql.go:92-159`,
+  * `builder.go:85-344`): load files/directories as named tables, expose a
+  * SQL surface over them, optionally auto-save back to files on close.
+  *
+  * The Spark shape of "file → in-memory SQLite table → SQL" is
+  * "file → DataFrame → temp view → `spark.sql`" (SURVEY §0): relational
+  * execution and optimization are Catalyst's, exactly as the reference
+  * delegates them to SQLite.
+  */
+final class GraftSession private[session] (
+    val spark: SparkSession,
+    private val tables: mutable.LinkedHashMap[String, DataFrame],
+    private val autoSave: Option[AutoSaveConfig],
+    private val originalPaths: Seq[String]) {
+
+  graft.dialect.SqliteDialect.register(spark)
+  registerAll()
+
+  private def registerAll(): Unit = {
+    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    registerSqliteMaster()
+  }
+
+  /** `sqlite_master`-shaped catalog view for parity with catalog queries
+    * (`README.md:149`, `filesql.go:225-248`). */
+  private def registerSqliteMaster(): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def sqliteType(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+      case DoubleType | FloatType | _: DecimalType => "REAL"
+      case _ => "TEXT"
+    }
+    val rows = tables.toSeq.map { case (name, df) =>
+      val ddlCols = df.schema.fields
+        .map(f => s""""${f.name}" ${sqliteType(f.dataType)}""").mkString(", ")
+      Row("table", name, name, 0, s"""CREATE TABLE "$name" ($ddlCols)""")
+    }
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("name", StringType),
+      StructField("tbl_name", StringType), StructField("rootpage", IntegerType),
+      StructField("sql", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .createOrReplaceTempView("sqlite_master")
+  }
+
+  def tableNames: Seq[String] = tables.keys.toSeq
+
+  def table(name: String): DataFrame =
+    tables.getOrElse(name, throw InvalidSqlError(name, "no such table"))
+
+  /** Run SQL. SELECTs go straight to Spark SQL; INSERT/UPDATE/DELETE are
+    * translated to DataFrame rewrites + view re-registration (temp views
+    * are immutable — SURVEY §2.2 mutation layer). */
+  def sql(statement: String): DataFrame =
+    Mutations.intercept(statement) match {
+      case Some(mutation) =>
+        val name = mutation.table
+        val current = table(name)
+        val next = mutation(spark, current)
+        tables.update(name, next)
+        next.createOrReplaceTempView(name)
+        if (autoSave.exists(_.onCommit)) performAutoSave()
+        spark.emptyDataFrame
+      case None => spark.sql(statement)
+    }
+
+  /** Export every table to `dir` (reference S16 `DumpDatabase`,
+    * `filesql.go:161-334`). */
+  def dump(dir: String, opts: DumpOptions = DumpOptions()): Unit =
+    tables.foreach { case (name, df) => Dump.writeTable(df, name, dir, opts) }
+
+  /** Close: runs auto-save if enabled (reference S17, `save.go:199-399`);
+    * empty output dir ⇒ overwrite the directory of the first input. */
+  def close(): Unit = {
+    if (autoSave.exists(!_.onCommit)) performAutoSave()
+    tables.keys.foreach(spark.catalog.dropTempView)
+  }
+
+  private def performAutoSave(): Unit = autoSave.foreach { cfg =>
+    val dir =
+      if (cfg.outputDir.nonEmpty) cfg.outputDir
+      else originalPaths.headOption
+        .map(p => Option(Paths.get(p).toAbsolutePath.getParent).map(_.toString).getOrElse("."))
+        .getOrElse(".")
+    dump(dir, cfg.options)
+  }
+}
+
+final case class AutoSaveConfig(
+    outputDir: String = "",
+    onCommit: Boolean = false,
+    options: DumpOptions = DumpOptions())
+
+object GraftSession {
+  def builder(): Builder = new Builder
+
+  /** ≈ `filesql.Open(paths...)`. */
+  def open(spark: SparkSession, paths: String*): GraftSession =
+    builder().addPaths(paths: _*).open(spark)
+
+  final class Builder private[session] {
+    private val paths = mutable.ArrayBuffer.empty[String]
+    private val readers = mutable.ArrayBuffer.empty[(String, String, String)] // (name, format, path)
+    private var autoSave: Option[AutoSaveConfig] = None
+    private var inferTypes = true
+    private var rowId = false
+
+    def addPath(path: String): Builder = { paths += path; this }
+    def addPaths(ps: String*): Builder = { paths ++= ps; this }
+
+    /** ≈ `AddReader` (S9, `builder.go:128-148`): explicit table name and
+      * format for a file that doesn't follow naming conventions. */
+    def addFileAs(path: String, tableName: String, format: String): Builder = {
+      readers += ((tableName, format, path)); this
+    }
+
+    /** Disable type inference: every column stays a string (parquet keeps
+      * its native types either way). */
+    def withoutTypeInference(): Builder = { inferTypes = false; this }
+
+    /** Add a `rowid` column (SQLite implicit rowid, `README.md:414`).
+      * Values are unique and ascending per partition via
+      * `monotonically_increasing_id` — NOT globally dense (documented
+      * deviation; dense numbering would force a global sort at scale). */
+    def withRowId(): Builder = { rowId = true; this }
+
+    def enableAutoSave(outputDir: String = "", opts: DumpOptions = DumpOptions()): Builder = {
+      autoSave = Some(AutoSaveConfig(outputDir, onCommit = false, opts)); this
+    }
+    def enableAutoSaveOnCommit(outputDir: String = "", opts: DumpOptions = DumpOptions()): Builder = {
+      autoSave = Some(AutoSaveConfig(outputDir, onCommit = true, opts)); this
+    }
+
+    def open(spark: SparkSession): GraftSession = {
+      if (paths.isEmpty && readers.isEmpty) throw EmptyInputError()
+      val files = FileCollector.collect(paths.toSeq)
+      val tables = mutable.LinkedHashMap.empty[String, DataFrame]
+      files.foreach { f =>
+        val name = f.tableName
+        if (tables.contains(name)) throw DuplicateTableError(name)
+        FileCollector.read(spark, f, inferTypes) match {
+          case Seq((_, df)) => tables.update(name, df)
+          case sheets => // XLSX: one table per sheet
+            sheets.foreach { case (sheetTable, df) =>
+              if (tables.contains(sheetTable)) throw DuplicateTableError(sheetTable)
+              tables.update(sheetTable, df)
+            }
+        }
+      }
+      readers.foreach { case (name, format, path) =>
+        if (tables.contains(name)) throw DuplicateTableError(name)
+        val df = FileCollector.readAs(spark, path, format, inferTypes)
+        tables.update(name, df)
+      }
+      if (rowId) {
+        import org.apache.spark.sql.functions.monotonically_increasing_id
+        tables.mapValuesInPlace((_, df) => df.withColumn("rowid", monotonically_increasing_id()))
+      }
+      new GraftSession(spark, tables, autoSave, paths.toSeq)
+    }
+  }
+}
+
+/** File discovery (reference S7 `collectFilesFromPaths`,
+  * `file_processor.go:27-112`): recursive directory walk over supported
+  * extensions, absolute-path dedup, and uncompressed-beats-compressed
+  * (`file_processor.go:216-246`). */
+object FileCollector {
+
+  final case class InputFile(path: String, format: String, tableName: String)
+
+  private val formats = Seq("csv", "tsv", "ltsv", "parquet", "xlsx")
+  private val compExts = Seq("", ".gz", ".bz2", ".xz", ".zst")
+
+  def formatOf(path: String): Option[String] = {
+    val inner = Compression.stripExt(path)
+    formats.find(f => inner.endsWith(s".$f"))
+  }
+
+  def collect(paths: Seq[String]): Seq[InputFile] = {
+    val found = mutable.LinkedHashMap.empty[String, InputFile] // abs path → file
+    def addFile(p: Path): Unit = {
+      val abs = p.toAbsolutePath.toString
+      formatOf(abs).foreach { fmt =>
+        found.getOrElseUpdate(abs, InputFile(abs, fmt, TableNaming.fromPath(abs)))
+      }
+    }
+    paths.foreach { raw =>
+      val p = Paths.get(raw)
+      if (Files.isDirectory(p)) {
+        val stream = Files.walk(p)
+        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+          .foreach(addFile)
+        finally stream.close()
+      } else if (Files.isRegularFile(p)) {
+        if (formatOf(p.toString).isEmpty) throw UnsupportedFormatError(raw)
+        addFile(p)
+      } else throw UnsupportedFormatError(raw)
+    }
+    // uncompressed wins over compressed duplicates of the same table+format
+    val byKey = found.values.toSeq.groupBy(f => (f.tableName, f.format))
+    found.values.toSeq.filter { f =>
+      val group = byKey((f.tableName, f.format))
+      group.size == 1 || Compression.forPath(f.path).isEmpty ||
+        !group.exists(g => Compression.forPath(g.path).isEmpty)
+    }
+  }
+
+  /** Read one input file; XLSX yields (sheetTable → DataFrame) per sheet. */
+  def read(spark: SparkSession, f: InputFile, inferTypes: Boolean): Seq[(String, DataFrame)] =
+    f.format match {
+      case "csv" => Seq(f.tableName -> CsvSource.readCsv(spark, f.path, inferTypes))
+      case "tsv" => Seq(f.tableName -> CsvSource.readTsv(spark, f.path, inferTypes))
+      case "ltsv" => Seq(f.tableName -> LtsvSource.read(spark, f.path, inferTypes))
+      case "parquet" => Seq(f.tableName -> spark.read.parquet(f.path))
+      case "xlsx" => XlsxSource.readAllSheets(spark, f.path, inferTypes)
+      case other => throw UnsupportedFormatError(f.path)
+    }
+
+  def readAs(spark: SparkSession, path: String, format: String, inferTypes: Boolean): DataFrame =
+    format match {
+      case "csv" => CsvSource.readCsv(spark, path, inferTypes)
+      case "tsv" => CsvSource.readTsv(spark, path, inferTypes)
+      case "ltsv" => LtsvSource.read(spark, path, inferTypes)
+      case "parquet" => spark.read.parquet(path)
+      case "xlsx" => XlsxSource.readFirstSheet(spark, path, inferTypes)
+      case other => throw UnsupportedFormatError(path)
+    }
+}

@@ -1,0 +1,151 @@
+package graft.sinks
+
+import java.io.{OutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Compression, XlsxSource}
+
+/** Export options ≈ the reference's fluent `DumpOptions` (format ×
+  * compression, `save.go:139-197`). Parquet uses its internal codec;
+  * external compression of parquet is rejected like the reference
+  * (`filesql.go:716-719`). */
+final case class DumpOptions(
+    format: String = "csv", // csv | tsv | ltsv | parquet | xlsx
+    compression: Option[Compression.Codec] = None,
+    /** parity mode: write parquet columns as strings like the reference
+      * (`filesql.go:709-821` writes all-UTF8); off = native typed (superset) */
+    parquetAllString: Boolean = false) {
+  require(!(format == "parquet" && compression.nonEmpty),
+    "parquet with external compression is not supported (use parquet's internal codec)")
+  def extension: String = s".$format${compression.map(_.ext).getOrElse("")}"
+}
+
+/** Sinks (reference S11–S16, `filesql.go:161-962`).
+  *
+  * Two shapes:
+  *   - [[Dump.writeTable]] — reference parity: ONE file per table
+  *     (`{table}.{ext}`), streamed through `toLocalIterator` (bounded
+  *     driver memory: one partition at a time), optionally compressed.
+  *     Single-file output is inherently single-writer — same as the
+  *     reference and as `coalesce(1)`.
+  *   - [[Dump.writeDistributed]] — the 100 TB path: `df.write` to a
+  *     directory with full parallelism (all executors write), any codec.
+  */
+object Dump {
+
+  /** Dump every column as text the way the reference exports: NULL → ""
+    * (`filesql.go:370-375`), everything else via its string form. */
+  private def renderRows(df: DataFrame): (Seq[String], Iterator[Seq[String]]) = {
+    val cols = df.columns.toSeq
+    val it = df.toLocalIterator()
+    val rows = new Iterator[Seq[String]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[String] = {
+        val r = it.next()
+        cols.indices.map(i => if (r.isNullAt(i)) "" else String.valueOf(r.get(i)))
+      }
+    }
+    (cols, rows)
+  }
+
+  def writeTable(df: DataFrame, table: String, dir: String, opts: DumpOptions = DumpOptions()): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val target = Paths.get(dir, s"$table${opts.extension}")
+    opts.format match {
+      case "csv" => writeDelimited(df, target, ',')
+      case "tsv" => writeDelimited(df, target, '\t')
+      case "ltsv" => writeLtsv(df, target)
+      case "xlsx" => writeXlsx(df, table, target)
+      case "parquet" => writeSingleParquet(df, target, opts.parquetAllString)
+      case other => throw graft.UnsupportedFormatError(other)
+    }
+  }
+
+  /** Dump-all (S16): every table in the session catalog. */
+  def dumpAll(tables: Seq[(String, DataFrame)], dir: String, opts: DumpOptions = DumpOptions()): Unit =
+    tables.foreach { case (name, df) => writeTable(df, name, dir, opts) }
+
+  // ------------------------------------------------------------- delimited
+
+  private def csvField(v: String, delim: Char): String =
+    if (v.exists(c => c == delim || c == '"' || c == '\n' || c == '\r'))
+      "\"" + v.replace("\"", "\"\"") + "\""
+    else v
+
+  private def writeDelimited(df: DataFrame, target: Path, delim: Char): Unit = {
+    val (cols, rows) = renderRows(df)
+    withWriter(target) { w =>
+      w.write(cols.map(csvField(_, delim)).mkString(delim.toString)); w.write("\n")
+      rows.foreach { r =>
+        w.write(r.map(csvField(_, delim)).mkString(delim.toString)); w.write("\n")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ ltsv
+
+  private def writeLtsv(df: DataFrame, target: Path): Unit = {
+    val (cols, rows) = renderRows(df)
+    withWriter(target) { w =>
+      rows.foreach { r =>
+        w.write(cols.zip(r).map { case (c, v) => s"$c:$v" }.mkString("\t")); w.write("\n")
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------ xlsx
+
+  private def writeXlsx(df: DataFrame, table: String, target: Path): Unit = {
+    val (cols, rows) = renderRows(df)
+    val out = Compression.openWrite(target.toString)
+    try XlsxSource.write(out, table, cols, rows) finally out.close()
+  }
+
+  // --------------------------------------------------------------- parquet
+
+  private def writeSingleParquet(df: DataFrame, target: Path, allString: Boolean): Unit = {
+    val toWrite =
+      if (allString) df.select(df.columns.map(c => col(s"`$c`").cast("string").as(c)).toSeq: _*)
+      else df
+    val tmp = Files.createTempDirectory("graft-dump-")
+    val tmpOut = tmp.resolve("out")
+    toWrite.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = Files.list(tmpOut).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+        moved = true
+      }
+    }
+    if (!moved) throw new IllegalStateException(s"no parquet part produced for $target")
+  }
+
+  // ------------------------------------------------------------ big-data path
+
+  /** Distributed directory write — the shape to use at cluster scale:
+    * all executors write in parallel, with partitioning/codec options
+    * (e.g. `writeDistributed(df, "s3://…/t", "parquet")`). */
+  def writeDistributed(df: DataFrame, dir: String, format: String = "parquet",
+      partitionBy: Seq[String] = Nil, options: Map[String, String] = Map.empty): Unit = {
+    val w0 = df.write.mode("overwrite").options(options)
+    val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    format match {
+      case "csv" => w.option("header", "true").csv(dir)
+      case "tsv" => w.option("header", "true").option("sep", "\t").csv(dir)
+      case "parquet" => w.parquet(dir)
+      case other => throw graft.UnsupportedFormatError(other)
+    }
+  }
+
+  private def withWriter(target: Path)(f: OutputStreamWriter => Unit): Unit = {
+    val out: OutputStream = Compression.openWrite(target.toString)
+    val w = new OutputStreamWriter(out, StandardCharsets.UTF_8)
+    try f(w) finally w.close()
+  }
+}

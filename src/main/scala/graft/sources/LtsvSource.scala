@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.NoDataError
+
+/** LTSV source (reference S3: `file.go:495-562`, `stream.go:147-206`).
+  *
+  * Format: `key:value<TAB>key:value…` per line; the table header is the
+  * union of keys across all lines; a row missing a key gets `""`.
+  *
+  * Spark-first: lines are parsed with pure Catalyst expressions
+  * (`split` / `substring_index` / `map_from_entries`) — fully distributed
+  * and codegen'd; only the small distinct key set is collected to the
+  * driver to build the projection.
+  *
+  * Deviation (documented, SURVEY §1.4): the reference's column order is Go
+  * map-iteration order, i.e. unspecified — we sort keys for determinism.
+  */
+object LtsvSource {
+
+  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame = {
+    val readable = Compression.sparkReadablePath(path)
+    val lines = spark.read.text(readable).filter(length(trim(col("value"))) > 0)
+    // key = text before the first ':' in each tab-separated chunk;
+    // value = the rest (values may themselves contain ':')
+    val entries = expr(
+      """map_from_entries(
+        |  transform(split(value, '\t'),
+        |    kv -> struct(substring_index(kv, ':', 1) AS key,
+        |                 substring(kv, length(substring_index(kv, ':', 1)) + 2) AS value)))
+        |""".stripMargin)
+    val mapped = lines.select(entries.as("m"))
+    val keys = mapped.select(explode(map_keys(col("m"))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    if (keys.isEmpty) throw NoDataError(path)
+    val cols = keys.map(k => coalesce(element_at(col("m"), k), lit("")).as(k))
+    val allString = mapped.select(cols: _*)
+    if (inferTypes) TypeInference.applyTypes(allString, TypeInference.inferForDataFrame(allString))
+    else allString
+  }
+}

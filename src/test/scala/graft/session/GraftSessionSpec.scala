@@ -1,0 +1,109 @@
+package graft.session
+
+import graft.{DuplicateTableError, SparkSpec}
+import graft.sinks.DumpOptions
+
+/** End-to-end facade specs ≈ reference `filesql_test.go` TestOpen /
+  * TestSQLQueries / integration suite shapes. */
+class GraftSessionSpec extends SparkSpec {
+
+  private def fixtures(dir: java.nio.file.Path): Unit = {
+    writeFile(dir, "users.csv",
+      "id,name,role,department_id\n1,Alice,admin,10\n2,Bob,user,20\n3,Carol,user,10\n")
+    writeFile(dir, "departments.csv",
+      "id,dept\n10,Engineering\n20,Sales\n")
+  }
+
+  test("open directory → tables named from files, joinable via SQL") {
+    val dir = tmpDir("sess")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    assert(s.tableNames.toSet == Set("users", "departments"))
+    val joined = s.sql(
+      """SELECT u.name, d.dept FROM users u JOIN departments d ON u.department_id = d.id
+        |ORDER BY u.id""".stripMargin).collect()
+    assert(joined.length == 3)
+    assert(joined.head.getString(1) == "Engineering")
+    s.close()
+  }
+
+  test("sqlite_master parity view lists tables") {
+    val dir = tmpDir("master")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val names = s.sql("SELECT name FROM sqlite_master WHERE type = 'table' ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("departments", "users"))
+    val ddl = s.sql("SELECT sql FROM sqlite_master WHERE name = 'users'").head().getString(0)
+    assert(ddl.contains("\"id\" INTEGER"))
+    s.close()
+  }
+
+  test("INSERT / UPDATE / DELETE mutation flow (integration_test.go:741-1010 shape)") {
+    val dir = tmpDir("dml")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("INSERT INTO users VALUES (4, 'Dan', 'user', 20)")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 4)
+    s.sql("INSERT INTO users (id, name) VALUES (5, 'Eve')")
+    assert(s.sql("SELECT role FROM users WHERE id = 5").head().isNullAt(0))
+    s.sql("UPDATE users SET role = 'admin' WHERE department_id = 20")
+    assert(s.sql("SELECT COUNT(*) FROM users WHERE role = 'admin'").head().getLong(0) == 3)
+    s.sql("DELETE FROM users WHERE id >= 4")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 3)
+    s.close()
+  }
+
+  test("duplicate table name rejected") {
+    val dir = tmpDir("dupt")
+    writeFile(dir, "users.csv", "id\n1\n")
+    val sub = dir.resolve("subdir")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(sub.resolve("users.csv"), "id\n2\n")
+    intercept[DuplicateTableError](GraftSession.open(spark, dir.toString))
+  }
+
+  test("dump to csv and reopen (S16 round trip)") {
+    val dir = tmpDir("dump")
+    fixtures(dir)
+    val out = tmpDir("dumpout")
+    val s = GraftSession.open(spark, dir.toString)
+    s.dump(out.toString, DumpOptions(format = "csv"))
+    s.close()
+    val s2 = GraftSession.open(spark, out.toString)
+    assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 3)
+    s2.close()
+  }
+
+  test("auto-save on close writes mutated state (S17)") {
+    val dir = tmpDir("autosave")
+    fixtures(dir)
+    val out = tmpDir("autosaveout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSave(out.toString)
+      .open(spark)
+    s.sql("DELETE FROM users WHERE id = 1")
+    s.close() // triggers dump
+    val s2 = GraftSession.open(spark, out.toString)
+    assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+    s2.close()
+  }
+
+  test("dialect shims: strftime, julianday, ifnull, group_concat, json_extract, printf") {
+    val dir = tmpDir("dialect")
+    writeFile(dir, "ev.csv",
+      "id,ts,meta\n1,2024-03-05 10:30:00,\"{\"\"k\"\": 7}\"\n2,2024-03-06 11:00:00,\"{\"\"k\"\": 9}\"\n")
+    val s = GraftSession.open(spark, dir.toString)
+    assert(s.sql("SELECT strftime('%Y-%m', ts) FROM ev WHERE id = 1").head().getString(0) == "2024-03")
+    assert(s.sql("SELECT strftime('%H', ts) FROM ev WHERE id = 1").head().getString(0) == "10")
+    val jd = s.sql("SELECT julianday(ts) FROM ev WHERE id = 1").head().getDouble(0)
+    assert(math.abs(jd - 2460374.9375) < 1e-6)
+    assert(s.sql("SELECT ifnull(NULL, 'x')").head().getString(0) == "x")
+    assert(s.sql("SELECT group_concat(id) FROM ev").head().getString(0).split(",").toSet == Set("1", "2"))
+    assert(s.sql("SELECT json_extract(meta, '$.k') FROM ev WHERE id = 2").head().getString(0) == "9")
+    assert(s.sql("SELECT printf('%d-%s', id, 'a') FROM ev WHERE id = 1").head().getString(0) == "1-a")
+    assert(s.sql("SELECT date(ts) FROM ev WHERE id = 1").head().getString(0) == "2024-03-05")
+    s.close()
+  }
+}
