@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard verification.
+  *
+  * Scale design:
+  *   - exact dedup is one hash-shuffle on the key (map-side partial
+  *     aggregation applies);
+  *   - MinHash/LSH never forms the O(n²) pair space — signatures are
+  *     per-row narrow maps, and candidate generation is an equi-join on
+  *     (band, bandHash), i.e. a shuffle keyed on buckets;
+  *   - a bucket-size cap guards against degenerate skew (a giant bucket
+  *     of near-identical boilerplate would otherwise quadratically blow
+  *     up one task — the classic web-dedup failure mode);
+  *   - SimHash is a per-row 64-bit signature; near-dup = hamming ≤ t via
+  *     band join on bit chunks.
+  */
+object Dedup {
+
+  /** Keep one row (minimum id) per exact key. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup groups: canonical (min) id + duplicate count per key. */
+  def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len < n, array(text)).otherwise(
+      array_distinct(transform(sequence(lit(0), len - n),
+        i => text.substr(i + lit(1), lit(n)))))
+  }
+
+  /** Distinct word n-gram shingles from a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
+  /** MinHash signature (k hashes) over a shingle array: shingles are
+    * hashed once, then each signature slot is the min of a cheap
+    * re-seeded mix — all inside codegen. */
+  def minhashSignature(shingles: Column, k: Int = 64): Column = {
+    val hs = transform(shingles, s => xxhash64(s))
+    array((0 until k).map(i => array_min(transform(hs, h => xxhash64(h, lit(i))))): _*)
+  }
+
+  /** LSH banding: explode the signature into (band, bandHash) rows. */
+  def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
+
+  /** Candidate near-dup pairs (idA < idB) via MinHash LSH banding.
+    *
+    * @param maxBucket skew guard: buckets larger than this are dropped
+    *        (they are boilerplate clusters; handle them with exact dedup
+    *        on the shingle-set hash instead of pairwise comparison).
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int = 64, numBands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sig = minhashSignature(col(shingleCol), numHashes)
+    val banded = df.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
+      .withColumn("band", explode(bands(sig, numBands, rowsPerBand)))
+      .select(col("id"), col("shingles"), col("band.band").as("band"), col("band.bh").as("bh"))
+    val sized = banded.withColumn("bucket_n", count(lit(1)).over(
+      Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val left = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val right = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** Near-dup pairs: LSH candidates verified with exact n-gram Jaccard. */
+  def nearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16): DataFrame =
+    minhashCandidates(df, idCol, shingleCol, numHashes, numBands)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Remove near-duplicates: rows whose id appears as the larger member
+    * of a verified pair are dropped (union-find collapsed one level —
+    * iterate for full transitive closure). */
+  def nearDedup(df: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = nearDupPairs(df, idCol, shingleCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over a token array: per-bit majority vote of token
+    * hashes, folded to one long with bitwise OR — single pass, codegen. */
+  def simhash(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitsums = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(bitsums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > lit(0L), call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (x, y) => x.bitwiseOR(y))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDistance, using the
+    * pigeonhole band trick: split 64 bits into (maxDistance+1) chunks —
+    * any pair within distance shares at least one exact chunk, so
+    * candidates come from equi-joins on chunk values, never O(n²). */
+  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val width = 64 / chunks
+    val chunked = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
+      .withColumn("chunk", explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftrightunsigned(col("sh"), c * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("cv"))
+      }: _*)))
+      .select(col("id"), col("sh"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
+    val l = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("ci", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

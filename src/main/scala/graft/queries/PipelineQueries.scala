@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Training-data pipeline operators (extension tier, BASELINE.json north
+  * star) driven through the oracle gate where SQL-expressible, rows-only
+  * otherwise (MinHash/SimHash constants aren't reproducible in SQL).
+  *
+  * Near-dup operators run against `documents` ∪ a deterministic perturbed
+  * copy of a slice (suffix token appended, id + 1,000,000) — the synthetic
+  * corpus has no natural near-dups, so planting some makes the candidate
+  * generation + verification path do real work and produce stable output.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** documents + perturbed near-duplicates of doc_id < 50. */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select("doc_id", "text", "lang")
+    val dups = base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" perturbed suffix token")).as("text"),
+        col("lang"))
+    base.unionByName(dups)
+  }
+
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup: exact (hash groupBy — one shuffle, map-side combine)
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "text", "doc_id")
+        .select(col("canonical_id"), col("dup_count"))
+        .orderBy(col("canonical_id"))),
+
+    // ---- dedup: MinHash + LSH banding, Jaccard-verified survivors
+    "d02_minhash_dedup" -> ((s, dir) => {
+      val withShingles = docsWithNearDups(s, dir)
+        .withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+      Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: SimHash signatures + hamming pairs via pigeonhole bands
+    "d03_simhash_pairs" -> ((s, dir) => {
+      val sh = docsWithNearDups(s, dir)
+        .withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("text"))))
+      Dedup.simhashPairs(sh, "doc_id", "simhash", maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: n-gram Jaccard verification on LSH candidates
+    "d04_ngram_jaccard" -> ((s, dir) => {
+      val withShingles = docsWithNearDups(s, dir)
+        .withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+      Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: embedding-cosine near-dups via hyperplane LSH buckets
+    "d05_embed_neardup" -> ((s, dir) => {
+      val base = embeds(s, dir).select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val all = base.unionByName(planted)
+      Similarity.embeddingNearDups(all, "vec_id", "embedding",
+          threshold = 0.995, dim = 64)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity: exact brute-force cosine top-k (two-stage top-k)
+    "s01_ann_topk" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: LSH-bucketed ANN (the 100 TB shape; recall tested in spec)
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 5, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- text: token counting (whitespace + BPE-ish regex)
+    "t01_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text: quality metrics
+    "t02_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"), col("char_len"), col("word_cnt"), col("punct_cnt"),
+          col("digit_cnt"), col("stopword_cnt"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text: language id (heuristic; deterministic)
+    "t03_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    // ---- text: fingerprinting (md5 canonical + shingle-min rolling hash)
+    "t04_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal: binary payload + deterministic stub metadata
+    "mm01_media_meta" -> ((s, dir) => {
+      val withPayload = Multimodal.withBinaryPayload(docs(s, dir))
+      Multimodal.stubMetaColumns(withPayload)
+        .select(col("doc_id"), col("n_bytes"), col("fake_width"), col("fake_height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal: frame sampling plumbing (row-per-frame explode)
+    "mm02_frame_sample" -> ((s, dir) => {
+      val withPayload = Multimodal.withBinaryPayload(docs(s, dir))
+      Multimodal.sampleFrames(withPayload)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"),
+          sum(col("frame_bytes")).as("sampled_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- events: tumbling-window stats (same code runs on streams)
+    "e01_tumbling_stats" -> ((s, dir) =>
+      EventStreams.tumblingStats(Tables.load(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ---- events: gap-based sessionization
+    "e02_sessions" -> ((s, dir) =>
+      EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "s01_ann_topk" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INTEGER) AS rank,
+        |    e.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "t01_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INTEGER) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(text) AS INTEGER) AS char_len,
+        |  CAST(len(tk) AS INTEGER) AS word_cnt,
+        |  CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS INTEGER) AS punct_cnt,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS digit_cnt,
+        |  CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], t))) AS INTEGER) AS stopword_cnt,
+        |  CAST(len(list_filter(tk, t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'], t))) AS DOUBLE)
+        |    / greatest(len(tk), 1) AS stopword_ratio
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm01_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 1280 + 16 AS INTEGER) AS fake_width,
+        |  CAST((octet_length(encode(text)) * 7) % 720 + 16 AS INTEGER) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e01_tumbling_stats" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e02_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP))
+        |            - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

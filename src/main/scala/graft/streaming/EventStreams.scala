@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types._
+
+/** Event/time-series operators over the `events` table shape
+  * (`event_id, ts, user_id, event_type, value, props`), written so the
+  * same transformations run in batch AND Structured Streaming (extension
+  * tier — the reference has no streaming at all, SURVEY §1.1).
+  *
+  * Scale: windowed aggregations shuffle on (window, key) with map-side
+  * partial aggregation; watermarks bound state for streaming;
+  * sessionization uses `session_window` (streaming-capable) or a
+  * lag-based batch formulation for exact oracle checks.
+  */
+object EventStreams {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-based event stream (works on a directory receiving parquet). */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type — identical code path
+    * for batch DataFrames and streams. */
+  def tumblingStats(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window stats. */
+  def slidingStats(events: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Streaming tumbling stats with a watermark bounding state. */
+  def streamingTumblingStats(stream: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    tumblingStats(stream.withWatermark("ts", watermark), width)
+
+  /** Streaming exact dedup by event_id within the watermark horizon. */
+  def streamingDedup(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows (gap-based) — streaming-capable `session_window`. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
+
+  /** Batch sessionization via lag: a new session starts when the gap to
+    * the previous event exceeds `gapMinutes`. Exact-arithmetic (micros)
+    * so it is oracle-checkable. Returns per-user session summary. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val flagged = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator specs: planted near-duplicates must be found,
+  * approximate methods must agree with exact baselines. */
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (1L, "pack my box with five dozen liquor jugs for the long trip north"),
+      (2L, "sphinx of black quartz judge my vow said the wise old man"),
+      (3L, "how vexingly quick daft zebras jump over fences in the summer sun"),
+      (4L, "the five boxing wizards jump quickly over the frozen river ice"))
+    // near-dups of 0 and 1 (one token appended), exact dup of 2
+    val dups = Seq(
+      (100L, base(0)._2 + " tonight"),
+      (101L, base(1)._2 + " tomorrow"),
+      (102L, base(2)._2))
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups: identical text collapses to min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(g.count() == 7) // 8 docs, one exact dup pair
+    val dup = g.filter(col("dup_count") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("canonical_id") == 2L)
+    assert(Dedup.exact(docs, "text", "doc_id").count() == 7)
+  }
+
+  test("minhash LSH + jaccard finds planted near-dup pairs, skips unrelated") {
+    val withShingles = docs.withColumn("shingles",
+      Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+    val pairs = Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"missing planted pair, got $pairs")
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.contains((2L, 102L)))
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 }) // no false pairs among originals
+    val survivors = Dedup.nearDedup(withShingles, "doc_id", "shingles", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("simhash: near-identical docs within small hamming distance") {
+    val sh = docs.withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("text"))))
+    val values = sh.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(values(2L) == values(102L)) // exact dup → same signature
+    val d0 = java.lang.Long.bitCount(values(0L) ^ values(100L))
+    val dUnrelated = java.lang.Long.bitCount(values(0L) ^ values(3L))
+    assert(d0 < dUnrelated, s"near-dup hamming $d0 should be < unrelated $dUnrelated")
+    val pairs = Dedup.simhashPairs(sh, "doc_id", "simhash", maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 102L)))
+  }
+
+  test("brute-force cosine top-k is exact and deterministic") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 4)
+    val rows = topk.collect()
+    assert(rows.length == 12)
+    // verify against a driver-side exact computation for query 0
+    val all = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q0 = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
+    val got = rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(got == expected)
+  }
+
+  test("LSH ANN reaches reasonable recall vs brute force") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 5, dim = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall $recall too low")
+  }
+
+  test("embedding near-dups: planted scaled copies found (cosine = 1)") {
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j).toFloat))
+    }
+    val planted = base.take(5).map { case (id, v) => (id + 1000L, v.map(_ * 1.01f)) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, "vec_id", "embedding", 0.999, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted $i"))
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprints") {
+    val df = Seq(
+      (1L, "The cat and the dog, in a house!"),
+      (2L, "Der Hund und die Katze ist nicht ein Haus und der Baum"),
+      (3L, "the THE   The")).toDF("doc_id", "text")
+    val t = df.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(t(1L) == 8 && t(3L) == 3)
+    val q = TextAnalysis.qualityMetrics(df).filter(col("doc_id") === 1)
+      .select("punct_cnt", "stopword_cnt").head()
+    assert(q.getInt(0) == 2) // comma + bang
+    assert(q.getInt(1) == 5) // the, and, the, in, a
+    val langs = TextAnalysis.languageId(df).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(langs(2L) == "de")
+    // fingerprint is whitespace/case-insensitive
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    val fp3b = Seq((4L, "the the the")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5(col("text"))).head().getString(0)
+    assert(fps(3L) == fp3b)
+  }
+
+  test("multimodal: payload plumbing, stub decode, frame sampling") {
+    val df = Seq((1L, "hello world payload"), (2L, "x")).toDF("doc_id", "text")
+    val withPayload = Multimodal.withBinaryPayload(df)
+    assert(withPayload.schema("content").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(withPayload).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes == 19 && meta(1L).ok)
+    assert(meta(1L).width > 0 && meta(1L).height > 0)
+    // deterministic across runs
+    val meta2 = Multimodal.decodeMeta(withPayload).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L) == meta2(1L))
+    val frames = Multimodal.sampleFrames(withPayload, frameBytes = 4, stride = 2)
+    assert(frames.filter(col("doc_id") === 1).count() == 3) // ceil(19/4)=5 frames, keep 0,2,4
+  }
+}

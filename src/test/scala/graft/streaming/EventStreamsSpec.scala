@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+    value: Double, props: String)
+
+/** Structured Streaming specs: the same operators run on a MemoryStream
+  * with watermarks; results checked against the batch formulation. */
+class EventStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      user, typ, 1.0, "{}")
+
+  test("tumbling stats: identical results in batch and streaming") {
+    val events = Seq(
+      ev(1, 5, 1, "click"), ev(2, 20, 1, "click"), ev(3, 61, 2, "view"),
+      ev(4, 70, 1, "click"), ev(5, 130, 2, "view"))
+    val batch = EventStreams.tumblingStats(events.toDF()).orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(events: _*)
+    val q = EventStreams.streamingTumblingStats(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out").orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup by event_id within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(ev(1, 5, 1, "click"), ev(1, 5, 1, "click"), ev(2, 6, 1, "view"))
+    val q = EventStreams.streamingDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("batch sessionization: gap > 30min starts a new session") {
+    val events = Seq(
+      ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 50, 1, "a"), // gap 40min → 2 sessions
+      ev(4, 0, 2, "a")) // single event → 1 session
+    val out = EventStreams.sessionizeBatch(events.toDF())
+      .orderBy("user_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 3)
+    assert(out(1).getLong(1) == 1)
+  }
+
+  test("session_window stats match gap semantics") {
+    val events = Seq(ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 50, 1, "a"))
+    val sessions = EventStreams.sessionWindowStats(events.toDF())
+      .filter(col("user_id") === 1).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+}
