@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XXH64}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+
+/** Tight-loop MinHash signature, invoked from codegen (same pattern as
+  * [[SimHashImpl]]).
+  *
+  * The declarative form (`array(k × array_min(transform(hashes, …)))`)
+  * allocates k intermediate arrays per row; this computes each shingle's
+  * base hash once and folds all k re-seeded mixes in registers —
+  * O(k·|shingles|) integer ops, one output allocation.
+  */
+object MinHashImpl {
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashLong(base, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object MinHash {
+  /** Column API: k-slot MinHash signature (`array<bigint>`) of an
+    * `array<string>` shingle column. */
+  def signature(shingles: Column, k: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      MinHashImpl.getClass, ArrayType(LongType, containsNull = false), "signature",
+      Seq(ColumnBridge.expression(shingles), Literal(k)),
+      Seq(ArrayType(StringType), IntegerType),
+      propagateNull = true, returnNullable = false))
+}

@@ -46,41 +46,55 @@ object Dedup {
       array_distinct(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
-  /** MinHash signature (k hashes) over a shingle array: shingles are
-    * hashed once, then each signature slot is the min of a cheap
-    * re-seeded mix — all inside codegen. */
-  def minhashSignature(shingles: Column, k: Int = 64): Column = {
-    val hs = transform(shingles, s => xxhash64(s))
-    array((0 until k).map(i => array_min(transform(hs, h => xxhash64(h, lit(i))))): _*)
-  }
-
-  /** LSH banding: explode the signature into (band, bandHash) rows. */
-  def bands(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    array((0 until numBands).map(b =>
-      struct(lit(b).as("band"), xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))): _*)
+  /** MinHash signature (k hashes) over a shingle array: each shingle is
+    * hashed once, each signature slot is the min of a re-seeded mix —
+    * a custom codegen-invoked tight loop ([[graft.functions.MinHashImpl]]);
+    * the declarative `array_min(transform(…))` × k form allocates k
+    * intermediate arrays per row. */
+  def minhashSignature(shingles: Column, k: Int = 64): Column =
+    graft.functions.MinHash.signature(shingles, k)
 
   /** Candidate near-dup pairs (idA < idB) via MinHash LSH banding.
     *
+    * Cost shape (the part that must survive 100 TB):
+    *   1. the signature is MATERIALIZED once per row before banding —
+    *      slicing an unreferenced signature expression per band would
+    *      recompute all k hashes `numBands` times;
+    *   2. banded rows are narrow (id, band, bandHash) — shingle arrays
+    *      never enter the shuffle;
+    *   3. pairs are generated bucket-locally from `collect_list` (no
+    *      self-join materializing the bucket cross product row set);
+    *   4. shingles are re-attached only to the (small) candidate set.
+    *
     * @param maxBucket skew guard: buckets larger than this are dropped
-    *        (they are boilerplate clusters; handle them with exact dedup
-    *        on the shingle-set hash instead of pairwise comparison).
+    *        (boilerplate clusters; handle those with exact dedup on the
+    *        shingle-set hash instead of pairwise comparison).
     */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int = 64, numBands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sig = minhashSignature(col(shingleCol), numHashes)
-    val banded = df.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
-      .withColumn("band", explode(bands(sig, numBands, rowsPerBand)))
-      .select(col("id"), col("shingles"), col("band.band").as("band"), col("band.bh").as("bh"))
-    val sized = banded.withColumn("bucket_n", count(lit(1)).over(
-      Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val left = sized.select(col("band"), col("bh"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val right = sized.select(col("band"), col("bh"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    left.join(right, Seq("band", "bh"))
+    // (id, shingles) is consumed three times (signature, both sides of the
+    // verify re-attach); caching avoids recomputing tokenization+shingling
+    // per consumer. MEMORY_AND_DISK — spills rather than OOMs at scale.
+    val base = df.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = base.select(col("id"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+    val banded = withSig.select(col("id"), posexplode(
+        array((0 until numBands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("id", "band", "bh")
+    val pairs = banded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -107,21 +121,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token array: per-bit majority vote of token
-    * hashes, folded to one long with bitwise OR — single pass, codegen. */
-  def simhash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitsums = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", h, i.cast("int"))
-            .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(bitsums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > lit(0L), call_function("shiftleft", lit(1L), i.cast("int")))
-          .otherwise(lit(0L))),
-      lit(0L), (x, y) => x.bitwiseOR(y))
-  }
+    * hashes. Backed by a custom codegen-invoked implementation
+    * ([[graft.functions.SimHashImpl]]) — the declarative `aggregate`/
+    * `zip_with` formulation evaluates ~100 expressions per token; the
+    * tight loop does one hash + bit-twiddles per token. */
+  def simhash(toks: Column): Column = graft.functions.SimHash.simhash64(toks)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

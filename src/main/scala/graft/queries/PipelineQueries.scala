@@ -43,8 +43,10 @@ object PipelineQueries {
 
     // ---- dedup: MinHash + LSH banding, Jaccard-verified survivors
     "d02_minhash_dedup" -> ((s, dir) => {
+      // persisted: consumed by candidate generation AND the anti-join left
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
