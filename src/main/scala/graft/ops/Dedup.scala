@@ -32,19 +32,29 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
+    * functions block Spark's common-subexpression elimination, so an
+    * expensive expression referenced inside a `transform` lambda would
+    * otherwise be re-evaluated per array element (observed 5× slowdown
+    * on shingling). A 1-element `transform` materializes it as a lambda
+    * variable. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Distinct character n-gram shingles of a string column. */
-  def charShingles(text: Column, n: Int): Column = {
-    val len = length(text)
-    when(len < n, array(text)).otherwise(
+  def charShingles(text: Column, n: Int): Column = bindOnce(text) { t =>
+    val len = length(t)
+    when(len < n, array(t)).otherwise(
       array_distinct(transform(sequence(lit(0), len - n),
-        i => text.substr(i + lit(1), lit(n)))))
+        i => t.substr(i + lit(1), lit(n)))))
   }
 
   /** Distinct word n-gram shingles from a token array. */
-  def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  def wordShingles(toks: Column, n: Int): Column = bindOnce(toks) { tk =>
+    when(size(tk) < n, array(concat_ws(" ", tk))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
+  }
 
   /** MinHash signature (k hashes) over a shingle array: each shingle is
     * hashed once, each signature slot is the min of a re-seeded mix —

@@ -210,6 +210,31 @@ object RelationalQueries {
               |FROM part ORDER BY p_partkey""".stripMargin)
     }),
 
+    // ---- SQLite dialect shim: strftime (native date_format expansion)
+    "q16_strftime" -> ((s, dir) => {
+      graft.dialect.SqliteDialect.register(s)
+      Tables.register(s, dir, Seq("orders"))
+      s.sql("""SELECT strftime('%Y-%m', o_orderdate) AS month, COUNT(*) AS n,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM orders GROUP BY month ORDER BY month""".stripMargin)
+    }),
+
+    // ---- SQLite dialect shim: julianday (arithmetic expansion)
+    "q17_julianday" -> ((s, dir) => {
+      graft.dialect.SqliteDialect.register(s)
+      Tables.register(s, dir, Seq("orders"))
+      s.sql("""SELECT o_orderkey, julianday(o_orderdate) AS jd
+              |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)
+    }),
+
+    // ---- group_concat (deterministic variant: sorted collect_list)
+    "q18_group_concat" -> ((s, dir) => {
+      Tables.load(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // ---- HAVING
     "q19_having" -> ((s, dir) => {
       Tables.register(s, dir, Seq("lineitem"))
@@ -277,6 +302,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"),
           dsum(col("o_totalprice"), 2).as("total"))
         .orderBy(col("yr"), col("mo"))
+    }),
+
+    // ---- ROLLUP grouping sets (Spark/engine superset; absent in reference)
+    "q26_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     })
   )
 
@@ -413,6 +446,21 @@ object RelationalQueries {
         |  CAST(p_size AS VARCHAR) AS size_str
         |FROM part ORDER BY p_partkey""".stripMargin,
 
+    "q16_strftime" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q17_julianday" ->
+      """SELECT o_orderkey,
+        |  epoch(CAST(o_orderdate AS TIMESTAMP)) / 86400.0 + 2440587.5 AS jd
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "q18_group_concat" ->
+      """SELECT CAST(n_regionkey AS INTEGER) AS n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
     "q19_having" ->
       """SELECT l_orderkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
@@ -458,6 +506,12 @@ object RelationalQueries {
         |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q26_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
   )
 }
