@@ -58,57 +58,68 @@ object SqliteDialect {
   private def toTimestamp(e: Expression): Expression =
     if (e.dataType == TimestampType) e else Cast(e, TimestampType)
 
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-
-    // strftime(fmt, ts) — SQLite argument order (fmt first)
-    registry.registerFunction(FunctionIdentifier("strftime"), info("strftime"), {
-      case Seq(Literal(fmt, StringType), ts) =>
-        DateFormatClass(toTimestamp(ts), Literal(translateStrftime(fmt.toString)))
-      case _ => throw InvalidSqlError("strftime", "format must be a string literal")
-    })
-
-    // julianday(ts) = unix_seconds/86400 + 2440587.5
-    registry.registerFunction(FunctionIdentifier("julianday"), info("julianday"), {
-      case Seq(ts) =>
-        Add(Divide(Cast(toTimestamp(ts), DoubleType), Literal(86400.0)), Literal(2440587.5))
-      case _ => throw InvalidSqlError("julianday", "expects one argument")
-    })
-
-    // date(x) / datetime(x) / time(x) → SQLite's canonical text forms
-    def fmtFn(name: String, pattern: String): Unit =
-      registry.registerFunction(FunctionIdentifier(name), info(name), {
+  /** (name, info, builder) triples — consumable both by direct session
+    * registration ([[register]]) and by [[GraftSparkExtensions]] via
+    * `spark.sql.extensions`. */
+  def functionSpecs: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def fmtFn(name: String, pattern: String): (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), info(name), {
         case Seq(ts) => DateFormatClass(toTimestamp(ts), Literal(pattern))
         case _ => throw InvalidSqlError(name, "expects one argument")
       })
-    fmtFn("date", "yyyy-MM-dd")
-    fmtFn("datetime", "yyyy-MM-dd HH:mm:ss")
-    fmtFn("time", "HH:mm:ss")
-
-    // ifnull(a, b) = coalesce
-    registry.registerFunction(FunctionIdentifier("ifnull"), info("ifnull"), {
-      case args if args.length == 2 => Coalesce(args)
-      case _ => throw InvalidSqlError("ifnull", "expects two arguments")
-    })
-
-    // printf(fmt, …) = format_string
-    registry.registerFunction(FunctionIdentifier("printf"), info("printf"),
-      args => FormatString(args: _*))
-
-    // group_concat(x[, sep]) = concat_ws(sep, collect_list(x))
-    // NOTE: aggregation order is unspecified, exactly as in SQLite.
-    registry.registerFunction(FunctionIdentifier("group_concat"), info("group_concat"), {
-      case Seq(x) =>
-        ConcatWs(Seq(Literal(","), CollectList(Cast(x, StringType)).toAggregateExpression()))
-      case Seq(x, Literal(sep, StringType)) =>
-        ConcatWs(Seq(Literal(sep.toString), CollectList(Cast(x, StringType)).toAggregateExpression()))
-      case _ => throw InvalidSqlError("group_concat", "expects (expr[, separator-literal])")
-    })
-
-    // json_extract(json, path) = get_json_object
-    registry.registerFunction(FunctionIdentifier("json_extract"), info("json_extract"), {
-      case Seq(j, p) => GetJsonObject(j, p)
-      case _ => throw InvalidSqlError("json_extract", "expects (json, path)")
-    })
+    Seq(
+      // strftime(fmt, ts) — SQLite argument order (fmt first)
+      (FunctionIdentifier("strftime"), info("strftime"), {
+        case Seq(Literal(fmt, StringType), ts) =>
+          DateFormatClass(toTimestamp(ts), Literal(translateStrftime(fmt.toString)))
+        case _ => throw InvalidSqlError("strftime", "format must be a string literal")
+      }: Seq[Expression] => Expression),
+      // julianday(ts) = unix_seconds/86400 + 2440587.5
+      (FunctionIdentifier("julianday"), info("julianday"), {
+        case Seq(ts) =>
+          Add(Divide(Cast(toTimestamp(ts), DoubleType), Literal(86400.0)), Literal(2440587.5))
+        case _ => throw InvalidSqlError("julianday", "expects one argument")
+      }: Seq[Expression] => Expression),
+      // date/datetime/time → SQLite's canonical text forms
+      fmtFn("date", "yyyy-MM-dd"),
+      fmtFn("datetime", "yyyy-MM-dd HH:mm:ss"),
+      fmtFn("time", "HH:mm:ss"),
+      // ifnull(a, b) = coalesce
+      (FunctionIdentifier("ifnull"), info("ifnull"), {
+        case args if args.length == 2 => Coalesce(args)
+        case _ => throw InvalidSqlError("ifnull", "expects two arguments")
+      }: Seq[Expression] => Expression),
+      // printf(fmt, …) = format_string
+      (FunctionIdentifier("printf"), info("printf"),
+        ((args: Seq[Expression]) => FormatString(args: _*))),
+      // group_concat(x[, sep]) = concat_ws(sep, collect_list(x))
+      // NOTE: aggregation order is unspecified, exactly as in SQLite.
+      (FunctionIdentifier("group_concat"), info("group_concat"), {
+        case Seq(x) =>
+          ConcatWs(Seq(Literal(","), CollectList(Cast(x, StringType)).toAggregateExpression()))
+        case Seq(x, Literal(sep, StringType)) =>
+          ConcatWs(Seq(Literal(sep.toString), CollectList(Cast(x, StringType)).toAggregateExpression()))
+        case _ => throw InvalidSqlError("group_concat", "expects (expr[, separator-literal])")
+      }: Seq[Expression] => Expression),
+      // json_extract(json, path) = get_json_object
+      (FunctionIdentifier("json_extract"), info("json_extract"), {
+        case Seq(j, p) => GetJsonObject(j, p)
+        case _ => throw InvalidSqlError("json_extract", "expects (json, path)")
+      }: Seq[Expression] => Expression))
   }
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functionSpecs.foreach { case (id, inf, builder) =>
+      registry.registerFunction(id, inf, builder)
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: enable the SQLite dialect cluster-wide
+  * with `--conf spark.sql.extensions=graft.dialect.GraftSparkExtensions`
+  * (no code changes in user jobs). */
+class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    SqliteDialect.functionSpecs.foreach(ext.injectFunction)
 }

@@ -148,7 +148,31 @@ object PipelineQueries {
     // ---- events: gap-based sessionization
     "e02_sessions" -> ((s, dir) =>
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // ---- events: the SAME tumbling aggregation through Structured
+    // Streaming (AvailableNow trigger, watermark, memory sink) — must
+    // hash-match the batch oracle, proving batch/stream parity
+    "e03_streaming_tumbling" -> ((s, dir) => {
+      val sink = "e03_streaming_out"
+      // the file-stream source requires a directory: stage the table file
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = EventStreams.readStreamNanos(s, streamDir.toString)
+      val q = EventStreams.streamingTumblingStats(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // materialize: the memory sink table is mutable session state
+      val out = s.table(sink)
+        .orderBy(col("window_start"), col("event_type"))
+      out.cache().count()
+      out
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -200,6 +224,12 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "e01_tumbling_stats" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e03_streaming_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -128,6 +128,35 @@ object GraftSession {
       readers += ((tableName, format, path)); this
     }
 
+    /** ≈ `AddFS` embedded-filesystem loading (S8,
+      * `file_processor.go:114-214`): load a classpath resource (e.g. an
+      * embedded fixture) as a table. The resource is materialized to a
+      * session temp file, then follows the normal source path. */
+    def addResource(resourcePath: String,
+        loader: ClassLoader = Thread.currentThread.getContextClassLoader): Builder = {
+      val in = Option(loader.getResourceAsStream(resourcePath))
+        .getOrElse(throw UnsupportedFormatError(s"classpath:$resourcePath"))
+      val name = resourcePath.split('/').last
+      val dir = Files.createTempDirectory("graft-res-")
+      dir.toFile.deleteOnExit()
+      val target = dir.resolve(name)
+      try Files.copy(in, target) finally in.close()
+      target.toFile.deleteOnExit()
+      paths += target.toString
+      this
+    }
+
+    /** Parity no-op (S10, `stream.go:208-341`): the reference ingests in
+      * row chunks (default 1000); Spark's partitioned reads subsume this.
+      * Accepted for API compatibility; influences nothing. */
+    def withChunkSize(rows: Int): Builder = this
+
+    /** Parity no-op (S20, `memory.go:52-371`): the reference enforces a
+      * process memory cap with adaptive chunk shrinking; Spark's unified
+      * memory manager + spill handles this. Set executor/driver memory via
+      * Spark conf instead. */
+    def withMemoryLimit(bytes: Long): Builder = this
+
     /** Disable type inference: every column stays a string (parquet keeps
       * its native types either way). */
     def withoutTypeInference(): Builder = { inferTypes = false; this }

@@ -248,57 +248,75 @@ object XlsxSource {
       case c => c.toString
     }
 
+  /** One sheet to serialize: name, header row, data rows. */
+  final case class SheetData(name: String, header: Seq[String], rows: Iterator[Seq[String]])
+
   /** Write rows (header first) as a minimal single-sheet workbook with
     * inline strings (round-trips through [[parseWorkbook]] and Excel). */
   def write(out: OutputStream, sheetName: String, header: Seq[String],
-      rows: Iterator[Seq[String]]): Unit = {
+      rows: Iterator[Seq[String]]): Unit =
+    writeWorkbook(out, Seq(SheetData(sheetName, header, rows)))
+
+  /** Write a multi-sheet workbook (inline strings). */
+  def writeWorkbook(out: OutputStream, sheets: Seq[SheetData]): Unit = {
     val zip = new ZipOutputStream(out, StandardCharsets.UTF_8)
     def entry(name: String, content: String): Unit = {
       zip.putNextEntry(new ZipEntry(name))
       zip.write(content.getBytes(StandardCharsets.UTF_8))
       zip.closeEntry()
     }
+    val sheetOverrides = sheets.indices.map(i =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+      .mkString("\n")
     entry("[Content_Types].xml",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
-        |<Default Extension="xml" ContentType="application/xml"/>
-        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin)
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |$sheetOverrides
+         |</Types>""".stripMargin)
     entry("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
         |</Relationships>""".stripMargin)
+    val sheetRefs = sheets.zipWithIndex.map { case (s, i) =>
+      s"""<sheet name="${xmlEscape(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
     entry("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-         |<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+         |<sheets>$sheetRefs</sheets>
          |</workbook>""".stripMargin)
+    val rels = sheets.indices.map(i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""")
+      .mkString
     entry("xl/_rels/workbook.xml.rels",
-      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-    val w = new java.io.OutputStreamWriter(zip, StandardCharsets.UTF_8)
-    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    def writeRow(cells: Seq[String]): Unit = {
-      w.write("<row>")
-      cells.foreach { c =>
-        w.write("""<c t="inlineStr"><is><t xml:space="preserve">""")
-        w.write(xmlEscape(c))
-        w.write("</t></is></c>")
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |$rels
+         |</Relationships>""".stripMargin)
+    sheets.zipWithIndex.foreach { case (sheet, i) =>
+      zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+      val w = new java.io.OutputStreamWriter(zip, StandardCharsets.UTF_8)
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      def writeRow(cells: Seq[String]): Unit = {
+        w.write("<row>")
+        cells.foreach { c =>
+          w.write("""<c t="inlineStr"><is><t xml:space="preserve">""")
+          w.write(xmlEscape(c))
+          w.write("</t></is></c>")
+        }
+        w.write("</row>")
       }
-      w.write("</row>")
+      writeRow(sheet.header)
+      sheet.rows.foreach(writeRow)
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zip.closeEntry()
     }
-    writeRow(header)
-    rows.foreach(writeRow)
-    w.write("</sheetData></worksheet>")
-    w.flush()
-    zip.closeEntry()
     zip.finish()
   }
 }

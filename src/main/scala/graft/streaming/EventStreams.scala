@@ -27,6 +27,19 @@ object EventStreams {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
+  /** Stream over the driver testdata's events.parquet, whose `ts` is
+    * TIMESTAMP(NANOS): read nanos as long, convert to micros (same
+    * truncation as the batch loader in [[graft.Tables.load]]). */
+  def readStreamNanos(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(EventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   /** Tumbling-window counts/sums per event type — identical code path
     * for batch DataFrames and streams. */
   def tumblingStats(events: DataFrame, width: String = "1 hour"): DataFrame =

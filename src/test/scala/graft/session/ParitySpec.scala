@@ -1,0 +1,80 @@
+package graft.session
+
+import graft.SparkSpec
+import graft.sources.XlsxSource
+
+/** Parity edge cases ported from reference test areas:
+  * reserved-word table names (`filesql_test.go:1892-2274`), unicode
+  * (`:1736`), CREATE VIEW (`README.md:334`), multi-row INSERT, XLSX
+  * multi-sheet (`README.md:380-415`), embedded-FS loading
+  * (`file_processor.go:114-214`). */
+class ParitySpec extends SparkSpec {
+
+  test("reserved SQL words as table names (quoted with backticks)") {
+    val dir = tmpDir("reserved")
+    writeFile(dir, "order.csv", "id,item\n1,apple\n2,pear\n")
+    writeFile(dir, "select.csv", "id,v\n1,10\n")
+    val s = GraftSession.open(spark, dir.toString)
+    assert(s.sql("SELECT COUNT(*) FROM `order`").head().getLong(0) == 2)
+    assert(s.sql("SELECT v FROM `select` WHERE id = 1").head().getLong(0) == 10)
+    s.close()
+  }
+
+  test("unicode data and column values survive load and query") {
+    val dir = tmpDir("unicode")
+    writeFile(dir, "intl.csv",
+      "id,name,city\n1,FranÃ§ois,MÃ¼nchen\n2,æ—¥æœ¬èªž,æ±äº¬\n3,Ð ÑƒÑÑÐºÐ¸Ð¹,ÐœÐ¾ÑÐºÐ²Ð°\n")
+    val s = GraftSession.open(spark, dir.toString)
+    assert(s.sql("SELECT name FROM intl WHERE city = 'æ±äº¬'").head().getString(0) == "æ—¥æœ¬èªž")
+    assert(s.sql("SELECT COUNT(*) FROM intl WHERE name = 'FranÃ§ois'").head().getLong(0) == 1)
+    s.close()
+  }
+
+  test("CREATE TEMPORARY VIEW over loaded tables") {
+    val dir = tmpDir("view")
+    writeFile(dir, "t.csv", "id,v\n1,10\n2,20\n3,30\n")
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW big AS SELECT * FROM t WHERE v >= 20")
+    assert(s.sql("SELECT COUNT(*) FROM big").head().getLong(0) == 2)
+    s.close()
+  }
+
+  test("INSERT with multiple VALUES tuples and expressions") {
+    val dir = tmpDir("multiinsert")
+    writeFile(dir, "t.csv", "id,v\n1,10\n")
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("INSERT INTO t VALUES (2, 20), (3, 10 + 20), (4, abs(-40))")
+    assert(s.sql("SELECT SUM(v) FROM t").head().getLong(0) == 100)
+    s.close()
+  }
+
+  test("XLSX multi-sheet workbook: one table per sheet, {file}_{sheet} names") {
+    val dir = tmpDir("multisheet")
+    val p = dir.resolve("book.xlsx")
+    val out = java.nio.file.Files.newOutputStream(p)
+    XlsxSource.writeWorkbook(out, Seq(
+      XlsxSource.SheetData("Staff", Seq("id", "name"), Iterator(Seq("1", "ann"), Seq("2", "bo"))),
+      XlsxSource.SheetData("2024 Sales", Seq("id", "amt"), Iterator(Seq("1", "9.5")))))
+    out.close()
+    val s = GraftSession.open(spark, p.toString)
+    assert(s.tableNames.toSet == Set("book_Staff", "book_sheet_2024_Sales"))
+    assert(s.sql("SELECT COUNT(*) FROM book_Staff").head().getLong(0) == 2)
+    assert(s.sql("SELECT amt FROM book_sheet_2024_Sales").head().getDouble(0) == 9.5)
+    s.close()
+  }
+
+  test("classpath resource loading (embedded-FS parity)") {
+    // stage a resource dir on a throwaway classloader
+    val dir = tmpDir("resources")
+    val sub = dir.resolve("fixtures")
+    java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.writeString(sub.resolve("embedded.csv"), "id,name\n1,zed\n")
+    val loader = new java.net.URLClassLoader(Array(dir.toUri.toURL), null)
+    val s = GraftSession.builder()
+      .addResource("fixtures/embedded.csv", loader)
+      .open(spark)
+    assert(s.tableNames == Seq("embedded"))
+    assert(s.sql("SELECT name FROM embedded").head().getString(0) == "zed")
+    s.close()
+  }
+}
