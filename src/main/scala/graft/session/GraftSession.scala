@@ -78,6 +78,26 @@ final class GraftSession private[session] (
       case None => spark.sql(statement)
     }
 
+  /** `PRAGMA table_info(t)` equivalent (`filesql.go:274-301`):
+    * (cid, name, type, notnull, dflt_value, pk) rows in SQLite shape. */
+  def tableInfo(name: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def sqliteType(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+      case DoubleType | FloatType | _: DecimalType => "REAL"
+      case _ => "TEXT"
+    }
+    val rows = table(name).schema.fields.zipWithIndex.map { case (f, i) =>
+      Row(i, f.name, sqliteType(f.dataType), if (f.nullable) 0 else 1, null, 0)
+    }
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType), StructField("name", StringType),
+      StructField("type", StringType), StructField("notnull", IntegerType),
+      StructField("dflt_value", StringType), StructField("pk", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Export every table to `dir` (reference S16 `DumpDatabase`,
     * `filesql.go:161-334`). */
   def dump(dir: String, opts: DumpOptions = DumpOptions()): Unit =

@@ -1,5 +1,7 @@
 package graft.session
 
+import scala.jdk.CollectionConverters._
+
 import graft.{DuplicateTableError, SparkSpec}
 import graft.sinks.DumpOptions
 
@@ -88,6 +90,47 @@ class GraftSessionSpec extends SparkSpec {
     val s2 = GraftSession.open(spark, out.toString)
     assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
     s2.close()
+  }
+
+  test("auto-save on commit: every mutation re-dumps (S17 OnCommit variant)") {
+    val dir = tmpDir("ascommit")
+    fixtures(dir)
+    val out = tmpDir("ascommitout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSaveOnCommit(out.toString)
+      .open(spark)
+    s.sql("DELETE FROM users WHERE id = 3")
+    // saved immediately, before close
+    assert(java.nio.file.Files.exists(out.resolve("users.csv")))
+    val s2 = GraftSession.open(spark, out.resolve("users.csv").toString)
+    assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+    s2.close(); s.close()
+  }
+
+  test("tableInfo: PRAGMA table_info parity shape") {
+    val dir = tmpDir("ti")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val info = s.tableInfo("users").collect()
+    assert(info.map(_.getString(1)).toSeq == Seq("id", "name", "role", "department_id"))
+    assert(info.head.getString(2) == "INTEGER")
+    assert(info(1).getString(2) == "TEXT")
+    s.close()
+  }
+
+  test("distributed sink: directory output with partitioning (100TB path)") {
+    val dir = tmpDir("dist")
+    fixtures(dir)
+    val out = tmpDir("distout").resolve("users_dist")
+    val s = GraftSession.open(spark, dir.toString)
+    graft.sinks.Dump.writeDistributed(s.table("users"), out.toString, "parquet",
+      partitionBy = Seq("department_id"))
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 3)
+    assert(java.nio.file.Files.list(out).iterator().asScala.exists(
+      _.getFileName.toString.startsWith("department_id=")))
+    s.close()
   }
 
   test("dialect shims: strftime, julianday, ifnull, group_concat, json_extract, printf") {
