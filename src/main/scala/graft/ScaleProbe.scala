@@ -1,0 +1,61 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Scale sanity: replicate sf0.1 tables 10x (6M lineitem rows, 50k docs)
+  * and check the headline operators complete with near-linear cost and
+  * the same plan shapes. Usage: runMain graft.ScaleProbe */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def t[A](label: String)(f: => A): A = { val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    def noop(df: org.apache.spark.sql.DataFrame) = df.write.format("noop").mode("overwrite").save()
+
+    // 10x lineitem with distinct orderkeys per replica (keeps join keys sane)
+    val l1 = Tables.load(spark, dir, "lineitem")
+    l1.count() // warmup
+    val replicas = (0 until 10).map(i => l1.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+    val l10 = replicas.reduce(_ unionByName _)
+    println("SCALE lineitem rows: " + l10.count())
+
+    t("q1-shape agg 600k")(noop(l1.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")), count(lit(1)))))
+    t("q1-shape agg 6M")(noop(l10.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")), count(lit(1)))))
+
+    val orders = Tables.load(spark, dir, "orders")
+    t("join+agg 600k")(noop(l1.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)))))
+    val o10 = (0 until 10).map(i => orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    t("join+agg 6M x 1.5M")(noop(l10.join(o10, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)))))
+
+    // 10x documents near-dedup (50k docs)
+    val d1 = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val d10 = (0 until 10).map(i => d1
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+      .reduce(_ unionByName _)
+    val sh = d10.withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println("SCALE docs rows: " + sh.count())
+    val pairs = t("minhash pairs 50k docs")(
+      Dedup.nearDupPairs(sh, "doc_id", "shingles", 0.6).count())
+    println("SCALE pairs found: " + pairs)
+
+    // salted join sanity on a deliberately hot key
+    val hot = l1.withColumn("k", when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val dim = spark.range(200).toDF("k").withColumn("v", col("k") * 2)
+    val r = t("salted join")(graft.ops.Skew.saltedJoin(hot, dim, "k", 8).count())
+    println("SCALE salted join rows: " + r)
+    spark.stop()
+  }
+}

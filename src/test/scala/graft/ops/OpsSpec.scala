@@ -127,6 +127,17 @@ class OpsSpec extends SparkSpec {
     assert(fps(3L) == fp3b)
   }
 
+  test("salted join: identical result set to a plain join") {
+    val big = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "payload")
+    val dim = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val plain = big.join(dim, "k").select("k", "payload", "v")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, dim, "k", saltFactor = 4)
+      .select("k", "payload", "v").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("multimodal: payload plumbing, stub decode, frame sampling") {
     val df = Seq((1L, "hello world payload"), (2L, "x")).toDF("doc_id", "text")
     val withPayload = Multimodal.withBinaryPayload(df)
