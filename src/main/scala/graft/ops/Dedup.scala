@@ -32,6 +32,15 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup keyed on a 128-bit content hash instead of the raw
+    * column — at 100 TB, shuffling md5 digests instead of multi-KB
+    * documents cuts exchange volume by orders of magnitude (collision
+    * probability ~n²/2¹²⁸, negligible below ~10¹⁵ docs). */
+  def exactByHash(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(contentCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
     * functions block Spark's common-subexpression elimination, so an
     * expensive expression referenced inside a `transform` lambda would

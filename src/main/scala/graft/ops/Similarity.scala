@@ -33,11 +33,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Pre-normalize a vector column so downstream cosine = plain dot. */
-  def normalize(a: Column): Column = {
-    val n = l2Norm(a)
-    transform(a, x => x.cast("double") / n)
-  }
+  /** Pre-normalize a vector column so downstream cosine = plain dot.
+    * The norm is bound once via a 1-element `transform` — referencing it
+    * directly inside the per-element lambda would recompute the full
+    * O(dim) norm for every element (higher-order functions block CSE). */
+  def normalize(a: Column): Column =
+    element_at(transform(array(l2Norm(a)), n => transform(a, x => x.cast("double") / n)), 1)
 
   /** Exact top-k cosine neighbors for every query row.
     *

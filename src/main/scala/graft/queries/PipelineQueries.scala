@@ -150,6 +150,11 @@ object PipelineQueries {
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"))),
 
+    // ---- events: sliding-window stats (1h window, 15min slide)
+    "e04_sliding_stats" -> ((s, dir) =>
+      EventStreams.slidingStats(Tables.load(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
     // ---- events: the SAME tumbling aggregation through Structured
     // Streaming (AvailableNow trigger, watermark, memory sink) — must
     // hash-match the batch oracle, proving batch/stream parity
@@ -234,6 +239,16 @@ object PipelineQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e04_sliding_stats" ->
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    unnest(generate_series(
+        |      time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+        |      time_bucket(INTERVAL '15 minutes', ts),
+        |      INTERVAL '15 minutes')) AS ws
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e02_sessions" ->
       """WITH flagged AS (

@@ -304,6 +304,16 @@ object RelationalQueries {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // ---- PIVOT (engine superset): order counts by status per priority
+    "q27_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- ROLLUP grouping sets (Spark/engine superset; absent in reference)
     "q26_rollup" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -507,6 +517,13 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q26_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
