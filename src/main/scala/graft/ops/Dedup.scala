@@ -121,6 +121,10 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 
+  /** Fused text → distinct word-n-gram shingles (custom codegen kernel). */
+  def textShingles(text: Column, n: Int): Column =
+    graft.functions.TextShingles.textShingles(text, n)
+
   /** Near-dup pairs: LSH candidates verified with exact n-gram Jaccard. */
   def nearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16): DataFrame =
@@ -129,13 +133,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Remove near-duplicates: rows whose id appears as the larger member
-    * of a verified pair are dropped (union-find collapsed one level —
-    * iterate for full transitive closure). */
+  /** Connected components over a verified-pair edge list via iterative
+    * min-label propagation: each id adopts the smallest label among
+    * itself and its neighbors until fixpoint (≤ maxIter). Lineage is
+    * truncated per iteration (`localCheckpoint`) so plans stay bounded.
+    * Diameter of near-dup clusters is tiny in practice, so 2-3
+    * iterations converge; each iteration is one join + one groupBy on
+    * the (small) pair graph, never on the corpus. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Remove near-duplicates with FULL transitive closure: verified pairs
+    * are clustered via [[connectedComponents]]; only each cluster's
+    * minimum id survives. */
   def nearDedup(df: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.8): DataFrame = {
-    val losers = nearDupPairs(df, idCol, shingleCol, threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    val pairs = nearDupPairs(df, idCol, shingleCol, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -41,11 +41,12 @@ object PipelineQueries {
         .select(col("canonical_id"), col("dup_count"))
         .orderBy(col("canonical_id"))),
 
-    // ---- dedup: MinHash + LSH banding, Jaccard-verified survivors
+    // ---- dedup: MinHash + LSH banding, Jaccard-verified, transitive-
+    // closure survivors (fused shingle kernel)
     "d02_minhash_dedup" -> ((s, dir) => {
       // persisted: consumed by candidate generation AND the anti-join left
       val withShingles = docsWithNearDups(s, dir)
-        .withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+        .withColumn("shingles", Dedup.textShingles(col("text"), 3))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
         .select(col("doc_id")).orderBy(col("doc_id"))
@@ -62,7 +63,7 @@ object PipelineQueries {
     // ---- dedup: n-gram Jaccard verification on LSH candidates
     "d04_ngram_jaccard" -> ((s, dir) => {
       val withShingles = docsWithNearDups(s, dir)
-        .withColumn("shingles", Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3))
+        .withColumn("shingles", Dedup.textShingles(col("text"), 3))
       Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -46,6 +46,26 @@ class OpsSpec extends SparkSpec {
     assert(survivors == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("fused textShingles kernel matches the declarative formulation") {
+    val declarative = docs.select(col("doc_id"),
+      Dedup.wordShingles(TextAnalysis.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val fused = docs.select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fused == declarative)
+  }
+
+  test("transitive closure: a chain of near-dups collapses to one survivor") {
+    val chain = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // one component {1,2,3,4}
+      (10L, 11L)) // separate component
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
   test("simhash: near-identical docs within small hamming distance") {
     val sh = docs.withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("text"))))
     val values = sh.select("doc_id", "simhash").as[(Long, Long)].collect().toMap
