@@ -111,6 +111,83 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic driver-side Lloyd k-means over a bounded sample of
+    * normalized vectors — the IVF coarse quantizer. O(sample · k · iters)
+    * on the driver; the corpus itself is never collected. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] = {
+    val sample = corpus.select(normalize(col(vecCol)).as("v")).limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus for centroid training")
+    val dim = sample.head.length
+    def dotv(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // deterministic spread init (strided sample picks)
+    var centroids = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt % sample.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) { val d = dotv(v, centroids(c)); if (d > bestDot) { bestDot = d; best = c }; c += 1 }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c)
+          val n = math.sqrt(dotv(m, m))
+          if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Per-centroid dot products as (dot, cellIdx) structs. */
+  private def cellScores(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedlit(c.toSeq)).as("score"), lit(i).as("cell"))
+    }.toSeq
+
+  /** Nearest-centroid cell id (codegen'd greatest-of-structs argmax). */
+  def cellId(vec: Column, centroids: Array[Array[Double]]): Column =
+    greatest(cellScores(vec, centroids): _*).getField("cell")
+
+  /** IVF approximate top-k: the corpus is partitioned into nList
+    * centroid cells (one narrow per-row assignment, broadcastable
+    * centroids); each query probes its nProbe nearest cells and
+    * exact-reranks only those candidates. The 100 TB shape: candidate
+    * volume ≈ corpus × nProbe / nList, the cell assignment is a plain
+    * equi-join key, and cells can be made the table's physical
+    * partitioning for pruned scans. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nList)
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellId(col("cv"), centroids))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .withColumn("probe", explode(slice(
+        sort_array(array(cellScores(col("qv"), centroids): _*), asc = false), 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
     * shared LSH buckets (id_a < id_b). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

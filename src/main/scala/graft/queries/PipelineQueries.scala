@@ -98,6 +98,15 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- similarity: IVF (coarse-quantized) ANN — corpus cells + probes
+    "s03_ann_ivf" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text: token counting (whitespace + BPE-ish regex)
     "t01_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -113,6 +113,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN: high recall on clustered data, exact within probed cells") {
+    // 4 well-separated clusters of 50 vectors each
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 5, nList = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
+  }
+
   test("embedding near-dups: planted scaled copies found (cosine = 1)") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j).toFloat))
