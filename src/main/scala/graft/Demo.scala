@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.session.GraftSession
+import graft.sinks.DumpOptions
+
+/** Runnable tour ≈ the reference's godoc examples (`example_test.go`):
+  * create fixture files, open them, query, mutate, dump, reopen.
+  * `sbt "runMain graft.Demo"` — output is deterministic. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Files.createTempDirectory("graft-demo-")
+    Files.writeString(dir.resolve("users.csv"),
+      """id,name,age,team,joined
+        |1,Alice,34,infra,2021-04-01
+        |2,Bob,29,data,2022-11-15
+        |3,Carol,41,infra,2019-07-23
+        |4,Dan,25,data,2023-02-02
+        |""".stripMargin)
+    Files.writeString(dir.resolve("teams.tsv"),
+      "team\tbudget\ninfra\t1200000\ndata\t800000\n")
+
+    val sess = GraftSession.open(spark, dir.toString)
+    println("tables: " + sess.tableNames.sorted.mkString(", "))
+    println("inferred users schema: " + sess.table("users").schema.simpleString)
+
+    println("\n-- join + aggregate --")
+    sess.sql("""SELECT t.team, COUNT(*) AS members, AVG(u.age) AS avg_age, MAX(t.budget) AS budget
+               |FROM users u JOIN teams t ON u.team = t.team
+               |GROUP BY t.team ORDER BY t.team""".stripMargin)
+      .show(truncate = false)
+
+    println("-- window + dialect functions --")
+    sess.sql("""SELECT name, team, age,
+               |  RANK() OVER (PARTITION BY team ORDER BY age DESC) AS rank_in_team,
+               |  strftime('%Y', joined) AS join_year
+               |FROM users ORDER BY team, rank_in_team""".stripMargin)
+      .show(truncate = false)
+
+    println("-- mutation --")
+    sess.sql("INSERT INTO users VALUES (5, 'Eve', 31, 'infra', timestamp '2024-06-01')")
+    sess.sql("UPDATE users SET age = age + 1 WHERE team = 'data'")
+    sess.sql("DELETE FROM users WHERE id = 1")
+    sess.sql("SELECT id, name, age, team FROM users ORDER BY id").show(truncate = false)
+
+    println("-- dump to parquet and reopen --")
+    val out = Files.createTempDirectory("graft-demo-out-")
+    sess.dump(out.toString, DumpOptions(format = "parquet"))
+    sess.close()
+    val sess2 = GraftSession.open(spark, out.toString)
+    println("reopened row count: " +
+      sess2.sql("SELECT COUNT(*) FROM users").head().getLong(0))
+    sess2.close()
+    spark.stop()
+  }
+}

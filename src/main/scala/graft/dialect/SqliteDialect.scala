@@ -89,6 +89,11 @@ object SqliteDialect {
         case args if args.length == 2 => Coalesce(args)
         case _ => throw InvalidSqlError("ifnull", "expects two arguments")
       }: Seq[Expression] => Expression),
+      // iif(cond, a, b) = if
+      (FunctionIdentifier("iif"), info("iif"), {
+        case Seq(c, a, b) => If(c, a, b)
+        case _ => throw InvalidSqlError("iif", "expects three arguments")
+      }: Seq[Expression] => Expression),
       // printf(fmt, …) = format_string
       (FunctionIdentifier("printf"), info("printf"),
         ((args: Seq[Expression]) => FormatString(args: _*))),

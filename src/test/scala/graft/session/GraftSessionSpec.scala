@@ -147,6 +147,7 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT json_extract(meta, '$.k') FROM ev WHERE id = 2").head().getString(0) == "9")
     assert(s.sql("SELECT printf('%d-%s', id, 'a') FROM ev WHERE id = 1").head().getString(0) == "1-a")
     assert(s.sql("SELECT date(ts) FROM ev WHERE id = 1").head().getString(0) == "2024-03-05")
+    assert(s.sql("SELECT iif(1 < 2, 'yes', 'no')").head().getString(0) == "yes")
     s.close()
   }
 }
