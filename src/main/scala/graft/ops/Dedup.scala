@@ -133,14 +133,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Connected components over a verified-pair edge list via iterative
-    * min-label propagation: each id adopts the smallest label among
-    * itself and its neighbors until fixpoint (≤ maxIter). Lineage is
-    * truncated per iteration (`localCheckpoint`) so plans stay bounded.
-    * Diameter of near-dup clusters is tiny in practice, so 2-3
-    * iterations converge; each iteration is one join + one groupBy on
-    * the (small) pair graph, never on the corpus. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Connected components over a verified-pair edge list.
+    *
+    * The pair graph is orders of magnitude smaller than the corpus (it
+    * only contains ids that LSH + Jaccard verified as near-dups), so up
+    * to `driverThreshold` edges we collect ids and run an O(E α(E))
+    * union-find on the driver — one job, no iteration. Beyond that, the
+    * distributed min-label-propagation fallback handles arbitrarily
+    * large graphs with per-iteration `localCheckpoint`-bounded lineage.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      driverThreshold: Long = 5000000L): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = edges.count()
+    val out =
+      if (n <= driverThreshold) driverUnionFind(pairs.sparkSession, edges)
+      else labelPropagation(edges, maxIter)
+    edges.unpersist()
+    out
+  }
+
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
+  }
+
+  /** Iterative min-label propagation: each id adopts the smallest label
+    * among itself and its neighbors until fixpoint (≤ maxIter). */
+  private def labelPropagation(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
