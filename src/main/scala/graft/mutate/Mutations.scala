@@ -62,19 +62,33 @@ object Mutations {
       where: Option[String]) extends Mutation {
     def apply(spark: SparkSession, current: DataFrame): DataFrame = {
       val cond = where.map(expr).getOrElse(lit(true))
-      sets.foldLeft(current) { case (df, (c, e)) =>
-        if (!df.columns.contains(c))
+      val assigned = sets.toMap
+      sets.foreach { case (c, _) =>
+        if (!current.columns.contains(c))
           throw InvalidSqlError(s"UPDATE $table", s"unknown column $c")
-        val dt = df.schema(c).dataType
-        df.withColumn(c, when(cond, expr(e).cast(dt)).otherwise(col(s"`$c`")))
       }
+      // SQL semantics: every SET right-hand side is evaluated against the
+      // PRE-update row ("UPDATE t SET a = b, b = a" swaps) — so all
+      // columns are rewritten in ONE projection, never sequentially.
+      val projected = current.columns.map { c =>
+        assigned.get(c) match {
+          case Some(e) =>
+            val dt = current.schema(c).dataType
+            when(cond, expr(e).cast(dt)).otherwise(col(s"`$c`")).as(c)
+          case None => col(s"`$c`")
+        }
+      }
+      current.select(projected.toSeq: _*)
     }
   }
 
   final case class Delete(table: String, where: Option[String]) extends Mutation {
     def apply(spark: SparkSession, current: DataFrame): DataFrame =
       where match {
-        case Some(w) => current.filter(!expr(w))
+        // SQL deletes rows where the predicate is TRUE; rows where it is
+        // NULL survive — so keep NOT(coalesce(p, false)), not NOT(p)
+        // (the latter drops NULL-predicate rows).
+        case Some(w) => current.filter(!coalesce(expr(w), lit(false)))
         case None => current.limit(0)
       }
   }
@@ -82,7 +96,7 @@ object Mutations {
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val UpdateRe =
-    """(?is)^\s*UPDATE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
@@ -95,13 +109,19 @@ object Mutations {
     case InsertRe(table, _, cols, values) =>
       val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Some(Insert(unquote(table), columns, parseTuples(values)))
-    case UpdateRe(table, sets, where) =>
+    case UpdateRe(table, rest) =>
+      // quote-aware WHERE split: a regex alternative would match the
+      // word WHERE inside a string literal in a SET expression
+      val whereIdx = indexOfTopLevelWord(rest, "WHERE")
+      val (sets, where) =
+        if (whereIdx < 0) (rest, None)
+        else (rest.substring(0, whereIdx), Some(rest.substring(whereIdx + 5).trim))
       val assignments = splitTopLevel(sets, ',').map { a =>
         val eq = indexOfTopLevel(a, '=')
         if (eq < 0) throw InvalidSqlError(statement, "malformed SET clause")
         (unquote(a.substring(0, eq).trim), a.substring(eq + 1).trim)
       }
-      Some(Update(unquote(table), assignments, Option(where).map(_.trim)))
+      Some(Update(unquote(table), assignments, where))
     case DeleteRe(table, where) =>
       Some(Delete(unquote(table), Option(where).map(_.trim)))
     case _ => None
@@ -144,6 +164,30 @@ object Mutations {
     }
     out += cur.result()
     out.result()
+  }
+
+  /** Index of a keyword at paren-depth 0 outside string literals,
+    * bounded by whitespace; -1 if absent. */
+  private def indexOfTopLevelWord(s: String, word: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    val n = s.length; val w = word.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + w <= n &&
+            s.regionMatches(true, i, word, 0, w) &&
+            (i == 0 || s.charAt(i - 1).isWhitespace) &&
+            (i + w == n || s.charAt(i + w).isWhitespace))
+            return i
+      }
+      i += 1
+    }
+    -1
   }
 
   private def indexOfTopLevel(s: String, target: Char): Int = {

@@ -110,10 +110,15 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs
+    val candidates = pairs
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      // candidates are small by construction — materialize them eagerly so
+      // the shingled base cache can be released (no per-call cache leak)
+      .localCheckpoint()
+    base.unpersist()
+    candidates
   }
 
   /** Exact Jaccard similarity of two shingle-array columns. */
@@ -142,7 +147,7 @@ object Dedup {
     * distributed min-label-propagation fallback handles arbitrarily
     * large graphs with per-iteration `localCheckpoint`-bounded lineage.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
       driverThreshold: Long = 5000000L): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,7 +180,9 @@ object Dedup {
   }
 
   /** Iterative min-label propagation: each id adopts the smallest label
-    * among itself and its neighbors until fixpoint (≤ maxIter). */
+    * among itself and its neighbors until fixpoint (≤ maxIter; labels
+    * spread one hop per iteration, so maxIter bounds the component
+    * diameter — a warning is emitted if the loop exits unconverged). */
   private def labelPropagation(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -200,6 +207,10 @@ object Dedup {
       labels = updated
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponents: label propagation did not " +
+        s"converge within $maxIter iterations — components wider than $maxIter hops " +
+        s"are split; raise maxIter")
     labels
   }
 
@@ -228,24 +239,36 @@ object Dedup {
   /** SimHash near-dup pairs with hamming ≤ maxDistance, using the
     * pigeonhole band trick: split 64 bits into (maxDistance+1) chunks —
     * any pair within distance shares at least one exact chunk, so
-    * candidates come from equi-joins on chunk values, never O(n²). */
+    * candidates come from chunk-value buckets, never O(n²).
+    *
+    * Pairs are generated bucket-locally (collect_list/explode) with a
+    * `maxBucket` skew guard, same shape as [[minhashCandidates]] — a hot
+    * chunk value (e.g. a boilerplate cluster all hashing near 0) would
+    * otherwise make one bucket quadratic. */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
+    require(chunks >= 1 && chunks <= 64, "maxDistance must be in [0, 63]")
     val width = 64 / chunks
-    val chunked = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    val base = df.select(col(idCol).cast("long").as("id"), col(simhashCol).as("sh"))
+    val chunked = base
       .withColumn("chunk", explode(array((0 until chunks).map { c =>
         struct(lit(c).as("ci"),
-          shiftrightunsigned(col("sh"), c * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("cv"))
+          shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("cv"))
       }: _*)))
-      .select(col("id"), col("sh"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
-    val l = chunked.select(col("ci"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("ci"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("ci", "cv"))
+      .select(col("id"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
+    val pairs = chunked.groupBy(col("ci"), col("cv"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
-      .dropDuplicates("id_a", "id_b")
   }
 }

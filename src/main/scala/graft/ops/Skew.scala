@@ -24,6 +24,10 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit each unmatched small-side row once per
+    // salt replica — only join types that preserve the big side are sound
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(c => col(s"`$c`")).toSeq: _*), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("__salt",

@@ -48,8 +48,11 @@ object PipelineQueries {
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.textShingles(col("text"), 3))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
+      val out = Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
         .select(col("doc_id")).orderBy(col("doc_id"))
+      out.cache().count() // materialize, then release the shingle cache
+      withShingles.unpersist()
+      out
     }),
 
     // ---- dedup: SimHash signatures + hamming pairs via pigeonhole bands

@@ -111,11 +111,15 @@ final class GraftSession private[session] (
   }
 
   private def performAutoSave(): Unit = autoSave.foreach { cfg =>
+    // empty outputDir ⇒ overwrite originals (save.go:385-399): a directory
+    // input IS the target; a file input's target is its parent directory
     val dir =
       if (cfg.outputDir.nonEmpty) cfg.outputDir
-      else originalPaths.headOption
-        .map(p => Option(Paths.get(p).toAbsolutePath.getParent).map(_.toString).getOrElse("."))
-        .getOrElse(".")
+      else originalPaths.headOption.map { p =>
+        val abs = Paths.get(p).toAbsolutePath
+        if (Files.isDirectory(abs)) abs.toString
+        else Option(abs.getParent).map(_.toString).getOrElse(".")
+      }.getOrElse(".")
     dump(dir, cfg.options)
   }
 }
@@ -199,15 +203,12 @@ object GraftSession {
       val files = FileCollector.collect(paths.toSeq)
       val tables = mutable.LinkedHashMap.empty[String, DataFrame]
       files.foreach { f =>
-        val name = f.tableName
-        if (tables.contains(name)) throw DuplicateTableError(name)
-        FileCollector.read(spark, f, inferTypes) match {
-          case Seq((_, df)) => tables.update(name, df)
-          case sheets => // XLSX: one table per sheet
-            sheets.foreach { case (sheetTable, df) =>
-              if (tables.contains(sheetTable)) throw DuplicateTableError(sheetTable)
-              tables.update(sheetTable, df)
-            }
+        // each read yields ≥1 (tableName, df): XLSX names every sheet
+        // {file}_{sheet} (even single-sheet workbooks — reference
+        // stream_processor.go:369); other formats yield one table
+        FileCollector.read(spark, f, inferTypes).foreach { case (name, df) =>
+          if (tables.contains(name)) throw DuplicateTableError(name)
+          tables.update(name, df)
         }
       }
       readers.foreach { case (name, format, path) =>
@@ -243,6 +244,7 @@ object FileCollector {
   def collect(paths: Seq[String]): Seq[InputFile] = {
     val found = mutable.LinkedHashMap.empty[String, InputFile] // abs path → file
     def addFile(p: Path): Unit = {
+      if (p.getFileName.toString.startsWith(".")) return // hidden/tmp files
       val abs = p.toAbsolutePath.toString
       formatOf(abs).foreach { fmt =>
         found.getOrElseUpdate(abs, InputFile(abs, fmt, TableNaming.fromPath(abs)))
@@ -260,13 +262,16 @@ object FileCollector {
         addFile(p)
       } else throw UnsupportedFormatError(raw)
     }
-    // uncompressed wins over compressed duplicates of the same table+format
-    val byKey = found.values.toSeq.groupBy(f => (f.tableName, f.format))
-    found.values.toSeq.filter { f =>
-      val group = byKey((f.tableName, f.format))
-      group.size == 1 || Compression.forPath(f.path).isEmpty ||
-        !group.exists(g => Compression.forPath(g.path).isEmpty)
-    }
+    // compressed-variant dedup (reference file_processor.go:216-246):
+    // among files identical modulo compression extension (same directory,
+    // same inner name) exactly one survives — uncompressed first, then
+    // path order. Same-named files in DIFFERENT directories are NOT
+    // deduped; they fail later with DuplicateTableError, like the
+    // reference's duplicate-table check.
+    found.values.toSeq
+      .groupBy(f => Compression.stripExt(f.path))
+      .values.map(_.minBy(f => (Compression.forPath(f.path).isDefined, f.path)))
+      .toSeq.sortBy(_.path)
   }
 
   /** Read one input file; XLSX yields (sheetTable → DataFrame) per sheet. */

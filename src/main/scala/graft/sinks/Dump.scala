@@ -55,14 +55,22 @@ object Dump {
   def writeTable(df: DataFrame, table: String, dir: String, opts: DumpOptions = DumpOptions()): Unit = {
     Files.createDirectories(Paths.get(dir))
     val target = Paths.get(dir, s"$table${opts.extension}")
+    // write to a sibling temp file, then atomically replace: auto-save's
+    // "overwrite originals" mode exports a LAZY plan that still reads the
+    // original file — truncating it in place while streaming from it
+    // would corrupt the export
+    // tmp name keeps the full extension chain (codec detection is
+    // extension-keyed) — uniqueness comes from the leading dot-prefix
+    val tmp = target.resolveSibling(s".graft-tmp.${target.getFileName}")
     opts.format match {
-      case "csv" => writeDelimited(df, target, ',')
-      case "tsv" => writeDelimited(df, target, '\t')
-      case "ltsv" => writeLtsv(df, target)
-      case "xlsx" => writeXlsx(df, table, target)
-      case "parquet" => writeSingleParquet(df, target, opts.parquetAllString)
+      case "csv" => writeDelimited(df, tmp, ',')
+      case "tsv" => writeDelimited(df, tmp, '\t')
+      case "ltsv" => writeLtsv(df, tmp)
+      case "xlsx" => writeXlsx(df, table, tmp)
+      case "parquet" => writeSingleParquet(df, tmp, opts.parquetAllString)
       case other => throw graft.UnsupportedFormatError(other)
     }
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Dump-all (S16): every table in the session catalog. */
@@ -114,15 +122,20 @@ object Dump {
     val tmp = Files.createTempDirectory("graft-dump-")
     val tmpOut = tmp.resolve("out")
     toWrite.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-    val part = Files.list(tmpOut).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
+    val listing = Files.list(tmpOut)
+    val moved =
+      try {
+        val it = listing.iterator()
+        var done = false
+        while (it.hasNext && !done) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+            done = true
+          }
+        }
+        done
+      } finally listing.close()
     if (!moved) throw new IllegalStateException(s"no parquet part produced for $target")
   }
 

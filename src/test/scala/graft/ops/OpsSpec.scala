@@ -78,6 +78,13 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((2L, 102L)))
   }
 
+  test("simhashPairs: maxDistance=0 finds exact-signature pairs without cross product") {
+    val sh = docs.withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("text"))))
+    val pairs = Dedup.simhashPairs(sh, "doc_id", "simhash", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 102L))) // only the exact duplicate
+  }
+
   test("brute-force cosine top-k is exact and deterministic") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))

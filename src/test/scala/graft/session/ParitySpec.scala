@@ -63,6 +63,73 @@ class ParitySpec extends SparkSpec {
     s.close()
   }
 
+  test("DELETE leaves rows whose predicate is NULL (SQL three-valued logic)") {
+    val dir = tmpDir("delnull")
+    writeFile(dir, "t.csv", "id,x\n1,5\n2,50\n3,\n") // row 3: x is NULL after inference
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("DELETE FROM t WHERE x > 10")
+    val ids = s.sql("SELECT id FROM t ORDER BY id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 3L)) // NULL-predicate row survives
+    s.close()
+  }
+
+  test("UPDATE evaluates all SET expressions against the pre-update row (swap)") {
+    val dir = tmpDir("updswap")
+    writeFile(dir, "t.csv", "id,a,b\n1,10,20\n")
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("UPDATE t SET a = b, b = a")
+    val r = s.sql("SELECT a, b FROM t").head()
+    assert(r.getLong(0) == 20 && r.getLong(1) == 10)
+    s.close()
+  }
+
+  test("UPDATE with the word WHERE inside a string literal") {
+    val dir = tmpDir("updstr")
+    writeFile(dir, "t.csv", "id,note\n1,x\n2,y\n")
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("UPDATE t SET note = 'a WHERE b' WHERE id = 1")
+    val notes = s.sql("SELECT note FROM t ORDER BY id").collect().map(_.getString(0)).toSeq
+    assert(notes == Seq("a WHERE b", "y"))
+    s.close()
+  }
+
+  test("single-sheet XLSX table is named {file}_{sheet} like multi-sheet") {
+    val dir = tmpDir("singlesheet")
+    val p = dir.resolve("report.xlsx")
+    val out = java.nio.file.Files.newOutputStream(p)
+    XlsxSource.write(out, "Data", Seq("id"), Iterator(Seq("1")))
+    out.close()
+    val s = GraftSession.open(spark, p.toString)
+    assert(s.tableNames == Seq("report_Data"))
+    s.close()
+  }
+
+  test("multiple compressed variants with no uncompressed original: one survives") {
+    val dir = tmpDir("compdup")
+    for (codec <- Seq(graft.sources.Compression.Gzip, graft.sources.Compression.Bzip2)) {
+      val out = graft.sources.Compression.openWrite(dir.resolve(s"users.csv${codec.ext}").toString)
+      out.write("id,name\n1,a\n".getBytes("UTF-8")); out.close()
+    }
+    val s = GraftSession.open(spark, dir.toString) // must not throw DuplicateTableError
+    assert(s.tableNames == Seq("users"))
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 1)
+    s.close()
+  }
+
+  test("auto-save with empty outputDir overwrites the input directory, not its parent") {
+    val parent = tmpDir("asparent")
+    val dataDir = parent.resolve("tables")
+    java.nio.file.Files.createDirectories(dataDir)
+    java.nio.file.Files.writeString(dataDir.resolve("t.csv"), "id\n1\n2\n")
+    val s = GraftSession.builder().addPath(dataDir.toString).enableAutoSave().open(spark)
+    s.sql("DELETE FROM t WHERE id = 2")
+    s.close()
+    assert(!java.nio.file.Files.exists(parent.resolve("t.csv"))) // not in parent
+    val s2 = GraftSession.open(spark, dataDir.resolve("t.csv").toString)
+    assert(s2.sql("SELECT COUNT(*) FROM t").head().getLong(0) == 1)
+    s2.close()
+  }
+
   test("classpath resource loading (embedded-FS parity)") {
     // stage a resource dir on a throwaway classloader
     val dir = tmpDir("resources")
