@@ -148,6 +148,22 @@ class OpsSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted $i"))
   }
 
+  test("exactByHash dedup matches exact dedup on content") {
+    val byText = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    val byHash = Dedup.exactByHash(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().toSet
+    assert(byHash == byText)
+  }
+
+  test("shingle-min fingerprint: stable under distant edits, distinct across docs") {
+    val fps = docs.select(col("doc_id"),
+      TextAnalysis.fingerprintShingleMin(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(2L) == fps(102L)) // exact dup
+    assert(fps.values.toSet.size > 1)
+  }
+
   test("text analysis: tokens, quality, langid, fingerprints") {
     val df = Seq(
       (1L, "The cat and the dog, in a house!"),
