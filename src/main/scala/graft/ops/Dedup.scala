@@ -257,18 +257,20 @@ object Dedup {
         struct(lit(c).as("ci"),
           shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("cv"))
       }: _*)))
-      .select(col("id"), col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
-    val pairs = chunked.groupBy(col("ci"), col("cv"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .select(struct(col("id"), col("sh")).as("item"),
+        col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
+    // the signature is 8 bytes, so (id, sh) rides inside the bucket list
+    // and pairs come out fully-formed — no verify-time re-join (contrast
+    // minhashCandidates, whose shingle payloads are too wide for this)
+    chunked.groupBy(col("ci"), col("cv"))
+      .agg(collect_list(col("item")).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
   }
 }
