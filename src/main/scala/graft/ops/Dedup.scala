@@ -115,7 +115,10 @@ object Dedup {
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       // candidates are small by construction — materialize them eagerly so
-      // the shingled base cache can be released (no per-call cache leak)
+      // the shingled base cache can be released (no per-call cache leak).
+      // localCheckpoint is executor-local (non-replayable on executor
+      // loss); for long-running cluster jobs configure a checkpoint dir
+      // and swap for .checkpoint(), as with any iterative Spark pipeline.
       .localCheckpoint()
     base.unpersist()
     candidates
@@ -244,14 +247,18 @@ object Dedup {
     * Pairs are generated bucket-locally (collect_list/explode) with a
     * `maxBucket` skew guard, same shape as [[minhashCandidates]] — a hot
     * chunk value (e.g. a boilerplate cluster all hashing near 0) would
-    * otherwise make one bucket quadratic. */
+    * otherwise make one bucket quadratic. NOTE: buckets larger than
+    * `maxBucket` are DROPPED, trading recall inside giant boilerplate
+    * clusters for bounded work — diagnose with [[Skew.keyHistogram]] on
+    * the signature column and handle such clusters with exact dedup;
+    * pass `maxBucket = Int.MaxValue` to forbid the tradeoff. */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = maxDistance + 1
     require(chunks >= 1 && chunks <= 64, "maxDistance must be in [0, 63]")
     val width = 64 / chunks
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val base = df.select(col(idCol).cast("long").as("id"), col(simhashCol).as("sh"))
+    val base = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
     val chunked = base
       .withColumn("chunk", explode(array((0 until chunks).map { c =>
         struct(lit(c).as("ci"),

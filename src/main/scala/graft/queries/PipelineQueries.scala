@@ -44,15 +44,13 @@ object PipelineQueries {
     // ---- dedup: MinHash + LSH banding, Jaccard-verified, transitive-
     // closure survivors (fused shingle kernel)
     "d02_minhash_dedup" -> ((s, dir) => {
-      // persisted: consumed by candidate generation AND the anti-join left
+      // no caching needed here: candidate generation materializes its own
+      // (id, shingles) cache internally and releases it; the anti-join
+      // left side prunes the shingles column away entirely
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.textShingles(col("text"), 3))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
+      Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
         .select(col("doc_id")).orderBy(col("doc_id"))
-      out.cache().count() // materialize, then release the shingle cache
-      withShingles.unpersist()
-      out
     }),
 
     // ---- dedup: SimHash signatures + hamming pairs via pigeonhole bands

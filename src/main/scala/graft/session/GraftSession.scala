@@ -244,7 +244,6 @@ object FileCollector {
   def collect(paths: Seq[String]): Seq[InputFile] = {
     val found = mutable.LinkedHashMap.empty[String, InputFile] // abs path → file
     def addFile(p: Path): Unit = {
-      if (p.getFileName.toString.startsWith(".")) return // hidden/tmp files
       val abs = p.toAbsolutePath.toString
       formatOf(abs).foreach { fmt =>
         found.getOrElseUpdate(abs, InputFile(abs, fmt, TableNaming.fromPath(abs)))
@@ -254,10 +253,21 @@ object FileCollector {
       val p = Paths.get(raw)
       if (Files.isDirectory(p)) {
         val stream = Files.walk(p)
-        try stream.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+        // hidden/tmp dotfiles are skipped during WALKS only — an
+        // explicitly-passed file always loads
+        try stream.iterator().asScala
+          .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+          .toSeq.sortBy(_.toString)
           .foreach(addFile)
         finally stream.close()
       } else if (Files.isRegularFile(p)) {
+        // Hadoop's file readers treat leading '.'/'_' as hidden and skip
+        // them inside Spark — fail loudly rather than open a silently
+        // empty session
+        val fname = p.getFileName.toString
+        if (fname.startsWith(".") || fname.startsWith("_"))
+          throw UnsupportedFormatError(
+            s"$raw (hidden file: Spark/Hadoop sources ignore names starting with '.' or '_'; rename it)")
         if (formatOf(p.toString).isEmpty) throw UnsupportedFormatError(raw)
         addFile(p)
       } else throw UnsupportedFormatError(raw)
@@ -267,11 +277,13 @@ object FileCollector {
     // same inner name) exactly one survives — uncompressed first, then
     // path order. Same-named files in DIFFERENT directories are NOT
     // deduped; they fail later with DuplicateTableError, like the
-    // reference's duplicate-table check.
-    found.values.toSeq
+    // reference's duplicate-table check. Input/walk order is preserved
+    // (registration order is observable via tableNames/sqlite_master).
+    val winners = found.values.toSeq
       .groupBy(f => Compression.stripExt(f.path))
-      .values.map(_.minBy(f => (Compression.forPath(f.path).isDefined, f.path)))
-      .toSeq.sortBy(_.path)
+      .values.map(_.minBy(f => (Compression.forPath(f.path).isDefined, f.path)).path)
+      .toSet
+    found.values.toSeq.filter(f => winners.contains(f.path))
   }
 
   /** Read one input file; XLSX yields (sheetTable → DataFrame) per sheet. */

@@ -59,18 +59,22 @@ object Dump {
     // "overwrite originals" mode exports a LAZY plan that still reads the
     // original file — truncating it in place while streaming from it
     // would corrupt the export
-    // tmp name keeps the full extension chain (codec detection is
-    // extension-keyed) — uniqueness comes from the leading dot-prefix
-    val tmp = target.resolveSibling(s".graft-tmp.${target.getFileName}")
-    opts.format match {
-      case "csv" => writeDelimited(df, tmp, ',')
-      case "tsv" => writeDelimited(df, tmp, '\t')
-      case "ltsv" => writeLtsv(df, tmp)
-      case "xlsx" => writeXlsx(df, table, tmp)
-      case "parquet" => writeSingleParquet(df, tmp, opts.parquetAllString)
-      case other => throw graft.UnsupportedFormatError(other)
-    }
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    // tmp name is unique per call (no concurrent-dump races) and keeps
+    // the full extension chain at the END (codec detection is
+    // extension-keyed); partial files are removed on failure
+    val tmp = target.resolveSibling(
+      s".graft-tmp-${java.util.UUID.randomUUID().toString.take(8)}.${target.getFileName}")
+    try {
+      opts.format match {
+        case "csv" => writeDelimited(df, tmp, ',')
+        case "tsv" => writeDelimited(df, tmp, '\t')
+        case "ltsv" => writeLtsv(df, tmp)
+        case "xlsx" => writeXlsx(df, table, tmp)
+        case "parquet" => writeSingleParquet(df, tmp, opts.parquetAllString)
+        case other => throw graft.UnsupportedFormatError(other)
+      }
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Dump-all (S16): every table in the session catalog. */

@@ -85,6 +85,13 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((2L, 102L))) // only the exact duplicate
   }
 
+  test("simhashPairs works with non-numeric ids") {
+    val df = Seq(("doc-a", 123L), ("doc-b", 123L), ("doc-c", -9999L)).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairs(df, "id", "simhash", maxDistance = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("doc-a", "doc-b")))
+  }
+
   test("brute-force cosine top-k is exact and deterministic") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))

@@ -130,6 +130,20 @@ class ParitySpec extends SparkSpec {
     s2.close()
   }
 
+  test("dotfiles: skipped during directory walks, explicit pass errors clearly") {
+    val dir = tmpDir("dotfiles")
+    writeFile(dir, "normal.csv", "id\n1\n")
+    writeFile(dir, ".hidden.csv", "id\n1\n2\n")
+    val s = GraftSession.open(spark, dir.toString)
+    assert(s.tableNames == Seq("normal")) // walk skips the dotfile
+    s.close()
+    // Spark/Hadoop sources ignore hidden files — we refuse loudly rather
+    // than open a silently empty session
+    val e = intercept[graft.UnsupportedFormatError](
+      GraftSession.open(spark, dir.resolve(".hidden.csv").toString))
+    assert(e.getMessage.contains("hidden"))
+  }
+
   test("classpath resource loading (embedded-FS parity)") {
     // stage a resource dir on a throwaway classloader
     val dir = tmpDir("resources")
