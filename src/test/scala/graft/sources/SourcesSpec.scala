@@ -114,6 +114,64 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter("name = 'b <&> \"q\"'").count() == 1) // XML escaping round-trips
   }
 
+  test("XLSX: explicit cell references with gaps pad intermediate cells") {
+    // hand-built sheet XML: row with cells at A and C (B missing)
+    val dir = tmpDir("xlsxgap")
+    val p = dir.resolve("gap.xlsx")
+    val out = Files.newOutputStream(p)
+    val zip = new java.util.zip.ZipOutputStream(out)
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+        |<row><c r="A2"><v>1</v></c><c r="C2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.finish(); out.close()
+    val rows = XlsxSource.parseWorkbook(p.toString)
+    assert(rows.head._2 == Seq(Seq("a", "b", "c"), Seq("1", "", "3")))
+  }
+
+  test("XLSX: gzip-compressed workbook loads") {
+    val dir = tmpDir("xlsxgz")
+    val raw = dir.resolve("book.xlsx")
+    val out = Files.newOutputStream(raw)
+    XlsxSource.write(out, "S", Seq("id"), Iterator(Seq("1"), Seq("2")))
+    out.close()
+    val gz = dir.resolve("book2.xlsx.gz")
+    val gzOut = Compression.openWrite(gz.toString)
+    gzOut.write(Files.readAllBytes(raw)); gzOut.close()
+    val df = XlsxSource.readFirstSheet(spark, gz.toString)
+    assert(df.count() == 2)
+  }
+
+  test("LTSV: empty values — '' in TEXT columns, NULL after numeric casts") {
+    val dir = tmpDir("ltsvempty")
+    val p = writeFile(dir, "x.ltsv", "a:1\tc:x\na:\tc:\n")
+    val df = LtsvSource.read(spark, p.toString)
+    assert(df.schema("a").dataType.typeName == "long")
+    assert(df.filter("a IS NULL").count() == 1) // numeric column: empty → NULL
+    assert(df.schema("c").dataType.typeName == "string")
+    assert(df.filter("c = ''").count() == 1) // TEXT column: empty stays ''
+  }
+
+  test("stratified sampling is deterministic and representative above 3000 values") {
+    import TypeInference._
+    // first 2500 ints, middle 2500 floats, last 2500 ints ⇒ REAL only if
+    // the middle section is sampled
+    val values = ((0 until 2500).map(_.toString) ++
+      (0 until 2500).map(i => (i + 0.5).toString) ++
+      (0 until 2500).map(_.toString)).toIndexedSeq
+    assert(inferType(values) == RealType)
+    assert(sampleValues(values) == sampleValues(values))
+  }
+
   test("file collection: uncompressed beats compressed duplicate") {
     val dir = tmpDir("dedup")
     writeFile(dir, "users.csv", "id,name\n1,a\n")
