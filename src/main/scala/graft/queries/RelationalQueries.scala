@@ -304,6 +304,22 @@ object RelationalQueries {
         .orderBy(col("yr"), col("mo"))
     }),
 
+    // ---- Window extras: RANGE frame (decimal bounds need the SQL form —
+    // the Scala rangeBetween API is Long-only), ntile, percent_rank,
+    // cume_dist
+    "q28_window_extras" -> ((s, dir) => {
+      Tables.register(s, dir, Seq("customer"))
+      s.sql("""SELECT c_mktsegment, c_custkey, c_acctbal,
+              |  NTILE(4) OVER w AS quartile,
+              |  PERCENT_RANK() OVER w AS pct_rank,
+              |  CUME_DIST() OVER w AS cume,
+              |  COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+              |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers_within_1000
+              |FROM customer
+              |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+              |ORDER BY c_mktsegment, c_custkey""".stripMargin)
+    }),
+
     // ---- PIVOT (engine superset): order counts by status per priority
     "q27_pivot" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -517,6 +533,17 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q28_window_extras" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS peers_within_1000
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q27_pivot" ->
       """SELECT o_orderpriority,
