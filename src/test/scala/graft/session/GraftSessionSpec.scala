@@ -133,6 +133,18 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("parquet all-string parity mode writes UTF-8 columns like the reference") {
+    val dir = tmpDir("allstr")
+    fixtures(dir)
+    val out = tmpDir("allstrout")
+    val s = GraftSession.open(spark, dir.toString)
+    s.dump(out.toString, DumpOptions(format = "parquet", parquetAllString = true))
+    s.close()
+    val back = spark.read.parquet(out.resolve("users.parquet").toString)
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(back.count() == 3)
+  }
+
   test("dialect shims: strftime, julianday, ifnull, group_concat, json_extract, printf") {
     val dir = tmpDir("dialect")
     writeFile(dir, "ev.csv",
