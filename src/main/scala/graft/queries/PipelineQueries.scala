@@ -128,6 +128,15 @@ object PipelineQueries {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
+    // ---- text: edit-distance similarity vs a probe string (levenshtein
+    // is exact-integer — engine-agnostic)
+    "t05_edit_distance" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 30),
+          lit("the fast key order sort table")).as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+        .orderBy(col("doc_id"))),
+
     // ---- text: fingerprinting (md5 canonical + shingle-min rolling hash)
     "t04_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -160,6 +169,22 @@ object PipelineQueries {
     "e02_sessions" -> ((s, dir) =>
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"))),
+
+    // ---- events: as-of join — each purchase matched to the user's most
+    // recent prior click (oracle: DuckDB's native ASOF JOIN)
+    "e05_asof_join" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      graft.ops.AsOfJoin.asOf(purchases, clicks, "user_id", "ts",
+          payloadCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("prior_click_id"),
+          col("asof_value").as("prior_click_value"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---- events: sliding-window stats (1h window, 15min slide)
     "e04_sliding_stats" -> ((s, dir) =>
@@ -228,6 +253,13 @@ object PipelineQueries {
         |    / greatest(len(tk), 1) AS stopword_ratio
         |FROM toks ORDER BY doc_id""".stripMargin,
 
+    "t05_edit_distance" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 30), 'the fast key order sort table') AS INTEGER) AS edit_dist
+        |FROM documents
+        |WHERE levenshtein(substr(text, 1, 30), 'the fast key order sort table') <= 20
+        |ORDER BY doc_id""".stripMargin,
+
     "t04_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -250,6 +282,15 @@ object PipelineQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e05_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_id AS prior_click_id,
+        |  r.value AS prior_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "e04_sliding_stats" ->
       """SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (

@@ -320,6 +320,16 @@ object RelationalQueries {
               |ORDER BY c_mktsegment, c_custkey""".stripMargin)
     }),
 
+    // ---- Exact percentiles (continuous interpolation) per group
+    "q29_percentiles" -> ((s, dir) => {
+      Tables.register(s, dir, Seq("orders"))
+      s.sql("""SELECT o_orderstatus,
+              |  percentile(o_totalprice, 0.5) AS p50,
+              |  percentile(o_totalprice, 0.9) AS p90,
+              |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // ---- PIVOT (engine superset): order counts by status per priority
     "q27_pivot" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -533,6 +543,13 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q29_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q28_window_extras" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,

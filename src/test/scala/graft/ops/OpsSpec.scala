@@ -194,6 +194,19 @@ class OpsSpec extends SparkSpec {
     assert(fps(3L) == fp3b)
   }
 
+  test("as-of join: latest prior right row, inclusive ties, left semantics") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, "k1", ts(10)), (2L, "k1", ts(20)), (3L, "k2", ts(5)))
+      .toDF("lid", "key", "ts")
+    val right = Seq(("k1", ts(8), "a"), ("k1", ts(10), "b"), ("k1", ts(15), "c"),
+      ("k2", ts(9), "d")).toDF("key", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "key", "ts", Seq("v"))
+      .orderBy("lid").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "b"), (2L, "c"), (3L, null))) // inclusive tie at ts=10; no prior for k2
+  }
+
   test("salted join: identical result set to a plain join") {
     val big = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "payload")
     val dim = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
