@@ -186,6 +186,21 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- events: keyed range join — events inside each user's first
+    // active hour (binned equi-join, no nested loop)
+    "e06_range_join" -> ((s, dir) => {
+      val events = Tables.load(s, dir, "events")
+      val intervals = events.groupBy(col("user_id").as("k"))
+        .agg(min(col("ts")).as("start"))
+        .withColumn("iv_end", col("start") + expr("INTERVAL 1 HOUR"))
+        .select(col("k").as("user_id"), col("start"), col("iv_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          events.select("event_id", "user_id", "ts"), intervals,
+          "user_id", "ts", "start", "iv_end", payloadCols = Seq("start"))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- events: sliding-window stats (1h window, 15min slide)
     "e04_sliding_stats" -> ((s, dir) =>
       EventStreams.slidingStats(Tables.load(s, dir, "events"))
@@ -291,6 +306,16 @@ object PipelineQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "e06_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s,
+        |         MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS e
+        |  FROM events GROUP BY user_id)
+        |SELECT ev.event_id, ev.user_id
+        |FROM events ev JOIN iv ON ev.user_id = iv.user_id
+        | AND CAST(ev.ts AS TIMESTAMP) >= iv.s AND CAST(ev.ts AS TIMESTAMP) <= iv.e
+        |ORDER BY ev.event_id""".stripMargin,
 
     "e04_sliding_stats" ->
       """SELECT ws AS window_start, event_type, COUNT(*) AS n FROM (

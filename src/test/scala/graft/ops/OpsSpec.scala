@@ -207,6 +207,33 @@ class OpsSpec extends SparkSpec {
       Seq((1L, "b"), (2L, "c"), (3L, null))) // inclusive tie at ts=10; no prior for k2
   }
 
+  test("range join: binned containment equals naive inequality join") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val points = (0 until 300 by 7).map(m => (m.toLong, "u" + (m % 3), ts(m)))
+      .toDF("pid", "k", "pt")
+    val intervals = Seq(("u0", ts(10), ts(100), "w1"), ("u1", ts(50), ts(60), "w2"),
+      ("u2", ts(0), ts(299), "w3"), ("u0", ts(90), ts(120), "w4"))
+      .toDF("k", "s", "e", "name")
+    val binned = RangeJoin.pointInInterval(points, intervals, "k", "pt", "s", "e",
+        Seq("name"), binSeconds = 600)
+      .select("pid", "iv_name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(intervals, points("k") === intervals("k")
+        && points("pt") >= intervals("s") && points("pt") <= intervals("e"))
+      .select(points("pid"), intervals("name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("count-min sketch: frequency estimates bound exact counts from above") {
+    val df = (Seq.fill(500)("hot") ++ (0 until 400).map(i => s"cold$i")).toDF("k")
+    val cms = df.stat.countMinSketch("k", eps = 0.01, confidence = 0.95, seed = 42)
+    assert(cms.estimateCount("hot") >= 500)
+    assert(cms.estimateCount("hot") <= 500 + (0.01 * 900).toLong + 1)
+    assert(cms.estimateCount("cold7") >= 1)
+  }
+
   test("salted join: identical result set to a plain join") {
     val big = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i)).toDF("k", "payload")
     val dim = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
