@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
   * which is also the lower bound for any as-of algorithm on unsorted
   * inputs. No custom physical operator can beat its shuffle shape; a
   * range-join would be O(matches) bigger. Scales to any size: state per
-  * window is one payload struct.
+  * window is one payload struct. Skew note: one window task per key —
+  * a single pathologically hot key serializes its own events; pre-split
+  * such keys by a coarse time bucket and stitch at bucket boundaries.
   */
 object AsOfJoin {
 

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * and the exact containment predicate filters them. Candidate volume is
   * |points| + |intervals| × (span/binWidth) — linear, shuffle keyed on
   * (key, cell), skew-safe for bounded interval spans. Pick `binSeconds`
-  * on the order of the median interval length.
+  * on the order of the median interval length: an interval spanning k
+  * bins emits k candidate rows, so wildly longer-than-bin intervals
+  * should be split or given a larger bin.
   */
 object RangeJoin {
 
