@@ -327,6 +327,14 @@ object PipelineQueries {
         |  FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "mm02_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb, unnest(range(0, CAST(ceil(nb / 256.0) AS INT))) AS i FROM b)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(least(256, nb - i * 256)) AS BIGINT) AS sampled_bytes
+        |FROM f WHERE i % 4 = 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "e02_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id,
