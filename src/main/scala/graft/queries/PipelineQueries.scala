@@ -231,7 +231,31 @@ object PipelineQueries {
     })
   )
 
+  /** DuckDB oracle for the language-ID scorer, generated from the SAME
+    * [[TextAnalysis.LangProfiles]] word lists the Spark implementation
+    * uses. Struct-argmax is encoded as a zero-padded sortable string
+    * (DuckDB `greatest` can't compare structs); tie-breaking (max lang
+    * string on equal score) matches Spark's struct comparison. */
+  private def langidOracle: String = {
+    val scored = TextAnalysis.LangProfiles.toSeq.map { case (lang, words) =>
+      val list = words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+      s"printf('%06d', len(list_filter(tk, x -> list_contains($list, x)))) || '$lang'"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |s AS (SELECT doc_id, text, greatest($scored) AS best FROM t),
+       |p AS (SELECT CASE
+       |   WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |   WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |   WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |   WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+       |   ELSE substr(best, 7) END AS lang_pred FROM s)
+       |SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "t03_langid" -> langidOracle,
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
