@@ -170,6 +170,12 @@ object PipelineQueries {
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"))),
 
+    // ---- events: session_window operator (streaming-capable) — session
+    // start = first event ts, events merged within the 30min gap
+    "e07_session_window" -> ((s, dir) =>
+      EventStreams.sessionWindowStats(Tables.load(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // ---- events: as-of join — each purchase matched to the user's most
     // recent prior click (oracle: DuckDB's native ASOF JOIN)
     "e05_asof_join" -> ((s, dir) => {
@@ -358,6 +364,24 @@ object PipelineQueries {
         |  CAST(SUM(least(256, nb - i * 256)) AS BIGINT) AS sampled_bytes
         |FROM f WHERE i % 4 = 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "e07_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP))
+        |            - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ids AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT MIN(tsu) AS session_start, user_id, COUNT(*) AS n_events
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "e02_sessions" ->
       """WITH flagged AS (
