@@ -110,7 +110,47 @@ object SqliteDialect {
       (FunctionIdentifier("json_extract"), info("json_extract"), {
         case Seq(j, p) => GetJsonObject(j, p)
         case _ => throw InvalidSqlError("json_extract", "expects (json, path)")
+      }: Seq[Expression] => Expression),
+      // glob(pattern, x) — SQLite GLOB as a function: * ? [...] wildcards,
+      // case-sensitive; translated to an anchored regex (RLike)
+      (FunctionIdentifier("glob"), info("glob"), {
+        case Seq(Literal(pat, StringType), x) =>
+          RLike(x, Literal(globToRegex(pat.toString)))
+        case _ => throw InvalidSqlError("glob", "expects (pattern-literal, expr)")
+      }: Seq[Expression] => Expression),
+      // total(x) — like SUM but 0.0 (never NULL) over empty/all-NULL input
+      (FunctionIdentifier("total"), info("total"), {
+        case Seq(x) =>
+          Coalesce(Seq(
+            aggregate.Sum(Cast(x, DoubleType)).toAggregateExpression(),
+            Literal(0.0)))
+        case _ => throw InvalidSqlError("total", "expects one argument")
       }: Seq[Expression] => Expression))
+  }
+
+  /** SQLite GLOB pattern → anchored Java regex: `*`→`.*`, `?`→`.`,
+    * `[...]` char classes pass through, everything else quoted. */
+  def globToRegex(glob: String): String = {
+    val out = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => out.append(".*")
+        case '?' => out.append('.')
+        case '[' =>
+          val end = glob.indexOf(']', i + 1)
+          if (end < 0) { out.append("\\["); }
+          else {
+            val cls = glob.substring(i, end + 1)
+            out.append(if (cls.startsWith("[^")) cls else cls.replace("[!", "[^"))
+            i = end
+          }
+        case c if "\\.[]{}()<>+-=!$^|".indexOf(c) >= 0 => out.append('\\').append(c)
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.append('$').result()
   }
 
   def register(spark: SparkSession): Unit = {

@@ -160,6 +160,11 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT printf('%d-%s', id, 'a') FROM ev WHERE id = 1").head().getString(0) == "1-a")
     assert(s.sql("SELECT date(ts) FROM ev WHERE id = 1").head().getString(0) == "2024-03-05")
     assert(s.sql("SELECT iif(1 < 2, 'yes', 'no')").head().getString(0) == "yes")
+    assert(s.sql("SELECT glob('202?-03-*', '2024-03-05')").head().getBoolean(0))
+    assert(!s.sql("SELECT glob('202?-04-*', '2024-03-05')").head().getBoolean(0))
+    assert(s.sql("SELECT glob('[0-9]*x', '42x')").head().getBoolean(0))
+    assert(s.sql("SELECT total(id) FROM ev").head().getDouble(0) == 3.0)
+    assert(s.sql("SELECT total(id) FROM ev WHERE id > 99").head().getDouble(0) == 0.0)
     s.close()
   }
 }
