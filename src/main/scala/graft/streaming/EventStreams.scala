@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamReader
@@ -62,6 +62,32 @@ object EventStreams {
   /** Streaming exact dedup by event_id within the watermark horizon. */
   def streamingDedup(stream: DataFrame, watermark: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user state maintained across micro-batches. */
+  final case class UserRunningState(
+      user_id: Long, n_events: Long, total_value: Double, last_type: String)
+
+  /** Custom stateful streaming via `mapGroupsWithState`: a running
+    * per-user aggregate that survives across micro-batches (the shape
+    * for bespoke state no built-in aggregation expresses — counters,
+    * decaying scores, per-key ML features). State is partitioned by key
+    * and checkpointed by the engine; memory is O(active keys). */
+  def statefulUserStats(stream: DataFrame): Dataset[UserRunningState] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream.selectExpr("user_id", "event_type", "value").as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunningState, UserRunningState](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, events, state: GroupState[UserRunningState]) =>
+          val prev = state.getOption.getOrElse(UserRunningState(userId, 0L, 0.0, ""))
+          val updated = events.foldLeft(prev) { (acc, e) =>
+            UserRunningState(userId, acc.n_events + 1, acc.total_value + e._3, e._2)
+          }
+          state.update(updated)
+          updated
+      }
+  }
 
   /** Session windows (gap-based) — streaming-capable `session_window`. */
   def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =

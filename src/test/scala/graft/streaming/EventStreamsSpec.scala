@@ -53,6 +53,25 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: per-user state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.statefulUserStats(stream.toDF())
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(ev(1, 0, 1, "click"), ev(2, 1, 1, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(3, 2, 1, "purchase"), ev(4, 3, 2, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(1L) == 3) // state carried over: 2 from batch 1 + 1 from batch 2
+      assert(rows(2L) == 1)
+    } finally q.stop()
+  }
+
   test("batch sessionization: gap > 30min starts a new session") {
     val events = Seq(
       ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 50, 1, "a"), // gap 40min → 2 sessions
