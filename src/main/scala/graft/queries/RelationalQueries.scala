@@ -320,6 +320,18 @@ object RelationalQueries {
               |ORDER BY c_mktsegment, c_custkey""".stripMargin)
     }),
 
+    // ---- Correlated scalar subqueries in SELECT (Catalyst decorrelates
+    // both into one outer join + aggregate; reference self-join pattern
+    // filesql.go:62-75)
+    "q30_correlated_select" -> ((s, dir) => {
+      Tables.register(s, dir, Seq("customer", "orders"))
+      s.sql("""SELECT c_custkey,
+              |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+              |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+              |FROM customer c ORDER BY c_custkey""".stripMargin)
+    }),
+
     // ---- Exact percentiles (continuous interpolation) per group
     "q29_percentiles" -> ((s, dir) => {
       Tables.register(s, dir, Seq("orders"))
@@ -543,6 +555,13 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q30_correlated_select" ->
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "q29_percentiles" ->
       """SELECT o_orderstatus,
