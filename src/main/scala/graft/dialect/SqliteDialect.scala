@@ -111,9 +111,11 @@ object SqliteDialect {
         case Seq(j, p) => GetJsonObject(j, p)
         case _ => throw InvalidSqlError("json_extract", "expects (json, path)")
       }: Seq[Expression] => Expression),
-      // glob(pattern, x) — SQLite GLOB as a function: * ? [...] wildcards,
+      // glob(pattern, x) — SQLite GLOB as a function: * ? [...] wildcards
+      // ('^' negates a class, '!' is literal — SQLite semantics),
       // case-sensitive; translated to an anchored regex (RLike)
       (FunctionIdentifier("glob"), info("glob"), {
+        case Seq(Literal(null, _), _) => Literal(null, org.apache.spark.sql.types.BooleanType)
         case Seq(Literal(pat, StringType), x) =>
           RLike(x, Literal(globToRegex(pat.toString)))
         case _ => throw InvalidSqlError("glob", "expects (pattern-literal, expr)")
@@ -129,7 +131,9 @@ object SqliteDialect {
   }
 
   /** SQLite GLOB pattern → anchored Java regex: `*`→`.*`, `?`→`.`,
-    * `[...]` char classes pass through, everything else quoted. */
+    * `[...]` char classes pass through (SQLite semantics: `^` negates,
+    * `!` is a LITERAL member, a `]` directly after `[` or `[^` is a
+    * literal member), everything else quoted. */
   def globToRegex(glob: String): String = {
     val out = new StringBuilder("^")
     var i = 0
@@ -138,11 +142,25 @@ object SqliteDialect {
         case '*' => out.append(".*")
         case '?' => out.append('.')
         case '[' =>
-          val end = glob.indexOf(']', i + 1)
-          if (end < 0) { out.append("\\["); }
+          // closing ']' search skips an optional leading '^' and an
+          // optional literal ']' first member (SQLite rules)
+          var scanFrom = i + 1
+          if (scanFrom < glob.length && glob.charAt(scanFrom) == '^') scanFrom += 1
+          if (scanFrom < glob.length && glob.charAt(scanFrom) == ']') scanFrom += 1
+          val end = glob.indexOf(']', scanFrom)
+          if (end < 0) out.append("\\[")
           else {
-            val cls = glob.substring(i, end + 1)
-            out.append(if (cls.startsWith("[^")) cls else cls.replace("[!", "[^"))
+            out.append('[')
+            var j = i + 1
+            if (glob.charAt(j) == '^') { out.append('^'); j += 1 }
+            while (j < end) {
+              val c = glob.charAt(j)
+              // escape regex-class metacharacters except the range '-'
+              if (c == ']' || c == '\\' || c == '[' || c == '&') out.append('\\')
+              out.append(c)
+              j += 1
+            }
+            out.append(']')
             i = end
           }
         case c if "\\.[]{}()<>+-=!$^|".indexOf(c) >= 0 => out.append('\\').append(c)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,11 +37,18 @@ object AsOfJoin {
     // (__side 0 < 1), making the match inclusive (right.ts <= left.ts)
     val l = left.select(col(s"`$keyCol`").as("__k"), col(s"`$tsCol`").as("__ts"),
       lit(1).as("__side"), leftStruct.as("__l"), lit(null).cast(payloadType).as("__r"))
-    val r = right.select(col(s"`$keyCol`").as("__k"), col(s"`$tsCol`").as("__ts"),
-      lit(0).as("__side"), lit(null).cast(leftType).as("__l"), payloadStruct.as("__r"))
+    // NULL-key / NULL-ts right rows can never be an as-of match (SQL
+    // comparison semantics — DuckDB ASOF drops them too); left rows keep
+    // left-join semantics regardless
+    val r = right
+      .filter(col(s"`$keyCol`").isNotNull && col(s"`$tsCol`").isNotNull)
+      .select(col(s"`$keyCol`").as("__k"), col(s"`$tsCol`").as("__ts"),
+        lit(0).as("__side"), lit(null).cast(leftType).as("__l"), payloadStruct.as("__r"))
 
+    // __r as the final sort key makes the order total when several right
+    // rows share (key, ts): the payload-max row wins deterministically
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -79,8 +79,12 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "content", frameBytes: Int = 256, stride: Int = 4): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("int")
-    df.select(col(idCol), col(payloadCol), posexplode(
-        filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(stride)) === 0)))
+    // empty payloads yield NO frames (sequence(0, -1) would descend and
+    // emit a phantom index 0)
+    val frameIdx = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(stride)) === 0))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), col(payloadCol), posexplode(frameIdx))
       .withColumnRenamed("col", "frame_idx")
       .withColumn("frame", col(payloadCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .select(col(idCol), col("frame_idx"), col("pos").as("sample_pos"),

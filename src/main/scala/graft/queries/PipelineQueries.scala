@@ -128,11 +128,13 @@ object PipelineQueries {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
-    // ---- text: edit-distance similarity vs a probe string (levenshtein
-    // is exact-integer — engine-agnostic)
+    // ---- text: edit-distance similarity vs a probe string. Non-ASCII is
+    // folded to '#' first: Spark's levenshtein counts codepoints while
+    // DuckDB's counts BYTES, so distances only agree on 1-byte chars.
     "t05_edit_distance" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        levenshtein(substring(col("text"), 1, 30),
+        levenshtein(
+          substring(regexp_replace(col("text"), "[^\\x00-\\x7F]", "#"), 1, 30),
           lit("the fast key order sort table")).as("edit_dist"))
         .filter(col("edit_dist") <= 20)
         .orderBy(col("doc_id"))),
@@ -299,10 +301,13 @@ object PipelineQueries {
         |FROM toks ORDER BY doc_id""".stripMargin,
 
     "t05_edit_distance" ->
-      """SELECT doc_id,
-        |  CAST(levenshtein(substr(text, 1, 30), 'the fast key order sort table') AS INTEGER) AS edit_dist
-        |FROM documents
-        |WHERE levenshtein(substr(text, 1, 30), 'the fast key order sort table') <= 20
+      """WITH a AS (SELECT doc_id,
+        |  substr(regexp_replace(text, '[^\x00-\x7F]', '#', 'g'), 1, 30) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(levenshtein(p, 'the fast key order sort table') AS INTEGER) AS edit_dist
+        |FROM a
+        |WHERE levenshtein(p, 'the fast key order sort table') <= 20
         |ORDER BY doc_id""".stripMargin,
 
     "t04_fingerprint" ->

@@ -74,14 +74,18 @@ object EventStreams {
     * and checkpointed by the engine; memory is O(active keys). */
   def statefulUserStats(stream: DataFrame): Dataset[UserRunningState] = {
     import stream.sparkSession.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    stream.selectExpr("user_id", "event_type", "value").as[(Long, String, Double)]
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    stream.selectExpr("user_id", "event_type", "value", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Double, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserRunningState, UserRunningState](
         GroupStateTimeout.NoTimeout()) {
         case (userId, events, state: GroupState[UserRunningState]) =>
           val prev = state.getOption.getOrElse(UserRunningState(userId, 0L, 0.0, ""))
-          val updated = events.foldLeft(prev) { (acc, e) =>
+          // the group iterator has NO guaranteed order — sort by event
+          // time so last_type really is the temporally last event
+          val batch = events.toSeq.sortBy(_._4)
+          val updated = batch.foldLeft(prev) { (acc, e) =>
             UserRunningState(userId, acc.n_events + 1, acc.total_value + e._3, e._2)
           }
           state.update(updated)

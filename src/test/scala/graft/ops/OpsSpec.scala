@@ -205,6 +205,13 @@ class OpsSpec extends SparkSpec {
       .orderBy("lid").collect()
     assert(out.map(r => (r.getLong(0), r.getString(3))).toSeq ==
       Seq((1L, "b"), (2L, "c"), (3L, null))) // inclusive tie at ts=10; no prior for k2
+    // NULL-ts right rows are never a match (SQL comparison semantics)
+    val rightWithNull = right.unionByName(
+      Seq(("k2", null.asInstanceOf[java.sql.Timestamp], "z")).toDF("key", "ts", "v"))
+    val out2 = AsOfJoin.asOf(left, rightWithNull, "key", "ts", Seq("v"))
+      .orderBy("lid").collect()
+    assert(out2.map(r => (r.getLong(0), r.getString(3))).toSeq ==
+      Seq((1L, "b"), (2L, "c"), (3L, null)))
   }
 
   test("range join: binned containment equals naive inequality join") {
@@ -257,5 +264,8 @@ class OpsSpec extends SparkSpec {
     assert(meta(1L) == meta2(1L))
     val frames = Multimodal.sampleFrames(withPayload, frameBytes = 4, stride = 2)
     assert(frames.filter(col("doc_id") === 1).count() == 3) // ceil(19/4)=5 frames, keep 0,2,4
+    // empty payload → zero frames (no phantom index)
+    val empty = Multimodal.withBinaryPayload(Seq((9L, "")).toDF("doc_id", "text"))
+    assert(Multimodal.sampleFrames(empty).count() == 0)
   }
 }

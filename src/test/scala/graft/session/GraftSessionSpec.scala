@@ -163,6 +163,15 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT glob('202?-03-*', '2024-03-05')").head().getBoolean(0))
     assert(!s.sql("SELECT glob('202?-04-*', '2024-03-05')").head().getBoolean(0))
     assert(s.sql("SELECT glob('[0-9]*x', '42x')").head().getBoolean(0))
+    // SQLite class semantics: '!' is a literal member, '^' negates,
+    // a ']' right after '[' is literal
+    assert(s.sql("SELECT glob('[!a]x', 'ax')").head().getBoolean(0))
+    assert(s.sql("SELECT glob('[!a]x', '!x')").head().getBoolean(0))
+    assert(!s.sql("SELECT glob('[!a]x', 'bx')").head().getBoolean(0))
+    assert(!s.sql("SELECT glob('[^a]x', 'ax')").head().getBoolean(0))
+    assert(s.sql("SELECT glob('[^a]x', 'bx')").head().getBoolean(0))
+    assert(s.sql("SELECT glob('[]]', ']')").head().getBoolean(0))
+    assert(s.sql("SELECT glob(NULL, 'x')").head().isNullAt(0))
     assert(s.sql("SELECT total(id) FROM ev").head().getDouble(0) == 3.0)
     assert(s.sql("SELECT total(id) FROM ev WHERE id > 99").head().getDouble(0) == 0.0)
     s.close()
