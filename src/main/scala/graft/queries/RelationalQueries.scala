@@ -320,6 +320,19 @@ object RelationalQueries {
               |ORDER BY c_mktsegment, c_custkey""".stripMargin)
     }),
 
+    // ---- Date arithmetic: datediff + interval shift across a join
+    "q31_date_arith" -> ((s, dir) => {
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val orders = Tables.load(s, dir, "orders")
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate"), col("o_orderdate")).as("ship_days"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS") < col("l_shipdate")).as("late"))
+        .groupBy(col("late"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ship_days")).as("min_days"), max(col("ship_days")).as("max_days"))
+        .orderBy(col("late"))
+    }),
+
     // ---- Correlated scalar subqueries in SELECT (Catalyst decorrelates
     // both into one outer join + aggregate; reference self-join pattern
     // filesql.go:62-75)
@@ -555,6 +568,14 @@ object RelationalQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q31_date_arith" ->
+      """SELECT (o_orderdate + INTERVAL 30 DAY) < l_shipdate AS late,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS min_days,
+        |  CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY late""".stripMargin,
 
     "q30_correlated_select" ->
       """SELECT c_custkey,

@@ -233,6 +233,14 @@ class OpsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("approximate aggregates: HLL distinct and approx percentile within tolerance") {
+    val df = (0 until 20000).map(i => (i.toLong % 5000, i.toDouble)).toDF("k", "v")
+    val approxDistinct = df.select(approx_count_distinct(col("k"), 0.01)).head().getLong(0)
+    assert(math.abs(approxDistinct - 5000) < 5000 * 0.05, s"HLL estimate $approxDistinct")
+    val p50 = df.select(percentile_approx(col("v"), lit(0.5), lit(1000))).head().getDouble(0)
+    assert(math.abs(p50 - 10000.0) < 200, s"approx p50 $p50")
+  }
+
   test("count-min sketch: frequency estimates bound exact counts from above") {
     val df = (Seq.fill(500)("hot") ++ (0 until 400).map(i => s"cold$i")).toDF("k")
     val cms = df.stat.countMinSketch("k", eps = 0.01, confidence = 0.95, seed = 42)
