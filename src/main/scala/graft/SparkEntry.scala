@@ -5,13 +5,19 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Aggregates every implemented operator's demo query (SURVEY §2 coverage)
-  * plus its DuckDB oracle SQL. Query name groups:
-  *   - q*  relational SQL surface (SURVEY §2.2)
-  *   - m*  DML mutation layer (INSERT/UPDATE/DELETE on views)
-  *   - src* file sources/sinks round-trips (SURVEY §2.1 S1–S17)
-  *   - d*  dedup operators, s* similarity, t* text analysis,
-  *     mm* multimodal, e* event/time windowing (pipeline extension tier)
+  * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 57 oracle-checked
+  * and 6 rows-only (MinHash/SimHash/LSH/IVF internals use hash constants
+  * or trained quantizers no SQL oracle can reproduce; each is verified by
+  * planted-duplicate / recall specs instead). Query name groups:
+  *   - q01–q31  relational SQL surface (SURVEY §2.2) + engine supersets
+  *   - m01–m03  DML mutation layer (INSERT/UPDATE/DELETE on views)
+  *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17)
+  *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
+  *   - s0*      similarity search (exact, LSH, IVF top-k)
+  *   - t0*      text analysis (tokens, quality, langid, fingerprint, edit)
+  *   - mm0*     multimodal binary-column plumbing
+  *   - e0*      event/time: windows, sessions, streaming, as-of/range join
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
