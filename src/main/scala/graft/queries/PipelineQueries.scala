@@ -194,6 +194,31 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // ---- events: streaming dedup — the input is staged TWICE; after
+    // dropDuplicatesWithinWatermark on event_id the per-type counts must
+    // hash-match the single-copy batch oracle
+    "e08_streaming_dedup" -> ((s, dir) => {
+      val sink = "e08_dedup_out"
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events_a.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events_b.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = EventStreams.readStreamNanos(s, streamDir.toString)
+      val q = EventStreams.streamingDedup(stream, watermark = "87600 hours")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val out = s.table(sink)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: keyed range join — events inside each user's first
     // active hour (binned equi-join, no nested loop)
     "e06_range_join" -> ((s, dir) => {
@@ -341,6 +366,10 @@ object PipelineQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "e08_streaming_dedup" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e06_range_join" ->
       """WITH iv AS (
