@@ -115,10 +115,21 @@ object Similarity {
 
   /** Deterministic driver-side Lloyd k-means over a bounded sample of
     * normalized vectors — the IVF coarse quantizer. O(sample · k · iters)
-    * on the driver; the corpus itself is never collected. */
+    * on the driver; the corpus itself is never collected.
+    *
+    * The sample is the `sampleN` rows with the smallest `xxhash64` of the
+    * vector — a deterministic uniform draw across ALL partitions. Spark
+    * compiles orderBy+limit to TakeOrderedAndProject (per-partition
+    * top-k, merge at the driver — no global sort, no shuffle), so this
+    * costs one scan. A plain `.limit(sampleN)` would take the FIRST
+    * partitions, which on a partitioned corpus is one shard's
+    * distribution (often a single crawl/source) and trains degenerate
+    * centroids. */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
       sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] = {
-    val sample = corpus.select(normalize(col(vecCol)).as("v")).limit(sampleN)
+    val sample = corpus.select(normalize(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("v")))
+      .limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty corpus for centroid training")
     val dim = sample.head.length
@@ -188,20 +199,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** Heuristic hyperplane count for an n-vector corpus: enough sign bits
+    * that the EXPECTED bucket size n / 2^p stays ≤ `targetBucket`,
+    * clamped to [8, 24] (beyond ~24 planes near-dup recall collapses —
+    * true near-dups start straddling sign boundaries). With 8 planes
+    * there are only 256 buckets, so any corpus past ~100k vectors should
+    * scale planes up rather than rely solely on the `maxBucket` guard. */
+  def autoPlanes(n: Long, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(8, needed))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from
-    * shared LSH buckets (id_a < id_b). */
+    * shared LSH buckets (id_a < id_b).
+    *
+    * Pairs are generated bucket-locally (collect_list / cap / explode)
+    * with a `maxBucket` skew guard — same shape as
+    * [[graft.ops.Dedup.simhashPairs]]. Each row lands in exactly one
+    * bucket, so a pair can only form once (no dedup shuffle needed).
+    * Without the cap, one dense embedding cluster (boilerplate docs at
+    * 100 TB) makes a single task quadratic: with the default 8 planes
+    * there are only 256 buckets. Buckets larger than `maxBucket` are
+    * DROPPED, trading recall inside giant boilerplate clusters for
+    * bounded work — diagnose with [[graft.ops.Skew.keyHistogram]] on the
+    * bucket column, handle such clusters with exact dedup, and size
+    * `numPlanes` with [[autoPlanes]] so average buckets stay small. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dim: Int, numPlanes: Int = 8): DataFrame = {
+      threshold: Double, dim: Int, numPlanes: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
     val planes = hyperplanes(dim, numPlanes)
     val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
       .withColumn("bucket", bucketId(col("v"), planes))
-    val l = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", dot(col("va"), col("vb")))
+    v.select(col("bucket"), struct(col("id"), col("v")).as("item"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("item")).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cosine_sim", dot(col("a.v"), col("b.v")))
       .filter(col("cosine_sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine_sim"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
   }
 }

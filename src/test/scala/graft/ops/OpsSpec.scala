@@ -155,6 +155,48 @@ class OpsSpec extends SparkSpec {
     (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L)), s"missing planted $i"))
   }
 
+  test("embedding near-dups: maxBucket skew guard drops giant clusters, keeps small pairs") {
+    // one giant cluster of 50 exactly-parallel vectors (same direction →
+    // same sign bucket) plus one small planted pair elsewhere
+    val giant = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (1.0f + j) * (1f + i * 1e-4f))))
+    val pairVec = Array.tabulate(8)(j => math.cos(j * 3.7).toFloat)
+    val small = Seq((900L, pairVec), (901L, pairVec.map(_ * 1.01f)))
+    val df = (giant ++ small).toDF("vec_id", "embedding")
+    val guarded = Similarity.embeddingNearDups(df, "vec_id", "embedding", 0.999,
+      dim = 8, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.contains((900L, 901L)), s"small pair lost, got $guarded")
+    assert(!guarded.exists { case (a, b) => a < 50 && b < 50 },
+      "giant-bucket pairs must be dropped by the skew guard")
+    // without the guard the giant cluster is quadratic: all C(50,2) pairs
+    val unguarded = Similarity.embeddingNearDups(df, "vec_id", "embedding", 0.999, dim = 8)
+    assert(unguarded.count() >= 50 * 49 / 2)
+    // autoPlanes scales bucket count with corpus size, clamped to [8, 24]
+    assert(Similarity.autoPlanes(1000) == 8)
+    assert(Similarity.autoPlanes(10L * 1000 * 1000) == 18)
+    assert(Similarity.autoPlanes(Long.MaxValue) == 24)
+  }
+
+  test("IVF quantizer sample is uniform across partitions (not first-partition biased)") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i / 50) // cluster-contiguous ids: cluster 0 fills the first partitions
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat })
+    }
+    val vecs = rows.toDF("vec_id", "embedding").repartitionByRange(8, col("vec_id"))
+    // sampleN=40 < cluster size 50: a first-partitions .limit() sample would
+    // only ever see cluster 0; the hash-ordered draw must span all 4 clusters
+    val centroids = Similarity.trainCentroids(vecs, "embedding", k = 8, sampleN = 40)
+    def norm(a: Array[Double]) = { val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+    centers.zipWithIndex.foreach { case (c, ci) =>
+      val cn = norm(c)
+      val best = centroids.map(ct => ct.zip(cn).map { case (x, y) => x * y }.sum).max
+      assert(best > 0.9, s"cluster $ci unrepresented in trained centroids (best dot $best)")
+    }
+  }
+
   test("exactByHash dedup matches exact dedup on content") {
     val byText = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().toSet
