@@ -20,3 +20,9 @@ final case class NoDataError(path: String)
 
 final case class InvalidSqlError(statement: String, reason: String)
   extends GraftError(s"invalid statement ($reason): $statement")
+
+/** A statement class the reference supports via SQLite but this engine
+  * deliberately does not emulate (e.g. CREATE TRIGGER) — a typed error
+  * beats a raw Catalyst parse exception. */
+final case class UnsupportedStatementError(statement: String, reason: String)
+  extends GraftError(s"unsupported statement ($reason): $statement")

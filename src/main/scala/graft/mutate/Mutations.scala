@@ -40,21 +40,39 @@ object Mutations {
       val givenCols = columns.getOrElse(targetCols)
       if (givenCols.exists(c => !targetCols.contains(c)))
         throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
-      val newRows = tuples.map { tup =>
+      // fresh implicit rowids: a table built withRowId() whose INSERT omits
+      // the rowid column gets max+1, max+2, … — SQLite assigns implicit
+      // rowids the same way; NULL would collapse all inserted rows to one
+      // key in any downstream dedup keyed on rowid
+      val rowIdBase: Long =
+        if (targetCols.contains("rowid") && !givenCols.contains("rowid")) {
+          val r = current.agg(max(col("rowid"))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
+        } else -1L
+      // ONE local relation for the whole VALUES list: an array of struct
+      // literals exploded in a single projection. A per-tuple
+      // range(1)+union chain builds an N-node plan with quadratic
+      // analyzer cost — a 1,000-tuple INSERT would hang in analysis.
+      val structs = tuples.zipWithIndex.map { case (tup, i) =>
         if (tup.length != givenCols.length)
           throw InvalidSqlError(s"INSERT INTO $table", "VALUES arity mismatch")
         val provided = givenCols.zip(tup).toMap
         // align to the target schema; absent columns become NULL; every
         // value is cast to the target column type
-        val selects = targetCols.map { c =>
+        struct(targetCols.map { c =>
           val dt = current.schema(c).dataType
           provided.get(c)
             .map(v => expr(v).cast(dt).as(c))
-            .getOrElse(lit(null).cast(dt).as(c))
-        }
-        spark.range(1).select(selects: _*)
+            .getOrElse {
+              if (c == "rowid" && rowIdBase >= 0) lit(rowIdBase + i).cast(dt).as(c)
+              else lit(null).cast(dt).as(c)
+            }
+        }: _*)
       }
-      newRows.foldLeft(current)((acc, r) => acc.unionByName(r))
+      val newRows = spark.range(1)
+        .select(explode(array(structs: _*)).as("__r"))
+        .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+      current.unionByName(newRows)
     }
   }
 

@@ -26,6 +26,10 @@ final class GraftSession private[session] (
     private val autoSave: Option[AutoSaveConfig],
     private val originalPaths: Seq[String]) {
 
+  // SQLite treats naive timestamps as UTC, so the dialect shims
+  // (strftime/julianday/date/…) only match its output under UTC — pin the
+  // session timezone rather than silently diverging in non-UTC JVMs.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
   graft.dialect.SqliteDialect.register(spark)
   registerAll()
 
@@ -62,21 +66,85 @@ final class GraftSession private[session] (
   def table(name: String): DataFrame =
     tables.getOrElse(name, throw InvalidSqlError(name, "no such table"))
 
+  // -------------------------------------------------------- transactions
+  // BEGIN snapshots the (cheap, lazy) name → DataFrame map; ROLLBACK
+  // restores it and re-registers views; COMMIT drops the snapshot and
+  // fires auto-save-on-commit ONCE for the whole batch (reference
+  // save.go:339-356 hooks the sql.Tx commit the same way). DataFrames are
+  // immutable plans, so the snapshot is O(#tables) references — no data
+  // copy at any scale.
+  private var txnSnapshot: Option[Seq[(String, DataFrame)]] = None
+  private var txnDirty = false
+
+  private def inTransaction: Boolean = txnSnapshot.isDefined
+
+  private def begin(): Unit = {
+    if (inTransaction)
+      throw InvalidSqlError("BEGIN", "cannot start a transaction within a transaction")
+    txnSnapshot = Some(tables.toSeq)
+    txnDirty = false
+  }
+
+  private def commit(): Unit = {
+    if (!inTransaction)
+      throw InvalidSqlError("COMMIT", "cannot commit - no transaction is active")
+    txnSnapshot = None
+    if (txnDirty && autoSave.exists(_.onCommit)) performAutoSave()
+    txnDirty = false
+  }
+
+  private def rollback(): Unit = {
+    val snap = txnSnapshot.getOrElse(
+      throw InvalidSqlError("ROLLBACK", "cannot rollback - no transaction is active"))
+    tables.clear()
+    snap.foreach { case (name, df) => tables.update(name, df) }
+    registerAll()
+    txnSnapshot = None
+    txnDirty = false
+  }
+
+  private val PragmaTableInfoRe =
+    """(?is)^\s*PRAGMA\s+table_info\s*\(\s*("[^"]+"|'[^']+'|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*$""".r
+  private val PragmaTableListRe = """(?is)^\s*PRAGMA\s+table_list\s*;?\s*$""".r
+  private val BeginRe =
+    """(?is)^\s*BEGIN(?:\s+(?:DEFERRED|IMMEDIATE|EXCLUSIVE))?(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val CommitRe = """(?is)^\s*(?:COMMIT|END)(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val RollbackRe = """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val CreateTriggerRe = """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TRIGGER\b.*""".r
+
+  private def unquoteIdent(ident: String): String =
+    if ((ident.startsWith("\"") && ident.endsWith("\"")) ||
+        (ident.startsWith("'") && ident.endsWith("'")))
+      ident.substring(1, ident.length - 1)
+    else ident
+
   /** Run SQL. SELECTs go straight to Spark SQL; INSERT/UPDATE/DELETE are
     * translated to DataFrame rewrites + view re-registration (temp views
-    * are immutable — SURVEY §2.2 mutation layer). */
-  def sql(statement: String): DataFrame =
-    Mutations.intercept(statement) match {
+    * are immutable — SURVEY §2.2 mutation layer); PRAGMA and transaction
+    * statements are intercepted for SQLite-surface parity
+    * (`filesql.go:274-301`, `save.go:339-356`). */
+  def sql(statement: String): DataFrame = statement match {
+    case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
+    case PragmaTableListRe() => tableList()
+    case BeginRe() => begin(); spark.emptyDataFrame
+    case CommitRe() => commit(); spark.emptyDataFrame
+    case RollbackRe() => rollback(); spark.emptyDataFrame
+    case CreateTriggerRe() =>
+      throw UnsupportedStatementError(statement.linesIterator.next(),
+        "triggers require an engine-side mutation hook; rewrite as explicit UPDATE/INSERT statements")
+    case _ => Mutations.intercept(statement) match {
       case Some(mutation) =>
         val name = mutation.table
         val current = table(name)
         val next = mutation(spark, current)
         tables.update(name, next)
         next.createOrReplaceTempView(name)
-        if (autoSave.exists(_.onCommit)) performAutoSave()
+        if (inTransaction) txnDirty = true
+        else if (autoSave.exists(_.onCommit)) performAutoSave()
         spark.emptyDataFrame
       case None => spark.sql(statement)
     }
+  }
 
   /** `PRAGMA table_info(t)` equivalent (`filesql.go:274-301`):
     * (cid, name, type, notnull, dflt_value, pk) rows in SQLite shape. */
@@ -96,6 +164,21 @@ final class GraftSession private[session] (
       StructField("type", StringType), StructField("notnull", IntegerType),
       StructField("dflt_value", StringType), StructField("pk", IntegerType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** `PRAGMA table_list` equivalent: (schema, name, type, ncol, wr,
+    * strict) rows in SQLite shape, one per registered table. */
+  def tableList(): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = tables.toSeq.map { case (name, df) =>
+      Row("main", name, "table", df.schema.fields.length, 0, 0)
+    }
+    val schema = StructType(Seq(
+      StructField("schema", StringType), StructField("name", StringType),
+      StructField("type", StringType), StructField("ncol", IntegerType),
+      StructField("wr", IntegerType), StructField("strict", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Export every table to `dir` (reference S16 `DumpDatabase`,
@@ -167,6 +250,36 @@ object GraftSession {
       try Files.copy(in, target) finally in.close()
       target.toFile.deleteOnExit()
       paths += target.toString
+      this
+    }
+
+    /** ≈ `AddFS` walking an ENTIRE embedded filesystem with glob matching
+      * (S8, `file_processor.go:114-214`). Accepts any NIO filesystem root
+      * — notably a zip/jar `FileSystem`, the JVM analogue of Go's
+      * `embed.FS` — walks it recursively, keeps regular non-hidden files
+      * whose root-relative path matches `glob`, materializes them to
+      * session temp files (preserving relative directory structure, so
+      * same-named files in different directories surface as the normal
+      * DuplicateTableError rather than silently clobbering), and loads
+      * them like ordinary inputs. */
+    def addFS(root: Path, glob: String = "**"): Builder = {
+      val matcher = root.getFileSystem.getPathMatcher(s"glob:$glob")
+      val stream = Files.walk(root)
+      val matched =
+        try stream.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          .filter(p => matcher.matches(root.relativize(p)))
+          .toSeq.sortBy(_.toString)
+        finally stream.close()
+      val dir = Files.createTempDirectory("graft-fs-")
+      dir.toFile.deleteOnExit()
+      matched.foreach { p =>
+        val target = dir.resolve(root.relativize(p).toString)
+        Files.createDirectories(target.getParent)
+        Files.copy(p, target)
+        target.toFile.deleteOnExit()
+        paths += target.toString
+      }
       this
     }
 

@@ -20,24 +20,45 @@ import graft.DuplicateColumnError
 object CsvSource {
 
   def readCsv(spark: SparkSession, path: String, inferTypes: Boolean = true,
-      multiLine: Boolean = false): DataFrame =
+      multiLine: Option[Boolean] = None): DataFrame =
     read(spark, path, ",", inferTypes, multiLine)
 
   def readTsv(spark: SparkSession, path: String, inferTypes: Boolean = true,
-      multiLine: Boolean = false): DataFrame =
+      multiLine: Option[Boolean] = None): DataFrame =
     read(spark, path, "\t", inferTypes, multiLine)
 
+  /** Does any quoted field span a physical line? Exact for RFC-4180: a
+    * line whose '"' count is odd leaves a quote open at the newline
+    * (wrapping quotes pair up within a line, doubled quotes are even).
+    * One distributed scan with `head(1)` short-circuit; a quote inside an
+    * unquoted field can false-positive, which only costs splittability,
+    * never correctness. */
+  def detectQuotedNewlines(spark: SparkSession, readable: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(readable)
+      .filter(((length(col("value")) -
+        length(translate(col("value"), "\"", ""))) % 2) === 1)
+      .head(1).nonEmpty
+  }
+
+  /** @param multiLine None = auto-detect via [[detectQuotedNewlines]].
+    *   Files with embedded newlines inside quoted fields (which
+    *   [[graft.sinks.Dump]] legitimately writes) need multiLine parsing or
+    *   they silently split into corrupt rows; files without them stay on
+    *   the line-splittable fast path. Pass Some(false) to skip the
+    *   detection scan when the data is known newline-free. */
   def read(spark: SparkSession, path: String, delimiter: String,
-      inferTypes: Boolean, multiLine: Boolean): DataFrame = {
+      inferTypes: Boolean, multiLine: Option[Boolean]): DataFrame = {
     val readable = Compression.sparkReadablePath(path)
     val header = readHeader(path, delimiter.charAt(0))
     checkDuplicateColumns(TableNaming.fromPath(path), header)
+    val ml = multiLine.getOrElse(detectQuotedNewlines(spark, readable))
     val raw = spark.read
       .option("header", "true")
       .option("sep", delimiter)
       .option("quote", "\"")
       .option("escape", "\"") // RFC-4180 doubled quotes
-      .option("multiLine", multiLine.toString)
+      .option("multiLine", ml.toString)
       .option("inferSchema", "false")
       .csv(readable)
     // reference model: every cell is a string; absent/empty cells are ""

@@ -19,20 +19,35 @@ import graft.NoDataError
   */
 object LtsvSource {
 
-  def read(spark: SparkSession, path: String, inferTypes: Boolean = true): DataFrame = {
+  /** @param knownKeys column set override: skips the distributed
+    *   distinct-keys discovery pass (the format's header is the union of
+    *   keys, which normally costs one full extra scan — at scale, pass
+    *   the known key list). Keys absent from a line still yield `""`. */
+  def read(spark: SparkSession, path: String, inferTypes: Boolean = true,
+      knownKeys: Option[Seq[String]] = None): DataFrame = {
     val readable = Compression.sparkReadablePath(path)
     val lines = spark.read.text(readable).filter(length(trim(col("value"))) > 0)
     // key = text before the first ':' in each tab-separated chunk;
     // value = the rest (values may themselves contain ':')
     val entries = expr(
-      """map_from_entries(
-        |  transform(split(value, '\t'),
-        |    kv -> struct(substring_index(kv, ':', 1) AS key,
-        |                 substring(kv, length(substring_index(kv, ':', 1)) + 2) AS value)))
+      """transform(split(value, '\t'),
+        |  kv -> struct(substring_index(kv, ':', 1) AS key,
+        |               substring(kv, length(substring_index(kv, ':', 1)) + 2) AS value))
         |""".stripMargin)
-    val mapped = lines.select(entries.as("m"))
-    val keys = mapped.select(explode(map_keys(col("m"))).as("k"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // duplicated keys on one line are last-wins (the reference's Go map
+    // parse overwrites); keep an entry only if no LATER entry shares its
+    // key — map_from_entries under Spark's default
+    // mapKeyDedupPolicy=EXCEPTION would otherwise crash the whole load
+    val lastWins = expr(
+      """map_from_entries(
+        |  filter(arr, (x, i) ->
+        |    !exists(slice(arr, i + 2, size(arr)), y -> y.key = x.key)))
+        |""".stripMargin)
+    val mapped = lines.select(entries.as("arr")).select(lastWins.as("m"))
+    val keys = knownKeys.getOrElse {
+      mapped.select(explode(map_keys(col("m"))).as("k"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+    }
     if (keys.isEmpty) throw NoDataError(path)
     val cols = keys.map(k => coalesce(element_at(col("m"), k), lit("")).as(k))
     val allString = mapped.select(cols: _*)

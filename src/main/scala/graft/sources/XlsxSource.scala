@@ -195,7 +195,11 @@ object XlsxSource {
               text.clear()
             case "v" => inV = true; text.clear()
             case "is" => inIs = true
-            case "t" if inIs => inV = true; text.clear()
+            // rich-text cells hold MULTIPLE <r><t>…</t></r> runs per <is>;
+            // text was cleared at <c> start, so runs concatenate here —
+            // clearing per <t> would keep only the last run (the
+            // shared-strings parser concatenates runs the same way)
+            case "t" if inIs => inV = true
             case _ =>
           }
           case XMLStreamConstants.CHARACTERS if inV => text.append(r.getText)

@@ -119,6 +119,96 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("PRAGMA table_info / table_list as literal SQL statements") {
+    val dir = tmpDir("pragma")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val info = s.sql("PRAGMA table_info(users)").collect()
+    assert(info.map(_.getString(1)).toSeq == Seq("id", "name", "role", "department_id"))
+    assert(info.head.getInt(0) == 0 && info.head.getString(2) == "INTEGER")
+    // quoted identifier + trailing semicolon forms
+    assert(s.sql("PRAGMA table_info(\"departments\");").count() == 2)
+    val list = s.sql("PRAGMA table_list").collect()
+    assert(list.map(r => (r.getString(1), r.getInt(3))).toSet ==
+      Set(("users", 4), ("departments", 2)))
+    assert(list.forall(r => r.getString(0) == "main" && r.getString(2) == "table"))
+    s.close()
+  }
+
+  test("transactions: ROLLBACK restores pre-BEGIN state; COMMIT auto-saves once") {
+    val dir = tmpDir("txn")
+    fixtures(dir)
+    val out = tmpDir("txnout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSaveOnCommit(out.toString)
+      .open(spark)
+    // rollback: mutations inside the txn vanish from the view
+    s.sql("BEGIN")
+    s.sql("DELETE FROM users WHERE id = 1")
+    s.sql("INSERT INTO users VALUES (9, 'Zed', 'user', 10)")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 3)
+    s.sql("ROLLBACK")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 3)
+    assert(s.sql("SELECT COUNT(*) FROM users WHERE id = 1").head().getLong(0) == 1)
+    assert(!java.nio.file.Files.exists(out.resolve("users.csv")),
+      "rolled-back transaction must not auto-save")
+    // commit: batched mutations apply atomically, auto-save fires at COMMIT
+    s.sql("BEGIN TRANSACTION")
+    s.sql("DELETE FROM users WHERE id = 2")
+    assert(!java.nio.file.Files.exists(out.resolve("users.csv")),
+      "auto-save-on-commit must not fire per-mutation inside a transaction")
+    s.sql("COMMIT;")
+    assert(java.nio.file.Files.exists(out.resolve("users.csv")))
+    val s2 = GraftSession.open(spark, out.resolve("users.csv").toString)
+    assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+    s2.close()
+    // statement-state errors match SQLite's messages
+    intercept[graft.InvalidSqlError](s.sql("COMMIT"))
+    intercept[graft.InvalidSqlError](s.sql("ROLLBACK"))
+    s.sql("BEGIN")
+    intercept[graft.InvalidSqlError](s.sql("BEGIN"))
+    s.sql("ROLLBACK")
+    s.close()
+  }
+
+  test("CREATE TRIGGER is rejected with a typed error, not a parse exception") {
+    val dir = tmpDir("trig")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val e = intercept[graft.UnsupportedStatementError](s.sql(
+      "CREATE TRIGGER audit AFTER UPDATE ON users BEGIN INSERT INTO log VALUES (1); END"))
+    assert(e.getMessage.contains("unsupported statement"))
+    intercept[graft.UnsupportedStatementError](s.sql("CREATE TEMP TRIGGER t2 BEFORE DELETE ON users BEGIN SELECT 1; END"))
+    s.close()
+  }
+
+  test("INSERT: 1,000-tuple VALUES list builds one local relation, not an N-union plan") {
+    val dir = tmpDir("bigins")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val tuples = (100 until 1100).map(i => s"($i, 'u$i', 'user', ${i % 3})").mkString(", ")
+    val t0 = System.nanoTime()
+    s.sql(s"INSERT INTO users VALUES $tuples")
+    val n = s.sql("SELECT COUNT(*) FROM users").head().getLong(0)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(n == 1003)
+    assert(elapsedSec < 30, f"1,000-tuple INSERT took $elapsedSec%.1f s — plan-size blowup")
+    s.close()
+  }
+
+  test("INSERT into a rowid table assigns fresh implicit rowids, not NULL") {
+    val dir = tmpDir("rowidins")
+    fixtures(dir)
+    val s = GraftSession.builder().addPath(dir.toString).withRowId().open(spark)
+    s.sql("INSERT INTO users (id, name) VALUES (50, 'New1'), (51, 'New2')")
+    val rowids = s.sql("SELECT rowid FROM users WHERE id IN (50, 51)").collect()
+    assert(rowids.forall(!_.isNullAt(0)), "inserted rows must get real rowids")
+    val all = s.sql("SELECT rowid FROM users").collect().map(_.getLong(0))
+    assert(all.distinct.length == all.length, "rowids must stay unique after insert")
+    s.close()
+  }
+
   test("distributed sink: directory output with partitioning (100TB path)") {
     val dir = tmpDir("dist")
     fixtures(dir)

@@ -144,6 +144,57 @@ class ParitySpec extends SparkSpec {
     assert(e.getMessage.contains("hidden"))
   }
 
+  test("addFS: glob walk over a zip filesystem (embed.FS parity)") {
+    val dir = tmpDir("fszip")
+    val zipPath = dir.resolve("bundle.zip")
+    val zip = new java.util.zip.ZipOutputStream(java.nio.file.Files.newOutputStream(zipPath))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("data/users.csv", "id,name\n1,ann\n2,bo\n")
+    entry("data/sub/events.csv", "eid,kind\n7,click\n")
+    entry("data/readme.txt", "not a table")
+    entry("data/.hidden.csv", "id\n1\n")
+    zip.finish(); zip.close()
+    val zfs = java.nio.file.FileSystems.newFileSystem(zipPath)
+    try {
+      val s = GraftSession.builder()
+        .addFS(zfs.getPath("/"), "**.csv")
+        .open(spark)
+      // recursive walk, glob filter (readme.txt out), hidden file skipped
+      assert(s.tableNames.toSet == Set("users", "events"))
+      assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+      assert(s.sql("SELECT kind FROM events").head().getString(0) == "click")
+      s.close()
+    } finally zfs.close()
+  }
+
+  test("dynamic-typing deviation: TEXT-column comparisons use numeric coercion, not SQLite type ordering") {
+    // SQLite orders ALL text above ALL numbers: on a TEXT column,
+    //   WHERE v > 25  matches '30', '9', AND 'abc' (doc.go:68-76 implies
+    // full SQLite semantics). This engine keeps Spark/ANSI coercion —
+    // the string is cast to a number, non-numeric becomes NULL and drops
+    // out. SURVEY §4 deliberately rejects emulating SQLite affinity
+    // globally; this spec pins the documented deviation.
+    val dir = tmpDir("affinity")
+    writeFile(dir, "vals.csv", "id,v\n1,30\n2,9\n3,abc\n")
+    val s = GraftSession.builder().addPath(dir.toString)
+      .withoutTypeInference() // v stays a TEXT column
+      .open(spark)
+    // fully-numeric TEXT data compares numerically (same rows as SQLite
+    // would match — though SQLite matches them via type ordering)
+    assert(s.sql("SELECT COUNT(*) FROM vals WHERE id > 2").head().getLong(0) == 1)
+    // non-numeric text in a numeric comparison: ANSI Spark THROWS a cast
+    // error where SQLite would match the row via text-above-numbers
+    intercept[Exception](s.sql("SELECT id FROM vals WHERE v > 25").collect())
+    // TRY_CAST is the portable escape hatch: non-numeric → NULL → dropped
+    val got = s.sql("SELECT id FROM vals WHERE TRY_CAST(v AS INT) > 25")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("1"), s"TRY_CAST keeps only numeric-parsing rows > 25, got $got")
+    s.close()
+  }
+
   test("classpath resource loading (embedded-FS parity)") {
     // stage a resource dir on a throwaway classloader
     val dir = tmpDir("resources")

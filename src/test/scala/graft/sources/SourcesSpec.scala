@@ -151,6 +151,74 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("CSV: quoted fields with embedded newlines auto-detect multiLine (round trip)") {
+    val dir = tmpDir("csvml")
+    val p = writeFile(dir, "notes.csv",
+      "id,note\n1,\"line one\nline two\"\n2,plain\n")
+    val df = CsvSource.readCsv(spark, p)
+    assert(df.count() == 2, "embedded newline must not split the record")
+    assert(df.filter("id = 1").head().getString(1) == "line one\nline two")
+    // detection itself: quoted-newline file yes, plain file no
+    assert(CsvSource.detectQuotedNewlines(spark, p))
+    val plain = writeFile(dir, "plain.csv", "a,b\n\"x\",\"y\"\n1,2\n")
+    assert(!CsvSource.detectQuotedNewlines(spark, plain))
+    // explicit override skips detection and multiLine parsing
+    assert(CsvSource.readCsv(spark, p, multiLine = Some(false)).count() == 3)
+  }
+
+  test("CSV: dump → reopen round-trips embedded newlines losslessly") {
+    val dir = tmpDir("csvmlrt")
+    writeFile(dir, "t.csv", "id,note\n1,\"a\nb\"\n")
+    val s = graft.session.GraftSession.open(spark, dir.toString)
+    val out = tmpDir("csvmlrtout")
+    s.dump(out.toString)
+    s.close()
+    val s2 = graft.session.GraftSession.open(spark, out.resolve("t.csv").toString)
+    assert(s2.sql("SELECT note FROM t WHERE id = 1").head().getString(0) == "a\nb")
+    s2.close()
+  }
+
+  test("LTSV: duplicated key on one line is last-wins, not a crash") {
+    val dir = tmpDir("ltsvdup")
+    val p = writeFile(dir, "d.ltsv", "a:1\tb:x\ta:2\na:9\tb:y\n")
+    val df = LtsvSource.read(spark, p.toString)
+    assert(df.schema("a").dataType.typeName == "long")
+    assert(df.select("a").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 9L))
+  }
+
+  test("LTSV: knownKeys override skips discovery, absent keys yield ''") {
+    val dir = tmpDir("ltsvkeys")
+    val p = writeFile(dir, "k.ltsv", "a:1\tb:x\na:2\n")
+    val df = LtsvSource.read(spark, p.toString, inferTypes = false,
+      knownKeys = Some(Seq("a", "b", "c")))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy("a").collect()
+    assert(rows.map(_.getString(2)).toSeq == Seq("", "")) // c never present
+    assert(rows(1).getString(1) == "") // b missing on line 2
+  }
+
+  test("XLSX: inline rich-text cells concatenate ALL runs like shared strings") {
+    val dir = tmpDir("xlsxrich")
+    val p = dir.resolve("rich.xlsx")
+    val out = Files.newOutputStream(p)
+    val zip = new java.util.zip.ZipOutputStream(out)
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c r="A1" t="inlineStr"><is><r><t>foo </t></r><r><t>bar</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.finish(); out.close()
+    val rows = XlsxSource.parseWorkbook(p.toString)
+    assert(rows.head._2 == Seq(Seq("foo bar")))
+  }
+
   test("LTSV: empty values — '' in TEXT columns, NULL after numeric casts") {
     val dir = tmpDir("ltsvempty")
     val p = writeFile(dir, "x.ltsv", "a:1\tc:x\na:\tc:\n")
