@@ -51,6 +51,32 @@ object ScaleProbe {
       Dedup.nearDupPairs(sh, "doc_id", "shingles", 0.6).count())
     println("SCALE pairs found: " + pairs)
 
+    // bucketed re-dedup: pay the bucketed write once; every later dedup
+    // pass over the saved corpus aggregates bucket-locally (no exchange)
+    val fp = d10.withColumn("fp", xxhash64(col("text")))
+    spark.sql("DROP TABLE IF EXISTS scale_corpus_bkt")
+    t("bucketed corpus write (once)")(
+      fp.write.bucketBy(32, "fp").sortBy("fp").mode("overwrite").saveAsTable("scale_corpus_bkt"))
+    val bkt = spark.table("scale_corpus_bkt")
+    val rerun = Dedup.exactGroups(bkt, "fp", "doc_id")
+    println("SCALE bucketed re-dedup exchange-free: " +
+      !rerun.queryExecution.executedPlan.toString.contains("Exchange"))
+    t("bucketed re-dedup 500k docs")(noop(rerun))
+    t("unbucketed dedup 500k docs (contrast)")(noop(Dedup.exactGroups(fp, "fp", "doc_id")))
+    spark.sql("DROP TABLE IF EXISTS scale_corpus_bkt")
+
+    // embedding LSH bucket skew: histogram of hyperplane buckets at the
+    // autoPlanes setting — top bucket must stay far below the maxBucket
+    // guard for the pair stage to be bounded
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nEmb = emb.count()
+    val planes = graft.ops.Similarity.hyperplanes(64, graft.ops.Similarity.autoPlanes(nEmb))
+    val buckets = emb.select(graft.ops.Similarity.bucketId(
+      graft.ops.Similarity.normalize(col("embedding")), planes).as("bucket"))
+    val top = graft.ops.Skew.keyHistogram(buckets, "bucket", 5).collect()
+    println(s"SCALE embedding buckets: n=$nEmb planes=${planes.length} " +
+      s"top=${top.map(r => r.getLong(1)).mkString(",")}")
+
     // salted join sanity on a deliberately hot key
     val hot = l1.withColumn("k", when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
     val dim = spark.range(200).toDF("k").withColumn("v", col("k") * 2)

@@ -133,10 +133,17 @@ object Dedup {
   def textShingles(text: Column, n: Int): Column =
     graft.functions.TextShingles.textShingles(text, n)
 
-  /** Near-dup pairs: LSH candidates verified with exact n-gram Jaccard. */
+  /** Near-dup pairs: LSH candidates verified with exact n-gram Jaccard.
+    *
+    * Recall is tunable via banding: the default (16 bands × 4 rows)
+    * trades a small miss rate at the threshold for a small candidate
+    * set; `numBands = numHashes` (1 row per band) makes candidate
+    * generation effectively exhaustive for s ≥ 0.6 (miss probability
+    * (1-s)^64 ≈ 3e-26) at the cost of more candidates to verify. */
   def nearDupPairs(df: DataFrame, idCol: String, shingleCol: String,
-      threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16): DataFrame =
-    minhashCandidates(df, idCol, shingleCol, numHashes, numBands)
+      threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    minhashCandidates(df, idCol, shingleCol, numHashes, numBands, maxBucket)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -61,11 +61,17 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- dedup: n-gram Jaccard verification on LSH candidates
+    // ---- dedup: n-gram Jaccard verification on LSH candidates.
+    // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 1-row
+    // bands make candidate generation exhaustive for s ≥ 0.6 (miss
+    // probability (1-s)^64 ≈ 3e-26), so LSH + verify must equal the
+    // exact pair set; maxBucket is lifted because the oracle has no
+    // skew-drop notion (the capped default is the production path).
     "d04_ngram_jaccard" -> ((s, dir) => {
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.textShingles(col("text"), 3))
-      Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.6)
+      Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.6,
+          numHashes = 64, numBands = 64, maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -289,6 +295,32 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
+    // exact all-pairs Jaccard over the same word-3-gram shingles — the
+    // LSH path must reproduce it exactly (see the d04 query comment)
+    "d04_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,

@@ -48,4 +48,37 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS bkt_left")
     spark.sql("DROP TABLE IF EXISTS bkt_right")
   }
+
+  test("corpus bucketed by fingerprint: repeated dedup runs plan with no exchange") {
+    // the 100 TB re-run story: pay the bucketed write once, then every
+    // recurring dedup pass (daily ingest + re-dedup) aggregates bucket-
+    // locally — no corpus-wide shuffle on any run after the first
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc text ${i % 400}")).toDF("doc_id", "text")
+      .withColumn("fp", xxhash64(col("text")))
+    spark.sql("DROP TABLE IF EXISTS bkt_corpus")
+    val loc = java.nio.file.Paths.get("spark-warehouse", "bkt_corpus")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    docs.write.bucketBy(8, "fp").sortBy("fp").saveAsTable("bkt_corpus")
+    val corpus = spark.table("bkt_corpus")
+    val groups = Dedup.exactGroups(corpus, "fp", "doc_id")
+    val groupsPlan = groups.queryExecution.executedPlan.toString
+    assert(!groupsPlan.contains("Exchange"),
+      s"bucketed re-dedup aggregate should not shuffle:\n$groupsPlan")
+    assert(groups.count() == 400)
+    val kept = Dedup.exact(corpus, "fp", "doc_id")
+    assert(!kept.queryExecution.executedPlan.toString.contains("Exchange"),
+      "window-based dedup over the bucketed corpus should not shuffle")
+    assert(kept.count() == 400)
+    // contrast: the same dedup on the unbucketed frame DOES shuffle
+    assert(Dedup.exactGroups(docs, "fp", "doc_id")
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.sql("DROP TABLE IF EXISTS bkt_corpus")
+  }
 }
