@@ -228,8 +228,9 @@ object Dedup {
     * are clustered via [[connectedComponents]]; only each cluster's
     * minimum id survives. */
   def nearDedup(df: DataFrame, idCol: String, shingleCol: String,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, shingleCol, threshold)
+      threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, shingleCol, threshold, numHashes, numBands, maxBucket)
     val losers = connectedComponents(pairs)
       .filter(col("id") =!= col("label"))
       .select(col("id").as(idCol)).distinct()

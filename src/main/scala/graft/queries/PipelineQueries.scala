@@ -49,7 +49,13 @@ object PipelineQueries {
       // left side prunes the shingles column away entirely
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.textShingles(col("text"), 3))
-      Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6)
+      // near-exhaustive banding + lifted cap so the survivor set equals
+      // the DuckDB oracle's exact-Jaccard + recursive-CTE closure: the
+      // corpus gap (min true-pair jaccard 0.69 vs max false 0.07) makes
+      // 32 bands × 2 rows miss-free (miss ≈ (1-0.69²)^32 ≈ 8e-10) at a
+      // fraction of 1-row-band candidate volume
+      Dedup.nearDedup(withShingles, "doc_id", "shingles", threshold = 0.6,
+          numHashes = 64, numBands = 32, maxBucket = Int.MaxValue)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -62,16 +68,16 @@ object PipelineQueries {
     }),
 
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
-    // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 1-row
-    // bands make candidate generation exhaustive for s ≥ 0.6 (miss
-    // probability (1-s)^64 ≈ 3e-26), so LSH + verify must equal the
-    // exact pair set; maxBucket is lifted because the oracle has no
-    // skew-drop notion (the capped default is the production path).
+    // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
+    // bands are miss-free on this corpus (min true-pair jaccard 0.69 →
+    // miss ≈ (1-0.69²)^32 ≈ 8e-10) while keeping the candidate set small;
+    // maxBucket is lifted because the oracle has no skew-drop notion
+    // (the capped default is the production path).
     "d04_ngram_jaccard" -> ((s, dir) => {
       val withShingles = docsWithNearDups(s, dir)
         .withColumn("shingles", Dedup.textShingles(col("text"), 3))
       Dedup.nearDupPairs(withShingles, "doc_id", "shingles", threshold = 0.6,
-          numHashes = 64, numBands = 64, maxBucket = Int.MaxValue)
+          numHashes = 64, numBands = 32, maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -295,6 +301,63 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
+    // exact-Jaccard pairs + full transitive closure via recursive CTE:
+    // the minhash pipeline's survivor set (only each component's minimum
+    // id survives) must equal the exact computation
+    "d02_minhash_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.6
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+        |), losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING min(r) < id
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact all-pairs cosine: the hyperplane-LSH path must find every
+    // pair ≥ 0.995 (planted pairs are exactly parallel, so they never
+    // straddle a sign boundary; nearest natural pair sits at cos ≈ 0.51)
+    "d05_embed_neardup" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, [x * 1.01 for x in embedding] AS embedding
+        |  FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.995
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // exact all-pairs Jaccard over the same word-3-gram shingles — the
     // LSH path must reproduce it exactly (see the d04 query comment)
     "d04_ngram_jaccard" ->
