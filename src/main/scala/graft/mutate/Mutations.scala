@@ -111,8 +111,11 @@ object Mutations {
       }
   }
 
+  // conflict clauses (OR REPLACE/IGNORE/…) are accepted and inert:
+  // file-backed tables carry no unique constraints, so SQLite's conflict
+  // resolution could never trigger on them either
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE|ABORT|ROLLBACK|FAIL)\s+)?INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val DeleteRe =
@@ -157,7 +160,7 @@ object Mutations {
   }
 
   /** Split on a separator at paren-depth 0 outside string literals. */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0

@@ -46,6 +46,7 @@ final class GraftSession private[session] (
     def sqliteType(dt: DataType): String = dt match {
       case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
       case DoubleType | FloatType | _: DecimalType => "REAL"
+      case BinaryType => "BLOB"
       case _ => "TEXT"
     }
     val rows = tables.toSeq.map { case (name, df) =>
@@ -96,11 +97,87 @@ final class GraftSession private[session] (
   private def rollback(): Unit = {
     val snap = txnSnapshot.getOrElse(
       throw InvalidSqlError("ROLLBACK", "cannot rollback - no transaction is active"))
+    // tables CREATEd inside the rolled-back txn leave temp views behind
+    val snapNames = snap.map(_._1).toSet
+    tables.keys.filterNot(snapNames).foreach(spark.catalog.dropTempView)
     tables.clear()
     snap.foreach { case (name, df) => tables.update(name, df) }
     registerAll()
     txnSnapshot = None
     txnDirty = false
+  }
+
+  // ---------------------------------------------------------------- DDL
+  // SQLite-surface DDL the reference inherits from its embedded engine
+  // (users CREATE work tables and the dump path exports whatever is in
+  // sqlite_master — filesql_integration_test.go drives CREATE TABLE /
+  // ALTER / DROP through plain Exec). Each statement rewrites the
+  // name → DataFrame map and re-registers views + sqlite_master.
+
+  private val CreateTableAsRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val CreateTableRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*\((.+)\)\s*;?\s*$""".r
+  private val DropTableRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterRenameTableRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterRenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val AlterAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+([A-Za-z][A-Za-z0-9() ]*?))?\s*;?\s*$""".r
+  private val AlterDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  // index/maintenance statements: honestly accepted as no-ops — Catalyst
+  // picks access paths and parquet carries min/max stats, so SQLite
+  // indexes have no analogue to build
+  private val NoOpDdlRe =
+    """(?is)^\s*(?:CREATE\s+(?:UNIQUE\s+)?INDEX\b|DROP\s+INDEX\b|VACUUM\b|ANALYZE\b|REINDEX\b).*""".r
+
+  /** SQLite column-type affinity (datatype3.html §3.1) → Spark type:
+    * INT* → INTEGER class, CHAR/CLOB/TEXT → TEXT, BLOB/absent → BLOB,
+    * REAL/FLOA/DOUB → REAL, anything else → NUMERIC (kept as double). */
+  private def affinityType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val u = t.toUpperCase
+    if (u.contains("INT")) LongType
+    else if (u.contains("CHAR") || u.contains("CLOB") || u.contains("TEXT")) StringType
+    else if (u.isEmpty || u.contains("BLOB")) BinaryType
+    else DoubleType
+  }
+
+  private def parseColumnDefs(defs: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val tableConstraint =
+      """(?is)^\s*(?:PRIMARY\s+KEY|UNIQUE|CHECK|FOREIGN\s+KEY|CONSTRAINT)\b.*""".r
+    val fields = Mutations.splitTopLevel(defs, ',').map(_.trim).filter(_.nonEmpty)
+      .filterNot(d => tableConstraint.pattern.matcher(d).matches())
+      .map { d =>
+        val (name, rest) =
+          if (d.startsWith("\"")) {
+            val end = d.indexOf('"', 1)
+            (d.substring(1, end), d.substring(end + 1))
+          } else {
+            val sp = d.indexWhere(_.isWhitespace)
+            if (sp < 0) (d, "") else (d.substring(0, sp), d.substring(sp))
+          }
+        // type name = leading words of the remainder, before any
+        // constraint keyword (PRIMARY/NOT/UNIQUE/DEFAULT/CHECK/REFERENCES)
+        val typeName = rest.trim.split("""(?i)\b(?:PRIMARY|NOT|NULL|UNIQUE|DEFAULT|CHECK|REFERENCES|COLLATE|GENERATED)\b""")
+          .headOption.getOrElse("").trim
+        StructField(name, affinityType(typeName))
+      }
+    StructType(fields)
+  }
+
+  /** Apply a table-map rewrite as one DDL/DML unit: update views,
+    * refresh sqlite_master, and fire the commit hooks. */
+  private def applyDdl(body: => Unit): DataFrame = {
+    body
+    registerSqliteMaster()
+    if (inTransaction) txnDirty = true
+    else if (autoSave.exists(_.onCommit)) performAutoSave()
+    spark.emptyDataFrame
   }
 
   private val PragmaTableInfoRe =
@@ -132,6 +209,78 @@ final class GraftSession private[session] (
     case CreateTriggerRe() =>
       throw UnsupportedStatementError(statement.linesIterator.next(),
         "triggers require an engine-side mutation hook; rewrite as explicit UPDATE/INSERT statements")
+    case CreateTableAsRe(ifne, ident, select) =>
+      val name = unquoteIdent(ident)
+      if (tables.contains(name)) {
+        if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
+      } else applyDdl {
+        // materialized like SQLite's CTAS: the new table must not change
+        // if its source tables are later mutated, renamed, or dropped
+        val df = spark.sql(select).localCheckpoint()
+        tables.update(name, df)
+        df.createOrReplaceTempView(name)
+      }
+    case CreateTableRe(ifne, ident, defs) =>
+      val name = unquoteIdent(ident)
+      if (tables.contains(name)) {
+        if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
+      } else applyDdl {
+        val schema = parseColumnDefs(defs)
+        if (schema.isEmpty) throw InvalidSqlError(statement, "no columns")
+        val df = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        tables.update(name, df)
+        df.createOrReplaceTempView(name)
+      }
+    case DropTableRe(ife, ident) =>
+      val name = unquoteIdent(ident)
+      if (!tables.contains(name)) {
+        if (ife != null) spark.emptyDataFrame
+        else throw InvalidSqlError(statement, s"no such table: $name")
+      } else applyDdl {
+        tables.remove(name)
+        spark.catalog.dropTempView(name)
+      }
+    case AlterRenameTableRe(fromI, toI) =>
+      val from = unquoteIdent(fromI)
+      val to = unquoteIdent(toI)
+      val df = table(from)
+      if (tables.contains(to)) throw DuplicateTableError(to)
+      applyDdl {
+        tables.remove(from)
+        spark.catalog.dropTempView(from)
+        tables.update(to, df)
+        df.createOrReplaceTempView(to)
+      }
+    case AlterRenameColRe(tI, aI, bI) =>
+      val name = unquoteIdent(tI)
+      val from = unquoteIdent(aI)
+      if (!table(name).columns.contains(from))
+        throw InvalidSqlError(statement, s"no such column: $from")
+      val df = table(name).withColumnRenamed(from, unquoteIdent(bI))
+      applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
+    case AlterAddColRe(tI, cI, tpe) =>
+      import org.apache.spark.sql.functions.{expr, lit}
+      val name = unquoteIdent(tI)
+      val cname = unquoteIdent(cI)
+      if (table(name).columns.contains(cname)) throw DuplicateColumnError(name, cname)
+      val typeStr = Option(tpe).getOrElse("")
+      // SQLite fills existing rows with the DEFAULT (NULL if absent)
+      val DefaultRe = """(?is).*\bDEFAULT\s+('[^']*'|\([^)]*\)|\S+).*""".r
+      val value = typeStr match {
+        case DefaultRe(v) => expr(v)
+        case _ => lit(null)
+      }
+      val df = table(name).withColumn(cname, value.cast(affinityType(typeStr)))
+      applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
+    case AlterDropColRe(tI, cI) =>
+      val name = unquoteIdent(tI)
+      val cname = unquoteIdent(cI)
+      if (!table(name).columns.contains(cname))
+        throw InvalidSqlError(statement, s"no such column: $cname")
+      val df = table(name).drop(cname)
+      applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
+    case NoOpDdlRe() => spark.emptyDataFrame
     case _ => Mutations.intercept(statement) match {
       case Some(mutation) =>
         val name = mutation.table
@@ -154,6 +303,7 @@ final class GraftSession private[session] (
     def sqliteType(dt: DataType): String = dt match {
       case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
       case DoubleType | FloatType | _: DecimalType => "REAL"
+      case BinaryType => "BLOB"
       case _ => "TEXT"
     }
     val rows = table(name).schema.fields.zipWithIndex.map { case (f, i) =>

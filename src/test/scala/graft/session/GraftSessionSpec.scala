@@ -209,6 +209,74 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("DDL surface: CREATE TABLE (defs + AS SELECT), DROP, ALTER, no-op index statements") {
+    val dir = tmpDir("ddl")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    // CREATE TABLE with column defs → empty typed table, visible in catalog
+    s.sql("CREATE TABLE audit (id INTEGER PRIMARY KEY, note TEXT, score REAL, payload BLOB)")
+    assert(s.sql("SELECT COUNT(*) FROM audit").head().getLong(0) == 0)
+    val info = s.sql("PRAGMA table_info(audit)").collect()
+    assert(info.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("id", "INTEGER"), ("note", "TEXT"), ("score", "REAL"), ("payload", "BLOB")))
+    s.sql("INSERT INTO audit (id, note) VALUES (1, 'first')")
+    assert(s.sql("SELECT note FROM audit WHERE id = 1").head().getString(0) == "first")
+    // IF NOT EXISTS is a no-op on an existing table; plain CREATE errors
+    s.sql("CREATE TABLE IF NOT EXISTS audit (x TEXT)")
+    assert(s.sql("SELECT COUNT(*) FROM audit").head().getLong(0) == 1)
+    intercept[graft.DuplicateTableError](s.sql("CREATE TABLE audit (x TEXT)"))
+    // CTAS materializes: later source mutations must not leak in
+    s.sql("CREATE TABLE admins AS SELECT id, name FROM users WHERE role = 'admin'")
+    assert(s.sql("SELECT name FROM admins").head().getString(0) == "Alice")
+    s.sql("DELETE FROM users WHERE role = 'admin'")
+    assert(s.sql("SELECT COUNT(*) FROM admins").head().getLong(0) == 1)
+    assert(s.sql("SELECT name FROM sqlite_master WHERE name = 'admins'").count() == 1)
+    // ALTER: rename table, rename column, add column with default, drop column
+    s.sql("ALTER TABLE admins RENAME TO staff")
+    assert(s.tableNames.contains("staff") && !s.tableNames.contains("admins"))
+    s.sql("ALTER TABLE staff RENAME COLUMN name TO full_name")
+    assert(s.sql("SELECT full_name FROM staff").head().getString(0) == "Alice")
+    s.sql("ALTER TABLE staff ADD COLUMN grade INTEGER DEFAULT 3")
+    assert(s.sql("SELECT grade FROM staff").head().getLong(0) == 3)
+    s.sql("ALTER TABLE staff ADD COLUMN note TEXT")
+    assert(s.sql("SELECT note FROM staff").head().isNullAt(0))
+    s.sql("ALTER TABLE staff DROP COLUMN note")
+    assert(!s.table("staff").columns.contains("note"))
+    // DROP TABLE removes view + catalog row; IF EXISTS tolerates absence
+    s.sql("DROP TABLE staff")
+    assert(!s.tableNames.contains("staff"))
+    assert(s.sql("SELECT name FROM sqlite_master WHERE name = 'staff'").count() == 0)
+    s.sql("DROP TABLE IF EXISTS staff")
+    intercept[graft.InvalidSqlError](s.sql("DROP TABLE staff"))
+    // index/maintenance statements are accepted no-ops
+    s.sql("CREATE INDEX idx_users_role ON users(role)")
+    s.sql("DROP INDEX idx_users_role")
+    s.sql("VACUUM")
+    s.sql("ANALYZE")
+    // INSERT OR REPLACE / OR IGNORE parse as plain inserts (no unique
+    // constraints exist on file-backed tables to conflict with)
+    s.sql("INSERT OR REPLACE INTO audit (id, note) VALUES (2, 'second')")
+    s.sql("INSERT OR IGNORE INTO audit (id, note) VALUES (3, 'third')")
+    assert(s.sql("SELECT COUNT(*) FROM audit").head().getLong(0) == 3)
+    s.close()
+  }
+
+  test("DDL inside a transaction: CREATE + mutate roll back cleanly") {
+    val dir = tmpDir("ddltxn")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("BEGIN")
+    s.sql("CREATE TABLE scratch AS SELECT * FROM users")
+    s.sql("ALTER TABLE users ADD COLUMN tmp INTEGER")
+    assert(s.tableNames.contains("scratch"))
+    s.sql("ROLLBACK")
+    assert(!s.tableNames.contains("scratch"))
+    assert(!s.table("users").columns.contains("tmp"))
+    // the rolled-back table's temp view is gone too
+    intercept[Exception](spark.sql("SELECT * FROM scratch").collect())
+    s.close()
+  }
+
   test("distributed sink: directory output with partitioning (100TB path)") {
     val dir = tmpDir("dist")
     fixtures(dir)
