@@ -6,10 +6,12 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 58 oracle-checked
-  * and 6 rows-only (MinHash/SimHash/LSH/IVF internals use hash constants
-  * or trained quantizers no SQL oracle can reproduce; each is verified by
-  * planted-duplicate / recall specs instead). Query name groups:
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 61 oracle-checked
+  * and 3 rows-only (SimHash and the LSH/IVF ANN rankings use hash
+  * constants or trained quantizers no SQL oracle can reproduce; each is
+  * verified by planted-duplicate / recall specs instead; the minhash,
+  * Jaccard, and embedding dedup paths ARE oracle-checked against DuckDB's
+  * exact all-pairs computations). Query name groups:
   *   - q01–q31  relational SQL surface (SURVEY §2.2) + engine supersets
   *   - m01–m03  DML mutation layer (INSERT/UPDATE/DELETE on views)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17)
