@@ -41,6 +41,15 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[exactGroups]] keyed on the md5 digest: same (canonical_id,
+    * dup_count) output, but the shuffle carries 16-byte digests instead
+    * of full documents, and the map-side partial aggregate reduces each
+    * partition before the exchange (the window variant can't). */
+  def exactGroupsByHash(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("__digest"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .drop("__digest")
+
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
     * functions block Spark's common-subexpression elimination, so an
     * expensive expression referenced inside a `transform` lambda would

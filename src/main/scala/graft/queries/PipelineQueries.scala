@@ -35,9 +35,10 @@ object PipelineQueries {
     Tables.load(s, dir, "embeddings")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- dedup: exact (hash groupBy — one shuffle, map-side combine)
+    // ---- dedup: exact (digest groupBy — one narrow shuffle of 16-byte
+    // md5 keys with map-side combine; never ships document text)
     "d01_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(docs(s, dir), "text", "doc_id")
+      Dedup.exactGroupsByHash(docs(s, dir), "text", "doc_id")
         .select(col("canonical_id"), col("dup_count"))
         .orderBy(col("canonical_id"))),
 

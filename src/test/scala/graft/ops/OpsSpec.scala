@@ -203,6 +203,11 @@ class OpsSpec extends SparkSpec {
     val byHash = Dedup.exactByHash(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().toSet
     assert(byHash == byText)
+    val groupsByText = Dedup.exactGroups(docs, "text", "doc_id")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSet
+    val groupsByHash = Dedup.exactGroupsByHash(docs, "text", "doc_id")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(groupsByHash == groupsByText)
   }
 
   test("shingle-min fingerprint: stable under distant edits, distinct across docs") {

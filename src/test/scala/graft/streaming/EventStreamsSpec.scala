@@ -89,4 +89,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.length == 2)
     assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("checkpointed file-sink pipeline: restart resumes, no reprocessing, cross-restart dedup") {
+    // the production shape: file source → watermarked dedup → parquet sink
+    // with a checkpoint; an engine restart must resume from the checkpoint
+    // (already-processed input files skipped, dedup state restored) —
+    // exactly-once output across restarts
+    val in = tmpDir("stream-in")
+    val out = tmpDir("stream-out")
+    val chk = tmpDir("stream-chk")
+    def feed(evs: Seq[Ev]): Unit =
+      evs.toDF().coalesce(1).write.mode("append").parquet(in.toString)
+    def runToCompletion(): Unit = {
+      val q = EventStreams.streamingDedup(EventStreams.readStream(spark, in.toString))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    feed(Seq(ev(1, 0, 1, "click"), ev(1, 1, 1, "click"), ev(2, 2, 2, "view")))
+    runToCompletion()
+    val after1 = spark.read.parquet(out.toString)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(after1 == Seq(1L, 2L), s"first run must dedup within the batch, got $after1")
+    // new input arrives while "down": id 2 repeats (within watermark), id 3 is new
+    feed(Seq(ev(2, 3, 2, "view"), ev(3, 4, 3, "click")))
+    runToCompletion()
+    val after2 = spark.read.parquet(out.toString)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(after2 == Seq(1L, 2L, 3L),
+      s"restart must not reprocess run-1 files and must suppress the cross-restart dup, got $after2")
+  }
 }
