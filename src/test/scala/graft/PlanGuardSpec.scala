@@ -1,0 +1,32 @@
+package graft
+
+/** Whole-inventory plan guardrail: every gate query's physical plan is
+  * checked for the two shapes that do not survive 100 TB — cartesian
+  * products and broadcast nested-loop joins. Plans are built (analysis +
+  * physical planning only), not executed, so this sweeps all queries
+  * cheaply; any future query that regresses into a quadratic join shape
+  * fails here before it ever reaches the driver gate.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  test("no gate query plans CartesianProduct or BroadcastNestedLoopJoin") {
+    val dir = "/root/testdata/sf0.001"
+    val skip = Set(
+      "q07_cross_join", // intentionally a cartesian (dims-only, documented)
+      "s01_ann_topk", // brute-force ANN IS corpus × queries by definition:
+                      // BroadcastNestedLoopJoin with the small query set
+                      // broadcast is the intended exact-baseline plan
+                      // (the scale paths are s02 LSH / s03 IVF, guarded)
+      "e03_streaming_tumbling", // executes a streaming query when built
+      "e08_streaming_dedup")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes found:\n${offenders.mkString("\n")}")
+  }
+}
