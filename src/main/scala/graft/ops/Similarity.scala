@@ -181,22 +181,58 @@ object Similarity {
     * equi-join key, and cells can be made the table's physical
     * partitioning for pruned scans. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(corpus, vecCol, nList)
+      k: Int, nList: Int = 16, nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cts = centroids.getOrElse(trainCentroids(corpus, vecCol, nList))
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
-      .withColumn("cell", cellId(col("cv"), centroids))
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .withColumn("cell", cellId(col("cv"), cts))
+    rerankProbed(c, probedQueries(queries, idCol, vecCol, cts, nProbe), k)
+  }
+
+  /** (query_id, qv, cell) rows: each query exploded to its nProbe
+    * highest-scoring centroid cells. */
+  private def probedQueries(queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
       .withColumn("probe", explode(slice(
         sort_array(array(cellScores(col("qv"), centroids): _*), asc = false), 1, nProbe)))
-      .select(col("query_id"), col("qv"), col("probe.cell").as("cell")))
+      .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
+
+  private def rerankProbed(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val fin = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", dot(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Persist the corpus as an IVF index: parquet PARTITIONED BY cell id
+    * (pre-normalized vectors, cell = nearest centroid). At rest, each
+    * cell is a directory — a probe then reads only its cells' files.
+    * Pay the assignment shuffle once; every later query scans
+    * ≈ nProbe/nList of the corpus. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, centroids: Array[Array[Double]]): Unit =
+    corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellId(col("cv"), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** ANN over a [[writeIvfIndex]] index: the union of probed cells is
+    * collected (bounded by queries × nProbe ints) and pushed as an IN
+    * filter on the partition column, so the parquet scan PRUNES to the
+    * probed directories — the plan's PartitionFilters show it, and at
+    * 100 TB the query touches ≈ nProbe/nList of the files. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
+    val probes = probedQueries(queries, idCol, vecCol, centroids, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("int"))
+    rerankProbed(corpus, probes, k)
   }
 
   /** Heuristic hyperplane count for an n-vector corpus: enough sign bits

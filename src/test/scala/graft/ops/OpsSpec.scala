@@ -144,6 +144,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("IVF partitioned index: scan prunes to probed cells, results match in-memory path") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val cts = Similarity.trainCentroids(vecs, "embedding", k = 8)
+    val idx = tmpDir("ivf-index").resolve("index").toString
+    Similarity.writeIvfIndex(vecs, "vec_id", "embedding", idx, cts)
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, queries, "vec_id", "embedding",
+      k = 5, centroids = cts, nProbe = 3)
+    // identical results to the in-memory cell join with the same quantizer
+    val inMem = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 5,
+      nProbe = 3, centroids = Some(cts))
+    assert(indexed.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+    // the parquet scan must prune on the cell partition column
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"expected non-empty partition filters in:\n$plan")
+  }
+
   test("embedding near-dups: planted scaled copies found (cosine = 1)") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j).toFloat))
