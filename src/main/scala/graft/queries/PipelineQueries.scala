@@ -121,6 +121,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- composed corpus-prep pipeline (the end-to-end training-data
+    // shape): quality gate → language filter → exact dedup, over a
+    // corpus with planted exact copies so the dedup stage does real work.
+    // The stopword-ratio filter uses integer arithmetic (20·cnt ≥ words
+    // ⇔ ratio ≥ 0.05) so no float comparison can diverge cross-engine.
+    "p01_corpus_prep" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val copies = base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val q = TextAnalysis.qualityMetrics(base.unionByName(copies))
+        .filter(col("word_cnt") >= 20 &&
+          col("stopword_cnt") * 20 >= col("word_cnt"))
+      val l = TextAnalysis.languageId(q).filter(col("lang_pred") === "en")
+      Dedup.exactByHash(l, "text", "doc_id")
+        .select(col("doc_id"), col("word_cnt"), col("stopword_cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text: token counting (whitespace + BPE-ish regex)
     "t01_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -300,8 +318,45 @@ object PipelineQueries {
        |SELECT lang_pred, COUNT(*) AS n FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** DuckDB oracle for the composed corpus-prep pipeline, generated from
+    * the SAME stopword/profile lists as the Spark implementation. */
+  private def corpusPrepOracle: String = {
+    def lst(words: Seq[String]) =
+      words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+    val stop = lst(TextAnalysis.LangProfiles("en"))
+    val scored = TextAnalysis.LangProfiles.toSeq.map { case (lang, words) =>
+      s"printf('%06d', len(list_filter(tk, x -> list_contains(${lst(words)}, x)))) || '$lang'"
+    }.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 30
+       |), t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM corpus),
+       |q AS (SELECT doc_id, text, tk,
+       |    len(tk) AS word_cnt,
+       |    len(list_filter(tk, x -> list_contains($stop, x))) AS stopword_cnt
+       |  FROM t
+       |  WHERE len(tk) >= 20
+       |    AND 20 * len(list_filter(tk, x -> list_contains($stop, x))) >= len(tk)),
+       |p AS (SELECT doc_id, text, word_cnt, stopword_cnt, CASE
+       |   WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |   WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |   WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |   WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+       |   ELSE substr(greatest($scored), 7) END AS lang_pred FROM q)
+       |SELECT doc_id, CAST(word_cnt AS INTEGER) AS word_cnt,
+       |  CAST(stopword_cnt AS INTEGER) AS stopword_cnt
+       |FROM p
+       |WHERE lang_pred = 'en'
+       |  AND doc_id IN (SELECT min(doc_id) FROM p WHERE lang_pred = 'en' GROUP BY text)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
+    "p01_corpus_prep" -> corpusPrepOracle,
     // exact-Jaccard pairs + full transitive closure via recursive CTE:
     // the minhash pipeline's survivor set (only each component's minimum
     // id survives) must equal the exact computation
