@@ -40,6 +40,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus-prep transforms (quality + langid) are stream-capable and match batch") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat in the house by the tree with a hat"),
+      (2L, "der hund und die katze ist nicht ein haus und der baum mit der tür"),
+      (3L, "short text"))
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.languageId(TextAnalysis.qualityMetrics(df))
+        .select("doc_id", "word_cnt", "stopword_cnt", "lang_pred")
+    val batch = prep(docs.toDF("doc_id", "text")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    // stateless projections: the identical transform chain runs in
+    // append mode with no watermark — the streaming corpus-prep shape
+    val q = prep(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("prep_out").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup by event_id within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
