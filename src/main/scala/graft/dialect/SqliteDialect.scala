@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
-import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
 
 import graft.InvalidSqlError
 
@@ -18,7 +18,9 @@ import graft.InvalidSqlError
   * hot column would break codegen for the whole stage.
   *
   * Shims: `strftime`, `julianday`, `date`, `datetime`, `time`, `ifnull`,
-  * `printf`, `group_concat`, `json_extract`.
+  * `printf`, `group_concat`, `json_extract`, `glob`, `total`, `quote`,
+  * `char` (variadic), `unicode`, `zeroblob`, `typeof` (SQLite
+  * storage-class names).
   * (`instr`, `substr`, `round`, `abs`, … already match SQLite semantics
   * natively in Spark SQL — SURVEY §2.2.)
   */
@@ -127,6 +129,54 @@ object SqliteDialect {
             aggregate.Sum(Cast(x, DoubleType)).toAggregateExpression(),
             Literal(0.0)))
         case _ => throw InvalidSqlError("total", "expects one argument")
+      }: Seq[Expression] => Expression),
+      // quote(x) — SQL-literal rendering: NULL → 'NULL', strings quoted
+      // with '' doubling, blobs → X'hex', numbers as text. TypeOf is
+      // foldable, so the CASE collapses to one branch at optimize time.
+      (FunctionIdentifier("quote"), info("quote"), {
+        case Seq(e) =>
+          val s = Cast(e, StringType)
+          CaseWhen(Seq(
+            (IsNull(e), Literal("NULL")),
+            (EqualTo(TypeOf(e), Literal("string")),
+              Concat(Seq(Literal("'"),
+                StringReplace(s, Literal("'"), Literal("''")), Literal("'")))),
+            (EqualTo(TypeOf(e), Literal("binary")),
+              Concat(Seq(Literal("X'"), Hex(e), Literal("'"))))),
+            Some(s))
+        case _ => throw InvalidSqlError("quote", "expects one argument")
+      }: Seq[Expression] => Expression),
+      // char(c1, c2, …) — string from codepoints (SQLite's char is
+      // variadic; 1-arg form matches Spark's chr)
+      (FunctionIdentifier("char"), info("char"), {
+        case args if args.nonEmpty => Concat(args.map(a => Chr(Cast(a, LongType))))
+        case _ => throw InvalidSqlError("char", "expects at least one argument")
+      }: Seq[Expression] => Expression),
+      // unicode(s) — codepoint of the first character
+      (FunctionIdentifier("unicode"), info("unicode"), {
+        case Seq(e) => Ascii(e)
+        case _ => throw InvalidSqlError("unicode", "expects one argument")
+      }: Seq[Expression] => Expression),
+      // zeroblob(n) — n zero bytes
+      (FunctionIdentifier("zeroblob"), info("zeroblob"), {
+        case Seq(n) => Unhex(StringRepeat(Literal("00"), Cast(n, IntegerType)))
+        case _ => throw InvalidSqlError("zeroblob", "expects one argument")
+      }: Seq[Expression] => Expression),
+      // typeof(x) — SQLite STORAGE-CLASS names (integer/real/text/blob/
+      // null), overriding Spark's catalyst-type-name typeof inside the
+      // dialect session (documented; the inner TypeOf is the builtin)
+      (FunctionIdentifier("typeof"), info("typeof"), {
+        case Seq(e) =>
+          val t = TypeOf(e)
+          CaseWhen(Seq(
+            (IsNull(e), Literal("null")),
+            (In(t, Seq(Literal("tinyint"), Literal("smallint"), Literal("int"),
+              Literal("bigint"), Literal("boolean"))), Literal("integer")),
+            (Or(In(t, Seq(Literal("float"), Literal("double"))),
+              StartsWith(t, Literal("decimal"))), Literal("real")),
+            (EqualTo(t, Literal("binary")), Literal("blob"))),
+            Some(Literal("text")))
+        case _ => throw InvalidSqlError("typeof", "expects one argument")
       }: Seq[Expression] => Expression))
   }
 

@@ -136,6 +136,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- window navigation: FIRST_VALUE / LAST_VALUE / NTH_VALUE / LEAD
+    // (SQLite window-function surface; full frame makes last/nth well-
+    // defined, orderkey tie-break makes every value deterministic)
+    "q32_window_nav" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(full).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+          lead(col("o_orderkey"), 1).over(ord).as("next_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- ORDER BY multi-key + LIMIT + OFFSET (Spark TakeOrderedAndProject)
     "q10_topk_offset" -> ((s, dir) => {
       Tables.register(s, dir, Seq("orders"))
@@ -449,6 +465,19 @@ object RelationalQueries {
         |  LAG(o_totalprice, 1) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q32_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_totalprice) OVER w_full AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w_full AS last_price,
+        |  NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price,
+        |  LEAD(o_orderkey, 1) OVER w_ord AS next_orderkey
+        |FROM orders
+        |WINDOW
+        |  w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q10_topk_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders

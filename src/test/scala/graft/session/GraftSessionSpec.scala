@@ -332,6 +332,21 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT glob(NULL, 'x')").head().isNullAt(0))
     assert(s.sql("SELECT total(id) FROM ev").head().getDouble(0) == 3.0)
     assert(s.sql("SELECT total(id) FROM ev WHERE id > 99").head().getDouble(0) == 0.0)
+    // quote: SQL-literal rendering
+    assert(s.sql("SELECT quote('it''s')").head().getString(0) == "'it''s'")
+    assert(s.sql("SELECT quote(NULL)").head().getString(0) == "NULL")
+    assert(s.sql("SELECT quote(42)").head().getString(0) == "42")
+    assert(s.sql("SELECT quote(CAST('ab' AS BINARY))").head().getString(0) == "X'6162'")
+    // char (variadic), unicode, zeroblob
+    assert(s.sql("SELECT char(72, 105)").head().getString(0) == "Hi")
+    assert(s.sql("SELECT unicode('A')").head().getInt(0) == 65)
+    assert(s.sql("SELECT length(zeroblob(4))").head().getInt(0) == 4)
+    // typeof: SQLite storage-class names
+    assert(s.sql("SELECT typeof(id) FROM ev WHERE id = 1").head().getString(0) == "integer")
+    assert(s.sql("SELECT typeof('x')").head().getString(0) == "text")
+    assert(s.sql("SELECT typeof(1.5)").head().getString(0) == "real")
+    assert(s.sql("SELECT typeof(NULL)").head().getString(0) == "null")
+    assert(s.sql("SELECT typeof(CAST('x' AS BINARY))").head().getString(0) == "blob")
     s.close()
   }
 }
