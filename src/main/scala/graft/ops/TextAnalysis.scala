@@ -101,4 +101,32 @@ object TextAnalysis {
     val shingles = Dedup.charShingles(normalized(text), n)
     array_min(transform(shingles, s => xxhash64(s)))
   }
+
+  /** Document frequency per distinct lower-cased token — the vocabulary
+    * statistic behind rare-token filters, stopword discovery, and IDF.
+    * One explode + one hash aggregation (map-side combine); at 100 TB the
+    * shuffle carries (term, partial-count) rows only. */
+  def documentFrequency(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+
+  /** Exact-substring decontamination (train/test overlap): documents
+    * containing any probe string. AVOIDS the docs × probes nested loop:
+    * a document containing a probe necessarily contains the probe's
+    * first word-n-gram, so that shingle is an equi-join key against the
+    * docs' exploded shingle sets; only the candidates are verified with
+    * `instr` on whitespace-normalized text. Probes are broadcast (they
+    * are benchmark suites — small by nature); candidate volume ≈ docs
+    * sharing a probe's opening n-gram, not the cross product. */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeIdCol: String, probeCol: String, n: Int = 3): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), normalized(col(textCol)).as("norm_text"))
+      .withColumn("shingle", explode(Dedup.textShingles(col("norm_text"), n)))
+    val p = probes.select(col(probeIdCol).as("probe_id"),
+        normalized(col(probeCol)).as("probe"))
+      .withColumn("shingle", element_at(Dedup.textShingles(col("probe"), n), 1))
+    d.join(broadcast(p), Seq("shingle"))
+      .filter(instr(col("norm_text"), col("probe")) > 0)
+      .select(col("probe_id"), col("doc_id"))
+  }
 }

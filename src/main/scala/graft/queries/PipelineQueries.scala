@@ -159,6 +159,29 @@ object PipelineQueries {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))),
 
+    // ---- text: vocabulary document frequency (terms in ≥ 20% of docs;
+    // 5·df ≥ N in integer arithmetic so no float boundary cross-engine)
+    "t06_doc_freq" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val total = d.count()
+      TextAnalysis.documentFrequency(d)
+        .filter(col("doc_freq") * 5 >= total)
+        .orderBy(col("term"))
+    }),
+
+    // ---- dedup: decontamination — probes are substrings lifted from the
+    // first 20 docs (words 4..11 of the normalized text), so hits are
+    // guaranteed and every match is verified by exact substring containment
+    "d06_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("probe_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 4, 8)).as("probe"))
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 11)
+      TextAnalysis.contaminated(d, "doc_id", "text", probes, "probe_id", "probe")
+        .orderBy(col("probe_id"), col("doc_id"))
+    }),
+
     // ---- text: edit-distance similarity vs a probe string. Non-ASCII is
     // folded to '#' first: Spark's levenshtein counts codepoints while
     // DuckDB's counts BYTES, so distances only agree on 1-byte chars.
@@ -357,6 +380,32 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
     "p01_corpus_prep" -> corpusPrepOracle,
+
+    "t06_doc_freq" ->
+      """SELECT term, COUNT(*) AS doc_freq
+        |FROM (SELECT doc_id,
+        |  unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0))) AS term
+        |  FROM documents)
+        |GROUP BY term
+        |HAVING COUNT(*) * 5 >= (SELECT COUNT(*) FROM documents)
+        |ORDER BY term""".stripMargin,
+
+    "d06_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id AS probe_id,
+        |    array_to_string(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)[4:11], ' ') AS probe
+        |  FROM documents
+        |  WHERE doc_id < 20
+        |    AND len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) >= 11
+        |)
+        |SELECT p.probe_id, d.doc_id
+        |FROM p JOIN d ON instr(d.nt, p.probe) > 0
+        |ORDER BY probe_id, doc_id""".stripMargin,
     // exact-Jaccard pairs + full transitive closure via recursive CTE:
     // the minhash pipeline's survivor set (only each component's minimum
     // id survives) must equal the exact computation

@@ -264,6 +264,22 @@ class OpsSpec extends SparkSpec {
     assert(fps(3L) == fp3b)
   }
 
+  test("decontamination + document frequency: substring hits only, vocab counts") {
+    val corpus = Seq(
+      (1L, "The quick   brown fox jumps over the lazy dog"), // extra spaces normalize away
+      (2L, "totally unrelated content about other things entirely"),
+      (3L, "prefix words then quick brown fox jumps inside this document"),
+      (4L, "quick brown words but fox missing from this jumps sentence")).toDF("doc_id", "text")
+    val probes = Seq((100L, "quick brown fox jumps")).toDF("probe_id", "probe")
+    val hits = TextAnalysis.contaminated(corpus, "doc_id", "text", probes, "probe_id", "probe")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 1L), (100L, 3L)), s"got $hits")
+    val freq = TextAnalysis.documentFrequency(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(freq("quick") == 3 && freq("unrelated") == 1)
+    assert(freq("this") == 2) // distinct per doc, not per occurrence
+  }
+
   test("as-of join: latest prior right row, inclusive ties, left semantics") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
