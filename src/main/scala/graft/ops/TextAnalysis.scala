@@ -110,6 +110,32 @@ object TextAnalysis {
     df.select(explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
 
+  /** Repetition metrics (Gopher-style quality filters): per-doc duplicate-
+    * line fraction and the share of word 2-grams taken by the single most
+    * repeated 2-gram — the two signals that catch boilerplate/spam docs.
+    * Formulated relationally (explode → two hash aggregations keyed on
+    * (doc, gram) then doc) so the per-gram counting distributes with
+    * map-side combine instead of sorting arrays per row. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val lineStats = df.select(col(idCol).as("doc_id"),
+        size(lines).as("n_lines"), size(array_distinct(lines)).as("n_distinct"))
+      .withColumn("dup_line_ratio",
+        (col("n_lines") - col("n_distinct")).cast("double") / greatest(col("n_lines"), lit(1)))
+      .select(col("doc_id"), col("n_lines"), col("dup_line_ratio"))
+    val toks = tokens(t)
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(when(size(toks) < 2, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("gram"))
+    val gramStats = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("total"), max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        (col("mx").cast("double") / col("total")).as("top_gram_frac"))
+    lineStats.join(gramStats, Seq("doc_id"))
+  }
+
   /** Exact-substring decontamination (train/test overlap): documents
     * containing any probe string. AVOIDS the docs × probes nested loop:
     * a document containing a probe necessarily contains the probe's

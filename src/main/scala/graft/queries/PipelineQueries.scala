@@ -182,6 +182,17 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("doc_id"))
     }),
 
+    // ---- text: repetition metrics over documents + planted 3×-repeated
+    // docs (the synthetic corpus has no natural line repetition)
+    "t07_repetition" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws("\n", col("text"), col("text"), col("text")).as("text"))
+      TextAnalysis.repetitionMetrics(base.unionByName(planted), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text: edit-distance similarity vs a probe string. Non-ASCII is
     // folded to '#' first: Spark's levenshtein counts codepoints while
     // DuckDB's counts BYTES, so distances only agree on 1-byte chars.
@@ -390,6 +401,44 @@ object PipelineQueries {
         |GROUP BY term
         |HAVING COUNT(*) * 5 >= (SELECT COUNT(*) FROM documents)
         |ORDER BY term""".stripMargin,
+
+    "t07_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    text || chr(10) || text || chr(10) || text AS text
+        |  FROM documents WHERE doc_id < 10
+        |), lines AS (
+        |  SELECT doc_id,
+        |    list_filter([trim(x) for x in string_split(text, chr(10))],
+        |      l -> len(l) > 0) AS ls
+        |  FROM corpus
+        |), linestats AS (
+        |  SELECT doc_id, len(ls) AS n_lines,
+        |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+        |      / greatest(len(ls), 1) AS dup_line_ratio
+        |  FROM lines
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    END) AS gram
+        |  FROM toks
+        |), gs AS (
+        |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        |), gstats AS (
+        |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_gram_frac
+        |  FROM gs GROUP BY 1
+        |)
+        |SELECT l.doc_id, CAST(l.n_lines AS INTEGER) AS n_lines,
+        |  l.dup_line_ratio, g.top_gram_frac
+        |FROM linestats l JOIN gstats g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d06_contamination" ->
       """WITH d AS (
