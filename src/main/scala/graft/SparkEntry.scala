@@ -7,7 +7,7 @@ import graft.queries._
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
   * full map in COVERAGE.md) plus its DuckDB oracle SQL — 66 oracle-checked
-  * and 3 rows-only (SimHash and the LSH/IVF ANN rankings use hash
+  * and 4 rows-only (SimHash and the LSH/IVF/PQ ANN rankings use hash
   * constants or trained quantizers no SQL oracle can reproduce; each is
   * verified by planted-duplicate / recall specs instead; the minhash,
   * Jaccard, and embedding dedup paths ARE oracle-checked against DuckDB's

@@ -235,6 +235,123 @@ object Similarity {
     rerankProbed(corpus, probes, k)
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * subspaces of `subDim = dim / m`; each subspace gets `k` codewords.
+    * A vector is stored as m small ints (one codeword index per
+    * subspace) — at dim=64/m=8 that is 8 bytes instead of 256, the
+    * compression that lets a 100 TB corpus' candidate set live in
+    * executor memory during rerank. */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int,
+      codewords: Array[Array[Array[Double]]])
+
+  /** Plain (non-spherical) Lloyd k-means with L2 assignment —
+    * deterministic strided init, used per PQ subspace. */
+  private def lloydL2(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var centroids = Array.tabulate(k)(i =>
+      sample((i.toLong * sample.length / k).toInt % sample.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) { val d = d2(v, centroids(c)); if (d < bestD) { bestD = d; best = c }; c += 1 }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** Train PQ codebooks on the same deterministic hash-uniform sample as
+    * [[trainCentroids]]. */
+  def trainPq(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+      sampleN: Int = 2000, iters: Int = 10): PqCodebooks = {
+    val sample = corpus.select(normalize(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("v")))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty corpus for PQ training")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codewords = Array.tabulate(m) { mi =>
+      lloydL2(sample.map(_.slice(mi * subDim, (mi + 1) * subDim)), k, iters)
+    }
+    PqCodebooks(m, k, subDim, codewords)
+  }
+
+  /** Codeword index for one subspace: argmin L2 = argmax 2·dot − ‖c‖²
+    * (the row's own sub-norm is constant across codewords), computed as
+    * a codegen'd greatest-of-structs — no UDF. */
+  private def subCode(vec: Column, mi: Int, cb: PqCodebooks): Column = {
+    val sub = slice(vec, mi * cb.subDim + 1, cb.subDim)
+    greatest(cb.codewords(mi).zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((dot(sub, typedlit(c.toSeq)) * 2 - lit(c2)).as("score"), lit(j).as("code"))
+    }.toSeq: _*).getField("code")
+  }
+
+  /** Encode a (normalized) vector as its m codeword indices. */
+  def pqEncode(vec: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map(mi => subCode(vec, mi, cb)): _*)
+
+  /** Per-query ADC lookup table: lut[mi][j] = dot(query subvector,
+    * codeword j of subspace mi) — computed ONCE per query row, so
+    * scoring a candidate is m array lookups instead of a dim-length
+    * dot product. */
+  def pqLut(qv: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { mi =>
+      val sub = slice(qv, mi * cb.subDim + 1, cb.subDim)
+      array(cb.codewords(mi).map(c => dot(sub, typedlit(c.toSeq))).toSeq: _*)
+    }: _*)
+
+  /** Asymmetric-distance score: Σ_mi lut[mi][codes[mi]] ≈ cosine of the
+    * original (normalized) vectors. */
+  def pqScore(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (code, l) => element_at(l, code + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** IVF + PQ approximate top-k: the corpus is stored as (cell, m-byte
+    * codes) — no raw vectors enter the candidate join, so the shuffle
+    * and the rerank working set shrink by ~dim·4/m. Candidates come from
+    * the nProbe probed cells (equi-join); each is scored via the
+    * query's ADC lookup table. Top-k by approximate cosine. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nList: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16): DataFrame = {
+    val cts = trainCentroids(corpus, vecCol, nList)
+    val cb = trainPq(corpus, vecCol, m, kSub)
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        cellId(col("cv"), cts).as("cell"),
+        pqEncode(col("cv"), cb).as("codes"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
+      .withColumn("probe", explode(slice(
+        sort_array(array(cellScores(col("qv"), cts): _*), asc = false), 1, nProbe)))
+      .select(col("query_id"), pqLut(col("qv"), cb).as("lut"),
+        col("probe.cell").as("cell")))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx_sim", pqScore(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_sim"))
+  }
+
   /** Heuristic hyperplane count for an n-vector corpus: enough sign bits
     * that the EXPECTED bucket size n / 2^p stays ≤ `targetBucket`,
     * clamped to [8, 24] (beyond ~24 planes near-dup recall collapses —

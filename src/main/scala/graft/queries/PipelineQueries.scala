@@ -139,6 +139,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- similarity: IVF+PQ — 8-byte codes instead of 256-byte vectors
+    // in the candidate join (rows-only: trained quantizer + codebooks
+    // have no SQL equivalent; recall asserted in spec)
+    "s04_ann_ivfpq" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.ivfPqTopK(queries, e, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text: token counting (whitespace + BPE-ish regex)
     "t01_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

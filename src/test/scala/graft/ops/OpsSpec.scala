@@ -144,6 +144,36 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall too low on clustered data")
   }
 
+  test("IVF+PQ: compressed codes keep cluster precision and candidate recall") {
+    // PQ cannot rank within one quantization cell (identical codes tie),
+    // so the honest assertions are cluster-level precision and
+    // recall@10 of the exact top-1 — the standard PQ evaluation shape
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 1.0).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val pq = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding", 10,
+      nList = 8, nProbe = 3, m = 4, kSub = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every approximate neighbor belongs to the query's true cluster
+    assert(pq.forall { case (q, n) => n % 4 == q % 4 },
+      s"cross-cluster neighbor leaked: ${pq.filterNot { case (q, n) => n % 4 == q % 4 }.toSeq}")
+    // the exact nearest neighbor survives into the PQ top-10 for most queries
+    val exactTop1 = Similarity.bruteForceTopK(queries, vecs, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = exactTop1.count { case (q, n) => pq.contains((q, n)) }
+    assert(hit >= 3, s"exact top-1 found in PQ top-10 for only $hit/4 queries")
+    // the stored representation really is m small ints per vector
+    val cb = Similarity.trainPq(vecs, "embedding", m = 4, k = 16)
+    val codes = vecs.select(Similarity.pqEncode(
+      Similarity.normalize(col("embedding")), cb).as("codes")).head().getSeq[Int](0)
+    assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 16))
+    assert(cb.codewords.length == 4 && cb.subDim == 4)
+  }
+
   test("IVF partitioned index: scan prunes to probed cells, results match in-memory path") {
     val rnd = new scala.util.Random(11)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
