@@ -56,7 +56,7 @@ object Dedup {
     * otherwise be re-evaluated per array element (observed 5× slowdown
     * on shingling). A 1-element `transform` materializes it as a lambda
     * variable. */
-  private def bindOnce(c: Column)(f: Column => Column): Column =
+  private[ops] def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
   /** Distinct character n-gram shingles of a string column. */

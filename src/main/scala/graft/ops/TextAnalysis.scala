@@ -124,11 +124,15 @@ object TextAnalysis {
       .withColumn("dup_line_ratio",
         (col("n_lines") - col("n_distinct")).cast("double") / greatest(col("n_lines"), lit(1)))
       .select(col("doc_id"), col("n_lines"), col("dup_line_ratio"))
-    val toks = tokens(t)
-    val grams = df.select(col(idCol).as("doc_id"),
-      explode(when(size(toks) < 2, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))).as("gram"))
+    // token array bound ONCE — referencing tokens(t) inside the transform
+    // lambda would re-tokenize the whole text per 2-gram element (the
+    // higher-order-function CSE blocker; measured 5-6× on shingling)
+    val gramsArr = Dedup.bindOnce(tokens(t)) { tk =>
+      when(size(tk) < 2, array(concat_ws(" ", tk)))
+        .otherwise(transform(sequence(lit(0), size(tk) - 2),
+          i => concat_ws(" ", slice(tk, i + 1, lit(2)))))
+    }
+    val grams = df.select(col(idCol).as("doc_id"), explode(gramsArr).as("gram"))
     val gramStats = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("total"), max(col("c")).as("mx"))
       .select(col("doc_id"),
