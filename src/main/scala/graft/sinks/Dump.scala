@@ -46,7 +46,16 @@ object Dump {
       def hasNext: Boolean = it.hasNext
       def next(): Seq[String] = {
         val r = it.next()
-        cols.indices.map(i => if (r.isNullAt(i)) "" else String.valueOf(r.get(i)))
+        cols.indices.map { i =>
+          if (r.isNullAt(i)) ""
+          else r.get(i) match {
+            // BLOB columns: the reference's Go layer renders []byte as its
+            // raw string bytes; String.valueOf would print the JVM array
+            // identity ([B@…) — garbage and run-dependent
+            case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            case v => String.valueOf(v)
+          }
+        }
       }
     }
     (cols, rows)

@@ -261,6 +261,22 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("BLOB column dumps as its bytes, not a JVM array identity") {
+    val dir = tmpDir("blobdump")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("CREATE TABLE files (fid INTEGER, payload BLOB)")
+    s.sql("INSERT INTO files VALUES (1, CAST('hello bytes' AS BINARY))")
+    val out = tmpDir("blobdumpout")
+    s.dump(out.toString)
+    val dumped = java.nio.file.Files.readString(out.resolve("files.csv"))
+    assert(dumped.contains("hello bytes"), s"dump rendered: $dumped")
+    assert(!dumped.contains("[B@"))
+    val s2 = GraftSession.open(spark, out.resolve("files.csv").toString)
+    assert(s2.sql("SELECT payload FROM files").head().getString(0) == "hello bytes")
+    s2.close(); s.close()
+  }
+
   test("DDL inside a transaction: CREATE + mutate roll back cleanly") {
     val dir = tmpDir("ddltxn")
     fixtures(dir)
