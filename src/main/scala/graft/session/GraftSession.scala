@@ -180,6 +180,48 @@ final class GraftSession private[session] (
     spark.emptyDataFrame
   }
 
+  // SQLite session-state functions: values are captured as LAZY thunks at
+  // mutation time (the pre-mutation DataFrame is an immutable plan, so
+  // counting is deferred until someone actually asks — mutations stay
+  // action-free and chainable at scale).
+  private var changesThunk: () => Long = () => 0L
+  private var lastRowidThunk: () => Long = () => 0L
+
+  private def recordMutationState(m: Mutations.Mutation,
+      prev: DataFrame, next: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, max}
+    m match {
+      case ins: Mutations.Insert =>
+        changesThunk = () => ins.tuples.length.toLong
+        lastRowidThunk =
+          if (next.columns.contains("rowid"))
+            () => {
+              val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+          else () => 0L
+      case Mutations.Update(_, _, where) =>
+        // SQLite counts rows MATCHED by the predicate (changed or not)
+        changesThunk = () =>
+          prev.filter(where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))).count()
+      case Mutations.Delete(_, where) =>
+        changesThunk = () =>
+          where.map(w => prev.filter(coalesce(expr(w), lit(false))).count())
+            .getOrElse(prev.count())
+    }
+  }
+
+  private def longRow(name: String, v: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(v)), 1),
+      StructType(Seq(StructField(name, LongType))))
+  }
+
+  private val ChangesRe = """(?is)^\s*SELECT\s+changes\s*\(\s*\)\s*;?\s*$""".r
+  private val LastRowidRe = """(?is)^\s*SELECT\s+last_insert_rowid\s*\(\s*\)\s*;?\s*$""".r
+
   private val PragmaTableInfoRe =
     """(?is)^\s*PRAGMA\s+table_info\s*\(\s*("[^"]+"|'[^']+'|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*$""".r
   private val PragmaTableListRe = """(?is)^\s*PRAGMA\s+table_list\s*;?\s*$""".r
@@ -201,6 +243,8 @@ final class GraftSession private[session] (
     * statements are intercepted for SQLite-surface parity
     * (`filesql.go:274-301`, `save.go:339-356`). */
   def sql(statement: String): DataFrame = statement match {
+    case ChangesRe() => longRow("changes()", changesThunk())
+    case LastRowidRe() => longRow("last_insert_rowid()", lastRowidThunk())
     case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
     case PragmaTableListRe() => tableList()
     case BeginRe() => begin(); spark.emptyDataFrame
@@ -286,6 +330,7 @@ final class GraftSession private[session] (
         val name = mutation.table
         val current = table(name)
         val next = mutation(spark, current)
+        recordMutationState(mutation, current, next)
         tables.update(name, next)
         next.createOrReplaceTempView(name)
         if (inTransaction) txnDirty = true

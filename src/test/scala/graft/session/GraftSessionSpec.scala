@@ -261,6 +261,25 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("changes() and last_insert_rowid() report the last DML's effect") {
+    val dir = tmpDir("changes")
+    fixtures(dir)
+    val s = GraftSession.builder().addPath(dir.toString).withRowId().open(spark)
+    assert(s.sql("SELECT changes()").head().getLong(0) == 0)
+    s.sql("INSERT INTO users (id, name) VALUES (7, 'G'), (8, 'H')")
+    assert(s.sql("SELECT changes()").head().getLong(0) == 2)
+    val rid = s.sql("SELECT last_insert_rowid()").head().getLong(0)
+    val maxRid = s.sql("SELECT MAX(rowid) FROM users").head().getLong(0)
+    assert(rid == maxRid && rid > 0)
+    s.sql("UPDATE users SET role = 'x' WHERE id <= 2")
+    assert(s.sql("SELECT changes()").head().getLong(0) == 2)
+    s.sql("DELETE FROM users WHERE id = 999") // matches nothing
+    assert(s.sql("SELECT changes()").head().getLong(0) == 0)
+    s.sql("DELETE FROM users WHERE id = 1")
+    assert(s.sql("SELECT changes()").head().getLong(0) == 1)
+    s.close()
+  }
+
   test("BLOB column dumps as its bytes, not a JVM array identity") {
     val dir = tmpDir("blobdump")
     fixtures(dir)
