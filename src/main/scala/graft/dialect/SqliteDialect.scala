@@ -31,7 +31,7 @@ object SqliteDialect {
     "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%M" -> "mm", "%S" -> "ss",
     "%j" -> "DDD", "%e" -> "d", "%I" -> "hh", "%p" -> "a",
-    "%%" -> "%")
+    "%f" -> "ss.SSS", "%%" -> "%")
 
   def translateStrftime(fmt: String): String = {
     // escape Spark pattern letters that appear literally, then substitute
@@ -57,6 +57,42 @@ object SqliteDialect {
 
   private def info(name: String) = new ExpressionInfo(getClass.getName, name)
 
+  /** Full strftime expression: pattern-mappable directives batch into
+    * `date_format` segments; `%s` (unix seconds) and `%w` (weekday 0–6,
+    * Sunday = 0) need arithmetic, so the result is a Concat of segments
+    * — still pure built-in expressions, still codegen'd. */
+  def strftimeExpr(fmt: String, ts: Expression): Expression = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val pat = new StringBuilder
+    def flush(): Unit =
+      if (pat.nonEmpty) { parts += DateFormatClass(ts, Literal(pat.result())); pat.clear() }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.substring(i, i + 2) match {
+          case "%s" =>
+            flush()
+            parts += Cast(Cast(ts, org.apache.spark.sql.types.LongType), StringType)
+          case "%w" =>
+            flush()
+            parts += Cast(Subtract(DayOfWeek(ts), Literal(1)), StringType)
+          case d => strftimeMap.find(_._1 == d) match {
+            case Some((_, spark)) => pat.append(spark)
+            case None => throw InvalidSqlError(fmt, s"unsupported strftime directive $d")
+          }
+        }
+        i += 2
+      } else {
+        if (c.isLetter) { pat.append('\''); pat.append(c); pat.append('\'') }
+        else pat.append(c)
+        i += 1
+      }
+    }
+    flush()
+    if (parts.length == 1) parts.head else Concat(parts.toSeq)
+  }
+
   private def toTimestamp(e: Expression): Expression =
     if (e.dataType == TimestampType) e else Cast(e, TimestampType)
 
@@ -73,7 +109,7 @@ object SqliteDialect {
       // strftime(fmt, ts) — SQLite argument order (fmt first)
       (FunctionIdentifier("strftime"), info("strftime"), {
         case Seq(Literal(fmt, StringType), ts) =>
-          DateFormatClass(toTimestamp(ts), Literal(translateStrftime(fmt.toString)))
+          strftimeExpr(fmt.toString, toTimestamp(ts))
         case _ => throw InvalidSqlError("strftime", "format must be a string literal")
       }: Seq[Expression] => Expression),
       // julianday(ts) = unix_seconds/86400 + 2440587.5

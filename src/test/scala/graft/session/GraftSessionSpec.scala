@@ -367,6 +367,12 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT glob(NULL, 'x')").head().isNullAt(0))
     assert(s.sql("SELECT total(id) FROM ev").head().getDouble(0) == 3.0)
     assert(s.sql("SELECT total(id) FROM ev WHERE id > 99").head().getDouble(0) == 0.0)
+    // strftime arithmetic directives: %s unix seconds, %w Sunday-0 weekday
+    assert(s.sql("SELECT strftime('%s', ts) FROM ev WHERE id = 1").head().getString(0) ==
+      "1709634600") // 2024-03-05 10:30:00 UTC
+    assert(s.sql("SELECT strftime('%w', ts) FROM ev WHERE id = 1").head().getString(0) == "2") // Tuesday
+    assert(s.sql("SELECT strftime('%Y@%s', ts) FROM ev WHERE id = 1").head().getString(0) ==
+      "2024@1709634600") // mixed pattern + arithmetic segments
     // quote: SQL-literal rendering
     assert(s.sql("SELECT quote('it''s')").head().getString(0) == "'it''s'")
     assert(s.sql("SELECT quote(NULL)").head().getString(0) == "NULL")
