@@ -77,6 +77,23 @@ object ScaleProbe {
     println(s"SCALE embedding buckets: n=$nEmb planes=${planes.length} " +
       s"top=${top.map(r => r.getLong(1)).mkString(",")}")
 
+    // round-2 pipeline ops at 10×
+    t("repetition metrics 500k docs")(
+      noop(TextAnalysis.repetitionMetrics(d10, "doc_id", "text")))
+    val probes50 = d1.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("probe_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 4, 8)).as("probe"))
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 11)
+    val hits = t("decontamination 500k docs x 50 probes")(
+      TextAnalysis.contaminated(d10, "doc_id", "text", probes50, "probe_id", "probe").count())
+    println("SCALE contamination hits: " + hits)
+    val e1 = Tables.load(spark, dir, "embeddings")
+    val e10 = (0 until 10).map(i =>
+        e1.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    t("ivf+pq topk 20k vectors")(noop(graft.ops.Similarity.ivfPqTopK(
+      e1.filter(col("vec_id") < 10), e10, "vec_id", "embedding", 5)))
+
     // salted join sanity on a deliberately hot key
     val hot = l1.withColumn("k", when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
     val dim = spark.range(200).toDF("k").withColumn("v", col("k") * 2)
