@@ -53,6 +53,22 @@ object Demo {
     sess.sql("DELETE FROM users WHERE id = 1")
     sess.sql("SELECT id, name, age, team FROM users ORDER BY id").show(truncate = false)
 
+    println("-- transactions: ROLLBACK undoes a batch --")
+    sess.sql("BEGIN")
+    sess.sql("DELETE FROM users WHERE age >= 30")
+    sess.sql("ROLLBACK")
+    println("after rollback, users: " +
+      sess.sql("SELECT COUNT(*) FROM users").head().getLong(0))
+
+    println("\n-- DDL + PRAGMA + changes() --")
+    sess.sql("CREATE TABLE vip AS SELECT name, age FROM users WHERE age >= 30")
+    sess.sql("PRAGMA table_info(vip)").show(truncate = false)
+    sess.sql("UPDATE vip SET age = age + 1 WHERE age < 40")
+    println("changes(): " + sess.sql("SELECT changes()").head().getLong(0))
+    sess.sql("ALTER TABLE vip ADD COLUMN tier TEXT DEFAULT 'gold'")
+    sess.sql("SELECT * FROM vip ORDER BY name").show(truncate = false)
+    sess.sql("DROP TABLE vip")
+
     println("-- dump to parquet and reopen --")
     val out = Files.createTempDirectory("graft-demo-out-")
     sess.dump(out.toString, DumpOptions(format = "parquet"))
