@@ -182,10 +182,15 @@ object SqliteDialect {
             Some(s))
         case _ => throw InvalidSqlError("quote", "expects one argument")
       }: Seq[Expression] => Expression),
-      // char(c1, c2, …) — string from codepoints (SQLite's char is
-      // variadic; 1-arg form matches Spark's chr)
+      // char(c1, c2, …) — string from UNICODE codepoints via a static
+      // kernel: Spark's Chr is chr(n % 256) and diverges above U+00FF
       (FunctionIdentifier("char"), info("char"), {
-        case args if args.nonEmpty => Concat(args.map(a => Chr(Cast(a, LongType))))
+        case args if args.nonEmpty =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            graft.functions.SqliteKernelsImpl.getClass, StringType, "charFromCodepoints",
+            Seq(CreateArray(args.map(Cast(_, LongType)))),
+            Seq(org.apache.spark.sql.types.ArrayType(LongType)),
+            propagateNull = false, returnNullable = false)
         case _ => throw InvalidSqlError("char", "expects at least one argument")
       }: Seq[Expression] => Expression),
       // unicode(s) — codepoint of the first character

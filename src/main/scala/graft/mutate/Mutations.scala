@@ -43,12 +43,13 @@ object Mutations {
       // fresh implicit rowids: a table built withRowId() whose INSERT omits
       // the rowid column gets max+1, max+2, … — SQLite assigns implicit
       // rowids the same way; NULL would collapse all inserted rows to one
-      // key in any downstream dedup keyed on rowid
-      val rowIdBase: Long =
-        if (targetCols.contains("rowid") && !givenCols.contains("rowid")) {
-          val r = current.agg(max(col("rowid"))).head()
-          if (r.isNullAt(0)) 0L else r.getLong(0) + 1L
-        } else -1L
+      // key in any downstream dedup keyed on rowid. LAZY: the max rides in
+      // as a broadcast 1-row cross join, so building the statement runs no
+      // Spark job (mutations stay action-free and chainable); guarded to
+      // LongType so a loaded column merely NAMED rowid keeps NULL semantics.
+      val assignRowIds = targetCols.contains("rowid") &&
+        !givenCols.contains("rowid") &&
+        current.schema("rowid").dataType == org.apache.spark.sql.types.LongType
       // ONE local relation for the whole VALUES list: an array of struct
       // literals exploded in a single projection. A per-tuple
       // range(1)+union chain builds an N-node plan with quadratic
@@ -59,19 +60,24 @@ object Mutations {
         val provided = givenCols.zip(tup).toMap
         // align to the target schema; absent columns become NULL; every
         // value is cast to the target column type
-        struct(targetCols.map { c =>
+        struct((targetCols.map { c =>
           val dt = current.schema(c).dataType
           provided.get(c)
             .map(v => expr(v).cast(dt).as(c))
-            .getOrElse {
-              if (c == "rowid" && rowIdBase >= 0) lit(rowIdBase + i).cast(dt).as(c)
-              else lit(null).cast(dt).as(c)
-            }
-        }: _*)
+            .getOrElse(lit(null).cast(dt).as(c))
+        } :+ lit(i.toLong).as("__idx")): _*)
       }
-      val newRows = spark.range(1)
+      val exploded = spark.range(1)
         .select(explode(array(structs: _*)).as("__r"))
-        .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+        .select(targetCols.map(c => col(s"__r.`$c`").as(c)) :+ col("__r.__idx").as("__idx"): _*)
+      val newRows =
+        if (assignRowIds) {
+          val base = broadcast(current.agg(
+            coalesce(max(col("rowid")), lit(-1L)).as("__rowid_base")))
+          exploded.crossJoin(base)
+            .withColumn("rowid", col("__rowid_base") + 1L + col("__idx"))
+            .select(targetCols.map(c => col(s"`$c`")): _*)
+        } else exploded.select(targetCols.map(c => col(s"`$c`")): _*)
       current.unionByName(newRows)
     }
   }

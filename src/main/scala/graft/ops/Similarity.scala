@@ -125,12 +125,22 @@ object Similarity {
     * partitions, which on a partitioned corpus is one shard's
     * distribution (often a single crawl/source) and trains degenerate
     * centroids. */
-  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
-      sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] = {
-    val sample = corpus.select(normalize(col(vecCol)).as("v"))
+  /** The deterministic hash-uniform training sample shared by the IVF
+    * and PQ quantizers — collect it once and pass it to both
+    * `*FromSample` variants to avoid a second full corpus scan. */
+  def sampleVectors(corpus: DataFrame, vecCol: String,
+      sampleN: Int = 2000): Array[Array[Double]] =
+    corpus.select(normalize(col(vecCol)).as("v"))
       .orderBy(xxhash64(col("v")))
       .limit(sampleN)
       .collect().map(_.getSeq[Double](0).toArray)
+
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      sampleN: Int = 2000, iters: Int = 10): Array[Array[Double]] =
+    trainCentroidsFromSample(sampleVectors(corpus, vecCol, sampleN), k, iters)
+
+  def trainCentroidsFromSample(sample: Array[Array[Double]], k: Int,
+      iters: Int = 10): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty corpus for centroid training")
     val dim = sample.head.length
     def dotv(a: Array[Double], b: Array[Double]): Double = {
@@ -278,11 +288,11 @@ object Similarity {
   /** Train PQ codebooks on the same deterministic hash-uniform sample as
     * [[trainCentroids]]. */
   def trainPq(corpus: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
-      sampleN: Int = 2000, iters: Int = 10): PqCodebooks = {
-    val sample = corpus.select(normalize(col(vecCol)).as("v"))
-      .orderBy(xxhash64(col("v")))
-      .limit(sampleN)
-      .collect().map(_.getSeq[Double](0).toArray)
+      sampleN: Int = 2000, iters: Int = 10): PqCodebooks =
+    trainPqFromSample(sampleVectors(corpus, vecCol, sampleN), m, k, iters)
+
+  def trainPqFromSample(sample: Array[Array[Double]], m: Int = 8, k: Int = 16,
+      iters: Int = 10): PqCodebooks = {
     require(sample.nonEmpty, "empty corpus for PQ training")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -331,8 +341,11 @@ object Similarity {
     * query's ADC lookup table. Top-k by approximate cosine. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nList: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16): DataFrame = {
-    val cts = trainCentroids(corpus, vecCol, nList)
-    val cb = trainPq(corpus, vecCol, m, kSub)
+    // ONE sample collection feeds both quantizers — two independent
+    // trainings would scan the full corpus twice for the identical draw
+    val sample = sampleVectors(corpus, vecCol)
+    val cts = trainCentroidsFromSample(sample, nList)
+    val cb = trainPqFromSample(sample, m, kSub)
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
         cellId(col("cv"), cts).as("cell"),

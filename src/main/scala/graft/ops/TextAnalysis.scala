@@ -150,6 +150,16 @@ object TextAnalysis {
     * sharing a probe's opening n-gram, not the cross product. */
   def contaminated(docs: DataFrame, idCol: String, textCol: String,
       probes: DataFrame, probeIdCol: String, probeCol: String, n: Int = 3): DataFrame = {
+    // a probe with fewer than n tokens has no n-gram: its whole-probe
+    // shingle can never equal a doc's n-gram join key, so its matches
+    // would be dropped SILENTLY — reject loudly instead (probes are a
+    // small benchmark set, so this eager check is one tiny job)
+    val short = probes
+      .filter(size(tokens(col(probeCol))) < n)
+      .select(col(probeIdCol)).limit(3).collect()
+    require(short.isEmpty,
+      s"probes with fewer than n=$n tokens can never match via the n-gram join key " +
+        s"(e.g. probe id ${short.headOption.map(_.get(0)).orNull}); lower n or drop them")
     val d = docs.select(col(idCol).as("doc_id"), normalized(col(textCol)).as("norm_text"))
       .withColumn("shingle", explode(Dedup.textShingles(col("norm_text"), n)))
     val p = probes.select(col(probeIdCol).as("probe_id"),

@@ -29,9 +29,25 @@ final class GraftSession private[session] (
   // SQLite treats naive timestamps as UTC, so the dialect shims
   // (strftime/julianday/date/…) only match its output under UTC — pin the
   // session timezone rather than silently diverging in non-UTC JVMs.
+  // SCOPED: the previous value is restored by close() so an embedding
+  // application's unrelated queries don't permanently switch to UTC.
+  private val previousTimeZone = spark.conf.getOption("spark.sql.session.timeZone")
   spark.conf.set("spark.sql.session.timeZone", "UTC")
   graft.dialect.SqliteDialect.register(spark)
   registerAll()
+
+  /** SQLite declared-type name for a Spark type — shared by the
+    * sqlite_master view and PRAGMA table_info so the two can never
+    * disagree about a column's storage class. */
+  private def sqliteTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+      case DoubleType | FloatType | _: DecimalType => "REAL"
+      case BinaryType => "BLOB"
+      case _ => "TEXT"
+    }
+  }
 
   private def registerAll(): Unit = {
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
@@ -43,12 +59,7 @@ final class GraftSession private[session] (
   private def registerSqliteMaster(): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    def sqliteType(dt: DataType): String = dt match {
-      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
-      case DoubleType | FloatType | _: DecimalType => "REAL"
-      case BinaryType => "BLOB"
-      case _ => "TEXT"
-    }
+    def sqliteType(dt: DataType): String = sqliteTypeName(dt)
     val rows = tables.toSeq.map { case (name, df) =>
       val ddlCols = df.schema.fields
         .map(f => s""""${f.name}" ${sqliteType(f.dataType)}""").mkString(", ")
@@ -124,8 +135,10 @@ final class GraftSession private[session] (
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  // the type/constraint tail must admit quoted DEFAULTs, DECIMAL(10,2)
+  // commas, and negative defaults — [^;]*? rather than a word class
   private val AlterAddColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+([A-Za-z][A-Za-z0-9() ]*?))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+([A-Za-z][^;]*?))?\s*;?\s*$""".r
   private val AlterDropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   // index/maintenance statements: honestly accepted as no-ops — Catalyst
@@ -193,13 +206,25 @@ final class GraftSession private[session] (
     m match {
       case ins: Mutations.Insert =>
         changesThunk = () => ins.tuples.length.toLong
+        val hasLongRowid = next.columns.contains("rowid") &&
+          next.schema("rowid").dataType == org.apache.spark.sql.types.LongType
+        val givenCols = ins.columns.getOrElse(next.columns.toSeq)
+        val explicitIdx = givenCols.indexOf("rowid")
         lastRowidThunk =
-          if (next.columns.contains("rowid"))
+          if (!hasLongRowid) () => 0L
+          else if (explicitIdx >= 0)
+            // SQLite: an explicitly-inserted rowid wins even if it is
+            // below the table's current maximum
+            () => {
+              val r = spark.range(1)
+                .select(expr(ins.tuples.last(explicitIdx)).cast("long")).head()
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+          else
             () => {
               val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
               if (r.isNullAt(0)) 0L else r.getLong(0)
             }
-          else () => 0L
       case Mutations.Update(_, _, where) =>
         // SQLite counts rows MATCHED by the predicate (changed or not)
         changesThunk = () =>
@@ -315,7 +340,12 @@ final class GraftSession private[session] (
         case DefaultRe(v) => expr(v)
         case _ => lit(null)
       }
-      val df = table(name).withColumn(cname, value.cast(affinityType(typeStr)))
+      // affinity must see only the TYPE token — a DEFAULT literal like
+      // 'integration' would otherwise match the INT affinity rule
+      val typeOnly = typeStr.split(
+        """(?i)\b(?:PRIMARY|NOT|NULL|UNIQUE|DEFAULT|CHECK|REFERENCES|COLLATE|GENERATED)\b""")
+        .headOption.getOrElse("").trim
+      val df = table(name).withColumn(cname, value.cast(affinityType(typeOnly)))
       applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
     case AlterDropColRe(tI, cI) =>
       val name = unquoteIdent(tI)
@@ -345,12 +375,7 @@ final class GraftSession private[session] (
   def tableInfo(name: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    def sqliteType(dt: DataType): String = dt match {
-      case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
-      case DoubleType | FloatType | _: DecimalType => "REAL"
-      case BinaryType => "BLOB"
-      case _ => "TEXT"
-    }
+    def sqliteType(dt: DataType): String = sqliteTypeName(dt)
     val rows = table(name).schema.fields.zipWithIndex.map { case (f, i) =>
       Row(i, f.name, sqliteType(f.dataType), if (f.nullable) 0 else 1, null, 0)
     }
@@ -386,6 +411,10 @@ final class GraftSession private[session] (
   def close(): Unit = {
     if (autoSave.exists(!_.onCommit)) performAutoSave()
     tables.keys.foreach(spark.catalog.dropTempView)
+    previousTimeZone match {
+      case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+      case None => spark.conf.unset("spark.sql.session.timeZone")
+    }
   }
 
   private def performAutoSave(): Unit = autoSave.foreach { cfg =>
@@ -420,6 +449,7 @@ object GraftSession {
     private var autoSave: Option[AutoSaveConfig] = None
     private var inferTypes = true
     private var rowId = false
+    private var csvMultiLine: Option[Boolean] = None
 
     def addPath(path: String): Builder = { paths += path; this }
     def addPaths(ps: String*): Builder = { paths ++= ps; this }
@@ -493,6 +523,14 @@ object GraftSession {
       * its native types either way). */
     def withoutTypeInference(): Builder = { inferTypes = false; this }
 
+    /** CSV/TSV multiLine control: None (default) auto-detects quoted
+      * embedded newlines with an extra scan; Some(false) skips the
+      * detection pass — the right call for large known-newline-free data
+      * (keeps files line-splittable); Some(true) forces multiLine. */
+    def withCsvMultiLine(multiLine: Option[Boolean]): Builder = {
+      csvMultiLine = multiLine; this
+    }
+
     /** Add a `rowid` column (SQLite implicit rowid, `README.md:414`).
       * Values are unique and ascending per partition via
       * `monotonically_increasing_id` — NOT globally dense (documented
@@ -514,14 +552,14 @@ object GraftSession {
         // each read yields ≥1 (tableName, df): XLSX names every sheet
         // {file}_{sheet} (even single-sheet workbooks — reference
         // stream_processor.go:369); other formats yield one table
-        FileCollector.read(spark, f, inferTypes).foreach { case (name, df) =>
+        FileCollector.read(spark, f, inferTypes, csvMultiLine).foreach { case (name, df) =>
           if (tables.contains(name)) throw DuplicateTableError(name)
           tables.update(name, df)
         }
       }
       readers.foreach { case (name, format, path) =>
         if (tables.contains(name)) throw DuplicateTableError(name)
-        val df = FileCollector.readAs(spark, path, format, inferTypes)
+        val df = FileCollector.readAs(spark, path, format, inferTypes, csvMultiLine)
         tables.update(name, df)
       }
       if (rowId) {
@@ -595,20 +633,22 @@ object FileCollector {
   }
 
   /** Read one input file; XLSX yields (sheetTable → DataFrame) per sheet. */
-  def read(spark: SparkSession, f: InputFile, inferTypes: Boolean): Seq[(String, DataFrame)] =
+  def read(spark: SparkSession, f: InputFile, inferTypes: Boolean,
+      csvMultiLine: Option[Boolean] = None): Seq[(String, DataFrame)] =
     f.format match {
-      case "csv" => Seq(f.tableName -> CsvSource.readCsv(spark, f.path, inferTypes))
-      case "tsv" => Seq(f.tableName -> CsvSource.readTsv(spark, f.path, inferTypes))
+      case "csv" => Seq(f.tableName -> CsvSource.readCsv(spark, f.path, inferTypes, csvMultiLine))
+      case "tsv" => Seq(f.tableName -> CsvSource.readTsv(spark, f.path, inferTypes, csvMultiLine))
       case "ltsv" => Seq(f.tableName -> LtsvSource.read(spark, f.path, inferTypes))
       case "parquet" => Seq(f.tableName -> spark.read.parquet(f.path))
       case "xlsx" => XlsxSource.readAllSheets(spark, f.path, inferTypes)
       case other => throw UnsupportedFormatError(f.path)
     }
 
-  def readAs(spark: SparkSession, path: String, format: String, inferTypes: Boolean): DataFrame =
+  def readAs(spark: SparkSession, path: String, format: String, inferTypes: Boolean,
+      csvMultiLine: Option[Boolean] = None): DataFrame =
     format match {
-      case "csv" => CsvSource.readCsv(spark, path, inferTypes)
-      case "tsv" => CsvSource.readTsv(spark, path, inferTypes)
+      case "csv" => CsvSource.readCsv(spark, path, inferTypes, csvMultiLine)
+      case "tsv" => CsvSource.readTsv(spark, path, inferTypes, csvMultiLine)
       case "ltsv" => LtsvSource.read(spark, path, inferTypes)
       case "parquet" => spark.read.parquet(path)
       case "xlsx" => XlsxSource.readFirstSheet(spark, path, inferTypes)

@@ -49,16 +49,31 @@ object Dump {
         cols.indices.map { i =>
           if (r.isNullAt(i)) ""
           else r.get(i) match {
-            // BLOB columns: the reference's Go layer renders []byte as its
-            // raw string bytes; String.valueOf would print the JVM array
-            // identity ([B@…) — garbage and run-dependent
-            case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            // BLOB columns: valid-UTF-8 payloads render as their text (the
+            // reference's Go layer writes []byte raw; for UTF-8 data the
+            // bytes are identical). Arbitrary binary can't pass through a
+            // text sink losslessly — UTF-8 decoding would smash non-UTF-8
+            // bytes to U+FFFD — so those render as SQLite's X'hex' literal
+            // form instead. String.valueOf would print the JVM array
+            // identity ([B@…) — garbage and run-dependent.
+            case b: Array[Byte] => renderBlob(b)
             case v => String.valueOf(v)
           }
         }
       }
     }
     (cols, rows)
+  }
+
+  private def renderBlob(b: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        b.map(x => f"${x & 0xff}%02X").mkString("X'", "", "'")
+    }
   }
 
   def writeTable(df: DataFrame, table: String, dir: String, opts: DumpOptions = DumpOptions()): Unit = {

@@ -308,6 +308,11 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(freq("quick") == 3 && freq("unrelated") == 1)
     assert(freq("this") == 2) // distinct per doc, not per occurrence
+    // a probe shorter than the n-gram key can never match — rejected
+    // loudly instead of silently returning no hits
+    val shortProbe = Seq((200L, "quick brown")).toDF("probe_id", "probe")
+    intercept[IllegalArgumentException](
+      TextAnalysis.contaminated(corpus, "doc_id", "text", shortProbe, "probe_id", "probe"))
   }
 
   test("as-of join: latest prior right row, inclusive ties, left semantics") {

@@ -240,6 +240,16 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT grade FROM staff").head().getLong(0) == 3)
     s.sql("ALTER TABLE staff ADD COLUMN note TEXT")
     assert(s.sql("SELECT note FROM staff").head().isNullAt(0))
+    // quoted / negative / parenthesized-type defaults must all parse,
+    // and a DEFAULT literal containing 'INT' must not flip the affinity
+    s.sql("ALTER TABLE staff ADD COLUMN tier TEXT DEFAULT 'gold'")
+    assert(s.sql("SELECT tier FROM staff").head().getString(0) == "gold")
+    s.sql("ALTER TABLE staff ADD COLUMN delta INTEGER DEFAULT -1")
+    assert(s.sql("SELECT delta FROM staff").head().getLong(0) == -1L)
+    s.sql("ALTER TABLE staff ADD COLUMN ratio DECIMAL(10,2) DEFAULT 2.5")
+    assert(s.sql("SELECT ratio FROM staff").head().getDouble(0) == 2.5)
+    s.sql("ALTER TABLE staff ADD COLUMN dept TEXT DEFAULT 'integration'")
+    assert(s.sql("SELECT dept FROM staff").head().getString(0) == "integration")
     s.sql("ALTER TABLE staff DROP COLUMN note")
     assert(!s.table("staff").columns.contains("note"))
     // DROP TABLE removes view + catalog row; IF EXISTS tolerates absence
@@ -277,6 +287,9 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT changes()").head().getLong(0) == 0)
     s.sql("DELETE FROM users WHERE id = 1")
     assert(s.sql("SELECT changes()").head().getLong(0) == 1)
+    // explicitly-inserted rowid wins even when below the current max
+    s.sql("INSERT INTO users (id, name, rowid) VALUES (9, 'I', 5)")
+    assert(s.sql("SELECT last_insert_rowid()").head().getLong(0) == 5)
     s.close()
   }
 
@@ -293,7 +306,15 @@ class GraftSessionSpec extends SparkSpec {
     assert(!dumped.contains("[B@"))
     val s2 = GraftSession.open(spark, out.resolve("files.csv").toString)
     assert(s2.sql("SELECT payload FROM files").head().getString(0) == "hello bytes")
-    s2.close(); s.close()
+    s2.close()
+    // non-UTF-8 binary renders as the lossless X'hex' literal, never U+FFFD
+    s.sql("INSERT INTO files VALUES (2, x'FF00AB')")
+    val out2 = tmpDir("blobdumpout2")
+    s.dump(out2.toString)
+    val dumped2 = java.nio.file.Files.readString(out2.resolve("files.csv"))
+    assert(dumped2.contains("X'FF00AB'"), s"dump rendered: $dumped2")
+    assert(!dumped2.contains("�"))
+    s.close()
   }
 
   test("DDL inside a transaction: CREATE + mutate roll back cleanly") {
@@ -380,6 +401,8 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT quote(CAST('ab' AS BINARY))").head().getString(0) == "X'6162'")
     // char (variadic), unicode, zeroblob
     assert(s.sql("SELECT char(72, 105)").head().getString(0) == "Hi")
+    // true unicode codepoints — Spark's chr(n % 256) would give chr(31)
+    assert(s.sql("SELECT char(1055, 128640)").head().getString(0) == "П🚀")
     assert(s.sql("SELECT unicode('A')").head().getInt(0) == 65)
     assert(s.sql("SELECT length(zeroblob(4))").head().getInt(0) == 4)
     // typeof: SQLite storage-class names

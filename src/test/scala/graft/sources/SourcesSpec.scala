@@ -164,6 +164,13 @@ class SourcesSpec extends SparkSpec {
     assert(!CsvSource.detectQuotedNewlines(spark, plain))
     // explicit override skips detection and multiLine parsing
     assert(CsvSource.readCsv(spark, p, multiLine = Some(false)).count() == 3)
+    // the session builder can opt out of the detection scan too
+    val s = graft.session.GraftSession.builder()
+      .addPath(p)
+      .withCsvMultiLine(Some(false))
+      .open(spark)
+    assert(s.sql("SELECT COUNT(*) FROM notes").head().getLong(0) == 3)
+    s.close()
   }
 
   test("CSV: dump → reopen round-trips embedded newlines losslessly") {
