@@ -41,15 +41,27 @@ object Mutations {
       if (givenCols.exists(c => !targetCols.contains(c)))
         throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
       // fresh implicit rowids: a table built withRowId() whose INSERT omits
-      // the rowid column gets max+1, max+2, … — SQLite assigns implicit
-      // rowids the same way; NULL would collapse all inserted rows to one
-      // key in any downstream dedup keyed on rowid. LAZY: the max rides in
-      // as a broadcast 1-row cross join, so building the statement runs no
-      // Spark job (mutations stay action-free and chainable); guarded to
-      // LongType so a loaded column merely NAMED rowid keeps NULL semantics.
-      val assignRowIds = targetCols.contains("rowid") &&
-        !givenCols.contains("rowid") &&
+      // the rowid column — or passes a literal NULL for it, which SQLite
+      // also treats as "assign one" — gets max+1, max+2, …; NULL values
+      // would collapse all inserted rows to one key in any downstream
+      // dedup keyed on rowid. The max is computed EAGERLY (one tiny
+      // aggregate job per rowid-assigning INSERT): embedding it lazily
+      // would reference `current` twice per statement (union branch +
+      // aggregate subtree), doubling the plan on every chained INSERT.
+      // Guarded to LongType so a loaded column merely NAMED rowid keeps
+      // plain NULL semantics. SQLite parity: first rowid on an empty
+      // table is 1.
+      def isNullLit(v: String): Boolean = v.trim.equalsIgnoreCase("null")
+      val hasLongRowid = targetCols.contains("rowid") &&
         current.schema("rowid").dataType == org.apache.spark.sql.types.LongType
+      val needsAssignment = hasLongRowid && (
+        !givenCols.contains("rowid") ||
+        tuples.exists(t => isNullLit(t(givenCols.indexOf("rowid")))))
+      val rowIdBase: Long =
+        if (needsAssignment) {
+          val r = current.agg(coalesce(max(col("rowid")), lit(0L))).head()
+          r.getLong(0)
+        } else 0L
       // ONE local relation for the whole VALUES list: an array of struct
       // literals exploded in a single projection. A per-tuple
       // range(1)+union chain builds an N-node plan with quadratic
@@ -60,24 +72,21 @@ object Mutations {
         val provided = givenCols.zip(tup).toMap
         // align to the target schema; absent columns become NULL; every
         // value is cast to the target column type
-        struct((targetCols.map { c =>
+        struct(targetCols.map { c =>
           val dt = current.schema(c).dataType
-          provided.get(c)
-            .map(v => expr(v).cast(dt).as(c))
-            .getOrElse(lit(null).cast(dt).as(c))
-        } :+ lit(i.toLong).as("__idx")): _*)
+          provided.get(c) match {
+            case Some(v) if c == "rowid" && needsAssignment && isNullLit(v) =>
+              lit(rowIdBase + 1 + i).cast(dt).as(c)
+            case Some(v) => expr(v).cast(dt).as(c)
+            case None if c == "rowid" && needsAssignment =>
+              lit(rowIdBase + 1 + i).cast(dt).as(c)
+            case None => lit(null).cast(dt).as(c)
+          }
+        }: _*)
       }
-      val exploded = spark.range(1)
+      val newRows = spark.range(1)
         .select(explode(array(structs: _*)).as("__r"))
-        .select(targetCols.map(c => col(s"__r.`$c`").as(c)) :+ col("__r.__idx").as("__idx"): _*)
-      val newRows =
-        if (assignRowIds) {
-          val base = broadcast(current.agg(
-            coalesce(max(col("rowid")), lit(-1L)).as("__rowid_base")))
-          exploded.crossJoin(base)
-            .withColumn("rowid", col("__rowid_base") + 1L + col("__idx"))
-            .select(targetCols.map(c => col(s"`$c`")): _*)
-        } else exploded.select(targetCols.map(c => col(s"`$c`")): _*)
+        .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
       current.unionByName(newRows)
     }
   }

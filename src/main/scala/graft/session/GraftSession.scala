@@ -135,10 +135,11 @@ final class GraftSession private[session] (
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AlterRenameColRe =
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
-  // the type/constraint tail must admit quoted DEFAULTs, DECIMAL(10,2)
-  // commas, and negative defaults — [^;]*? rather than a word class
+  // the type/constraint tail must admit quoted DEFAULTs (incl. ';'
+  // inside the quotes), DECIMAL(10,2) commas, and negative defaults —
+  // non-quote/non-semicolon runs or complete '…' literals, lazily
   private val AlterAddColRe =
-    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+([A-Za-z][^;]*?))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+([A-Za-z](?:[^;']|'[^']*')*?))?\s*;?\s*$""".r
   private val AlterDropColRe =
     """(?is)^\s*ALTER\s+TABLE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+(?:COLUMN\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   // index/maintenance statements: honestly accepted as no-ops — Catalyst
@@ -210,9 +211,13 @@ final class GraftSession private[session] (
           next.schema("rowid").dataType == org.apache.spark.sql.types.LongType
         val givenCols = ins.columns.getOrElse(next.columns.toSeq)
         val explicitIdx = givenCols.indexOf("rowid")
+        // a literal NULL rowid means "assign one" (SQLite), so the
+        // max-based path applies, not the explicit-value path
+        val lastIsExplicit = explicitIdx >= 0 &&
+          !ins.tuples.last(explicitIdx).trim.equalsIgnoreCase("null")
         lastRowidThunk =
           if (!hasLongRowid) () => 0L
-          else if (explicitIdx >= 0)
+          else if (lastIsExplicit)
             // SQLite: an explicitly-inserted rowid wins even if it is
             // below the table's current maximum
             () => {
@@ -336,16 +341,24 @@ final class GraftSession private[session] (
       val typeStr = Option(tpe).getOrElse("")
       // SQLite fills existing rows with the DEFAULT (NULL if absent)
       val DefaultRe = """(?is).*\bDEFAULT\s+('[^']*'|\([^)]*\)|\S+).*""".r
-      val value = typeStr match {
-        case DefaultRe(v) => expr(v)
-        case _ => lit(null)
+      val default = typeStr match {
+        case DefaultRe(v) => Some(expr(v))
+        case _ => None
       }
       // affinity must see only the TYPE token — a DEFAULT literal like
       // 'integration' would otherwise match the INT affinity rule
       val typeOnly = typeStr.split(
         """(?i)\b(?:PRIMARY|NOT|NULL|UNIQUE|DEFAULT|CHECK|REFERENCES|COLLATE|GENERATED)\b""")
         .headOption.getOrElse("").trim
-      val df = table(name).withColumn(cname, value.cast(affinityType(typeOnly)))
+      // no declared type but a DEFAULT (`ADD COLUMN flag DEFAULT 0`):
+      // keep the default's natural type — BLOB affinity would make the
+      // ANSI cast int→binary fail
+      val newCol = (default, typeOnly) match {
+        case (Some(d), "") => d
+        case (Some(d), t) => d.cast(affinityType(t))
+        case (None, t) => lit(null).cast(affinityType(t))
+      }
+      val df = table(name).withColumn(cname, newCol)
       applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
     case AlterDropColRe(tI, cI) =>
       val name = unquoteIdent(tI)
@@ -411,9 +424,16 @@ final class GraftSession private[session] (
   def close(): Unit = {
     if (autoSave.exists(!_.onCommit)) performAutoSave()
     tables.keys.foreach(spark.catalog.dropTempView)
-    previousTimeZone match {
-      case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
-      case None => spark.conf.unset("spark.sql.session.timeZone")
+    // restore ONLY if nobody changed the zone since we pinned it (a
+    // concurrently-open GraftSession on the same SparkSession keeps its
+    // UTC pin; its own close() restores). DataFrames handed out by sql()
+    // and collected after close evaluate under the restored zone — finish
+    // reads before closing, as with any resource handle.
+    if (spark.conf.getOption("spark.sql.session.timeZone").contains("UTC")) {
+      previousTimeZone match {
+        case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+        case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
     }
   }
 

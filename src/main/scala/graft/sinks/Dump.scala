@@ -54,8 +54,11 @@ object Dump {
             // bytes are identical). Arbitrary binary can't pass through a
             // text sink losslessly — UTF-8 decoding would smash non-UTF-8
             // bytes to U+FFFD — so those render as SQLite's X'hex' literal
-            // form instead. String.valueOf would print the JVM array
-            // identity ([B@…) — garbage and run-dependent.
+            // form: a faithful, deterministic EXPORT rendering, though
+            // one-way (re-reading a CSV yields the literal text; binary
+            // round trips need the typed parquet format). String.valueOf
+            // would print the JVM array identity ([B@…) — garbage and
+            // run-dependent.
             case b: Array[Byte] => renderBlob(b)
             case v => String.valueOf(v)
           }

@@ -250,6 +250,12 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT ratio FROM staff").head().getDouble(0) == 2.5)
     s.sql("ALTER TABLE staff ADD COLUMN dept TEXT DEFAULT 'integration'")
     assert(s.sql("SELECT dept FROM staff").head().getString(0) == "integration")
+    // no declared type: the DEFAULT's natural type stands
+    s.sql("ALTER TABLE staff ADD COLUMN flag DEFAULT 0")
+    assert(s.sql("SELECT flag FROM staff").head().getInt(0) == 0)
+    // a semicolon inside the DEFAULT literal must not break parsing
+    s.sql("ALTER TABLE staff ADD COLUMN sep TEXT DEFAULT 'a;b'")
+    assert(s.sql("SELECT sep FROM staff").head().getString(0) == "a;b")
     s.sql("ALTER TABLE staff DROP COLUMN note")
     assert(!s.table("staff").columns.contains("note"))
     // DROP TABLE removes view + catalog row; IF EXISTS tolerates absence
@@ -290,6 +296,16 @@ class GraftSessionSpec extends SparkSpec {
     // explicitly-inserted rowid wins even when below the current max
     s.sql("INSERT INTO users (id, name, rowid) VALUES (9, 'I', 5)")
     assert(s.sql("SELECT last_insert_rowid()").head().getLong(0) == 5)
+    // a literal NULL rowid means "assign one" (SQLite), not a NULL cell
+    s.sql("INSERT INTO users (id, name, rowid) VALUES (10, 'J', NULL)")
+    assert(!s.sql("SELECT rowid FROM users WHERE id = 10").head().isNullAt(0))
+    assert(s.sql("SELECT last_insert_rowid()").head().getLong(0) ==
+      s.sql("SELECT rowid FROM users WHERE id = 10").head().getLong(0))
+    // SQLite parity: the first rowid of an empty table is 1
+    s.sql("CREATE TABLE fresh (rowid INTEGER, x TEXT)")
+    s.sql("INSERT INTO fresh (x) VALUES ('a'), ('b')")
+    assert(s.sql("SELECT rowid FROM fresh ORDER BY rowid").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
     s.close()
   }
 
@@ -314,6 +330,13 @@ class GraftSessionSpec extends SparkSpec {
     val dumped2 = java.nio.file.Files.readString(out2.resolve("files.csv"))
     assert(dumped2.contains("X'FF00AB'"), s"dump rendered: $dumped2")
     assert(!dumped2.contains("�"))
+    // typed parquet is the lossless binary round-trip path
+    val out3 = tmpDir("blobdumpout3")
+    s.dump(out3.toString, graft.sinks.DumpOptions(format = "parquet"))
+    val s3 = GraftSession.open(spark, out3.resolve("files.parquet").toString)
+    val bytes = s3.sql("SELECT payload FROM files WHERE fid = 2").head().getAs[Array[Byte]](0)
+    assert(bytes.toSeq == Seq(0xFF.toByte, 0x00.toByte, 0xAB.toByte))
+    s3.close()
     s.close()
   }
 
@@ -403,6 +426,9 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT char(72, 105)").head().getString(0) == "Hi")
     // true unicode codepoints — Spark's chr(n % 256) would give chr(31)
     assert(s.sql("SELECT char(1055, 128640)").head().getString(0) == "П🚀")
+    // SQLite semantics: NULL → codepoint 0, out-of-range → U+FFFD
+    assert(s.sql("SELECT char(65, NULL, 66)").head().getString(0) == "A B")
+    assert(s.sql("SELECT char(65, -1, 66)").head().getString(0) == "A�B")
     assert(s.sql("SELECT unicode('A')").head().getInt(0) == 65)
     assert(s.sql("SELECT length(zeroblob(4))").head().getInt(0) == 4)
     // typeof: SQLite storage-class names
