@@ -34,6 +34,18 @@ object PipelineQueries {
   private def embeds(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Run `f` with a reduced shuffle-partition count, restoring after.
+    * Structured Streaming creates one state-store instance per shuffle
+    * partition and commits each of them every micro-batch — at gate/bench
+    * data sizes that fixed cost dwarfs the data cost, so the streaming
+    * queries run with a handful of state partitions. Results are
+    * partition-count independent (decimal sums / dedup). */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup: exact (digest groupBy — one narrow shuffle of 16-byte
     // md5 keys with map-side combine; never ships document text)
@@ -282,12 +294,14 @@ object PipelineQueries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events_b.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)
-      val q = EventStreams.streamingDedup(stream, watermark = "87600 hours")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.streamingDedup(stream, watermark = "87600 hours")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       val out = s.table(sink)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
@@ -326,12 +340,14 @@ object PipelineQueries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)
-      val q = EventStreams.streamingTumblingStats(stream)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.streamingTumblingStats(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
       // materialize: the memory sink table is mutable session state
       val out = s.table(sink)
         .orderBy(col("window_start"), col("event_type"))
