@@ -91,6 +91,29 @@ object Mutations {
     }
   }
 
+  /** `INSERT INTO t [(cols)] SELECT …` — rows map to the column list BY
+    * POSITION (SQLite semantics); unlisted target columns become NULL. */
+  final case class InsertSelect(table: String, columns: Option[Seq[String]],
+      select: String) extends Mutation {
+    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+      val targetCols = current.columns.toSeq
+      val givenCols = columns.getOrElse(targetCols)
+      if (givenCols.exists(c => !targetCols.contains(c)))
+        throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
+      val src = spark.sql(select)
+      if (src.columns.length != givenCols.length)
+        throw InvalidSqlError(s"INSERT INTO $table",
+          s"SELECT yields ${src.columns.length} columns, expected ${givenCols.length}")
+      val renamed = src.toDF(givenCols: _*)
+      val aligned = targetCols.map { c =>
+        val dt = current.schema(c).dataType
+        if (givenCols.contains(c)) col(s"`$c`").cast(dt).as(c)
+        else lit(null).cast(dt).as(c)
+      }
+      current.unionByName(renamed.select(aligned: _*))
+    }
+  }
+
   final case class Update(table: String, sets: Seq[(String, String)],
       where: Option[String]) extends Mutation {
     def apply(spark: SparkSession, current: DataFrame): DataFrame = {
@@ -126,11 +149,14 @@ object Mutations {
       }
   }
 
-  // conflict clauses (OR REPLACE/IGNORE/…) are accepted and inert:
-  // file-backed tables carry no unique constraints, so SQLite's conflict
-  // resolution could never trigger on them either
+  // conflict clauses (OR REPLACE/IGNORE/…) and the bare REPLACE INTO
+  // alias are accepted and inert: file-backed tables carry no unique
+  // constraints, so SQLite's conflict resolution could never trigger on
+  // them either
   private val InsertRe =
-    """(?is)^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE|ABORT|ROLLBACK|FAIL)\s+)?INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*(?:INSERT\s+(?:OR\s+(?:REPLACE|IGNORE|ABORT|ROLLBACK|FAIL)\s+)?|REPLACE\s+)INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  private val InsertSelectRe =
+    """(?is)^\s*(?:INSERT\s+(?:OR\s+(?:REPLACE|IGNORE|ABORT|ROLLBACK|FAIL)\s+)?|REPLACE\s+)INTO\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*((?:SELECT|WITH)\b.+?)\s*;?\s*$""".r
   private val UpdateRe =
     """(?is)^\s*UPDATE\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)\s*;?\s*$""".r
   private val DeleteRe =
@@ -145,6 +171,9 @@ object Mutations {
     case InsertRe(table, _, cols, values) =>
       val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Some(Insert(unquote(table), columns, parseTuples(values)))
+    case InsertSelectRe(table, _, cols, select) =>
+      val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      Some(InsertSelect(unquote(table), columns, select))
     case UpdateRe(table, rest) =>
       // quote-aware WHERE split: a regex alternative would match the
       // word WHERE inside a string literal in a SET expression

@@ -85,6 +85,20 @@ object SourceQueries {
       out
     }),
 
+    // Mutation layer: INSERT … SELECT (positional mapping, SQLite
+    // semantics) on a view
+    "m04_insert_select" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/nation.parquet")
+      sess.sql("""INSERT INTO nation
+        SELECT n_nationkey + 100, upper(n_name), n_regionkey
+        FROM nation WHERE n_regionkey = 0""")
+      val out = sess.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+      out.cache().count()
+      sess.close()
+      out
+    }),
+
     // Mutation layer: INSERT on a view
     "m01_insert" -> ((s, dir) => {
       val sess = GraftSession.open(s, s"$dir/nation.parquet")
@@ -153,6 +167,14 @@ object SourceQueries {
     "m01_insert" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM (
         |  SELECT * FROM nation UNION ALL SELECT 25, 'ATLANTIS', 0)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "m04_insert_select" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, upper(n_name), n_regionkey
+        |  FROM nation WHERE n_regionkey = 0)
         |ORDER BY n_nationkey""".stripMargin,
 
     "m02_update" ->

@@ -230,6 +230,17 @@ final class GraftSession private[session] (
               val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
               if (r.isNullAt(0)) 0L else r.getLong(0)
             }
+      case _: Mutations.InsertSelect =>
+        // inserted count isn't known until the source SELECT runs
+        changesThunk = () => next.count() - prev.count()
+        lastRowidThunk =
+          if (next.columns.contains("rowid") &&
+              next.schema("rowid").dataType == org.apache.spark.sql.types.LongType)
+            () => {
+              val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            }
+          else () => 0L
       case Mutations.Update(_, _, where) =>
         // SQLite counts rows MATCHED by the predicate (changed or not)
         changesThunk = () =>

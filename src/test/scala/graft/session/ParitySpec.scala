@@ -63,6 +63,27 @@ class ParitySpec extends SparkSpec {
     s.close()
   }
 
+  test("INSERT INTO ... SELECT maps by position; REPLACE INTO parses as insert") {
+    val dir = tmpDir("insertselect")
+    writeFile(dir, "people.csv", "id,name,age\n1,Ann,30\n2,Bo,40\n")
+    val s = GraftSession.open(spark, dir.toString)
+    // positional mapping with a column list; unlisted columns become NULL
+    s.sql("INSERT INTO people (id, name) SELECT id + 10, upper(name) FROM people WHERE age > 35")
+    assert(s.sql("SELECT name FROM people WHERE id = 12").head().getString(0) == "BO")
+    assert(s.sql("SELECT age FROM people WHERE id = 12").head().isNullAt(0))
+    // full-width INSERT SELECT
+    s.sql("INSERT INTO people SELECT id + 100, name, age FROM people WHERE id <= 2")
+    assert(s.sql("SELECT COUNT(*) FROM people").head().getLong(0) == 5)
+    assert(s.sql("SELECT changes()").head().getLong(0) == 2)
+    // SQLite's bare REPLACE INTO alias
+    s.sql("REPLACE INTO people VALUES (9, 'Cy', 25)")
+    assert(s.sql("SELECT COUNT(*) FROM people WHERE id = 9").head().getLong(0) == 1)
+    // arity mismatch is a typed error
+    intercept[graft.InvalidSqlError](
+      s.sql("INSERT INTO people (id, name) SELECT id FROM people"))
+    s.close()
+  }
+
   test("DELETE leaves rows whose predicate is NULL (SQL three-valued logic)") {
     val dir = tmpDir("delnull")
     writeFile(dir, "t.csv", "id,x\n1,5\n2,50\n3,\n") // row 3: x is NULL after inference
