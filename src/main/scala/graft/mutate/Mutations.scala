@@ -37,9 +37,8 @@ object Mutations {
       tuples: Seq[Seq[String]]) extends Mutation {
     def apply(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
-      val givenCols = columns.getOrElse(targetCols)
-      if (givenCols.exists(c => !targetCols.contains(c)))
-        throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
+      val givenCols = resolveColumns(columns.getOrElse(targetCols), targetCols,
+        s"INSERT INTO $table")
       // fresh implicit rowids: a table built withRowId() whose INSERT omits
       // the rowid column — or passes a literal NULL for it, which SQLite
       // also treats as "assign one" — gets max+1, max+2, …; NULL values
@@ -91,26 +90,59 @@ object Mutations {
     }
   }
 
+  /** Resolve an INSERT column list against the target schema: unquote,
+    * match case-insensitively (SQLite identifier semantics), return the
+    * target's exact casing. Shared by both INSERT forms so identifier
+    * rules can't drift between them. */
+  private def resolveColumns(given: Seq[String], target: Seq[String],
+      stmt: String): Seq[String] =
+    given.map { g =>
+      val n = unquote(g.trim)
+      target.find(_.equalsIgnoreCase(n)).getOrElse(
+        throw InvalidSqlError(stmt, s"unknown column $n"))
+    }
+
   /** `INSERT INTO t [(cols)] SELECT …` — rows map to the column list BY
-    * POSITION (SQLite semantics); unlisted target columns become NULL. */
+    * POSITION (SQLite semantics); unlisted target columns become NULL,
+    * except an implicit LongType rowid, which — like SQLite's hidden
+    * rowid — never participates in an absent column list and gets fresh
+    * values above the current max (unique/ascending, not dense, matching
+    * the builder's documented rowid semantics). */
   final case class InsertSelect(table: String, columns: Option[Seq[String]],
       select: String) extends Mutation {
+    /** Plan snapshot of the aligned inserted rows (pre-union): lets the
+      * session count inserted rows with one scan of just the insert
+      * source instead of re-executing the whole lineage twice. */
+    @transient private[graft] var insertedSnapshot: Option[DataFrame] = None
+
     def apply(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
-      val givenCols = columns.getOrElse(targetCols)
-      if (givenCols.exists(c => !targetCols.contains(c)))
-        throw InvalidSqlError(s"INSERT INTO $table", "unknown column in column list")
+      val hasAutoRowid = targetCols.contains("rowid") &&
+        current.schema("rowid").dataType == org.apache.spark.sql.types.LongType
+      val defaultCols = if (hasAutoRowid) targetCols.filterNot(_ == "rowid") else targetCols
+      val givenCols = resolveColumns(columns.getOrElse(defaultCols), targetCols,
+        s"INSERT INTO $table")
       val src = spark.sql(select)
       if (src.columns.length != givenCols.length)
         throw InvalidSqlError(s"INSERT INTO $table",
           s"SELECT yields ${src.columns.length} columns, expected ${givenCols.length}")
       val renamed = src.toDF(givenCols: _*)
+      val assignRowid = hasAutoRowid && !givenCols.contains("rowid")
+      val rowIdBase: Long =
+        if (assignRowid) {
+          val r = current.agg(coalesce(max(col("rowid")), lit(0L))).head()
+          r.getLong(0)
+        } else 0L
       val aligned = targetCols.map { c =>
         val dt = current.schema(c).dataType
         if (givenCols.contains(c)) col(s"`$c`").cast(dt).as(c)
+        else if (c == "rowid" && assignRowid)
+          (lit(rowIdBase) + 1L + monotonically_increasing_id()).cast(dt).as(c)
         else lit(null).cast(dt).as(c)
       }
-      current.unionByName(renamed.select(aligned: _*))
+      val rows = renamed.select(aligned: _*)
+      insertedSnapshot = Some(rows)
+      current.unionByName(rows)
     }
   }
 

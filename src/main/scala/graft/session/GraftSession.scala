@@ -230,9 +230,11 @@ final class GraftSession private[session] (
               val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
               if (r.isNullAt(0)) 0L else r.getLong(0)
             }
-      case _: Mutations.InsertSelect =>
-        // inserted count isn't known until the source SELECT runs
-        changesThunk = () => next.count() - prev.count()
+      case ins: Mutations.InsertSelect =>
+        // count just the captured insert-source plan — the pre/post
+        // count difference would execute the whole lineage twice
+        changesThunk = () =>
+          ins.insertedSnapshot.map(_.count()).getOrElse(next.count() - prev.count())
         lastRowidThunk =
           if (next.columns.contains("rowid") &&
               next.schema("rowid").dataType == org.apache.spark.sql.types.LongType)

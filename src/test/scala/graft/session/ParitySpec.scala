@@ -81,6 +81,25 @@ class ParitySpec extends SparkSpec {
     // arity mismatch is a typed error
     intercept[graft.InvalidSqlError](
       s.sql("INSERT INTO people (id, name) SELECT id FROM people"))
+    // quoted / differently-cased column lists resolve like SQLite
+    s.sql("INSERT INTO people (\"ID\", NAME) SELECT id + 500, name FROM people WHERE id = 9")
+    assert(s.sql("SELECT name FROM people WHERE id = 509").head().getString(0) == "Cy")
+    s.close()
+  }
+
+  test("INSERT ... SELECT on a rowid table assigns fresh rowids, hidden from the column list") {
+    val dir = tmpDir("insertselectrowid")
+    writeFile(dir, "p.csv", "id,name\n1,Ann\n2,Bo\n")
+    val s = GraftSession.builder().addPath(dir.toString).withRowId().open(spark)
+    // full-width INSERT...SELECT covers the VISIBLE columns only — the
+    // implicit rowid never participates (SQLite hidden-rowid semantics)
+    s.sql("INSERT INTO p SELECT id + 10, upper(name) FROM p")
+    val rowids = s.sql("SELECT rowid FROM p").collect().map(_.getLong(0))
+    assert(rowids.length == 4 && rowids.distinct.length == 4,
+      s"inserted rows must get fresh unique rowids, got ${rowids.toSeq}")
+    assert(s.sql("SELECT COUNT(*) FROM p WHERE rowid IS NULL").head().getLong(0) == 0)
+    assert(s.sql("SELECT changes()").head().getLong(0) == 2)
+    assert(s.sql("SELECT last_insert_rowid()").head().getLong(0) == rowids.max)
     s.close()
   }
 
