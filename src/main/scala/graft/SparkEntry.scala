@@ -6,7 +6,7 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 67 oracle-checked
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 69 oracle-checked
   * and 4 rows-only (SimHash and the LSH/IVF/PQ ANN rankings use hash
   * constants or trained quantizers no SQL oracle can reproduce; each is
   * verified by planted-duplicate / recall specs instead; the minhash,

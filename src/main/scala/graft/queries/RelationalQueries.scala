@@ -152,6 +152,30 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- LATERAL correlated subquery: top-2 orders per customer — the
+    // modern SQL form of per-group top-k (Spark 4 + DuckDB both native)
+    "q33_lateral" -> ((s, dir) => {
+      Tables.register(s, dir, Seq("customer", "orders"))
+      s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+              |FROM customer c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              |         WHERE o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+              |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+    }),
+
+    // ---- aggregate FILTER clause (SQL:2003; SQLite supports it too)
+    "q34_agg_filter" -> ((s, dir) => {
+      Tables.register(s, dir, Seq("orders"))
+      s.sql("""SELECT o_orderpriority,
+              |  COUNT(*) AS n_total,
+              |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- ORDER BY multi-key + LIMIT + OFFSET (Spark TakeOrderedAndProject)
     "q10_topk_offset" -> ((s, dir) => {
       Tables.register(s, dir, Seq("orders"))
@@ -465,6 +489,23 @@ object RelationalQueries {
         |  LAG(o_totalprice, 1) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q33_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
+    "q34_agg_filter" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_total,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q32_window_nav" ->
       """SELECT o_custkey, o_orderkey,
