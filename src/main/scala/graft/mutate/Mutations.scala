@@ -119,28 +119,44 @@ object Mutations {
       val targetCols = current.columns.toSeq
       val hasAutoRowid = targetCols.contains("rowid") &&
         current.schema("rowid").dataType == org.apache.spark.sql.types.LongType
-      val defaultCols = if (hasAutoRowid) targetCols.filterNot(_ == "rowid") else targetCols
+      val src = spark.sql(select)
+      // with no column list, the implicit rowid is hidden from the
+      // positional mapping — UNLESS the SELECT's width covers the whole
+      // schema including rowid, which reads as an intentional full-width
+      // insert (covers tables whose rowid is a genuine loaded column)
+      val defaultCols =
+        if (hasAutoRowid && src.columns.length != targetCols.length)
+          targetCols.filterNot(_ == "rowid")
+        else targetCols
       val givenCols = resolveColumns(columns.getOrElse(defaultCols), targetCols,
         s"INSERT INTO $table")
-      val src = spark.sql(select)
       if (src.columns.length != givenCols.length)
         throw InvalidSqlError(s"INSERT INTO $table",
           s"SELECT yields ${src.columns.length} columns, expected ${givenCols.length}")
       val renamed = src.toDF(givenCols: _*)
-      val assignRowid = hasAutoRowid && !givenCols.contains("rowid")
       val rowIdBase: Long =
-        if (assignRowid) {
+        if (hasAutoRowid) {
           val r = current.agg(coalesce(max(col("rowid")), lit(0L))).head()
           r.getLong(0)
         } else 0L
+      val fresh = lit(rowIdBase) + 1L + monotonically_increasing_id()
       val aligned = targetCols.map { c =>
         val dt = current.schema(c).dataType
-        if (givenCols.contains(c)) col(s"`$c`").cast(dt).as(c)
-        else if (c == "rowid" && assignRowid)
-          (lit(rowIdBase) + 1L + monotonically_increasing_id()).cast(dt).as(c)
+        if (c == "rowid" && hasAutoRowid) {
+          // absent → fresh; supplied NULLs → fresh (SQLite assigns for
+          // NULL rowids); supplied values win otherwise
+          if (givenCols.contains(c)) coalesce(col(s"`$c`").cast(dt), fresh.cast(dt)).as(c)
+          else fresh.cast(dt).as(c)
+        }
+        else if (givenCols.contains(c)) col(s"`$c`").cast(dt).as(c)
         else lit(null).cast(dt).as(c)
       }
-      val rows = renamed.select(aligned: _*)
+      // materialize: monotonically_increasing_id over a shuffled source
+      // is NOT stable across re-executions of a lazy plan — a later
+      // rowid-keyed DELETE could hit a different row than the one the
+      // user observed. The checkpoint freezes the assigned rowids (and
+      // matches SQLite's eager insert semantics).
+      val rows = renamed.select(aligned: _*).localCheckpoint()
       insertedSnapshot = Some(rows)
       current.unionByName(rows)
     }
@@ -197,6 +213,12 @@ object Mutations {
   private def unquote(ident: String): String =
     if (ident.startsWith("\"") && ident.endsWith("\"")) ident.substring(1, ident.length - 1)
     else ident
+
+  /** Normalize a statement identifier the way [[resolveColumns]] does —
+    * for callers outside this object that must compare column-list
+    * entries (e.g. the session's rowid bookkeeping). */
+  private[graft] def identMatches(ident: String, target: String): Boolean =
+    unquote(ident.trim).equalsIgnoreCase(target)
 
   /** Recognize a DML statement; None ⇒ pass through to `spark.sql`. */
   def intercept(statement: String): Option[Mutation] = statement match {

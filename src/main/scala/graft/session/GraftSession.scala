@@ -210,7 +210,9 @@ final class GraftSession private[session] (
         val hasLongRowid = next.columns.contains("rowid") &&
           next.schema("rowid").dataType == org.apache.spark.sql.types.LongType
         val givenCols = ins.columns.getOrElse(next.columns.toSeq)
-        val explicitIdx = givenCols.indexOf("rowid")
+        // column lists may be quoted / differently cased — match the way
+        // the mutation layer resolves them
+        val explicitIdx = givenCols.indexWhere(Mutations.identMatches(_, "rowid"))
         // a literal NULL rowid means "assign one" (SQLite), so the
         // max-based path applies, not the explicit-value path
         val lastIsExplicit = explicitIdx >= 0 &&
@@ -239,7 +241,10 @@ final class GraftSession private[session] (
           if (next.columns.contains("rowid") &&
               next.schema("rowid").dataType == org.apache.spark.sql.types.LongType)
             () => {
-              val r = next.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
+              // max over just the INSERTED rows (not the whole table):
+              // explicit rowids below the table max then report correctly
+              val scope = ins.insertedSnapshot.getOrElse(next)
+              val r = scope.agg(max(org.apache.spark.sql.functions.col("rowid"))).head()
               if (r.isNullAt(0)) 0L else r.getLong(0)
             }
           else () => 0L
