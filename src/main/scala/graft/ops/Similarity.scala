@@ -40,6 +40,28 @@ object Similarity {
   def normalize(a: Column): Column =
     element_at(transform(array(l2Norm(a)), n => transform(a, x => x.cast("double") / n)), 1)
 
+  /** Two-stage per-query top-k over a scored candidate set: a partial
+    * top-k inside each input partition first (so the final per-query
+    * rank sees ≤ k × numPartitions rows, never one giant sort task),
+    * then the final rank. This is THE scale guard for every ANN rerank:
+    * without it, one hot bucket/cell concentrates all of a query's
+    * candidates into a single window task. Ties break by neighbor id so
+    * results are deterministic under any partitioning.
+    *
+    * @param scored   (query_id, neighbor_id, scoreCol, …) candidates
+    * @param scoreCol similarity column, ranked descending
+    * @return scored's rows with a `rank` column, rank 1..k per query
+    */
+  def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    scored
+      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+  }
+
   /** Exact top-k cosine neighbors for every query row.
     *
     * @param queries  small DataFrame (idCol, vecCol) — broadcast
@@ -54,15 +76,7 @@ object Similarity {
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", dot(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
-    // two-stage top-k: partial top-k inside each input partition first,
-    // so the final per-query sort sees ≤ k × numPartitions rows
-    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    val fin = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
-      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
@@ -101,13 +115,14 @@ object Similarity {
         when(col("probe") === -1L, col("bucket0"))
           .otherwise(col("bucket0").bitwiseXOR(col("probe"))))
       .select(col("query_id"), col("qv"), col("bucket")))
-    val fin = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("bucket"))
+    // no pair-dedup needed: the probe buckets of one query are pairwise
+    // distinct (bucket0 and bucket0 XOR single bits) and each corpus row
+    // lives in exactly one bucket, so a (query, neighbor) pair can match
+    // at most once — saves a full candidate-set shuffle
+    val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", dot(col("qv"), col("cv")))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+    topKPerQuery(scored, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
@@ -209,12 +224,12 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("probe.cell").as("cell"))
 
   private def rerankProbed(cells: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val fin = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    cells.join(broadcast(probes), Seq("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", dot(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+    // two-stage rank: a hot cell (dense embedding cluster) would otherwise
+    // funnel every candidate of a query into ONE window task
+    topKPerQuery(scored, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
@@ -338,31 +353,109 @@ object Similarity {
     * codes) — no raw vectors enter the candidate join, so the shuffle
     * and the rerank working set shrink by ~dim·4/m. Candidates come from
     * the nProbe probed cells (equi-join); each is scored via the
-    * query's ADC lookup table. Top-k by approximate cosine. */
+    * query's ADC lookup table. Top-k by approximate cosine.
+    *
+    * Pass `quantizers` (from [[trainIvfPq]] or [[readIvfPqMeta]]) to
+    * skip per-call training — at 100 TB the train+encode pass dominates
+    * and must be paid once ([[writeIvfPqIndex]]), not per query batch. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nList: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16): DataFrame = {
-    // ONE sample collection feeds both quantizers — two independent
-    // trainings would scan the full corpus twice for the identical draw
-    val sample = sampleVectors(corpus, vecCol)
-    val cts = trainCentroidsFromSample(sample, nList)
-    val cb = trainPqFromSample(sample, m, kSub)
+      k: Int, nList: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+      quantizers: Option[(Array[Array[Double]], PqCodebooks)] = None): DataFrame = {
+    val (cts, cb) = quantizers.getOrElse(trainIvfPq(corpus, vecCol, nList, m, kSub))
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
         cellId(col("cv"), cts).as("cell"),
         pqEncode(col("cv"), cb).as("codes"))
-    val q = broadcast(queries
+    rerankPq(c, pqProbes(queries, idCol, vecCol, cts, cb, nProbe), k)
+  }
+
+  /** Train both PQ quantizers off ONE sample collection — two
+    * independent trainings would scan the full corpus twice for the
+    * identical hash-uniform draw. */
+  def trainIvfPq(corpus: DataFrame, vecCol: String, nList: Int = 16,
+      m: Int = 8, kSub: Int = 16): (Array[Array[Double]], PqCodebooks) = {
+    val sample = sampleVectors(corpus, vecCol)
+    (trainCentroidsFromSample(sample, nList), trainPqFromSample(sample, m, kSub))
+  }
+
+  /** (query_id, lut, cell) rows: each query exploded to its nProbe
+    * highest-scoring cells, carrying its ADC lookup table instead of the
+    * raw vector — candidates are scored by m array lookups. */
+  private def pqProbes(queries: DataFrame, idCol: String, vecCol: String,
+      cts: Array[Array[Double]], cb: PqCodebooks, nProbe: Int): DataFrame =
+    queries
       .select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
       .withColumn("probe", explode(slice(
         sort_array(array(cellScores(col("qv"), cts): _*), asc = false), 1, nProbe)))
       .select(col("query_id"), pqLut(col("qv"), cb).as("lut"),
-        col("probe.cell").as("cell")))
-    val fin = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+        col("probe.cell").as("cell"))
+
+  /** ADC-score the (neighbor_id, cell, codes) corpus against broadcast
+    * probes, two-stage top-k (see [[topKPerQuery]]). */
+  private def rerankPq(codes: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx_sim", pqScore(col("codes"), col("lut")))
-      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+    topKPerQuery(scored, "approx_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_sim"))
+  }
+
+  /** Persist the corpus as an IVF+PQ index: parquet PARTITIONED BY cell
+    * id where each row is (neighbor_id, codes) — m small ints instead of
+    * a dim·4-byte vector — plus the trained quantizers at
+    * `<path>_meta` (a tiny parquet of centroid/codeword rows, readable
+    * on any Hadoop filesystem). The train + full-corpus encode pass is
+    * paid ONCE here; [[ivfPqTopKIndexed]] then serves query batches with
+    * partition-pruned scans over ≈ nProbe/nList of the files and never
+    * touches raw vectors. */
+  def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, cts: Array[Array[Double]], cb: PqCodebooks): Unit = {
+    corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        cellId(col("cv"), cts).as("cell"),
+        pqEncode(col("cv"), cb).as("codes"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidRows = cts.zipWithIndex.map { case (v, i) => ("centroid", 0, i, v.toSeq) }
+    val codewordRows = for {
+      mi <- 0 until cb.m; j <- 0 until cb.k
+    } yield ("codeword", mi, j, cb.codewords(mi)(j).toSeq)
+    spark.createDataset(centroidRows.toSeq ++ codewordRows)
+      .toDF("kind", "mi", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+  }
+
+  /** Load the quantizers persisted by [[writeIvfPqIndex]]. Bounded
+    * collect: nList + m·kSub rows. */
+  def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], PqCodebooks) = {
+    val rows = spark.read.parquet(path + "_meta")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
+    val cts = rows.filter(_._1 == "centroid").sortBy(_._3).map(_._4)
+    val cw = rows.filter(_._1 == "codeword")
+    val m = cw.map(_._2).max + 1
+    val k = cw.map(_._3).max + 1
+    val codewords = Array.tabulate(m) { mi =>
+      cw.filter(_._2 == mi).sortBy(_._3).map(_._4)
+    }
+    (cts, PqCodebooks(m, k, codewords.head.head.length, codewords))
+  }
+
+  /** ANN over a [[writeIvfPqIndex]] index: probed cells are pushed as an
+    * IN filter on the partition column (same pruning story as
+    * [[ivfTopKIndexed]]), candidates are ADC-scored from their m-byte
+    * codes — no training, no encoding, no raw vectors at query time. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val (cts, cb) = readIvfPqMeta(spark, indexPath)
+    val probes = pqProbes(queries, idCol, vecCol, cts, cb, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .withColumn("cell", col("cell").cast("int"))
+    rerankPq(codes, probes, k)
   }
 
   /** Heuristic hyperplane count for an n-vector corpus: enough sign bits

@@ -197,6 +197,84 @@ class OpsSpec extends SparkSpec {
       s"expected non-empty partition filters in:\n$plan")
   }
 
+  test("IVF+PQ persisted index: quantizers round-trip, scan prunes, results match in-memory") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    val (cts, cb) = Similarity.trainIvfPq(vecs, "embedding", nList = 8, m = 4, kSub = 16)
+    val idx = tmpDir("ivfpq-index").resolve("index").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx, cts, cb)
+    // quantizers survive the parquet round-trip exactly
+    val (cts2, cb2) = Similarity.readIvfPqMeta(spark, idx)
+    assert(cts2.map(_.toSeq).toSeq == cts.map(_.toSeq).toSeq)
+    assert(cb2.m == cb.m && cb2.k == cb.k && cb2.subDim == cb.subDim)
+    assert(cb2.codewords.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.codewords.map(_.map(_.toSeq).toSeq).toSeq)
+    // identical results to the in-memory path with the same quantizers
+    val indexed = Similarity.ivfPqTopKIndexed(spark, idx, queries, "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    val inMem = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding", k = 5,
+      nProbe = 3, quantizers = Some((cts, cb)))
+    assert(indexed.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+    // the parquet scan must prune on the cell partition column
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"expected non-empty partition filters in:\n$plan")
+  }
+
+  test("approximate-ANN rerank is two-stage: partial per-partition top-k before the final rank") {
+    // every approximate variant must rank via topKPerQuery — a hot cell
+    // would otherwise funnel ALL of a query's candidates into one window
+    // task. The partial stage shows up as a window partitioned by
+    // (query_id, SPARK_PARTITION_ID()).
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val plans = Seq(
+      "lsh" -> Similarity.lshTopK(queries, vecs, "vec_id", "embedding", 5, dim = 16),
+      "ivf" -> Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", 5, nList = 4, nProbe = 2),
+      "ivfpq" -> Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding", 5,
+        nList = 4, nProbe = 2, m = 4, kSub = 8))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("SPARK_PARTITION_ID"),
+        s"$name rerank lost its partial per-partition top-k stage:\n$plan")
+    }
+  }
+
+  test("hot cell: one dense cluster holding every candidate still ranks correctly") {
+    // 300 of 310 vectors collapse into one IVF cell (the 100 TB
+    // boilerplate-cluster shape); the two-stage rerank must still return
+    // the exact per-query top-k within the probed cell
+    val hot = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (10f + math.sin(i * 7 + j).toFloat * 0.1f)))
+    }
+    val cold = (300 until 310).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (-10f + math.cos(i + j).toFloat * 0.1f)))
+    }
+    val vecs = (hot ++ cold).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val ivf = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 5,
+      nList = 2, nProbe = 1)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    // exact answer over the hot cluster, driver-side
+    val all = vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val q0 = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = all.filter { case (id, _) => id != 0L && id < 300 }
+      .map { case (id, v) => (id, cos(q0, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(ivf.map(_._1).toSeq == expected)
+  }
+
   test("embedding near-dups: planted scaled copies found (cosine = 1)") {
     val base = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.cos(i * 13 + j).toFloat))
