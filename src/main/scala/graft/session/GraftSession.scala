@@ -26,6 +26,17 @@ final class GraftSession private[session] (
     private val autoSave: Option[AutoSaveConfig],
     private val originalPaths: Seq[String]) {
 
+  /** CREATE VIEW registry: name → original statement text, so
+    * `sqlite_master` can list views with their defining SQL exactly as
+    * SQLite does (`filesql.go:225-248` introspects via sqlite_master;
+    * views promised at reference `README.md:334`). The Spark temp view
+    * stores the view TEXT (storeAnalyzedPlanForView=false default), so it
+    * re-resolves per query and tracks later mutations of its base tables
+    * — SQLite's dynamic view semantics.
+    * NOTE: declared before the constructor statements below —
+    * registerAll() reads it. */
+  private val views = mutable.LinkedHashMap.empty[String, String]
+
   // SQLite treats naive timestamps as UTC, so the dialect shims
   // (strftime/julianday/date/…) only match its output under UTC — pin the
   // session timezone rather than silently diverging in non-UTC JVMs.
@@ -49,8 +60,22 @@ final class GraftSession private[session] (
     }
   }
 
+  private def quoteSparkIdent(name: String): String =
+    s"`${name.replace("`", "``")}`"
+
+  private def registerView(name: String, select: String): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${quoteSparkIdent(name)} AS $select")
+
+  private val ViewSelectRe = """(?is)^.*?\bAS\b(.+)$""".r
+
   private def registerAll(): Unit = {
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    views.foreach { case (name, stmt) =>
+      stmt match {
+        case ViewSelectRe(select) => registerView(name, select)
+        case _ => // unreachable: stmt was accepted by CreateViewRe
+      }
+    }
     registerSqliteMaster()
   }
 
@@ -64,6 +89,8 @@ final class GraftSession private[session] (
       val ddlCols = df.schema.fields
         .map(f => s""""${f.name}" ${sqliteType(f.dataType)}""").mkString(", ")
       Row("table", name, name, 0, s"""CREATE TABLE "$name" ($ddlCols)""")
+    } ++ views.toSeq.map { case (name, stmt) =>
+      Row("view", name, name, 0, stmt)
     }
     val schema = StructType(Seq(
       StructField("type", StringType), StructField("name", StringType),
@@ -79,28 +106,53 @@ final class GraftSession private[session] (
     tables.getOrElse(name, throw InvalidSqlError(name, "no such table"))
 
   // -------------------------------------------------------- transactions
-  // BEGIN snapshots the (cheap, lazy) name → DataFrame map; ROLLBACK
-  // restores it and re-registers views; COMMIT drops the snapshot and
-  // fires auto-save-on-commit ONCE for the whole batch (reference
-  // save.go:339-356 hooks the sql.Tx commit the same way). DataFrames are
-  // immutable plans, so the snapshot is O(#tables) references — no data
-  // copy at any scale.
-  private var txnSnapshot: Option[Seq[(String, DataFrame)]] = None
+  // BEGIN snapshots the (cheap, lazy) name → DataFrame map (+ view
+  // registry); ROLLBACK restores it and re-registers views; COMMIT drops
+  // the snapshot and fires auto-save-on-commit ONCE for the whole batch
+  // (reference save.go:339-356 hooks the sql.Tx commit the same way).
+  // DataFrames are immutable plans, so a snapshot is O(#tables)
+  // references — no data copy at any scale. SAVEPOINTs stack more
+  // snapshots on the same mechanism: ROLLBACK TO restores one mid-stack
+  // (keeping it, like SQLite), RELEASE pops without restoring, and a
+  // savepoint opened OUTSIDE a transaction starts an implicit one whose
+  // outermost RELEASE commits.
+  private final case class Snapshot(tabs: Seq[(String, DataFrame)], vws: Seq[(String, String)])
+  private def snapshotNow: Snapshot = Snapshot(tables.toSeq, views.toSeq)
+
+  private var txnSnapshot: Option[Snapshot] = None
   private var txnDirty = false
+  // the active transaction was opened by SAVEPOINT, not BEGIN — releasing
+  // its last savepoint commits (SQLite lang_savepoint.html)
+  private var txnImplicit = false
+  private val savepoints = mutable.ArrayBuffer.empty[(String, Snapshot)]
 
   private def inTransaction: Boolean = txnSnapshot.isDefined
+
+  private def restoreSnapshot(snap: Snapshot): Unit = {
+    // tables/views CREATEd after the snapshot leave temp views behind
+    val snapNames = snap.tabs.map(_._1).toSet ++ snap.vws.map(_._1).toSet
+    (tables.keys ++ views.keys).filterNot(snapNames).foreach(spark.catalog.dropTempView)
+    tables.clear()
+    snap.tabs.foreach { case (name, df) => tables.update(name, df) }
+    views.clear()
+    snap.vws.foreach { case (name, stmt) => views.update(name, stmt) }
+    registerAll()
+  }
 
   private def begin(): Unit = {
     if (inTransaction)
       throw InvalidSqlError("BEGIN", "cannot start a transaction within a transaction")
-    txnSnapshot = Some(tables.toSeq)
+    txnSnapshot = Some(snapshotNow)
     txnDirty = false
+    txnImplicit = false
   }
 
   private def commit(): Unit = {
     if (!inTransaction)
       throw InvalidSqlError("COMMIT", "cannot commit - no transaction is active")
     txnSnapshot = None
+    savepoints.clear()
+    txnImplicit = false
     if (txnDirty && autoSave.exists(_.onCommit)) performAutoSave()
     txnDirty = false
   }
@@ -108,14 +160,47 @@ final class GraftSession private[session] (
   private def rollback(): Unit = {
     val snap = txnSnapshot.getOrElse(
       throw InvalidSqlError("ROLLBACK", "cannot rollback - no transaction is active"))
-    // tables CREATEd inside the rolled-back txn leave temp views behind
-    val snapNames = snap.map(_._1).toSet
-    tables.keys.filterNot(snapNames).foreach(spark.catalog.dropTempView)
-    tables.clear()
-    snap.foreach { case (name, df) => tables.update(name, df) }
-    registerAll()
+    restoreSnapshot(snap)
     txnSnapshot = None
+    savepoints.clear()
+    txnImplicit = false
     txnDirty = false
+  }
+
+  // savepoint names are case-insensitive (SQLite lang_savepoint.html);
+  // the MOST RECENT savepoint with a given name wins for RELEASE /
+  // ROLLBACK TO
+  private def savepoint(name: String): Unit = {
+    if (!inTransaction) {
+      txnSnapshot = Some(snapshotNow)
+      txnDirty = false
+      txnImplicit = true
+    }
+    savepoints += ((name.toLowerCase, snapshotNow))
+  }
+
+  private def lastSavepointIndex(stmt: String, name: String): Int = {
+    val i = savepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    if (i < 0) throw InvalidSqlError(stmt, s"no such savepoint: $name")
+    i
+  }
+
+  /** RELEASE pops the named savepoint and everything stacked above it
+    * WITHOUT restoring state; releasing the outermost savepoint of an
+    * implicit (SAVEPOINT-started) transaction commits it. */
+  private def release(stmt: String, name: String): Unit = {
+    val i = lastSavepointIndex(stmt, name)
+    savepoints.dropRightInPlace(savepoints.length - i)
+    if (savepoints.isEmpty && txnImplicit) commit()
+  }
+
+  /** ROLLBACK TO restores the named savepoint's snapshot and discards the
+    * savepoints stacked above it, but KEEPS the named savepoint and the
+    * enclosing transaction open (SQLite semantics). */
+  private def rollbackTo(stmt: String, name: String): Unit = {
+    val i = lastSavepointIndex(stmt, name)
+    restoreSnapshot(savepoints(i)._2)
+    savepoints.dropRightInPlace(savepoints.length - i - 1)
   }
 
   // ---------------------------------------------------------------- DDL
@@ -277,7 +362,28 @@ final class GraftSession private[session] (
     """(?is)^\s*BEGIN(?:\s+(?:DEFERRED|IMMEDIATE|EXCLUSIVE))?(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val CommitRe = """(?is)^\s*(?:COMMIT|END)(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val RollbackRe = """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val SavepointRe =
+    """(?is)^\s*SAVEPOINT\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val ReleaseRe =
+    """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val RollbackToRe =
+    """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s+TO\s+(?:SAVEPOINT\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val CreateTriggerRe = """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TRIGGER\b.*""".r
+  // SQLite has no OR REPLACE on views, but Spark users write it — accept
+  // both; OR REPLACE overwrites an existing VIEW (never a table)
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  // version pragmas answer 0 (SQLite's default for a fresh database);
+  // every other unintercepted PRAGMA is benign session tuning in SQLite
+  // (cache_size, journal_mode, index_list, …) with no Spark analogue —
+  // answered with an empty result + a log warning instead of leaking a
+  // Catalyst parse error
+  private val PragmaVersionRe =
+    """(?is)^\s*PRAGMA\s+(user_version|schema_version)\s*;?\s*$""".r
+  private val PragmaOtherRe =
+    """(?is)^\s*PRAGMA\s+[A-Za-z_][A-Za-z0-9_]*\s*(?:\(.*\)|=.*)?\s*;?\s*$""".r
 
   private def unquoteIdent(ident: String): String =
     if ((ident.startsWith("\"") && ident.endsWith("\"")) ||
@@ -295,12 +401,34 @@ final class GraftSession private[session] (
     case LastRowidRe() => longRow("last_insert_rowid()", lastRowidThunk())
     case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
     case PragmaTableListRe() => tableList()
+    case PragmaVersionRe(which) => longRow(which.toLowerCase, 0L)
     case BeginRe() => begin(); spark.emptyDataFrame
     case CommitRe() => commit(); spark.emptyDataFrame
+    case RollbackToRe(ident) => rollbackTo(statement, unquoteIdent(ident)); spark.emptyDataFrame
     case RollbackRe() => rollback(); spark.emptyDataFrame
+    case SavepointRe(ident) => savepoint(unquoteIdent(ident)); spark.emptyDataFrame
+    case ReleaseRe(ident) => release(statement, unquoteIdent(ident)); spark.emptyDataFrame
     case CreateTriggerRe() =>
       throw UnsupportedStatementError(statement.linesIterator.next(),
         "triggers require an engine-side mutation hook; rewrite as explicit UPDATE/INSERT statements")
+    case CreateViewRe(orReplace, ifne, ident, select) =>
+      val name = unquoteIdent(ident)
+      val replaceable = orReplace != null && views.contains(name)
+      if ((tables.contains(name) || views.contains(name)) && !replaceable) {
+        if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
+      } else applyDdl {
+        registerView(name, select)
+        views.update(name, statement.trim.stripSuffix(";"))
+      }
+    case DropViewRe(ife, ident) =>
+      val name = unquoteIdent(ident)
+      if (!views.contains(name)) {
+        if (ife != null) spark.emptyDataFrame
+        else throw InvalidSqlError(statement, s"no such view: $name")
+      } else applyDdl {
+        views.remove(name)
+        spark.catalog.dropTempView(name)
+      }
     case CreateTableAsRe(ifne, ident, select) =>
       val name = unquoteIdent(ident)
       if (tables.contains(name)) {
@@ -386,11 +514,15 @@ final class GraftSession private[session] (
       val df = table(name).drop(cname)
       applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
     case NoOpDdlRe() => spark.emptyDataFrame
+    case PragmaOtherRe() =>
+      GraftSession.log.warn(
+        s"PRAGMA has no Spark analogue, returning empty result: ${statement.trim}")
+      spark.emptyDataFrame
     case _ => Mutations.intercept(statement) match {
       case Some(mutation) =>
         val name = mutation.table
         val current = table(name)
-        val next = mutation(spark, current)
+        val next = boundPlanDepth(name, mutation(spark, current))
         recordMutationState(mutation, current, next)
         tables.update(name, next)
         next.createOrReplaceTempView(name)
@@ -398,6 +530,26 @@ final class GraftSession private[session] (
         else if (autoSave.exists(_.onCommit)) performAutoSave()
         spark.emptyDataFrame
       case None => spark.sql(statement)
+    }
+  }
+
+  // each UPDATE/DELETE/INSERT stacks one projection/filter/union on the
+  // table's plan; a long interactive session (the reference's sequential
+  // mutation flows, filesql_integration_test.go:741-1010) would grow
+  // analysis cost without bound. Every N mutations the lineage is cut
+  // with an (eager, executor-local) checkpoint — same rationale as the
+  // InsertSelect rowid checkpoint in Mutations.scala.
+  private val mutationCheckpointEvery = 50
+  private val mutationDepth = mutable.Map.empty[String, Int]
+
+  private def boundPlanDepth(name: String, next: DataFrame): DataFrame = {
+    val d = mutationDepth.getOrElse(name, 0) + 1
+    if (d >= mutationCheckpointEvery) {
+      mutationDepth.update(name, 0)
+      next.localCheckpoint()
+    } else {
+      mutationDepth.update(name, d)
+      next
     }
   }
 
@@ -424,6 +576,10 @@ final class GraftSession private[session] (
     import org.apache.spark.sql.types._
     val rows = tables.toSeq.map { case (name, df) =>
       Row("main", name, "table", df.schema.fields.length, 0, 0)
+    } ++ views.keys.toSeq.map { name =>
+      // a view's width needs resolving its SELECT; 0 if a base table is gone
+      val ncol = scala.util.Try(spark.table(quoteSparkIdent(name)).schema.length).getOrElse(0)
+      Row("main", name, "view", ncol, 0, 0)
     }
     val schema = StructType(Seq(
       StructField("schema", StringType), StructField("name", StringType),
@@ -441,6 +597,7 @@ final class GraftSession private[session] (
     * empty output dir ⇒ overwrite the directory of the first input. */
   def close(): Unit = {
     if (autoSave.exists(!_.onCommit)) performAutoSave()
+    views.keys.foreach(spark.catalog.dropTempView)
     tables.keys.foreach(spark.catalog.dropTempView)
     // restore ONLY if nobody changed the zone since we pinned it (a
     // concurrently-open GraftSession on the same SparkSession keeps its
@@ -475,6 +632,8 @@ final case class AutoSaveConfig(
     options: DumpOptions = DumpOptions())
 
 object GraftSession {
+  private[session] val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+
   def builder(): Builder = new Builder
 
   /** ≈ `filesql.Open(paths...)`. */

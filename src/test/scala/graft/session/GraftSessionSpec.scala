@@ -439,4 +439,124 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("SELECT typeof(CAST('x' AS BINARY))").head().getString(0) == "blob")
     s.close()
   }
+
+  test("CREATE VIEW lists in sqlite_master/table_list, tracks mutations, DROP removes it") {
+    val dir = tmpDir("views")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("CREATE VIEW admins AS SELECT id, name FROM users WHERE role = 'admin'")
+    // catalog surface: type='view' with the defining SQL, like SQLite
+    val master = s.sql("SELECT type, name, sql FROM sqlite_master WHERE type = 'view'").collect()
+    assert(master.length == 1)
+    assert(master.head.getString(1) == "admins")
+    assert(master.head.getString(2).toUpperCase.startsWith("CREATE VIEW"))
+    val listed = s.sql("PRAGMA table_list").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(listed.contains(("admins", "view", 2)))
+    // dynamic semantics: the view re-resolves after base-table mutations
+    assert(s.sql("SELECT COUNT(*) FROM admins").head().getLong(0) == 1)
+    s.sql("UPDATE users SET role = 'admin' WHERE id = 2")
+    assert(s.sql("SELECT COUNT(*) FROM admins").head().getLong(0) == 2)
+    // name collisions: with a table, with itself; IF NOT EXISTS is quiet
+    intercept[DuplicateTableError](s.sql("CREATE VIEW users AS SELECT 1"))
+    intercept[DuplicateTableError](s.sql("CREATE VIEW admins AS SELECT 1"))
+    s.sql("CREATE VIEW IF NOT EXISTS admins AS SELECT 1")
+    assert(s.sql("SELECT COUNT(*) FROM admins").head().getLong(0) == 2)
+    // DROP VIEW removes it from the catalog and the query surface
+    s.sql("DROP VIEW admins")
+    assert(s.sql("SELECT COUNT(*) FROM sqlite_master WHERE type = 'view'").head().getLong(0) == 0)
+    assert(!s.sql("PRAGMA table_list").collect().exists(_.getString(1) == "admins"))
+    intercept[graft.InvalidSqlError](s.sql("DROP VIEW admins"))
+    s.sql("DROP VIEW IF EXISTS admins") // quiet
+    s.close()
+  }
+
+  test("views participate in transactions: created-in-txn view rolls back") {
+    val dir = tmpDir("viewtxn")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("BEGIN")
+    s.sql("CREATE VIEW v1 AS SELECT id FROM users")
+    assert(s.sql("SELECT COUNT(*) FROM sqlite_master WHERE name = 'v1'").head().getLong(0) == 1)
+    s.sql("ROLLBACK")
+    assert(s.sql("SELECT COUNT(*) FROM sqlite_master WHERE name = 'v1'").head().getLong(0) == 0)
+    s.close()
+  }
+
+  test("SAVEPOINT / RELEASE / ROLLBACK TO: nested partial rollback, implicit-txn commit") {
+    val dir = tmpDir("sp")
+    fixtures(dir)
+    val out = tmpDir("spout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSaveOnCommit(out.toString)
+      .open(spark)
+    // implicit transaction: SAVEPOINT outside BEGIN opens one; mutations
+    // are NOT auto-saved until the outermost RELEASE commits
+    s.sql("SAVEPOINT outer_sp")
+    s.sql("DELETE FROM users WHERE id = 3")
+    assert(!java.nio.file.Files.exists(out.resolve("users.csv")),
+      "savepoint-opened transaction must defer auto-save to RELEASE")
+    s.sql("SAVEPOINT inner_sp")
+    s.sql("DELETE FROM users WHERE id = 2")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 1)
+    // partial rollback: inner mutation undone, outer change kept
+    s.sql("ROLLBACK TO inner_sp")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+    assert(s.sql("SELECT COUNT(*) FROM users WHERE id = 3").head().getLong(0) == 0)
+    // the named savepoint survives ROLLBACK TO (SQLite) — release it twice
+    s.sql("RELEASE SAVEPOINT inner_sp")
+    intercept[graft.InvalidSqlError](s.sql("RELEASE inner_sp"))
+    // releasing the outermost savepoint of the implicit txn commits +
+    // auto-saves ONCE
+    s.sql("RELEASE outer_sp")
+    assert(java.nio.file.Files.exists(out.resolve("users.csv")))
+    val s2 = GraftSession.open(spark, out.resolve("users.csv").toString)
+    assert(s2.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 2)
+    s2.close()
+    // inside an explicit BEGIN, RELEASE does NOT commit
+    s.sql("BEGIN")
+    s.sql("SAVEPOINT a")
+    s.sql("DELETE FROM users WHERE id = 1")
+    s.sql("RELEASE a")
+    s.sql("ROLLBACK") // still in the BEGIN txn: everything reverts
+    assert(s.sql("SELECT COUNT(*) FROM users WHERE id = 1").head().getLong(0) == 1)
+    intercept[graft.InvalidSqlError](s.sql("ROLLBACK TO nowhere"))
+    s.close()
+  }
+
+  test("unknown PRAGMAs answer benignly instead of leaking a parse error") {
+    val dir = tmpDir("pragma2")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    // version pragmas: one row, value 0 (fresh-database default)
+    val uv = s.sql("PRAGMA user_version").collect()
+    assert(uv.length == 1 && uv.head.getLong(0) == 0L)
+    assert(s.sql("PRAGMA schema_version").head().getLong(0) == 0L)
+    // unintercepted pragmas (with and without args): empty result, no throw
+    assert(s.sql("PRAGMA index_list(users)").collect().isEmpty)
+    assert(s.sql("PRAGMA journal_mode = WAL").collect().isEmpty)
+    assert(s.sql("PRAGMA cache_size").collect().isEmpty)
+    s.close()
+  }
+
+  test("200 chained mutations stay fast: plan depth is bounded by periodic checkpoints") {
+    val dir = tmpDir("chain")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    val start = System.nanoTime()
+    (1 to 100).foreach { i =>
+      s.sql(s"UPDATE users SET name = 'u$i' WHERE id = 1")
+      s.sql(s"INSERT INTO users VALUES (${100 + i}, 'x$i', 'user', 10)")
+    }
+    s.sql("DELETE FROM users WHERE id > 150")
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    // results unchanged by the checkpoint cuts
+    assert(s.sql("SELECT name FROM users WHERE id = 1").head().getString(0) == "u100")
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) == 53)
+    // without lineage cuts this chain's analysis cost grows superlinearly;
+    // generous bound so CI noise can't flake it
+    assert(elapsedSec < 120, s"mutation chain took ${elapsedSec}s - plan depth unbounded?")
+    s.close()
+  }
 }
