@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -62,6 +62,31 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Deterministic 64-bit signature from a doc id, expressible in BOTH
+    * Spark and ANSI-ish DuckDB SQL (XOR/CASE/shift on small values only —
+    * no wraparound arithmetic): base = XOR of fixed constants selected by
+    * the bits of `orig % 397`; planted copies (id ≥ 1,000,000) flip
+    * 1..4 spread bits chosen by `orig % 5` (0 ⇒ exact dup). */
+  private val sigConsts = Seq(-4767286540954276203L, -409945945691060918L,
+    -1379700187739999003L, 9118805310061913749L, 3836392971734152462L,
+    -8792153768808948482L, -3858317867683981838L, -7883909788743084858L,
+    8571704695318784627L)
+  private val flipMasks = Seq(8L, 2199023256064L, 144115188084244512L, 4611686035607388164L)
+
+  private def arithSignature(id: Column): Column = {
+    val orig = when(id >= 1000000L, id - 1000000L).otherwise(id)
+    val group = orig % 397
+    val base = sigConsts.zipWithIndex.map { case (c, i) =>
+      when(shiftright(group, i).bitwiseAND(lit(1L)) === 1L, lit(c)).otherwise(lit(0L))
+    }.reduce(_ bitwiseXOR _)
+    val j = orig % 5
+    val flip = when(id < 1000000L, lit(0L))
+      .otherwise(flipMasks.zipWithIndex.map { case (m, k) =>
+        when(j === (k + 1).toLong, lit(m)).otherwise(lit(0L))
+      }.reduce(_ bitwiseXOR _))
+    base.bitwiseXOR(flip)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup: exact (digest groupBy — one narrow shuffle of 16-byte
     // md5 keys with map-side combine; never ships document text)
@@ -93,6 +118,23 @@ object PipelineQueries {
       val sh = docsWithNearDups(s, dir)
         .withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("text"))))
       Dedup.simhashPairs(sh, "doc_id", "simhash", maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: the simhashPairs DISTRIBUTED operator (pigeonhole band
+    // join + hamming verify) oracle-checked end-to-end. The text→simhash
+    // kernel itself is not SQL-expressible (see COVERAGE.md d03 note), so
+    // this gate feeds the operator an arithmetic signature both engines
+    // compute identically: XOR of fixed 64-bit constants selected by the
+    // doc-group's bits, with 1..4 planted bit-flips on copied docs —
+    // exercising banding, bucket-local pair generation, hamming count and
+    // the ≤ maxDistance filter against DuckDB's exact all-pairs answer.
+    "d07_simhash_bands" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 50).select((col("doc_id") + 1000000L).as("doc_id")))
+      val sig = corpus.withColumn("sig", arithSignature(col("doc_id")))
+      Dedup.simhashPairs(sig, "doc_id", "sig", maxDistance = 3, maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -433,9 +475,43 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB oracle for d07: exact all-pairs hamming over the SAME
+    * arithmetic signature (generated from the same constants as
+    * [[arithSignature]], so the two can never drift). All DuckDB ops
+    * here (xor, CASE, >> on values < 512, bit_count) are
+    * overflow-safe — unlike the real XXH64 kernel, see COVERAGE.md. */
+  private def simhashBandsOracle: String = {
+    val base = sigConsts.zipWithIndex.map { case (c, i) =>
+      s"CASE WHEN ((orig % 397) >> $i) & 1 = 1 THEN CAST($c AS BIGINT) ELSE 0 END"
+    }.reduce((a, b) => s"xor($a,\n      $b)")
+    val flip = "CASE WHEN doc_id < 1000000 THEN 0 " +
+      flipMasks.zipWithIndex.map { case (m, k) =>
+        s"WHEN orig % 5 = ${k + 1} THEN CAST($m AS BIGINT) "
+      }.mkString + "ELSE 0 END"
+    s"""WITH corpus AS (
+       |  SELECT doc_id FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id < 50
+       |), o AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000 ELSE doc_id END AS orig
+       |  FROM corpus
+       |), sig AS (
+       |  SELECT doc_id, xor($base,
+       |      $flip) AS sh
+       |  FROM o
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
     "p01_corpus_prep" -> corpusPrepOracle,
+    "d07_simhash_bands" -> simhashBandsOracle,
 
     "t06_doc_freq" ->
       """SELECT term, COUNT(*) AS doc_freq
