@@ -6,12 +6,13 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 69 oracle-checked
-  * and 4 rows-only (SimHash and the LSH/IVF/PQ ANN rankings use hash
-  * constants or trained quantizers no SQL oracle can reproduce; each is
-  * verified by planted-duplicate / recall specs instead; the minhash,
-  * Jaccard, and embedding dedup paths ARE oracle-checked against DuckDB's
-  * exact all-pairs computations). Query name groups:
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 77 oracle-checked
+  * and 1 rows-only (d03: the text→simhash kernel needs 64-bit wraparound
+  * arithmetic DuckDB rejects — see COVERAGE.md; its distributed banding
+  * operator is oracle-checked separately as d07, and the LSH/IVF/PQ ANN
+  * gates run with deterministic SQL-expressible quantizers so DuckDB
+  * reproduces bucketing, probing, PQ encoding and ranking exactly).
+  * Query name groups:
   *   - q01–q31  relational SQL surface (SURVEY §2.2) + engine supersets
   *   - m01–m03  DML mutation layer (INSERT/UPDATE/DELETE on views)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17)

@@ -50,6 +50,27 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
       .drop("__digest")
 
+  /** Incremental exact dedup — clean a NEW batch against an existing
+    * corpus: drops batch rows whose content digest already exists in the
+    * corpus (left-anti join on 16-byte md5 digests; document text never
+    * enters the shuffle) and keeps the min-id representative of each
+    * duplicate group *within* the batch. The continuous-ingest shape at
+    * 100 TB: the corpus reduces to a digest projection (in practice a
+    * digest index maintained across ingests — pass it as `corpus` with
+    * `contentCol` already digested upstream), the anti join and the
+    * in-batch window both shuffle on digests only, and the batch side is
+    * small relative to the corpus. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+      contentCol: String, idCol: String): DataFrame = {
+    val dig = md5(col(contentCol).cast("binary"))
+    val corpusDigests = corpus.select(dig.as("__digest")).distinct()
+    val fresh = batch.withColumn("__digest", dig)
+      .join(corpusDigests, Seq("__digest"), "left_anti")
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
+  }
+
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
     * functions block Spark's common-subexpression elimination, so an
     * expensive expression referenced inside a `transform` lambda would

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Relevance-ranking operators for training-data pipelines: TF-IDF
+  * weights and BM25 scoring — the workhorses behind corpus search,
+  * query-focused subset selection, and per-source relevance filters.
+  *
+  * Scale shape (the 100 TB story): tokenize → explode → filter to the
+  * query's terms BEFORE any aggregate, so candidate volume is
+  * docs-containing-a-query-term rather than the corpus vocabulary; the
+  * per-term document-frequency table is tiny (≤ |query| rows) and
+  * broadcast; per-term partial scores are summed as DECIMAL(18,12) so
+  * the per-doc aggregate is order-independent under any parallelism
+  * (the suite-wide double-aggregate rule — see CLAUDE.md).
+  */
+object Ranking {
+
+  /** (doc_id, term, tf) term frequencies over lower-cased whitespace
+    * tokens. One explode + one hash aggregate with map-side combine. */
+  def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Per-(doc, term) TF-IDF weights: tf · ln(N / df). The document-
+    * frequency side is an aggregate of the same exploded table; N rides
+    * along as a broadcast 1-row cross join (no driver-side count). */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFreqs(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = broadcast(df.agg(count(lit(1)).as("n_docs")))
+    tf.join(dfreq, "term").crossJoin(total)
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 relevance of every matching document to a bag of query terms.
+    * Returns (doc_id, bm25) for documents containing ≥1 query term.
+    *
+    * `logIdf = true` (default) is classic BM25:
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)). `logIdf = false` drops the
+    * ln — per-term order-preserving, and because every remaining op is
+    * rational double arithmetic on integer inputs, the scores are
+    * bit-for-bit reproducible by an independent engine (libm
+    * transcendentals are not guaranteed to the last ulp); the
+    * oracle-checked gate uses this variant.
+    *
+    * The per-doc sum runs over DECIMAL(18,12) partial scores, so the
+    * result is identical under any partitioning/ordering.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val lens = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+    val totals = broadcast(
+      lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
+    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    // expression order mirrors the oracle SQL exactly — left-assoc
+    // (idf * num) / den — so the doubles match bitwise cross-engine
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val ratio = (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + ratio) else ratio
+    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
+    val den = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    tf.join(dfreq, "term").join(lens, "doc_id").crossJoin(totals)
+      .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
+      .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
+  }
+}

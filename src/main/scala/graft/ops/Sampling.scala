@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Both operators key on a HASH of row identity instead of an RNG:
+  * the sample is identical under any partitioning, executor count, or
+  * re-run — the property a 100 TB pipeline needs for resumability (a
+  * retried stage must draw the same rows), for train/eval splits that
+  * never leak across reruns, and for audit (an independent engine can
+  * recompute the exact sample — the gate's DuckDB oracle does).
+  * md5 rather than xxhash64 is the cross-engine-portable choice; both
+  * are codegen'd per-row kernels with no shuffle on the Bernoulli path.
+  */
+object Sampling {
+
+  /** First 12 hex digits (48 bits) of `fraction` of the md5 space —
+    * public so an external verifier can recompute the exact predicate. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    f"${math.min((fraction * 0x1000000000000L.toDouble).toLong, 0xFFFFFFFFFFFFL)}%012x"
+  }
+
+  /** Deterministic Bernoulli sample: keep rows whose md5(key) hex digest
+    * sorts below the fraction threshold (string compare on the first 12
+    * lower-hex digits — 48 bits of precision). Pure per-row filter:
+    * pushes down, no shuffle, no RNG state. */
+  def bernoulliByHash(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, 12) < lit(hexThreshold(fraction)))
+
+  /** Deterministic stratified sample: the `n` rows of each stratum with
+    * the smallest md5(key) (key tie-break). Two-stage top-n — a partial
+    * rank inside each input partition caps what the final per-stratum
+    * rank sees at n × numPartitions — so one giant stratum (e.g. "en" at
+    * 90% of a 100 TB corpus) never funnels into a single sort task; same
+    * guard as [[Similarity.topKPerQuery]]. */
+  def stratifiedByHash(df: DataFrame, stratumCol: String, key: Column, n: Int): DataFrame = {
+    val h = md5(key.cast("string"))
+    val partial = Window.partitionBy(col(stratumCol), spark_partition_id()).orderBy(h, key)
+    val fin = Window.partitionBy(col(stratumCol)).orderBy(h, key)
+    df.withColumn("__pr", row_number().over(partial)).filter(col("__pr") <= n).drop("__pr")
+      .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= n).drop("__rn")
+  }
+}

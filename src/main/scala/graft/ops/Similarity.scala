@@ -86,6 +86,50 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic INTEGER-component hyperplanes: an LCG over the flat
+    * (plane, dim) index, values in [-1000, 1000]. Sign-bucket LSH only
+    * needs a symmetric component distribution, so integer uniforms trade
+    * nothing vs Gaussians — and being exact in both double and SQL
+    * arithmetic, they let a cross-engine oracle (DuckDB) reproduce the
+    * bucket assignment bit-for-bit. Used by the oracle-checked gate. */
+  def gridPlanes(dim: Int, numPlanes: Int): Seq[Array[Double]] =
+    Seq.tabulate(numPlanes)(i => Array.tabulate(dim) { d =>
+      ((1103515245L * (i * dim + d) + 12345L) % 2001L - 1000L).toDouble
+    })
+
+  /** Collect and L2-normalize specific corpus rows by id (driver-side,
+    * bounded by `ids.length` — quantizer-sized, like [[sampleVectors]]).
+    * Gives IVF/PQ deterministic, SQL-expressible quantizer inputs: a
+    * cross-engine oracle reproduces x/sqrt(Σx²) on the same rows
+    * exactly, which trained Lloyd centroids can never be. */
+  def vectorsByIds(corpus: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Array[Array[Double]] = {
+    val byId = corpus.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    ids.map { id =>
+      val v = byId(id)
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }.toArray
+  }
+
+  /** PQ codebooks lifted directly from sample vectors' subspace slices
+    * (codeword j of subspace mi = sample(j)'s mi-th slice) — the
+    * deterministic, SQL-expressible analogue of [[trainPqFromSample]]
+    * for cross-engine verification. Real corpus vectors make serviceable
+    * codewords (they sit in the data distribution); Lloyd refinement
+    * (the production path) only tightens them. */
+  def codebooksFromVectors(sample: Array[Array[Double]], m: Int): PqCodebooks = {
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    PqCodebooks(m, sample.length, subDim,
+      Array.tabulate(m)(mi => sample.map(_.slice(mi * subDim, (mi + 1) * subDim))))
+  }
+
   /** Bucket id = sign bits of the vector against each hyperplane. */
   def bucketId(vec: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -98,16 +142,18 @@ object Similarity {
     * product.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, dim: Int, numPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes)
+      k: Int, dim: Int, numPlanes: Int = 8, multiProbe: Boolean = true,
+      planes: Option[Seq[Array[Double]]] = None): DataFrame = {
+    val ps = planes.getOrElse(hyperplanes(dim, numPlanes))
+    val np = ps.length
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
-      .withColumn("bucket", bucketId(col("cv"), planes))
+      .withColumn("bucket", bucketId(col("cv"), ps))
     val q0 = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("qv"))
-      .withColumn("bucket0", bucketId(col("qv"), planes))
+      .withColumn("bucket0", bucketId(col("qv"), ps))
     // probe own bucket + all buckets at hamming distance 1
     val probes =
       if (multiProbe)
-        array((lit(-1L) +: (0 until numPlanes).map(i => lit(1L << i))): _*)
+        array((lit(-1L) +: (0 until np).map(i => lit(1L << i))): _*)
       else array(lit(-1L))
     val q = broadcast(q0
       .withColumn("probe", explode(probes))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -34,19 +34,56 @@ object PipelineQueries {
   private def embeds(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Gate-query quantizer parameters, shared between the Spark queries
+    * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
+    * SAME distributed operators as production but with deterministic,
+    * SQL-expressible quantizers — integer-LCG hyperplanes, centroids /
+    * codewords lifted from strided corpus rows — so an independent engine
+    * can verify bucketing, probing, encoding and ranking end-to-end.
+    * (Lloyd-trained quantizers and Gaussian planes, the production
+    * defaults, are covered by recall / cluster-precision specs.) */
+  private val lshGatePlanes = 8
+  private val ivfGateNList = 8
+  private val ivfGateNProbe = 3
+  private val pqGateM = 8
+  private val pqGateKSub = 16
+
+  /** Query bag for the BM25 gate — mid-frequency corpus terms. */
+  private val bm25GateTerms = Seq("sort", "join", "window", "stream", "filter")
+
+  /** Centroids = normalized embeddings of nList strided vec_ids; both
+    * engines derive the id list from count(*) (vec_ids are contiguous). */
+  private def gateCentroids(e: DataFrame): Array[Array[Double]] = {
+    val n = e.count()
+    Similarity.vectorsByIds(e, "vec_id", "embedding",
+      (0 until ivfGateNList).map(j => j * n / ivfGateNList))
+  }
+
+  /** PQ codewords = subspace slices of kSub strided (+1 offset, so they
+    * differ from the centroid rows) normalized embeddings. */
+  private def gateCodebooks(e: DataFrame): Similarity.PqCodebooks = {
+    val n = e.count()
+    Similarity.codebooksFromVectors(
+      Similarity.vectorsByIds(e, "vec_id", "embedding",
+        (0 until pqGateKSub).map(j => j * n / pqGateKSub + 1)), pqGateM)
+  }
+
   /** Build (once per data dir) and reuse a persisted IVF+PQ index over the
-    * embeddings table — the 100 TB shape: the train + full-corpus encode
-    * pass is paid ONCE at write time; every query batch afterwards does a
+    * embeddings table — the 100 TB shape: the full-corpus encode pass is
+    * paid ONCE at write time; every query batch afterwards does a
     * partition-pruned scan of m-byte codes. Memoized so repeated gate/bench
-    * invocations exercise the pay-once economics instead of retraining. */
+    * invocations exercise the pay-once economics instead of re-encoding.
+    * Built with the deterministic gate quantizers (see above) so the s04
+    * gate is oracle-checkable; [[Similarity.trainIvfPq]] is the production
+    * path and is exercised by the IVF/PQ specs. */
   private val pqIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def pqIndexFor(s: SparkSession, dir: String): String =
     pqIndexCache.getOrElseUpdate(dir, {
       val e = embeds(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft-pq-index")
         .resolve("index").toString
-      val (cts, cb) = Similarity.trainIvfPq(e, "embedding")
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path, cts, cb)
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
+        gateCentroids(e), gateCodebooks(e))
       path
     })
 
@@ -138,6 +175,22 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: incremental ingest — a new batch (fresh docs + planted
+    // copies of corpus docs + one intra-batch duplicate) cleaned against
+    // the existing corpus via digest anti-join; only genuinely new
+    // content survives, min-id representative per in-batch group.
+    "d08_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") < 400)
+      val batch = d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") === 450)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      Dedup.incrementalExact(batch, corpus, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
     // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
     // bands are miss-free on this corpus (min true-pair jaccard 0.69 →
@@ -173,20 +226,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- similarity: LSH-bucketed ANN (the 100 TB shape; recall tested in spec)
+    // ---- similarity: LSH-bucketed ANN (the 100 TB shape; recall tested
+    // in spec). ORACLE-checked: the gate feeds the operator deterministic
+    // integer-component hyperplanes (gridPlanes) that DuckDB reproduces
+    // bit-for-bit, so bucket assignment, hamming-1 multi-probe and the
+    // cosine rerank are all verified against an independent engine. The
+    // Gaussian-plane production default stays covered by the recall spec.
     "s02_ann_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
       val queries = e.filter(col("vec_id") < 10)
-      Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 5, dim = 64)
+      Similarity.lshTopK(queries, e, "vec_id", "embedding", k = 5, dim = 64,
+          planes = Some(Similarity.gridPlanes(64, lshGatePlanes)))
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- similarity: IVF (coarse-quantized) ANN — corpus cells + probes
+    // ---- similarity: IVF (coarse-quantized) ANN — corpus cells + probes.
+    // ORACLE-checked: centroids are the normalized embeddings of nList
+    // deterministic strided vec_ids (both engines pick the same rows via
+    // count(*)), so cell assignment, probe selection and the rerank are
+    // verified against DuckDB's exact computation. Lloyd-trained
+    // centroids (the production default) stay covered by the recall spec.
     "s03_ann_ivf" -> ((s, dir) => {
       val e = embeds(s, dir)
       val queries = e.filter(col("vec_id") < 10)
-      Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 5)
+      Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 5,
+          nList = ivfGateNList, nProbe = ivfGateNProbe,
+          centroids = Some(gateCentroids(e)))
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -209,15 +275,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sampling: deterministic stratified sample — n docs per lang
+    // stratum chosen by smallest md5(doc_id); reproducible under any
+    // partitioning and recomputable by the oracle engine.
+    "p02_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedByHash(docs(s, dir).select("doc_id", "lang"),
+          "lang", col("doc_id"), 20)
+        .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))),
+
+    // ---- sampling: deterministic Bernoulli sample via md5-threshold
+    // filter (pure per-row predicate — no RNG, no shuffle).
+    "p03_hash_sample" -> ((s, dir) =>
+      Sampling.bernoulliByHash(docs(s, dir), col("doc_id"), 0.3)
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
     // ---- similarity: IVF+PQ over a PERSISTED index — 8-byte codes
-    // instead of 256-byte vectors in the candidate join, quantizers
-    // trained and corpus encoded once at index-write time, query batches
-    // served by partition-pruned scans (rows-only: trained quantizer +
-    // codebooks have no SQL equivalent; recall asserted in spec)
+    // instead of 256-byte vectors in the candidate join, corpus encoded
+    // once at index-write time, query batches served by partition-pruned
+    // scans. ORACLE-checked: the index is built with deterministic
+    // quantizers (centroids + codebooks lifted from strided corpus rows),
+    // so DuckDB reproduces cell assignment, PQ encoding (per-subspace
+    // argmin), ADC lookup-table scoring and the final rank exactly.
+    // Lloyd-trained quantizers stay covered by the cluster-precision and
+    // recall@10 specs.
     "s04_ann_ivfpq" -> ((s, dir) => {
       val queries = embeds(s, dir).filter(col("vec_id") < 10)
       Similarity.ivfPqTopKIndexed(s, pqIndexFor(s, dir), queries,
-        "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", k = 5, nProbe = ivfGateNProbe)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -273,6 +357,32 @@ object PipelineQueries {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat_ws("\n", col("text"), col("text"), col("text")).as("text"))
       TextAnalysis.repetitionMetrics(base.unionByName(planted), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text: BM25 relevance ranking against a fixed query bag.
+    // Rational-idf variant (no ln) so every double is exact rational
+    // arithmetic on integer tf/df/dl — bitwise-reproducible by the
+    // oracle; per-doc sums are decimal aggregates (order-independent).
+    "t08_bm25_rank" -> ((s, dir) =>
+      Ranking.bm25(docs(s, dir), "doc_id", "text", bm25GateTerms, logIdf = false)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25"))),
+
+    // ---- text: PII detection + redaction over docs with planted
+    // email/phone/IPv4/SSN strings (the synthetic corpus has none);
+    // redaction equality is checked via md5 of the redacted text.
+    "t09_pii_redact" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") < 40, concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +555 123 4567, host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7, ssn 123-45-6789")))
+          .otherwise(col("text")).as("text"))
+      Pii.piiCounts(planted)
+        .withColumn("red_md5", md5(Pii.redact(col("text"))))
+        .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+          col("n_ipv4"), col("red_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -508,6 +618,156 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB oracle for s02: the EXACT lshTopK computation — sign-bucket
+    * assignment against the same gridPlanes integer literals, hamming-1
+    * multi-probe (xor with each single-bit mask; 0 = own bucket), bucket
+    * equi-join, cosine rerank with neighbor-id tie-break. Everything runs
+    * in DOUBLE, matching Spark's arithmetic. */
+  private def s02OracleSql: String = {
+    val bucketExpr = Similarity.gridPlanes(64, lshGatePlanes).zipWithIndex.map {
+      case (p, i) =>
+        val lst = p.map(_.toLong).mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(emb, CAST($lst AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n    + ")
+    val probeVals = (0L +: (0 until lshGatePlanes).map(i => 1L << i).toSeq)
+      .map(m => s"($m)").mkString(",")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM c),
+       |probes AS (SELECT q.vec_id, q.emb, xor(q.bucket, pm.m) AS bucket
+       |  FROM b q CROSS JOIN (VALUES $probeVals) pm(m) WHERE q.vec_id < 10),
+       |cand AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(p.emb, b.emb) AS sim
+       |  FROM probes p JOIN b ON b.bucket = p.bucket AND b.vec_id <> p.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Shared CTE prefix for the IVF oracles: normalized double vectors and
+    * the deterministic strided-row centroids (id list derived from
+    * count(*) in BOTH engines — vec_ids are contiguous 0..n-1). Cell
+    * assignment ties break toward the larger cell index, matching
+    * Spark's greatest-of-structs argmax. */
+  private def ivfOracleCtes: String = {
+    val js = (0 until ivfGateNList).map(j => s"($j)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
+       |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $ivfGateNList AS cid
+       |  FROM (VALUES $js) t(j)),
+       |cents AS (SELECT cids.j, nv.v AS cv FROM cids JOIN nv ON nv.vec_id = cids.cid),
+       |assign AS (SELECT vec_id, v, cell FROM (
+       |  SELECT nv.vec_id, nv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |    ORDER BY list_inner_product(nv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM nv CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (SELECT vec_id, v, cell FROM (
+       |  SELECT nv.vec_id, nv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |    ORDER BY list_inner_product(nv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM nv CROSS JOIN cents c WHERE nv.vec_id < 10) WHERE rn <= $ivfGateNProbe)""".stripMargin
+  }
+
+  /** DuckDB oracle for s03: the EXACT ivfTopK computation over the
+    * deterministic gate centroids — nearest-cell assignment, nProbe probe
+    * cells per query, cell equi-join, exact cosine rerank. */
+  private def s03OracleSql: String =
+    s"""$ivfOracleCtes,
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    list_inner_product(p.v, a.v) AS sim
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for s04: the EXACT IVF+PQ computation over the
+    * deterministic gate quantizers — PQ encode as per-subspace argmin L2
+    * (expressed as Spark's 2·dot − ‖c‖² argmax, ties to the larger code),
+    * per-query ADC lookup tables, and the score summed in the SAME
+    * left-to-right subspace order as Spark's fold (one explicit join per
+    * subspace, not SUM — so equal codes give bitwise-equal scores). */
+  private def s04OracleSql: String = {
+    val sub = 64 / pqGateM
+    val sjs = (0 until pqGateKSub).map(j => s"($j)").mkString(",")
+    val mis = (0 until pqGateM).map(mi => s"($mi)").mkString(",")
+    val codeCols = (0 until pqGateM)
+      .map(mi => s"MAX(CASE WHEN mi=$mi THEN code END) AS c$mi").mkString(", ")
+    val lutJoins = (0 until pqGateM).map(mi =>
+      s"  JOIN lut l$mi ON l$mi.vec_id = p.vec_id AND l$mi.mi = $mi AND l$mi.code = cd.c$mi")
+      .mkString("\n")
+    val scoreExpr = (0 until pqGateM).map(mi => s"l$mi.val").mkString(" + ")
+    s"""$ivfOracleCtes,
+       |sids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $pqGateKSub + 1 AS sid
+       |  FROM (VALUES $sjs) t(j)),
+       |samp AS (SELECT sids.j, nv.v AS sv FROM sids JOIN nv ON nv.vec_id = sids.sid),
+       |cw AS (SELECT ms.mi, s.j AS code, s.sv[ms.mi*$sub+1 : ms.mi*$sub+$sub] AS w,
+       |    list_inner_product(s.sv[ms.mi*$sub+1 : ms.mi*$sub+$sub],
+       |                       s.sv[ms.mi*$sub+1 : ms.mi*$sub+$sub]) AS c2
+       |  FROM samp s CROSS JOIN (VALUES $mis) ms(mi)),
+       |codes_long AS (SELECT vec_id, mi, code FROM (
+       |  SELECT nv.vec_id, cw.mi, cw.code, ROW_NUMBER() OVER (PARTITION BY nv.vec_id, cw.mi
+       |    ORDER BY (2*list_inner_product(nv.v[cw.mi*$sub+1 : cw.mi*$sub+$sub], cw.w) - cw.c2) DESC,
+       |      cw.code DESC) AS rn
+       |  FROM nv CROSS JOIN cw) WHERE rn = 1),
+       |codes AS (SELECT vec_id, $codeCols FROM codes_long GROUP BY vec_id),
+       |lut AS (SELECT nv.vec_id, cw.mi, cw.code,
+       |    list_inner_product(nv.v[cw.mi*$sub+1 : cw.mi*$sub+$sub], cw.w) AS val
+       |  FROM nv CROSS JOIN cw WHERE nv.vec_id < 10),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, $scoreExpr AS sim
+       |  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |$lutJoins)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB oracle for t08: the EXACT rational-idf BM25 — same
+    * left-associative expression order as the Spark column tree, decimal
+    * per-doc sum cast back to double. Constants appear as the same
+    * decimal literals ("1.2 + 1.0", not "2.2") so both engines fold them
+    * with identical IEEE ops. */
+  private def bm25OracleSql: String = {
+    val termList = bm25GateTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
+       |totals AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+       |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+       |  WHERE term IN ($termList) GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+       |SELECT doc_id, CAST(SUM(CAST(
+       |    (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+       |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+       |        / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |  AS DECIMAL(18,12))) AS DOUBLE) AS bm25
+       |FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN totals
+       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB oracle for t09: the same RE2-safe patterns (embedded from
+    * [[Pii.Rules]] so the two can never drift), counts + md5 of the
+    * redacted text with replacements applied in the same order. */
+  private def piiOracleSql: String = {
+    val planted = "CASE WHEN doc_id < 40 THEN text || ' contact user' || doc_id || " +
+      "'@example.com or +555 123 4567, host 10.0.' || (doc_id % 256) || " +
+      "'.7, ssn 123-45-6789' ELSE text END"
+    val red = Pii.Rules.foldLeft("text") { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+    s"""WITH planted AS (SELECT doc_id, $planted AS text FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${Pii.Email}')) AS INTEGER) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '${Pii.Ssn}')) AS INTEGER) AS n_ssn,
+       |  CAST(len(regexp_extract_all(text, '${Pii.Phone}')) AS INTEGER) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '${Pii.Ipv4}')) AS INTEGER) AS n_ipv4,
+       |  md5($red) AS red_md5
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
     "p01_corpus_prep" -> corpusPrepOracle,
@@ -672,6 +932,34 @@ object PipelineQueries {
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s02_ann_lsh" -> s02OracleSql,
+    "s03_ann_ivf" -> s03OracleSql,
+    "s04_ann_ivfpq" -> s04OracleSql,
+    "t08_bm25_rank" -> bm25OracleSql,
+    "t09_pii_redact" -> piiOracleSql,
+
+    "p02_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+    "p03_hash_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '${graft.ops.Sampling.hexThreshold(0.3)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "d08_incremental_dedup" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id = 450
+        |),
+        |fresh AS (SELECT doc_id, text FROM batch
+        |  WHERE text NOT IN (SELECT text FROM corpus))
+        |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "t01_token_counts" ->
       """SELECT doc_id,

@@ -17,6 +17,11 @@ class PlanGuardSpec extends SparkSpec {
                       // BroadcastNestedLoopJoin with the small query set
                       // broadcast is the intended exact-baseline plan
                       // (the scale paths are s02 LSH / s03 IVF, guarded)
+      "t08_bm25_rank", // the corpus-stats side (COUNT + SUM over doc
+                       // lengths) is ONE aggregated broadcast row under a
+                       // cross join — a per-row constant append, exactly
+                       // how Spark executes scalar subqueries; linear at
+                       // any corpus size
       "e03_streaming_tumbling", // executes a streaming query when built
       "e08_streaming_dedup")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 pipeline operators: BM25/TF-IDF ranking,
+  * deterministic sampling, PII redaction, incremental dedup. */
+class PipelineOps2Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "sort sort sort merge join table"),
+    (1L, "sort merge"),
+    (2L, "table scan filter filter"),
+    (3L, "window frame row range row"),
+    (4L, "group agg hash table scan join sort")).toDF("doc_id", "text")
+
+  test("bm25: more query-term mass ranks higher; repartition-invariant") {
+    val q = Seq("sort", "filter")
+    val scores = Ranking.bm25(corpus, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 3 has no query term at all: absent from the result
+    assert(!scores.contains(3L))
+    // doc 0 (3×sort, short) outranks doc 4 (1×sort, long)
+    assert(scores(0L) > scores(4L))
+    // decimal aggregation: identical result under different parallelism
+    val repart = Ranking.bm25(corpus.repartition(7), "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores == repart)
+    // rational-idf variant preserves the same relative order here
+    val rational = Ranking.bm25(corpus, "doc_id", "text", q, logIdf = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rational(0L) > rational(4L))
+  }
+
+  test("tfIdf: a term present in every doc gets zero weight") {
+    val allDocs = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val w = Ranking.tfIdf(allDocs, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getDouble(4)))
+    val (common, rare) = w.partition(_._1 == "alpha")
+    assert(common.forall(_._2 == 0.0))
+    assert(rare.forall(_._2 > 0.0))
+  }
+
+  test("bernoulliByHash: deterministic, nested by fraction, ~uniform") {
+    val ids = spark.range(2000).toDF("id")
+    val s30 = Sampling.bernoulliByHash(ids, col("id"), 0.3).as[Long].collect().toSet
+    val s30b = Sampling.bernoulliByHash(ids.repartition(13), col("id"), 0.3)
+      .as[Long].collect().toSet
+    assert(s30 == s30b) // no RNG: same rows under any partitioning
+    val s10 = Sampling.bernoulliByHash(ids, col("id"), 0.1).as[Long].collect().toSet
+    assert(s10.subsetOf(s30)) // thresholds nest: smaller fraction ⊆ larger
+    assert(s30.size > 450 && s30.size < 750, s"got ${s30.size} of ~600")
+  }
+
+  test("stratifiedByHash: n per stratum, deterministic, two-stage") {
+    val df = (0 until 300).map(i => (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+      .toDF("id", "lang")
+    val s = Sampling.stratifiedByHash(df, "lang", col("id"), 7)
+    val byLang = s.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 7L), s"got $byLang")
+    val again = Sampling.stratifiedByHash(df.repartition(11), "lang", col("id"), 7)
+    assert(s.select("id").as[Long].collect().sorted.sameElements(
+      again.select("id").as[Long].collect().sorted))
+  }
+
+  test("pii: counts find planted classes; redact replaces in order") {
+    val df = Seq(
+      (0L, "mail a.b+c@test-host.org now"),
+      (1L, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+      (2L, "nothing to see here 12345")).toDF("doc_id", "text")
+    val c = Pii.piiCounts(df).orderBy("doc_id")
+      .select("n_email", "n_ssn", "n_phone", "n_ipv4")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(c(0) == ((1, 0, 0, 0)))
+    assert(c(1) == ((0, 1, 1, 1)))
+    assert(c(2) == ((0, 0, 0, 0)))
+    val red = df.select(Pii.redact(col("text"))).orderBy(lit(1)).as[String].collect()
+    assert(red.exists(_.contains("[EMAIL]")))
+    val r1 = df.filter(col("doc_id") === 1).select(Pii.redact(col("text"))).as[String].head()
+    assert(r1 == "ssn [SSN] phone [PHONE] ip [IP]", r1)
+    val r2 = df.filter(col("doc_id") === 2).select(Pii.redact(col("text"))).as[String].head()
+    assert(r2 == "nothing to see here 12345") // untouched
+  }
+
+  test("incrementalExact: corpus dups dropped, in-batch dup keeps min id") {
+    val corpus = Seq((0L, "old news"), (1L, "stale copy")).toDF("id", "txt")
+    val batch = Seq(
+      (10L, "fresh content"),
+      (11L, "stale copy"),     // already in corpus → dropped
+      (12L, "brand new"),
+      (13L, "brand new"))      // in-batch dup → min id 12 survives
+      .toDF("id", "txt")
+    val out = Dedup.incrementalExact(batch, corpus, "txt", "id")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L))
+  }
+}
