@@ -267,6 +267,28 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-dup collapse: within each connected component of
+    * `pairs`, keep the row with the HIGHEST `scoreCol` (min id on ties);
+    * rows in no pair survive untouched. Near-dup clusters usually hold
+    * one canonical document and many degraded copies — [[nearDedup]]'s
+    * min-id rule throws the best copy away whenever it isn't the oldest;
+    * this variant keeps the best one (score = quality metric, length,
+    * freshness…). The component map is tiny relative to the corpus
+    * (pairs only), so its join back is broadcast-friendly; the per-
+    * component argmax is one window over component-keyed rows. */
+  def bestPerCluster(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    val joined = df.join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("__cluster", coalesce(col("__cc_label"), col(idCol)))
+    val w = Window.partitionBy(col("__cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__cluster", "__cc_id", "__cc_label")
+  }
+
   /** 64-bit SimHash over a token array: per-bit majority vote of token
     * hashes. Backed by a custom codegen-invoked implementation
     * ([[graft.functions.SimHashImpl]]) — the declarative `aggregate`/

@@ -140,6 +140,40 @@ object TextAnalysis {
     lineStats.join(gramStats, Seq("doc_id"))
   }
 
+  /** Corpus-LM plausibility score (CCNet-style quality signal without an
+    * external model): the corpus itself is the language model — per-doc
+    * mean conditional bigram probability P(w2|w1) = C(w1 w2) / C(w1·),
+    * where counts come from the whole corpus. Docs full of unusual word
+    * transitions (spam, boilerplate keyword stuffing, wrong-language
+    * fragments) score low; fluent in-distribution text scores high.
+    *
+    * Relational shape: one explode into (doc, w1, w2); bigram and
+    * first-position-unigram counts are hash aggregates of that same
+    * table (map-side combine); the probability join is keyed on the
+    * bigram/unigram — all narrow rows. Probabilities are exact rational
+    * doubles summed as DECIMAL(18,12), so the score is order-independent
+    * and cross-engine reproducible. Returns (doc_id, n_bigrams, plaus).
+    */
+  def bigramPlausibility(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // bigram array bound once (HOF-CSE trap: see repetitionMetrics)
+    val bigramsArr = Dedup.bindOnce(tokens(col(textCol))) { tk =>
+      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - 2),
+          i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2"))))
+    }
+    val grams = df.select(col(idCol).as("doc_id"), explode(bigramsArr).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val bigramCnt = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val unigramCnt = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    grams.join(bigramCnt, Seq("w1", "w2")).join(unigramCnt, Seq("w1"))
+      .withColumn("p", (col("c12").cast("double") / col("c1").cast("double"))
+        .cast("decimal(18,12)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum").cast("double") / col("n_bigrams").cast("double")).as("plaus"))
+  }
+
   /** Exact-substring decontamination (train/test overlap): documents
     * containing any probe string. AVOIDS the docs × probes nested loop:
     * a document containing a probe necessarily contains the probe's

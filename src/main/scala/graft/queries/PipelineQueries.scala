@@ -191,6 +191,23 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: quality-aware cluster collapse — each near-dup cluster
+    // keeps its LONGEST member. The planted copies carry an extra suffix,
+    // so the representative is the high-id copy, not the min id: the gate
+    // fails if the selection degenerates to nearDedup's min-id rule.
+    // Oracle = exact all-pairs Jaccard + recursive closure + per-component
+    // argmax in DuckDB.
+    "p04_cluster_best" -> ((s, dir) => {
+      val corpus = docsWithNearDups(s, dir)
+      val pairs = Dedup.nearDupPairs(
+        corpus.withColumn("shingles", Dedup.textShingles(col("text"), 3)),
+        "doc_id", "shingles", threshold = 0.6,
+        numHashes = 64, numBands = 32, maxBucket = Int.MaxValue)
+      Dedup.bestPerCluster(corpus.withColumn("q", length(col("text"))),
+          "doc_id", "q", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
     // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
     // bands are miss-free on this corpus (min true-pair jaccard 0.69 →
@@ -385,6 +402,13 @@ object PipelineQueries {
           col("n_ipv4"), col("red_md5"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- text: corpus-LM bigram plausibility — the corpus is its own
+    // language model; mean P(w2|w1) per doc (decimal sums, rational
+    // probabilities: cross-engine exact).
+    "t10_bigram_plaus" -> ((s, dir) =>
+      TextAnalysis.bigramPlausibility(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // ---- text: edit-distance similarity vs a probe string. Non-ASCII is
     // folded to '#' first: Spark's levenshtein counts codepoints while
@@ -949,6 +973,74 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '${graft.ops.Sampling.hexThreshold(0.3)}'
          |ORDER BY doc_id""".stripMargin,
+
+    // exact all-pairs Jaccard + recursive closure (the d02 oracle's
+    // machinery) + per-component argmax on length with min-id tie-break;
+    // docs in no pair are their own component
+    "p04_cluster_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.6
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+        |), compm AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+        |), scored AS (
+        |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp, len(c.text) AS q
+        |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
+        |)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+        |    ORDER BY q DESC, doc_id) AS rn
+        |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the corpus-as-LM oracle: same explode → bigram/unigram counts →
+    // rational P(w2|w1), decimal sum, mean; docs with <2 tokens have no
+    // bigram rows and are absent in both engines
+    "t10_bigram_plaus" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
+        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS plaus
+        |FROM grams JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d08_incremental_dedup" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),

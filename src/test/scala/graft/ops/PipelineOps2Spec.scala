@@ -85,6 +85,36 @@ class PipelineOps2Spec extends SparkSpec {
     assert(r2 == "nothing to see here 12345") // untouched
   }
 
+  test("bestPerCluster: highest-score member survives, singletons untouched") {
+    val df = Seq(
+      (0L, "short", 5),
+      (1L, "the long canonical copy", 23), // cluster {0,1,2}: 1 wins on score
+      (2L, "mid copy", 8),
+      (3L, "lonely doc", 10),              // no pair: survives
+      (4L, "tie a", 7), (5L, "tie b", 7))  // cluster {4,5}: tie → min id 4
+      .toDF("id", "txt", "q")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.bestPerCluster(df, "id", "q", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("bigramPlausibility: repeated transitions score higher; repartition-invariant") {
+    val df = Seq(
+      (0L, "a b a b a b"),   // only transitions the corpus has seen a lot
+      (1L, "a b z q"),       // two singleton transitions
+      (2L, "x"))             // <2 tokens → absent
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramPlausibility(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(!r.contains(2L))
+    assert(r(0L)._1 == 5L && r(1L)._1 == 3L)
+    assert(r(0L)._2 > r(1L)._2)
+    val rep = TextAnalysis.bigramPlausibility(df.repartition(5), "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r == rep) // decimal sums: parallelism-independent
+  }
+
   test("incrementalExact: corpus dups dropped, in-batch dup keeps min id") {
     val corpus = Seq((0L, "old news"), (1L, "stale copy")).toDF("id", "txt")
     val batch = Seq(
