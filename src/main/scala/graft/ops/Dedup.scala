@@ -56,14 +56,20 @@ object Dedup {
     * enters the shuffle) and keeps the min-id representative of each
     * duplicate group *within* the batch. The continuous-ingest shape at
     * 100 TB: the corpus reduces to a digest projection (in practice a
-    * digest index maintained across ingests — pass it as `corpus` with
-    * `contentCol` already digested upstream), the anti join and the
+    * digest index maintained across ingests — pass it with
+    * `corpusIsDigest = true`), the anti join and the
     * in-batch window both shuffle on digests only, and the batch side is
-    * small relative to the corpus. */
+    * small relative to the corpus.
+    *
+    * With `corpusIsDigest = true`, `corpus`'s `contentCol` already holds
+    * md5 hex digests and is used as the join key directly — hashing it a
+    * second time would silently match nothing. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
-      contentCol: String, idCol: String): DataFrame = {
+      contentCol: String, idCol: String,
+      corpusIsDigest: Boolean = false): DataFrame = {
     val dig = md5(col(contentCol).cast("binary"))
-    val corpusDigests = corpus.select(dig.as("__digest")).distinct()
+    val corpusKey = if (corpusIsDigest) col(contentCol) else dig
+    val corpusDigests = corpus.select(corpusKey.as("__digest")).distinct()
     val fresh = batch.withColumn("__digest", dig)
       .join(corpusDigests, Seq("__digest"), "left_anti")
     val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))

@@ -57,12 +57,16 @@ object Ranking {
     require(queryTerms.nonEmpty, "empty query")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
-    val lens = toks.select(col("doc_id"), size(col("tk")).as("dl"))
+    // corpus passes: ONE aggregate for (N, Σdl) + ONE explode for tf —
+    // the doc length rides along through the tf aggregate (constant per
+    // doc, so max() is exact) instead of a third tokenize + shuffle join
     val totals = broadcast(
-      lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
-    val tf = toks.select(col("doc_id"), explode(col("tk")).as("term"))
+      toks.agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("total_dl")))
+    val tf = toks.select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     // expression order mirrors the oracle SQL exactly — left-assoc
     // (idf * num) / den — so the doubles match bitwise cross-engine
@@ -73,7 +77,7 @@ object Ranking {
     val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
     val den = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
-    tf.join(dfreq, "term").join(lens, "doc_id").crossJoin(totals)
+    tf.join(dfreq, "term").crossJoin(totals)
       .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
       .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))

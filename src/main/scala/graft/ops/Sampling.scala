@@ -27,9 +27,12 @@ object Sampling {
   /** Deterministic Bernoulli sample: keep rows whose md5(key) hex digest
     * sorts below the fraction threshold (string compare on the first 12
     * lower-hex digits — 48 bits of precision). Pure per-row filter:
-    * pushes down, no shuffle, no RNG state. */
+    * pushes down, no shuffle, no RNG state. fraction 1.0 is the identity
+    * (the strict `<` against the max threshold would otherwise drop each
+    * row with probability 2⁻⁴⁸ — real rows at 10¹² scale). */
   def bernoulliByHash(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(substring(md5(key.cast("string")), 1, 12) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df
+    else df.filter(substring(md5(key.cast("string")), 1, 12) < lit(hexThreshold(fraction)))
 
   /** Deterministic stratified sample: the `n` rows of each stratum with
     * the smallest md5(key) (key tie-break). Two-stage top-n — a partial

@@ -76,16 +76,28 @@ object PipelineQueries {
     * Built with the deterministic gate quantizers (see above) so the s04
     * gate is oracle-checkable; [[Similarity.trainIvfPq]] is the production
     * path and is exercised by the IVF/PQ specs. */
-  private val pqIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val pqIndexCache = scala.collection.mutable.HashMap.empty[String, String]
   private def pqIndexFor(s: SparkSession, dir: String): String =
-    pqIndexCache.getOrElseUpdate(dir, {
-      val e = embeds(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-pq-index")
-        .resolve("index").toString
-      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
-        gateCentroids(e), gateCodebooks(e))
-      path
-    })
+    // synchronized: TrieMap.getOrElseUpdate is not atomic — two
+    // concurrent first calls would both pay the full index build
+    pqIndexCache.synchronized {
+      pqIndexCache.getOrElseUpdate(dir, {
+        val e = embeds(s, dir)
+        val base = java.nio.file.Files.createTempDirectory("graft-pq-index")
+        // gate/bench JVMs would otherwise leave a corpus-sized code index
+        // under /tmp per run
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(base.toFile)
+        }))
+        val path = base.resolve("index").toString
+        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
+          gateCentroids(e), gateCodebooks(e))
+        path
+      })
+    }
 
   /** Run `f` with a reduced shuffle-partition count, restoring after.
     * Structured Streaming creates one state-store instance per shuffle
@@ -645,22 +657,26 @@ object PipelineQueries {
   /** DuckDB oracle for s02: the EXACT lshTopK computation — sign-bucket
     * assignment against the same gridPlanes integer literals, hamming-1
     * multi-probe (xor with each single-bit mask; 0 = own bucket), bucket
-    * equi-join, cosine rerank with neighbor-id tie-break. Everything runs
-    * in DOUBLE, matching Spark's arithmetic. */
+    * equi-join, cosine rerank with neighbor-id tie-break. Buckets and
+    * similarities are computed on the NORMALIZED double vectors exactly
+    * as Spark's lshTopK does (sim = dot of normalized = its rerank
+    * column), not on raw vectors with a separate cosine — the same
+    * bit-for-bit discipline as the s03/s04 oracles. */
   private def s02OracleSql: String = {
     val bucketExpr = Similarity.gridPlanes(64, lshGatePlanes).zipWithIndex.map {
       case (p, i) =>
         val lst = p.map(_.toLong).mkString("[", ",", "]")
-        s"(CASE WHEN list_inner_product(emb, CAST($lst AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
+        s"(CASE WHEN list_inner_product(v, CAST($lst AS DOUBLE[])) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n    + ")
     val probeVals = (0L +: (0 until lshGatePlanes).map(i => 1L << i).toSeq)
       .map(m => s"($m)").mkString(",")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM c),
-       |probes AS (SELECT q.vec_id, q.emb, xor(q.bucket, pm.m) AS bucket
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM nv),
+       |probes AS (SELECT q.vec_id, q.v, xor(q.bucket, pm.m) AS bucket
        |  FROM b q CROSS JOIN (VALUES $probeVals) pm(m) WHERE q.vec_id < 10),
        |cand AS (SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    list_cosine_similarity(p.emb, b.emb) AS sim
+       |    list_inner_product(p.v, b.v) AS sim
        |  FROM probes p JOIN b ON b.bucket = p.bucket AND b.vec_id <> p.vec_id)
        |SELECT query_id, rank, neighbor_id FROM (
        |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -34,8 +34,11 @@ final class GraftSession private[session] (
     * re-resolves per query and tracks later mutations of its base tables
     * — SQLite's dynamic view semantics.
     * NOTE: declared before the constructor statements below —
-    * registerAll() reads it. */
-  private val views = mutable.LinkedHashMap.empty[String, String]
+    * registerAll() reads it. Both the original statement (for
+    * sqlite_master's sql column) and the extracted SELECT (for
+    * re-registration) are stored — re-deriving the SELECT from the
+    * statement would re-run a regex on every snapshot restore. */
+  private val views = mutable.LinkedHashMap.empty[String, GraftSession.ViewDef]
 
   // SQLite treats naive timestamps as UTC, so the dialect shims
   // (strftime/julianday/date/…) only match its output under UTC — pin the
@@ -66,16 +69,13 @@ final class GraftSession private[session] (
   private def registerView(name: String, select: String): Unit =
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${quoteSparkIdent(name)} AS $select")
 
-  private val ViewSelectRe = """(?is)^.*?\bAS\b(.+)$""".r
-
   private def registerAll(): Unit = {
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    views.foreach { case (name, stmt) =>
-      stmt match {
-        case ViewSelectRe(select) => registerView(name, select)
-        case _ => // unreachable: stmt was accepted by CreateViewRe
-      }
-    }
+    // the SELECT was captured once by CreateViewRe at creation — never
+    // re-parsed (a quoted view name containing " as " would mis-split,
+    // and a parse failure here inside restoreSnapshot would abort a
+    // ROLLBACK halfway)
+    views.foreach { case (name, vd) => registerView(name, vd.select) }
     registerSqliteMaster()
   }
 
@@ -89,8 +89,8 @@ final class GraftSession private[session] (
       val ddlCols = df.schema.fields
         .map(f => s""""${f.name}" ${sqliteType(f.dataType)}""").mkString(", ")
       Row("table", name, name, 0, s"""CREATE TABLE "$name" ($ddlCols)""")
-    } ++ views.toSeq.map { case (name, stmt) =>
-      Row("view", name, name, 0, stmt)
+    } ++ views.toSeq.map { case (name, vd) =>
+      Row("view", name, name, 0, vd.stmt)
     }
     val schema = StructType(Seq(
       StructField("type", StringType), StructField("name", StringType),
@@ -116,15 +116,23 @@ final class GraftSession private[session] (
   // (keeping it, like SQLite), RELEASE pops without restoring, and a
   // savepoint opened OUTSIDE a transaction starts an implicit one whose
   // outermost RELEASE commits.
-  private final case class Snapshot(tabs: Seq[(String, DataFrame)], vws: Seq[(String, String)])
-  private def snapshotNow: Snapshot = Snapshot(tables.toSeq, views.toSeq)
+  private final case class Snapshot(tabs: Seq[(String, DataFrame)],
+      vws: Seq[(String, GraftSession.ViewDef)], userVer: Long)
+  private def snapshotNow: Snapshot = Snapshot(tables.toSeq, views.toSeq, userVersion)
 
   private var txnSnapshot: Option[Snapshot] = None
   private var txnDirty = false
   // the active transaction was opened by SAVEPOINT, not BEGIN — releasing
   // its last savepoint commits (SQLite lang_savepoint.html)
   private var txnImplicit = false
-  private val savepoints = mutable.ArrayBuffer.empty[(String, Snapshot)]
+  // (name, snapshot, txnDirty at creation): ROLLBACK TO restores the
+  // dirty flag too, so a transaction whose every mutation was rolled
+  // back doesn't fire a wasted auto-save dump on COMMIT
+  private val savepoints = mutable.ArrayBuffer.empty[(String, Snapshot, Boolean)]
+  // PRAGMA user_version (writable, transactional); schema_version
+  // increments on every schema change like SQLite's
+  private var userVersion = 0L
+  private var schemaVersion = 0L
 
   private def inTransaction: Boolean = txnSnapshot.isDefined
 
@@ -135,7 +143,8 @@ final class GraftSession private[session] (
     tables.clear()
     snap.tabs.foreach { case (name, df) => tables.update(name, df) }
     views.clear()
-    snap.vws.foreach { case (name, stmt) => views.update(name, stmt) }
+    snap.vws.foreach { case (name, vd) => views.update(name, vd) }
+    userVersion = snap.userVer
     registerAll()
   }
 
@@ -176,7 +185,7 @@ final class GraftSession private[session] (
       txnDirty = false
       txnImplicit = true
     }
-    savepoints += ((name.toLowerCase, snapshotNow))
+    savepoints += ((name.toLowerCase, snapshotNow, txnDirty))
   }
 
   private def lastSavepointIndex(stmt: String, name: String): Int = {
@@ -200,6 +209,7 @@ final class GraftSession private[session] (
   private def rollbackTo(stmt: String, name: String): Unit = {
     val i = lastSavepointIndex(stmt, name)
     restoreSnapshot(savepoints(i)._2)
+    txnDirty = savepoints(i)._3
     savepoints.dropRightInPlace(savepoints.length - i - 1)
   }
 
@@ -270,9 +280,12 @@ final class GraftSession private[session] (
   }
 
   /** Apply a table-map rewrite as one DDL/DML unit: update views,
-    * refresh sqlite_master, and fire the commit hooks. */
+    * refresh sqlite_master, and fire the commit hooks. Only schema
+    * statements route here (DML has its own path), so this is where
+    * PRAGMA schema_version ticks, as SQLite's does on schema change. */
   private def applyDdl(body: => Unit): DataFrame = {
     body
+    schemaVersion += 1
     registerSqliteMaster()
     if (inTransaction) txnDirty = true
     else if (autoSave.exists(_.onCommit)) performAutoSave()
@@ -382,6 +395,11 @@ final class GraftSession private[session] (
   // Catalyst parse error
   private val PragmaVersionRe =
     """(?is)^\s*PRAGMA\s+(user_version|schema_version)\s*;?\s*$""".r
+  // user_version is writable application state (THE standard SQLite
+  // migration-versioning idiom) — swallowing the write while the read
+  // answers 0 would make a migration framework re-run forever
+  private val PragmaSetUserVersionRe =
+    """(?is)^\s*PRAGMA\s+user_version\s*=\s*(-?\d+)\s*;?\s*$""".r
   private val PragmaOtherRe =
     """(?is)^\s*PRAGMA\s+[A-Za-z_][A-Za-z0-9_]*\s*(?:\(.*\)|=.*)?\s*;?\s*$""".r
 
@@ -401,7 +419,13 @@ final class GraftSession private[session] (
     case LastRowidRe() => longRow("last_insert_rowid()", lastRowidThunk())
     case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
     case PragmaTableListRe() => tableList()
-    case PragmaVersionRe(which) => longRow(which.toLowerCase, 0L)
+    case PragmaSetUserVersionRe(v) =>
+      userVersion = v.toLong
+      if (inTransaction) txnDirty = true
+      spark.emptyDataFrame
+    case PragmaVersionRe(which) =>
+      val w = which.toLowerCase
+      longRow(w, if (w == "user_version") userVersion else schemaVersion)
     case BeginRe() => begin(); spark.emptyDataFrame
     case CommitRe() => commit(); spark.emptyDataFrame
     case RollbackToRe(ident) => rollbackTo(statement, unquoteIdent(ident)); spark.emptyDataFrame
@@ -418,7 +442,8 @@ final class GraftSession private[session] (
         if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
       } else applyDdl {
         registerView(name, select)
-        views.update(name, statement.trim.stripSuffix(";"))
+        views.update(name,
+          GraftSession.ViewDef(statement.trim.stripSuffix(";"), select))
       }
     case DropViewRe(ife, ident) =>
       val name = unquoteIdent(ident)
@@ -431,7 +456,10 @@ final class GraftSession private[session] (
       }
     case CreateTableAsRe(ifne, ident, select) =>
       val name = unquoteIdent(ident)
-      if (tables.contains(name)) {
+      // tables and views share one namespace (SQLite: "there is already
+      // a view named x") — without the views check a CREATE TABLE would
+      // clobber the view's temp view while both registries list the name
+      if (tables.contains(name) || views.contains(name)) {
         if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
       } else applyDdl {
         // materialized like SQLite's CTAS: the new table must not change
@@ -442,7 +470,7 @@ final class GraftSession private[session] (
       }
     case CreateTableRe(ifne, ident, defs) =>
       val name = unquoteIdent(ident)
-      if (tables.contains(name)) {
+      if (tables.contains(name) || views.contains(name)) {
         if (ifne != null) spark.emptyDataFrame else throw DuplicateTableError(name)
       } else applyDdl {
         val schema = parseColumnDefs(defs)
@@ -465,7 +493,7 @@ final class GraftSession private[session] (
       val from = unquoteIdent(fromI)
       val to = unquoteIdent(toI)
       val df = table(from)
-      if (tables.contains(to)) throw DuplicateTableError(to)
+      if (tables.contains(to) || views.contains(to)) throw DuplicateTableError(to)
       applyDdl {
         tables.remove(from)
         spark.catalog.dropTempView(from)
@@ -633,6 +661,11 @@ final case class AutoSaveConfig(
 
 object GraftSession {
   private[session] val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftSession])
+
+  /** A registered view: the original CREATE VIEW statement (listed in
+    * sqlite_master's sql column) and its extracted SELECT (used to
+    * re-register the temp view on snapshot restores). */
+  private[session] final case class ViewDef(stmt: String, select: String)
 
   def builder(): Builder = new Builder
 

@@ -53,6 +53,8 @@ class PipelineOps2Spec extends SparkSpec {
     val s10 = Sampling.bernoulliByHash(ids, col("id"), 0.1).as[Long].collect().toSet
     assert(s10.subsetOf(s30)) // thresholds nest: smaller fraction ⊆ larger
     assert(s30.size > 450 && s30.size < 750, s"got ${s30.size} of ~600")
+    // fraction 1.0 is the identity — no 2^-48 edge drop
+    assert(Sampling.bernoulliByHash(ids, col("id"), 1.0).count() == 2000L)
   }
 
   test("stratifiedByHash: n per stratum, deterministic, two-stage") {
@@ -126,5 +128,12 @@ class PipelineOps2Spec extends SparkSpec {
     val out = Dedup.incrementalExact(batch, corpus, "txt", "id")
       .select("id").as[Long].collect().toSet
     assert(out == Set(10L, 12L))
+    // digest-index corpus (the 100 TB ingest shape): same answer when the
+    // corpus side is pre-digested md5 hex instead of raw text
+    val digestIndex = corpus.select(md5(col("txt").cast("binary")).as("txt"))
+    val out2 = Dedup.incrementalExact(batch, digestIndex, "txt", "id",
+        corpusIsDigest = true)
+      .select("id").as[Long].collect().toSet
+    assert(out2 == Set(10L, 12L))
   }
 }

@@ -540,6 +540,73 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
+  test("user_version is writable and transactional; schema_version ticks on DDL") {
+    val dir = tmpDir("uv")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    // the standard SQLite migration idiom: set, read back
+    s.sql("PRAGMA user_version = 5")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 5L)
+    // transactional like the rest of the database state
+    s.sql("BEGIN")
+    s.sql("PRAGMA user_version = 9")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 9L)
+    s.sql("ROLLBACK")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 5L)
+    val sv0 = s.sql("PRAGMA schema_version").head().getLong(0)
+    s.sql("CREATE TABLE svt (x INT)")
+    assert(s.sql("PRAGMA schema_version").head().getLong(0) == sv0 + 1)
+    s.close()
+  }
+
+  test("tables and views share one namespace; view defs survive restores un-re-parsed") {
+    val dir = tmpDir("ns")
+    fixtures(dir)
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("CREATE VIEW v AS SELECT id FROM users")
+    // SQLite: "there is already a view named v"
+    intercept[DuplicateTableError](s.sql("CREATE TABLE v (x INT)"))
+    intercept[DuplicateTableError](s.sql("CREATE TABLE v AS SELECT 1 AS one"))
+    s.sql("CREATE TABLE IF NOT EXISTS v (x INT)") // quiet; the view is intact
+    assert(s.sql("SELECT COUNT(*) FROM sqlite_master WHERE name = 'v' AND type = 'view'")
+      .head().getLong(0) == 1)
+    s.sql("CREATE TABLE t2 (x INT)")
+    intercept[DuplicateTableError](s.sql("ALTER TABLE t2 RENAME TO v"))
+    // a quoted view name containing the word "as" must survive a snapshot
+    // restore — the registry stores the extracted SELECT, nothing re-parses
+    // the statement during ROLLBACK
+    s.sql("""CREATE VIEW "all as of" AS SELECT id FROM users""")
+    s.sql("BEGIN")
+    s.sql("DELETE FROM users WHERE id = 1")
+    s.sql("ROLLBACK")
+    assert(s.sql("SELECT COUNT(*) FROM `all as of`").head().getLong(0) == 3)
+    s.close()
+  }
+
+  test("ROLLBACK TO a clean savepoint suppresses the commit auto-save") {
+    val dir = tmpDir("spclean")
+    fixtures(dir)
+    val out = tmpDir("spcleanout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSaveOnCommit(out.toString)
+      .open(spark)
+    s.sql("BEGIN")
+    s.sql("SAVEPOINT sp")
+    s.sql("DELETE FROM users WHERE id = 2")
+    s.sql("ROLLBACK TO sp")
+    s.sql("RELEASE sp")
+    s.sql("COMMIT")
+    assert(!java.nio.file.Files.exists(out.resolve("users.csv")),
+      "net-clean transaction must not fire a dump pass")
+    // a genuinely dirty transaction still auto-saves once
+    s.sql("BEGIN")
+    s.sql("DELETE FROM users WHERE id = 3")
+    s.sql("COMMIT")
+    assert(java.nio.file.Files.exists(out.resolve("users.csv")))
+    s.close()
+  }
+
   test("200 chained mutations stay fast: plan depth is bounded by periodic checkpoints") {
     val dir = tmpDir("chain")
     fixtures(dir)
