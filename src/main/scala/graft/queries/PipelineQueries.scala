@@ -76,12 +76,16 @@ object PipelineQueries {
     * Built with the deterministic gate quantizers (see above) so the s04
     * gate is oracle-checkable; [[Similarity.trainIvfPq]] is the production
     * path and is exercised by the IVF/PQ specs. */
-  private val pqIndexCache = scala.collection.mutable.HashMap.empty[String, String]
+  // per-key memoization: the map holds one lazy build per dir, so the
+  // (atomic) TrieMap insertion is the only global synchronization point —
+  // concurrent first calls for DIFFERENT dirs build in parallel, while
+  // two callers for the same dir share one build via the lazy val's own
+  // per-instance lock
+  private val pqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, () => String]
   private def pqIndexFor(s: SparkSession, dir: String): String =
-    // synchronized: TrieMap.getOrElseUpdate is not atomic — two
-    // concurrent first calls would both pay the full index build
-    pqIndexCache.synchronized {
-      pqIndexCache.getOrElseUpdate(dir, {
+    pqIndexCache.getOrElseUpdate(dir, {
+      lazy val built: String = {
         val e = embeds(s, dir)
         val base = java.nio.file.Files.createTempDirectory("graft-pq-index")
         // gate/bench JVMs would otherwise leave a corpus-sized code index
@@ -96,8 +100,9 @@ object PipelineQueries {
         Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
           gateCentroids(e), gateCodebooks(e))
         path
-      })
-    }
+      }
+      () => built
+    })()
 
   /** Run `f` with a reduced shuffle-partition count, restoring after.
     * Structured Streaming creates one state-store instance per shuffle

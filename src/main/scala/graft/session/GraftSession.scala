@@ -117,8 +117,9 @@ final class GraftSession private[session] (
   // savepoint opened OUTSIDE a transaction starts an implicit one whose
   // outermost RELEASE commits.
   private final case class Snapshot(tabs: Seq[(String, DataFrame)],
-      vws: Seq[(String, GraftSession.ViewDef)], userVer: Long)
-  private def snapshotNow: Snapshot = Snapshot(tables.toSeq, views.toSeq, userVersion)
+      vws: Seq[(String, GraftSession.ViewDef)], userVer: Long, schemaVer: Long)
+  private def snapshotNow: Snapshot =
+    Snapshot(tables.toSeq, views.toSeq, userVersion, schemaVersion)
 
   private var txnSnapshot: Option[Snapshot] = None
   private var txnDirty = false
@@ -145,6 +146,9 @@ final class GraftSession private[session] (
     views.clear()
     snap.vws.foreach { case (name, vd) => views.update(name, vd) }
     userVersion = snap.userVer
+    // schema_version rolls back with the rest of the file header in
+    // SQLite — a rolled-back DDL must not leave it incremented
+    schemaVersion = snap.schemaVer
     registerAll()
   }
 
@@ -399,7 +403,7 @@ final class GraftSession private[session] (
   // migration-versioning idiom) — swallowing the write while the read
   // answers 0 would make a migration framework re-run forever
   private val PragmaSetUserVersionRe =
-    """(?is)^\s*PRAGMA\s+user_version\s*=\s*(-?\d+)\s*;?\s*$""".r
+    """(?is)^\s*PRAGMA\s+user_version\s*=\s*([+-]?\d+)\s*;?\s*$""".r
   private val PragmaOtherRe =
     """(?is)^\s*PRAGMA\s+[A-Za-z_][A-Za-z0-9_]*\s*(?:\(.*\)|=.*)?\s*;?\s*$""".r
 
@@ -420,8 +424,14 @@ final class GraftSession private[session] (
     case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
     case PragmaTableListRe() => tableList()
     case PragmaSetUserVersionRe(v) =>
-      userVersion = v.toLong
-      if (inTransaction) txnDirty = true
+      // SQLite stores user_version as a signed 32-bit header field and
+      // truncates wider values; BigInt.toInt keeps the low 32 bits for
+      // any digit count. The write is transactional via Snapshot.userVer
+      // but does NOT mark the transaction dirty: the auto-save dump is
+      // tables-only and cannot persist it, so firing a full re-dump for
+      // a version-only transaction would be pure wasted I/O (and the
+      // top-level write fires no auto-save either — consistent).
+      userVersion = BigInt(v.stripPrefix("+")).toInt.toLong
       spark.emptyDataFrame
     case PragmaVersionRe(which) =>
       val w = which.toLowerCase

@@ -556,6 +556,40 @@ class GraftSessionSpec extends SparkSpec {
     val sv0 = s.sql("PRAGMA schema_version").head().getLong(0)
     s.sql("CREATE TABLE svt (x INT)")
     assert(s.sql("PRAGMA schema_version").head().getLong(0) == sv0 + 1)
+    // schema_version rolls back with the header: a rolled-back DDL must
+    // not leave it incremented (SQLite reports the pre-txn value)
+    s.sql("BEGIN")
+    s.sql("CREATE TABLE svt2 (x INT)")
+    s.sql("ROLLBACK")
+    assert(s.sql("PRAGMA schema_version").head().getLong(0) == sv0 + 1)
+    // SQLite-legal signed forms and 32-bit header truncation
+    s.sql("PRAGMA user_version = +7")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 7L)
+    s.sql("PRAGMA user_version = 4294967299") // 2^32 + 3 → low 32 bits
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 3L)
+    s.sql("PRAGMA user_version = 99999999999999999999") // beyond Long: no crash
+    s.sql("PRAGMA user_version = -1")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == -1L)
+    s.close()
+  }
+
+  test("a user_version-only transaction does not fire a wasted auto-save dump") {
+    val dir = tmpDir("uvas")
+    fixtures(dir)
+    val out = tmpDir("uvasout")
+    val s = GraftSession.builder()
+      .addPath(dir.toString)
+      .enableAutoSaveOnCommit(out.toString)
+      .open(spark)
+    s.sql("BEGIN")
+    s.sql("PRAGMA user_version = 42")
+    s.sql("COMMIT")
+    // the dump is tables-only and cannot persist user_version — firing a
+    // full re-dump for a version-only transaction is pure wasted I/O
+    assert(!java.nio.file.Files.exists(out.resolve("users.csv")))
+    // a real mutation still auto-saves
+    s.sql("DELETE FROM users WHERE id = 3")
+    assert(java.nio.file.Files.exists(out.resolve("users.csv")))
     s.close()
   }
 
