@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking for LLM training-data preparation: split each
+  * document's token sequence into fixed-size windows with a configurable
+  * stride (stride < window ⇒ overlapping chunks, the usual pretraining
+  * shape; stride = window ⇒ disjoint).
+  *
+  * The whole operator is per-row Catalyst expressions
+  * (`split`/`sequence`/`explode`/`slice` — whole-stage codegen, no UDFs,
+  * no shuffle): chunking 100 TB is a single embarrassingly-parallel map
+  * whose output row count is ≈ tokens/stride. Chunk boundaries depend
+  * only on the document text, never on partitioning, so re-runs and
+  * retried stages emit identical chunks (and an external engine can
+  * recompute them — the gate's DuckDB oracle does).
+  */
+object Chunking {
+
+  /** Original-case whitespace tokens, empties removed (chunking must
+    * preserve the text verbatim — unlike [[TextAnalysis.tokens]], no
+    * lower-casing). */
+  def rawTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Explode each document into token windows.
+    *
+    * Chunk `i` covers tokens `[i·stride, i·stride + window)`, for every
+    * `i` with `i·stride < n` — so trailing chunks clip at the document
+    * end (standard pretraining practice) and a document shorter than
+    * `window` still yields its one partial chunk. Documents with no
+    * tokens yield no chunks.
+    *
+    * Output: the id column plus `chunk_idx`, `n_tokens`, `chunk_text`.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0, s"stride must be positive, got $stride")
+    val toks = rawTokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      // last chunk index = floor((n-1)/stride); sequence is inclusive
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          floor((col("__n") - 1) / lit(stride)).cast("int"), lit(1))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+}

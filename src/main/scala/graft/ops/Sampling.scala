@@ -47,4 +47,32 @@ object Sampling {
     df.withColumn("__pr", row_number().over(partial)).filter(col("__pr") <= n).drop("__pr")
       .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Threshold string for a per-domain mixture entry: fractions ≥ 1.0
+    * map to `"g"`, which sorts after every lower-hex digest — making the
+    * keep-everything case exact under the strict `<` compare (the same
+    * 2⁻⁴⁸ row-loss guard as [[bernoulliByHash]]'s identity short-cut,
+    * expressed as data so it survives inside a CASE arm). */
+  def hexThresholdLex(fraction: Double): String =
+    if (fraction >= 1.0) "g" else hexThreshold(fraction)
+
+  /** Deterministic domain-mixture sample: keep each row with the
+    * fraction configured for its domain (e.g. per-source or per-language
+    * up/down-weighting when assembling a training mix). Same
+    * md5-threshold predicate as [[bernoulliByHash]], with the threshold
+    * chosen per row by a CASE over the domain column — still a pure
+    * per-row codegen filter: no shuffle, no join, pushes down to the
+    * scan, identical under any partitioning. Domains absent from
+    * `fractions` fall back to `defaultFraction`. */
+  def mixtureByHash(df: DataFrame, domainCol: String, key: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction $f not in [0,1]"))
+    // deterministic CASE-arm order so plans (and EXPLAIN output) are stable
+    val thr = fractions.toSeq.sortBy(_._1).foldRight(
+        lit(hexThresholdLex(defaultFraction)): Column) { case ((d, f), acc) =>
+      when(col(domainCol) === d, lit(hexThresholdLex(f))).otherwise(acc)
+    }
+    df.filter(substring(md5(key.cast("string")), 1, 12) < thr)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (extension tier,
@@ -88,6 +89,15 @@ object TextAnalysis {
     * whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Aggressive dedup-normalization (the CCNet/RefinedWeb-style key for
+    * hashing): lower-case, strip ASCII punctuation, collapse whitespace,
+    * trim — so "Hello, World!" and "hello world" hash identically.
+    * Java's `\p{Punct}` and RE2's `[[:punct:]]` name the same ASCII set
+    * (the t02 oracle already relies on this pairing), so an external
+    * engine reproduces the key exactly. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
 
   /** Exact-content fingerprint (md5 of normalized text). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
@@ -202,5 +212,34 @@ object TextAnalysis {
     d.join(broadcast(p), Seq("shingle"))
       .filter(instr(col("norm_text"), col("probe")) > 0)
       .select(col("probe_id"), col("doc_id"))
+  }
+
+  /** Corpus composition report for mixture planning: per domain (source,
+    * language, …) the document count, total whitespace-token count, the
+    * domain's share of all tokens, and the cumulative share walking
+    * domains largest-first — the table you read before choosing
+    * [[graft.ops.Sampling.mixtureByHash]] fractions.
+    *
+    * The heavy pass is a hash aggregation with map-side combine (one
+    * shuffle of #domains tiny rows); the share windows then run over
+    * ONE row per domain — a driver-sized frame at any corpus scale, so
+    * the unpartitioned window is not a scale risk. Shares are single
+    * double divisions of exact BIGINT sums (deterministic across engines
+    * and partitionings); the cumulative sum is taken on the exact counts
+    * BEFORE the one division. */
+  def corpusComposition(df: DataFrame, domainCol: String,
+      textCol: String = "text"): DataFrame = {
+    val agg = df.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    // unique ordering (domain tie-break) so RANGE/ROWS frames agree
+    val cum = Window.orderBy(col("n_tokens").desc, col(domainCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    agg
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum("n_tokens").over(all).cast("double"))
+      .withColumn("cum_share",
+        sum("n_tokens").over(cum).cast("double") / sum("n_tokens").over(all).cast("double"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -33,6 +33,16 @@ object PipelineQueries {
 
   private def embeds(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Mixture-gate fractions (p05), shared with the oracle SQL so both
+    * engines derive identical per-domain thresholds. */
+  private val mixFractions: Seq[(String, Double)] =
+    Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0, "src3" -> 0.25)
+  private val mixDefault = 0.1
+
+  /** Chunking-gate window/stride (t11), shared with the oracle SQL. */
+  private val chunkWindow = 32
+  private val chunkStride = 24
 
   /** Gate-query quantizer parameters, shared between the Spark queries
     * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
@@ -208,6 +218,23 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: normalization-keyed exact dedup — copies that differ
+    // only in case / punctuation / whitespace collapse into one group
+    // (the CCNet/RefinedWeb hashing key). Planted noisy copies (upper-
+    // cased, punctuation and padding added) of doc_id < 40 must fold
+    // into their originals with dup_count 2.
+    "d09_normalized_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val noisy = base.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("!! ")).as("text"))
+      Dedup.exactGroupsByHash(
+        base.unionByName(noisy).select(col("doc_id"),
+          TextAnalysis.normalizeForDedup(col("text")).as("norm")),
+        "norm", "doc_id")
+        .orderBy(col("canonical_id"))
+    }),
+
     // ---- dedup: quality-aware cluster collapse — each near-dup cluster
     // keeps its LONGEST member. The planted copies carry an extra suffix,
     // so the representative is the high-id copy, not the min id: the gate
@@ -323,6 +350,22 @@ object PipelineQueries {
       Sampling.bernoulliByHash(docs(s, dir), col("doc_id"), 0.3)
         .select(col("doc_id")).orderBy(col("doc_id"))),
 
+    // ---- sampling: per-domain mixture — each source kept at its own
+    // deterministic fraction (up/down-weighting a training mix). Still a
+    // pure per-row codegen filter; the oracle recomputes the exact
+    // per-domain md5 thresholds.
+    "p05_mixture_sample" -> ((s, dir) =>
+      Sampling.mixtureByHash(docs(s, dir).select("doc_id", "source"),
+          "source", col("doc_id"), mixFractions.toMap, mixDefault)
+        .orderBy(col("doc_id"))),
+
+    // ---- reporting: corpus composition by source — doc/token counts,
+    // token share, cumulative share largest-first. The mixture-planning
+    // report; shares are single double divisions of exact BIGINT sums.
+    "p06_composition" -> ((s, dir) =>
+      TextAnalysis.corpusComposition(docs(s, dir), "source")
+        .orderBy(col("n_tokens").desc, col("source"))),
+
     // ---- similarity: IVF+PQ over a PERSISTED index — 8-byte codes
     // instead of 256-byte vectors in the candidate join, corpus encoded
     // once at index-write time, query batches served by partition-pruned
@@ -426,6 +469,14 @@ object PipelineQueries {
     "t10_bigram_plaus" -> ((s, dir) =>
       TextAnalysis.bigramPlausibility(docs(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // ---- text: context-window chunking — each doc exploded into
+    // overlapping token windows (window 32, stride 24), trailing chunks
+    // clipped. Pure per-row codegen (split/sequence/explode/slice).
+    "t11_chunk_windows" -> ((s, dir) =>
+      Chunking.chunkByTokens(docs(s, dir), "doc_id", "text",
+          window = chunkWindow, stride = chunkStride)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // ---- text: edit-distance similarity vs a probe string. Non-ASCII is
     // folded to '#' first: Spark's levenshtein counts codepoints while
@@ -994,6 +1045,64 @@ object PipelineQueries {
       s"""SELECT doc_id FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '${graft.ops.Sampling.hexThreshold(0.3)}'
          |ORDER BY doc_id""".stripMargin,
+
+    // per-domain CASE over the same md5 threshold machinery; thresholds
+    // derived from the SAME fraction constants as the Spark query
+    "p05_mixture_sample" -> {
+      val arms = mixFractions.map { case (d, f) =>
+        s"WHEN source = '$d' THEN '${Sampling.hexThresholdLex(f)}'"
+      }.mkString("\n         |    ")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+         |  CASE $arms
+         |    ELSE '${Sampling.hexThresholdLex(mixDefault)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB SUM(BIGINT) → HUGEINT: cast back to BIGINT before the
+    // double division so both engines divide identical exact integers
+    "p06_composition" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS token_share,
+        |  CAST(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS cum_share
+        |FROM agg ORDER BY n_tokens DESC, source""".stripMargin,
+
+    // the normalization key re-expressed with RE2 spellings ([[:punct:]]
+    // = Java \p{Punct}, the t02-established pairing); groups by the raw
+    // normalized string — same partition as Spark's md5-of-key
+    "d09_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, '  ' || upper(text) || '!! ' AS text
+        |  FROM documents WHERE doc_id < 40
+        |), norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |  FROM corpus)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM norm GROUP BY n ORDER BY canonical_id""".stripMargin,
+
+    // chunk i covers tokens [i·stride, i·stride+window) clipped at the
+    // end; DuckDB list slicing is 1-based inclusive, the range table
+    // bound (200) is far beyond any chunk count at gate scale
+    "t11_chunk_windows" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |  CAST(len(tk[CAST(i*$chunkStride+1 AS BIGINT) : CAST(least(i*$chunkStride+$chunkWindow, n) AS BIGINT)]) AS INTEGER) AS n_tokens,
+         |  array_to_string(tk[CAST(i*$chunkStride+1 AS BIGINT) : CAST(least(i*$chunkStride+$chunkWindow, n) AS BIGINT)], ' ') AS chunk_text
+         |FROM t2, range(0, 200) r(i)
+         |WHERE i*$chunkStride < n
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // exact all-pairs Jaccard + recursive closure (the d02 oracle's
     // machinery) + per-component argmax on length with min-id tie-break;
