@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Context-window chunking for LLM training-data preparation: split each
@@ -51,5 +52,34 @@ object Chunking {
       .select(col(idCol), col("chunk_idx"),
         size(col("__chunk")).as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
+  /** Greedy concat-packing of sequences into fixed token-budget bins —
+    * the GPT-style pretraining shape: within a shard, sequences are laid
+    * end-to-end in a deterministic order and `bin_id` is the context
+    * window in which each sequence STARTS (a sequence may roll over into
+    * the next bin; readers treat a shard's bins as one contiguous token
+    * stream).
+    *
+    * Shard-parallel by design: the running total is a window per shard,
+    * so each shard is one task — the caller picks a shard key sized to
+    * the cluster (e.g. `pmod(hash(doc_id), nShards)`, which also keeps a
+    * document's chunks together). Within a shard the assignment is a
+    * pure function of (order, token counts): partitioning-invariant,
+    * resumable, and recomputable by an external engine (the gate's
+    * DuckDB oracle does).
+    *
+    * Adds `bin_id` and `bin_offset` (token offset of the sequence start
+    * within its bin) to the input columns. */
+  def packGreedy(df: DataFrame, shardCol: Column, tokenCol: Column,
+      budget: Int, orderCols: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(orderCols.nonEmpty, "orderCols must order rows uniquely within a shard")
+    val w = Window.partitionBy(shardCol).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__start", sum(tokenCol).over(w) - tokenCol)
+      .withColumn("bin_id", floor(col("__start") / budget).cast("int"))
+      .withColumn("bin_offset", (col("__start") % budget).cast("int"))
+      .drop("__start")
   }
 }

@@ -75,4 +75,31 @@ object Sampling {
     }
     df.filter(substring(md5(key.cast("string")), 1, 12) < thr)
   }
+
+  /** Deterministic weighted train/val/test split: label each row by
+    * which cumulative-weight interval of the md5(key) space it falls in.
+    * Pure per-row codegen — no shuffle, no RNG, partitioning-invariant —
+    * and the same key always lands in the same split across reruns and
+    * engines (the audit/resumability property a 100 TB pipeline needs).
+    *
+    * Leakage-safe variant for free: pass a GROUP key (exact-dedup
+    * canonical id, near-dup cluster representative, source domain) as
+    * `key` and every member of the group lands in the same split — the
+    * standard guard against train/test contamination via duplicates. */
+  def splitByHash(df: DataFrame, key: Column, splits: Seq[(String, Double)],
+      labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, w) => require(w > 0.0, s"split $n weight $w not > 0") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights sum to $total, expected 1.0")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = substring(md5(key.cast("string")), 1, 12)
+    // first-matching-interval CASE; the last arm is the ELSE so rounding
+    // in the final cumulative weight can never leave a row unlabeled
+    val label = splits.map(_._1).dropRight(1).zip(cums.dropRight(1))
+      .foldRight(lit(splits.last._1): Column) { case ((nm, c), acc) =>
+        when(h < lit(hexThresholdLex(c)), lit(nm)).otherwise(acc)
+      }
+    df.withColumn(labelCol, label)
+  }
 }

@@ -44,6 +44,20 @@ object PipelineQueries {
   private val chunkWindow = 32
   private val chunkStride = 24
 
+  /** Split-gate weights (p07); cumulative thresholds computed by the
+    * SAME scanLeft as [[Sampling.splitByHash]] so double rounding in the
+    * running sum (0.8 + 0.1 ≠ 0.9 exactly) can never diverge between the
+    * Spark CASE and the oracle CASE. */
+  private val splitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private def splitThresholds: Seq[String] =
+    splitWeights.map(_._2).scanLeft(0.0)(_ + _).tail.dropRight(1)
+      .map(Sampling.hexThresholdLex)
+
+  /** Packing-gate shard count / token budget (p08). */
+  private val packShards = 8
+  private val packBudget = 256
+
   /** Gate-query quantizer parameters, shared between the Spark queries
     * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
     * SAME distributed operators as production but with deterministic,
@@ -365,6 +379,30 @@ object PipelineQueries {
     "p06_composition" -> ((s, dir) =>
       TextAnalysis.corpusComposition(docs(s, dir), "source")
         .orderBy(col("n_tokens").desc, col("source"))),
+
+    // ---- splitting: deterministic weighted train/val/test labels from
+    // the md5(key) space — no RNG, partitioning-invariant, the same doc
+    // lands in the same split on every rerun (and in the oracle engine).
+    "p07_split" -> ((s, dir) =>
+      Sampling.splitByHash(docs(s, dir).select("doc_id"), col("doc_id"),
+          splitWeights)
+        .orderBy(col("doc_id"))),
+
+    // ---- packing: chunk documents, then greedily concat-pack the
+    // chunks into fixed 256-token bins within md5-balanced shards —
+    // bin_id/bin_offset are a pure function of (shard order, token
+    // counts), recomputed exactly by the oracle.
+    "p08_packing" -> ((s, dir) => {
+      val chunks = Chunking.chunkByTokens(docs(s, dir), "doc_id", "text",
+        chunkWindow, chunkStride)
+      Chunking.packGreedy(
+          chunks.withColumn("shard", pmod(col("doc_id"), lit(packShards)).cast("int")),
+          col("shard"), col("n_tokens"), packBudget,
+          Seq(col("doc_id"), col("chunk_idx")))
+        .select(col("shard"), col("bin_id"), col("bin_offset"),
+          col("doc_id"), col("chunk_idx"), col("n_tokens"))
+        .orderBy(col("shard"), col("doc_id"), col("chunk_idx"))
+    }),
 
     // ---- similarity: IVF+PQ over a PERSISTED index — 8-byte codes
     // instead of 256-byte vectors in the candidate join, corpus encoded
@@ -1071,6 +1109,43 @@ object PipelineQueries {
         |  CAST(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
         |    / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS cum_share
         |FROM agg ORDER BY n_tokens DESC, source""".stripMargin,
+
+    // interval CASE from the SAME cumulative thresholds as the Spark
+    // operator (splitThresholds); last split is the ELSE arm
+    "p07_split" -> {
+      val arms = splitWeights.map(_._1).dropRight(1).zip(splitThresholds)
+        .map { case (nm, t) =>
+          s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$t' THEN '$nm'"
+        }.mkString("\n        |  ")
+      s"""SELECT doc_id,
+         |  CASE $arms
+         |  ELSE '${splitWeights.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // re-chunk (the t11 CTE), shard by doc_id mod, then the same
+    // running-total window; DuckDB window SUM(INTEGER) → HUGEINT is cast
+    // back to BIGINT before the subtraction and floor-divisions
+    "p08_packing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |), t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |    CAST(len(tk[CAST(i*$chunkStride+1 AS BIGINT) : CAST(least(i*$chunkStride+$chunkWindow, n) AS BIGINT)]) AS INTEGER) AS n_tokens
+         |  FROM t2, range(0, 200) r(i) WHERE i*$chunkStride < n
+         |), sh AS (SELECT *, CAST(doc_id % $packShards AS INTEGER) AS shard FROM chunks),
+         |packed AS (
+         |  SELECT shard, doc_id, chunk_idx, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+         |  FROM sh)
+         |SELECT shard, CAST(strt // $packBudget AS INTEGER) AS bin_id,
+         |  CAST(strt % $packBudget AS INTEGER) AS bin_offset,
+         |  doc_id, chunk_idx, n_tokens
+         |FROM packed ORDER BY shard, doc_id, chunk_idx""".stripMargin,
 
     // the normalization key re-expressed with RE2 spellings ([[:punct:]]
     // = Java \p{Punct}, the t02-established pairing); groups by the raw

@@ -76,6 +76,58 @@ class PipelineOps3Spec extends SparkSpec {
     assert(groups.toSeq == Seq((0L, 4L), (4L, 1L)))
   }
 
+  test("splitByHash: total partition, weights honored, group-keyed leakage safety") {
+    val rows = (0L until 5000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = Sampling.splitByHash(rows, col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // every row gets exactly one label; proportions are near the weights
+    assert(labeled.length == 5000)
+    val byLabel = labeled.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > 3800 && byLabel("train") < 4200)
+    assert(byLabel("val") > 350 && byLabel("val") < 650)
+    // deterministic under repartitioning
+    val again = Sampling.splitByHash(rows.repartition(11), col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labeled.toMap == again)
+    // leakage safety: keying on a GROUP id sends every member of the
+    // group to the same split
+    val grouped = Seq((0L, 100L), (1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L))
+      .toDF("id", "canonical_id")
+    val g = Sampling.splitByHash(grouped, col("canonical_id"), splits)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(g.groupBy(_._1).values.forall(_.map(_._2).distinct.length == 1))
+    // invalid weights rejected loudly
+    intercept[IllegalArgumentException](
+      Sampling.splitByHash(rows, col("id"), Seq("a" -> 0.5, "b" -> 0.3)))
+  }
+
+  test("packGreedy: running-total bins, rollover offsets, shard independence") {
+    // one shard: tokens 100, 100, 100 with budget 256 — third sequence
+    // starts at offset 200 in bin 0 and rolls over into bin 1
+    val chunks = Seq(
+      ("s0", 0L, 0, 100), ("s0", 0L, 1, 100), ("s0", 1L, 0, 100), ("s0", 1L, 1, 60),
+      ("s1", 2L, 0, 300)).toDF("shard", "doc_id", "chunk_idx", "n_tokens")
+    val packed = Chunking.packGreedy(chunks, col("shard"), col("n_tokens"),
+        budget = 256, Seq(col("doc_id"), col("chunk_idx")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getInt(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    // (shard, doc, chunk, bin_id, bin_offset)
+    assert(packed == Seq(
+      ("s0", 0L, 0, 0, 0), ("s0", 0L, 1, 0, 100),
+      ("s0", 1L, 0, 0, 200),      // starts in bin 0, rolls over
+      ("s0", 1L, 1, 1, 44),       // starts at global offset 300 = bin 1 + 44
+      ("s1", 2L, 0, 0, 0)))       // shards pack independently
+    // partitioning-invariant
+    val again = Chunking.packGreedy(chunks.repartition(5), col("shard"),
+        col("n_tokens"), 256, Seq(col("doc_id"), col("chunk_idx")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getInt(4), r.getInt(5))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(again == packed)
+  }
+
   test("corpusComposition: exact counts, shares sum to 1, cumulative order") {
     val docs = Seq(
       (0L, "a b c", "web"), (1L, "d e", "web"),
