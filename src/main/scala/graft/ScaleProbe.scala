@@ -61,8 +61,8 @@ object ScaleProbe {
     val rerun = Dedup.exactGroups(bkt, "fp", "doc_id")
     println("SCALE bucketed re-dedup exchange-free: " +
       !rerun.queryExecution.executedPlan.toString.contains("Exchange"))
-    t("bucketed re-dedup 500k docs")(noop(rerun))
-    t("unbucketed dedup 500k docs (contrast)")(noop(Dedup.exactGroups(fp, "fp", "doc_id")))
+    t("bucketed re-dedup 50k docs")(noop(rerun))
+    t("unbucketed dedup 50k docs (contrast)")(noop(Dedup.exactGroups(fp, "fp", "doc_id")))
     spark.sql("DROP TABLE IF EXISTS scale_corpus_bkt")
 
     // embedding LSH bucket skew: histogram of hyperplane buckets at the
@@ -78,13 +78,13 @@ object ScaleProbe {
       s"top=${top.map(r => r.getLong(1)).mkString(",")}")
 
     // round-2 pipeline ops at 10×
-    t("repetition metrics 500k docs")(
+    t("repetition metrics 50k docs")(
       noop(TextAnalysis.repetitionMetrics(d10, "doc_id", "text")))
     val probes50 = d1.filter(col("doc_id") < 50)
       .select(col("doc_id").as("probe_id"),
         concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 4, 8)).as("probe"))
       .filter(size(TextAnalysis.tokens(col("text"))) >= 11)
-    val hits = t("decontamination 500k docs x 50 probes")(
+    val hits = t("decontamination 50k docs x 50 probes")(
       TextAnalysis.contaminated(d10, "doc_id", "text", probes50, "probe_id", "probe").count())
     println("SCALE contamination hits: " + hits)
     val e1 = Tables.load(spark, dir, "embeddings")
@@ -99,6 +99,22 @@ object ScaleProbe {
     val dim = spark.range(200).toDF("k").withColumn("v", col("k") * 2)
     val r = t("salted join")(graft.ops.Skew.saltedJoin(hot, dim, "k", 8).count())
     println("SCALE salted join rows: " + r)
+
+    // round-3 pipeline ops at 10×: chunk + pack 50k docs end-to-end
+    // (the pretraining prep path), mixture-sample + split the corpus.
+    // Packing shards via hash(doc_id) so the corpus spreads
+    // over 64 window tasks regardless of id distribution.
+    val chunks10 = graft.ops.Chunking.chunkByTokens(d10, "doc_id", "text", 32, 24)
+    t("chunk 50k docs")(noop(chunks10))
+    t("chunk+pack 50k docs")(noop(graft.ops.Chunking.packGreedy(
+      chunks10.withColumn("shard", pmod(xxhash64(col("doc_id")), lit(64)).cast("int")),
+      col("shard"), col("n_tokens"), 4096, Seq(col("doc_id"), col("chunk_idx")))))
+    t("mixture sample 50k docs")(noop(graft.ops.Sampling.mixtureByHash(
+      d10.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+      "source", col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), 0.25)))
+    t("split 50k docs")(noop(graft.ops.Sampling.splitByHash(
+      d10, col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))))
     spark.stop()
   }
 }
