@@ -95,7 +95,10 @@ object TextAnalysis {
     * trim — so "Hello, World!" and "hello world" hash identically.
     * Java's `\p{Punct}` and RE2's `[[:punct:]]` name the same ASCII set
     * (the t02 oracle already relies on this pairing), so an external
-    * engine reproduces the key exactly. */
+    * engine reproduces the key exactly for ASCII text. Caveat: case
+    * mapping of non-ASCII differs between Java (full mapping, İ→i̇) and
+    * utf8proc-based engines — cross-engine key equality is guaranteed
+    * only for the ASCII range. */
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
 

@@ -46,8 +46,9 @@ object PipelineQueries {
 
   /** Split-gate weights (p07); cumulative thresholds computed by the
     * SAME scanLeft as [[Sampling.splitByHash]] so double rounding in the
-    * running sum (0.8 + 0.1 ≠ 0.9 exactly) can never diverge between the
-    * Spark CASE and the oracle CASE. */
+    * running sum (exact for these weights, but not for arbitrary ones —
+    * e.g. 0.1+0.2 ≠ 0.3) can never diverge between the Spark CASE and
+    * the oracle CASE. */
   private val splitWeights: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   private def splitThresholds: Seq[String] =
@@ -57,6 +58,13 @@ object PipelineQueries {
   /** Packing-gate shard count / token budget (p08). */
   private val packShards = 8
   private val packBudget = 256
+
+  /** ASCII-only case flip for the d09 plant: Java's `upper()` (full
+    * case mapping: ß→SS) and DuckDB's (utf8proc: ß→ẞ) diverge on
+    * non-ASCII, so the planted copies are up-cased via `translate`,
+    * which both engines apply byte-identically. */
+  private val asciiLower = "abcdefghijklmnopqrstuvwxyz"
+  private val asciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
   /** Gate-query quantizer parameters, shared between the Spark queries
     * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
@@ -234,14 +242,17 @@ object PipelineQueries {
 
     // ---- dedup: normalization-keyed exact dedup — copies that differ
     // only in case / punctuation / whitespace collapse into one group
-    // (the CCNet/RefinedWeb hashing key). Planted noisy copies (upper-
-    // cased, punctuation and padding added) of doc_id < 40 must fold
-    // into their originals with dup_count 2.
+    // (the CCNet/RefinedWeb hashing key). Planted noisy copies (ASCII
+    // upper-cased via translate — Java's full-case upper() and DuckDB's
+    // utf8proc disagree on ß/İ, so the plant must not use it —
+    // punctuation and padding added) of doc_id < 40 must fold into
+    // their originals with dup_count 2.
     "d09_normalized_dedup" -> ((s, dir) => {
       val base = docs(s, dir).select("doc_id", "text")
       val noisy = base.filter(col("doc_id") < 40).select(
         (col("doc_id") + 5000000L).as("doc_id"),
-        concat(lit("  "), upper(col("text")), lit("!! ")).as("text"))
+        concat(lit("  "),
+          translate(col("text"), asciiLower, asciiUpper), lit("!! ")).as("text"))
       Dedup.exactGroupsByHash(
         base.unionByName(noisy).select(col("doc_id"),
           TextAnalysis.normalizeForDedup(col("text")).as("norm")),
@@ -1149,16 +1160,19 @@ object PipelineQueries {
 
     // the normalization key re-expressed with RE2 spellings ([[:punct:]]
     // = Java \p{Punct}, the t02-established pairing); groups by the raw
-    // normalized string — same partition as Spark's md5-of-key
+    // normalized string — same partition as Spark's md5-of-key. The
+    // plant upper-cases via translate (ASCII-only, engine-independent),
+    // NOT upper(): Java and utf8proc diverge on ß/İ.
     "d09_normalized_dedup" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 5000000 AS doc_id, '  ' || upper(text) || '!! ' AS text
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |    '  ' || translate(text, '$asciiLower', '$asciiUpper') || '!! ' AS text
         |  FROM documents WHERE doc_id < 40
         |), norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS n
+        |    trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
         |  FROM corpus)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM norm GROUP BY n ORDER BY canonical_id""".stripMargin,

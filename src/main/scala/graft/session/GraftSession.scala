@@ -424,14 +424,15 @@ final class GraftSession private[session] (
     case PragmaTableInfoRe(ident) => tableInfo(unquoteIdent(ident))
     case PragmaTableListRe() => tableList()
     case PragmaSetUserVersionRe(v) =>
-      // SQLite stores user_version as a signed 32-bit header field and
-      // truncates wider values; BigInt.toInt keeps the low 32 bits for
-      // any digit count. The write is transactional via Snapshot.userVer
+      // user_version is a signed 32-bit header field; SQLite (verified
+      // on 3.40) stores 0 for ANY value outside int32 range rather than
+      // truncating bits. The write is transactional via Snapshot.userVer
       // but does NOT mark the transaction dirty: the auto-save dump is
       // tables-only and cannot persist it, so firing a full re-dump for
       // a version-only transaction would be pure wasted I/O (and the
       // top-level write fires no auto-save either — consistent).
-      userVersion = BigInt(v.stripPrefix("+")).toInt.toLong
+      val n = BigInt(v.stripPrefix("+"))
+      userVersion = if (n.isValidInt) n.toLong else 0L
       spark.emptyDataFrame
     case PragmaVersionRe(which) =>
       val w = which.toLowerCase

@@ -562,14 +562,16 @@ class GraftSessionSpec extends SparkSpec {
     s.sql("CREATE TABLE svt2 (x INT)")
     s.sql("ROLLBACK")
     assert(s.sql("PRAGMA schema_version").head().getLong(0) == sv0 + 1)
-    // SQLite-legal signed forms and 32-bit header truncation
+    // SQLite-legal signed forms; out-of-int32 values store 0 (SQLite
+    // 3.40 behavior — it does NOT bit-truncate)
     s.sql("PRAGMA user_version = +7")
     assert(s.sql("PRAGMA user_version").head().getLong(0) == 7L)
-    s.sql("PRAGMA user_version = 4294967299") // 2^32 + 3 → low 32 bits
-    assert(s.sql("PRAGMA user_version").head().getLong(0) == 3L)
-    s.sql("PRAGMA user_version = 99999999999999999999") // beyond Long: no crash
+    s.sql("PRAGMA user_version = 4294967299") // outside int32 → 0
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 0L)
     s.sql("PRAGMA user_version = -1")
     assert(s.sql("PRAGMA user_version").head().getLong(0) == -1L)
+    s.sql("PRAGMA user_version = 99999999999999999999") // beyond Long: no crash, 0
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 0L)
     s.close()
   }
 
