@@ -91,16 +91,22 @@ object TextAnalysis {
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Aggressive dedup-normalization (the CCNet/RefinedWeb-style key for
-    * hashing): lower-case, strip ASCII punctuation, collapse whitespace,
-    * trim — so "Hello, World!" and "hello world" hash identically.
-    * Java's `\p{Punct}` and RE2's `[[:punct:]]` name the same ASCII set
-    * (the t02 oracle already relies on this pairing), so an external
-    * engine reproduces the key exactly for ASCII text. Caveat: case
-    * mapping of non-ASCII differs between Java (full mapping, İ→i̇) and
-    * utf8proc-based engines — cross-engine key equality is guaranteed
-    * only for the ASCII range. */
+    * hashing): ASCII lower-case, strip ASCII punctuation, collapse
+    * whitespace, trim — so "Hello, World!" and "hello world" hash
+    * identically. Case folds via `translate` (ASCII-only), NOT `lower()`:
+    * Java's full case mapping (İ→i+U+0307) and utf8proc engines (İ→i)
+    * disagree on non-ASCII, and a dedup KEY needs cross-engine/cross-run
+    * determinism more than linguistic folding — non-ASCII passes through
+    * verbatim. `\p{Punct}` and RE2's `[[:punct:]]` name the same ASCII
+    * set (the t02 oracle already relies on this pairing), so an external
+    * engine reproduces the key exactly on any text. */
   def normalizeForDedup(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[\\p{Punct}]", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(
+      translate(text, AsciiUpper, AsciiLower), "[\\p{Punct}]", " "), "\\s+", " "))
+
+  /** ASCII alphabet pair for engine-independent case folding. */
+  val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+  val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
   /** Exact-content fingerprint (md5 of normalized text). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))

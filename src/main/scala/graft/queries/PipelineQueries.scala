@@ -62,9 +62,10 @@ object PipelineQueries {
   /** ASCII-only case flip for the d09 plant: Java's `upper()` (full
     * case mapping: ß→SS) and DuckDB's (utf8proc: ß→ẞ) diverge on
     * non-ASCII, so the planted copies are up-cased via `translate`,
-    * which both engines apply byte-identically. */
-  private val asciiLower = "abcdefghijklmnopqrstuvwxyz"
-  private val asciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    * which both engines apply byte-identically (the same alphabet pair
+    * [[TextAnalysis.normalizeForDedup]] folds with). */
+  private val asciiLower = TextAnalysis.AsciiLower
+  private val asciiUpper = TextAnalysis.AsciiUpper
 
   /** Gate-query quantizer parameters, shared between the Spark queries
     * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
@@ -1172,7 +1173,8 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id < 40
         |), norm AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
+        |    trim(regexp_replace(regexp_replace(
+        |      translate(text, '$asciiUpper', '$asciiLower'), '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g')) AS n
         |  FROM corpus)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM norm GROUP BY n ORDER BY canonical_id""".stripMargin,

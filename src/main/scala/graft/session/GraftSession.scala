@@ -402,8 +402,10 @@ final class GraftSession private[session] (
   // user_version is writable application state (THE standard SQLite
   // migration-versioning idiom) — swallowing the write while the read
   // answers 0 would make a migration framework re-run forever
+  // SQLite also accepts hex (0x10 → 16) and quoted ('7' → 7) integer
+  // literals for this pragma (verified on 3.40)
   private val PragmaSetUserVersionRe =
-    """(?is)^\s*PRAGMA\s+user_version\s*=\s*([+-]?\d+)\s*;?\s*$""".r
+    """(?is)^\s*PRAGMA\s+user_version\s*=\s*(0[xX][0-9A-Fa-f]+|[+-]?\d+|'[+-]?\d+'|"[+-]?\d+")\s*;?\s*$""".r
   private val PragmaOtherRe =
     """(?is)^\s*PRAGMA\s+[A-Za-z_][A-Za-z0-9_]*\s*(?:\(.*\)|=.*)?\s*;?\s*$""".r
 
@@ -431,7 +433,10 @@ final class GraftSession private[session] (
       // tables-only and cannot persist it, so firing a full re-dump for
       // a version-only transaction would be pure wasted I/O (and the
       // top-level write fires no auto-save either — consistent).
-      val n = BigInt(v.stripPrefix("+"))
+      val raw = v.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
+      val n =
+        if (raw.toLowerCase.startsWith("0x")) BigInt(raw.drop(2), 16)
+        else BigInt(raw.stripPrefix("+"))
       userVersion = if (n.isValidInt) n.toLong else 0L
       spark.emptyDataFrame
     case PragmaVersionRe(which) =>

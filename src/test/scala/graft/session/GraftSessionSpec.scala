@@ -572,6 +572,11 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("PRAGMA user_version").head().getLong(0) == -1L)
     s.sql("PRAGMA user_version = 99999999999999999999") // beyond Long: no crash, 0
     assert(s.sql("PRAGMA user_version").head().getLong(0) == 0L)
+    // hex and quoted integer literals (SQLite accepts both)
+    s.sql("PRAGMA user_version = 0x10")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 16L)
+    s.sql("PRAGMA user_version = '7'")
+    assert(s.sql("PRAGMA user_version").head().getLong(0) == 7L)
     s.close()
   }
 
