@@ -76,6 +76,41 @@ object Sampling {
     df.filter(substring(md5(key.cast("string")), 1, 12) < thr)
   }
 
+  /** Deterministic global shuffle for training-data writes: orders rows
+    * by md5(seed || ":" || key) and assigns a contiguous 1-based global
+    * position. The order is a pure function of (seed, key) —
+    * partitioning-invariant, reproducible across reruns, and
+    * recomputable by an independent engine (the gate's DuckDB oracle
+    * does) — the property that lets a resumed or re-sharded 100 TB
+    * training-data write produce the identical example order, and lets
+    * epoch N+1 use a fresh order by changing only `seed`.
+    *
+    * Scale shape: a range-partitioned sort on the hash (Spark samples
+    * range bounds, so the sort is n-way parallel — `row_number()` over
+    * an unpartitioned window would funnel the whole corpus into ONE
+    * task), then contiguous positions from per-partition offsets via
+    * `zipWithIndex` (one tiny per-partition count job + a map — no
+    * second shuffle, no driver materialization). Rows with equal keys
+    * share a hash; their relative order is tie-broken by the key string,
+    * so the output position set is stable for unique keys and
+    * multiset-stable otherwise. */
+  def shuffleByHash(df: DataFrame, key: Column, seed: String = "",
+      posCol: String = "shuffle_pos"): DataFrame = {
+    val spark = df.sparkSession
+    val keyStr = key.cast("string")
+    val sorted = df
+      .withColumn("__sh", md5(concat(lit(seed), lit(":"), keyStr)))
+      .withColumn("__sk", keyStr)
+      .repartitionByRange(col("__sh"), col("__sk"))
+      .sortWithinPartitions(col("__sh"), col("__sk"))
+      .drop("__sh", "__sk")
+    val withPos = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withPos,
+      sorted.schema.add(posCol, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Deterministic weighted train/val/test split: label each row by
     * which cumulative-weight interval of the md5(key) space it falls in.
     * Pure per-row codegen — no shuffle, no RNG, partitioning-invariant —
