@@ -50,7 +50,14 @@ object Bench {
       s(s.length / 2)
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional focus list for iterating on specific queries
+    // (SPARK_GRAFT_BENCH_ONLY=q23_json_extract,s04_ann_ivfpq); the
+    // driver never sets it, so the gate always measures the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       System.gc() // drain garbage left by the previous query, off the clock
       val sec =
         try median(Seq.fill(repeats)(

@@ -115,6 +115,32 @@ object ScaleProbe {
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), 0.25)))
     t("split 50k docs")(noop(graft.ops.Sampling.splitByHash(
       d10, col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))))
+
+    // round-3 continuation at 10×: boilerplate-line strip, duplicated
+    // spans, the persisted minhash index (write once + probe a batch),
+    // and SemDeDup over the 10× embeddings (10 exact replicas per
+    // direction — every replica group must collapse within its cell).
+    t("boilerplate strip 50k docs")(noop(TextAnalysis.removeBoilerplateLines(
+      d10.withColumn("text",
+        concat(col("text"), lit("\nSubscribe to our newsletter today"))),
+      "doc_id", "text", minDocs = 1000)))
+    t("dup spans 50k docs")(noop(
+      TextAnalysis.duplicatedSpans(d10, "doc_id", "text", n = 8, minDocs = 2)))
+    val idxPath = java.nio.file.Files.createTempDirectory("scale-mh")
+      .resolve("idx").toString
+    val corpus9 = sh.filter(col("doc_id") % 10 =!= 9)
+    val batch1 = sh.filter(col("doc_id") % 10 === 9)
+    t("minhash index write 45k docs")(
+      Dedup.writeMinhashIndex(corpus9, "doc_id", "shingles", idxPath))
+    val probed = t("minhash index probe 5k batch")(
+      Dedup.probeMinhashIndex(spark, idxPath, batch1,
+        "doc_id", "shingles", threshold = 0.6).count())
+    println("SCALE indexed near-dup pairs: " + probed)
+    val cents128 = graft.ops.Similarity.trainCentroids(e10, "embedding", 128)
+    val sem = t("semantic dedup 20k vectors")(
+      graft.ops.Similarity.semanticDedup(e10, "vec_id", "embedding",
+        threshold = 0.999, centroids = Some(cents128)).count())
+    println("SCALE semdedup survivors: " + sem)
     spark.stop()
   }
 }

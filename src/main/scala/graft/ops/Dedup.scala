@@ -346,4 +346,110 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .dropDuplicates("id_a", "id_b")
   }
+
+  // ------------------------------------------------ persisted LSH index
+
+  /** Banded signature rows (id, band, bh) for an (id, shingles) frame. */
+  private def bandRows(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    base.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+      .select(col("id"), posexplode(array((0 until numBands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("id", "band", "bh")
+  }
+
+  /** Persist a corpus's MinHash LSH state so CONTINUOUS INGEST never
+    * re-reads the corpus: `path/bands` holds the narrow banded
+    * signature rows (id, band, bh, bucket_n), `path/docs` the per-doc
+    * verification shingles, `path/meta` the banding parameters (so a
+    * probe can't silently band differently). The shingle + signature
+    * pass over the corpus — the expensive part at 100 TB — is paid
+    * ONCE here; each incoming batch then probes band buckets
+    * ([[probeMinhashIndex]]) and verifies only its candidates.
+    *
+    * `bucket_n` is each (band, bh) bucket's corpus-side size, computed
+    * at write time, so probes can skip boilerplate mega-buckets without
+    * re-aggregating the index. [[appendToMinhashIndex]] counts only
+    * within the appended segment — after heavy appends, rewrite the
+    * index to re-compact the counts. */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, shingleCol: String,
+      path: String, numHashes: Int = 64, numBands: Int = 16): Unit = {
+    val base = corpus.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counted = bandRows(base, numHashes, numBands)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+    counted.write.mode("overwrite").parquet(path + "/bands")
+    base.write.mode("overwrite").parquet(path + "/docs")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((numHashes, numBands)).toDF("num_hashes", "num_bands")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    base.unpersist()
+    ()
+  }
+
+  /** Append a (typically already-cleaned) batch to a
+    * [[writeMinhashIndex]] index, banding with the index's own stored
+    * parameters. `bucket_n` for the appended rows counts within this
+    * segment only (see [[writeMinhashIndex]]). */
+  def appendToMinhashIndex(batch: DataFrame, idCol: String,
+      shingleCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(path + "/meta").collect().head
+    val base = batch.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandRows(base, meta.getInt(0), meta.getInt(1))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .write.mode("append").parquet(path + "/bands")
+    base.write.mode("append").parquet(path + "/docs")
+    base.unpersist()
+    ()
+  }
+
+  /** Incremental near-dedup: find (batch_id, corpus_id, jaccard) pairs
+    * between a new batch and a [[writeMinhashIndex]]-persisted corpus,
+    * WITHOUT touching the corpus text — candidates come from an
+    * equi-join of the batch's band rows against the stored band rows,
+    * and exact-Jaccard verification joins shingles for the (small)
+    * candidate set only. The incremental analogue of [[nearDupPairs]]:
+    * at 100 TB the per-batch cost is one pass over the BATCH plus a
+    * narrow hash join against the index — the corpus is never
+    * re-shingled.
+    *
+    * @param maxBucket corpus buckets larger than this (write-time
+    *        `bucket_n`) are skipped — the boilerplate-cluster skew
+    *        guard, same trade as [[minhashCandidates]]. */
+  def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val meta = spark.read.parquet(indexPath + "/meta").collect().head
+    val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
+    val b = batch.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = spark.read.parquet(indexPath + "/bands")
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("id").as("corpus_id"), col("band"), col("bh"))
+      .join(bandRows(b, numHashes, numBands)
+        .select(col("id").as("batch_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("corpus_id") =!= col("batch_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val docs = spark.read.parquet(indexPath + "/docs")
+      .select(col("id").as("corpus_id"), col("shingles").as("c_sh"))
+    val verified = cand
+      .join(docs, Seq("corpus_id"))
+      .join(b.select(col("id").as("batch_id"), col("shingles").as("b_sh")),
+        Seq("batch_id"))
+      .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      // verified pairs are small by construction — materialize so the
+      // batch cache can be released (same rationale as minhashCandidates)
+      .localCheckpoint()
+    b.unpersist()
+    verified
+  }
 }

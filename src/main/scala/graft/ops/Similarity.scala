@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * scale path.
   *
   * Scale design:
-  *   - dot products / norms are `zip_with` + `aggregate` Catalyst
-  *     expressions — per-row, codegen'd, no UDF;
+  *   - dot products / norms run through a tight-loop codegen kernel
+  *     ([[graft.functions.VecOpsImpl]]) — per-row, inlined into
+  *     whole-stage codegen, no UDF, no per-call array allocation;
   *   - brute-force top-k broadcasts the (small) query set against the
   *     distributed corpus and takes top-k in two stages (per-partition
   *     pre-top-k, then final) so no single task sees the whole corpus;
@@ -23,10 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two array columns — a custom
+    * codegen kernel ([[graft.functions.VecOpsImpl]]): the declarative
+    * `aggregate(zip_with(…))` form allocates an intermediate array per
+    * call, which dominates ANN rerank / SemDeDup pair scoring at
+    * millions of candidates. Summation order is unchanged, so scores
+    * stay bitwise-identical (oracle gates rely on it). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecOps.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -535,15 +539,70 @@ object Similarity {
     val planes = hyperplanes(dim, numPlanes)
     val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
       .withColumn("bucket", bucketId(col("v"), planes))
-    v.select(col("bucket"), struct(col("id"), col("v")).as("item"))
-      .groupBy(col("bucket"))
+    localPairs(v, "bucket", threshold, maxBucket)
+  }
+
+  /** Bucket/cell-local near-dup pair generation shared by
+    * [[embeddingNearDups]] (hyperplane buckets) and
+    * [[semanticNearDupPairs]] (centroid cells): collect each group's
+    * (id, v) items, cap with `maxGroup`, explode ordered pairs, keep
+    * cosine ≥ threshold. Each row lands in exactly one group, so a pair
+    * can only form once (no dedup shuffle needed). */
+  private def localPairs(v: DataFrame, groupCol: String,
+      threshold: Double, maxGroup: Int): DataFrame =
+    v.select(col(groupCol).as("grp"), struct(col("id"), col("v")).as("item"))
+      .groupBy(col("grp"))
       .agg(collect_list(col("item")).as("items"))
-      .filter(size(col("items")).between(2, maxBucket))
+      .filter(size(col("items")).between(2, maxGroup))
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .withColumn("cosine_sim", dot(col("a.v"), col("b.v")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
+
+  /** SemDeDup-style semantic near-dup pairs: the corpus is clustered
+    * into centroid cells (the same coarse quantizer IVF uses — one
+    * narrow per-row assignment against broadcast centroids), and
+    * pairwise cosine runs only WITHIN a cell. Versus hyperplane LSH
+    * buckets, cells follow the data distribution: a k-means cell is a
+    * semantic neighborhood, so cross-cell misses are pairs that were
+    * far apart anyway (the SemDeDup trade).
+    *
+    * 100 TB shape: assignment is a per-row map; pair generation is
+    * cell-local with a `maxCell` cap (a boilerplate mega-cluster can't
+    * go quadratic — handle it with exact dedup); cell count scales with
+    * corpus size (nList ≈ n / targetCellSize keeps cells bounded). */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCell: Int = 1000): DataFrame = {
+    val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("cell", cellId(col("v"), centroids))
+    localPairs(v, "cell", threshold, maxCell)
+  }
+
+  /** SemDeDup: semantic deduplication over an embedding column. Keeps
+    * one representative per connected component of
+    * [[semanticNearDupPairs]] — the member with the HIGHEST
+    * `scoreCol` if given (quality-aware selection, min id on ties),
+    * else the min id — plus every un-clustered row.
+    *
+    * Returns the surviving rows of `df` (all original columns).
+    * Centroids default to Lloyd-trained ([[trainCentroids]]); pass
+    * precomputed ones to skip training (the persisted-quantizer path). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nList: Int = 16, maxCell: Int = 1000,
+      centroids: Option[Array[Array[Double]]] = None,
+      scoreCol: Option[String] = None): DataFrame = {
+    val cts = centroids.getOrElse(trainCentroids(df, vecCol, nList))
+    val pairs = semanticNearDupPairs(df, idCol, vecCol, cts, threshold, maxCell)
+    scoreCol match {
+      case Some(sc) => graft.ops.Dedup.bestPerCluster(df, idCol, sc, pairs)
+      case None =>
+        val losers = graft.ops.Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("__loser_id")).distinct()
+        df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+    }
   }
 }

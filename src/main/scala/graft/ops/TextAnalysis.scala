@@ -251,4 +251,59 @@ object TextAnalysis {
       .withColumn("cum_share",
         sum("n_tokens").over(cum).cast("double") / sum("n_tokens").over(all).cast("double"))
   }
+
+  /** Remove boilerplate LINES — lines whose exact content recurs in at
+    * least `minDocs` distinct documents (cookie banners, nav bars,
+    * footers: the CCNet/RefinedWeb line-dedup pass). Returns one row
+    * per input document: (idCol, clean_text, removed_lines,
+    * kept_lines). A document whose every line is boilerplate survives
+    * with an empty `clean_text`.
+    *
+    * Shape at 100 TB: one explode + hash-aggregate over (line-hash)
+    * with map-side combine to find frequent lines (narrow 16-byte keys
+    * — line text never enters that shuffle), one join of the exploded
+    * lines against the frequent set (broadcastable when the frequent
+    * set is small — it is, by construction: lines repeated ≥ minDocs
+    * times), one per-doc rebuild aggregation. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String,
+      textCol: String = "text", minDocs: Long = 30): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    // distinct docs per line content; two-phase (partial distinct) agg
+    val frequent = lines.select(col("lh"), col(idCol)).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("lh"), lit(true).as("bp"))
+    lines.join(frequent, Seq("lh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("removed_lines"),
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("kept_lines"))
+  }
+
+  /** Duplicated SPANS: word n-grams appearing in at least `minDocs`
+    * distinct documents — the exact-substring cross-document duplication
+    * signal (long shared spans = copied passages; n ≈ 8-13 words is the
+    * usual training-data-dedup window). Returns
+    * (gram, n_docs, first_doc). Per-doc shingles are DISTINCT
+    * ([[Dedup.textShingles]] — the fused codegen kernel; a doc shorter
+    * than n words contributes its whole text as one span), so a plain
+    * count is a document frequency.
+    *
+    * Shape at 100 TB: explode + one hash aggregate with map-side
+    * combine. The gram string must cross the shuffle (it IS the
+    * output); partial aggregation collapses per-partition repeats
+    * first, and the ≥ minDocs filter makes the result tiny. */
+  def duplicatedSpans(df: DataFrame, idCol: String,
+      textCol: String = "text", n: Int = 8, minDocs: Long = 2): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Dedup.textShingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
 }

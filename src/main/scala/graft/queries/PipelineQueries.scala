@@ -84,13 +84,20 @@ object PipelineQueries {
   /** Query bag for the BM25 gate — mid-frequency corpus terms. */
   private val bm25GateTerms = Seq("sort", "join", "window", "stream", "filter")
 
+  /** SemDeDup gate cell count (p10): more cells than the s03 probe gate
+    * because within-cell pair generation is quadratic per cell — 16
+    * cells both bounds the pair count and spreads cell tasks. */
+  private val semGateNList = 16
+
   /** Centroids = normalized embeddings of nList strided vec_ids; both
     * engines derive the id list from count(*) (vec_ids are contiguous). */
-  private def gateCentroids(e: DataFrame): Array[Array[Double]] = {
+  private def gateCentroidsN(e: DataFrame, nList: Int): Array[Array[Double]] = {
     val n = e.count()
     Similarity.vectorsByIds(e, "vec_id", "embedding",
-      (0 until ivfGateNList).map(j => j * n / ivfGateNList))
+      (0 until nList).map(j => j * n / nList))
   }
+  private def gateCentroids(e: DataFrame): Array[Array[Double]] =
+    gateCentroidsN(e, ivfGateNList)
 
   /** PQ codewords = subspace slices of kSub strided (+1 offset, so they
     * differ from the centroid rows) normalized embeddings. */
@@ -132,6 +139,37 @@ object PipelineQueries {
         val path = base.resolve("index").toString
         Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
           gateCentroids(e), gateCodebooks(e))
+        path
+      }
+      () => built
+    })()
+
+  // per-key memoization, same shape (and rationale) as pqIndexCache
+  private val mhIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, () => String]
+
+  /** Build (once per data dir) a persisted MinHash LSH index over the
+    * d10 gate corpus (doc_id < 400, word-3-gram shingles) — the
+    * continuous-ingest shape: the corpus is shingled and signed ONCE at
+    * write time; every probe batch afterwards touches only the stored
+    * band rows and candidate shingles. Near-exhaustive banding (32
+    * bands × 2 rows — miss-free on this corpus, see the d02 comment) so
+    * the probe result equals the exact-Jaccard oracle. */
+  private def mhIndexFor(s: SparkSession, dir: String): String =
+    mhIndexCache.getOrElseUpdate(dir, {
+      lazy val built: String = {
+        val corpus = docs(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+        val base = java.nio.file.Files.createTempDirectory("graft-mh-index")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(base.toFile)
+        }))
+        val path = base.resolve("index").toString
+        Dedup.writeMinhashIndex(corpus, "doc_id", "shingles", path,
+          numHashes = 64, numBands = 32)
         path
       }
       () => built
@@ -277,6 +315,67 @@ object PipelineQueries {
           "doc_id", "q", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+
+    // ---- dedup: incremental NEAR-dedup against a persisted MinHash
+    // index — the continuous-ingest shape: the corpus is shingled and
+    // signed ONCE (writeMinhashIndex, memoized per dir); each new batch
+    // probes the stored band buckets and exact-verifies only its
+    // candidates. Near-exhaustive banding + lifted cap make the result
+    // equal DuckDB's exact batch × corpus all-pairs Jaccard.
+    "d10_indexed_neardup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" perturbed suffix token")).as("text")))
+        .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+      Dedup.probeMinhashIndex(s, mhIndexFor(s, dir), batch, "doc_id", "shingles",
+          threshold = 0.6, maxBucket = Int.MaxValue)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
+    // ---- cleaning: boilerplate-LINE removal (the CCNet/RefinedWeb
+    // line-dedup pass) — lines recurring in ≥ minDocs distinct docs are
+    // stripped, documents are rebuilt in line order. Planted: a footer
+    // on every 4th doc (crosses the threshold → removed) and a header
+    // on every 25th (stays under it at sf0.01 → kept).
+    "p09_boilerplate" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 25 === 0, lit("COOKIE NOTICE\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nSubscribe to our newsletter today")).otherwise(lit(""))).as("text"))
+      TextAnalysis.removeBoilerplateLines(aug, "doc_id", "text", minDocs = 30)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("removed_lines"), col("kept_lines"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: SemDeDup — semantic near-dup collapse inside coarse-
+    // quantizer cells. The gate runs with the deterministic strided-row
+    // centroids (the s03 discipline) so DuckDB reproduces cell
+    // assignment, within-cell cosine, transitive closure and min-id
+    // survivor selection end-to-end; Lloyd-trained centroids (the
+    // production default) are covered by spec.
+    "p10_semdedup" -> ((s, dir) => {
+      val base = embeds(s, dir).select("vec_id", "embedding")
+      val planted = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Similarity.semanticDedup(base.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.995, maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(embeds(s, dir), semGateNList)))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // ---- text: duplicated cross-document SPANS — word 8-grams present
+    // in ≥ 2 distinct docs (copied-passage detection; the planted
+    // near-dup copies share every interior 8-gram with their originals).
+    "t12_dup_spans" -> ((s, dir) =>
+      TextAnalysis.duplicatedSpans(docsWithNearDups(s, dir), "doc_id", "text",
+          n = 8, minDocs = 2)
+        .orderBy(col("gram"))),
 
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
     // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
@@ -868,6 +967,48 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for p10 (SemDeDup): same normalized vectors and
+    * strided-row centroids as the s03 oracle, but cell assignment runs
+    * over the corpus ∪ planted copies; pairs form only WITHIN a cell,
+    * then the d02/p04 recursive-closure + min-id survivor machinery.
+    * The plant multiplies floats by 1.01 (double in SQL) — a ~1e-8
+    * normalized-vector difference against a ≥ 0.995 threshold and a
+    * ≥ 0.01 centroid-score gap, so no decision can flip (the d05
+    * tolerance argument); only ids are output, never raw scores. */
+  private def p10OracleSql: String = {
+    val js = (0 until semGateNList).map(j => s"($j)").mkString(",")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |allv AS (
+       |  SELECT vec_id, emb FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, [x * 1.01 for x in emb] AS emb
+       |  FROM e WHERE vec_id < 20
+       |),
+       |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM allv),
+       |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $semGateNList AS cid
+       |  FROM (VALUES $js) t(j)),
+       |cents AS (SELECT cids.j, nv.v AS cv FROM cids JOIN nv ON nv.vec_id = cids.cid),
+       |assign AS (SELECT vec_id, v, cell FROM (
+       |  SELECT nv.vec_id, nv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |    ORDER BY list_inner_product(nv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM nv CROSS JOIN cents c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_inner_product(a.v, b.v) >= 0.995
+       |),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+       |compm AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+       |SELECT av.vec_id FROM allv av LEFT JOIN compm m ON m.id = av.vec_id
+       |WHERE m.id IS NULL OR m.comp = av.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for t08: the EXACT rational-idf BM25 — same
     * left-associative expression order as the Spark column tree, decimal
     * per-doc sum cast back to double. Constants appear as the same
@@ -1068,6 +1209,98 @@ object PipelineQueries {
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    // exact batch × corpus all-pairs Jaccard over the same word-3-gram
+    // shingles — the persisted-index probe path must reproduce it
+    // exactly (miss-free banding, see the d10 query comment)
+    "d10_indexed_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 30
+        |), csh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |    FROM corpus)
+        |), bsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |    FROM batch)
+        |)
+        |SELECT batch_id, corpus_id, jaccard FROM (
+        |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+        |      / greatest(len(list_distinct(b.s || c.s)), 1) AS jaccard
+        |  FROM bsh b, csh c
+        |) WHERE jaccard >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // line explode via the t11 range-join idiom; frequent lines by
+    // count(DISTINCT doc_id); rebuild = ordered string_agg of the kept
+    // lines (FILTER + ORDER BY pos), coalesced to '' when everything was
+    // boilerplate — matching Spark's empty array_join
+    "p09_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 25 = 0 THEN 'COOKIE NOTICE' || chr(10) ELSE '' END)
+        |    || text ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END)
+        |    AS text
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lst FROM aug
+        |), lines AS (
+        |  SELECT doc_id, i AS pos, lst[CAST(i + 1 AS BIGINT)] AS line
+        |  FROM ls, range(0, 200) r(i) WHERE i < len(lst)
+        |), freq AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)
+        |  WHERE nd >= 30
+        |), marked AS (
+        |  SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS bp
+        |  FROM lines l LEFT JOIN freq f ON f.line = l.line
+        |)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT bp), '')) AS clean_md5,
+        |  CAST(coalesce(SUM(CASE WHEN bp THEN 1 END), 0) AS BIGINT) AS removed_lines,
+        |  CAST(coalesce(SUM(CASE WHEN NOT bp THEN 1 END), 0) AS BIGINT) AS kept_lines
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p10_semdedup" -> p10OracleSql,
+
+    // same word-8-gram shingles (distinct per doc, whole-text fallback
+    // for short docs) → document frequency ≥ 2
+    "t12_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+7], ' ') for i in range(1, len(tk) - 6)])
+        |    END AS s
+        |  FROM toks
+        |), g AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+        |SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM g GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin,
 
     "s01_ann_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (

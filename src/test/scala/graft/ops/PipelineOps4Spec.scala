@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 continuation additions: boilerplate-line
+  * removal, duplicated-span detection, the persisted MinHash LSH index
+  * (continuous-ingest near-dedup), and SemDeDup. */
+class PipelineOps4Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("removeBoilerplateLines: frequent lines stripped, order kept, empty docs survive") {
+    // "BP" appears in 4 docs (>= minDocs 3), "rare" in 2 (< 3)
+    val docs = Seq(
+      (0L, "alpha\nBP\nbeta"),
+      (1L, "BP\ngamma"),
+      (2L, "delta\nBP"),
+      (3L, "BP"), // every line boilerplate -> empty doc survives
+      (4L, "rare\nepsilon"),
+      (5L, "rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out(0) == ((0L, "alpha\nbeta", 1L, 2L))) // interior line removed, order kept
+    assert(out(1) == ((1L, "gamma", 1L, 1L)))
+    assert(out(2) == ((2L, "delta", 1L, 1L)))
+    assert(out(3) == ((3L, "", 1L, 0L)))
+    assert(out(4) == ((4L, "rare\nepsilon", 0L, 2L)))
+    assert(out(5) == ((5L, "rare", 0L, 1L)))
+    // partitioning-invariant (the line-frequency join is global state)
+    val repart = TextAnalysis.removeBoilerplateLines(
+        docs.repartition(7), "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == out.toSet)
+    // a doc with the SAME line twice counts once toward the doc frequency
+    val twice = Seq((0L, "x\nx"), (1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val kept = TextAnalysis.removeBoilerplateLines(twice, "doc_id", "text", minDocs = 3)
+      .filter(col("removed_lines") > 0).count()
+    assert(kept == 0L) // x is in only 2 docs
+  }
+
+  test("duplicatedSpans: cross-doc 8-grams found, short-doc fallback, within-doc repeats count once") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, s"prefix $shared tail0"),
+      (1L, s"$shared tail1 stuff"),
+      (2L, "totally unrelated words here nothing shared at all"),
+      (3L, "tiny doc"), (4L, "tiny doc"), // < 8 tokens: whole text is the span
+      (5L, s"$shared middle $shared")) // repeated within one doc
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGram = out.map(g => g._1 -> ((g._2, g._3))).toMap
+    assert(byGram(shared) == ((3L, 0L))) // docs 0, 1, 5 (5's repeat counts once)
+    assert(byGram("tiny doc") == ((2L, 3L)))
+    assert(!out.exists(_._1.contains("unrelated")))
+  }
+
+  test("minhash index: write once, probe finds near-dups, append extends the corpus") {
+    val mk = (id: Long, text: String) =>
+      (id, text)
+    val corpus = Seq(
+      mk(0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      mk(1L, "completely different content about spark shuffles and partitions"),
+      mk(2L, "a third unrelated document mentioning parquet files and schemas"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val path = tmpDir("graft-mh-idx").resolve("idx").toString
+    Dedup.writeMinhashIndex(corpus, "doc_id", "shingles", path,
+      numHashes = 64, numBands = 32)
+    // batch: one near-dup of doc 0, one fresh doc
+    val batch = Seq(
+      mk(100L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      mk(101L, "entirely novel text with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val pairs = Dedup.probeMinhashIndex(spark, path, batch, "doc_id", "shingles",
+        threshold = 0.5, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((100L, 0L)))
+    assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
+    // append the fresh doc, then a copy of it must match on re-probe
+    Dedup.appendToMinhashIndex(
+      batch.filter(col("doc_id") === 101L), "doc_id", "shingles", path)
+    val batch2 = Seq(
+      mk(200L, "entirely novel text with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val pairs2 = Dedup.probeMinhashIndex(spark, path, batch2, "doc_id", "shingles",
+        threshold = 0.9, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs2.toSet == Set((200L -> 101L)))
+    // the maxBucket guard drops mega-buckets: with every corpus doc
+    // identical, bucket_n = 3 > maxBucket 2 -> no candidates at all
+    val boiler = Seq(mk(0L, "same text"), mk(1L, "same text"), mk(2L, "same text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val bpath = tmpDir("graft-mh-idx2").resolve("idx").toString
+    Dedup.writeMinhashIndex(boiler, "doc_id", "shingles", bpath,
+      numHashes = 64, numBands = 32)
+    val probeBoiler = Dedup.probeMinhashIndex(spark, bpath,
+      Seq(mk(300L, "same text")).toDF("doc_id", "text")
+        .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles")),
+      "doc_id", "shingles", threshold = 0.5, maxBucket = 2)
+    assert(probeBoiler.count() == 0L)
+  }
+
+  test("semanticDedup: within-cell collapse, min-id and quality-aware selection, trained default") {
+    // two well-separated direction clusters + a near-identical pair in each
+    val base = Seq(
+      (0L, Array(1.0f, 0.02f, 0f, 0f)),
+      (1L, Array(1.01f, 0.0202f, 0f, 0f)), // near-dup of 0 (same direction)
+      (2L, Array(0f, 0f, 1.0f, 0.01f)),
+      (3L, Array(0f, 0f, 1.0f, 0.0f)), // close to 2 but not scaled-identical
+      (4L, Array(0.7f, 0.7f, 0f, 0f))) // same half-space as 0/1, different direction
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val pairs = Similarity.semanticNearDupPairs(base, "vec_id", "embedding",
+        cents, threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L), (2L, 3L)))
+    // min-id survivors
+    val survivors = Similarity.semanticDedup(base, "vec_id", "embedding",
+        threshold = 0.995, centroids = Some(cents))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L, 4L))
+    // quality-aware: the HIGHER-quality member of each pair survives
+    val scored = base.withColumn("q", col("vec_id").cast("double"))
+    val best = Similarity.semanticDedup(scored, "vec_id", "embedding",
+        threshold = 0.995, centroids = Some(cents), scoreCol = Some("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(1L, 3L, 4L))
+    // Lloyd-trained default (no centroids passed): same near-identical
+    // pairs collapse — cluster boundaries can differ, but a scaled copy
+    // always shares its original's cell
+    val trained = Similarity.semanticDedup(base, "vec_id", "embedding",
+        threshold = 0.9999, nList = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!(trained.contains(0L) && trained.contains(1L)))
+  }
+}
