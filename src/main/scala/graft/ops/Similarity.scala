@@ -581,6 +581,71 @@ object Similarity {
     localPairs(v, "cell", threshold, maxCell)
   }
 
+  /** k-nearest-neighbor GRAPH: every row's top-k cosine neighbors among
+    * the rows sharing its coarse-quantizer cell — the primitive under
+    * SemDeDup-style pipelines, graph clustering and graph-based quality
+    * scoring. Unlike [[bruteForceTopK]] (a small query batch vs the
+    * corpus), this is corpus × corpus: the cell join caps the candidate
+    * space at Σ cell² instead of n², and the two-stage
+    * [[topKPerQuery]] keeps any one node's rank off a single task.
+    * Rows in a singleton cell (or a cell over `maxCell`) get no edges —
+    * the SemDeDup trade; size `nList` with the corpus so cells stay
+    * small and populated. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nList: Int = 16, maxCell: Int = 1000,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cts = centroids.getOrElse(trainCentroids(df, vecCol, nList))
+    val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("cell", cellId(col("v"), cts))
+    // each unordered pair is scored ONCE (i < j), then emitted in both
+    // directions for the per-node rank
+    val pairs = localPairs(v, "cell", threshold = -2.0, maxGroup = maxCell)
+    val directed = pairs
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+        col("cosine_sim"))
+      .unionByName(pairs.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id"), col("cosine_sim")))
+    topKPerQuery(directed, "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Element-wise mean of vectors per group — chunk-embedding →
+    * document-embedding pooling. Returns (groupCol, n_vecs, mean_vec).
+    *
+    * Relational shape: posexplode to (group, idx, x) — narrow ~20-byte
+    * rows — then one hash aggregate on (group, idx) with map-side
+    * combine and a per-group reassembly. The alternative —
+    * collect_list of whole vectors per group — holds every member
+    * vector in one aggregation buffer; this shape never materializes
+    * more than a scalar per (group, dimension).
+    *
+    * Components are quantized to `10^-quantScale` (round-to-integer on
+    * the scaled value) and summed as LONGS: the mean is then
+    * bitwise-independent of partitioning AND engine. The default 1e-8
+    * grid sits below a float's ulp for unit-scale embeddings, so
+    * nothing material is lost. (DECIMAL sums of raw doubles are NOT
+    * cross-engine stable: Spark rounds the double's shortest decimal
+    * repr where DuckDB rounds its exact binary expansion, and the two
+    * disagree on rare boundary values at every scale. Round-to-integer
+    * of the same double agrees everywhere, ties included — both round
+    * half away from zero.) */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String,
+      quantScale: Int = 8): DataFrame = {
+    val q = math.pow(10, quantScale)
+    df.select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "x")))
+      .groupBy(col("group_id"), col("idx"))
+      .agg(sum(round(col("x") * lit(q)).cast("long")).as("sw"),
+        count(lit(1)).as("n"))
+      .select(col("group_id"), col("idx"),
+        (col("sw").cast("double") / (col("n").cast("double") * lit(q))).as("m"),
+        col("n"))
+      .groupBy(col("group_id"))
+      .agg(max(col("n")).as("n_vecs"),
+        transform(array_sort(collect_list(struct(col("idx"), col("m")))),
+          s => s.getField("m")).as("mean_vec"))
+  }
+
   /** SemDeDup: semantic deduplication over an embedding column. Keeps
     * one representative per connected component of
     * [[semanticNearDupPairs]] — the member with the HIGHEST

@@ -369,6 +369,33 @@ object PipelineQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // ---- embeddings: chunk→document mean pooling. Groups = vec_id % 50
+    // (synthetic "documents" of ~n/50 chunk vectors each); output is
+    // exploded to (doc, idx, mean_x) rows so the gate compares scalars,
+    // with DECIMAL sums making the means partition-order independent.
+    "p11_mean_pool" -> ((s, dir) => {
+      val e = embeds(s, dir)
+        .select((col("vec_id") % 50).as("doc_id"), col("embedding"))
+      Similarity.meanPool(e, "doc_id", "embedding")
+        .select(col("group_id").as("doc_id"), col("n_vecs"),
+          posexplode(col("mean_vec")).as(Seq("idx", "mean_x")))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // ---- similarity: k-NN GRAPH (corpus × corpus top-k inside
+    // coarse-quantizer cells — the SemDeDup/graph-clustering primitive).
+    // Deterministic strided-row centroids (s03 discipline) so DuckDB
+    // reproduces cell assignment, within-cell cosine and the per-node
+    // rank end-to-end.
+    "s05_knn_graph" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text: duplicated cross-document SPANS — word 8-grams present
     // in ≥ 2 distinct docs (copied-passage detection; the planted
     // near-dup copies share every interior 8-gram with their originals).
@@ -1009,6 +1036,32 @@ object PipelineQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB oracle for s05 (kNN graph): the s03 cell-assignment CTEs at
+    * the SemDeDup cell count, each unordered within-cell pair scored
+    * once, both directions ranked per node (desc sim, neighbor-id tie
+    * break) — the exact knnGraph computation. */
+  private def s05OracleSql: String = {
+    val js = (0 until semGateNList).map(j => s"($j)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
+       |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $semGateNList AS cid
+       |  FROM (VALUES $js) t(j)),
+       |cents AS (SELECT cids.j, nv.v AS cv FROM cids JOIN nv ON nv.vec_id = cids.cid),
+       |assign AS (SELECT vec_id, v, cell FROM (
+       |  SELECT nv.vec_id, nv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |    ORDER BY list_inner_product(nv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM nv CROSS JOIN cents c) WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    list_inner_product(a.v, b.v) AS sim
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |directed AS (SELECT ida AS query_id, idb AS neighbor_id, sim FROM pairs
+       |  UNION ALL SELECT idb AS query_id, ida AS neighbor_id, sim FROM pairs)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM directed)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle for t08: the EXACT rational-idf BM25 — same
     * left-associative expression order as the Spark column tree, decimal
     * per-doc sum cast back to double. Constants appear as the same
@@ -1278,6 +1331,25 @@ object PipelineQueries {
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p10_semdedup" -> p10OracleSql,
+    "s05_knn_graph" -> s05OracleSql,
+
+    // per-(group, dimension) means over 1e-8-quantized components
+    // (scaled-LONG sums — the only double→fixed-point conversion both
+    // engines perform identically, see meanPool's Scaladoc); range(1,65)
+    // covers the fixed dim-64 embedding
+    "p11_mean_pool" ->
+      """WITH e AS (
+        |  SELECT vec_id % 50 AS doc_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx,
+        |    CAST(round(emb[CAST(i AS BIGINT)] * 100000000.0) AS BIGINT) AS w
+        |  FROM e, range(1, 65) r(i)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vecs, idx,
+        |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 100000000.0) AS mean_x
+        |FROM x GROUP BY doc_id, idx ORDER BY doc_id, idx""".stripMargin,
 
     // same word-8-gram shingles (distinct per doc, whole-text fallback
     // for short docs) → document frequency ≥ 2

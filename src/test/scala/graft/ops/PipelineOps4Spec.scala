@@ -139,4 +139,85 @@ class PipelineOps4Spec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(!(trained.contains(0L) && trained.contains(1L)))
   }
+
+  test("meanPool: exact element-wise means, partitioning-invariant") {
+    val chunks = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (0L, Array(3.0f, 6.0f)),
+      (1L, Array(5.0f, -1.0f))).toDF("doc_id", "vec")
+    val out = Similarity.meanPool(chunks, "doc_id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toList))
+      .sortBy(_._1)
+    assert(out.toList == List(
+      (0L, 2L, List(2.0, 4.0)),
+      (1L, 1L, List(5.0, -1.0))))
+    val repart = Similarity.meanPool(chunks.repartition(5), "doc_id", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toList))
+      .sortBy(_._1)
+    assert(repart.toList == out.toList)
+  }
+
+  test("knnGraph: per-node ranks within cells, singleton cells give no edges") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.3f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))) // alone in its cell
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2,
+        centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    // node 0's nearest is 1 (0.994) then 2 (0.936); node 3 has no edges
+    assert(g.filter(_._1 == 0L).map(_._3).toList == List(1L, 2L))
+    assert(g.filter(_._1 == 1L).head._3 == 2L || g.filter(_._1 == 1L).head._3 == 0L)
+    assert(!g.exists(_._1 == 3L))
+    // every non-singleton node has exactly min(k, cellmates) edges
+    assert(g.count(_._1 == 2L) == 2)
+  }
+
+  test("streaming continuous ingest: foreachBatch probes + appends the minhash index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    val path = tmpDir("graft-mh-stream").resolve("idx").toString
+    val seed = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    Dedup.writeMinhashIndex(seed, "doc_id", "shingles", path,
+      numHashes = 64, numBands = 32)
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val dupsFound = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // per micro-batch: probe the persisted index, record near-dups,
+    // append only the novel docs — the index IS the streaming state,
+    // shared across restarts and across batch/streaming jobs
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sh = batch.select(col("doc_id"),
+          Dedup.textShingles(col("text"), 3).as("shingles"))
+        val pairs = Dedup.probeMinhashIndex(batch.sparkSession, path, sh,
+          "doc_id", "shingles", threshold = 0.6)
+        dupsFound ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val dupIds = pairs.select("batch_id").distinct()
+        Dedup.appendToMinhashIndex(
+          sh.join(dupIds, sh("doc_id") === dupIds("batch_id"), "left_anti"),
+          "doc_id", "shingles", path)
+        ()
+      }.start()
+    try {
+      // batch 1: one near-dup of seed doc 0, one novel doc
+      stream.addData((100L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (101L, "completely novel streaming content goes right here"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of the doc APPENDED in batch 1
+      stream.addData((200L, "completely novel streaming content goes right there"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(dupsFound.toSet == Set((100L, 0L), (200L, 101L)))
+  }
 }
