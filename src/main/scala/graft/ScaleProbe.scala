@@ -126,8 +126,8 @@ object ScaleProbe {
       "doc_id", "text", minDocs = 1000)))
     t("dup spans 50k docs")(noop(
       TextAnalysis.duplicatedSpans(d10, "doc_id", "text", n = 8, minDocs = 2)))
-    val idxPath = java.nio.file.Files.createTempDirectory("scale-mh")
-      .resolve("idx").toString
+    val idxBase = java.nio.file.Files.createTempDirectory("scale-mh")
+    val idxPath = idxBase.resolve("idx").toString
     val corpus9 = sh.filter(col("doc_id") % 10 =!= 9)
     val batch1 = sh.filter(col("doc_id") % 10 === 9)
     t("minhash index write 45k docs")(
@@ -136,6 +136,13 @@ object ScaleProbe {
       Dedup.probeMinhashIndex(spark, idxPath, batch1,
         "doc_id", "shingles", threshold = 0.6).count())
     println("SCALE indexed near-dup pairs: " + probed)
+    // the 10x shingle index is GBs — don't leave it under /tmp
+    locally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(idxBase.toFile)
+    }
     val cents128 = graft.ops.Similarity.trainCentroids(e10, "embedding", 128)
     val sem = t("semantic dedup 20k vectors")(
       graft.ops.Similarity.semanticDedup(e10, "vec_id", "embedding",

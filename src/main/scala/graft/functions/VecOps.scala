@@ -24,12 +24,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * expression SHAPE, which this preserves).
   */
 object VecOpsImpl {
-  /** Σ a(i)·b(i) over two equal-length double arrays. */
+  /** Σ a(i)·b(i) over two equal-length double arrays. Fails FAST on
+    * ragged lengths or null elements instead of reading out of bounds /
+    * treating null as 0.0 — a dimension mismatch (e.g. planes built for
+    * the wrong `dim`) is a caller bug that must surface, not produce
+    * silent garbage scores. (The declarative `aggregate(zip_with(…))`
+    * form returned NULL for both cases — equally a silent wrong
+    * answer, just a quieter one.) */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot: vector lengths differ (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot: null element at index $i")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }

@@ -127,19 +127,14 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int = 64, numBands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     // (id, shingles) is consumed three times (signature, both sides of the
     // verify re-attach); caching avoids recomputing tokenization+shingling
     // per consumer. MEMORY_AND_DISK — spills rather than OOMs at scale.
     val base = df.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = base.select(col("id"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
-    val banded = withSig.select(col("id"), posexplode(
-        array((0 until numBands).map(b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
-      .toDF("id", "band", "bh")
-    val pairs = banded.groupBy(col("band"), col("bh"))
+    // same banding as the persisted index (bandRows) — the batch and
+    // index paths MUST band identically to stay comparable
+    val pairs = bandRows(base, numHashes, numBands).groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -260,18 +255,26 @@ object Dedup {
     labels
   }
 
+  /** Survivors of a verified-pair edge list: every id that sits in a
+    * connected component but is not its minimum is dropped; rows in no
+    * pair survive untouched. Shared by [[nearDedup]] and
+    * [[graft.ops.Similarity.semanticDedup]] so the two dedup families
+    * keep identical survivor semantics. */
+  def dropLosers(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("__loser_id")).distinct()
+    df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+  }
+
   /** Remove near-duplicates with FULL transitive closure: verified pairs
     * are clustered via [[connectedComponents]]; only each cluster's
     * minimum id survives. */
   def nearDedup(df: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, numBands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, shingleCol, threshold, numHashes, numBands, maxBucket)
-    val losers = connectedComponents(pairs)
-      .filter(col("id") =!= col("label"))
-      .select(col("id").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
-  }
+      maxBucket: Int = 1000): DataFrame =
+    dropLosers(df, idCol,
+      nearDupPairs(df, idCol, shingleCol, threshold, numHashes, numBands, maxBucket))
 
   /** Quality-aware near-dup collapse: within each connected component of
     * `pairs`, keep the row with the HIGHEST `scoreCol` (min id on ties);

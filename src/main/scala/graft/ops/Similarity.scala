@@ -597,14 +597,22 @@ object Similarity {
     val cts = centroids.getOrElse(trainCentroids(df, vecCol, nList))
     val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
       .withColumn("cell", cellId(col("v"), cts))
-    // each unordered pair is scored ONCE (i < j), then emitted in both
-    // directions for the per-node rank
-    val pairs = localPairs(v, "cell", threshold = -2.0, maxGroup = maxCell)
-    val directed = pairs
-      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
-        col("cosine_sim"))
-      .unionByName(pairs.select(col("id_b").as("query_id"),
-        col("id_a").as("neighbor_id"), col("cosine_sim")))
+    // both directions come out of ONE explode pass (a ≠ b, not a < b):
+    // re-using an a < b pair frame in a two-branch union would re-execute
+    // the whole collect/explode pipeline per branch (ReuseExchange only
+    // dedups up to the shuffle), and dot(a,b) = dot(b,a) bitwise (per-
+    // element multiply commutes, summation order is index order), so
+    // scoring each ordered pair directly costs only the extra dot
+    val directed = v
+      .select(col("cell"), struct(col("id"), col("v")).as("item"))
+      .groupBy(col("cell"))
+      .agg(collect_list(col("item")).as("items"))
+      .filter(size(col("items")).between(2, maxCell))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        dot(col("a.v"), col("b.v")).as("cosine_sim"))
     topKPerQuery(directed, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
@@ -663,11 +671,7 @@ object Similarity {
     val pairs = semanticNearDupPairs(df, idCol, vecCol, cts, threshold, maxCell)
     scoreCol match {
       case Some(sc) => graft.ops.Dedup.bestPerCluster(df, idCol, sc, pairs)
-      case None =>
-        val losers = graft.ops.Dedup.connectedComponents(pairs)
-          .filter(col("id") =!= col("label"))
-          .select(col("id").as("__loser_id")).distinct()
-        df.join(losers, col(idCol) === col("__loser_id"), "left_anti")
+      case None => graft.ops.Dedup.dropLosers(df, idCol, pairs)
     }
   }
 }

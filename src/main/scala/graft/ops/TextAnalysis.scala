@@ -267,8 +267,12 @@ object TextAnalysis {
     * times), one per-doc rebuild aggregation. */
   def removeBoilerplateLines(df: DataFrame, idCol: String,
       textCol: String = "text", minDocs: Long = 30): DataFrame = {
+    // NULL text → one empty line, so the document still comes back (the
+    // "one row per input document" contract); split of NULL would emit
+    // no generator rows and silently drop the doc
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
     // distinct docs per line content; two-phase (partial distinct) agg
     val frequent = lines.select(col("lh"), col(idCol)).distinct()

@@ -108,6 +108,33 @@ object PipelineQueries {
         (0 until pqGateKSub).map(j => j * n / pqGateKSub + 1)), pqGateM)
   }
 
+  /** Per-(cache, dir) memoized temp-dir index build — shared by the two
+    * persisted-index gates below. The map holds one lazy thunk per dir,
+    * so the (atomic) TrieMap insertion is the only global
+    * synchronization point: concurrent first calls for DIFFERENT dirs
+    * build in parallel, while two callers for the same dir share one
+    * build via the lazy val's own per-instance lock. A shutdown hook
+    * removes the temp dir — gate/bench JVMs would otherwise leave a
+    * corpus-sized index under /tmp per run. */
+  private def cachedTempIndex(
+      cache: scala.collection.concurrent.TrieMap[String, () => String],
+      dir: String, prefix: String)(build: String => Unit): String =
+    cache.getOrElseUpdate(dir, {
+      lazy val built: String = {
+        val base = java.nio.file.Files.createTempDirectory(prefix)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(base.toFile)
+        }))
+        val path = base.resolve("index").toString
+        build(path)
+        path
+      }
+      () => built
+    })()
+
   /** Build (once per data dir) and reuse a persisted IVF+PQ index over the
     * embeddings table — the 100 TB shape: the full-corpus encode pass is
     * paid ONCE at write time; every query batch afterwards does a
@@ -116,37 +143,14 @@ object PipelineQueries {
     * Built with the deterministic gate quantizers (see above) so the s04
     * gate is oracle-checkable; [[Similarity.trainIvfPq]] is the production
     * path and is exercised by the IVF/PQ specs. */
-  // per-key memoization: the map holds one lazy build per dir, so the
-  // (atomic) TrieMap insertion is the only global synchronization point —
-  // concurrent first calls for DIFFERENT dirs build in parallel, while
-  // two callers for the same dir share one build via the lazy val's own
-  // per-instance lock
   private val pqIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, () => String]
   private def pqIndexFor(s: SparkSession, dir: String): String =
-    pqIndexCache.getOrElseUpdate(dir, {
-      lazy val built: String = {
-        val e = embeds(s, dir)
-        val base = java.nio.file.Files.createTempDirectory("graft-pq-index")
-        // gate/bench JVMs would otherwise leave a corpus-sized code index
-        // under /tmp per run
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(base.toFile)
-        }))
-        val path = base.resolve("index").toString
-        Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
-          gateCentroids(e), gateCodebooks(e))
-        path
-      }
-      () => built
-    })()
-
-  // per-key memoization, same shape (and rationale) as pqIndexCache
-  private val mhIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, () => String]
+    cachedTempIndex(pqIndexCache, dir, "graft-pq-index") { path =>
+      val e = embeds(s, dir)
+      Similarity.writeIvfPqIndex(e, "vec_id", "embedding", path,
+        gateCentroids(e), gateCodebooks(e))
+    }
 
   /** Build (once per data dir) a persisted MinHash LSH index over the
     * d10 gate corpus (doc_id < 400, word-3-gram shingles) — the
@@ -155,25 +159,15 @@ object PipelineQueries {
     * band rows and candidate shingles. Near-exhaustive banding (32
     * bands × 2 rows — miss-free on this corpus, see the d02 comment) so
     * the probe result equals the exact-Jaccard oracle. */
+  private val mhIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, () => String]
   private def mhIndexFor(s: SparkSession, dir: String): String =
-    mhIndexCache.getOrElseUpdate(dir, {
-      lazy val built: String = {
-        val corpus = docs(s, dir).filter(col("doc_id") < 400)
-          .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
-        val base = java.nio.file.Files.createTempDirectory("graft-mh-index")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(base.toFile)
-        }))
-        val path = base.resolve("index").toString
-        Dedup.writeMinhashIndex(corpus, "doc_id", "shingles", path,
-          numHashes = 64, numBands = 32)
-        path
-      }
-      () => built
-    })()
+    cachedTempIndex(mhIndexCache, dir, "graft-mh-index") { path =>
+      Dedup.writeMinhashIndex(
+        docs(s, dir).filter(col("doc_id") < 400)
+          .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles")),
+        "doc_id", "shingles", path, numHashes = 64, numBands = 32)
+    }
 
   /** Run `f` with a reduced shuffle-partition count, restoring after.
     * Structured Streaming creates one state-store instance per shuffle
@@ -1299,10 +1293,15 @@ object PipelineQueries {
         |  FROM bsh b, csh c
         |) WHERE jaccard >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin,
 
-    // line explode via the t11 range-join idiom; frequent lines by
-    // count(DISTINCT doc_id); rebuild = ordered string_agg of the kept
-    // lines (FILTER + ORDER BY pos), coalesced to '' when everything was
-    // boilerplate — matching Spark's empty array_join
+    // line explode via the t11 range-join idiom (the 5000-line bound is
+    // 1000× this corpus's max — texts hold no newlines, the plants add
+    // ≤ 2 — but unlike t11's token-budget bound it is NOT structurally
+    // guaranteed: Spark's split+posexplode is unbounded, so a corpus
+    // with ≥ 5000-line docs would silently diverge — raise it with the
+    // corpus); frequent lines by count(DISTINCT doc_id); rebuild =
+    // ordered string_agg of the kept lines (FILTER + ORDER BY pos),
+    // coalesced to '' when everything was boilerplate — matching
+    // Spark's empty array_join
     "p09_boilerplate" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -1315,7 +1314,7 @@ object PipelineQueries {
         |  SELECT doc_id, string_split(text, chr(10)) AS lst FROM aug
         |), lines AS (
         |  SELECT doc_id, i AS pos, lst[CAST(i + 1 AS BIGINT)] AS line
-        |  FROM ls, range(0, 200) r(i) WHERE i < len(lst)
+        |  FROM ls, range(0, 5000) r(i) WHERE i < len(lst)
         |), freq AS (
         |  SELECT line FROM (
         |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)

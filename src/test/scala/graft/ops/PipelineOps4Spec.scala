@@ -38,6 +38,22 @@ class PipelineOps4Spec extends SparkSpec {
     val kept = TextAnalysis.removeBoilerplateLines(twice, "doc_id", "text", minDocs = 3)
       .filter(col("removed_lines") > 0).count()
     assert(kept == 0L) // x is in only 2 docs
+    // NULL text must not drop the document (one row per input doc)
+    val withNull = Seq((0L, "a"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nullRow = TextAnalysis.removeBoilerplateLines(withNull, "doc_id", "text", minDocs = 5)
+      .filter(col("doc_id") === 1L).collect()
+    assert(nullRow.length == 1 && nullRow.head.getString(1) == "")
+  }
+
+  test("dot kernel fails fast on ragged vectors instead of reading out of bounds") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null && t.getMessage.contains("lengths differ")))
   }
 
   test("duplicatedSpans: cross-doc 8-grams found, short-doc fallback, within-doc repeats count once") {
