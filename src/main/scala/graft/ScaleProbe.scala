@@ -127,22 +127,19 @@ object ScaleProbe {
     t("dup spans 50k docs")(noop(
       TextAnalysis.duplicatedSpans(d10, "doc_id", "text", n = 8, minDocs = 2)))
     val idxBase = java.nio.file.Files.createTempDirectory("scale-mh")
-    val idxPath = idxBase.resolve("idx").toString
-    val corpus9 = sh.filter(col("doc_id") % 10 =!= 9)
-    val batch1 = sh.filter(col("doc_id") % 10 === 9)
-    t("minhash index write 45k docs")(
-      Dedup.writeMinhashIndex(corpus9, "doc_id", "shingles", idxPath))
-    val probed = t("minhash index probe 5k batch")(
-      Dedup.probeMinhashIndex(spark, idxPath, batch1,
-        "doc_id", "shingles", threshold = 0.6).count())
-    println("SCALE indexed near-dup pairs: " + probed)
-    // the 10x shingle index is GBs — don't leave it under /tmp
-    locally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(idxBase.toFile)
-    }
+    // the 10x shingle index is GBs — never leave it under /tmp, even
+    // when the write or probe throws
+    try {
+      val idxPath = idxBase.resolve("idx").toString
+      val corpus9 = sh.filter(col("doc_id") % 10 =!= 9)
+      val batch1 = sh.filter(col("doc_id") % 10 === 9)
+      t("minhash index write 45k docs")(
+        Dedup.writeMinhashIndex(corpus9, "doc_id", "shingles", idxPath))
+      val probed = t("minhash index probe 5k batch")(
+        Dedup.probeMinhashIndex(spark, idxPath, batch1,
+          "doc_id", "shingles", threshold = 0.6).count())
+      println("SCALE indexed near-dup pairs: " + probed)
+    } finally Paths.rmTree(idxBase.toFile)
     val cents128 = graft.ops.Similarity.trainCentroids(e10, "embedding", 128)
     val sem = t("semantic dedup 20k vectors")(
       graft.ops.Similarity.semanticDedup(e10, "vec_id", "embedding",

@@ -542,21 +542,24 @@ object Similarity {
     localPairs(v, "bucket", threshold, maxBucket)
   }
 
-  /** Bucket/cell-local near-dup pair generation shared by
-    * [[embeddingNearDups]] (hyperplane buckets) and
-    * [[semanticNearDupPairs]] (centroid cells): collect each group's
-    * (id, v) items, cap with `maxGroup`, explode ordered pairs, keep
-    * cosine ≥ threshold. Each row lands in exactly one group, so a pair
-    * can only form once (no dedup shuffle needed). */
+  /** Bucket/cell-local pair generation shared by [[embeddingNearDups]]
+    * (hyperplane buckets), [[semanticNearDupPairs]] (centroid cells)
+    * and [[knnGraph]]: collect each group's (id, v) items, cap with
+    * `maxGroup`, explode pairs — unordered (id_a < id_b) by default,
+    * both directions with `directed = true` — keep cosine ≥ threshold.
+    * Each row lands in exactly one group, so a pair can only form once
+    * (no dedup shuffle needed). A threshold of -2.0 keeps every real
+    * score while still discarding NULL similarities (NULL-vector rows):
+    * `NULL >= -2.0` is NULL. */
   private def localPairs(v: DataFrame, groupCol: String,
-      threshold: Double, maxGroup: Int): DataFrame =
+      threshold: Double, maxGroup: Int, directed: Boolean = false): DataFrame =
     v.select(col(groupCol).as("grp"), struct(col("id"), col("v")).as("item"))
       .groupBy(col("grp"))
       .agg(collect_list(col("item")).as("items"))
       .filter(size(col("items")).between(2, maxGroup))
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+      .filter(if (directed) col("a.id") =!= col("b.id") else col("a.id") < col("b.id"))
       .withColumn("cosine_sim", dot(col("a.v"), col("b.v")))
       .filter(col("cosine_sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine_sim"))
@@ -597,22 +600,16 @@ object Similarity {
     val cts = centroids.getOrElse(trainCentroids(df, vecCol, nList))
     val v = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
       .withColumn("cell", cellId(col("v"), cts))
-    // both directions come out of ONE explode pass (a ≠ b, not a < b):
+    // both directions come out of ONE explode pass (directed = true):
     // re-using an a < b pair frame in a two-branch union would re-execute
     // the whole collect/explode pipeline per branch (ReuseExchange only
     // dedups up to the shuffle), and dot(a,b) = dot(b,a) bitwise (per-
     // element multiply commutes, summation order is index order), so
     // scoring each ordered pair directly costs only the extra dot
-    val directed = v
-      .select(col("cell"), struct(col("id"), col("v")).as("item"))
-      .groupBy(col("cell"))
-      .agg(collect_list(col("item")).as("items"))
-      .filter(size(col("items")).between(2, maxCell))
-      .select(explode(col("items")).as("a"), col("items"))
-      .select(col("a"), explode(col("items")).as("b"))
-      .filter(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        dot(col("a.v"), col("b.v")).as("cosine_sim"))
+    val directed = localPairs(v, "cell", threshold = -2.0,
+        maxGroup = maxCell, directed = true)
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+        col("cosine_sim"))
     topKPerQuery(directed, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }

@@ -122,12 +122,8 @@ object PipelineQueries {
     cache.getOrElseUpdate(dir, {
       lazy val built: String = {
         val base = java.nio.file.Files.createTempDirectory(prefix)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(base.toFile)
-        }))
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => graft.Paths.rmTree(base.toFile)))
         val path = base.resolve("index").toString
         build(path)
         path
@@ -337,7 +333,10 @@ object PipelineQueries {
       val aug = docs(s, dir).select(col("doc_id"),
         concat(
           when(col("doc_id") % 25 === 0, lit("COOKIE NOTICE\n")).otherwise(lit("")),
-          col("text"),
+          // coalesce BEFORE concat, mirroring the oracle's coalesce(text,
+          // ''): Spark concat is NULL if ANY argument is NULL, which would
+          // erase the planted lines for a NULL-text doc
+          coalesce(col("text"), lit("")),
           when(col("doc_id") % 4 === 0,
             lit("\nSubscribe to our newsletter today")).otherwise(lit(""))).as("text"))
       TextAnalysis.removeBoilerplateLines(aug, "doc_id", "text", minDocs = 30)
@@ -1306,7 +1305,7 @@ object PipelineQueries {
       """WITH aug AS (
         |  SELECT doc_id,
         |    (CASE WHEN doc_id % 25 = 0 THEN 'COOKIE NOTICE' || chr(10) ELSE '' END)
-        |    || text ||
+        |    || coalesce(text, '') ||
         |    (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END)
         |    AS text
         |  FROM documents

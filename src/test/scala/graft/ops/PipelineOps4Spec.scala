@@ -45,15 +45,23 @@ class PipelineOps4Spec extends SparkSpec {
     assert(nullRow.length == 1 && nullRow.head.getString(1) == "")
   }
 
-  test("dot kernel fails fast on ragged vectors instead of reading out of bounds") {
-    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
-    val e = intercept[Exception] {
-      df.select(Similarity.dot(col("a"), col("b"))).collect()
-    }
+  test("dot kernel fails fast on ragged vectors and null elements") {
     def chain(t: Throwable): List[Throwable] =
       if (t == null) Nil else t :: chain(t.getCause)
-    assert(chain(e).exists(_.getMessage != null) &&
-      chain(e).exists(t => t.getMessage != null && t.getMessage.contains("lengths differ")))
+    def failsWith(df: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+      val e = intercept[Exception] {
+        df.select(Similarity.dot(col("a"), col("b"))).collect()
+      }
+      assert(chain(e).exists(t => t.getMessage != null && t.getMessage.contains(msg)))
+    }
+    failsWith(Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b"),
+      "lengths differ")
+    failsWith(spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE)) a, array(1.0D, 2.0D) b"),
+      "null element")
+    // a NULL ARRAY still propagates to a NULL score (not an error)
+    val nullArr = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) a, array(1.0D) b")
+      .select(Similarity.dot(col("a"), col("b")).as("d")).collect()
+    assert(nullArr.head.isNullAt(0))
   }
 
   test("duplicatedSpans: cross-doc 8-grams found, short-doc fallback, within-doc repeats count once") {
