@@ -58,7 +58,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      System.gc() // drain garbage left by the previous query, off the clock
+      // drop any persisted frames a previous query leaked and drain its
+      // garbage, off the clock — in-suite numbers otherwise fold earlier
+      // queries' cache/GC pressure into whoever runs next (q01 measured
+      // 5× its isolated time before this)
+      spark.catalog.clearCache()
+      System.gc()
       val sec =
         try median(Seq.fill(repeats)(
           time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())))

@@ -651,6 +651,33 @@ object Similarity {
           s => s.getField("m")).as("mean_vec"))
   }
 
+  /** Semantic (embedding-level) contamination: corpus rows whose
+    * embedding near-duplicates an eval/test-set row — the
+    * decontamination complement of [[graft.ops.TextAnalysis.contaminated]]
+    * (which matches exact text spans; this catches paraphrases and
+    * near-copies text matching misses). Returns
+    * (probe_id, corpus_id, cosine_sim), cosine ≥ threshold.
+    *
+    * 100 TB shape: the probe set (an eval benchmark — thousands of
+    * rows) is BROADCAST after cell assignment; the corpus is streamed
+    * through one broadcast-hash join on the cell id with NO shuffle at
+    * all — each corpus row is scored only against the probes sharing
+    * its cell (≈ |probes| / nList of them). Cross-cell misses are
+    * far-apart pairs (the SemDeDup trade); for exhaustive matching use
+    * [[bruteForceTopK]] with the probes as queries. */
+  def semanticContamination(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, centroids: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellId(col("cv"), centroids))
+    val p = probes.select(col(idCol).as("probe_id"), normalize(col(vecCol)).as("pv"))
+      .withColumn("cell", cellId(col("pv"), centroids))
+    c.join(broadcast(p), Seq("cell"))
+      .withColumn("cosine_sim", dot(col("cv"), col("pv")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("cosine_sim"))
+  }
+
   /** SemDeDup: semantic deduplication over an embedding column. Keeps
     * one representative per connected component of
     * [[semanticNearDupPairs]] — the member with the HIGHEST

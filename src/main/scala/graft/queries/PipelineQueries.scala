@@ -389,6 +389,22 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- dedup: semantic (embedding-level) contamination — eval-set
+    // probe vectors broadcast against the corpus, matched inside shared
+    // coarse-quantizer cells (NO corpus shuffle — the decontamination
+    // scale shape). Probes = scaled copies of vec_id < 15: each must
+    // rediscover its original. Deterministic gate centroids as in p10.
+    "d11_semantic_contam" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val probes = e.filter(col("vec_id") < 15)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Similarity.semanticContamination(e, probes, "vec_id", "embedding",
+          gateCentroidsN(e, semGateNList), threshold = 0.995)
+        .select(col("probe_id"), col("corpus_id"))
+        .orderBy(col("probe_id"), col("corpus_id"))
+    }),
+
     // ---- text: duplicated cross-document SPANS — word 8-grams present
     // in ≥ 2 distinct docs (copied-passage detection; the planted
     // near-dup copies share every interior 8-gram with their originals).
@@ -1055,6 +1071,35 @@ object PipelineQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB oracle for d11 (semantic contamination): corpus and scaled
+    * probes normalized and cell-assigned against the same strided-row
+    * centroids, matched within shared cells at cosine ≥ 0.995 — ids
+    * only in the output (the d05/p10 float-vs-double plant tolerance
+    * argument). */
+  private def d11OracleSql: String = {
+    val js = (0 until semGateNList).map(j => s"($j)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
+       |pe AS (SELECT vec_id + 1000000 AS vec_id, [x * 1.01 for x in emb] AS emb
+       |  FROM e WHERE vec_id < 15),
+       |pv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM pe),
+       |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $semGateNList AS cid
+       |  FROM (VALUES $js) t(j)),
+       |cents AS (SELECT cids.j, nv.v AS cv FROM cids JOIN nv ON nv.vec_id = cids.cid),
+       |ca AS (SELECT vec_id, v, cell FROM (
+       |  SELECT nv.vec_id, nv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY nv.vec_id
+       |    ORDER BY list_inner_product(nv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM nv CROSS JOIN cents c) WHERE rn = 1),
+       |pa AS (SELECT vec_id, v, cell FROM (
+       |  SELECT pv.vec_id, pv.v, c.j AS cell, ROW_NUMBER() OVER (PARTITION BY pv.vec_id
+       |    ORDER BY list_inner_product(pv.v, c.cv) DESC, c.j DESC) AS rn
+       |  FROM pv CROSS JOIN cents c) WHERE rn = 1)
+       |SELECT p.vec_id AS probe_id, a.vec_id AS corpus_id
+       |FROM pa p JOIN ca a ON a.cell = p.cell
+       |WHERE list_inner_product(a.v, p.v) >= 0.995
+       |ORDER BY probe_id, corpus_id""".stripMargin
+  }
+
   /** DuckDB oracle for t08: the EXACT rational-idf BM25 — same
     * left-associative expression order as the Spark column tree, decimal
     * per-doc sum cast back to double. Constants appear as the same
@@ -1330,6 +1375,7 @@ object PipelineQueries {
 
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
+    "d11_semantic_contam" -> d11OracleSql,
 
     // per-(group, dimension) means over 1e-8-quantized components
     // (scaled-LONG sums — the only double→fixed-point conversion both

@@ -45,6 +45,27 @@ class PipelineOps4Spec extends SparkSpec {
     assert(nullRow.length == 1 && nullRow.head.getString(1) == "")
   }
 
+  test("semanticContamination: planted probes found, clean probes pass, corpus side never shuffles") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.02f, 0f, 0f)),
+      (1L, Array(0.5f, 0.5f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, Array(1.01f, 0.0202f, 0f, 0f)), // scaled copy of 0 -> contaminated
+      (101L, Array(0f, 1.0f, 0f, 0f)))       // clean
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val hits = Similarity.semanticContamination(corpus, probes,
+      "vec_id", "embedding", cents, threshold = 0.995)
+    assert(hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 0L)))
+    // the 100 TB shape: probe side broadcast, corpus side streamed —
+    // the plan must contain a broadcast join and NO shuffle exchange
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"))
+  }
+
   test("dot kernel fails fast on ragged vectors and null elements") {
     def chain(t: Throwable): List[Throwable] =
       if (t == null) Nil else t :: chain(t.getCause)
