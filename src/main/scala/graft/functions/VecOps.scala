@@ -48,6 +48,32 @@ object VecOpsImpl {
   }
 }
 
+object VecOpsImpl2 {
+  /** x / ‖x‖₂ in one pass: the norm is Σx² summed left-to-right (the
+    * same order as [[VecOpsImpl.dot]](x, x)), then each element divided
+    * by √norm — bitwise-identical to the declarative
+    * `transform(a, _ / l2Norm(a))` formulation, without its two
+    * intermediate arrays and per-element lambda plumbing. A zero vector
+    * divides by 0.0 exactly as before (±Infinity / NaN elements). */
+  def normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(s"normalize: null element at index $i")
+      val x = a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VecOps {
   /** Column API: double dot product of two numeric array columns.
     * Inputs are cast to `array<double>` first (exact for floats), so
@@ -60,5 +86,13 @@ object VecOps {
       Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType))),
         ColumnBridge.expression(b.cast(ArrayType(DoubleType)))),
       Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = false))
+
+  /** Column API: L2-normalize a numeric array column (→ `array<double>`). */
+  def normalize(a: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      VecOpsImpl2.getClass, ArrayType(DoubleType), "normalize",
+      Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType)))),
+      Seq(ArrayType(DoubleType)),
       propagateNull = true, returnNullable = false))
 }

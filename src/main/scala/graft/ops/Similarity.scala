@@ -37,12 +37,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Pre-normalize a vector column so downstream cosine = plain dot.
-    * The norm is bound once via a 1-element `transform` — referencing it
-    * directly inside the per-element lambda would recompute the full
-    * O(dim) norm for every element (higher-order functions block CSE). */
-  def normalize(a: Column): Column =
-    element_at(transform(array(l2Norm(a)), n => transform(a, x => x.cast("double") / n)), 1)
+  /** Pre-normalize a vector column so downstream cosine = plain dot —
+    * a one-pass codegen kernel ([[graft.functions.VecOpsImpl2]]); same
+    * arithmetic (Σx² in index order, √, per-element divide) as the old
+    * bindOnce-guarded `transform` formulation, so normalized values are
+    * bitwise unchanged. */
+  def normalize(a: Column): Column = graft.functions.VecOps.normalize(a)
 
   /** Two-stage per-query top-k over a scored candidate set: a partial
     * top-k inside each input partition first (so the final per-query
