@@ -155,10 +155,15 @@ object Dedup {
     candidates
   }
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
+  /** Exact Jaccard similarity of two shingle-array columns — a
+    * codegen-invoked hash-set kernel ([[graft.functions.JaccardImpl]]);
+    * the declarative `size(array_intersect) /
+    * greatest(size(array_union), 1)` form materializes two whole
+    * arrays per candidate pair just to measure them. Same
+    * distinct/byte-equality semantics and the same exact int ratio, so
+    * oracle hashes are unchanged. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      greatest(size(array_union(a, b)), lit(1)).cast("double")
+    graft.functions.Jaccard.jaccard(a, b)
 
   /** Fused text → distinct word-n-gram shingles (custom codegen kernel). */
   def textShingles(text: Column, n: Int): Column =
