@@ -53,8 +53,12 @@ object VecOpsImpl2 {
     * same order as [[VecOpsImpl.dot]](x, x)), then each element divided
     * by √norm — bitwise-identical to the declarative
     * `transform(a, _ / l2Norm(a))` formulation, without its two
-    * intermediate arrays and per-element lambda plumbing. A zero vector
-    * divides by 0.0 exactly as before (±Infinity / NaN elements). */
+    * intermediate arrays and per-element lambda plumbing. A ZERO vector
+    * is returned unchanged (the [[graft.ops.Similarity.vectorsByIds]]
+    * convention): it has no direction, every cosine against it stays
+    * 0 — below any threshold — and one garbage row must not kill a
+    * 1000-executor job the way the old form's ANSI divide-by-zero
+    * did. */
   def normalize(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var s = 0.0
@@ -68,8 +72,13 @@ object VecOpsImpl2 {
     }
     val norm = math.sqrt(s)
     val out = new Array[Double](n)
-    i = 0
-    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    if (norm == 0.0) {
+      i = 0
+      while (i < n) { out(i) = a.getDouble(i); i += 1 }
+    } else {
+      i = 0
+      while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

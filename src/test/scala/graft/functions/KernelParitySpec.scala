@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bit-for-bit parity between the StaticInvoke kernels and the
+  * declarative Catalyst formulations they replaced. The oracle gates
+  * prove parity on the benchmark corpus; these prove it on adversarial
+  * random data (ragged magnitudes, duplicates, empties, nulls, zero
+  * vectors) — the kernels must be DROP-IN, not approximately equal. */
+class KernelParitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+
+  test("dot kernel == aggregate(zip_with(...)) on 500 random vector pairs") {
+    val rows = Seq.fill(500) {
+      val dim = 1 + rnd.nextInt(96)
+      (Array.fill(dim)(rnd.nextDouble() * math.pow(10, rnd.nextInt(7) - 3) - 0.5),
+        Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("a", "b")
+    def declarative(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val out = df.select(
+      graft.functions.VecOps.dot(col("a"), col("b")).as("k"),
+      declarative(col("a"), col("b")).as("d")).collect()
+    assert(out.forall(r => bits(r.getDouble(0)) == bits(r.getDouble(1))))
+  }
+
+  test("normalize kernel == bound-norm transform on random vectors; zero vector passes through") {
+    val rows = Seq.fill(300) {
+      val dim = 1 + rnd.nextInt(64)
+      Array.fill(dim)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(5) - 2))
+    }
+    val df = rows.map(Tuple1(_)).toDF("a")
+    def declarative(a: Column): Column = {
+      val norm = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+      element_at(transform(array(norm), n => transform(a, x => x / n)), 1)
+    }
+    val out = df.select(
+      graft.functions.VecOps.normalize(col("a")).as("k"),
+      declarative(col("a")).as("d")).collect()
+    assert(out.forall { r =>
+      val k = r.getSeq[Double](0); val d = r.getSeq[Double](1)
+      k.length == d.length && k.indices.forall(i => bits(k(i)) == bits(d(i)))
+    })
+    // deliberate deviation from the old form (which raised ANSI
+    // DIVIDE_BY_ZERO): a zero vector has no direction and is returned
+    // unchanged, so cosines against it are 0 and the row survives
+    val z = Seq(Tuple1(Array.fill(8)(0.0))).toDF("a")
+      .select(graft.functions.VecOps.normalize(col("a"))).collect()
+    assert(z.head.getSeq[Double](0).forall(_ == 0.0))
+  }
+
+  test("jaccard kernel == array_intersect/array_union form on random string sets incl. dups/empties/nulls") {
+    val alphabet = Vector("a", "bb", "ccc", "", "dd", "e f", "ggg", "h", null)
+    val rows = Seq.fill(500) {
+      def arr() = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      (arr(), arr())
+    } :+ ((Seq.empty[String], Seq.empty[String]))
+    val df = rows.toDF("a", "b")
+    def declarative(a: Column, b: Column): Column =
+      size(array_intersect(a, b)).cast("double") /
+        greatest(size(array_union(a, b)), lit(1)).cast("double")
+    val out = df.select(
+      graft.functions.Jaccard.jaccard(col("a"), col("b")).as("k"),
+      declarative(col("a"), col("b")).as("d")).collect()
+    assert(out.forall(r => bits(r.getDouble(0)) == bits(r.getDouble(1))))
+  }
+}
