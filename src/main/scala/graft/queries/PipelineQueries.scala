@@ -688,6 +688,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal: exact dedup of BINARY payloads by content digest
+    // (dedup images/audio by bytes — md5 works directly on Spark binary
+    // columns, so the d01 digest-shuffle shape carries over unchanged;
+    // payload text never enters the shuffle). Planted byte-identical
+    // copies of doc_id < 25 must fold into their originals.
+    "mm03_media_dedup" -> ((s, dir) => {
+      val base = Multimodal.withBinaryPayload(docs(s, dir))
+        .select(col("doc_id"), col("content"))
+      val planted = base.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("content"))
+      Dedup.exactGroupsByHash(base.unionByName(planted), "content", "doc_id")
+        .select(col("canonical_id"), col("dup_count"))
+        .orderBy(col("canonical_id"))
+    }),
+
     // ---- multimodal: frame sampling plumbing (row-per-frame explode)
     "mm02_frame_sample" -> ((s, dir) => {
       val withPayload = Multimodal.withBinaryPayload(docs(s, dir))
@@ -1665,6 +1680,16 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 1280 + 16 AS INTEGER) AS fake_width,
         |  CAST((octet_length(encode(text)) * 7) % 720 + 16 AS INTEGER) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm03_media_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id, encode(text) AS content FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000 AS doc_id, encode(text) AS content
+        |  FROM documents WHERE doc_id < 25
+        |)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM media GROUP BY content ORDER BY canonical_id""".stripMargin,
 
     "e01_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
