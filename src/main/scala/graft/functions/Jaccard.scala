@@ -44,7 +44,12 @@ object JaccardImpl {
 }
 
 object Jaccard {
-  /** Column API: exact Jaccard similarity of two `array<string>` columns. */
+  /** Column API: exact Jaccard similarity of two `array<string>`
+    * columns. NOTE the string contract: non-string element types are
+    * implicitly CAST to string first, so numeric arrays compare by
+    * their string forms (`-0.0` ≠ `0.0` here, where the old
+    * `array_intersect` form used SQL numeric equality) — shingle/token
+    * arrays, the intended inputs, are unaffected. */
   def jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(StaticInvoke(
       JaccardImpl.getClass, DoubleType, "jaccard",

@@ -46,9 +46,7 @@ object VecOpsImpl {
     }
     s
   }
-}
 
-object VecOpsImpl2 {
   /** x / ‖x‖₂ in one pass: the norm is Σx² summed left-to-right (the
     * same order as [[VecOpsImpl.dot]](x, x)), then each element divided
     * by √norm — bitwise-identical to the declarative
@@ -84,6 +82,7 @@ object VecOpsImpl2 {
 }
 
 object VecOps {
+
   /** Column API: double dot product of two numeric array columns.
     * Inputs are cast to `array<double>` first (exact for floats), so
     * callers can pass raw float embeddings or already-normalized
@@ -100,7 +99,7 @@ object VecOps {
   /** Column API: L2-normalize a numeric array column (→ `array<double>`). */
   def normalize(a: Column): Column =
     ColumnBridge.column(StaticInvoke(
-      VecOpsImpl2.getClass, ArrayType(DoubleType), "normalize",
+      VecOpsImpl.getClass, ArrayType(DoubleType), "normalize",
       Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType)))),
       Seq(ArrayType(DoubleType)),
       propagateNull = true, returnNullable = false))

@@ -38,7 +38,7 @@ object Similarity {
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Pre-normalize a vector column so downstream cosine = plain dot —
-    * a one-pass codegen kernel ([[graft.functions.VecOpsImpl2]]); same
+    * a one-pass codegen kernel ([[graft.functions.VecOpsImpl]]); same
     * arithmetic (Σx² in index order, √, per-element divide) as the old
     * bindOnce-guarded `transform` formulation, so normalized values are
     * bitwise unchanged. */

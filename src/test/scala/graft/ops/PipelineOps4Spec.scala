@@ -60,10 +60,13 @@ class PipelineOps4Spec extends SparkSpec {
     assert(hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((100L, 0L)))
     // the 100 TB shape: probe side broadcast, corpus side streamed —
-    // the plan must contain a broadcast join and NO shuffle exchange
+    // the plan must contain a broadcast join and NO shuffle exchange of
+    // ANY kind (hash, range, single-partition); only broadcast
+    // exchanges may appear
     val plan = hits.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"))
+    val exchanges = "(\\w*)Exchange".r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.forall(_ == "Broadcast"), s"non-broadcast exchanges: $exchanges")
   }
 
   test("dot kernel fails fast on ragged vectors and null elements") {
