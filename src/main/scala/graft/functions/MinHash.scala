@@ -36,6 +36,44 @@ object MinHashImpl {
     }
     new GenericArrayData(mins)
   }
+
+  /** LSH band keys in ONE pass: the k-slot signature (computed exactly
+    * as [[signature]]) folded into `numBands` hashes, each
+    * bit-identical to Spark's `xxhash64(slice(sig, b·r+1, r))` — seed
+    * 42, then `XXH64.hashLong(element, acc)` per slot in order, the
+    * `HashExpression` array fold — while skipping the signature
+    * projection and the per-band slice allocations. */
+  def bandHashes(shingles: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var j = 0
+        while (j < numHashes) {
+          val h = XXH64.hashLong(base, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val rowsPerBand = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 42L
+      var j = b * rowsPerBand
+      val end = j + rowsPerBand
+      while (j < end) { h = XXH64.hashLong(mins(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object MinHash {
@@ -46,5 +84,14 @@ object MinHash {
       MinHashImpl.getClass, ArrayType(LongType, containsNull = false), "signature",
       Seq(ColumnBridge.expression(shingles), Literal(k)),
       Seq(ArrayType(StringType), IntegerType),
+      propagateNull = true, returnNullable = false))
+
+  /** Column API: `numBands` LSH band keys (`array<bigint>`) of an
+    * `array<string>` shingle column — fused signature + banding. */
+  def bandHashes(shingles: Column, numHashes: Int, numBands: Int): Column =
+    ColumnBridge.column(StaticInvoke(
+      MinHashImpl.getClass, ArrayType(LongType, containsNull = false), "bandHashes",
+      Seq(ColumnBridge.expression(shingles), Literal(numHashes), Literal(numBands)),
+      Seq(ArrayType(StringType), IntegerType, IntegerType),
       propagateNull = true, returnNullable = false))
 }

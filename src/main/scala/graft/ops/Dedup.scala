@@ -357,14 +357,15 @@ object Dedup {
 
   // ------------------------------------------------ persisted LSH index
 
-  /** Banded signature rows (id, band, bh) for an (id, shingles) frame. */
-  private def bandRows(base: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    base.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
-      .select(col("id"), posexplode(array((0 until numBands).map(b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+  /** Banded signature rows (id, band, bh) for an (id, shingles) frame —
+    * one fused kernel call per row ([[graft.functions.MinHashImpl
+    * .bandHashes]]: signature + per-band xxhash64 fold, bit-identical
+    * to the former `xxhash64(slice(sig, …))` formulation, pinned by
+    * `KernelParitySpec`). */
+  private def bandRows(base: DataFrame, numHashes: Int, numBands: Int): DataFrame =
+    base.select(col("id"), posexplode(
+        graft.functions.MinHash.bandHashes(col("shingles"), numHashes, numBands)))
       .toDF("id", "band", "bh")
-  }
 
   /** Persist a corpus's MinHash LSH state so CONTINUOUS INGEST never
     * re-reads the corpus: `path/bands` holds the narrow banded

@@ -57,6 +57,24 @@ class KernelParitySpec extends SparkSpec {
     assert(z.head.getSeq[Double](0).forall(_ == 0.0))
   }
 
+  test("bandHashes kernel == xxhash64(slice(signature, ...)) on random shingle sets") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "")
+    val rows = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(30))(
+      s"${words(rnd.nextInt(words.size))} ${words(rnd.nextInt(words.size))}"))
+    val df = rows.map(Tuple1(_)).toDF("sh")
+    val (numHashes, numBands) = (64, 16)
+    val rowsPerBand = numHashes / numBands
+    def declarative(sh: Column): Column = {
+      val sig = graft.functions.MinHash.signature(sh, numHashes)
+      array((0 until numBands).map(b =>
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand))): _*)
+    }
+    val out = df.select(
+      graft.functions.MinHash.bandHashes(col("sh"), numHashes, numBands).as("k"),
+      declarative(col("sh")).as("d")).collect()
+    assert(out.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("jaccard kernel == array_intersect/array_union form on random string sets incl. dups/empties/nulls") {
     val alphabet = Vector("a", "bb", "ccc", "", "dd", "e f", "ggg", "h", null)
     val rows = Seq.fill(500) {
