@@ -16,9 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   * O(k·|shingles|) integer ops, one output allocation.
   */
 object MinHashImpl {
-  def signature(shingles: ArrayData, k: Int): ArrayData = {
-    val mins = new Array[Long](k)
-    java.util.Arrays.fill(mins, Long.MaxValue)
+  /** The shared k-slot min computation: each non-null shingle hashed
+    * once (seed 42), each slot keeps the min of the j-re-seeded mix.
+    * BOTH public kernels go through this, so the fused band path can
+    * never diverge from the signature path. */
+  private def mins(shingles: ArrayData, k: Int): Array[Long] = {
+    val m = new Array[Long](k)
+    java.util.Arrays.fill(m, Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
@@ -28,39 +32,26 @@ object MinHashImpl {
         var j = 0
         while (j < k) {
           val h = XXH64.hashLong(base, j.toLong)
-          if (h < mins(j)) mins(j) = h
+          if (h < m(j)) m(j) = h
           j += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    m
   }
 
-  /** LSH band keys in ONE pass: the k-slot signature (computed exactly
-    * as [[signature]]) folded into `numBands` hashes, each
-    * bit-identical to Spark's `xxhash64(slice(sig, b·r+1, r))` — seed
-    * 42, then `XXH64.hashLong(element, acc)` per slot in order, the
+  def signature(shingles: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(mins(shingles, k))
+
+  /** LSH band keys in ONE pass: the k-slot signature folded into
+    * `numBands` hashes, each bit-identical to Spark's
+    * `xxhash64(slice(sig, b·r+1, r))` — seed 42, then
+    * `XXH64.hashLong(element, acc)` per slot in order, the
     * `HashExpression` array fold — while skipping the signature
     * projection and the per-band slice allocations. */
   def bandHashes(shingles: ArrayData, numHashes: Int, numBands: Int): ArrayData = {
-    val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    val n = shingles.numElements()
-    var i = 0
-    while (i < n) {
-      if (!shingles.isNullAt(i)) {
-        val s = shingles.getUTF8String(i)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-        var j = 0
-        while (j < numHashes) {
-          val h = XXH64.hashLong(base, j.toLong)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
+    val sig = mins(shingles, numHashes)
     val rowsPerBand = numHashes / numBands
     val out = new Array[Long](numBands)
     var b = 0
@@ -68,7 +59,7 @@ object MinHashImpl {
       var h = 42L
       var j = b * rowsPerBand
       val end = j + rowsPerBand
-      while (j < end) { h = XXH64.hashLong(mins(j), h); j += 1 }
+      while (j < end) { h = XXH64.hashLong(sig(j), h); j += 1 }
       out(b) = h
       b += 1
     }
@@ -87,11 +78,19 @@ object MinHash {
       propagateNull = true, returnNullable = false))
 
   /** Column API: `numBands` LSH band keys (`array<bigint>`) of an
-    * `array<string>` shingle column — fused signature + banding. */
-  def bandHashes(shingles: Column, numHashes: Int, numBands: Int): Column =
+    * `array<string>` shingle column — fused signature + banding.
+    * Parameters are validated HERE, at plan-build time on the driver,
+    * not per-row on executors mid-job. */
+  def bandHashes(shingles: Column, numHashes: Int, numBands: Int): Column = {
+    require(numBands > 0 && numHashes > 0,
+      s"bandHashes: numHashes=$numHashes, numBands=$numBands must be positive")
+    require(numHashes % numBands == 0,
+      s"bandHashes: numBands=$numBands must divide numHashes=$numHashes " +
+        "(trailing signature slots would be silently ignored)")
     ColumnBridge.column(StaticInvoke(
       MinHashImpl.getClass, ArrayType(LongType, containsNull = false), "bandHashes",
       Seq(ColumnBridge.expression(shingles), Literal(numHashes), Literal(numBands)),
       Seq(ArrayType(StringType), IntegerType, IntegerType),
       propagateNull = true, returnNullable = false))
+  }
 }

@@ -360,8 +360,12 @@ object Dedup {
   /** Banded signature rows (id, band, bh) for an (id, shingles) frame —
     * one fused kernel call per row ([[graft.functions.MinHashImpl
     * .bandHashes]]: signature + per-band xxhash64 fold, bit-identical
-    * to the former `xxhash64(slice(sig, …))` formulation, pinned by
-    * `KernelParitySpec`). */
+    * to the former `xxhash64(slice(sig, …))` formulation on non-null
+    * input, pinned by `KernelParitySpec`). Deliberate deviation: a
+    * NULL shingles column now emits NO band rows (propagateNull) —
+    * the old form emitted bh = 42 for every band, funneling ALL
+    * null-shingle docs into one giant bucket, the exact skew hazard
+    * `maxBucket` exists to guard. */
   private def bandRows(base: DataFrame, numHashes: Int, numBands: Int): DataFrame =
     base.select(col("id"), posexplode(
         graft.functions.MinHash.bandHashes(col("shingles"), numHashes, numBands)))

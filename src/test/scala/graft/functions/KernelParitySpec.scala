@@ -60,7 +60,11 @@ class KernelParitySpec extends SparkSpec {
   test("bandHashes kernel == xxhash64(slice(signature, ...)) on random shingle sets") {
     val words = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "")
     val rows = Seq.fill(300)(Seq.fill(1 + rnd.nextInt(30))(
-      s"${words(rnd.nextInt(words.size))} ${words(rnd.nextInt(words.size))}"))
+      s"${words(rnd.nextInt(words.size))} ${words(rnd.nextInt(words.size))}"
+    )) ++ Seq(
+      Seq.empty[String],                     // empty: all-MaxValue signature fold
+      Seq(null.asInstanceOf[String], "a"),   // null elements are skipped
+      Seq(null.asInstanceOf[String]))        // only nulls: same as empty
     val df = rows.map(Tuple1(_)).toDF("sh")
     val (numHashes, numBands) = (64, 16)
     val rowsPerBand = numHashes / numBands
