@@ -77,6 +77,41 @@ object Demo {
     println("reopened row count: " +
       sess2.sql("SELECT COUNT(*) FROM users").head().getLong(0))
     sess2.close()
+
+    println("\n-- training-data pipeline: quality -> dedup -> split --")
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "The quick brown fox jumps over the lazy dog near the river bank!!"), // near-dup of 0
+      (2L, "spark shuffles partition data across executors during wide transformations"),
+      (3L, "x"), // too short: fails the quality gate
+      (4L, "completely different text about parquet files and columnar storage layouts"))
+      .toDF("doc_id", "text")
+    val quality = TextAnalysis.qualityMetrics(docs).filter(col("word_cnt") >= 3)
+    val deduped = Dedup.exactGroupsByHash(
+      quality.select(col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("norm")),
+      "norm", "doc_id")
+    println("quality-pass docs: " + quality.count() +
+      ", after normalized dedup: " + deduped.count())
+    val split = Sampling.splitByHash(quality, col("doc_id"),
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+    split.groupBy("split").count().orderBy("split").show(truncate = false)
+
+    println("-- similarity search over embeddings --")
+    import graft.ops.Similarity
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.1f, 1.0f, 0.2f)),
+      (3L, Array(0.1f, 0.0f, 0.9f, 0.3f))).toDF("vec_id", "embedding")
+    Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", k = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .show(truncate = false)
+
     spark.stop()
   }
 }
