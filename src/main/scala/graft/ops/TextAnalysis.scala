@@ -290,6 +290,29 @@ object TextAnalysis {
         sum(when(col("bp").isNull, 1L).otherwise(0L)).as("kept_lines"))
   }
 
+  /** Top-k most frequent terms per group — heavy hitters per
+    * domain/language, the standard corpus-composition drill-down.
+    *
+    * Shape at 100 TB: explode + one hash aggregate on (group, word)
+    * with map-side combine, then a TWO-STAGE per-group top-k (partial
+    * rank inside each partition first), so one giant group's vocabulary
+    * never funnels into a single sort task — the same guard as
+    * [[graft.ops.Similarity.topKPerQuery]]. Ties break
+    * lexicographically for determinism. */
+  def topTermsPerGroup(df: DataFrame, groupCol: String,
+      textCol: String = "text", k: Int = 10): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
+    val partial = Window.partitionBy(col("grp"), spark_partition_id())
+      .orderBy(col("n").desc, col("word"))
+    val fin = Window.partitionBy(col("grp")).orderBy(col("n").desc, col("word"))
+    counts
+      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
+      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("rank"), col("word"), col("n"))
+  }
+
   /** Duplicated SPANS: word n-grams appearing in at least `minDocs`
     * distinct documents — the exact-substring cross-document duplication
     * signal (long shared spans = copied passages; n ≈ 8-13 words is the

@@ -405,6 +405,12 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("corpus_id"))
     }),
 
+    // ---- text: heavy hitters — top-10 terms per language (two-stage
+    // per-group rank; lexicographic tie-break makes output unique)
+    "t13_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerGroup(docs(s, dir), "lang", "text", k = 10)
+        .orderBy(col("lang"), col("rank"))),
+
     // ---- text: duplicated cross-document SPANS — word 8-grams present
     // in ≥ 2 distinct docs (copied-passage detection; the planted
     // near-dup copies share every interior 8-gram with their originals).
@@ -1409,6 +1415,17 @@ object PipelineQueries {
         |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 100000000.0) AS mean_x
         |FROM x GROUP BY doc_id, idx ORDER BY doc_id, idx""".stripMargin,
+
+    "t13_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS word
+        |  FROM documents
+        |), c AS (SELECT lang, word, count(*) AS n FROM toks GROUP BY lang, word)
+        |SELECT lang, rank, word, n FROM (
+        |  SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY n DESC, word) AS INTEGER) AS rank, word, n
+        |  FROM c) WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
 
     // same word-8-gram shingles (distinct per doc, whole-text fallback
     // for short docs) → document frequency ≥ 2

@@ -45,6 +45,24 @@ class PipelineOps4Spec extends SparkSpec {
     assert(nullRow.length == 1 && nullRow.head.getString(1) == "")
   }
 
+  test("topTermsPerGroup: per-group ranks, count-desc then lexicographic ties, k cap") {
+    val docs = Seq(
+      (0L, "en", "apple apple banana cherry"),
+      (1L, "en", "apple banana banana"),
+      (2L, "de", "zug zug zug bahn")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.topTermsPerGroup(docs, "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // en: apple=3, banana=3 (tie -> lexicographic), cherry=1 cut by k
+    assert(out.toList == List(
+      ("de", 1, "zug", 3L), ("de", 2, "bahn", 1L),
+      ("en", 1, "apple", 3L), ("en", 2, "banana", 3L)))
+    // partitioning-invariant (the partial rank stage must not change results)
+    val repart = TextAnalysis.topTermsPerGroup(docs.repartition(7), "lang", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(repart == out.toSet)
+  }
+
   test("semanticContamination: planted probes found, clean probes pass, corpus side never shuffles") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.02f, 0f, 0f)),
