@@ -87,16 +87,25 @@ object Demo {
       (1L, "The quick brown fox jumps over the lazy dog near the river bank!!"), // near-dup of 0
       (2L, "spark shuffles partition data across executors during wide transformations"),
       (3L, "x"), // too short: fails the quality gate
-      (4L, "completely different text about parquet files and columnar storage layouts"))
+      (4L, "completely different text about parquet files and columnar storage layouts"),
+      (5L, "broadcast joins keep the fact table local while dimensions ship to executors"),
+      (6L, "adaptive query execution replans shuffles from runtime statistics"),
+      (7L, "columnar scanners prune pages using min max statistics per column chunk"),
+      (8L, "watermarks bound how late an event may arrive before its window closes"),
+      (9L, "bucketed tables co locate join keys so recurring joins skip the exchange"))
       .toDF("doc_id", "text")
     val quality = TextAnalysis.qualityMetrics(docs).filter(col("word_cnt") >= 3)
-    val deduped = Dedup.exactGroupsByHash(
-      quality.select(col("doc_id"),
-        TextAnalysis.normalizeForDedup(col("text")).as("norm")),
-      "norm", "doc_id")
+    // dedup keeps each normalized-content group's canonical doc; chain the
+    // SURVIVORS into the split (not the pre-dedup set)
+    val survivors = quality.join(
+      Dedup.exactGroupsByHash(
+        quality.select(col("doc_id"),
+          TextAnalysis.normalizeForDedup(col("text")).as("norm")),
+        "norm", "doc_id").select(col("canonical_id").as("doc_id")),
+      Seq("doc_id"))
     println("quality-pass docs: " + quality.count() +
-      ", after normalized dedup: " + deduped.count())
-    val split = Sampling.splitByHash(quality, col("doc_id"),
+      ", dedup survivors: " + survivors.count())
+    val split = Sampling.splitByHash(survivors, col("doc_id"),
       Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
     split.groupBy("split").count().orderBy("split").show(truncate = false)
 

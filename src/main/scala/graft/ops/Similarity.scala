@@ -56,13 +56,25 @@ object Similarity {
     * @param scoreCol similarity column, ranked descending
     * @return scored's rows with a `rank` column, rank 1..k per query
     */
-  def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
-    val partial = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col(scoreCol).desc, col("neighbor_id"))
-    val fin = Window.partitionBy(col("query_id"))
-      .orderBy(col(scoreCol).desc, col("neighbor_id"))
-    scored
-      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
+  def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    topKPerGroup(scored, Seq(col("query_id")),
+      Seq(col(scoreCol).desc, col("neighbor_id")), k)
+
+  /** The generic two-stage guard behind [[topKPerQuery]] (and
+    * [[graft.ops.TextAnalysis.topTermsPerGroup]]): partial rank within
+    * (group, input partition) first, then the final per-group rank.
+    * Correct for any partition-independent total order: a row's rank
+    * within its partition is ≤ its global rank, so every global top-k
+    * row survives the partial stage. Order columns must make the
+    * ordering total (add a tie-break key) or results depend on
+    * partitioning. Adds `rank` (1..k per group). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame = {
+    val partial = Window.partitionBy(groupCols :+ spark_partition_id(): _*)
+      .orderBy(orderCols: _*)
+    val fin = Window.partitionBy(groupCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__pr", row_number().over(partial))
+      .filter(col("__pr") <= k).drop("__pr")
       .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
   }
 

@@ -304,12 +304,8 @@ object TextAnalysis {
     val counts = df
       .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("word"))
       .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
-    val partial = Window.partitionBy(col("grp"), spark_partition_id())
-      .orderBy(col("n").desc, col("word"))
-    val fin = Window.partitionBy(col("grp")).orderBy(col("n").desc, col("word"))
-    counts
-      .withColumn("pr", row_number().over(partial)).filter(col("pr") <= k).drop("pr")
-      .withColumn("rank", row_number().over(fin)).filter(col("rank") <= k)
+    Similarity.topKPerGroup(counts, Seq(col("grp")),
+        Seq(col("n").desc, col("word")), k)
       .select(col("grp").as(groupCol), col("rank"), col("word"), col("n"))
   }
 
