@@ -47,6 +47,25 @@ object VecOpsImpl {
     s
   }
 
+  /** Lenient [[dot]]: returns NULL on ragged lengths or null elements
+    * instead of throwing — the old declarative `aggregate(zip_with(…))`
+    * contract, for exploratory passes over corpora where malformed
+    * embedding rows are expected and should be filterable, not fatal.
+    * Well-formed inputs take the identical fused loop, so scores match
+    * [[dot]] bitwise. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** x / ‖x‖₂ in one pass: the norm is Σx² summed left-to-right (the
     * same order as [[VecOpsImpl.dot]](x, x)), then each element divided
     * by √norm — bitwise-identical to the declarative
@@ -95,6 +114,16 @@ object VecOps {
         ColumnBridge.expression(b.cast(ArrayType(DoubleType)))),
       Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
       propagateNull = true, returnNullable = false))
+
+  /** Column API: lenient dot — NULL (not an exception) on ragged or
+    * null-element vectors. See [[VecOpsImpl.dotOrNull]]. */
+  def dotOrNull(a: Column, b: Column): Column =
+    ColumnBridge.column(StaticInvoke(
+      VecOpsImpl.getClass, DoubleType, "dotOrNull",
+      Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType))),
+        ColumnBridge.expression(b.cast(ArrayType(DoubleType)))),
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
+      propagateNull = true, returnNullable = true))
 
   /** Column API: L2-normalize a numeric array column (→ `array<double>`). */
   def normalize(a: Column): Column =

@@ -161,7 +161,15 @@ object Dedup {
     * greatest(size(array_union), 1)` form materializes two whole
     * arrays per candidate pair just to measure them. Same
     * distinct/byte-equality semantics and the same exact int ratio, so
-    * oracle hashes are unchanged. */
+    * oracle hashes are unchanged.
+    *
+    * STRING CONTRACT: elements are compared by their STRING form (the
+    * kernel casts both arrays to `array<string>`). For the intended
+    * shingle/token arrays that is exact; for numeric arrays it differs
+    * from SQL equality on value-equal-but-differently-rendered elements
+    * (`-0.0` vs `0.0`, int `1` vs double `1.0`). Numeric set overlap
+    * should use the declarative `array_intersect`/`array_union` form
+    * instead. */
   def jaccard(a: Column, b: Column): Column =
     graft.functions.Jaccard.jaccard(a, b)
 
@@ -383,8 +391,11 @@ object Dedup {
     * `bucket_n` is each (band, bh) bucket's corpus-side size, computed
     * at write time, so probes can skip boilerplate mega-buckets without
     * re-aggregating the index. [[appendToMinhashIndex]] counts only
-    * within the appended segment — after heavy appends, rewrite the
-    * index to re-compact the counts. */
+    * within the appended segment; one meta row is recorded per segment,
+    * and [[probeMinhashIndex]] sums the per-segment counts whenever more
+    * than one segment exists — the skew guard stays exact across the
+    * index's whole lifetime. [[compactMinhashIndex]] folds everything
+    * back into one globally-counted segment. */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, shingleCol: String,
       path: String, numHashes: Int = 64, numBands: Int = 16): Unit = {
     val base = corpus.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
@@ -392,32 +403,68 @@ object Dedup {
     val counted = bandRows(base, numHashes, numBands)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .withColumn("segment", lit("base"))
     counted.write.mode("overwrite").parquet(path + "/bands")
     base.write.mode("overwrite").parquet(path + "/docs")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((numHashes, numBands)).toDF("num_hashes", "num_bands")
-      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    writeMeta(corpus.sparkSession, path, numHashes, numBands, "base",
+      overwrite = true)
     base.unpersist()
     ()
+  }
+
+  /** One meta row per segment: (num_hashes, num_bands, segment). The
+    * banding parameters are identical on every row; the ROW COUNT tells
+    * probes whether per-segment `bucket_n` values are still global. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      numHashes: Int, numBands: Int, segment: String, overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq((numHashes, numBands, segment)).toDF("num_hashes", "num_bands", "segment")
+      .coalesce(1).write.mode(if (overwrite) "overwrite" else "append")
+      .parquet(path + "/meta")
   }
 
   /** Append a (typically already-cleaned) batch to a
     * [[writeMinhashIndex]] index, banding with the index's own stored
     * parameters. `bucket_n` for the appended rows counts within this
-    * segment only (see [[writeMinhashIndex]]). */
+    * segment only; the extra meta row makes [[probeMinhashIndex]]
+    * re-aggregate totals across segments (see [[writeMinhashIndex]]). */
   def appendToMinhashIndex(batch: DataFrame, idCol: String,
       shingleCol: String, path: String): Unit = {
     val spark = batch.sparkSession
     val meta = spark.read.parquet(path + "/meta").collect().head
+    val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
+    val segment = java.util.UUID.randomUUID().toString
     val base = batch.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandRows(base, meta.getInt(0), meta.getInt(1))
+    bandRows(base, numHashes, numBands)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .withColumn("segment", lit(segment))
       .write.mode("append").parquet(path + "/bands")
     base.write.mode("append").parquet(path + "/docs")
+    writeMeta(spark, path, numHashes, numBands, segment, overwrite = false)
     base.unpersist()
+    ()
+  }
+
+  /** Rewrite a multi-segment index as one segment with globally exact
+    * `bucket_n` — restores single-scan probes (no cross-segment
+    * re-aggregation) after heavy append traffic. Band rows are narrow
+    * (id, band, bh), so this is one window shuffle over the index, never
+    * a re-shingling of the corpus. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = spark.read.parquet(path + "/meta").collect().head
+    val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
+    val compacted = spark.read.parquet(path + "/bands")
+      .select(col("id"), col("band"), col("bh"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .withColumn("segment", lit("base"))
+      // materialize before overwriting the parquet being read
+      .localCheckpoint()
+    compacted.write.mode("overwrite").parquet(path + "/bands")
+    writeMeta(spark, path, numHashes, numBands, "base", overwrite = true)
     ()
   }
 
@@ -431,18 +478,39 @@ object Dedup {
     * narrow hash join against the index — the corpus is never
     * re-shingled.
     *
-    * @param maxBucket corpus buckets larger than this (write-time
-    *        `bucket_n`) are skipped — the boilerplate-cluster skew
-    *        guard, same trade as [[minhashCandidates]]. */
+    * @param maxBucket corpus buckets larger than this are skipped — the
+    *        boilerplate-cluster skew guard, same trade as
+    *        [[minhashCandidates]]. On a single-segment index the
+    *        write-time `bucket_n` is used directly; after appends
+    *        (multiple meta rows) per-segment counts are summed per
+    *        (band, bh) first, so a bucket that crossed `maxBucket`
+    *        ACROSS segments is still skipped in full. */
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
-    val meta = spark.read.parquet(indexPath + "/meta").collect().head
+    val metaRows = spark.read.parquet(indexPath + "/meta").collect()
+    val meta = metaRows.head
     val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
     val b = batch.select(col(idCol).as("id"), col(shingleCol).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = spark.read.parquet(indexPath + "/bands")
-      .filter(col("bucket_n") <= maxBucket)
+    val bands = spark.read.parquet(indexPath + "/bands")
+    val sized =
+      if (metaRows.length <= 1) bands.filter(col("bucket_n") <= maxBucket)
+      else {
+        // cross-segment totals: one value per (band, bh, segment) — the
+        // per-segment count repeats on every row of its bucket — summed
+        // per bucket. Oversized buckets are few (≤ rows/maxBucket), so
+        // the anti join's build side stays small.
+        val oversized = bands
+          .groupBy(col("band"), col("bh"), col("segment"))
+          .agg(first(col("bucket_n")).as("seg_n"))
+          .groupBy(col("band"), col("bh"))
+          .agg(sum(col("seg_n")).as("total_n"))
+          .filter(col("total_n") > maxBucket)
+          .select(col("band"), col("bh"))
+        bands.join(oversized, Seq("band", "bh"), "left_anti")
+      }
+    val cand = sized
       .select(col("id").as("corpus_id"), col("band"), col("bh"))
       .join(bandRows(b, numHashes, numBands)
         .select(col("id").as("batch_id"), col("band"), col("bh")),

@@ -29,8 +29,21 @@ object Similarity {
     * `aggregate(zip_with(…))` form allocates an intermediate array per
     * call, which dominates ANN rerank / SemDeDup pair scoring at
     * millions of candidates. Summation order is unchanged, so scores
-    * stay bitwise-identical (oracle gates rely on it). */
+    * stay bitwise-identical (oracle gates rely on it).
+    *
+    * FAILS FAST (IllegalArgumentException) on ragged lengths or null
+    * elements — a dimension mismatch is a caller bug that must surface,
+    * not score as garbage. When malformed embedding rows are EXPECTED
+    * (raw crawled corpora), use [[dotOrNull]]: same kernel, NULL out —
+    * filterable instead of fatal. */
   def dot(a: Column, b: Column): Column = graft.functions.VecOps.dot(a, b)
+
+  /** Lenient [[dot]]: NULL on ragged lengths / null elements (the old
+    * declarative contract) — one malformed row yields a filterable NULL
+    * instead of killing a 1000-executor job. Well-formed rows score
+    * bitwise-identically to [[dot]]. */
+  def dotOrNull(a: Column, b: Column): Column =
+    graft.functions.VecOps.dotOrNull(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -364,8 +364,10 @@ object PipelineQueries {
 
     // ---- embeddings: chunk→document mean pooling. Groups = vec_id % 50
     // (synthetic "documents" of ~n/50 chunk vectors each); output is
-    // exploded to (doc, idx, mean_x) rows so the gate compares scalars,
-    // with DECIMAL sums making the means partition-order independent.
+    // exploded to (doc, idx, mean_x) rows so the gate compares scalars.
+    // meanPool's 1e-8-quantized scaled-LONG sums make the means
+    // independent of partitioning AND engine (raw-double DECIMAL casts
+    // are not cross-engine stable — see meanPool's Scaladoc).
     "p11_mean_pool" -> ((s, dir) => {
       val e = embeds(s, dir)
         .select((col("vec_id") % 50).as("doc_id"), col("embedding"))
@@ -1358,12 +1360,10 @@ object PipelineQueries {
         |  FROM bsh b, csh c
         |) WHERE jaccard >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin,
 
-    // line explode via the t11 range-join idiom (the 5000-line bound is
-    // 1000× this corpus's max — texts hold no newlines, the plants add
-    // ≤ 2 — but unlike t11's token-budget bound it is NOT structurally
-    // guaranteed: Spark's split+posexplode is unbounded, so a corpus
-    // with ≥ 5000-line docs would silently diverge — raise it with the
-    // corpus); frequent lines by count(DISTINCT doc_id); rebuild =
+    // line explode via per-row unnest(range(0, len(lst))) — unbounded,
+    // exactly mirroring Spark's split+posexplode, so no corpus can
+    // outgrow a hard-coded bound; frequent lines by
+    // count(DISTINCT doc_id); rebuild =
     // ordered string_agg of the kept lines (FILTER + ORDER BY pos),
     // coalesced to '' when everything was boilerplate — matching
     // Spark's empty array_join
@@ -1379,7 +1379,7 @@ object PipelineQueries {
         |  SELECT doc_id, string_split(text, chr(10)) AS lst FROM aug
         |), lines AS (
         |  SELECT doc_id, i AS pos, lst[CAST(i + 1 AS BIGINT)] AS line
-        |  FROM ls, range(0, 5000) r(i) WHERE i < len(lst)
+        |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM ls)
         |), freq AS (
         |  SELECT line FROM (
         |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line)

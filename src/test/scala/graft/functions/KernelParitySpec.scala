@@ -32,6 +32,36 @@ class KernelParitySpec extends SparkSpec {
     assert(out.forall(r => bits(r.getDouble(0)) == bits(r.getDouble(1))))
   }
 
+  test("dotOrNull: NULL on ragged/null-element vectors, bitwise == dot on well-formed ones") {
+    val good = Seq.fill(100) {
+      val dim = 1 + rnd.nextInt(32)
+      (Array.fill(dim)(rnd.nextGaussian()), Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val out = good.toDF("a", "b").select(
+      graft.functions.VecOps.dot(col("a"), col("b")).as("strict"),
+      graft.functions.VecOps.dotOrNull(col("a"), col("b")).as("lenient")).collect()
+    assert(out.forall(r => !r.isNullAt(1) && bits(r.getDouble(0)) == bits(r.getDouble(1))))
+    // ragged lengths -> NULL (the strict kernel throws on the same input)
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(ragged.select(graft.functions.VecOps.dotOrNull(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    // local mode may surface the kernel's IllegalArgumentException raw
+    // or wrapped in a SparkException — either way the job dies
+    val strictFailure = intercept[Exception] {
+      ragged.select(graft.functions.VecOps.dot(col("a"), col("b"))).collect()
+    }
+    assert(strictFailure.isInstanceOf[IllegalArgumentException] ||
+      strictFailure.isInstanceOf[org.apache.spark.SparkException])
+    // null element -> NULL; whole-column NULL propagates too
+    val nullEl = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+    assert(nullEl.select(graft.functions.VecOps.dotOrNull(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+    val nullCol = Seq((Array(1.0), Option.empty[Array[Double]])).toDF("a", "b")
+    assert(nullCol.select(graft.functions.VecOps.dotOrNull(col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("normalize kernel == bound-norm transform on random vectors; zero vector passes through") {
     val rows = Seq.fill(300) {
       val dim = 1 + rnd.nextInt(64)

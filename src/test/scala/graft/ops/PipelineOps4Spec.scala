@@ -172,6 +172,37 @@ class PipelineOps4Spec extends SparkSpec {
     assert(probeBoiler.count() == 0L)
   }
 
+  test("minhash index: maxBucket stays exact when a bucket grows across appended segments") {
+    val shingled = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val probe = shingled(Seq(900L -> "same text"))
+    // bucket built up by appends: 1 base copy + 2 appended segments of 1
+    // copy each — each segment's own bucket_n is 1, the LOGICAL bucket
+    // holds 3
+    val path = tmpDir("graft-mh-seg").resolve("idx").toString
+    Dedup.writeMinhashIndex(shingled(Seq(0L -> "same text")),
+      "doc_id", "shingles", path, numHashes = 64, numBands = 32)
+    Dedup.appendToMinhashIndex(shingled(Seq(1L -> "same text")), "doc_id", "shingles", path)
+    Dedup.appendToMinhashIndex(shingled(Seq(2L -> "same text")), "doc_id", "shingles", path)
+    // per-segment counts alone would pass bucket_n = 1 <= 2 and return 3
+    // pairs; the cross-segment total (3 > 2) must skip the whole bucket
+    assert(Dedup.probeMinhashIndex(spark, path, probe, "doc_id", "shingles",
+      threshold = 0.5, maxBucket = 2).count() == 0L)
+    // a guard wide enough for the logical bucket still finds all copies
+    assert(Dedup.probeMinhashIndex(spark, path, probe, "doc_id", "shingles",
+        threshold = 0.5, maxBucket = 3)
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+    // compaction folds back to one globally-counted segment: same
+    // skip/find behavior, single-scan probe path
+    Dedup.compactMinhashIndex(spark, path)
+    assert(spark.read.parquet(path + "/meta").count() == 1L)
+    assert(Dedup.probeMinhashIndex(spark, path, probe, "doc_id", "shingles",
+      threshold = 0.5, maxBucket = 2).count() == 0L)
+    assert(Dedup.probeMinhashIndex(spark, path, probe, "doc_id", "shingles",
+        threshold = 0.5, maxBucket = 3)
+      .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+  }
+
   test("semanticDedup: within-cell collapse, min-id and quality-aware selection, trained default") {
     // two well-separated direction clusters + a near-identical pair in each
     val base = Seq(
