@@ -72,9 +72,25 @@ object Bench {
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stdout line: millisecond-rounded values — the driver keeps only a
+    // ~2 kB tail of output, and with 90+ queries the full-precision line
+    // outgrew it (every BENCH_r*.json shows parsed:null with the head of
+    // the line cut off). The full-precision copy goes to BENCH_LOCAL.json
+    // in the repo root, where it survives any stdout truncation.
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(_.toString) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
+    println(line(r3))
     spark.stop()
   }
 }
