@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.session.GraftSession
 import graft.sinks.{Dump, DumpOptions}
-import graft.sources.{Compression, CsvSource, LtsvSource, XlsxSource}
+import graft.sources.{Compression, CsvSource, JsonlSource, LtsvSource, XlsxSource}
 
 /** Source/sink operators (SURVEY §2.1 S1–S17) driven end-to-end through
   * the oracle gate: a driver table is exported with our sink, re-read with
@@ -35,6 +35,7 @@ object SourceQueries {
       case "ltsv" => LtsvSource.read(s, path)
       case "xlsx" => XlsxSource.readFirstSheet(s, path)
       case "parquet" => s.read.parquet(path)
+      case "jsonl" => JsonlSource.read(s, path)
     }
   }
 
@@ -63,6 +64,13 @@ object SourceQueries {
     "src_parquet_roundtrip" -> ((s, dir) =>
       roundTrip(s, dir, "nation", "parquet")
         .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")),
+
+    // Superset: JSONL sink → JSONL scan (typed: numbers come back
+    // BIGINT/DOUBLE natively, no string-cast pipeline)
+    "src_jsonl_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "orders", "jsonl")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")),
 
     // S6 + S15: zstd-compressed CSV (exercises the non-Hadoop-native codec shim)
     "src_zstd_csv_roundtrip" -> ((s, dir) =>
@@ -153,6 +161,10 @@ object SourceQueries {
 
     "src_parquet_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "src_jsonl_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "src_zstd_csv_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

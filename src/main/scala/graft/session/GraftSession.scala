@@ -825,7 +825,7 @@ object FileCollector {
 
   final case class InputFile(path: String, format: String, tableName: String)
 
-  private val formats = Seq("csv", "tsv", "ltsv", "parquet", "xlsx")
+  private val formats = Seq("csv", "tsv", "ltsv", "parquet", "xlsx", "jsonl")
   private val compExts = Seq("", ".gz", ".bz2", ".xz", ".zst")
 
   def formatOf(path: String): Option[String] = {
@@ -886,6 +886,7 @@ object FileCollector {
       case "tsv" => Seq(f.tableName -> CsvSource.readTsv(spark, f.path, inferTypes, csvMultiLine))
       case "ltsv" => Seq(f.tableName -> LtsvSource.read(spark, f.path, inferTypes))
       case "parquet" => Seq(f.tableName -> spark.read.parquet(f.path))
+      case "jsonl" => Seq(f.tableName -> JsonlSource.read(spark, f.path))
       case "xlsx" => XlsxSource.readAllSheets(spark, f.path, inferTypes)
       case other => throw UnsupportedFormatError(f.path)
     }
@@ -897,6 +898,7 @@ object FileCollector {
       case "tsv" => CsvSource.readTsv(spark, path, inferTypes, csvMultiLine)
       case "ltsv" => LtsvSource.read(spark, path, inferTypes)
       case "parquet" => spark.read.parquet(path)
+      case "jsonl" => JsonlSource.read(spark, path)
       case "xlsx" => XlsxSource.readFirstSheet(spark, path, inferTypes)
       case other => throw UnsupportedFormatError(path)
     }

@@ -14,7 +14,7 @@ import graft.sources.{Compression, XlsxSource}
   * external compression of parquet is rejected like the reference
   * (`filesql.go:716-719`). */
 final case class DumpOptions(
-    format: String = "csv", // csv | tsv | ltsv | parquet | xlsx
+    format: String = "csv", // csv | tsv | ltsv | parquet | xlsx | jsonl
     compression: Option[Compression.Codec] = None,
     /** parity mode: write parquet columns as strings like the reference
       * (`filesql.go:709-821` writes all-UTF8); off = native typed (superset) */
@@ -96,6 +96,7 @@ object Dump {
         case "csv" => writeDelimited(df, tmp, ',')
         case "tsv" => writeDelimited(df, tmp, '\t')
         case "ltsv" => writeLtsv(df, tmp)
+        case "jsonl" => writeJsonl(df, tmp)
         case "xlsx" => writeXlsx(df, table, tmp)
         case "parquet" => writeSingleParquet(df, tmp, opts.parquetAllString)
         case other => throw graft.UnsupportedFormatError(other)
@@ -134,6 +135,102 @@ object Dump {
         w.write(cols.zip(r).map { case (c, v) => s"$c:$v" }.mkString("\t")); w.write("\n")
       }
     }
+  }
+
+  // ----------------------------------------------------------------- jsonl
+
+  /** One JSON object per row, TYPED values (numbers stay numbers,
+    * booleans stay booleans) so [[graft.sources.JsonlSource]] reads the
+    * file back with its native types — unlike the all-string text sinks.
+    * NULL fields are omitted (Spark's own JSON writer convention; absent
+    * and null are indistinguishable to every JSON reader). Temporal
+    * values render as ISO-8601 text (timestamps as UTC instants), binary
+    * as base64, nested arrays/maps/structs recursively. */
+  private def writeJsonl(df: DataFrame, target: Path): Unit = {
+    val cols = df.columns.toSeq
+    val it = df.toLocalIterator()
+    withWriter(target) { w =>
+      while (it.hasNext) {
+        val r = it.next()
+        val sb = new StringBuilder("{")
+        var first = true
+        cols.indices.foreach { i =>
+          if (!r.isNullAt(i)) {
+            if (!first) sb += ','
+            first = false
+            sb ++= jsonString(cols(i)); sb += ':'; jsonValue(r.get(i), sb)
+          }
+        }
+        sb += '}'
+        w.write(sb.result()); w.write("\n")
+      }
+    }
+  }
+
+  private def jsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').result()
+  }
+
+  private def jsonValue(v: Any, sb: StringBuilder): Unit = v match {
+    case null => sb ++= "null"
+    case b: Boolean => sb ++= b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => sb ++= n.toString
+    case d: Double =>
+      // NaN/Infinity are not valid JSON numbers — render as strings, the
+      // same escape hatch Spark's JSON reader accepts back
+      if (java.lang.Double.isFinite(d)) sb ++= d.toString
+      else sb ++= jsonString(d.toString)
+    case f: Float =>
+      if (java.lang.Float.isFinite(f)) sb ++= f.toString
+      else sb ++= jsonString(f.toString)
+    case d: java.math.BigDecimal => sb ++= d.toPlainString
+    case d: BigDecimal => sb ++= d.bigDecimal.toPlainString
+    case s: String => sb ++= jsonString(s)
+    case b: Array[Byte] => sb ++= jsonString(java.util.Base64.getEncoder.encodeToString(b))
+    case t: java.sql.Timestamp => sb ++= jsonString(t.toInstant.toString)
+    case t: java.time.Instant => sb ++= jsonString(t.toString)
+    case d: java.sql.Date => sb ++= jsonString(d.toString)
+    case d: java.time.LocalDate => sb ++= jsonString(d.toString)
+    case xs: scala.collection.Seq[_] =>
+      sb += '['
+      var first = true
+      xs.foreach { x =>
+        if (!first) sb += ','
+        first = false
+        jsonValue(x, sb)
+      }
+      sb += ']'
+    case m: scala.collection.Map[_, _] =>
+      sb += '{'
+      var first = true
+      m.foreach { case (k, x) =>
+        if (!first) sb += ','
+        first = false
+        sb ++= jsonString(String.valueOf(k)); sb += ':'; jsonValue(x, sb)
+      }
+      sb += '}'
+    case r: Row =>
+      sb += '{'
+      var first = true
+      r.schema.fieldNames.zipWithIndex.foreach { case (name, i) =>
+        if (!r.isNullAt(i)) {
+          if (!first) sb += ','
+          first = false
+          sb ++= jsonString(name); sb += ':'; jsonValue(r.get(i), sb)
+        }
+      }
+      sb += '}'
+    case other => sb ++= jsonString(String.valueOf(other))
   }
 
   // ------------------------------------------------------------------ xlsx
@@ -182,6 +279,7 @@ object Dump {
     format match {
       case "csv" => w.option("header", "true").csv(dir)
       case "tsv" => w.option("header", "true").option("sep", "\t").csv(dir)
+      case "jsonl" => w.json(dir)
       case "parquet" => w.parquet(dir)
       case other => throw graft.UnsupportedFormatError(other)
     }
