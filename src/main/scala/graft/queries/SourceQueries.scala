@@ -129,6 +129,51 @@ object SourceQueries {
       out
     }),
 
+    // Merge tier: whole-row upsert (anti-join + union — one key shuffle,
+    // batch side broadcastable)
+    "m05_upsert" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .withColumn("c_mktsegment", lit("REFRESHED"))
+      val inserts = c.filter(col("c_custkey") <= 50)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      graft.ops.Merge.upsert(c, updates.unionByName(inserts), Seq("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Merge tier: CDC apply — latest change per key wins, deletes net out
+    "m06_cdc_apply" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val u = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val d = o.filter(col("o_orderkey") % 21 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val i = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      graft.ops.Merge.applyChanges(o, u.unionByName(d).unionByName(i), Seq("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // Merge tier: column-level upsert — matched rows refresh ONLY the
+    // listed columns, inserts land whole
+    "m07_upsert_columns" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val src = c.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 5.0)
+        // non-update column: must NOT reach matched target rows
+        .withColumn("c_name", lit("IGNORED"))
+        .unionByName(c.filter(col("c_custkey") <= 20)
+          .withColumn("c_custkey", col("c_custkey") + 2000000L))
+      graft.ops.Merge.upsertColumns(c, src, Seq("c_custkey"), Seq("c_acctbal"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // Mutation layer: DELETE on a view
     "m03_delete" -> ((s, dir) => {
       val sess = GraftSession.open(s, s"$dir/orders.parquet")
@@ -188,6 +233,45 @@ object SourceQueries {
         |  SELECT n_nationkey + 100, upper(n_name), n_regionkey
         |  FROM nation WHERE n_regionkey = 0)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "m05_upsert" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal,
+        |    'REFRESHED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 50
+        |)
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+        |  UNION ALL
+        |  SELECT * FROM src
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "m06_cdc_apply" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 21 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |) ORDER BY o_orderkey""".stripMargin,
+
+    "m07_upsert_columns" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END
+        |      AS c_acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey <= 20
+        |) ORDER BY c_custkey""".stripMargin,
 
     "m02_update" ->
       """SELECT o_orderkey, 'X' AS o_orderstatus FROM orders
