@@ -779,6 +779,43 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events: STREAM-STREAM interval join — purchases joined to the
+    // same user's clicks within the preceding hour, both sides unbounded
+    // streams (watermarked, state-bounded by the range condition); the
+    // per-purchase click stats must hash-match the batch oracle
+    "e09_stream_interval_join" -> ((s, dir) => {
+      val sink = "e09_join_out"
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj-stream-")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // two independent source streams over the same directory
+      val purchases = EventStreams.readStreamNanos(s, streamDir.toString)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = EventStreams.readStreamNanos(s, streamDir.toString)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"), col("value").as("c_value"))
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.intervalJoin(purchases, clicks, "user_id",
+            "p_ts", "c_ts", "1 HOUR", watermark = Some("87600 hours"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val out = s.table(sink)
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("click_total"))
+        .orderBy(col("p_id"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: keyed range join — events inside each user's first
     // active hour (binned equi-join, no nested loop)
     "e06_range_join" -> ((s, dir) => {
@@ -1732,6 +1769,19 @@ object PipelineQueries {
     "e08_streaming_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // µs-truncated CASTs mirror the Spark loader's nanos→micros cut
+    // (same idiom as e06); DECIMAL sum for order-independent hashing
+    "e09_stream_interval_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_total
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p_id""".stripMargin,
 
     "e06_range_join" ->
       """WITH iv AS (

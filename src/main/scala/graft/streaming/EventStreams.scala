@@ -93,6 +93,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval equi-join (batch DataFrames run the same
+    * code path): left rows pair with right rows of equal `key` whose
+    * `rightTs` lies in [leftTs - before, leftTs]. In streaming, pass
+    * `watermark` so BOTH sides carry one — combined with the time-range
+    * condition it lets the engine BOUND the join state it retains
+    * (right-side state older than watermark + `before` is evicted),
+    * which is what makes an unbounded stream-stream join runnable at
+    * all; without the range condition state grows forever. Inner joins
+    * emit matches immediately (no watermark wait — only outer joins
+    * hold rows back).
+    *
+    * Column contract: `key`, `leftTs`, `rightTs` must be unambiguous —
+    * rename the non-key right columns before joining (the duplicate
+    * right `key` column is dropped from the output). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String,
+      watermark: Option[String] = None): DataFrame = {
+    val l = watermark.fold(left)(w => left.withWatermark(leftTs, w))
+    val r = watermark.fold(right)(w => right.withWatermark(rightTs, w))
+    val cond = l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+      r(rightTs) <= l(leftTs)
+    l.join(r, cond, "inner").drop(r(key))
+  }
+
   /** Session windows (gap-based) — streaming-capable `session_window`. */
   def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.groupBy(session_window(col("ts"), gap), col("user_id"))

@@ -100,6 +100,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch formulation; bounds are inclusive") {
+    val purchases = Seq(ev(10, 90, 1, "purchase"), ev(11, 200, 2, "purchase"))
+    val clicks = Seq(
+      ev(1, 30, 1, "click"),   // exactly 60 min before purchase 10 → inclusive lower bound
+      ev(2, 89, 1, "click"),   // in window
+      ev(3, 91, 1, "click"),   // after the purchase → out
+      ev(4, 29, 1, "click"),   // 61 min before → out
+      ev(5, 150, 2, "click"),  // in window for purchase 11
+      ev(6, 150, 1, "click"))  // right time, wrong user → out
+    def shape(df: org.apache.spark.sql.DataFrame, idAs: String, tsAs: String) =
+      df.select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+    val batch = EventStreams.intervalJoin(
+        shape(purchases.toDF(), "p_id", "p_ts"),
+        shape(clicks.toDF().withColumnRenamed("user_id", "u").withColumn("user_id", col("u")).drop("u"), "c_id", "c_ts"),
+        "user_id", "p_ts", "c_ts", "1 HOUR")
+      .select("p_id", "c_id").orderBy("p_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == Seq((10L, 1L), (10L, 2L), (11L, 5L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val ps = MemoryStream[Ev]
+    val cs = MemoryStream[Ev]
+    ps.addData(purchases: _*)
+    cs.addData(clicks: _*)
+    val q = EventStreams.intervalJoin(
+        shape(ps.toDF(), "p_id", "p_ts"), shape(cs.toDF(), "c_id", "c_ts")
+          .select(col("c_id"), col("user_id"), col("c_ts")),
+        "user_id", "p_ts", "c_ts", "1 HOUR", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out").select("p_id", "c_id")
+        .orderBy("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch sessionization: gap > 30min starts a new session") {
     val events = Seq(
       ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 50, 1, "a"), // gap 40min → 2 sessions
