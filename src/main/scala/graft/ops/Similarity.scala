@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Similarity search over embedding columns (`Array[Float]`), for
   * training-data pipelines: brute-force cosine top-k as the exact
@@ -107,6 +108,78 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
     topKPerQuery(scored, "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Attribute-filtered exact top-k: the metadata predicate applies
+    * BEFORE scoring (pre-filtering), so every returned neighbor
+    * satisfies it and each query still gets k qualifying results.
+    * Post-filtering a fixed-size candidate list — the tempting
+    * formulation — silently under-fills k or misses qualifying
+    * neighbors entirely when the predicate is selective. The predicate
+    * lands on the corpus SCAN (Catalyst pushdown): on a corpus
+    * partitioned by the filter column, this prunes I/O, not just
+    * compute. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, predicate: Column, k: Int): DataFrame =
+    bruteForceTopK(queries, corpus.filter(predicate), idCol, vecCol, k)
+
+  // ------------------------------------------------------- int8 quantization
+
+  /** INT8 scalar quantization (symmetric, per-vector scale): codes
+    * cᵢ = round(127·xᵢ / max|x|), reconstruction x̂ᵢ = cᵢ·scale with
+    * scale = max|x| / 127. Per-element error ≤ scale/2.
+    *
+    * This is the 4× memory/shuffle lever for retrieval that keeps FULL
+    * dimensionality (unlike PQ's m-byte codes): at 100 TB the candidate
+    * join ships byte-valued arrays instead of float32, and the integer
+    * dot is exact in both double and SQL arithmetic — which also makes
+    * the whole pipeline cross-engine checkable (gate s07).
+    *
+    * Zero vectors quantize to all-zero codes with scale 0 (nothing to
+    * reconstruct — same pass-through convention as [[normalize]]).
+    * Appends `codesCol` (array<double> holding exact integers in
+    * [-127, 127]) and `scaleCol`. */
+  def int8Quantize(df: DataFrame, vecCol: String, codesCol: String = "codes",
+      scaleCol: String = "q_scale"): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    df.withColumn("__maxabs",
+        aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn(codesCol,
+        when(col("__maxabs") === 0.0, transform(v, _ => lit(0.0)))
+          // bindOnce: the max-abs value must enter the per-element lambda
+          // as a bound variable, not an expression (HOF blocks CSE — the
+          // aggregate would re-run per element)
+          .otherwise(Dedup.bindOnce(col("__maxabs")) { m =>
+            transform(v, x => round(x * lit(127.0) / m)) }))
+      .withColumn(scaleCol, col("__maxabs") / lit(127.0))
+      .drop("__maxabs")
+  }
+
+  /** Dequantize [[int8Quantize]] codes: x̂ᵢ = cᵢ·scale. */
+  def int8Reconstruct(codes: Column, scale: Column): Column =
+    Dedup.bindOnce(scale) { s =>
+      transform(codes.cast(ArrayType(DoubleType)), c => c * s) }
+
+  /** Top-k by quantized dot product — scoring entirely in int8 space:
+    * rank by intDot(q,c) · c_scale (the query's own scale is constant
+    * per query, so it cannot change its ranking). The integer dot is
+    * exact; ties break by neighbor id. Returns
+    * (query_id, rank, neighbor_id, int_dot). */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val cq = int8Quantize(corpus.select(col(idCol).as("neighbor_id"), col(vecCol)),
+      vecCol, "cc", "c_scale")
+    val qq = broadcast(
+      int8Quantize(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        vecCol, "qc", "unused_scale"))
+    val scored = cq.join(qq, col("neighbor_id") =!= col("query_id"))
+      .withColumn("int_dot", dot(col("qc"), col("cc")))
+      .withColumn("__score", col("int_dot") * col("c_scale"))
+      .select(col("query_id"), col("neighbor_id"), col("int_dot"), col("__score"))
+    topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("__score").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("int_dot").cast("long").as("int_dot"))
   }
 
   /** Deterministic random hyperplanes (seed fixed) for sign-bucket LSH. */

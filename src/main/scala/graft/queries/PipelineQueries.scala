@@ -456,6 +456,27 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- similarity: attribute-FILTERED exact top-k — the predicate
+    // applies before scoring, so all k results satisfy it (post-filtering
+    // a candidate list would under-fill)
+    "s06_filtered_ann" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.filteredTopK(queries, e, "vec_id", "embedding",
+          col("label") % 2 === 0, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: INT8 scalar quantization — scoring entirely in
+    // quantized space (exact integer dots, 4× narrower candidate rows);
+    // DuckDB reproduces codes, dots and ranking bit-for-bit
+    "s07_int8_ann" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.int8TopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- similarity: LSH-bucketed ANN (the 100 TB shape; recall tested
     // in spec). ORACLE-checked: the gate feeds the operator deterministic
     // integer-component hyperplanes (gridPlanes) that DuckDB reproduces
@@ -1495,6 +1516,40 @@ object PipelineQueries {
         |    e.vec_id AS neighbor_id
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
         |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s06_filtered_ann" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INTEGER) AS rank,
+        |    e.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
+        |  WHERE e.vec_id <> q.vec_id AND e.label % 2 = 0)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // codes/dots are exact integers; ranking multiplies the exact dot by
+    // the neighbor scale with the SAME expression shape as Spark
+    // (maxabs / 127.0 first, then the product) for bitwise-equal order
+    "s07_int8_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, emb, list_max([abs(x) for x in emb]) AS maxabs FROM v
+        |), c AS (
+        |  SELECT vec_id, maxabs / 127.0 AS scale,
+        |    CASE WHEN maxabs = 0 THEN [0.0 for x in emb]
+        |         ELSE [round(x * 127.0 / maxabs) for x in emb] END AS codes
+        |  FROM m
+        |)
+        |SELECT query_id, rank, neighbor_id, int_dot FROM (
+        |  SELECT q.vec_id AS query_id, cc.vec_id AS neighbor_id,
+        |    CAST(list_inner_product(q.codes, cc.codes) AS BIGINT) AS int_dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.codes, cc.codes) * cc.scale DESC,
+        |        cc.vec_id) AS INTEGER) AS rank
+        |  FROM (SELECT * FROM c WHERE vec_id < 10) q, c cc
+        |  WHERE cc.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s02_ann_lsh" -> s02OracleSql,
