@@ -837,6 +837,37 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events: STREAM-STATIC enrichment — each micro-batch broadcast-
+    // joined to a batch-computed per-user dimension; heavy-user activity
+    // stats must hash-match the pure-batch oracle
+    "e10_stream_static_join" -> ((s, dir) => {
+      val sink = "e10_enrich_out"
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-enrich-stream-")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val static = Tables.load(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
+      val stream = EventStreams.readStreamNanos(s, streamDir.toString)
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.staticEnrich(stream, static, "user_id")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val out = s.table(sink)
+        .filter(col("user_total") >= 20)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy(col("event_type"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: keyed range join — events inside each user's first
     // active hour (binned equi-join, no nested loop)
     "e06_range_join" -> ((s, dir) => {
@@ -1823,6 +1854,15 @@ object PipelineQueries {
 
     "e08_streaming_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e10_stream_static_join" ->
+      """WITH ut AS (
+        |  SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events e JOIN ut ON e.user_id = ut.user_id
+        |WHERE ut.user_total >= 20
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // µs-truncated CASTs mirror the Spark loader's nanos→micros cut

@@ -118,6 +118,14 @@ object EventStreams {
     l.join(r, cond, "inner").drop(r(key))
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against the
+    * static dimension frame (broadcast — no stream-side shuffle, no join
+    * state to checkpoint; the classic fact-stream × dim-table shape).
+    * The static side is re-planned per batch, so a dim table backed by
+    * files picks up new FILES but joins each batch consistently. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "inner")
+
   /** Session windows (gap-based) — streaming-capable `session_window`. */
   def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.groupBy(session_window(col("ts"), gap), col("user_id"))
