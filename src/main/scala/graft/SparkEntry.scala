@@ -6,21 +6,25 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 80 oracle-checked
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 103 oracle-checked
   * and 1 rows-only (d03: the text→simhash kernel needs 64-bit wraparound
   * arithmetic DuckDB rejects — see COVERAGE.md; its distributed banding
-  * operator is oracle-checked separately as d07, and the LSH/IVF/PQ ANN
-  * gates run with deterministic SQL-expressible quantizers so DuckDB
-  * reproduces bucketing, probing, PQ encoding and ranking exactly).
+  * operator is oracle-checked separately as d07, and the LSH/IVF/PQ/int8
+  * ANN gates run with deterministic SQL-expressible quantizers so DuckDB
+  * reproduces bucketing, probing, encoding and ranking exactly).
   * Query name groups:
-  *   - q01–q31  relational SQL surface (SURVEY §2.2) + engine supersets
-  *   - m01–m03  DML mutation layer (INSERT/UPDATE/DELETE on views)
-  *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17)
+  *   - q01–q34  relational SQL surface (SURVEY §2.2) + engine supersets
+  *   - m01–m07  DML mutation layer (INSERT/UPDATE/DELETE on views) +
+  *              merge tier (upsert / column upsert / CDC apply)
+  *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
-  *   - s0*      similarity search (exact, LSH, IVF top-k)
+  *   - s0*      similarity search (exact, LSH, IVF, IVF+PQ, filtered, int8)
   *   - t0*      text analysis (tokens, quality, langid, fingerprint, edit)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*      event/time: windows, sessions, streaming, as-of/range join
+  *   - e0*      event/time: windows, sessions, streaming (tumbling, dedup,
+  *              stream-stream interval join, stream-static enrichment),
+  *              as-of/range join
+  *   - p0*      composed pipelines (corpus prep, sampling, packing, splits)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

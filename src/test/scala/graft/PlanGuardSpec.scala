@@ -22,8 +22,17 @@ class PlanGuardSpec extends SparkSpec {
                        // cross join — a per-row constant append, exactly
                        // how Spark executes scalar subqueries; linear at
                        // any corpus size
+      "s06_filtered_ann", // bruteForceTopK over the FILTERED corpus —
+                          // same intended exact-baseline plan as s01
+                          // (scale path: the same predicate composes with
+                          // the LSH/IVF probed candidate joins)
+      "s07_int8_ann", // exact quantized baseline: scores query × corpus
+                      // by definition, like s01 — the win is 4× narrower
+                      // rows in that join, not a smaller candidate set
       "e03_streaming_tumbling", // executes a streaming query when built
-      "e08_streaming_dedup")
+      "e08_streaming_dedup",
+      "e09_stream_interval_join", // executes a streaming query when built
+      "e10_stream_static_join")   // executes a streaming query when built
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .flatMap { case (name, fn) =>
