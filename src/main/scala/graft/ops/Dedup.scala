@@ -456,14 +456,27 @@ object Dedup {
       path: String): Unit = {
     val meta = spark.read.parquet(path + "/meta").collect().head
     val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
-    val compacted = spark.read.parquet(path + "/bands")
+    // two-phase swap, never overwrite-in-place: the compacted copy is
+    // fully written to a sibling dir FIRST (plain lineage from the old
+    // files — no checkpoint whose executor-local blocks could strand a
+    // half-overwritten index), then swapped in with a filesystem rename.
+    // Worst crash window (after delete, before rename) leaves the
+    // complete compacted copy at bands.compacting — recoverable by
+    // renaming it; the index data is never the only casualty.
+    val tmpPath = path + "/bands.compacting"
+    spark.read.parquet(path + "/bands")
       .select(col("id"), col("band"), col("bh"))
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .withColumn("segment", lit("base"))
-      // materialize before overwriting the parquet being read
-      .localCheckpoint()
-    compacted.write.mode("overwrite").parquet(path + "/bands")
+      .write.mode("overwrite").parquet(tmpPath)
+    val bands = new org.apache.hadoop.fs.Path(path + "/bands")
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(bands, true)
+    if (!fs.rename(tmp, bands))
+      throw new IllegalStateException(
+        s"compaction swap failed: compacted index left at $tmpPath")
     writeMeta(spark, path, numHashes, numBands, "base", overwrite = true)
     ()
   }

@@ -74,9 +74,13 @@ object Merge {
     *
     * The window runs over the change batch only (small side); the
     * target sees a single anti-join + union, so a 100 TB snapshot is
-    * never sorted or windowed. Ties on `seqCol` break deterministically
-    * by preferring the delete (a tie means the producer emitted both
-    * with one sequence number; converging to "gone" is the safe side).
+    * never sorted or windowed. Ties on `seqCol` break deterministically:
+    * a delete beats any upsert (a tie means the producer emitted both
+    * with one sequence number; converging to "gone" is the safe side),
+    * and equal-seq upserts with different payloads — CDC streams emit
+    * duplicates across producer restarts — break by a hash of the whole
+    * row: an arbitrary but RUN-STABLE pick, so the merged table never
+    * depends on partition order.
     *
     * @param changes target columns + `opCol` + `seqCol`
     * @param opCol   'I' | 'U' | 'D' (I and U are both upserts — CDC
@@ -87,7 +91,10 @@ object Merge {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc,
-        when(upper(col(opCol)) === "D", lit(0)).otherwise(lit(1)).asc)
+        when(upper(col(opCol)) === "D", lit(0)).otherwise(lit(1)).asc,
+        // full-row hash completes the ordering: equal-seq duplicate
+        // upserts pick the same winner under any partitioning
+        xxhash64(changes.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

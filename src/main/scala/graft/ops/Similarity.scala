@@ -5,7 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
 
 /** Similarity search over embedding columns (`Array[Float]`), for
   * training-data pipelines: brute-force cosine top-k as the exact
@@ -137,8 +137,9 @@ object Similarity {
     *
     * Zero vectors quantize to all-zero codes with scale 0 (nothing to
     * reconstruct — same pass-through convention as [[normalize]]).
-    * Appends `codesCol` (array<double> holding exact integers in
-    * [-127, 127]) and `scaleCol`. */
+    * Appends `codesCol` — a genuine array<tinyint> (1 byte/element: the
+    * rounded values are exact integers in [-127, 127], so the cast is
+    * lossless) — and `scaleCol`. */
   def int8Quantize(df: DataFrame, vecCol: String, codesCol: String = "codes",
       scaleCol: String = "q_scale"): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
@@ -150,7 +151,8 @@ object Similarity {
           // as a bound variable, not an expression (HOF blocks CSE — the
           // aggregate would re-run per element)
           .otherwise(Dedup.bindOnce(col("__maxabs")) { m =>
-            transform(v, x => round(x * lit(127.0) / m)) }))
+            transform(v, x => round(x * lit(127.0) / m)) })
+          .cast(ArrayType(ByteType)))
       .withColumn(scaleCol, col("__maxabs") / lit(127.0))
       .drop("__maxabs")
   }

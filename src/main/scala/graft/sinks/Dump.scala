@@ -145,7 +145,16 @@ object Dump {
     * NULL fields are omitted (Spark's own JSON writer convention; absent
     * and null are indistinguishable to every JSON reader). Temporal
     * values render as ISO-8601 text (timestamps as UTC instants), binary
-    * as base64, nested arrays/maps/structs recursively. */
+    * as base64, nested arrays/maps/structs recursively.
+    *
+    * Deliberately NOT df.toJSON: Spark's generator quotes non-finite
+    * doubles ("NaN"), which flips the inferred column to string on
+    * read-back — this encoder emits Jackson's unquoted NaN/Infinity
+    * tokens so the typed round trip survives. Consequence: the
+    * distributed path ([[writeDistributed]]("jsonl"), Spark's writer)
+    * differs on exactly two points — quoted non-finite doubles, and
+    * session-timezone timestamp rendering (identical under the
+    * sessions' UTC pin). */
   private def writeJsonl(df: DataFrame, target: Path): Unit = {
     val cols = df.columns.toSeq
     val it = df.toLocalIterator()
@@ -185,14 +194,14 @@ object Dump {
     case null => sb ++= "null"
     case b: Boolean => sb ++= b.toString
     case n @ (_: Byte | _: Short | _: Int | _: Long) => sb ++= n.toString
-    case d: Double =>
-      // NaN/Infinity are not valid JSON numbers — render as strings, the
-      // same escape hatch Spark's JSON reader accepts back
-      if (java.lang.Double.isFinite(d)) sb ++= d.toString
-      else sb ++= jsonString(d.toString)
-    case f: Float =>
-      if (java.lang.Float.isFinite(f)) sb ++= f.toString
-      else sb ++= jsonString(f.toString)
+    // non-finite doubles render as Jackson's unquoted NaN / Infinity /
+    // -Infinity tokens (exactly Double.toString), which the reader maps
+    // back to typed doubles (allowNonNumericNumbers). Spark's own JSON
+    // writer quotes them ("NaN") — schema inference then degrades the
+    // whole column to string on read-back; this encoder exists precisely
+    // to keep the round trip typed (see writeJsonl's doc).
+    case d: Double => sb ++= d.toString
+    case f: Float => sb ++= f.toString
     case d: java.math.BigDecimal => sb ++= d.toPlainString
     case d: BigDecimal => sb ++= d.bigDecimal.toPlainString
     case s: String => sb ++= jsonString(s)

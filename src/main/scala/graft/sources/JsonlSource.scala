@@ -29,6 +29,10 @@ object JsonlSource {
   def read(spark: SparkSession, path: String, lenient: Boolean = false): DataFrame = {
     val readable = Compression.sparkReadablePath(path)
     val r = spark.read.option("multiLine", "false")
+      // accept Jackson's unquoted NaN/Infinity tokens as doubles — the
+      // sink writes them unquoted so non-finite values round-trip TYPED
+      // (quoted "NaN" would degrade the inferred column to string)
+      .option("allowNonNumericNumbers", "true")
     val withMode =
       if (lenient) r.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -139,15 +139,19 @@ class OpsSpec extends SparkSpec {
         else Array.tabulate(8)(j => (math.sin(i * 8 + j) * (i + 1)).toFloat))
     }.toDF("vec_id", "embedding")
     val q = Similarity.int8Quantize(vecs, "embedding")
+    // codes are a genuine array<tinyint> — the 4x-narrower-than-float32
+    // candidate rows the docstring promises
+    assert(q.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
     val rows = q.select(col("vec_id"), col("embedding").cast("array<double>"),
       col("codes"), col("q_scale")).collect()
     rows.foreach { r =>
       val orig = r.getSeq[Double](1)
-      val codes = r.getSeq[Double](2)
+      val codes = r.getSeq[Byte](2)
       val scale = r.getDouble(3)
-      assert(codes.forall(c => c == c.floor && math.abs(c) <= 127.0))
+      assert(codes.forall(c => math.abs(c.toInt) <= 127))
       if (r.getLong(0) == 7L) {
-        assert(scale == 0.0 && codes.forall(_ == 0.0))
+        assert(scale == 0.0 && codes.forall(_ == 0))
       } else {
         orig.zip(codes).foreach { case (x, c) =>
           assert(math.abs(x - c * scale) <= scale / 2 + 1e-12)
@@ -159,7 +163,7 @@ class OpsSpec extends SparkSpec {
         Similarity.int8Reconstruct(col("codes"), col("q_scale")).as("rec"), col("q_scale"))
       .filter(col("q_scale") > 0).collect()
     rec.foreach { r =>
-      val codes = r.getSeq[Double](0); val recon = r.getSeq[Double](1); val s = r.getDouble(2)
+      val codes = r.getSeq[Byte](0); val recon = r.getSeq[Double](1); val s = r.getDouble(2)
       codes.zip(recon).foreach { case (c, x) => assert(x == c * s) }
     }
   }

@@ -277,6 +277,20 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("JSONL: non-finite doubles round-trip TYPED (unquoted NaN/Infinity tokens)") {
+    import spark.implicits._
+    val dir = tmpDir("jsonlnan")
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1.5)).toDF("id", "v")
+    graft.sinks.Dump.writeTable(df, "t", dir.toString, graft.sinks.DumpOptions("jsonl"))
+    val back = JsonlSource.read(spark, dir.resolve("t.jsonl").toString)
+    // the column stays DOUBLE — Spark's own writer would quote "NaN" and
+    // degrade it to string under inference
+    assert(back.schema("v").dataType == DoubleType)
+    val got = back.orderBy("id").collect().map(_.getDouble(1))
+    assert(got(0).isNaN && got(1).isPosInfinity && got(2).isNegInfinity && got(3) == 1.5)
+  }
+
   test("JSONL: gz-compressed round-trip and FAILFAST vs lenient on malformed lines") {
     val dir = tmpDir("jsonlgz")
     // compressed write via the extension-keyed codec chain

@@ -113,7 +113,7 @@ class EventStreamsSpec extends SparkSpec {
       df.select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
     val batch = EventStreams.intervalJoin(
         shape(purchases.toDF(), "p_id", "p_ts"),
-        shape(clicks.toDF().withColumnRenamed("user_id", "u").withColumn("user_id", col("u")).drop("u"), "c_id", "c_ts"),
+        shape(clicks.toDF(), "c_id", "c_ts"),
         "user_id", "p_ts", "c_ts", "1 HOUR")
       .select("p_id", "c_id").orderBy("p_id", "c_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -125,8 +125,7 @@ class EventStreamsSpec extends SparkSpec {
     ps.addData(purchases: _*)
     cs.addData(clicks: _*)
     val q = EventStreams.intervalJoin(
-        shape(ps.toDF(), "p_id", "p_ts"), shape(cs.toDF(), "c_id", "c_ts")
-          .select(col("c_id"), col("user_id"), col("c_ts")),
+        shape(ps.toDF(), "p_id", "p_ts"), shape(cs.toDF(), "c_id", "c_ts"),
         "user_id", "p_ts", "c_ts", "1 HOUR", watermark = Some("10 minutes"))
       .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
     try {
