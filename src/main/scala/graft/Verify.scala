@@ -22,8 +22,11 @@ object Verify {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(names) =>
-        // fail loudly on typos: silently matching nothing would leave an
-        // empty outDir that check.py passes vacuously
+        // fail loudly on typos AND on an empty/whitespace-only value:
+        // either would leave an empty outDir that check.py passes
+        // vacuously
+        require(names.nonEmpty,
+          "SPARK_GRAFT_VERIFY_ONLY is set but names no queries")
         val unknown = names.diff(SparkEntry.queries.keySet)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")

@@ -93,8 +93,14 @@ object Merge {
       .orderBy(col(seqCol).desc,
         when(upper(col(opCol)) === "D", lit(0)).otherwise(lit(1)).asc,
         // full-row hash completes the ordering: equal-seq duplicate
-        // upserts pick the same winner under any partitioning
-        xxhash64(changes.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))
+        // upserts pick the same winner under any partitioning. Hash the
+        // JSON form, not the raw columns: xxhash64 rejects MapType
+        // columns outright, and it folds null children WITHOUT mixing —
+        // (null, 5) and (5, null) would collide, re-admitting the
+        // partition-order nondeterminism. to_json keys every value by
+        // field name, so null shifts change the hash, and it accepts
+        // maps/arrays/structs/binary.
+        xxhash64(to_json(struct(changes.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))))
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -137,16 +137,26 @@ object Similarity {
     *
     * Zero vectors quantize to all-zero codes with scale 0 (nothing to
     * reconstruct — same pass-through convention as [[normalize]]).
-    * Appends `codesCol` — a genuine array<tinyint> (1 byte/element: the
-    * rounded values are exact integers in [-127, 127], so the cast is
-    * lossless) — and `scaleCol`. */
+    * Vectors with ANY non-finite element (NaN/±Inf ⇒ max|x| is
+    * non-finite) also take the all-zero-codes branch, keeping their
+    * non-finite `scaleCol` as the filterable malformed-row marker —
+    * letting the cast throw mid-job would kill a 1000-executor pass on
+    * one bad row (same stance as [[dotOrNull]]). Appends `codesCol` — a
+    * genuine array<tinyint> (1 byte/element: the rounded values are
+    * exact integers in [-127, 127], so the cast is lossless) — and
+    * `scaleCol`. */
   def int8Quantize(df: DataFrame, vecCol: String, codesCol: String = "codes",
       scaleCol: String = "q_scale"): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     df.withColumn("__maxabs",
         aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))))
       .withColumn(codesCol,
-        when(col("__maxabs") === 0.0, transform(v, _ => lit(0.0)))
+        // zero-codes branch also catches non-finite max|x| (any NaN/Inf
+        // element): round() would produce NaN and the ANSI tinyint cast
+        // would kill the job
+        when(col("__maxabs") === 0.0 || isnan(col("__maxabs")) ||
+            col("__maxabs") === Double.PositiveInfinity,
+          transform(v, _ => lit(0.0)))
           // bindOnce: the max-abs value must enter the per-element lambda
           // as a bound variable, not an expression (HOF blocks CSE — the
           // aggregate would re-run per element)

@@ -60,6 +60,26 @@ class MergeSpec extends SparkSpec {
     assert(out.filter("id = 1").count() == 0L)
   }
 
+  test("applyChanges: equal-seq duplicate upserts pick the same winner under any partitioning") {
+    val changes = Seq(
+      (1L, null.asInstanceOf[String], 5.0, "U", 1L),
+      (1L, "x", Double.NaN, "U", 1L)
+    ).toDF("id", "name", "v", "op", "seq")
+    def run(parts: Int) = Merge.applyChanges(target, changes.repartition(parts), Seq("id"))
+      .filter("id = 1").collect().map(r => (r.isNullAt(1), r.getDouble(2).isNaN)).toSeq
+    val winners = (1 to 8).map(run).distinct
+    assert(winners.size == 1, s"partition-order-dependent winners: $winners")
+  }
+
+  test("applyChanges: map-typed payload columns are accepted") {
+    val t = Seq((1L, Map("a" -> "1"))).toDF("id", "props")
+    val changes = Seq((1L, Map("a" -> "2"), "U", 1L), (2L, Map("b" -> "3"), "I", 1L))
+      .toDF("id", "props", "op", "seq")
+    val out = Merge.applyChanges(t, changes, Seq("id")).orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getMap[String, String](1)("a") == "2")
+  }
+
   test("applyChanges: window runs over the change batch, target side is anti-join only") {
     val changes = Seq((1L, "a1", 11.0, "U", 1L)).toDF("id", "name", "v", "op", "seq")
     val plan = Merge.applyChanges(target, changes, Seq("id"))

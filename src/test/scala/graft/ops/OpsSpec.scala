@@ -168,6 +168,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: non-finite elements yield zero codes + non-finite scale, not a crash") {
+    val vecs = Seq(
+      (1L, Array(1.0f, Float.NaN, 2.0f)),
+      (2L, Array(Float.PositiveInfinity, 1.0f, 0.0f)),
+      (3L, Array(1.0f, -2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.int8Quantize(vecs, "embedding").orderBy("vec_id").collect()
+    // malformed rows survive as filterable markers (cf. dotOrNull)
+    assert(q(0).getSeq[Byte](2).forall(_ == 0) && q(0).getDouble(3).isNaN)
+    assert(q(1).getSeq[Byte](2).forall(_ == 0) && q(1).getDouble(3).isPosInfinity)
+    assert(q(2).getSeq[Byte](2).exists(_ != 0) && q(2).getDouble(3) == 2.0 / 127.0)
+  }
+
   test("int8 top-k: quantized ranking close to exact, int dots are exact integers") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat))
