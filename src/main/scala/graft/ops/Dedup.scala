@@ -470,20 +470,7 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
       .withColumn("segment", lit("base"))
       .write.mode("overwrite").parquet(tmpPath)
-    val bands = new org.apache.hadoop.fs.Path(path + "/bands")
-    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
-    val fs = bands.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a failed delete must abort BEFORE the rename: HDFS rename into a
-    // still-existing directory nests tmp inside it and returns true —
-    // the guard below would miss it and probes would read stale
-    // multi-segment rows as if compacted
-    fs.delete(bands, true)
-    if (fs.exists(bands))
-      throw new IllegalStateException(
-        s"compaction could not remove $bands; compacted index left at $tmpPath")
-    if (!fs.rename(tmp, bands))
-      throw new IllegalStateException(
-        s"compaction swap failed: compacted index left at $tmpPath")
+    FsOps.swapDirs(spark, tmpPath, path + "/bands")
     writeMeta(spark, path, numHashes, numBands, "base", overwrite = true)
     ()
   }

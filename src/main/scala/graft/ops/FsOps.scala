@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-phase directory swap for "rewrite a parquet dataset in place"
+  * operations ([[Dedup.compactMinhashIndex]], streaming snapshot
+  * maintenance): the new copy is fully written to a sibling directory
+  * FIRST, then swapped in with a filesystem rename — readers see either
+  * the old or the new dataset, never a mix, and no failure mode leaves
+  * the rewritten data as the only casualty. */
+object FsOps {
+
+  /** Replace `dst` with `tmp` (both directories). Aborts — with the
+    * complete new copy intact at `tmp` — if the old directory cannot be
+    * removed: HDFS rename into a still-existing directory would nest
+    * `tmp` INSIDE it and report success, silently serving stale data.
+    * Worst crash window (after delete, before rename) likewise leaves
+    * the complete copy at `tmp`, recoverable by renaming it. */
+  def swapDirs(spark: SparkSession, tmpPath: String, dstPath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    if (fs.exists(dst))
+      throw new IllegalStateException(
+        s"swap could not remove $dst; new copy left at $tmpPath")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"swap rename failed: new copy left at $tmpPath")
+  }
+}

@@ -868,6 +868,39 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events: streaming CDC MATERIALIZATION — a change feed (I/U/D +
+    // seq) streamed with foreachBatch into a parquet snapshot via
+    // Merge.applyChanges + atomic dir swap; the final snapshot must
+    // hash-match the batch oracle
+    "e11_streaming_cdc" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-cdc-")
+      base.toFile.deleteOnExit()
+      val snap = base.resolve("snapshot").toString
+      val changesDir = base.resolve("changes").toString
+      val ckpt = base.resolve("ckpt").toString
+      val o = Tables.load(s, dir, "orders")
+      o.write.parquet(snap)
+      val u = o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val d = o.filter(col("o_orderkey") % 33 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val i = o.filter(col("o_orderkey") % 250 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changes = u.unionByName(d).unionByName(i)
+      changes.write.parquet(changesDir)
+      withShufflePartitions(s, 4) {
+        val stream = s.readStream.schema(changes.schema).parquet(changesDir)
+        val q = EventStreams.streamingApplyChanges(
+          stream, snap, Seq("o_orderkey"), ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+      }
+      s.read.parquet(snap)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- events: keyed range join — events inside each user's first
     // active hour (binned equi-join, no nested loop)
     "e06_range_join" -> ((s, dir) => {
@@ -1855,6 +1888,18 @@ object PipelineQueries {
     "e08_streaming_dedup" ->
       """SELECT event_type, COUNT(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "e11_streaming_cdc" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 33 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 250 = 0
+        |) ORDER BY o_orderkey""".stripMargin,
 
     "e10_stream_static_join" ->
       """WITH ut AS (

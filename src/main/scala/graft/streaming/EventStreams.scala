@@ -118,6 +118,42 @@ object EventStreams {
     l.join(r, cond, "inner").drop(r(key))
   }
 
+  /** Continuous CDC materialization: fold a change STREAM (target
+    * columns + op I/U/D + monotone seq, the
+    * [[graft.ops.Merge.applyChanges]] contract) into a parquet snapshot.
+    * Each micro-batch merges against the current snapshot and swaps the
+    * result in atomically ([[graft.ops.FsOps.swapDirs]]) — readers see
+    * either the old or the new snapshot, never a mix.
+    *
+    * Delivery semantics: the swap is atomic per batch but not
+    * transactional with the stream checkpoint, so a crash between swap
+    * and checkpoint commit REPLAYS the batch — which is idempotent
+    * here: re-applying a batch to the already-merged snapshot upserts
+    * identical rows and re-deletes absent keys (the standard
+    * foreachBatch at-least-once + idempotent-sink recipe). Cross-batch
+    * ordering is the producer's contract: per-key changes must arrive
+    * in seq order across batches (within a batch, any order).
+    *
+    * The snapshot must exist before the stream starts (write an initial
+    * — possibly empty — parquet table); its schema defines the target
+    * columns. */
+  def streamingApplyChanges(changes: DataFrame, snapshotPath: String,
+      keys: Seq[String], checkpoint: String, opCol: String = "op",
+      seqCol: String = "seq"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val target = spark.read.parquet(snapshotPath)
+        val merged = graft.ops.Merge.applyChanges(target, batch, keys, opCol, seqCol)
+        val tmpPath = snapshotPath + ".merging"
+        // materialize BEFORE the swap: merged still reads the old
+        // snapshot lazily
+        merged.write.mode("overwrite").parquet(tmpPath)
+        graft.ops.FsOps.swapDirs(spark, tmpPath, snapshotPath)
+      }
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension frame (broadcast — no stream-side shuffle, no join
     * state to checkpoint; the classic fact-stream × dim-table shape).

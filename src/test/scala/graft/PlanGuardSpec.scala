@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
       "e03_streaming_tumbling", // executes a streaming query when built
       "e08_streaming_dedup",
       "e09_stream_interval_join", // executes a streaming query when built
-      "e10_stream_static_join")   // executes a streaming query when built
+      "e10_stream_static_join",   // executes a streaming query when built
+      "e11_streaming_cdc")        // executes a streaming query when built
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .flatMap { case (name, fn) =>

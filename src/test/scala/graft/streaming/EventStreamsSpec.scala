@@ -136,6 +136,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC materialization: micro-batches fold into the parquet snapshot atomically") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("cdc-snap")
+    val snap = dir.resolve("snapshot").toString
+    val ckpt = dir.resolve("ckpt").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+      .write.parquet(snap)
+    val stream = MemoryStream[(Long, String, Double, String, Long)]
+    val q = EventStreams.streamingApplyChanges(
+      stream.toDF().toDF("id", "name", "v", "op", "seq"), snap, Seq("id"), ckpt)
+    try {
+      // batch 1: update id=2, insert id=9
+      stream.addData((2L, "B2", 200.0, "U", 1L), (9L, "i", 90.0, "I", 1L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(snap).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(after1 == Seq((1L, "a", 10.0), (2L, "B2", 200.0), (3L, "c", 30.0), (9L, "i", 90.0)))
+      // batch 2: delete id=1, update the row batch 1 inserted
+      stream.addData((1L, "a", 10.0, "D", 2L), (9L, "I9", 99.0, "U", 2L))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(snap).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(after2 == Seq((2L, "B2", 200.0), (3L, "c", 30.0), (9L, "I9", 99.0)))
+    } finally q.stop()
+    // replay idempotence (the crash-between-swap-and-checkpoint window):
+    // re-applying batch 2 to the already-merged snapshot changes nothing
+    val replayed = graft.ops.Merge.applyChanges(
+      spark.read.parquet(snap),
+      Seq((1L, "a", 10.0, "D", 2L), (9L, "I9", 99.0, "U", 2L))
+        .toDF("id", "name", "v", "op", "seq"),
+      Seq("id"))
+    assert(replayed.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((2L, "B2", 200.0), (3L, "c", 30.0), (9L, "I9", 99.0)))
+  }
+
   test("batch sessionization: gap > 30min starts a new session") {
     val events = Seq(
       ev(1, 0, 1, "a"), ev(2, 10, 1, "a"), ev(3, 50, 1, "a"), // gap 40min → 2 sessions
