@@ -408,6 +408,14 @@ final class GraftSession private[session] (
     """(?is)^\s*PRAGMA\s+user_version\s*=\s*(0[xX][0-9A-Fa-f]+|[+-]?\d+|'[+-]?\d+'|"[+-]?\d+")\s*;?\s*$""".r
   private val PragmaOtherRe =
     """(?is)^\s*PRAGMA\s+[A-Za-z_][A-Za-z0-9_]*\s*(?:\(.*\)|=.*)?\s*;?\s*$""".r
+  // SQLite maintenance statements with no Spark analogue: VACUUM
+  // rewrites the database file, ANALYZE refreshes sqlite_stat tables,
+  // REINDEX rebuilds btrees — none applies to file-backed temp views
+  // (Catalyst re-derives statistics per plan), so they are honest no-ops
+  // rather than leaked parse errors. Optional target names (ANALYZE t,
+  // REINDEX t, VACUUM INTO is NOT matched — it has real output effects)
+  private val MaintenanceRe =
+    """(?is)^\s*(VACUUM|ANALYZE|REINDEX)\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_.]*)?\s*;?\s*$""".r
 
   private def unquoteIdent(ident: String): String =
     if ((ident.startsWith("\"") && ident.endsWith("\"")) ||
@@ -561,6 +569,10 @@ final class GraftSession private[session] (
     case PragmaOtherRe() =>
       GraftSession.log.warn(
         s"PRAGMA has no Spark analogue, returning empty result: ${statement.trim}")
+      spark.emptyDataFrame
+    case MaintenanceRe(verb, _) =>
+      GraftSession.log.info(
+        s"$verb is a no-op on file-backed tables (Catalyst derives statistics per plan)")
       spark.emptyDataFrame
     case _ => Mutations.intercept(statement) match {
       case Some(mutation) =>

@@ -537,6 +537,14 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("PRAGMA index_list(users)").collect().isEmpty)
     assert(s.sql("PRAGMA journal_mode = WAL").collect().isEmpty)
     assert(s.sql("PRAGMA cache_size").collect().isEmpty)
+    // SQLite maintenance statements: honest no-ops (Catalyst re-derives
+    // statistics per plan; nothing to vacuum/reindex on temp views)
+    assert(s.sql("VACUUM").collect().isEmpty)
+    assert(s.sql("ANALYZE").collect().isEmpty)
+    assert(s.sql("ANALYZE users").collect().isEmpty)
+    assert(s.sql("REINDEX users").collect().isEmpty)
+    // tables still query fine afterwards
+    assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) > 0)
     s.close()
   }
 
