@@ -329,4 +329,43 @@ object TextAnalysis {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Top-`size` token vocabulary over the corpus: (token, n, id) with
+    * ids 1..size assigned by (count desc, token asc) — id 0 is reserved
+    * for OOV in [[encodeTokenIds]]. The global top-N is a distributed
+    * TakeOrderedAndProject (per-partition top-k, no full sort); the
+    * id-assigning window then runs over ≤ `size` rows, so its single
+    * partition is bounded by the vocabulary, never the corpus. */
+  def buildVocab(docs: DataFrame, textCol: String, size: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(size)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("int"))
+
+  /** Encode each document's tokens as vocabulary ids (OOV → 0),
+    * preserving token order — the step between cleaned text and packed
+    * training sequences. Returns (idCol, token_ids array<int>); docs
+    * with no tokens get an empty array.
+    *
+    * Shape at 100 TB: posexplode → BROADCAST vocab join (the vocab is
+    * small by construction) → one doc-keyed shuffle to reassemble.
+    * Never a per-token scan of a map literal (element_at on a map
+    * literal is O(|vocab|) per token) and never a corpus-side sort:
+    * array_sort orders each doc's own (pos, id) pairs in memory. */
+  def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val ids = exploded
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("id"), lit(0)).as("tid")))),
+        s => s.getField("tid")).as("token_ids"))
+    docs.select(col(idCol)).join(ids, Seq(idCol), "left")
+      .withColumn("token_ids",
+        coalesce(col("token_ids"), array().cast("array<int>")))
+  }
 }

@@ -407,6 +407,17 @@ object PipelineQueries {
         .orderBy(col("probe_id"), col("corpus_id"))
     }),
 
+    // ---- text: vocabulary build + token-id encoding (ids 1..size by
+    // count desc / token asc, OOV → 0; broadcast-join encode) — exploded
+    // back to (doc, pos, id) scalars for the gate
+    "t14_token_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextAnalysis.buildVocab(d, "text", 200)
+      TextAnalysis.encodeTokenIds(d.filter(col("doc_id") < 30), "doc_id", "text", vocab)
+        .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- text: heavy hitters — top-10 terms per language (two-stage
     // per-group rank; lexicographic tie-break makes output unique)
     "t13_top_terms" -> ((s, dir) =>
@@ -1537,6 +1548,30 @@ object PipelineQueries {
         |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 100000000.0) AS mean_x
         |FROM x GROUP BY doc_id, idx ORDER BY doc_id, idx""".stripMargin,
+
+    // same tokenization as t01/t06; pos via the p09 unnest(range) idiom;
+    // the vocabulary's ORDER BY n DESC, token + LIMIT is deterministic
+    // in both engines, so the id assignment matches exactly
+    "t14_token_ids" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS lst
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS id
+        |  FROM (
+        |    SELECT tok AS token, COUNT(*) AS n
+        |    FROM (SELECT unnest(lst) AS tok FROM tk)
+        |    GROUP BY tok ORDER BY n DESC, token LIMIT 200)
+        |), pos_tok AS (
+        |  SELECT doc_id, i AS pos, lst[CAST(i + 1 AS BIGINT)] AS token
+        |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM tk)
+        |  WHERE doc_id < 30
+        |)
+        |SELECT p.doc_id, CAST(p.pos AS INTEGER) AS pos,
+        |  COALESCE(v.id, 0) AS token_id
+        |FROM pos_tok p LEFT JOIN vocab v ON p.token = v.token
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "t13_top_terms" ->
       """WITH toks AS (

@@ -464,6 +464,26 @@ class OpsSpec extends SparkSpec {
     assert(fps(3L) == fp3b)
   }
 
+  test("vocab build + token-id encode: frequency-ranked ids, OOV=0, order kept, empty docs") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "   "), // no tokens
+      (4L, "zebra the")
+    ).toDF("doc_id", "text")
+    // counts: the=4, sat=2, cat/dog/mat/on/zebra=1 → ids by (n desc, token asc):
+    // the=1, sat=2, cat=3, dog=4, mat=5 (size 5 cuts on/zebra → OOV)
+    val vocab = TextAnalysis.buildVocab(docs, "text", 5)
+    val v = vocab.orderBy("id").collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(v.toSeq == Seq(("the", 1), ("sat", 2), ("cat", 3), ("dog", 4), ("mat", 5)))
+    val enc = TextAnalysis.encodeTokenIds(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().map(r => r.getSeq[Int](1).toList)
+    assert(enc(0) == List(1, 3, 2, 0, 1, 5)) // on → OOV 0, order preserved
+    assert(enc(1) == List(1, 4, 2))
+    assert(enc(2) == Nil) // tokenless doc → empty array, not a dropped row
+    assert(enc(3) == List(0, 1)) // zebra → OOV
+  }
+
   test("decontamination + document frequency: substring hits only, vocab counts") {
     val corpus = Seq(
       (1L, "The quick   brown fox jumps over the lazy dog"), // extra spaces normalize away
