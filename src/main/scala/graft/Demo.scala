@@ -121,6 +121,28 @@ object Demo {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .show(truncate = false)
 
+    println("-- int8-quantized search: same query, 1-byte codes --")
+    Similarity.int8TopK(vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", k = 2)
+      .show(truncate = false)
+
+    println("-- incremental maintenance: upsert a delta, fold a CDC batch --")
+    import graft.ops.Merge
+    val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    val delta = Seq((2L, "b-updated", 25.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    Merge.upsert(snapshot, delta, Seq("id")).orderBy("id").show(truncate = false)
+    val cdc = Seq((1L, "a", 10.0, "D", 1L), (3L, "c2", 33.0, "U", 2L))
+      .toDF("id", "name", "v", "op", "seq")
+    Merge.applyChanges(Merge.upsert(snapshot, delta, Seq("id")), cdc, Seq("id"))
+      .orderBy("id").show(truncate = false)
+
+    println("-- vocabulary + token ids (OOV = 0) --")
+    val corpus = survivors.limit(1000)
+    val vocab = TextAnalysis.buildVocab(corpus, "text", 100)
+    TextAnalysis.encodeTokenIds(corpus.limit(3), "doc_id", "text", vocab)
+      .select(col("doc_id"), slice(col("token_ids"), 1, 10).as("first_10_ids"))
+      .show(truncate = false)
+
     spark.stop()
   }
 }
