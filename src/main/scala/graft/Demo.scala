@@ -137,9 +137,9 @@ object Demo {
       .orderBy("id").show(truncate = false)
 
     println("-- vocabulary + token ids (OOV = 0) --")
-    val corpus = survivors.limit(1000)
+    val corpus = survivors.orderBy("doc_id").limit(1000)
     val vocab = TextAnalysis.buildVocab(corpus, "text", 100)
-    TextAnalysis.encodeTokenIds(corpus.limit(3), "doc_id", "text", vocab)
+    TextAnalysis.encodeTokenIds(corpus.orderBy("doc_id").limit(3), "doc_id", "text", vocab)
       .select(col("doc_id"), slice(col("token_ids"), 1, 10).as("first_10_ids"))
       .show(truncate = false)
 

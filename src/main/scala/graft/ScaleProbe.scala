@@ -146,18 +146,21 @@ object ScaleProbe {
         threshold = 0.999, centroids = Some(cents128)).count())
     println("SCALE semdedup survivors: " + sem)
 
-    // round-4 ops at 10×: a delta batch (0.5% updates + inserts) upserted
-    // into the 6M-row fact — the broadcast-anti-join shape must hold —
-    // and a CDC fold whose window runs over the small change batch only;
+    // round-4 ops at 10×: a delta batch (~0.5% updates PLUS key-shifted
+    // inserts, so both merge arms are exercised) upserted into the
+    // 6M-row fact — the broadcast-anti-join shape must hold — and a CDC
+    // fold whose window runs over the small change batch only;
     // int8-quantized top-k over the 20k-vector corpus.
-    val delta = l10.filter(col("l_orderkey") % 200 === 0)
+    val updates = l10.filter(col("l_orderkey") % 200 === 0)
       .withColumn("l_quantity", col("l_quantity") + 1.0)
-    t("upsert 6M target, 30k delta")(noop(
+    val delta = updates.unionByName(
+      updates.withColumn("l_orderkey", col("l_orderkey") + 1000000000L))
+    t("upsert 6M target, 60k delta (upd+ins)")(noop(
       graft.ops.Merge.upsert(l10, delta, Seq("l_orderkey", "l_linenumber"))))
     val cdc = delta.withColumn("op",
         when(col("l_orderkey") % 600 === 0, lit("D")).otherwise(lit("U")))
       .withColumn("seq", lit(1L))
-    t("cdc apply 6M target, 30k changes")(noop(
+    t("cdc apply 6M target, 60k changes")(noop(
       graft.ops.Merge.applyChanges(l10, cdc, Seq("l_orderkey", "l_linenumber"))))
     t("int8 topk 20k vectors")(noop(graft.ops.Similarity.int8TopK(
       e1.filter(col("vec_id") < 10), e10, "vec_id", "embedding", 5)))

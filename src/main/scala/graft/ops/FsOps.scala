@@ -16,6 +16,20 @@ object FsOps {
     * `tmp` INSIDE it and report success, silently serving stale data.
     * Worst crash window (after delete, before rename) likewise leaves
     * the complete copy at `tmp`, recoverable by renaming it. */
+  /** Recover from [[swapDirs]]'s one crash window (after delete, before
+    * rename): if `dst` is missing but the complete new copy sits at
+    * `tmp`, rename it into place. Call before READING a swap-maintained
+    * dataset from a restartable job — it turns the manual recovery step
+    * into self-healing. No-op when `dst` exists or `tmp` doesn't. */
+  def healSwap(spark: SparkSession, tmpPath: String, dstPath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"heal rename $tmpPath -> $dstPath failed")
+  }
+
   def swapDirs(spark: SparkSession, tmpPath: String, dstPath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)

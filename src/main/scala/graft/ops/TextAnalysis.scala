@@ -348,24 +348,27 @@ object TextAnalysis {
     * training sequences. Returns (idCol, token_ids array<int>); docs
     * with no tokens get an empty array.
     *
-    * Shape at 100 TB: posexplode → BROADCAST vocab join (the vocab is
-    * small by construction) → one doc-keyed shuffle to reassemble.
-    * Never a per-token scan of a map literal (element_at on a map
-    * literal is O(|vocab|) per token) and never a corpus-side sort:
-    * array_sort orders each doc's own (pos, id) pairs in memory. */
+    * Shape at 100 TB: ONE corpus scan — posexplode_outer (tokenless
+    * docs keep their row) → BROADCAST vocab join (the vocab is small by
+    * construction) → one doc-keyed shuffle to reassemble; collect_list
+    * drops the outer row's null entry, so empty docs come back as empty
+    * arrays without a second scan or restore join. Never a per-token
+    * scan of a map literal (element_at on a map literal is O(|vocab|)
+    * per token) and never a corpus-side sort: array_sort orders each
+    * doc's own (pos, id) pairs in memory. */
   def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
-    val ids = exploded
-      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+    val exploded = docs.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    // alias the vocab columns: a caller's idCol named "id" (or "token")
+    // must not collide with the vocab's own columns in the join
+    val v = broadcast(vocab.select(col("token").as("__tok"), col("id").as("__vid")))
+    exploded
+      .join(v, Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(transform(
-        array_sort(collect_list(struct(col("pos"),
-          coalesce(col("id"), lit(0)).as("tid")))),
+        array_sort(collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), coalesce(col("__vid"), lit(0)).as("tid"))))),
         s => s.getField("tid")).as("token_ids"))
-    docs.select(col(idCol)).join(ids, Seq(idCol), "left")
-      .withColumn("token_ids",
-        coalesce(col("token_ids"), array().cast("array<int>")))
   }
 }

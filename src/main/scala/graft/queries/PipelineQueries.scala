@@ -900,7 +900,11 @@ object PipelineQueries {
         .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
         .withColumn("op", lit("I")).withColumn("seq", lit(1L))
       val changes = u.unionByName(d).unionByName(i)
-      changes.write.parquet(changesDir)
+      // ONE file: the file stream must deliver the whole feed in a
+      // single micro-batch — split across batches, a same-key D(seq 3)
+      // could precede its U(seq 2) and applyChanges would resurrect the
+      // deleted row (cross-batch ordering is the producer's contract)
+      changes.coalesce(1).write.parquet(changesDir)
       withShufflePartitions(s, 4) {
         val stream = s.readStream.schema(changes.schema).parquet(changesDir)
         val q = EventStreams.streamingApplyChanges(

@@ -414,8 +414,11 @@ final class GraftSession private[session] (
   // (Catalyst re-derives statistics per plan), so they are honest no-ops
   // rather than leaked parse errors. Optional target names (ANALYZE t,
   // REINDEX t, VACUUM INTO is NOT matched — it has real output effects)
+  // whitespace REQUIRED before the optional target: without it,
+  // "VACUUMING"/"REINDEXED" would match as verb + identifier tail and
+  // swallow what should be a parse error
   private val MaintenanceRe =
-    """(?is)^\s*(VACUUM|ANALYZE|REINDEX)\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_.]*)?\s*;?\s*$""".r
+    """(?is)^\s*(VACUUM|ANALYZE|REINDEX)(?:\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_.]*))?\s*;?\s*$""".r
 
   private def unquoteIdent(ident: String): String =
     if ((ident.startsWith("\"") && ident.endsWith("\"")) ||

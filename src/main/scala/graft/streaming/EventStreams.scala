@@ -144,13 +144,17 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        val tmpPath0 = snapshotPath + ".merging"
+        // self-heal the swap's crash window (snapshot deleted, complete
+        // new copy still at .merging) — otherwise a restarted stream
+        // would throw on every replay and never recover
+        graft.ops.FsOps.healSwap(spark, tmpPath0, snapshotPath)
         val target = spark.read.parquet(snapshotPath)
         val merged = graft.ops.Merge.applyChanges(target, batch, keys, opCol, seqCol)
-        val tmpPath = snapshotPath + ".merging"
         // materialize BEFORE the swap: merged still reads the old
         // snapshot lazily
-        merged.write.mode("overwrite").parquet(tmpPath)
-        graft.ops.FsOps.swapDirs(spark, tmpPath, snapshotPath)
+        merged.write.mode("overwrite").parquet(tmpPath0)
+        graft.ops.FsOps.swapDirs(spark, tmpPath0, snapshotPath)
       }
       .start()
 

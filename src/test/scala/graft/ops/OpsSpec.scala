@@ -482,6 +482,17 @@ class OpsSpec extends SparkSpec {
     assert(enc(1) == List(1, 4, 2))
     assert(enc(2) == Nil) // tokenless doc → empty array, not a dropped row
     assert(enc(3) == List(0, 1)) // zebra → OOV
+    // single corpus scan: only the vocab join — no second restore join
+    // on the doc id (the vocab subtree contributes its own Generate, so
+    // count joins, not explodes)
+    val plan = TextAnalysis.encodeTokenIds(docs, "doc_id", "text", vocab)
+      .queryExecution.optimizedPlan.toString
+    assert("(?s)Join".r.findAllIn(plan).size == 1, plan)
+    // a doc-id column named like the vocab's own columns must not
+    // collide in the join
+    val renamed = docs.toDF("id", "text")
+    assert(TextAnalysis.encodeTokenIds(renamed, "id", "text", vocab)
+      .filter(col("id") === 1L).collect().head.getSeq[Int](1).toList == List(1, 3, 2, 0, 1, 5))
   }
 
   test("decontamination + document frequency: substring hits only, vocab counts") {

@@ -545,6 +545,9 @@ class GraftSessionSpec extends SparkSpec {
     assert(s.sql("REINDEX users").collect().isEmpty)
     // tables still query fine afterwards
     assert(s.sql("SELECT COUNT(*) FROM users").head().getLong(0) > 0)
+    // near-miss garbage is NOT swallowed as a maintenance no-op
+    intercept[Exception](s.sql("VACUUMING"))
+    intercept[Exception](s.sql("REINDEXED users"))
     s.close()
   }
 

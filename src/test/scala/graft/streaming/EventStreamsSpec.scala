@@ -160,6 +160,14 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
       assert(after2 == Seq((2L, "B2", 200.0), (3L, "c", 30.0), (9L, "I9", 99.0)))
     } finally q.stop()
+    // crash window self-heal: snapshot deleted, complete copy at
+    // .merging → the next batch's healSwap restores it
+    val snapP = new org.apache.hadoop.fs.Path(snap)
+    val fs = snapP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(snapP, new org.apache.hadoop.fs.Path(snap + ".merging"))
+    graft.ops.FsOps.healSwap(spark, snap + ".merging", snap)
+    assert(spark.read.parquet(snap).count() == 3)
+
     // replay idempotence (the crash-between-swap-and-checkpoint window):
     // re-applying batch 2 to the already-merged snapshot changes nothing
     val replayed = graft.ops.Merge.applyChanges(
