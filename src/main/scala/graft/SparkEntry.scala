@@ -6,7 +6,7 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 103 oracle-checked
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 105 oracle-checked
   * and 1 rows-only (d03: the text→simhash kernel needs 64-bit wraparound
   * arithmetic DuckDB rejects — see COVERAGE.md; its distributed banding
   * operator is oracle-checked separately as d07, and the LSH/IVF/PQ/int8
