@@ -382,6 +382,19 @@ object PipelineQueries {
     // Deterministic strided-row centroids (s03 discipline) so DuckDB
     // reproduces cell assignment, within-cell cosine and the per-node
     // rank end-to-end.
+    // ---- similarity/graph: fixed-point integer PageRank over the kNN
+    // graph — corpus-centrality as a curation prior; every iteration's
+    // LONG floor-division arithmetic reproduced exactly by DuckDB
+    "s08_pagerank" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("neighbor_id"))
+      graft.ops.Graph.pageRankInt(edges, "query_id", "neighbor_id", iters = 5)
+        .orderBy(col("node"))
+    }),
+
     "s05_knn_graph" -> ((s, dir) => {
       val e = embeds(s, dir)
       Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
@@ -1209,9 +1222,13 @@ object PipelineQueries {
     * the SemDeDup cell count, each unordered within-cell pair scored
     * once, both directions ranked per node (desc sim, neighbor-id tie
     * break) — the exact knnGraph computation. */
-  private def s05OracleSql: String = {
+  /** Shared CTE prefix reconstructing the [[Similarity.knnGraph]] edge
+    * set (cell-bucketed pairs, top-5 per node) — the body of the s05
+    * oracle, reused by s08's PageRank oracle on the same edges. Ends
+    * with a `knn_ranked(query_id, rank, neighbor_id)` CTE. */
+  private def knnGraphCtes: String = {
     val js = (0 until semGateNList).map(j => s"($j)").mkString(",")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
        |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $semGateNList AS cid
        |  FROM (VALUES $js) t(j)),
@@ -1224,11 +1241,45 @@ object PipelineQueries {
        |    list_inner_product(a.v, b.v) AS sim
        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
        |directed AS (SELECT ida AS query_id, idb AS neighbor_id, sim FROM pairs
-       |  UNION ALL SELECT idb AS query_id, ida AS neighbor_id, sim FROM pairs)
-       |SELECT query_id, rank, neighbor_id FROM (
+       |  UNION ALL SELECT idb AS query_id, ida AS neighbor_id, sim FROM pairs),
+       |knn_ranked AS (
        |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM directed)
+       |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank, neighbor_id FROM directed)""".stripMargin
+  }
+
+  private def s05OracleSql: String =
+    s"""WITH $knnGraphCtes
+       |SELECT query_id, rank, neighbor_id FROM knn_ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** PageRank oracle: the same kNN edges, then 5 unrolled fixed-point
+    * iterations (DuckDB's recursive CTEs are avoided so the aggregate
+    * per iteration needs no recursion caveats) — every `//` floor
+    * division and 85/100 damping step mirrors
+    * [[graft.ops.Graph.pageRankInt]]'s LONG arithmetic exactly; each
+    * iteration's rank is cast back to BIGINT (DuckDB SUM(BIGINT) widens
+    * to HUGEINT). */
+  private def s08OracleSql: String = {
+    val scale = 1000000000L
+    val base = scale * 15L / 100L
+    val prChain = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT a.dst AS node,
+         |    CAST($base + (85 * SUM(a.w * (p.rank_q // COALESCE(dg.d, 1)))) // 100 AS BIGINT) AS rank_q
+         |  FROM pr${i - 1} p JOIN aug a ON a.src = p.node
+         |  LEFT JOIN deg dg ON dg.node = a.src
+         |  GROUP BY a.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |aug AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+       |pr0 AS (SELECT node, CAST($scale AS BIGINT) AS rank_q FROM nodes),
+       |$prChain
+       |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
   }
 
   /** DuckDB oracle for d11 (semantic contamination): corpus and scaled
@@ -1533,6 +1584,7 @@ object PipelineQueries {
 
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
+    "s08_pagerank" -> s08OracleSql,
     "d11_semantic_contam" -> d11OracleSql,
 
     // per-(group, dimension) means over 1e-8-quantized components
