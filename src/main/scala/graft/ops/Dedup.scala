@@ -198,8 +198,11 @@ object Dedup {
     * only contains ids that LSH + Jaccard verified as near-dups), so up
     * to `driverThreshold` edges we collect ids and run an O(E α(E))
     * union-find on the driver — one job, no iteration. Beyond that, the
-    * distributed min-label-propagation fallback handles arbitrarily
-    * large graphs with per-iteration `localCheckpoint`-bounded lineage.
+    * distributed fallback is [[graft.ops.Graph.connectedComponentsStar]]
+    * (alternating large-star/small-star): O(log n) rounds regardless of
+    * component diameter, where the earlier min-label propagation needed
+    * O(diameter) — a chain-shaped dup cluster (serial-numbered
+    * boilerplate) made that unbounded. `maxIter` caps its rounds.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
       driverThreshold: Long = 5000000L): DataFrame = {
@@ -208,7 +211,7 @@ object Dedup {
     val n = edges.count()
     val out =
       if (n <= driverThreshold) driverUnionFind(pairs.sparkSession, edges)
-      else labelPropagation(edges, maxIter)
+      else Graph.connectedComponentsStar(edges, "id_a", "id_b", maxIter)
     edges.unpersist()
     out
   }
@@ -231,41 +234,6 @@ object Dedup {
     }
     import spark.implicits._
     parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "label")
-  }
-
-  /** Iterative min-label propagation: each id adopts the smallest label
-    * among itself and its neighbors until fixpoint (≤ maxIter; labels
-    * spread one hop per iteration, so maxIter bounds the component
-    * diameter — a warning is emitted if the loop exits unconverged). */
-  private def labelPropagation(pairs: DataFrame, maxIter: Int): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
-      i += 1
-    }
-    if (!converged)
-      System.err.println(s"[graft] connectedComponents: label propagation did not " +
-        s"converge within $maxIter iterations — components wider than $maxIter hops " +
-        s"are split; raise maxIter")
-    labels
   }
 
   /** Survivors of a verified-pair edge list: every id that sits in a

@@ -66,4 +66,66 @@ object Graph {
     }
     rank
   }
+
+  /** Connected components by the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): each round rewires edges toward per-node
+    * minima, halving component diameter — convergence in O(log n)
+    * rounds REGARDLESS of graph shape, where plain min-label
+    * propagation needs O(diameter) rounds (a 10⁶-node chain: ~20
+    * rounds here vs 10⁶ there). This is the 100 TB path behind
+    * [[graft.ops.Dedup.connectedComponents]]'s distributed fallback.
+    *
+    * Per round: two groupBy-min + join passes over a NARROW (long,
+    * long) edge list that only ever shrinks toward one edge per
+    * non-root node — no windows, no driver state; `localCheckpoint`
+    * truncates the iterative lineage. Convergence is detected exactly
+    * (count equality + `except` emptiness), not by hash checksum.
+    *
+    * @param pairs edges as (`idA`, `idB`) columns; treated undirected,
+    *        self loops ignored
+    * @return (id, label) for every id appearing in `pairs`, label =
+    *         smallest id in the component */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(idA).cast("long").as("id"))
+      .union(pairs.select(col(idB).cast("long").as("id"))).distinct()
+      .localCheckpoint()
+    // canonical undirected edges: s < g, deduped, self loops dropped
+    var e = pairs.select(least(col(idA), col(idB)).cast("long").as("s"),
+        greatest(col(idA), col(idB)).cast("long").as("g"))
+      .filter(col("s") =!= col("g")).distinct().localCheckpoint()
+    var round = 0
+    var converged = e.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: m(u) = min(N(u) ∪ {u}); every edge (u,v) with
+      // v > u is rewired to (m(u), v). m(u) ≤ u < v, so the rewired
+      // edge is canonical and never a self loop... unless m(u) = v is
+      // impossible; m(u) < v always.
+      val bi = e.select(col("s").as("u"), col("g").as("v"))
+        .union(e.select(col("g").as("u"), col("s").as("v")))
+      val mins = bi.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = bi.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("s"), col("v").as("g"))
+        .distinct().localCheckpoint()
+      // small-star on the larger endpoint: u = g has only smaller
+      // neighbors here; m(u) = min of them; every smaller neighbor and
+      // u itself connect to m(u).
+      val m2 = ls.groupBy(col("g")).agg(min(col("s")).as("m"))
+      val sm = ls.join(m2, Seq("g"))
+        .select(col("m").as("s"), col("s").as("g"))
+        .filter(col("s") =!= col("g"))
+        .union(m2.select(col("m").as("s"), col("g")))
+        .distinct().localCheckpoint()
+      converged = sm.count() == e.count() && sm.except(e).isEmpty
+      e = sm
+      round += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] connectedComponentsStar: not converged " +
+        s"after $maxRounds rounds; labels may be one rewiring short")
+    nodes.join(e.select(col("g").as("id"), col("s").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
 }

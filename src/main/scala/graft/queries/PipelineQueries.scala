@@ -395,6 +395,19 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- graph: O(log n) large-star/small-star connected components
+    // over the kNN graph — the distributed closure path behind every
+    // dedup family, verified against DuckDB's exact recursive reach
+    "s09_components" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      graft.ops.Graph.connectedComponentsStar(edges)
+        .orderBy(col("id"))
+    }),
+
     "s05_knn_graph" -> ((s, dir) => {
       val e = embeds(s, dir)
       Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
@@ -1282,6 +1295,22 @@ object PipelineQueries {
        |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Connected-components oracle: exact reachability closure (recursive
+    * CTE seeded with (node, node), stepped over both edge directions),
+    * then label = min reachable id — the ground truth the star
+    * algorithm must reproduce. Bounded: Σ component² pairs, components
+    * capped by the quantizer cell size. */
+  private def s09OracleSql: String =
+    s"""WITH RECURSIVE $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT DISTINCT src AS node FROM bi),
+       |reach(node, r) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT b.dst, reach.r FROM reach JOIN bi b ON b.src = reach.node)
+       |SELECT node AS id, MIN(r) AS label FROM reach GROUP BY node ORDER BY id""".stripMargin
+
   /** DuckDB oracle for d11 (semantic contamination): corpus and scaled
     * probes normalized and cell-assigned against the same strided-row
     * centroids, matched within shared cells at cosine ≥ 0.995 — ids
@@ -1585,6 +1614,7 @@ object PipelineQueries {
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
+    "s09_components" -> s09OracleSql,
     "d11_semantic_contam" -> d11OracleSql,
 
     // per-(group, dimension) means over 1e-8-quantized components

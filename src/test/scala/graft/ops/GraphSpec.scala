@@ -44,6 +44,56 @@ class GraphSpec extends SparkSpec {
     assert(run(7, 2) == a)
   }
 
+  test("connectedComponentsStar: matches union-find on adversarial shapes") {
+    // chain of 120 (diameter stress: label propagation would need 120
+    // rounds, star converges in O(log)), two cliques, a star, isolated
+    // self-loop node, plus random edges — all in one graph
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val clique1 = for (a <- 200L to 205L; b <- 200L to 205L if a < b) yield (a, b)
+    val clique2 = for (a <- 300L to 310L; b <- 300L to 310L if a < b) yield (a, b)
+    val star = (401L to 420L).map(x => (400L, x))
+    val self = Seq((500L, 500L))
+    val rnd = (0 until 80).map { i => ((i * 37 + 11) % 60 + 600L, (i * 53 + 29) % 60 + 600L) }
+    val pairs = (chain ++ clique1 ++ clique2 ++ star ++ self ++ rnd)
+      .toDF("id_a", "id_b")
+    val got = Graph.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: in-test union-find
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // relabel union-find roots to component minima before comparing
+    val ids = parent.keys.toSeq
+    val minOfRoot = ids.groupBy(find).map { case (r, xs) => r -> xs.min }
+    val want = ids.map(id => id -> minOfRoot(find(id))).toMap
+    assert(got == want)
+    assert(got(500L) == 500L)          // self-loop-only node labels itself
+    assert(got(119L) == 0L)            // chain end reaches the chain min
+  }
+
+  test("connectedComponentsStar: empty input and single edge") {
+    assert(Graph.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    val one = Graph.connectedComponentsStar(Seq((7L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(3L -> 3L, 7L -> 3L))
+  }
+
+  test("Dedup.connectedComponents distributed fallback routes to star and matches driver path") {
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++ Seq((90L, 91L)))
+      .toDF("id_a", "id_b")
+    val driver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == driver)
+  }
+
   test("pageRankInt: plan is join + aggregate per iteration — no windows, no cartesian") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val plan = Graph.pageRankInt(edges, "src", "dst", iters = 3)
