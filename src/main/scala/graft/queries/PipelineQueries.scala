@@ -408,6 +408,16 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // ---- clustering: distributed Lloyd k-means with quantized-mean
+    // centroid updates — strided raw-row init, every assignment score
+    // and every centroid update reproduced bit-for-bit by DuckDB
+    "s10_kmeans" -> ((s, dir) => {
+      val (assign, _) = graft.ops.Clustering.kmeans(
+        embeds(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+      assign.select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }),
+
     "s05_knn_graph" -> ((s, dir) => {
       val e = embeds(s, dir)
       Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
@@ -1311,6 +1321,45 @@ object PipelineQueries {
        |  SELECT b.dst, reach.r FROM reach JOIN bi b ON b.src = reach.node)
        |SELECT node AS id, MIN(r) AS label FROM reach GROUP BY node ORDER BY id""".stripMargin
 
+  /** k-means oracle: 3 unrolled Lloyd iterations. Assignment rank
+    * `‖c‖² − 2·x·c` via in-order `list_inner_product` (ties →
+    * lowest cluster, same as Spark's least-of-structs); centroid
+    * update via the p11 quantized-mean idiom (`round(x·1e8)` BIGINT
+    * sums, one double division chain); empty clusters COALESCE to the
+    * previous centroid; init = raw strided corpus rows both engines
+    * derive from count(*). */
+  private def s10OracleSql: String = {
+    val k = 8
+    val js = (0 until k).map(j => s"($j)").mkString(",")
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, v, cluster FROM (
+         |  SELECT e.vec_id, e.v, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_inner_product(c.v, c.v) - 2.0 * list_inner_product(e.v, c.v),
+         |      c.cluster) AS rn
+         |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val iterChain = (1 to 3).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |x$i AS (SELECT cluster, i,
+         |  CAST(round(v[CAST(i AS BIGINT)] * 100000000.0) AS BIGINT) AS w
+         |  FROM a$i, range(1, 65) r(i)),
+         |m$i AS (SELECT cluster, i,
+         |  CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 100000000.0) AS m
+         |  FROM x$i GROUP BY cluster, i),
+         |n$i AS (SELECT cluster, list(m ORDER BY i) AS v FROM m$i GROUP BY cluster),
+         |c$i AS (SELECT p.cluster, COALESCE(q.v, p.v) AS v
+         |  FROM c${i - 1} p LEFT JOIN n$i q ON q.cluster = p.cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $k AS cid
+       |  FROM (VALUES $js) t(j)),
+       |c0 AS (SELECT cids.j AS cluster, e.v FROM cids JOIN e ON e.vec_id = cids.cid),
+       |$iterChain,
+       |${assignCte("af", "c3")}
+       |SELECT vec_id, cluster FROM af ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for d11 (semantic contamination): corpus and scaled
     * probes normalized and cell-assigned against the same strided-row
     * centroids, matched within shared cells at cosine ≥ 0.995 — ids
@@ -1615,6 +1664,7 @@ object PipelineQueries {
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
     "s09_components" -> s09OracleSql,
+    "s10_kmeans" -> s10OracleSql,
     "d11_semantic_contam" -> d11OracleSql,
 
     // per-(group, dimension) means over 1e-8-quantized components
