@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *  - centroid updates go through [[Similarity.meanPool]]'s quantized
   *    scaled-LONG sums, so means are independent of partitioning AND
   *    engine (raw-double DECIMAL casts are not cross-engine stable);
-  *  - default init centroids are the corpus rows at strided positions
-  *    (`j·n/k`), the same SQL-derivable convention as
-  *    [[Similarity.vectorsByIds]] but UN-normalized (k-means runs in
-  *    the raw embedding space).
+  *  - default init centroids are a deterministic hash-ordered k-row
+  *    sample (no assumption on the id space); the s10 gate passes
+  *    explicit strided-row centroids ([[Similarity.rawVectorsByIds]],
+  *    un-normalized — k-means runs in the raw embedding space) so
+  *    DuckDB derives the identical init from `count(*)`.
   *
   * Shape at 100 TB: per iteration the assignment is ONE narrow
   * codegen'd projection against broadcast literal centroids (no
@@ -31,16 +32,6 @@ import org.apache.spark.sql.functions._
   * that, pre-bucket with a coarse quantizer and run per-bucket).
   */
 object Clustering {
-
-  /** Raw (un-normalized) corpus vectors at the given ids, in id-list
-    * order — the k-means init convention. Bounded collect: k rows. */
-  def rawVectorsByIds(df: DataFrame, idCol: String, vecCol: String,
-      ids: Seq[Long]): Array[Array[Double]] = {
-    val byId = df.filter(col(idCol).isin(ids: _*))
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    ids.map(byId).toArray
-  }
 
   /** Nearest-centroid id (0-based) by squared L2 distance, ties to the
     * lowest id — a single codegen'd least-of-structs over broadcast
@@ -64,7 +55,18 @@ object Clustering {
     * per-row assignment `(id, cluster)` (computed against the LAST
     * updated centroids) and the centroids themselves. An empty cluster
     * keeps its previous centroid. `iters = 0` just assigns against the
-    * init centroids. */
+    * init centroids.
+    *
+    * Default init: the k rows with the smallest `xxhash64(id)` — a
+    * deterministic unbiased pseudo-random sample that compiles to a
+    * per-partition top-k (no global sort) and assumes NOTHING about the
+    * id space. Pass `initCentroids` for reproducible-by-construction
+    * inits (e.g. the s10 gate's strided rows via
+    * [[Similarity.rawVectorsByIds]]).
+    *
+    * The projected input is `localCheckpoint`ed once up front: each
+    * Lloyd step is an action, and without it every iteration would
+    * re-run the caller's whole upstream pipeline. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5, initCentroids: Option[Array[Array[Double]]] = None,
       quantScale: Int = 8): (DataFrame, Array[Array[Double]]) = {
@@ -72,10 +74,12 @@ object Clustering {
     require(iters >= 0, "iters must be >= 0")
     val data = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
     var cents = initCentroids.getOrElse {
-      val n = data.count()
-      require(n >= k, s"k=$k exceeds corpus size $n")
-      rawVectorsByIds(df, idCol, vecCol, (0 until k).map(j => j * n / k))
+      val sample = data.orderBy(xxhash64(col("id"))).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sample.length == k, s"k=$k exceeds corpus size ${sample.length}")
+      sample
     }
     require(cents.length == k, s"init centroids ${cents.length} != k=$k")
     var it = 0

@@ -39,13 +39,20 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0, "scale must be positive")
+    // materialize the (possibly expensive) edge pipeline and its two
+    // derived tables ONCE — every iteration's plan references aug and
+    // deg, and without the checkpoints each iteration level would embed
+    // a fresh copy of the whole upstream computation
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val aug = e.withColumn("w", lit(1L)).unionByName(
       nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("w")))
+      .localCheckpoint()
     val base = scale * 15L / 100L
     var rank = nodes.withColumn("rank_q", lit(scale))
     var i = 0
@@ -125,7 +132,14 @@ object Graph {
     if (!converged)
       System.err.println(s"[graft] connectedComponentsStar: not converged " +
         s"after $maxRounds rounds; labels may be one rewiring short")
-    nodes.join(e.select(col("g").as("id"), col("s").as("label")), Seq("id"), "left")
+    val labels = e.select(col("g").as("id"), col("s").as("label"))
+    // converged stars have exactly one edge per non-root node; an
+    // unconverged edge set can still hold several (s, g) per g — keep
+    // the one-row-per-id contract by taking the smallest label
+    val oneLabel =
+      if (converged) labels
+      else labels.groupBy(col("id")).agg(min(col("label")).as("label"))
+    nodes.join(oneLabel, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 }

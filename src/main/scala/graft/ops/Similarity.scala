@@ -217,16 +217,27 @@ object Similarity {
     * cross-engine oracle reproduces x/sqrt(Σx²) on the same rows
     * exactly, which trained Lloyd centroids can never be. */
   def vectorsByIds(corpus: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long]): Array[Array[Double]] =
+    rawVectorsByIds(corpus, idCol, vecCol, ids).map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+  /** Raw (un-normalized) corpus vectors at the given ID VALUES, in
+    * id-list order — [[vectorsByIds]] without the normalization step
+    * (the [[graft.ops.Clustering.kmeans]] init convention: k-means runs
+    * in the raw embedding space). Bounded collect: |ids| rows. Every
+    * requested id must exist in the corpus. */
+  def rawVectorsByIds(corpus: DataFrame, idCol: String, vecCol: String,
       ids: Seq[Long]): Array[Array[Double]] = {
     val byId = corpus.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     ids.map { id =>
-      val v = byId(id)
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) v else v.map(_ / n)
+      byId.getOrElse(id, throw new IllegalArgumentException(
+        s"rawVectorsByIds: id $id not present in corpus column '$idCol'"))
     }.toArray
   }
 

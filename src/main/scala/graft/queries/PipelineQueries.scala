@@ -377,11 +377,6 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
-    // ---- similarity: k-NN GRAPH (corpus × corpus top-k inside
-    // coarse-quantizer cells — the SemDeDup/graph-clustering primitive).
-    // Deterministic strided-row centroids (s03 discipline) so DuckDB
-    // reproduces cell assignment, within-cell cosine and the per-node
-    // rank end-to-end.
     // ---- similarity/graph: fixed-point integer PageRank over the kNN
     // graph — corpus-centrality as a curation prior; every iteration's
     // LONG floor-division arithmetic reproduced exactly by DuckDB
@@ -412,12 +407,25 @@ object PipelineQueries {
     // centroid updates — strided raw-row init, every assignment score
     // and every centroid update reproduced bit-for-bit by DuckDB
     "s10_kmeans" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val n = e.count()
+      // strided raw rows (vec_ids are contiguous 0..n-1 at every SF, so
+      // DuckDB derives the same init from count(*)); the op's DEFAULT
+      // init is a hash-ordered sample that assumes nothing about ids
+      val init = Similarity.rawVectorsByIds(e, "vec_id", "embedding",
+        (0 until 8).map(j => j * n / 8))
       val (assign, _) = graft.ops.Clustering.kmeans(
-        embeds(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+        e, "vec_id", "embedding", k = 8, iters = 3,
+        initCentroids = Some(init))
       assign.select(col("id").as("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     }),
 
+    // ---- similarity: k-NN GRAPH (corpus × corpus top-k inside
+    // coarse-quantizer cells — the SemDeDup/graph-clustering primitive).
+    // Deterministic strided-row centroids (s03 discipline) so DuckDB
+    // reproduces cell assignment, within-cell cosine and the per-node
+    // rank end-to-end.
     "s05_knn_graph" -> ((s, dir) => {
       val e = embeds(s, dir)
       Similarity.knnGraph(e, "vec_id", "embedding", k = 5,

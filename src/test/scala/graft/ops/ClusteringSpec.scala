@@ -46,6 +46,14 @@ class ClusteringSpec extends SparkSpec {
     assert(a0.collect().map(_.getInt(1)).forall(_ == 0))
   }
 
+  test("kmeans: default hash-sample init works on sparse, non-contiguous ids") {
+    val df = (1L to 20L).map(i => (i * 1000003L + 17L, Seq((i % 4).toDouble)))
+      .toDF("id", "v")
+    val (assign, cents) = Clustering.kmeans(df, "id", "v", k = 3, iters = 2)
+    assert(assign.count() == 20 && cents.length == 3)
+    assert(assign.select("cluster").distinct().count() > 1)
+  }
+
   test("assignCluster: equidistant tie breaks to the lowest cluster id") {
     val df = vecs(1L -> Seq(0.5))
     val c = df.select(Clustering.assignCluster(col("v"),
