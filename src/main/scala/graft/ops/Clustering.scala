@@ -57,26 +57,32 @@ object Clustering {
     * keeps its previous centroid. `iters = 0` just assigns against the
     * init centroids.
     *
-    * Default init: the k rows with the smallest `xxhash64(id)` — a
+    * Default init: the k rows with the smallest `xxhash64(id, v)` — a
     * deterministic unbiased pseudo-random sample that compiles to a
     * per-partition top-k (no global sort) and assumes NOTHING about the
-    * id space. Pass `initCentroids` for reproducible-by-construction
-    * inits (e.g. the s10 gate's strided rows via
-    * [[Similarity.rawVectorsByIds]]).
+    * id space (hashing the vector too keeps the pick well-defined even
+    * under duplicated ids). Pass `initCentroids` for
+    * reproducible-by-construction inits (e.g. the s10 gate's strided
+    * rows via [[Similarity.rawVectorsByIds]]).
     *
-    * The projected input is `localCheckpoint`ed once up front: each
-    * Lloyd step is an action, and without it every iteration would
-    * re-run the caller's whole upstream pipeline. */
+    * When any internal action will run (iterations, or the default
+    * init sample), the projected input is `localCheckpoint`ed once up
+    * front — otherwise every Lloyd step would re-run the caller's
+    * whole upstream pipeline. The usual localCheckpoint trade applies:
+    * executor loss drops the truncated lineage and fails the job
+    * instead of recomputing. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5, initCentroids: Option[Array[Array[Double]]] = None,
       quantScale: Int = 8): (DataFrame, Array[Array[Double]]) = {
     require(k > 0, "k must be positive")
     require(iters >= 0, "iters must be >= 0")
-    val data = df.select(col(idCol).as("id"),
+    val projected = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint()
+    val data =
+      if (iters > 0 || initCentroids.isEmpty) projected.localCheckpoint()
+      else projected
     var cents = initCentroids.getOrElse {
-      val sample = data.orderBy(xxhash64(col("id"))).limit(k)
+      val sample = data.orderBy(xxhash64(col("id"), col("v"))).limit(k)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
       require(sample.length == k, s"k=$k exceeds corpus size ${sample.length}")
       sample

@@ -42,7 +42,10 @@ object Graph {
     // materialize the (possibly expensive) edge pipeline and its two
     // derived tables ONCE — every iteration's plan references aug and
     // deg, and without the checkpoints each iteration level would embed
-    // a fresh copy of the whole upstream computation
+    // a fresh copy of the whole upstream computation. localCheckpoint
+    // trade: the edge list occupies executor-local storage ~twice
+    // (e + aug) for the duration, and executor loss fails the job
+    // instead of recomputing the truncated lineage
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))

@@ -237,7 +237,7 @@ object Similarity {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     ids.map { id =>
       byId.getOrElse(id, throw new IllegalArgumentException(
-        s"rawVectorsByIds: id $id not present in corpus column '$idCol'"))
+        s"vector id lookup: id $id not present in corpus column '$idCol'"))
     }.toArray
   }
 

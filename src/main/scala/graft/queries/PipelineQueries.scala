@@ -407,7 +407,9 @@ object PipelineQueries {
     // centroid updates — strided raw-row init, every assignment score
     // and every centroid update reproduced bit-for-bit by DuckDB
     "s10_kmeans" -> ((s, dir) => {
-      val e = embeds(s, dir)
+      // one parquet scan: count, init collect and the Lloyd loop all
+      // read the checkpointed copy
+      val e = embeds(s, dir).localCheckpoint()
       val n = e.count()
       // strided raw rows (vec_ids are contiguous 0..n-1 at every SF, so
       // DuckDB derives the same init from count(*)); the op's DEFAULT

@@ -5,7 +5,11 @@ package graft
   * products and broadcast nested-loop joins. Plans are built (analysis +
   * physical planning only), not executed, so this sweeps all queries
   * cheaply; any future query that regresses into a quadratic join shape
-  * fails here before it ever reaches the driver gate.
+  * fails here before it ever reaches the driver gate. (Exception: the
+  * iterative gates — s08/s09/s10 PageRank, star components, k-means —
+  * run their driver-side loop actions at plan-BUILD time; at sf0.001
+  * that costs a few small jobs each, and their final plans are still
+  * checked like everything else.)
   */
 class PlanGuardSpec extends SparkSpec {
 

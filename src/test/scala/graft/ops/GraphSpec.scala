@@ -76,6 +76,14 @@ class GraphSpec extends SparkSpec {
     assert(got(119L) == 0L)            // chain end reaches the chain min
   }
 
+  test("connectedComponentsStar: unconverged exit still yields one row per id") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Graph.connectedComponentsStar(chain, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 201 && out.map(_._1).distinct.length == 201)
+    assert(out.forall { case (id, label) => label <= id })
+  }
+
   test("connectedComponentsStar: empty input and single edge") {
     assert(Graph.connectedComponentsStar(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
