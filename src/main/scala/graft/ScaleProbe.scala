@@ -164,6 +164,26 @@ object ScaleProbe {
       graft.ops.Merge.applyChanges(l10, cdc, Seq("l_orderkey", "l_linenumber"))))
     t("int8 topk 20k vectors")(noop(graft.ops.Similarity.int8TopK(
       e1.filter(col("vec_id") < 10), e10, "vec_id", "embedding", 5)))
+
+    // graph + clustering at 10×: the 20k-vector kNN edges feed
+    // fixed-point PageRank (per iteration: one join + one hash agg)
+    // and star components (O(log n) rounds); k-means at k=64 — the
+    // assignment is a broadcast-literal projection, each update one
+    // narrow LONG shuffle.
+    val knn = t("knn graph 20k vectors")(
+      graft.ops.Similarity.knnGraph(e10, "vec_id", "embedding", k = 5,
+        maxCell = Int.MaxValue, centroids = Some(cents128)).localCheckpoint())
+    println("SCALE knn edges: " + knn.count())
+    t("pagerank 5 iters 20k nodes")(noop(graft.ops.Graph.pageRankInt(
+      knn.select(col("query_id"), col("neighbor_id")),
+      "query_id", "neighbor_id", iters = 5)))
+    val comp = t("star components 20k nodes")(
+      graft.ops.Graph.connectedComponentsStar(
+        knn.select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))))
+    println("SCALE component rows: " + comp.count())
+    val (kmAssign, _) = t("kmeans k=64 3 iters 20k vectors")(
+      graft.ops.Clustering.kmeans(e10, "vec_id", "embedding", k = 64, iters = 3))
+    println("SCALE kmeans assigned: " + kmAssign.count())
     spark.stop()
   }
 }

@@ -394,13 +394,18 @@ object PipelineQueries {
     // over the kNN graph — the distributed closure path behind every
     // dedup family, verified against DuckDB's exact recursive reach
     "s09_components" -> ((s, dir) => {
-      val e = embeds(s, dir)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
-          maxCell = Int.MaxValue,
-          centroids = Some(gateCentroidsN(e, semGateNList)))
-        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-      graft.ops.Graph.connectedComponentsStar(edges)
-        .orderBy(col("id"))
+      // the star loop runs EAGERLY here (checkpoints + convergence
+      // checks): scope the shuffle width down for this narrow 25k-edge
+      // graph — labels are exact longs, partition-count independent
+      withShufflePartitions(s, 8) {
+        val e = embeds(s, dir)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+            maxCell = Int.MaxValue,
+            centroids = Some(gateCentroidsN(e, semGateNList)))
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        graft.ops.Graph.connectedComponentsStar(edges)
+          .orderBy(col("id"))
+      }
     }),
 
     // ---- clustering: distributed Lloyd k-means with quantized-mean
