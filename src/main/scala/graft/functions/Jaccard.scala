@@ -51,9 +51,17 @@ object Jaccard {
     * `array_intersect` form used SQL numeric equality) — shingle/token
     * arrays, the intended inputs, are unaffected. */
   def jaccard(a: Column, b: Column): Column =
-    ColumnBridge.column(StaticInvoke(
+    ColumnBridge.column(jaccardExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Expression builder — shared with [[SqlKernels]]'s `graft_jaccard`. */
+  private[functions] def jaccardExpr(
+      a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       JaccardImpl.getClass, DoubleType, "jaccard",
-      Seq(ColumnBridge.expression(a), ColumnBridge.expression(b)),
+      Seq(a, b),
       Seq(ArrayType(StringType), ArrayType(StringType)),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = false)
 }

@@ -71,11 +71,17 @@ object MinHash {
   /** Column API: k-slot MinHash signature (`array<bigint>`) of an
     * `array<string>` shingle column. */
   def signature(shingles: Column, k: Int): Column =
-    ColumnBridge.column(StaticInvoke(
+    ColumnBridge.column(signatureExpr(ColumnBridge.expression(shingles), k))
+
+  /** Expression builder — shared with [[SqlKernels]]'s `graft_minhash_sig`. */
+  private[functions] def signatureExpr(
+      shingles: org.apache.spark.sql.catalyst.expressions.Expression, k: Int)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       MinHashImpl.getClass, ArrayType(LongType, containsNull = false), "signature",
-      Seq(ColumnBridge.expression(shingles), Literal(k)),
+      Seq(shingles, Literal(k)),
       Seq(ArrayType(StringType), IntegerType),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = false)
 
   /** Column API: `numBands` LSH band keys (`array<bigint>`) of an
     * `array<string>` shingle column — fused signature + banding.

@@ -49,9 +49,15 @@ object SimHashImpl {
 object SimHash {
   /** Column API: 64-bit SimHash of an `array<string>` column. */
   def simhash64(tokens: Column): Column =
-    ColumnBridge.column(StaticInvoke(
+    ColumnBridge.column(simhash64Expr(ColumnBridge.expression(tokens)))
+
+  /** Expression builder — shared with [[SqlKernels]]'s `graft_simhash`. */
+  private[functions] def simhash64Expr(
+      tokens: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       SimHashImpl.getClass, LongType, "simhash",
-      Seq(ColumnBridge.expression(tokens)),
+      Seq(tokens),
       Seq(ArrayType(StringType)),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = false)
 }

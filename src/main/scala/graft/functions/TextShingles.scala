@@ -41,9 +41,15 @@ object TextShinglesImpl {
 object TextShingles {
   /** Column API: distinct word n-gram shingles straight from a text column. */
   def textShingles(text: Column, n: Int): Column =
-    ColumnBridge.column(StaticInvoke(
+    ColumnBridge.column(textShinglesExpr(ColumnBridge.expression(text), n))
+
+  /** Expression builder — shared with [[SqlKernels]]'s `graft_shingles`. */
+  private[functions] def textShinglesExpr(
+      text: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    StaticInvoke(
       TextShinglesImpl.getClass, ArrayType(StringType, containsNull = false), "shingles",
-      Seq(ColumnBridge.expression(text), Literal(n)),
+      Seq(text, Literal(n)),
       Seq(StringType, IntegerType),
-      propagateNull = true, returnNullable = false))
+      propagateNull = true, returnNullable = false)
 }

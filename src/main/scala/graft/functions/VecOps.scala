@@ -101,35 +101,44 @@ object VecOpsImpl {
 }
 
 object VecOps {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+  private val AD = ArrayType(DoubleType)
+  private def d(e: Expression): Expression = Cast(e, AD)
 
-  /** Column API: double dot product of two numeric array columns.
-    * Inputs are cast to `array<double>` first (exact for floats), so
-    * callers can pass raw float embeddings or already-normalized
-    * double vectors interchangeably — same semantics as the
-    * declarative per-element `cast("double")` formulation. */
+  /** Expression builders — shared by the Column API below and the
+    * `graft_*` SQL registrations in [[SqlKernels]], so both surfaces
+    * plan the identical `StaticInvoke`. Inputs are cast to
+    * `array<double>` first (exact for floats), so callers can pass raw
+    * float embeddings or already-normalized double vectors
+    * interchangeably. */
+  private[functions] def dotExpr(a: Expression, b: Expression): Expression =
+    StaticInvoke(VecOpsImpl.getClass, DoubleType, "dot",
+      Seq(d(a), d(b)), Seq(AD, AD),
+      propagateNull = true, returnNullable = false)
+
+  private[functions] def dotOrNullExpr(a: Expression, b: Expression): Expression =
+    StaticInvoke(VecOpsImpl.getClass, DoubleType, "dotOrNull",
+      Seq(d(a), d(b)), Seq(AD, AD),
+      propagateNull = true, returnNullable = true)
+
+  private[functions] def normalizeExpr(a: Expression): Expression =
+    StaticInvoke(VecOpsImpl.getClass, AD, "normalize",
+      Seq(d(a)), Seq(AD),
+      propagateNull = true, returnNullable = false)
+
+  /** Column API: double dot product of two numeric array columns
+    * (numeric inputs cast to `array<double>` — exact for floats). */
   def dot(a: Column, b: Column): Column =
-    ColumnBridge.column(StaticInvoke(
-      VecOpsImpl.getClass, DoubleType, "dot",
-      Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType))),
-        ColumnBridge.expression(b.cast(ArrayType(DoubleType)))),
-      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
-      propagateNull = true, returnNullable = false))
+    ColumnBridge.column(dotExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API: lenient dot — NULL (not an exception) on ragged or
     * null-element vectors. See [[VecOpsImpl.dotOrNull]]. */
   def dotOrNull(a: Column, b: Column): Column =
-    ColumnBridge.column(StaticInvoke(
-      VecOpsImpl.getClass, DoubleType, "dotOrNull",
-      Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType))),
-        ColumnBridge.expression(b.cast(ArrayType(DoubleType)))),
-      Seq(ArrayType(DoubleType), ArrayType(DoubleType)),
-      propagateNull = true, returnNullable = true))
+    ColumnBridge.column(dotOrNullExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API: L2-normalize a numeric array column (→ `array<double>`). */
   def normalize(a: Column): Column =
-    ColumnBridge.column(StaticInvoke(
-      VecOpsImpl.getClass, ArrayType(DoubleType), "normalize",
-      Seq(ColumnBridge.expression(a.cast(ArrayType(DoubleType)))),
-      Seq(ArrayType(DoubleType)),
-      propagateNull = true, returnNullable = false))
+    ColumnBridge.column(normalizeExpr(ColumnBridge.expression(a)))
 }

@@ -57,10 +57,70 @@ object Graph {
         lit(0L).as("w")))
       .localCheckpoint()
     val base = scale * 15L / 100L
-    var rank = nodes.withColumn("rank_q", lit(scale))
+    pageRankLoop(deg, aug, nodes.withColumn("rank_q", lit(scale)),
+      iters, checkpointEvery) { agg =>
+      agg.select(col("node"), expr(s"${base}L + (85 * s) div 100").as("rank_q"))
+    }
+  }
+
+  /** Personalized PageRank (TrustRank-style) in the same scaled
+    * fixed-point arithmetic as [[pageRankInt]]: the restart mass goes
+    * ONLY to the seed set — `rank'(v) = [v∈S]·scale·15/100 +
+    * 85·Σ_{u→v} (rank(u) div outdeg(u)) / 100`, ranks start at `scale`
+    * on seeds and 0 elsewhere. Rank then measures link-proximity to
+    * the seeds: with S = a trusted/high-quality document set over a
+    * citation or kNN similarity graph, this is the classic curation
+    * prior for propagating trust to unlabeled documents. Same
+    * bit-exactness, overflow bound and per-iteration shape as
+    * [[pageRankInt]], plus one broadcastable join against the per-node
+    * base table.
+    *
+    * @param seeds one column `seedCol` of node ids; ids not present in
+    *        the graph are ignored
+    * @return (node, rank_q) — rank_q in units of 1/`scale` */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iters: Int = 5, scale: Long = 1000000000L,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(scale > 0, "scale must be positive")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val aug = e.withColumn("w", lit(1L)).unionByName(
+      nodes.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("w")))
+      .localCheckpoint()
+    val base = scale * 15L / 100L
+    val bases = nodes.join(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct()
+          .withColumn("__seed", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)).as("base_q"))
+      .localCheckpoint()
+    val rank0 = bases.select(col("node"),
+      when(col("base_q") > 0, lit(scale)).otherwise(lit(0L)).as("rank_q"))
+    pageRankLoop(deg, aug, rank0, iters, checkpointEvery) { agg =>
+      agg.join(bases, Seq("node"))
+        .select(col("node"), expr("base_q + (85 * s) div 100").as("rank_q"))
+    }
+  }
+
+  /** Shared damped-propagation loop: per iteration, contributions
+    * `w · (rank div outdeg)` flow along the augmented edge list (zero-
+    * weight self edges keep every node alive), are hash-aggregated per
+    * destination into `(node, s)`, and `finish` turns that into the
+    * next `(node, rank_q)`. */
+  private def pageRankLoop(deg: DataFrame, aug: DataFrame, rank0: DataFrame,
+      iters: Int, checkpointEvery: Int)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    var rank = rank0
     var i = 0
     while (i < iters) {
-      rank = aug
+      rank = finish(aug
         .join(rank.select(col("node").as("src"), col("rank_q")), Seq("src"))
         .join(deg.select(col("node").as("src"), col("deg")), Seq("src"), "left")
         .select(col("dst"),
@@ -68,8 +128,7 @@ object Graph {
           // where w = 0 kills the term; coalesce just avoids NULL div
           (col("w") * expr("rank_q div coalesce(deg, 1L)")).as("contrib"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("node"), expr(s"${base}L + (85 * s) div 100").as("rank_q"))
+        .agg(sum(col("contrib")).as("s")))
       i += 1
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         rank = rank.localCheckpoint()

@@ -390,6 +390,22 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- graph: personalized PageRank (TrustRank) — restart mass on a
+    // trusted seed set only; rank = link-proximity to the seeds over the
+    // kNN similarity graph, the classic propagate-trust curation prior
+    "s11_trustrank" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("neighbor_id"))
+      val seeds = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("node"))
+      graft.ops.Graph.personalizedPageRankInt(edges, "query_id",
+          "neighbor_id", seeds, "node", iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // ---- graph: O(log n) large-star/small-star connected components
     // over the kNN graph — the distributed closure path behind every
     // dedup family, verified against DuckDB's exact recursive reach
@@ -516,6 +532,23 @@ object PipelineQueries {
       Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- SQL-text kernel surface: the registered graft_* functions
+    // drive an exact ANN entirely from spark.sql(...) — same kernels,
+    // second surface; DuckDB reproduces the ranking like s01
+    "f01_sql_ann" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      embeds(s, dir).createOrReplaceTempView("graft_sql_emb")
+      s.sql(
+        """SELECT query_id, rank, neighbor_id FROM (
+          |  SELECT q.vec_id AS query_id,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          |      ORDER BY graft_cosine(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank,
+          |    c.vec_id AS neighbor_id
+          |  FROM (SELECT * FROM graft_sql_emb WHERE vec_id < 10) q, graft_sql_emb c
+          |  WHERE c.vec_id <> q.vec_id)
+          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
     }),
 
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
@@ -1320,6 +1353,41 @@ object PipelineQueries {
        |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** TrustRank oracle: the s08 fixed-point chain with the restart mass
+    * gated to the seed set (vec_id % 50 = 0) — base joins in per node,
+    * ranks start at `scale` on seeds and 0 elsewhere; every floor
+    * division mirrors [[graft.ops.Graph.personalizedPageRankInt]]. */
+  private def s11OracleSql: String = {
+    val scale = 1000000000L
+    val base = scale * 15L / 100L
+    val prChain = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT a.dst AS node,
+         |    CAST(b.base_q + (85 * SUM(a.w * (p.rank_q // COALESCE(dg.d, 1)))) // 100 AS BIGINT) AS rank_q
+         |  FROM pr${i - 1} p JOIN aug a ON a.src = p.node
+         |  LEFT JOIN deg dg ON dg.node = a.src
+         |  JOIN bases b ON b.node = a.dst
+         |  GROUP BY a.dst, b.base_q)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+       |aug AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+       |sd AS (SELECT vec_id AS node FROM e WHERE vec_id % 50 = 0),
+       |bases AS (SELECT n.node,
+       |  CASE WHEN s.node IS NULL THEN CAST(0 AS BIGINT)
+       |       ELSE CAST($base AS BIGINT) END AS base_q
+       |  FROM nodes n LEFT JOIN sd s ON s.node = n.node),
+       |pr0 AS (SELECT node,
+       |  CASE WHEN base_q > 0 THEN CAST($scale AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS rank_q FROM bases),
+       |$prChain
+       |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
+  }
+
   /** Connected-components oracle: exact reachability closure (recursive
     * CTE seeded with (node, node), stepped over both edge directions),
     * then label = min reachable id — the ground truth the star
@@ -1680,6 +1748,7 @@ object PipelineQueries {
     "s08_pagerank" -> s08OracleSql,
     "s09_components" -> s09OracleSql,
     "s10_kmeans" -> s10OracleSql,
+    "s11_trustrank" -> s11OracleSql,
     "d11_semantic_contam" -> d11OracleSql,
 
     // per-(group, dimension) means over 1e-8-quantized components
@@ -1767,6 +1836,16 @@ object PipelineQueries {
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "f01_sql_ann" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS INTEGER) AS rank,
+        |    e.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
+        |  WHERE e.vec_id <> q.vec_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "s06_filtered_ann" ->
       """SELECT query_id, rank, neighbor_id FROM (

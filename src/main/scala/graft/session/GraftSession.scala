@@ -48,6 +48,7 @@ final class GraftSession private[session] (
   private val previousTimeZone = spark.conf.getOption("spark.sql.session.timeZone")
   spark.conf.set("spark.sql.session.timeZone", "UTC")
   graft.dialect.SqliteDialect.register(spark)
+  graft.functions.SqlKernels.registerAll(spark)
   registerAll()
 
   /** SQLite declared-type name for a Spark type — shared by the

@@ -33,6 +33,8 @@ class PlanGuardSpec extends SparkSpec {
       "s07_int8_ann", // exact quantized baseline: scores query × corpus
                       // by definition, like s01 — the win is 4× narrower
                       // rows in that join, not a smaller candidate set
+      "f01_sql_ann", // the SQL-surface demo of the same exact baseline —
+                     // query × corpus by definition, like s01
       "e03_streaming_tumbling", // executes a streaming query when built
       "e08_streaming_dedup",
       "e09_stream_interval_join", // executes a streaming query when built

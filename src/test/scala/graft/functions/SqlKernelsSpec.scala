@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SqlKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  SqlKernels.registerAll(spark)
+
+  test("graft_dot / graft_cosine / graft_normalize from SQL match the Column API bitwise") {
+    Seq((1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+        (2L, Seq(0.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0)))
+      .toDF("id", "a", "b").createOrReplaceTempView("v")
+    val sql = spark.sql(
+      """SELECT id, graft_dot(a, b) AS d, graft_cosine(a, b) AS cs,
+        |  graft_normalize(a) AS na FROM v ORDER BY id""".stripMargin).collect()
+    val viaColumns = spark.table("v").select(col("id"),
+        VecOps.dot(col("a"), col("b")).as("d"),
+        VecOps.dot(VecOps.normalize(col("a")), VecOps.normalize(col("b"))).as("cs"),
+        VecOps.normalize(col("a")).as("na"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == viaColumns.toSeq)
+  }
+
+  test("graft_jaccard, graft_shingles, graft_simhash, graft_minhash_sig from SQL") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("id", "text").createOrReplaceTempView("docs")
+    val r = spark.sql(
+      """SELECT id, graft_shingles(text, 3) AS sh,
+        |  graft_simhash(split(text, ' ')) AS sim,
+        |  graft_minhash_sig(graft_shingles(text, 3), 16) AS sig
+        |FROM docs ORDER BY id""".stripMargin).collect()
+    assert(r.length == 2 && r(0).getSeq[String](1).nonEmpty
+      && r(0).getSeq[Long](3).length == 16)
+    val jac = spark.sql(
+      """SELECT graft_jaccard(a.sh, b.sh) AS j FROM
+        |  (SELECT graft_shingles(text, 3) AS sh FROM docs WHERE id = 1) a,
+        |  (SELECT graft_shingles(text, 3) AS sh FROM docs WHERE id = 2) b"""
+        .stripMargin).head().getDouble(0)
+    val expect = graft.ops.Dedup.jaccard(
+      graft.ops.Dedup.textShingles(lit("the quick brown fox jumps over the lazy dog"), 3),
+      graft.ops.Dedup.textShingles(lit("the quick brown fox jumps over the lazy cat"), 3))
+    val e = spark.range(1).select(expect.as("j")).head().getDouble(0)
+    assert(jac == e && jac > 0.5 && jac < 1.0)
+  }
+
+  test("structural args must be integer literals; arity is enforced") {
+    spark.range(1).selectExpr("cast(array('a','b') as array<string>) AS sh")
+      .createOrReplaceTempView("one")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(sh, id) FROM (SELECT sh, 1 AS id FROM one)").collect()
+    }
+    assert(err.getMessage.contains("INTEGER literal")
+      || err.getCause != null && err.getCause.getMessage.contains("INTEGER literal"))
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(sh) FROM one").collect()
+    }
+    assert(err2.getMessage.contains("graft_dot")
+      || err2.getCause != null && err2.getCause.getMessage.contains("graft_dot"))
+  }
+
+  test("GraftSession exposes graft_* functions through its SQL surface") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlk").toFile
+    try {
+      val f = new java.io.File(dir, "t.csv")
+      java.nio.file.Files.write(f.toPath,
+        "id,text\n1,hello world hello\n2,hello world goodbye\n".getBytes)
+      val s = graft.session.GraftSession.open(spark, f.getAbsolutePath)
+      try {
+        val j = s.sql(
+          """SELECT graft_jaccard(graft_shingles(a.text, 2), graft_shingles(b.text, 2)) AS j
+            |FROM t a, t b WHERE a.id = 1 AND b.id = 2""".stripMargin)
+          .head().getDouble(0)
+        assert(j > 0.0 && j < 1.0)
+      } finally s.close()
+    } finally graft.Paths.rmTree(dir)
+  }
+}

@@ -44,6 +44,23 @@ class GraphSpec extends SparkSpec {
     assert(run(7, 2) == a)
   }
 
+  test("personalizedPageRankInt: restart mass reaches only seeds; trust propagates by hops") {
+    // 1→2→3, seed {1}; ids 99 in seeds but not in graph must be ignored
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    def run(n: Int) = Graph.personalizedPageRankInt(edges, "src", "dst",
+        seeds, "node", iters = n)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r1 = run(1)
+    assert(r1(1L) == BASE)                       // seed: base, no inbound
+    assert(r1(2L) == 85L * SCALE / 100L)         // non-seed: no base term
+    assert(r1(3L) == 0L)                         // two hops away after 1 iter
+    assert(!r1.contains(99L))
+    val r2 = run(2)
+    assert(r2(3L) == 85L * r1(2L) / 100L)        // trust arrives at hop 2
+    assert(r2(2L) == 85L * r1(1L) / 100L)
+  }
+
   test("connectedComponentsStar: matches union-find on adversarial shapes") {
     // chain of 120 (diameter stress: label propagation would need 120
     // rounds, star converges in O(log)), two cliques, a star, isolated
