@@ -39,13 +39,30 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0, "scale must be positive")
-    // materialize the (possibly expensive) edge pipeline and its two
-    // derived tables ONCE — every iteration's plan references aug and
-    // deg, and without the checkpoints each iteration level would embed
-    // a fresh copy of the whole upstream computation. localCheckpoint
-    // trade: the edge list occupies executor-local storage ~twice
-    // (e + aug) for the duration, and executor loss fails the job
-    // instead of recomputing the truncated lineage
+    val g = prepGraph(edges, srcCol, dstCol)
+    val base = scale * 15L / 100L
+    pageRankLoop(g.deg, g.aug, g.nodes.withColumn("rank_q", lit(scale)),
+      iters, checkpointEvery) { agg =>
+      agg.select(col("node"), expr(s"${base}L + (85 * s) div 100").as("rank_q"))
+    }
+  }
+
+  /** Normalized edge list plus the two derived tables every propagation
+    * variant needs: `nodes` (distinct endpoints), `deg` (out-degrees),
+    * `aug` (edges with weight 1 plus zero-weight self edges so nodes
+    * without inbound real edges survive each aggregate).
+    *
+    * All three are materialized ONCE — every iteration's plan
+    * references aug and deg, and without the checkpoints each iteration
+    * level would embed a fresh copy of the whole upstream computation.
+    * localCheckpoint trade: the edge list occupies executor-local
+    * storage ~twice (e + aug) for the duration, and executor loss fails
+    * the job instead of recomputing the truncated lineage. */
+  private final case class GraphPrep(nodes: DataFrame, deg: DataFrame,
+      aug: DataFrame)
+
+  private def prepGraph(edges: DataFrame, srcCol: String,
+      dstCol: String): GraphPrep = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -56,11 +73,7 @@ object Graph {
       nodes.select(col("node").as("src"), col("node").as("dst"),
         lit(0L).as("w")))
       .localCheckpoint()
-    val base = scale * 15L / 100L
-    pageRankLoop(deg, aug, nodes.withColumn("rank_q", lit(scale)),
-      iters, checkpointEvery) { agg =>
-      agg.select(col("node"), expr(s"${base}L + (85 * s) div 100").as("rank_q"))
-    }
+    GraphPrep(nodes, deg, aug)
   }
 
   /** Personalized PageRank (TrustRank-style) in the same scaled
@@ -84,26 +97,21 @@ object Graph {
       checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0, "scale must be positive")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val aug = e.withColumn("w", lit(1L)).unionByName(
-      nodes.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("w")))
-      .localCheckpoint()
+    val g = prepGraph(edges, srcCol, dstCol)
     val base = scale * 15L / 100L
-    val bases = nodes.join(
+    // seed-ness comes from the join flag, NOT from base_q > 0 — at tiny
+    // scales where scale·15/100 floors to 0 the seeds must still start
+    // at rank `scale` or the whole fixed point collapses to zero
+    val seeded = g.nodes.join(
         seeds.select(col(seedCol).cast("long").as("node")).distinct()
           .withColumn("__seed", lit(1)), Seq("node"), "left")
-      .select(col("node"),
-        when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)).as("base_q"))
+      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
       .localCheckpoint()
-    val rank0 = bases.select(col("node"),
-      when(col("base_q") > 0, lit(scale)).otherwise(lit(0L)).as("rank_q"))
-    pageRankLoop(deg, aug, rank0, iters, checkpointEvery) { agg =>
+    val bases = seeded.select(col("node"),
+      when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base_q"))
+    val rank0 = seeded.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank_q"))
+    pageRankLoop(g.deg, g.aug, rank0, iters, checkpointEvery) { agg =>
       agg.join(bases, Seq("node"))
         .select(col("node"), expr("base_q + (85 * s) div 100").as("rank_q"))
     }

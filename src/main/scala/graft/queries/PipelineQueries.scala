@@ -544,9 +544,12 @@ object PipelineQueries {
         """SELECT query_id, rank, neighbor_id FROM (
           |  SELECT q.vec_id AS query_id,
           |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-          |      ORDER BY graft_cosine(q.embedding, c.embedding) DESC, c.vec_id) AS INT) AS rank,
+          |      ORDER BY graft_dot(q.nv, c.nv) DESC, c.vec_id) AS INT) AS rank,
           |    c.vec_id AS neighbor_id
-          |  FROM (SELECT * FROM graft_sql_emb WHERE vec_id < 10) q, graft_sql_emb c
+          |  FROM (SELECT vec_id, graft_normalize(embedding) AS nv
+          |        FROM graft_sql_emb WHERE vec_id < 10) q,
+          |       (SELECT vec_id, graft_normalize(embedding) AS nv
+          |        FROM graft_sql_emb) c
           |  WHERE c.vec_id <> q.vec_id)
           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
     }),

@@ -48,7 +48,7 @@ final class GraftSession private[session] (
   private val previousTimeZone = spark.conf.getOption("spark.sql.session.timeZone")
   spark.conf.set("spark.sql.session.timeZone", "UTC")
   graft.dialect.SqliteDialect.register(spark)
-  graft.functions.SqlKernels.registerAll(spark)
+  private val restoreKernelFns = graft.functions.SqlKernels.registerScoped(spark)
   registerAll()
 
   /** SQLite declared-type name for a Spark type — shared by the
@@ -659,6 +659,10 @@ final class GraftSession private[session] (
     if (autoSave.exists(!_.onCommit)) performAutoSave()
     views.keys.foreach(spark.catalog.dropTempView)
     tables.keys.foreach(spark.catalog.dropTempView)
+    // graft_* SQL functions go back to their pre-open state (guarded —
+    // see SqlKernels.registerScoped); the SQLite dialect registrations
+    // stay, matching the cluster-wide GraftSparkExtensions contract
+    restoreKernelFns()
     // restore ONLY if nobody changed the zone since we pinned it (a
     // concurrently-open GraftSession on the same SparkSession keeps its
     // UTC pin; its own close() restores). DataFrames handed out by sql()

@@ -17,7 +17,21 @@ object ColumnBridge {
     * `spark.sql(...)` text, not just the Column API. */
   def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
       name: String, builder: Seq[Expression] => Expression): Unit =
+    registry(spark).createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Current builder registered under `name`, if any — lets a scoped
+    * registrar save what it is about to replace and restore it later. */
+  def lookupTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String): Option[Seq[Expression] => Expression] =
+    registry(spark).lookupFunctionBuilder(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  def dropTempFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit =
+    registry(spark).dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+
+  private def registry(spark: org.apache.spark.sql.SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -77,4 +77,34 @@ class SqlKernelsSpec extends SparkSpec {
       } finally s.close()
     } finally graft.Paths.rmTree(dir)
   }
+
+  test("GraftSession.close restores a host's own graft_* function and drops the rest") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dir = java.nio.file.Files.createTempDirectory("sqlk2").toFile
+    try {
+      val f = new java.io.File(dir, "t.csv")
+      java.nio.file.Files.write(f.toPath, "id\n1\n".getBytes)
+      // the host app has its OWN graft_cosine before the session opens
+      val hostBuilder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression =
+        _ => org.apache.spark.sql.catalyst.expressions.Literal(42.0)
+      ColumnBridge.registerTempFunction(spark, "graft_cosine", hostBuilder)
+      ColumnBridge.dropTempFunction(spark, "graft_jaccard")
+      val s = graft.session.GraftSession.open(spark, f.getAbsolutePath)
+      // inside the session: graft's kernel wins (real cosine, not 42)
+      val inside = s.sql(
+        "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .head().getDouble(0)
+      assert(inside == 1.0)
+      s.close()
+      // after close: the host's builder is back, the never-present one is gone
+      assert(ColumnBridge.lookupTempFunction(spark, "graft_cosine").exists(_ eq hostBuilder))
+      assert(spark.sql("SELECT graft_cosine() AS c").head().getDouble(0) == 42.0)
+      assert(ColumnBridge.lookupTempFunction(spark, "graft_jaccard").isEmpty)
+    } finally {
+      graft.Paths.rmTree(dir)
+      // leave the suite-level registrations intact for other tests
+      SqlKernels.registerAll(spark)
+    }
+  }
 }

@@ -61,6 +61,18 @@ class GraphSpec extends SparkSpec {
     assert(r2(2L) == 85L * r1(1L) / 100L)
   }
 
+  test("personalizedPageRankInt: seeds stay alive when scale*15/100 floors to 0") {
+    // scale = 5 → base = 0; seed-ness must come from the seed flag, not
+    // base_q > 0, or the fixed point collapses to all zeros
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRankInt(edges, "src", "dst", seeds,
+        "node", iters = 1, scale = 5L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) == 85L * 5L / 100L)             // = 4: propagation survived
+    assert(r(1L) == 0L)                          // base quantized away, ok
+  }
+
   test("connectedComponentsStar: matches union-find on adversarial shapes") {
     // chain of 120 (diameter stress: label propagation would need 120
     // rounds, star converges in O(log)), two cliques, a star, isolated
