@@ -111,6 +111,56 @@ object Sampling {
       sorted.schema.add(posCol, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /** Lehmer/MINSTD parameters for [[lehmerState]] — public so an
+    * external verifier (the gate's DuckDB oracle) can recompute the
+    * exact pseudo-uniform stream. */
+  val LehmerM: Long = 2147483647L // 2^31 − 1, prime
+  val LehmerA: Long = 48271L      // MINSTD multiplier
+
+  /** Deterministic pseudo-uniform state in [1, M−1] from an integer
+    * key: two Lehmer steps `v ← A·v mod M` seeded with
+    * `pmod(key + seed, M−1) + 1` (never 0, so the prime-modulus
+    * recurrence never collapses). All intermediates fit in a BIGINT
+    * (A·v < 2^47) and use only `*`/`%` — bitwise reproducible by any
+    * engine with 64-bit integers, unlike xxhash64 (Spark-only constant
+    * folding) or md5 hex (string-typed). */
+  def lehmerState(key: Column, seed: Long = 0L): Column = {
+    val v0 = pmod(key.cast("long") + lit(seed), lit(LehmerM - 1)) + lit(1L)
+    val v1 = (lit(LehmerA) * v0) % lit(LehmerM)
+    (lit(LehmerA) * v1) % lit(LehmerM)
+  }
+
+  /** Deterministic weighted sample without replacement: priority
+    * sampling (Duffield, Lund & Thorup) — each row draws priority
+    * `w / u` with `u` pseudo-uniform in (0,1), and the `n` highest
+    * priorities win, so inclusion probability grows with weight (the
+    * "sample big domains/docs proportionally more" primitive for
+    * mixture building and weighted eval sets). `u = v / M` with
+    * `v =` [[lehmerState]]`(key, seed)`, so the whole draw is a pure
+    * function of (key, seed): partitioning-invariant, resumable, and
+    * recomputable by an independent engine. The priority is ONE double
+    * division of exact BIGINTs (`w·M / v`) — bitwise cross-engine
+    * stable; ties (only possible via equal `w·M / v`) break by key.
+    *
+    * Scale shape: per-row codegen draw + `orderBy(...).limit(n)`,
+    * which Spark plans as TakeOrderedAndProject — a per-partition
+    * top-n then a driver-side merge of n-row heaps; the corpus is
+    * never globally sorted. Rows with weight ≤ 0 or NULL are excluded
+    * (they can never be sampled). `weight` must be integer-typed: the
+    * `w·M` scaling that keeps the division exact requires an exact
+    * integer weight (token counts, byte sizes, click counts — the
+    * usual weights — all are). */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, n: Int,
+      seed: Long = 0L, priorityCol: String = "priority"): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.filter(weight > 0)
+      .withColumn(priorityCol,
+        (weight.cast("long") * lit(LehmerM)).cast("double") /
+          lehmerState(key, seed))
+      .orderBy(col(priorityCol).desc, key)
+      .limit(n)
+  }
+
   /** Deterministic weighted train/val/test split: label each row by
     * which cumulative-weight interval of the md5(key) space it falls in.
     * Pure per-row codegen — no shuffle, no RNG, partitioning-invariant —

@@ -330,6 +330,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Maximal duplicated SPANS: merge a document's cross-document-
+    * duplicated word n-grams ([[duplicatedSpans]]' signal) into maximal
+    * copied passages — two duplicated n-grams merge when their token
+    * windows overlap or touch (next start ≤ prev start + n). This is
+    * the span-level view of exact-substring training-data dedup (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a long copied passage shows up as ONE
+    * (doc, start, end) row instead of end−start−n+2 gram rows, ready
+    * for span excision or doc-level length-of-copy filters. Returns
+    * (idCol, span_start, span_end, span_tokens, n_dup_grams) in
+    * 0-based token positions, span_end inclusive.
+    *
+    * Shape at 100 TB: one positional-shingle explode; gram strings are
+    * md5'd to 16-byte keys immediately, so the document-frequency
+    * aggregate and the membership join both shuffle narrow hashes
+    * (never gram text). The merge windows partition by document — each
+    * partition is one doc's duplicated positions, bounded by doc
+    * length, so no skew risk at any corpus size. */
+  def maximalDupSpans(df: DataFrame, idCol: String,
+      textCol: String = "text", n: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    // positional n-grams (NOT distinct — positions matter); token array
+    // bound once per the HOF-CSE rule
+    val posGrams = Dedup.bindOnce(tokens(col(textCol))) { tk =>
+      when(size(tk) < n, array().cast("array<struct<pos:int,gh:string>>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => struct(i.cast("int").as("pos"),
+            md5(concat_ws(" ", slice(tk, i + 1, lit(n)))).as("gh"))))
+    }
+    val exploded = df.select(col(idCol).as("__id"), explode(posGrams).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // document frequency on the 16-byte hash; two-phase distinct agg
+    val dup = exploded.select(col("gh"), col("__id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gh"))
+    val marked = exploded.join(dup, Seq("gh")).select(col("__id"), col("pos"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    marked
+      // new island when this gram's window no longer overlaps/touches
+      // the previous one's [lag(pos), lag(pos)+n-1]
+      .withColumn("__brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
   /** Top-`size` token vocabulary over the corpus: (token, n, id) with
     * ids 1..size assigned by (count desc, token asc) — id 0 is reserved
     * for OOV in [[encodeTokenIds]]. The global top-N is a distributed
@@ -342,6 +395,78 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token")).limit(size)
       .withColumn("id",
         row_number().over(Window.orderBy(col("n").desc, col("token"))).cast("int"))
+
+  /** The stopword set Gopher's "must contain ≥ minStopHits of these"
+    * rule checks (Rae et al. 2021, Appendix A). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A) —
+    * the standard composite document filter for web-scale training
+    * corpora. Emits the raw per-document metrics, one flag per rule,
+    * and `gopher_pass` (all rules hold):
+    *
+    *   - `words_ok`      minWords ≤ word count ≤ maxWords
+    *   - `word_len_ok`   mean word length in [minMeanWordLen, maxMeanWordLen]
+    *   - `symbol_ok`     (# + "..." occurrences) / words < maxSymbolToWord
+    *   - `bullet_ok`     lines starting with a bullet < maxBulletFrac
+    *   - `ellipsis_ok`   lines ending with "..."/"…" < maxEllipsisFrac
+    *   - `alpha_ok`      words containing a letter ≥ minAlphaFrac
+    *   - `stop_ok`       ≥ minStopHits distinct [[GopherStopwords]] present
+    *
+    * Every flag compares SCALED exact integers (`cnt < frac · total` is
+    * one double multiply of an exact int against an exact int — no
+    * division), so rule outcomes are bitwise reproducible across engines
+    * and partitionings; the reported ratio columns are single divisions
+    * of the same exact integers. Pure per-row codegen (split/filter/
+    * aggregate/regexp) — no shuffle, embarrassingly parallel at 100 TB,
+    * column pruning reaches the scan. */
+  def gopherQuality(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolToWord: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val base = df
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("sum_word_len",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("symbol_cnt",
+        size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("bullet_lines",
+        size(filter(lines, l => l.rlike("^[-*•]"))).cast("long"))
+      .withColumn("ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long"))
+      .withColumn("alpha_words",
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(array(GopherStopwords.map(lit(_)): _*),
+          w => array_contains(toks, w))).cast("long"))
+    val w = greatest(col("n_words"), lit(1L))
+    val nl = greatest(col("n_lines"), lit(1L))
+    base
+      .withColumn("mean_word_len", col("sum_word_len").cast("double") / w)
+      .withColumn("words_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        col("sum_word_len") >= lit(minMeanWordLen) * w &&
+          col("sum_word_len") <= lit(maxMeanWordLen) * w)
+      .withColumn("symbol_ok", col("symbol_cnt") < lit(maxSymbolToWord) * w)
+      .withColumn("bullet_ok", col("bullet_lines") < lit(maxBulletFrac) * nl)
+      .withColumn("ellipsis_ok",
+        col("ellipsis_lines") < lit(maxEllipsisFrac) * nl)
+      .withColumn("alpha_ok", col("alpha_words") >= lit(minAlphaFrac) * w)
+      .withColumn("stop_ok", col("stop_hits") >= minStopHits)
+      .withColumn("gopher_pass",
+        col("words_ok") && col("word_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+  }
 
   /** Encode each document's tokens as vocabulary ids (OOV → 0),
     * preserving token order — the step between cleaned text and packed

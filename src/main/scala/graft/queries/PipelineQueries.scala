@@ -499,6 +499,41 @@ object PipelineQueries {
           n = 8, minDocs = 2)
         .orderBy(col("gram"))),
 
+    // ---- text: Gopher quality rules (Rae et al. 2021 App. A) — the
+    // composite per-document filter; every rule flag compares scaled
+    // exact integers, so pass/fail is bitwise cross-engine stable.
+    // minStopHits=1: the synthetic corpus contains only "the" from the
+    // Gopher stopword set, so the default 2 would zero the composite
+    "t15_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), minStopHits = 1)
+        .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+          col("alpha_words"), col("stop_hits"), col("mean_word_len"),
+          col("words_ok").cast("int").as("words_ok"),
+          col("word_len_ok").cast("int").as("word_len_ok"),
+          col("symbol_ok").cast("int").as("symbol_ok"),
+          col("bullet_ok").cast("int").as("bullet_ok"),
+          col("ellipsis_ok").cast("int").as("ellipsis_ok"),
+          col("alpha_ok").cast("int").as("alpha_ok"),
+          col("stop_ok").cast("int").as("stop_ok"),
+          col("gopher_pass").cast("int").as("gopher_pass"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text: maximal duplicated spans — t12's duplicated 8-grams
+    // merged into maximal copied passages (Lee et al. exact-substring
+    // dedup view); the planted copies surface as one long span each
+    "t16_dup_span_merge" -> ((s, dir) =>
+      TextAnalysis.maximalDupSpans(docsWithNearDups(s, dir), "doc_id",
+          "text", n = 8, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // ---- sampling: priority (weighted reservoir) sampling — n_chars-
+    // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
+    // the single exact-integer division are recomputed by the oracle
+    "p12_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySample(docs(s, dir).select("doc_id", "n_chars"),
+          col("doc_id"), col("n_chars"), n = 100)
+        .orderBy(col("doc_id"))),
+
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
     // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
     // bands are miss-free on this corpus (min true-pair jaccard 0.69 →
@@ -1809,6 +1844,96 @@ object PipelineQueries {
 
     // same word-8-gram shingles (distinct per doc, whole-text fallback
     // for short docs) → document frequency ≥ 2
+    // Gopher rules: every flag is a scaled-integer compare; the double
+    // literals are CAST(... AS DOUBLE) because DuckDB parses bare
+    // decimal literals as DECIMAL, and DECIMAL·BIGINT arithmetic (exact)
+    // would diverge from Spark's double multiply at boundary counts
+    // (e.g. 3 < 0.1·30 is true in double — 3.0000000000000004 — but
+    // false in exact decimal)
+    "t15_gopher_quality" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+        |    list_filter(list_transform(string_split_regex(text, '\n'), l -> trim(l)),
+        |      l -> len(l) > 0) AS lines
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS symbol_cnt,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+        |  FROM tk
+        |), f AS (
+        |  SELECT doc_id, n_words, sum_word_len, alpha_words, stop_hits,
+        |    CAST(sum_word_len AS DOUBLE) / greatest(n_words, 1) AS mean_word_len,
+        |    CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS words_ok,
+        |    CAST(sum_word_len >= CAST(3.0 AS DOUBLE) * greatest(n_words, 1)
+        |      AND sum_word_len <= CAST(10.0 AS DOUBLE) * greatest(n_words, 1) AS INTEGER) AS word_len_ok,
+        |    CAST(symbol_cnt < CAST(0.1 AS DOUBLE) * greatest(n_words, 1) AS INTEGER) AS symbol_ok,
+        |    CAST(bullet_lines < CAST(0.9 AS DOUBLE) * greatest(n_lines, 1) AS INTEGER) AS bullet_ok,
+        |    CAST(ellipsis_lines < CAST(0.3 AS DOUBLE) * greatest(n_lines, 1) AS INTEGER) AS ellipsis_ok,
+        |    CAST(alpha_words >= CAST(0.8 AS DOUBLE) * greatest(n_words, 1) AS INTEGER) AS alpha_ok,
+        |    CAST(stop_hits >= 1 AS INTEGER) AS stop_ok
+        |  FROM m)
+        |SELECT *, CAST(words_ok = 1 AND word_len_ok = 1 AND symbol_ok = 1
+        |    AND bullet_ok = 1 AND ellipsis_ok = 1 AND alpha_ok = 1
+        |    AND stop_ok = 1 AS INTEGER) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // positional 8-grams (md5'd), cross-doc-duplicated set, then
+    // gaps-and-islands span merge: windows overlapping/touching
+    // (pos ≤ prev + 8) share an island
+    "t16_dup_span_merge" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), pg AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(array_to_string(tk[CAST(i + 1 AS BIGINT) : CAST(i + 8 AS BIGINT)], ' ')) AS gh
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS i FROM toks)
+        |), dup AS (
+        |  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM pg)
+        |  GROUP BY gh HAVING count(*) >= 2
+        |), mk AS (SELECT p.doc_id, p.pos FROM pg p JOIN dup USING (gh)),
+        |br AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM mk
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM br)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens, COUNT(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // priority = w·M / v with v two Lehmer steps from the doc_id —
+    // all-BIGINT modular arithmetic plus ONE double division of exact
+    // integers, so the draw is bitwise identical in both engines
+    "p12_priority_sample" ->
+      """SELECT doc_id, n_chars, priority FROM (
+        |  SELECT doc_id, n_chars,
+        |    CAST(n_chars * 2147483647 AS DOUBLE) /
+        |      ((48271 * ((48271 * (doc_id % 2147483646 + 1)) % 2147483647)) % 2147483647) AS priority
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY priority DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
     "t12_dup_spans" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -1,0 +1,149 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 continuation additions: Gopher quality rules,
+  * priority (weighted reservoir) sampling, maximal duplicated-span
+  * merging. */
+class PipelineOps5Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val fluent50 = // 55 words, mean word length 3.89
+    "the quick brown fox jumps over the lazy dog and then runs back home " +
+      "to find that all of the food it wanted to have with dinner was gone " +
+      "so it went out again to look for more food in the nearby woods " +
+      "later that evening the tired animal slept deeply beside the warm fire"
+
+  test("gopherQuality: each rule fires on its designed violation") {
+    val docs = Seq(
+      (0L, fluent50),                                // passes everything
+      (1L, "short text"),                            // words_ok fails
+      (2L, ("a " * 60).trim),                        // word_len_ok low (mean 1)
+      (3L, Seq.fill(60)("extraordinarily").mkString(" ")), // word_len_ok high
+      (4L, fluent50 + " " + ("# " * 10).trim),       // symbol_ok fails (10/60 > 0.1)
+      (5L, fluent50.split(" ").map("- " + _).mkString("\n")), // bullet_ok fails
+      (6L, fluent50.split(" ").map(_ + "...").mkString("\n")), // ellipsis (+symbol) fail
+      (7L, fluent50.split(" ").map(_ => "123").mkString(" ")), // alpha + stop fail
+      (8L, Seq.fill(50)("zork").mkString(" "))       // stop_ok fails (0 stopwords)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flag(id: Long, f: String) = out(id).getAs[Boolean](f)
+    assert(flag(0L, "gopher_pass"))
+    assert(!flag(1L, "words_ok") && !flag(1L, "gopher_pass"))
+    assert(!flag(2L, "word_len_ok"))
+    assert(!flag(3L, "word_len_ok"))
+    assert(!flag(4L, "symbol_ok") && flag(4L, "words_ok"))
+    assert(!flag(5L, "bullet_ok"))
+    assert(!flag(6L, "ellipsis_ok"))
+    assert(!flag(7L, "alpha_ok") && !flag(7L, "stop_ok"))
+    assert(!flag(8L, "stop_ok") && flag(8L, "alpha_ok"))
+    assert(out(0L).getAs[Long]("n_words") == 55L)
+    assert(out(0L).getAs[Long]("stop_hits") >= 2L)
+  }
+
+  test("gopherQuality: scaled-integer rule boundaries are exact") {
+    // 10 words, 1 symbol: 1 < 0.1*10 is FALSE (strict) -> symbol_ok false;
+    // with maxSymbolToWord raised the same doc passes
+    val d = Seq((0L, "w w w w w w w w w #")).toDF("doc_id", "text")
+    val strict = TextAnalysis.gopherQuality(d, minWords = 1).collect().head
+    assert(!strict.getAs[Boolean]("symbol_ok"))
+    val loose = TextAnalysis.gopherQuality(d, minWords = 1,
+      maxSymbolToWord = 0.11).collect().head
+    assert(loose.getAs[Boolean]("symbol_ok"))
+    // empty text: no words, no lines -> ratio guards (greatest 1) hold,
+    // words_ok fails, nothing crashes
+    val empty = TextAnalysis.gopherQuality(
+      Seq((0L, "")).toDF("doc_id", "text")).collect().head
+    assert(!empty.getAs[Boolean]("words_ok"))
+    assert(empty.getAs[Boolean]("symbol_ok"))
+  }
+
+  test("prioritySample: weight-biased, deterministic, partitioning-invariant") {
+    // two weight classes: heavy rows (w=1000) must dominate a 50-sample
+    // over light rows (w=1)
+    val rows = (0L until 1000L).map(i => (i, if (i < 500) 1000L else 1L))
+    val df = rows.toDF("id", "w")
+    val picked = Sampling.prioritySample(df, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 50)
+    assert(picked.count(_ < 500L) >= 45, s"heavy rows under-sampled: $picked")
+    // identical under repartitioning (pure function of (key, seed))
+    val repick = Sampling.prioritySample(df.repartition(13), col("id"),
+      col("w"), 50).select("id").as[Long].collect().toSet
+    assert(repick == picked)
+    // different seed -> (almost surely) different sample
+    val reseed = Sampling.prioritySample(df, col("id"), col("w"), 50,
+      seed = 7L).select("id").as[Long].collect().toSet
+    assert(reseed != picked)
+    // weight <= 0 / NULL rows can never be sampled
+    val withBad = df.withColumn("w",
+      when(col("id") === 3L, lit(0L))
+        .when(col("id") === 4L, lit(null: java.lang.Long))
+        .otherwise(col("w")))
+    val cleaned = Sampling.prioritySample(withBad, col("id"), col("w"), 1000)
+      .select("id").as[Long].collect().toSet
+    assert(!cleaned.contains(3L) && !cleaned.contains(4L))
+  }
+
+  test("prioritySample: equal weights approximate a uniform sample") {
+    val df = (0L until 2000L).map(i => (i, 1L)).toDF("id", "w")
+    val picked = Sampling.prioritySample(df, col("id"), col("w"), 200)
+      .select("id").as[Long].collect()
+    assert(picked.length == 200)
+    // halves of the id space get roughly half the sample each
+    val lo = picked.count(_ < 1000L)
+    assert(lo > 60 && lo < 140, s"suspiciously skewed uniform draw: $lo/200")
+  }
+
+  test("maximalDupSpans: overlapping dup grams merge; distinct spans stay apart") {
+    val shared8 = "one two three four five six seven eight"
+    val shared10 = shared8 + " nine ten" // 10 tokens -> 3 overlapping 8-grams
+    val docs = Seq(
+      (0L, s"unique0 prefix words here $shared10 tail0 tok tok"),
+      (1L, s"$shared10 other words betwixt stuff $shared8"),
+      (2L, s"also carries $shared8 somewhere else entirely okay")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.maximalDupSpans(docs, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2))
+    // doc 0: shared10 at tokens 4..13 -> one merged span of 10 tokens
+    assert(out.count(_._1 == 0L) == 1)
+    assert(out.find(_._1 == 0L).get == ((0L, 4, 13, 10, 3L)))
+    // doc 1: two separate spans (positions 0..9 and 14..21)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.length == 2)
+    assert(d1(0) == ((1L, 0, 9, 10, 3L)))
+    assert(d1(1) == ((1L, 14, 21, 8, 1L)))
+    // doc 2: the 8-token shared span only
+    assert(out.filter(_._1 == 2L) sameElements Array((2L, 2, 9, 8, 1L)))
+    // no other spans: unique text contributes nothing
+    assert(out.length == 4)
+    // partitioning-invariant
+    val repart = TextAnalysis.maximalDupSpans(docs.repartition(7), "doc_id",
+        "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(repart == out.toSet)
+  }
+
+  test("maximalDupSpans: adjacent (touching) windows merge, gap of one token splits") {
+    // doc A and B share grams at A-positions 0 and 3 (n=3): windows
+    // [0,2] and [3,5] touch -> merge into [0,5]
+    val a = "p q r s t u leftover words"
+    val docs = Seq((0L, a), (1L, "p q r xx s t u yy")).toDF("doc_id", "text")
+    val out = TextAnalysis.maximalDupSpans(docs, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 0L).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0, 5)))
+    // with the shared run split by a gap > n, two islands remain
+    val far = Seq((0L, "p q r aa bb cc dd s t u"), (1L, "p q r zz s t u"))
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.maximalDupSpans(far, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 0L).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).sorted
+    assert(spans.toSeq == Seq((0, 2), (7, 9)))
+  }
+}
