@@ -399,6 +399,7 @@ object Dedup {
   def appendToMinhashIndex(batch: DataFrame, idCol: String,
       shingleCol: String, path: String): Unit = {
     val spark = batch.sparkSession
+    healIndex(spark, path)
     val meta = spark.read.parquet(path + "/meta").collect().head
     val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
     val segment = java.util.UUID.randomUUID().toString
@@ -422,6 +423,7 @@ object Dedup {
     * a re-shingling of the corpus. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
+    healIndex(spark, path)
     val meta = spark.read.parquet(path + "/meta").collect().head
     val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))
     // two-phase swap, never overwrite-in-place: the compacted copy is
@@ -439,8 +441,24 @@ object Dedup {
       .withColumn("segment", lit("base"))
       .write.mode("overwrite").parquet(tmpPath)
     FsOps.swapDirs(spark, tmpPath, path + "/bands")
-    writeMeta(spark, path, numHashes, numBands, "base", overwrite = true)
+    // the meta rewrite follows the SAME two-phase discipline: a plain
+    // mode("overwrite") deletes before it writes, so a crash mid-rewrite
+    // would lose num_hashes/num_bands and strand the whole index — the
+    // exact in-place hazard FsOps exists to avoid, just on a tiny dir
+    import spark.implicits._
+    Seq((numHashes, numBands, "base")).toDF("num_hashes", "num_bands", "segment")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta.compacting")
+    FsOps.swapDirs(spark, path + "/meta.compacting", path + "/meta")
     ()
+  }
+
+  /** Self-heal both swap-maintained index dirs before a read: recovers
+    * the delete→rename crash window of [[compactMinhashIndex]] for
+    * `bands` and `meta` alike (no-op when both dirs are intact). */
+  private def healIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    FsOps.healSwap(spark, path + "/bands.compacting", path + "/bands")
+    FsOps.healSwap(spark, path + "/meta.compacting", path + "/meta")
   }
 
   /** Incremental near-dedup: find (batch_id, corpus_id, jaccard) pairs
@@ -463,6 +481,7 @@ object Dedup {
   def probeMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, batch: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    healIndex(spark, indexPath)
     val metaRows = spark.read.parquet(indexPath + "/meta").collect()
     val meta = metaRows.head
     val (numHashes, numBands) = (meta.getInt(0), meta.getInt(1))

@@ -84,14 +84,25 @@ object Merge {
     *
     * @param changes target columns + `opCol` + `seqCol`
     * @param opCol   'I' | 'U' | 'D' (I and U are both upserts — CDC
-    *                streams routinely mislabel them across restarts)
+    *                streams routinely mislabel them across restarts).
+    *                Anything else — including NULL — fails the job: a
+    *                NULL op would otherwise make `op =!= "D"` evaluate
+    *                to NULL and silently DELETE the row (dropped from
+    *                upserts while its key still lands in `touched`),
+    *                and an unrecognized op would silently upsert.
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
+    // per-row validation, not a driver-side scan: raise_error fires on the
+    // first bad row wherever it lives, with zero extra jobs or shuffles
+    val opU = when(upper(col(opCol)).isin("I", "U", "D"), upper(col(opCol)))
+      .otherwise(raise_error(concat(
+        lit(s"applyChanges: $opCol must be I/U/D, got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc,
-        when(upper(col(opCol)) === "D", lit(0)).otherwise(lit(1)).asc,
+        when(opU === "D", lit(0)).otherwise(lit(1)).asc,
         // full-row hash completes the ordering: equal-seq duplicate
         // upserts pick the same winner under any partitioning. Hash the
         // JSON form, not the raw columns: xxhash64 rejects MapType
@@ -105,7 +116,7 @@ object Merge {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    val upserts = latest.filter(upper(col(opCol)) =!= "D")
+    val upserts = latest.filter(opU =!= "D")
       .select(target.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     // every change key has a latest row, so the touched-key set is just
     // the distinct change keys — cheaper than re-deriving (and

@@ -153,7 +153,11 @@ object Sampling {
   def prioritySample(df: DataFrame, key: Column, weight: Column, n: Int,
       seed: Long = 0L, priorityCol: String = "priority"): DataFrame = {
     require(n > 0, "n must be positive")
-    df.filter(weight > 0)
+    // filter on the CAST value: a fractional weight in (0,1) passes a
+    // raw `weight > 0` check but truncates to 0 on the long cast, which
+    // would rank it with priority 0.0 instead of excluding it — the
+    // integer-weight contract is enforced on what the math actually uses
+    df.filter(weight.cast("long") > 0)
       .withColumn(priorityCol,
         (weight.cast("long") * lit(LehmerM)).cast("double") /
           lehmerState(key, seed))

@@ -534,6 +534,15 @@ object PipelineQueries {
           col("doc_id"), col("n_chars"), n = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- sampling: deterministic global shuffle — contiguous 1-based
+    // positions in md5(seed:key) order; the order is a pure function of
+    // (seed, key), so the oracle recomputes the exact position of every
+    // row with a ROW_NUMBER over the same md5 (engine-portable by design)
+    "p13_global_shuffle" -> ((s, dir) =>
+      Sampling.shuffleByHash(docs(s, dir).select("doc_id"),
+          col("doc_id"), seed = "e1")
+        .orderBy(col("doc_id"))),
+
     // ---- dedup: n-gram Jaccard verification on LSH candidates.
     // Oracle-checked against DuckDB's EXACT all-pairs Jaccard: 2-row
     // bands are miss-free on this corpus (min true-pair jaccard 0.69 →
@@ -1932,6 +1941,17 @@ object PipelineQueries {
         |      ((48271 * ((48271 * (doc_id % 2147483646 + 1)) % 2147483647)) % 2147483647) AS priority
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY priority DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the shuffle order is md5('e1:' || key) with a key-string tie-break
+    // — both engines emit lowercase-hex md5 and sort strings bytewise,
+    // so every position is recomputable exactly
+    "p13_global_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)),
+        |             CAST(doc_id AS VARCHAR)) AS shuffle_pos
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "t12_dup_spans" ->

@@ -143,7 +143,10 @@ object Dump {
     * booleans stay booleans) so [[graft.sources.JsonlSource]] reads the
     * file back with its native types — unlike the all-string text sinks.
     * NULL fields are omitted (Spark's own JSON writer convention; absent
-    * and null are indistinguishable to every JSON reader). Temporal
+    * and null are indistinguishable to every JSON reader) — EXCEPT
+    * columns that are null in every row, which emit explicit nulls so
+    * the read-back does not silently lose the column (its type reads
+    * back as string; inference cannot type a value it never sees). Temporal
     * values render as ISO-8601 text (timestamps as UTC instants), binary
     * as base64, nested arrays/maps/structs recursively.
     *
@@ -157,6 +160,16 @@ object Dump {
     * sessions' UTC pin). */
   private def writeJsonl(df: DataFrame, target: Path): Unit = {
     val cols = df.columns.toSeq
+    // a column that is NULL in EVERY row would otherwise never appear in
+    // the file, and the read-back would silently lose it — for those
+    // columns emit an explicit null per row so the column survives (as a
+    // string-typed null column: inference cannot recover the type of a
+    // value it never sees, but presence beats silent disappearance). One
+    // cheap aggregate job; the per-row null-omission convention for
+    // mixed columns is unchanged.
+    val nonNullCounts = df.select(cols.map(c =>
+      count(col(s"`$c`")).as(c)): _*).head()
+    val allNull = cols.indices.filter(i => nonNullCounts.getLong(i) == 0L).toSet
     val it = df.toLocalIterator()
     withWriter(target) { w =>
       while (it.hasNext) {
@@ -164,10 +177,11 @@ object Dump {
         val sb = new StringBuilder("{")
         var first = true
         cols.indices.foreach { i =>
-          if (!r.isNullAt(i)) {
+          if (!r.isNullAt(i) || allNull(i)) {
             if (!first) sb += ','
             first = false
-            sb ++= jsonString(cols(i)); sb += ':'; jsonValue(r.get(i), sb)
+            sb ++= jsonString(cols(i)); sb += ':'
+            if (r.isNullAt(i)) sb ++= "null" else jsonValue(r.get(i), sb)
           }
         }
         sb += '}'

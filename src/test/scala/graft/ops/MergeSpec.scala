@@ -80,6 +80,23 @@ class MergeSpec extends SparkSpec {
     assert(out(0).getMap[String, String](1)("a") == "2")
   }
 
+  test("applyChanges: NULL or unrecognized op fails loudly instead of silently deleting/upserting") {
+    // a NULL op used to make `op =!= 'D'` evaluate to NULL: the row was
+    // dropped from upserts while its key still landed in `touched` — a
+    // silent delete. Now every row outside I/U/D raises.
+    val nullOp = Seq((1L, "a1", 11.0, null.asInstanceOf[String], 5L))
+      .toDF("id", "name", "v", "op", "seq")
+    val e1 = intercept[Exception] {
+      Merge.applyChanges(target, nullOp, Seq("id")).collect()
+    }
+    assert(e1.getMessage.contains("must be I/U/D"))
+    val badOp = Seq((1L, "a1", 11.0, "X", 5L)).toDF("id", "name", "v", "op", "seq")
+    val e2 = intercept[Exception] {
+      Merge.applyChanges(target, badOp, Seq("id")).collect()
+    }
+    assert(e2.getMessage.contains("must be I/U/D"))
+  }
+
   test("applyChanges: window runs over the change batch, target side is anti-join only") {
     val changes = Seq((1L, "a1", 11.0, "U", 1L)).toDF("id", "name", "v", "op", "seq")
     val plan = Merge.applyChanges(target, changes, Seq("id"))

@@ -203,6 +203,28 @@ class PipelineOps4Spec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
   }
 
+  test("minhash index: probe self-heals the compaction crash window for bands AND meta") {
+    import java.nio.file.{Files, Paths}
+    val shingled = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.textShingles(col("text"), 3).as("shingles"))
+    val path = tmpDir("graft-mh-heal").resolve("idx").toString
+    Dedup.writeMinhashIndex(
+      shingled(Seq(0L -> "the quick brown fox jumps over the lazy dog")),
+      "doc_id", "shingles", path, numHashes = 64, numBands = 32)
+    Dedup.compactMinhashIndex(spark, path)
+    // simulate swapDirs dying between delete(dst) and rename(tmp, dst)
+    // for BOTH swap-maintained dirs: the complete copy sits at *.compacting
+    for (d <- Seq("bands", "meta")) {
+      Files.move(Paths.get(path, d), Paths.get(path, d + ".compacting"))
+      assert(!Files.exists(Paths.get(path, d)))
+    }
+    val probe = shingled(Seq(9L -> "the quick brown fox jumps over the lazy dog"))
+    val pairs = Dedup.probeMinhashIndex(spark, path, probe, "doc_id", "shingles",
+      threshold = 0.5, maxBucket = Int.MaxValue)
+    assert(pairs.collect().map(_.getLong(1)).toSet == Set(0L))
+    assert(Files.exists(Paths.get(path, "meta")) && Files.exists(Paths.get(path, "bands")))
+  }
+
   test("semanticDedup: within-cell collapse, min-id and quality-aware selection, trained default") {
     // two well-separated direction clusters + a near-identical pair in each
     val base = Seq(

@@ -86,6 +86,45 @@ class PipelineOps5Spec extends SparkSpec {
     val cleaned = Sampling.prioritySample(withBad, col("id"), col("w"), 1000)
       .select("id").as[Long].collect().toSet
     assert(!cleaned.contains(3L) && !cleaned.contains(4L))
+    // fractional weights in (0,1) truncate to 0 on the integer cast and
+    // must be EXCLUDED (not ranked with priority 0.0): the filter runs
+    // on the cast value the math actually uses
+    val fractional = df.withColumn("w",
+      when(col("id") === 5L, lit(0.4)).otherwise(col("w").cast("double")))
+    val noTrunc = Sampling.prioritySample(fractional, col("id"), col("w"), 1000)
+      .select("id").as[Long].collect().toSet
+    assert(!noTrunc.contains(5L))
+  }
+
+  test("shuffleByHash: contiguous positions, partitioning-invariant, seed-sensitive") {
+    val df = (0L until 500L).map(i => (i, s"payload$i")).toDF("id", "v")
+    val shuffled = Sampling.shuffleByHash(df, col("id"), seed = "s1")
+    // schema: original columns + appended non-nullable LONG position
+    assert(shuffled.columns.toSeq == Seq("id", "v", "shuffle_pos"))
+    assert(!shuffled.schema("shuffle_pos").nullable)
+    val pos = shuffled.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 500L)) // contiguous 1..n, no gaps, no dups
+    // the position of every row is a pure function of (seed, key):
+    // identical under ANY input partitioning
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleByHash(d, col("id"), seed = "s1")
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val base = run(df.repartition(1))
+    assert(run(df.repartition(17)) == base)
+    assert(run(df) == base)
+    // a different seed draws a different order (almost surely)
+    val reseeded = Sampling.shuffleByHash(df, col("id"), seed = "s2")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(reseeded != base)
+    // the order matches an independent recomputation of the md5 sort
+    val expected = (0L until 500L)
+      .sortBy { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"s1:$i".getBytes("UTF-8"))
+        (d.map("%02x".format(_)).mkString, i.toString)
+      }
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(base == expected)
   }
 
   test("prioritySample: equal weights approximate a uniform sample") {

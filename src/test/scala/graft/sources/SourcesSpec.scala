@@ -277,6 +277,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("JSONL: a column that is null in EVERY row survives the round trip") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField}
+    val dir = tmpDir("jsonlallnull")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("gone", IntegerType)))
+    val rows = Seq(Row(1L, null), Row(2L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row)), schema)
+    graft.sinks.Dump.writeTable(df, "t", dir.toString, graft.sinks.DumpOptions("jsonl"))
+    val back = JsonlSource.read(spark, dir.resolve("t.jsonl").toString)
+    // the column would otherwise never appear in the file and vanish on
+    // read-back; explicit nulls keep it present (string-typed — inference
+    // cannot recover a type it never sees, documented limitation)
+    assert(back.columns.contains("gone"))
+    assert(back.collect().forall(r => r.isNullAt(r.fieldIndex("gone"))))
+  }
+
   test("JSONL: non-finite doubles round-trip TYPED (unquoted NaN/Infinity tokens)") {
     import spark.implicits._
     val dir = tmpDir("jsonlnan")
