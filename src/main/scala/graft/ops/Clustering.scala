@@ -66,11 +66,11 @@ object Clustering {
     * rows via [[Similarity.rawVectorsByIds]]).
     *
     * When any internal action will run (iterations, or the default
-    * init sample), the projected input is `localCheckpoint`ed once up
-    * front — otherwise every Lloyd step would re-run the caller's
-    * whole upstream pipeline. The usual localCheckpoint trade applies:
-    * executor loss drops the truncated lineage and fails the job
-    * instead of recomputing. */
+    * init sample), the projected input is checkpointed once up front
+    * ([[Lineage.cut]]) — otherwise every Lloyd step would re-run the
+    * caller's whole upstream pipeline. Executor-local by default
+    * (executor loss fails the job); reliable when a SparkContext
+    * checkpoint dir is set. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int = 5, initCentroids: Option[Array[Array[Double]]] = None,
       quantScale: Int = 8): (DataFrame, Array[Array[Double]]) = {
@@ -79,7 +79,7 @@ object Clustering {
     val projected = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val data =
-      if (iters > 0 || initCentroids.isEmpty) projected.localCheckpoint()
+      if (iters > 0 || initCentroids.isEmpty) Lineage.cut(projected)
       else projected
     var cents = initCentroids.getOrElse {
       val sample = data.orderBy(xxhash64(col("id"), col("v"))).limit(k)

@@ -145,14 +145,13 @@ object Dedup {
       .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      // candidates are small by construction — materialize them eagerly so
-      // the shingled base cache can be released (no per-call cache leak).
-      // localCheckpoint is executor-local (non-replayable on executor
-      // loss); for long-running cluster jobs configure a checkpoint dir
-      // and swap for .checkpoint(), as with any iterative Spark pipeline.
-      .localCheckpoint()
+    // candidates are small by construction — materialize them eagerly so
+    // the shingled base cache can be released (no per-call cache leak).
+    // Lineage.cut: executor-local by default; set a SparkContext
+    // checkpoint dir to make it reliable for long-running cluster jobs.
+    val cut = Lineage.cut(candidates)
     base.unpersist()
-    candidates
+    cut
   }
 
   /** Exact Jaccard similarity of two shingle-array columns — a
@@ -521,10 +520,10 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      // verified pairs are small by construction — materialize so the
-      // batch cache can be released (same rationale as minhashCandidates)
-      .localCheckpoint()
+    // verified pairs are small by construction — materialize so the
+    // batch cache can be released (same rationale as minhashCandidates)
+    val cut = Lineage.cut(verified)
     b.unpersist()
-    verified
+    cut
   }
 }

@@ -55,24 +55,22 @@ object Graph {
     * All three are materialized ONCE — every iteration's plan
     * references aug and deg, and without the checkpoints each iteration
     * level would embed a fresh copy of the whole upstream computation.
-    * localCheckpoint trade: the edge list occupies executor-local
-    * storage ~twice (e + aug) for the duration, and executor loss fails
-    * the job instead of recomputing the truncated lineage. */
+    * [[Lineage.cut]] picks the checkpoint flavor: executor-local by
+    * default (edge list held ~twice, e + aug; executor loss fails the
+    * job), reliable when a SparkContext checkpoint dir is set. */
   private final case class GraphPrep(nodes: DataFrame, deg: DataFrame,
       aug: DataFrame)
 
   private def prepGraph(edges: DataFrame, srcCol: String,
       dstCol: String): GraphPrep = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+    val e = Lineage.cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    val aug = e.withColumn("w", lit(1L)).unionByName(
+    val deg = Lineage.cut(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    val aug = Lineage.cut(e.withColumn("w", lit(1L)).unionByName(
       nodes.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("w")))
-      .localCheckpoint()
+        lit(0L).as("w"))))
     GraphPrep(nodes, deg, aug)
   }
 
@@ -102,11 +100,10 @@ object Graph {
     // seed-ness comes from the join flag, NOT from base_q > 0 — at tiny
     // scales where scale·15/100 floors to 0 the seeds must still start
     // at rank `scale` or the whole fixed point collapses to zero
-    val seeded = g.nodes.join(
+    val seeded = Lineage.cut(g.nodes.join(
         seeds.select(col(seedCol).cast("long").as("node")).distinct()
           .withColumn("__seed", lit(1)), Seq("node"), "left")
-      .select(col("node"), col("__seed").isNotNull.as("is_seed"))
-      .localCheckpoint()
+      .select(col("node"), col("__seed").isNotNull.as("is_seed")))
     val bases = seeded.select(col("node"),
       when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base_q"))
     val rank0 = seeded.select(col("node"),
@@ -139,7 +136,7 @@ object Graph {
         .agg(sum(col("contrib")).as("s")))
       i += 1
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        rank = rank.localCheckpoint()
+        rank = Lineage.cut(rank)
     }
     rank
   }
@@ -155,8 +152,9 @@ object Graph {
     *
     * Per round: two groupBy-min + join passes over a NARROW (long,
     * long) edge list that only ever shrinks toward one edge per
-    * non-root node — no windows, no driver state; `localCheckpoint`
-    * truncates the iterative lineage. Convergence is detected exactly
+    * non-root node — no windows, no driver state; [[Lineage.cut]]
+    * truncates the iterative lineage (reliable when a SparkContext
+    * checkpoint dir is set). Convergence is detected exactly
     * (count equality + `except` emptiness), not by hash checksum.
     *
     * @param pairs edges as (`idA`, `idB`) columns; treated undirected,
@@ -165,13 +163,12 @@ object Graph {
     *         smallest id in the component */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
-    val nodes = pairs.select(col(idA).cast("long").as("id"))
-      .union(pairs.select(col(idB).cast("long").as("id"))).distinct()
-      .localCheckpoint()
+    val nodes = Lineage.cut(pairs.select(col(idA).cast("long").as("id"))
+      .union(pairs.select(col(idB).cast("long").as("id"))).distinct())
     // canonical undirected edges: s < g, deduped, self loops dropped
-    var e = pairs.select(least(col(idA), col(idB)).cast("long").as("s"),
+    var e = Lineage.cut(pairs.select(least(col(idA), col(idB)).cast("long").as("s"),
         greatest(col(idA), col(idB)).cast("long").as("g"))
-      .filter(col("s") =!= col("g")).distinct().localCheckpoint()
+      .filter(col("s") =!= col("g")).distinct())
     var round = 0
     var converged = e.isEmpty
     while (!converged && round < maxRounds) {
@@ -183,18 +180,18 @@ object Graph {
         .union(e.select(col("g").as("u"), col("s").as("v")))
       val mins = bi.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = bi.join(mins, Seq("u")).filter(col("v") > col("u"))
+      val ls = Lineage.cut(bi.join(mins, Seq("u")).filter(col("v") > col("u"))
         .select(col("m").as("s"), col("v").as("g"))
-        .distinct().localCheckpoint()
+        .distinct())
       // small-star on the larger endpoint: u = g has only smaller
       // neighbors here; m(u) = min of them; every smaller neighbor and
       // u itself connect to m(u).
       val m2 = ls.groupBy(col("g")).agg(min(col("s")).as("m"))
-      val sm = ls.join(m2, Seq("g"))
+      val sm = Lineage.cut(ls.join(m2, Seq("g"))
         .select(col("m").as("s"), col("s").as("g"))
         .filter(col("s") =!= col("g"))
         .union(m2.select(col("m").as("s"), col("g")))
-        .distinct().localCheckpoint()
+        .distinct())
       converged = sm.count() == e.count() && sm.except(e).isEmpty
       e = sm
       round += 1

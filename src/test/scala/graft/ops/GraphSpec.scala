@@ -44,6 +44,39 @@ class GraphSpec extends SparkSpec {
     assert(run(7, 2) == a)
   }
 
+  test("reliable checkpointing: a SparkContext checkpoint dir changes no result") {
+    // Lineage.cut switches every iterative op from localCheckpoint to
+    // reliable .checkpoint() when a checkpoint dir is set — the 100 TB
+    // deployment flag. Results must be identical either way.
+    val edges = (0L until 100L).map(i => (i, (i * 7 + 3) % 100)).toDF("src", "dst")
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i % 4).toDouble, (i % 3).toDouble))).toDF("id", "v")
+    def all() = (
+      Graph.pageRankInt(edges, "src", "dst", iters = 3, checkpointEvery = 1)
+        .orderBy("node").collect().toSeq,
+      Graph.connectedComponentsStar(pairs)
+        .orderBy("id").collect().toSeq,
+      Clustering.kmeans(vecs, "id", "v", k = 3, iters = 2)._1
+        .orderBy("id").collect().toSeq)
+    val local = all()
+    val dir = tmpDir("graft-ckpt")
+    val sc = spark.sparkContext
+    try {
+      sc.setCheckpointDir(dir.toString)
+      assert(all() == local)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(dir).count() > 1
+      assert(wrote, "no reliable checkpoint data written under the configured dir")
+      // explicit override: reliable=false keeps localCheckpoint even with a dir
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+      assert(all() == local)
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("personalizedPageRankInt: restart mass reaches only seeds; trust propagates by hops") {
     // 1→2→3, seed {1}; ids 99 in seeds but not in graph must be ignored
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
