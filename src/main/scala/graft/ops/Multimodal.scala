@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested: schema, partitioning, batch
   * iteration (`mapPartitions` over an iterator — the JVM analog of a
-  * `mapInPandas` batch loop), deterministic outputs. The actual media
-  * decoding is STUBBED (no image/audio libraries in this container):
-  * [[Multimodal.stubDecode]] derives deterministic fake dimensions from
-  * the payload hash, and the place a real decoder plugs in is marked.
+  * `mapInPandas` batch loop), deterministic outputs. Header-level
+  * metadata (container format, pixel dimensions) is REAL: PNG IHDR and
+  * JPEG SOF parsing is pure byte arithmetic, done by the
+  * [[graft.functions.MediaHeaders]] codegen kernel. Only full-content
+  * decoding (pixel data, audio samples) is STUBBED — no media libraries
+  * in this container: [[Multimodal.stubDecode]] derives deterministic
+  * fake dimensions from the payload hash for payloads that are not
+  * PNG/JPEG, and the place a real decoder plugs in is marked.
   *
   * Scale notes: payloads stay distributed (never collected); per-batch
   * decode amortizes decoder init across rows exactly like a vectorized
@@ -61,7 +65,10 @@ object Multimodal {
 
   /** Batch-decode payloads via `mapPartitions`: one decoder context per
     * partition, rows streamed through it (the JVM shape of a vectorized
-    * `mapInPandas` decode). */
+    * `mapInPandas` decode). PNG/JPEG payloads get REAL header metadata
+    * ([[graft.functions.MediaHeadersImpl]] — format + pixel dimensions
+    * from IHDR / SOF bytes); other payloads fall through to the
+    * deterministic [[stubDecode]] stand-in for a full decoder. */
   def decodeMeta(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "content"): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -69,8 +76,29 @@ object Multimodal {
     df.select(col(idCol).cast("bigint"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // per-partition decoder init would happen here (amortized)
-        batch.map { case (id, payload) => stubDecode(id, payload) }
+        batch.map { case (id, payload) =>
+          graft.functions.MediaHeadersImpl.formatName(payload) match {
+            case fmt @ ("png" | "jpeg") =>
+              val w = graft.functions.MediaHeadersImpl.widthOf(payload)
+              val h = graft.functions.MediaHeadersImpl.heightOf(payload)
+              MediaMeta(id, payload.length.toLong, fmt, w, h,
+                duration_ms = 0L, ok = w > 0 && h > 0)
+            case _ => stubDecode(id, payload)
+          }
+        }
       }
+  }
+
+  /** Pure-Catalyst REAL header metadata: format/width/height columns
+    * decoded from PNG IHDR / JPEG SOF bytes by the codegen kernel —
+    * no mapPartitions, stays inside whole-stage codegen. Unknown or
+    * corrupt headers yield (`unknown`, -1, -1), filterable not fatal. */
+  def mediaMetaColumns(df: DataFrame, payloadCol: String = "content"): DataFrame = {
+    import graft.functions.MediaHeaders
+    df.withColumn("n_bytes", length(col(payloadCol)).cast("bigint"))
+      .withColumn("format", MediaHeaders.mediaFormat(col(payloadCol)))
+      .withColumn("width", MediaHeaders.mediaWidth(col(payloadCol)))
+      .withColumn("height", MediaHeaders.mediaHeight(col(payloadCol)))
   }
 
   /** Frame sampling for video-like payloads: slice the payload into

@@ -883,6 +883,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal: REAL header decode — payloads carry genuine PNG
+    // IHDR / JPEG SOF0/SOF2 headers built from doc_id (dims are a pure
+    // function of the id), the MediaHeaders kernel parses the BYTES
+    // (marker walk for JPEG), and the oracle recomputes the planted
+    // ground truth the construction encoded. Odd JPEG ids interpose a
+    // COM segment so the gate exercises the real marker walk, not a
+    // fixed offset; ids ≥ 60 are plain text → (unknown, -1, -1).
+    "mm04_media_decode" -> ((s, dir) => {
+      val d = col("doc_id")
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(lit(640) + d % 17), 8, "0"),
+        lpad(hex(lit(360) + d % 11), 8, "0"),
+        lit("0802000000" + "AABBCCDD"))
+      val sofPayload = concat(lit("0011" + "08"),
+        lpad(hex(lit(768) + d % 7), 4, "0"),
+        lpad(hex(lit(1024) + d % 13), 4, "0"),
+        lit("03" + "012200" + "021101" + "031101"))
+      val app0 = "FFE00010" + "4A46494600" + "0101" + "00" + "00010001" + "0000"
+      val jpegHex = concat(lit("FFD8" + app0),
+        when(d % 2 === 1, lit("FFFE000A" + "6772616674206F6B")).otherwise(lit("")),
+        when(d % 2 === 1, lit("FFC2")).otherwise(lit("FFC0")),
+        sofPayload, lit("FFD9"))
+      val payload = when(d < 30, unhex(pngHex))
+        .when(d < 60, unhex(jpegHex))
+        .otherwise(encode(concat(lit("textdoc:"), d.cast("string")), "UTF-8"))
+      Multimodal.mediaMetaColumns(
+          docs(s, dir).select(d).filter(d < 80).withColumn("content", payload))
+        .select(col("doc_id"), col("n_bytes"), col("format"),
+          col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- events: tumbling-window stats (same code runs on streams)
     "e01_tumbling_stats" -> ((s, dir) =>
       EventStreams.tumblingStats(Tables.load(s, dir, "events"))
@@ -2266,6 +2298,25 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 1280 + 16 AS INTEGER) AS fake_width,
         |  CAST((octet_length(encode(text)) * 7) % 720 + 16 AS INTEGER) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the planted headers encode dims as a pure function of doc_id, so
+    // the oracle recomputes that ground truth; the Spark side must
+    // recover it by PARSING the constructed bytes (PNG fixed offsets,
+    // JPEG marker walk across the odd-id COM segment)
+    "mm04_media_decode" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id < 30 THEN 33
+        |            WHEN doc_id < 60 THEN CASE WHEN doc_id % 2 = 0 THEN 41 ELSE 53 END
+        |            ELSE length('textdoc:' || CAST(doc_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id < 30 THEN 'png'
+        |       WHEN doc_id < 60 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN doc_id < 30 THEN 640 + doc_id % 17
+        |            WHEN doc_id < 60 THEN 1024 + doc_id % 13
+        |            ELSE -1 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id < 30 THEN 360 + doc_id % 11
+        |            WHEN doc_id < 60 THEN 768 + doc_id % 7
+        |            ELSE -1 END AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 80 ORDER BY doc_id""".stripMargin,
 
     "mm03_media_dedup" ->
       """WITH media AS (
