@@ -405,25 +405,72 @@ object Similarity {
   }
 
   /** Persist the corpus as an IVF index: parquet PARTITIONED BY cell id
-    * (pre-normalized vectors, cell = nearest centroid). At rest, each
-    * cell is a directory — a probe then reads only its cells' files.
-    * Pay the assignment shuffle once; every later query scans
-    * ≈ nProbe/nList of the corpus. */
+    * (pre-normalized vectors, cell = nearest centroid), plus the
+    * centroids at `<path>_meta` — the index is SELF-DESCRIBING, a
+    * reader needs only the path (same contract as [[writeIvfPqIndex]]).
+    * At rest, each cell is a directory — a probe then reads only its
+    * cells' files. Pay the assignment shuffle once; every later query
+    * scans ≈ nProbe/nList of the corpus. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, centroids: Array[Array[Double]]): Unit =
+      path: String, centroids: Array[Array[Double]]): Unit = {
     corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("cell", cellId(col("cv"), centroids))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    writeQuantizerMeta(corpus.sparkSession, path, centroids, None)
+  }
+
+  /** Quantizer sidecar shared by the IVF and IVF+PQ indexes: one tiny
+    * parquet of (kind, mi, idx, vec) rows. */
+  private def writeQuantizerMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, cts: Array[Array[Double]], cb: Option[PqCodebooks]): Unit = {
+    import spark.implicits._
+    val centroidRows = cts.zipWithIndex.map { case (v, i) => ("centroid", 0, i, v.toSeq) }
+    val codewordRows = cb.toSeq.flatMap(b =>
+      for { mi <- 0 until b.m; j <- 0 until b.k }
+        yield ("codeword", mi, j, b.codewords(mi)(j).toSeq))
+    spark.createDataset(centroidRows.toSeq ++ codewordRows)
+      .toDF("kind", "mi", "idx", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+  }
+
+  /** Load the centroids persisted by [[writeIvfIndex]]. Bounded
+    * collect: nList rows. */
+  def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(path + "_meta").filter(col("kind") === "centroid")
+      .collect().map(r => (r.getInt(2), r.getSeq[Double](3).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Append a new corpus batch to a [[writeIvfIndex]] index: assign
+    * cells with the index's OWN stored centroids and append into the
+    * cell partitions — one pass over the BATCH, the existing index
+    * files are untouched. Centroid drift note: appended batches are
+    * quantized by the ORIGINAL centroids, so recall in a cell degrades
+    * as the corpus distribution drifts from the training draw; once
+    * appends dominate the base corpus (or probe recall drops), retrain
+    * and [[writeIvfIndex]] afresh — the rewrite costs what the original
+    * build did. */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cts = readIvfMeta(batch.sparkSession, path)
+    batch.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .withColumn("cell", cellId(col("cv"), cts))
+      .write.partitionBy("cell").mode("append").parquet(path)
+  }
 
   /** ANN over a [[writeIvfIndex]] index: the union of probed cells is
     * collected (bounded by queries × nProbe ints) and pushed as an IN
     * filter on the partition column, so the parquet scan PRUNES to the
     * probed directories — the plan's PartitionFilters show it, and at
-    * 100 TB the query touches ≈ nProbe/nList of the files. */
+    * 100 TB the query touches ≈ nProbe/nList of the files.
+    *
+    * `centroids` defaults to the index's own stored meta; pass them
+    * only to skip the (tiny) meta read in a tight probe loop. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      centroids: Array[Array[Double]], nProbe: Int = 4): DataFrame = {
-    val probes = probedQueries(queries, idCol, vecCol, centroids, nProbe)
+      centroids: Option[Array[Array[Double]]] = None, nProbe: Int = 4): DataFrame = {
+    val cts = centroids.getOrElse(readIvfMeta(spark, indexPath))
+    val probes = probedQueries(queries, idCol, vecCol, cts, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(indexPath)
       .filter(col("cell").isin(cells: _*))
@@ -586,15 +633,27 @@ object Similarity {
         cellId(col("cv"), cts).as("cell"),
         pqEncode(col("cv"), cb).as("codes"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroidRows = cts.zipWithIndex.map { case (v, i) => ("centroid", 0, i, v.toSeq) }
-    val codewordRows = for {
-      mi <- 0 until cb.m; j <- 0 until cb.k
-    } yield ("codeword", mi, j, cb.codewords(mi)(j).toSeq)
-    spark.createDataset(centroidRows.toSeq ++ codewordRows)
-      .toDF("kind", "mi", "idx", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+    writeQuantizerMeta(corpus.sparkSession, path, cts, Some(cb))
+  }
+
+  /** Append a new corpus batch to a [[writeIvfPqIndex]] index: encode
+    * with the index's OWN stored quantizers (centroids + codebooks) and
+    * append into the cell partitions — one pass over the BATCH; the
+    * existing files and the meta sidecar are untouched, and
+    * [[ivfPqTopKIndexed]] serves the union immediately. Quantizer
+    * drift note: appended vectors are snapped to codewords trained on
+    * the ORIGINAL corpus draw, so ADC scores for drifted batches lose
+    * precision before cell recall degrades; once appends dominate (or
+    * scored recall drops against a brute-force spot check), retrain via
+    * [[trainIvfPq]] and rebuild with [[writeIvfPqIndex]]. */
+  def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val (cts, cb) = readIvfPqMeta(batch.sparkSession, path)
+    batch.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
+      .select(col("neighbor_id"),
+        cellId(col("cv"), cts).as("cell"),
+        pqEncode(col("cv"), cb).as("codes"))
+      .write.partitionBy("cell").mode("append").parquet(path)
   }
 
   /** Load the quantizers persisted by [[writeIvfPqIndex]]. Bounded

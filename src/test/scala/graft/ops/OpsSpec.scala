@@ -277,8 +277,16 @@ class OpsSpec extends SparkSpec {
     val cts = Similarity.trainCentroids(vecs, "embedding", k = 8)
     val idx = tmpDir("ivf-index").resolve("index").toString
     Similarity.writeIvfIndex(vecs, "vec_id", "embedding", idx, cts)
+    // self-describing: the probe needs only the path — centroids come
+    // from the index's own meta sidecar (and round-trip exactly)
+    assert(Similarity.readIvfMeta(spark, idx).map(_.toSeq).toSeq ==
+      cts.map(_.toSeq).toSeq)
     val indexed = Similarity.ivfTopKIndexed(spark, idx, queries, "vec_id", "embedding",
-      k = 5, centroids = cts, nProbe = 3)
+      k = 5, nProbe = 3)
+    // caller-held centroids still accepted (skips the meta read)
+    assert(Similarity.ivfTopKIndexed(spark, idx, queries, "vec_id", "embedding",
+        k = 5, centroids = Some(cts), nProbe = 3)
+      .collect().map(_.toSeq).toSet == indexed.collect().map(_.toSeq).toSet)
     // identical results to the in-memory cell join with the same quantizer
     val inMem = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 5,
       nProbe = 3, centroids = Some(cts))
@@ -316,6 +324,56 @@ class OpsSpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
       s"expected non-empty partition filters in:\n$plan")
+  }
+
+  test("IVF / IVF+PQ index append: new batches are probeable without a rebuild") {
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val mk = (i: Int) => {
+      val c = centers(i % 4)
+      c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat }
+    }
+    val base = (0 until 100).map(i => (i.toLong, mk(i))).toDF("vec_id", "embedding")
+    // the appended batch contains a PLANTED near-copy of query vector 0
+    val planted = (9000L, mk(0).map(x => (x * 1.01f)))
+    val batch = ((100 until 140).map(i => (i.toLong, mk(i))) :+ planted)
+      .toDF("vec_id", "embedding")
+    val queries = base.filter(col("vec_id") < 2)
+
+    val (cts, cb) = Similarity.trainIvfPq(base, "embedding", nList = 8, m = 4, kSub = 16)
+    val pq = tmpDir("ivfpq-append").resolve("index").toString
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", pq, cts, cb)
+    Similarity.appendToIvfPqIndex(batch, "vec_id", "embedding", pq)
+    val pqTop = Similarity.ivfPqTopKIndexed(spark, pq, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    // the appended row is encoded into the index and SERVED by the
+    // pruned probe path (rank/score guarantees live at full precision —
+    // see the IVF exact-rerank assertion below; ADC scores at PQ
+    // precision can tie across whole same-cell groups or even favor a
+    // better-aligned codeword, so rank-1 is not a PQ invariant)
+    assert(pqTop.nonEmpty)
+    assert(spark.read.parquet(pq).filter(col("neighbor_id") === 9000L).count() == 1)
+    val plantedServed = Similarity.ivfPqTopKIndexed(spark, pq,
+        queries.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        k = 200, nProbe = 2).collect()
+      .filter(r => r.getLong(0) == 0L && r.getLong(2) == 9000L)
+    assert(plantedServed.length == 1, "appended row not served by the probe")
+    // appended rows score identically to a from-scratch rebuild with the
+    // SAME quantizers (append must not re-train or re-derive anything)
+    val rebuilt = tmpDir("ivfpq-rebuild").resolve("index").toString
+    Similarity.writeIvfPqIndex(base.unionByName(batch), "vec_id", "embedding",
+      rebuilt, cts, cb)
+    val rebuiltTop = Similarity.ivfPqTopKIndexed(spark, rebuilt, queries,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect()
+    assert(pqTop.map(_.toSeq).toSet == rebuiltTop.map(_.toSeq).toSet)
+
+    val ivf = tmpDir("ivf-append").resolve("index").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", ivf, cts)
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", ivf)
+    val ivfTop = Similarity.ivfTopKIndexed(spark, ivf, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).collect()
+    assert(ivfTop.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1)
+      .map(_.getLong(2)).toSeq == Seq(9000L))
   }
 
   test("approximate-ANN rerank is two-stage: partial per-partition top-k before the final rank") {
