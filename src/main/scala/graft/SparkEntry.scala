@@ -6,12 +6,15 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Aggregates every implemented operator's demo query (SURVEY §2 coverage,
-  * full map in COVERAGE.md) plus its DuckDB oracle SQL — 105 oracle-checked
-  * and 1 rows-only (d03: the text→simhash kernel needs 64-bit wraparound
-  * arithmetic DuckDB rejects — see COVERAGE.md; its distributed banding
-  * operator is oracle-checked separately as d07, and the LSH/IVF/PQ/int8
-  * ANN gates run with deterministic SQL-expressible quantizers so DuckDB
-  * reproduces bucketing, probing, encoding and ranking exactly).
+  * full map in COVERAGE.md) plus its DuckDB oracle SQL. Every query is
+  * oracle-checked EXCEPT exactly one rows-only entry (d03: the
+  * text→simhash kernel needs 64-bit wraparound arithmetic DuckDB rejects —
+  * see COVERAGE.md; its distributed banding operator is oracle-checked
+  * separately as d07, and the LSH/IVF/PQ/int8 ANN gates run with
+  * deterministic SQL-expressible quantizers so DuckDB reproduces
+  * bucketing, probing, encoding and ranking exactly). The exact counts
+  * are pinned by `SparkEntrySpec` (`queries.size == oracleSql.size + 1`),
+  * so this comment cannot silently rot.
   * Query name groups:
   *   - q01–q34  relational SQL surface (SURVEY §2.2) + engine supersets
   *   - m01–m07  DML mutation layer (INSERT/UPDATE/DELETE on views) +

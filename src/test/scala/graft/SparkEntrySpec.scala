@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the driver contract's shape so SparkEntry's scaladoc counts
+  * cannot rot: every gate query has an oracle EXCEPT exactly one
+  * documented rows-only entry (d03 — proven not
+  * DuckDB-v1.0-expressible, see COVERAGE.md). */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("every query has an oracle except the one documented rows-only entry") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert(queries.size == oracles.size + 1,
+      s"queries=${queries.size} oracles=${oracles.size}; rows-only set changed — " +
+        "update SparkEntry's scaladoc and COVERAGE.md")
+    assert((queries -- oracles) == Set("d03_simhash_pairs"))
+    // no orphan oracles for queries that don't exist
+    assert((oracles -- queries).isEmpty, s"orphan oracle SQL: ${oracles -- queries}")
+  }
+
+  test("gate names follow the documented group prefixes") {
+    val prefixes = Seq("q", "m", "src_", "d", "s", "t", "mm", "e", "p", "f")
+    val stray = SparkEntry.queries.keySet.filterNot(n => prefixes.exists(n.startsWith))
+    assert(stray.isEmpty, s"undocumented gate name group: $stray")
+  }
+}
