@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Expression, LessThan, Literal, Md5, Substring}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-text surface for the codegen kernels: registers `graft_*`
   * functions in the session's `FunctionRegistry` so plain
@@ -23,6 +24,22 @@ object SqlKernels {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: argument ${pos + 1} must be an INTEGER literal, got $other")
+  }
+
+  /** Fractional SQL literals parse as DECIMAL (`0.8`) unless suffixed
+    * (`0.8D`) — accept both, the parameter shapes the plan either way. */
+  private def litFraction(e: Expression, fn: String, pos: Int): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a numeric literal, got $other")
+  }
+
+  private def litString(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a STRING literal, got $other")
   }
 
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
@@ -62,7 +79,44 @@ object SqlKernels {
     "graft_minhash_sig" -> { args =>
       arity("graft_minhash_sig", args, 2)
       MinHash.signatureExpr(args(0), litInt(args(1), "graft_minhash_sig", 1))
+    },
+    // deterministic-sampling tier for SQL-only users: the builders
+    // construct the SAME md5-threshold expression tree Sampling plans
+    // (thresholds from the shared hexThresholdLex/splitArms helpers),
+    // so a SQL `WHERE graft_keep(id, 0.1)` is the identical codegen
+    // filter as bernoulliByHash — partitioning-invariant, resumable,
+    // recomputable by an external engine
+    "graft_keep" -> { args =>
+      arity("graft_keep", args, 2)
+      val f = litFraction(args(1), "graft_keep", 1)
+      require(f >= 0.0 && f <= 1.0, s"graft_keep: fraction $f not in [0,1]")
+      LessThan(hashPrefix(args(0)),
+        Literal.create(graft.ops.Sampling.hexThresholdLex(f)))
+    },
+    // graft_split(key, name1, w1, name2, w2, ...) — weights must sum
+    // to 1 (same contract as splitByHash); returns the split label
+    "graft_split" -> { args =>
+      require(args.length >= 3 && args.length % 2 == 1,
+        s"graft_split expects (key, name, weight, ...), got ${args.length} argument(s)")
+      val splits = args.drop(1).grouped(2).zipWithIndex.map { case (Seq(n, w), i) =>
+        (litString(n, "graft_split", 1 + 2 * i),
+          litFraction(w, "graft_split", 2 + 2 * i))
+      }.toSeq
+      val (arms, last) = graft.ops.Sampling.splitArms(splits)
+      val h = hashPrefix(args(0))
+      CaseWhen(
+        arms.map { case (nm, thr) =>
+          (LessThan(h, Literal.create(thr)), Literal.create(nm)) },
+        Some(Literal.create(last)))
     })
+
+  /** `substring(md5(cast(key as string)), 1, 12)` as raw Catalyst nodes
+    * — the identical tree [[graft.ops.Sampling.keepPredicate]] and
+    * `splitLabel` build through the Column API. */
+  private def hashPrefix(key: Expression): Expression =
+    Substring(
+      Md5(Cast(Cast(key, StringType), org.apache.spark.sql.types.BinaryType)),
+      Literal(1), Literal(12))
 
   /** Register every graft kernel as a `graft_*` SQL function on this
     * session, permanently. Idempotent (createOrReplace). */

@@ -31,8 +31,7 @@ object Sampling {
     * (the strict `<` against the max threshold would otherwise drop each
     * row with probability 2⁻⁴⁸ — real rows at 10¹² scale). */
   def bernoulliByHash(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    if (fraction >= 1.0) df
-    else df.filter(substring(md5(key.cast("string")), 1, 12) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) df else df.filter(keepPredicate(key, fraction))
 
   /** Deterministic stratified sample: the `n` rows of each stratum with
     * the smallest md5(key) (key tie-break). Two-stage top-n — a partial
@@ -176,19 +175,40 @@ object Sampling {
     * `key` and every member of the group lands in the same split — the
     * standard guard against train/test contamination via duplicates. */
   def splitByHash(df: DataFrame, key: Column, splits: Seq[(String, Double)],
-      labelCol: String = "split"): DataFrame = {
+      labelCol: String = "split"): DataFrame =
+    df.withColumn(labelCol, splitLabel(key, splits))
+
+  /** Validated CASE arms for a split spec: (name, cumulative-threshold
+    * hex) pairs for every split but the last, plus the ELSE name — the
+    * single source both [[splitLabel]] (Column) and the `graft_split`
+    * SQL builder plan from, so the two surfaces stay identical. */
+  def splitArms(splits: Seq[(String, Double)]): (Seq[(String, String)], String) = {
     require(splits.nonEmpty, "at least one split required")
     splits.foreach { case (n, w) => require(w > 0.0, s"split $n weight $w not > 0") }
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"split weights sum to $total, expected 1.0")
     val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    (splits.map(_._1).dropRight(1).zip(cums.dropRight(1).map(hexThresholdLex)),
+      splits.last._1)
+  }
+
+  /** The label expression behind [[splitByHash]], exposed so the SQL
+    * surface (`graft_split`) plans the identical CASE. */
+  def splitLabel(key: Column, splits: Seq[(String, Double)]): Column = {
+    val (arms, last) = splitArms(splits)
     val h = substring(md5(key.cast("string")), 1, 12)
     // first-matching-interval CASE; the last arm is the ELSE so rounding
     // in the final cumulative weight can never leave a row unlabeled
-    val label = splits.map(_._1).dropRight(1).zip(cums.dropRight(1))
-      .foldRight(lit(splits.last._1): Column) { case ((nm, c), acc) =>
-        when(h < lit(hexThresholdLex(c)), lit(nm)).otherwise(acc)
-      }
-    df.withColumn(labelCol, label)
+    arms.foldRight(lit(last): Column) { case ((nm, thr), acc) =>
+      when(h < lit(thr), lit(nm)).otherwise(acc)
+    }
+  }
+
+  /** The keep-predicate behind [[bernoulliByHash]], exposed so the SQL
+    * surface (`graft_keep`) plans the identical filter. Fractions ≥ 1.0
+    * use the `"g"` sentinel, so keep-everything stays exact. */
+  def keepPredicate(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    substring(md5(key.cast("string")), 1, 12) < lit(hexThresholdLex(fraction))
   }
 }

@@ -598,6 +598,21 @@ object PipelineQueries {
           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
     }),
 
+    // ---- SQL-text sampling surface: graft_keep + graft_split drive
+    // the deterministic-sampling tier from pure SQL — the builders plan
+    // the SAME md5-threshold expressions as the Column API, and DuckDB
+    // recomputes both from the shared threshold constants
+    "f02_sql_sampling" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_split(doc_id, 'train', 0.8, 'val', 0.1, 'test', 0.1) AS split
+          |FROM graft_sql_docs
+          |WHERE graft_keep(doc_id, 0.5)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
     // applies before scoring, so all k results satisfy it (post-filtering
     // a candidate list would under-fill)
@@ -2026,6 +2041,23 @@ object PipelineQueries {
         |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, embeddings e
         |  WHERE e.vec_id <> q.vec_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // thresholds come from the operator's own helpers (hexThresholdLex /
+    // splitArms), never hand-summed cumulative weights — running double
+    // sums round differently than literals for arbitrary weights
+    "f02_sql_sampling" -> {
+      val keepThr = graft.ops.Sampling.hexThresholdLex(0.5)
+      val (arms, last) = graft.ops.Sampling.splitArms(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val armSql = arms.map { case (nm, t) =>
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$t' THEN '$nm'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE $armSql ELSE '$last' END AS split
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$keepThr'
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "s06_filtered_ann" ->
       """SELECT query_id, rank, neighbor_id FROM (

@@ -78,6 +78,43 @@ class SqlKernelsSpec extends SparkSpec {
     } finally graft.Paths.rmTree(dir)
   }
 
+  test("graft_keep / graft_split: SQL plans the identical sampling expressions") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = (0L until 2000L).map(i => Tuple1(i)).toDF("id")
+    df.createOrReplaceTempView("keys")
+    // keep: same rows as bernoulliByHash at the same fraction (identical
+    // md5-threshold predicate), fractional literal arriving as DECIMAL
+    val sqlKeep = spark.sql("SELECT id FROM keys WHERE graft_keep(id, 0.1)")
+      .as[Long].collect().toSet
+    val colKeep = Sampling.bernoulliByHash(df, col("id"), 0.1)
+      .as[Long].collect().toSet
+    assert(sqlKeep == colKeep && sqlKeep.nonEmpty && sqlKeep.size < 2000)
+    // fraction 1.0 keeps everything (the "g" sentinel under strict <)
+    assert(spark.sql("SELECT count(*) FROM keys WHERE graft_keep(id, 1.0)")
+      .head().getLong(0) == 2000L)
+    // double-suffixed literal also accepted
+    assert(spark.sql("SELECT id FROM keys WHERE graft_keep(id, 0.1D)")
+      .as[Long].collect().toSet == sqlKeep)
+    // split: identical labels to splitByHash for the same weights
+    val sqlSplit = spark.sql(
+      "SELECT id, graft_split(id, 'train', 0.8, 'val', 0.1, 'test', 0.1) AS s FROM keys")
+      .as[(Long, String)].collect().toMap
+    val colSplit = Sampling.splitByHash(df, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "s")
+      .as[(Long, String)].collect().toMap
+    assert(sqlSplit == colSplit)
+    assert(sqlSplit.values.toSet == Set("train", "val", "test"))
+    // malformed calls fail at plan time with the contract message
+    val e1 = intercept[Exception](spark.sql("SELECT graft_split(id, 'a', 0.5) FROM keys"))
+    assert(e1.getMessage.contains("split weights sum to 0.5"))
+    val e1b = intercept[Exception](spark.sql("SELECT graft_split(id, 'a') FROM keys"))
+    assert(e1b.getMessage.contains("graft_split"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_keep(id, id) FROM keys").collect())
+    assert(e2.getMessage.contains("numeric literal"))
+  }
+
   test("GraftSession.close restores a host's own graft_* function and drops the rest") {
     import org.apache.spark.sql.graft.ColumnBridge
     val dir = java.nio.file.Files.createTempDirectory("sqlk2").toFile
