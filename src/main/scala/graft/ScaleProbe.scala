@@ -184,6 +184,66 @@ object ScaleProbe {
     val (kmAssign, _) = t("kmeans k=64 3 iters 20k vectors")(
       graft.ops.Clustering.kmeans(e10, "vec_id", "embedding", k = 64, iters = 3))
     println("SCALE kmeans assigned: " + kmAssign.count())
+
+    // round-5 at 10×: maximal dup-span merge — the heaviest
+    // non-iterative gate (t16). Positional shingles are md5'd to
+    // 16-byte keys before the frequency shuffle and the island merge
+    // runs in per-doc windows (bounded by doc length), so 1× → 10×
+    // must scale ~linearly; compare the two timings for the exponent.
+    t("maximal dup spans 5k docs")(noop(
+      TextAnalysis.maximalDupSpans(d1, "doc_id", "text", n = 8, minDocs = 2)))
+    t("maximal dup spans 50k docs")(noop(
+      TextAnalysis.maximalDupSpans(d10, "doc_id", "text", n = 8, minDocs = 2)))
+
+    // round-5: the streaming-CDC snapshot swap under CONCURRENT reads —
+    // a reader loop (healSwap + read + retry, the documented
+    // restartable-read discipline) consumes the snapshot while the
+    // writer rewrites it via FsOps.swapDirs. Readers must only ever see
+    // a complete old or new copy (count ∈ {1000, 2000}); transient
+    // mid-swap failures are retried, never wrong data.
+    val swapBase = java.nio.file.Files.createTempDirectory("scale-swap")
+    try {
+      val snap = swapBase.resolve("snap").toString
+      val tmp = snap + ".rewriting"
+      val v1 = d1.limit(1000).select("doc_id")
+      val v2 = d1.limit(2000).select("doc_id")
+      v1.write.mode("overwrite").parquet(snap)
+      @volatile var stop = false
+      @volatile var reads = 0L
+      @volatile var retries = 0L
+      @volatile var badReads = 0L
+      // the reader does NOT healSwap in its loop: healSwap is the
+      // restartable-read recovery for a CRASHED writer — a live reader
+      // healing while a writer is mid-swap can steal the rename between
+      // the writer's delete and its own rename and fail the swap.
+      // Concurrent readers just retry transient mid-swap failures.
+      val reader = new Thread(() => {
+        while (!stop) {
+          try {
+            val c = spark.read.parquet(snap).count()
+            if (c != 1000L && c != 2000L) badReads += 1
+            reads += 1
+          } catch { case _: Exception => retries += 1 }
+        }
+      })
+      reader.start()
+      t("snapshot swap x6 under concurrent reads") {
+        for (i <- 1 to 6) {
+          (if (i % 2 == 1) v2 else v1).write.mode("overwrite").parquet(tmp)
+          graft.ops.FsOps.swapDirs(spark, tmp, snap)
+        }
+      }
+      stop = true
+      reader.join(30000)
+      // at a restart point (no live writer) heal-then-read is the discipline
+      graft.ops.FsOps.healSwap(spark, tmp, snap)
+      val finalCount = spark.read.parquet(snap).count()
+      println(s"SCALE swap-under-read: reads=$reads retries=$retries " +
+        s"badReads=$badReads final=$finalCount")
+      assert(badReads == 0L, "reader observed a torn snapshot")
+      assert(finalCount == 1000L, s"final snapshot is v1 (6 swaps): $finalCount")
+      assert(reads > 0L, "reader never completed a read")
+    } finally Paths.rmTree(swapBase.toFile)
     spark.stop()
   }
 }

@@ -31,7 +31,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MediaHeadersImpl {
 
-  /** (format, width, height) with -1 dims when not parseable. */
+  /** (format, width, height) with -1 dims when not parseable — the
+    * single-parse entry point for JVM callers ([[graft.ops.Multimodal
+    * .decodeMeta]]); the per-column statics below each re-parse, which
+    * is fine for the tiny header but wasteful in a row-at-a-time loop. */
+  def headerMeta(b: Array[Byte]): (String, Int, Int) = parse(b)
+
   private def parse(b: Array[Byte]): (String, Int, Int) = {
     if (isPng(b)) {
       // IHDR must be the first chunk: [u32 len][IHDR][u32 w][u32 h]...

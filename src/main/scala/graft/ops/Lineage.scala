@@ -22,8 +22,20 @@ import org.apache.spark.sql.DataFrame
   * (session conf) overrides the auto-detection — "false" keeps
   * localCheckpoint even with a dir set (e.g. a dir configured for
   * Structured Streaming only).
+  *
+  * Reliable-mode storage note: Spark does NOT delete `.checkpoint()`
+  * output by default, and the iterative loops cut several times per
+  * round (connected components: 2 edge-list copies per round) — on a
+  * long-lived context the checkpoint dir grows until it is wiped. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` **in the
+  * SparkConf at context creation** so the ContextCleaner reclaims each
+  * superseded checkpoint as its RDD is GC'd (the loops drop references
+  * every cut, so only live data stays); [[cut]] warns once per JVM if
+  * reliable mode is active without it.
   */
 object Lineage {
+
+  @volatile private var warnedLeak = false
 
   /** Truncate `df`'s lineage: reliable `.checkpoint()` when configured
     * (see object doc), `localCheckpoint()` otherwise. Both are eager. */
@@ -34,6 +46,16 @@ object Lineage {
       case "false" => false
       case _       => spark.sparkContext.getCheckpointDir.isDefined
     }
-    if (reliable) df.checkpoint() else df.localCheckpoint()
+    if (reliable) {
+      if (!warnedLeak && spark.sparkContext.getConf
+          .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false") != "true") {
+        warnedLeak = true
+        System.err.println("[graft] Lineage: reliable checkpoints are on but " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints is not — superseded " +
+          "checkpoint data will accumulate in the checkpoint dir until the " +
+          "context stops (set it true in the SparkConf at context creation)")
+      }
+      df.checkpoint()
+    } else df.localCheckpoint()
   }
 }

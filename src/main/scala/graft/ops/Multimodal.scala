@@ -76,15 +76,18 @@ object Multimodal {
     df.select(col(idCol).cast("bigint"), col(payloadCol)).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // per-partition decoder init would happen here (amortized)
-        batch.map { case (id, payload) =>
-          graft.functions.MediaHeadersImpl.formatName(payload) match {
-            case fmt @ ("png" | "jpeg") =>
-              val w = graft.functions.MediaHeadersImpl.widthOf(payload)
-              val h = graft.functions.MediaHeadersImpl.heightOf(payload)
-              MediaMeta(id, payload.length.toLong, fmt, w, h,
-                duration_ms = 0L, ok = w > 0 && h > 0)
-            case _ => stubDecode(id, payload)
-          }
+        batch.map {
+          // a null payload (outer join, failed fetch) must yield a
+          // filterable row, not an executor NPE that kills the job
+          case (id, null) =>
+            MediaMeta(id, 0L, "unknown", -1, -1, duration_ms = 0L, ok = false)
+          case (id, payload) =>
+            graft.functions.MediaHeadersImpl.headerMeta(payload) match {
+              case (fmt @ ("png" | "jpeg"), w, h) =>
+                MediaMeta(id, payload.length.toLong, fmt, w, h,
+                  duration_ms = 0L, ok = w > 0 && h > 0)
+              case _ => stubDecode(id, payload)
+            }
         }
       }
   }

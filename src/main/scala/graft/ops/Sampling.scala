@@ -152,10 +152,17 @@ object Sampling {
   def prioritySample(df: DataFrame, key: Column, weight: Column, n: Int,
       seed: Long = 0L, priorityCol: String = "priority"): DataFrame = {
     require(n > 0, "n must be positive")
-    // filter on the CAST value: a fractional weight in (0,1) passes a
-    // raw `weight > 0` check but truncates to 0 on the long cast, which
-    // would rank it with priority 0.0 instead of excluding it — the
-    // integer-weight contract is enforced on what the math actually uses
+    // the integer-weight contract is enforced on the TYPE, loudly: a
+    // fractional weight would silently truncate on the long cast (0.4 →
+    // excluded at priority 0, 1.9 → sampled at half its intended
+    // probability) — both are wrong answers, not edge cases
+    val wType = df.select(weight.as("__w")).schema.head.dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wType),
+      s"prioritySample: weight must be integer-typed (token counts, byte " +
+        s"sizes...), got $wType — round or scale to integers explicitly first")
     df.filter(weight.cast("long") > 0)
       .withColumn(priorityCol,
         (weight.cast("long") * lit(LehmerM)).cast("double") /

@@ -405,24 +405,31 @@ object Similarity {
   }
 
   /** Persist the corpus as an IVF index: parquet PARTITIONED BY cell id
-    * (pre-normalized vectors, cell = nearest centroid), plus the
-    * centroids at `<path>_meta` — the index is SELF-DESCRIBING, a
-    * reader needs only the path (same contract as [[writeIvfPqIndex]]).
-    * At rest, each cell is a directory — a probe then reads only its
-    * cells' files. Pay the assignment shuffle once; every later query
-    * scans ≈ nProbe/nList of the corpus. */
+    * (pre-normalized vectors, cell = nearest centroid), with the
+    * centroids INSIDE the index at `_quantizers` (underscore-prefixed,
+    * so `spark.read.parquet(path)` skips it) — the index is
+    * SELF-DESCRIBING, a reader needs only the path (same contract as
+    * [[writeIvfPqIndex]]). Data and quantizers are built together in a
+    * sibling dir and swapped in with ONE rename ([[FsOps.swapDirs]]):
+    * a retrain-rebuild over an existing index can never pair new cell
+    * assignments with stale centroids — the torn state would silently
+    * probe the wrong cells. At rest, each cell is a directory — a probe
+    * then reads only its cells' files. Pay the assignment shuffle once;
+    * every later query scans ≈ nProbe/nList of the corpus. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, centroids: Array[Array[Double]]): Unit = {
+    val tmp = path + ".building"
     corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("cell", cellId(col("cv"), centroids))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
-    writeQuantizerMeta(corpus.sparkSession, path, centroids, None)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    writeQuantizerMeta(corpus.sparkSession, tmp, centroids, None)
+    FsOps.swapDirs(corpus.sparkSession, tmp, path)
   }
 
   /** Quantizer sidecar shared by the IVF and IVF+PQ indexes: one tiny
-    * parquet of (kind, mi, idx, vec) rows. */
+    * parquet of (kind, mi, idx, vec) rows at `<dir>/_quantizers`. */
   private def writeQuantizerMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, cts: Array[Array[Double]], cb: Option[PqCodebooks]): Unit = {
+      dir: String, cts: Array[Array[Double]], cb: Option[PqCodebooks]): Unit = {
     import spark.implicits._
     val centroidRows = cts.zipWithIndex.map { case (v, i) => ("centroid", 0, i, v.toSeq) }
     val codewordRows = cb.toSeq.flatMap(b =>
@@ -430,16 +437,24 @@ object Similarity {
         yield ("codeword", mi, j, b.codewords(mi)(j).toSeq))
     spark.createDataset(centroidRows.toSeq ++ codewordRows)
       .toDF("kind", "mi", "idx", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(path + "_meta")
+      .coalesce(1).write.mode("overwrite").parquet(dir + "/_quantizers")
   }
+
+  /** Self-heal the one crash window of the atomic index swap before a
+    * read (no-op when the index dir is intact). */
+  private def healVectorIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    FsOps.healSwap(spark, path + ".building", path)
 
   /** Load the centroids persisted by [[writeIvfIndex]]. Bounded
     * collect: nList rows. */
   def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): Array[Array[Double]] =
-    spark.read.parquet(path + "_meta").filter(col("kind") === "centroid")
+      path: String): Array[Array[Double]] = {
+    healVectorIndex(spark, path)
+    spark.read.parquet(path + "/_quantizers").filter(col("kind") === "centroid")
       .collect().map(r => (r.getInt(2), r.getSeq[Double](3).toArray))
       .sortBy(_._1).map(_._2)
+  }
 
   /** Append a new corpus batch to a [[writeIvfIndex]] index: assign
     * cells with the index's OWN stored centroids and append into the
@@ -452,7 +467,7 @@ object Similarity {
     * build did. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val cts = readIvfMeta(batch.sparkSession, path)
+    val cts = readIvfMeta(batch.sparkSession, path) // heals, then reads
     batch.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .withColumn("cell", cellId(col("cv"), cts))
       .write.partitionBy("cell").mode("append").parquet(path)
@@ -469,6 +484,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       centroids: Option[Array[Array[Double]]] = None, nProbe: Int = 4): DataFrame = {
+    healVectorIndex(spark, indexPath)
     val cts = centroids.getOrElse(readIvfMeta(spark, indexPath))
     val probes = probedQueries(queries, idCol, vecCol, cts, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -621,19 +637,23 @@ object Similarity {
   /** Persist the corpus as an IVF+PQ index: parquet PARTITIONED BY cell
     * id where each row is (neighbor_id, codes) — m small ints instead of
     * a dim·4-byte vector — plus the trained quantizers at
-    * `<path>_meta` (a tiny parquet of centroid/codeword rows, readable
+    * `<path>/_quantizers` (a tiny parquet of centroid/codeword rows, readable
     * on any Hadoop filesystem). The train + full-corpus encode pass is
     * paid ONCE here; [[ivfPqTopKIndexed]] then serves query batches with
     * partition-pruned scans over ≈ nProbe/nList of the files and never
     * touches raw vectors. */
   def writeIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, cts: Array[Array[Double]], cb: PqCodebooks): Unit = {
+    // same atomic build-then-swap as writeIvfIndex: codes and the
+    // quantizers that decode them land in ONE rename, never torn
+    val tmp = path + ".building"
     corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
         cellId(col("cv"), cts).as("cell"),
         pqEncode(col("cv"), cb).as("codes"))
-      .write.partitionBy("cell").mode("overwrite").parquet(path)
-    writeQuantizerMeta(corpus.sparkSession, path, cts, Some(cb))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    writeQuantizerMeta(corpus.sparkSession, tmp, cts, Some(cb))
+    FsOps.swapDirs(corpus.sparkSession, tmp, path)
   }
 
   /** Append a new corpus batch to a [[writeIvfPqIndex]] index: encode
@@ -660,7 +680,8 @@ object Similarity {
     * collect: nList + m·kSub rows. */
   def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Array[Double]], PqCodebooks) = {
-    val rows = spark.read.parquet(path + "_meta")
+    healVectorIndex(spark, path)
+    val rows = spark.read.parquet(path + "/_quantizers")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Double](3).toArray))
     val cts = rows.filter(_._1 == "centroid").sortBy(_._3).map(_._4)
     val cw = rows.filter(_._1 == "codeword")
@@ -679,7 +700,7 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int = 4): DataFrame = {
-    val (cts, cb) = readIvfPqMeta(spark, indexPath)
+    val (cts, cb) = readIvfPqMeta(spark, indexPath) // heals, then reads
     val probes = pqProbes(queries, idCol, vecCol, cts, cb, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val codes = spark.read.parquet(indexPath)

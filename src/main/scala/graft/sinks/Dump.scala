@@ -167,9 +167,15 @@ object Dump {
     // value it never sees, but presence beats silent disappearance). One
     // cheap aggregate job; the per-row null-omission convention for
     // mixed columns is unchanged.
-    val nonNullCounts = df.select(cols.map(c =>
-      count(col(s"`$c`")).as(c)): _*).head()
-    val allNull = cols.indices.filter(i => nonNullCounts.getLong(i) == 0L).toSet
+    // the detection pass re-runs the upstream plan once, so skip it
+    // when the schema proves no column can be all-null
+    val allNull: Set[Int] =
+      if (df.schema.forall(!_.nullable)) Set.empty
+      else {
+        val nonNullCounts = df.select(cols.map(c =>
+          count(col(s"`$c`")).as(c)): _*).head()
+        cols.indices.filter(i => nonNullCounts.getLong(i) == 0L).toSet
+      }
     val it = df.toLocalIterator()
     withWriter(target) { w =>
       while (it.hasNext) {

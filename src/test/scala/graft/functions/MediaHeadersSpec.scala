@@ -81,9 +81,12 @@ class MediaHeadersSpec extends SparkSpec {
     assert(MediaHeadersImpl.widthOf(noSof) == -1)
     // truncated mid-segment
     assert(MediaHeadersImpl.widthOf(plain.take(10)) == -1)
-    // lost marker sync
+    // lost marker sync INSIDE the walk: corrupt the SOF's 0xFF (byte 20,
+    // just after the 18-byte APP0) so the signature stays valid and the
+    // walk itself hits the non-FF byte
     val desync = jpeg(app0, sof(0xC0, 10, 10))
-    desync(2) = 0x00.toByte
+    desync(20) = 0x00.toByte
+    assert(MediaHeadersImpl.formatName(desync) == "jpeg")
     assert(MediaHeadersImpl.widthOf(desync) == -1)
   }
 

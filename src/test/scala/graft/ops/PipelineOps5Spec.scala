@@ -86,14 +86,15 @@ class PipelineOps5Spec extends SparkSpec {
     val cleaned = Sampling.prioritySample(withBad, col("id"), col("w"), 1000)
       .select("id").as[Long].collect().toSet
     assert(!cleaned.contains(3L) && !cleaned.contains(4L))
-    // fractional weights in (0,1) truncate to 0 on the integer cast and
-    // must be EXCLUDED (not ranked with priority 0.0): the filter runs
-    // on the cast value the math actually uses
+    // a fractional weight column is a CONTRACT VIOLATION, rejected
+    // loudly at plan time — truncation would silently exclude weights
+    // in (0,1) and halve the inclusion probability of 1.9
     val fractional = df.withColumn("w",
       when(col("id") === 5L, lit(0.4)).otherwise(col("w").cast("double")))
-    val noTrunc = Sampling.prioritySample(fractional, col("id"), col("w"), 1000)
-      .select("id").as[Long].collect().toSet
-    assert(!noTrunc.contains(5L))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.prioritySample(fractional, col("id"), col("w"), 1000)
+    }
+    assert(e.getMessage.contains("integer-typed"))
   }
 
   test("shuffleByHash: contiguous positions, partitioning-invariant, seed-sensitive") {
