@@ -77,6 +77,62 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "__digest")
   }
 
+  // ------------------------------------------------- persisted digest index
+
+  /** Persist the corpus' content digests as an exact-dedup membership
+    * index: one parquet of distinct 16-byte md5 hex digests. The
+    * continuous-ingest companion to [[incrementalExact]]: the corpus is
+    * hashed ONCE at write time, and every later batch is cleaned by an
+    * anti-join against the stored digests — the corpus text is never
+    * re-read. At 100 TB the index is ~32 bytes/doc (0.003% of a 1 MB/doc
+    * corpus) and the probe is one narrow hash join. */
+  def writeDigestIndex(corpus: DataFrame, contentCol: String,
+      path: String): Unit =
+    corpus.select(md5(col(contentCol).cast("binary")).as("digest"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Add a (typically already-[[probeDigestIndex]]-cleaned) batch's
+    * digests to the index. Appends may duplicate a digest across
+    * segments — probes are membership tests, so correctness is
+    * unaffected; [[compactDigestIndex]] re-distincts when append
+    * volume warrants it. */
+  def appendToDigestIndex(batch: DataFrame, contentCol: String,
+      path: String): Unit =
+    batch.select(md5(col(contentCol).cast("binary")).as("digest"))
+      .distinct()
+      .write.mode("append").parquet(path)
+
+  /** Clean a new batch against a [[writeDigestIndex]] index: drop rows
+    * whose content digest is already present, keep the min-id
+    * representative of in-batch duplicate groups (exactly
+    * [[incrementalExact]]'s contract, served from the index). */
+  def probeDigestIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, batch: DataFrame, contentCol: String,
+      idCol: String): DataFrame = {
+    FsOps.healSwap(spark, indexPath + ".compacting", indexPath)
+    val stored = spark.read.parquet(indexPath)
+      .select(col("digest").as(s"__corpus_digest"))
+    val dig = md5(col(contentCol).cast("binary"))
+    val fresh = batch.withColumn("__digest", dig)
+      .join(stored, col("__digest") === col("__corpus_digest"), "left_anti")
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    fresh.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
+  }
+
+  /** Rewrite the digest index as one distinct set — one narrow
+    * aggregate over 16-byte keys, swapped in with the two-phase
+    * [[FsOps]] discipline (readers see old or new, never a mix). */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    FsOps.healSwap(spark, path + ".compacting", path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path).distinct()
+      .write.mode("overwrite").parquet(tmp)
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
     * functions block Spark's common-subexpression elimination, so an
     * expensive expression referenced inside a `transform` lambda would

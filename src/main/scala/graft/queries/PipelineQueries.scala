@@ -269,6 +269,35 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: PERSISTED exact-dedup digest index — the corpus is
+    // hashed once at write time; batch 1 is cleaned against the stored
+    // digests (corpus text never re-read), its survivors' digests are
+    // appended, and batch 2 is then cleaned against corpus + batch 1 —
+    // the continuous-ingest lifecycle end to end. clean1 is materialized
+    // (Lineage.cut) BEFORE the append: the anti-join is lazy, and
+    // re-evaluating it after its own digests landed in the index would
+    // drop every row.
+    "d12_digest_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-digest-idx")
+        .resolve("idx").toString
+      Dedup.writeDigestIndex(d.filter(col("doc_id") < 400), "text", path)
+      val batch1 = d.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val clean1 = graft.ops.Lineage.cut(
+        Dedup.probeDigestIndex(s, path, batch1, "text", "doc_id"))
+      Dedup.appendToDigestIndex(clean1, "text", path)
+      val batch2 = d.filter(col("doc_id") >= 450)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") < 410)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val clean2 = Dedup.probeDigestIndex(s, path, batch2, "text", "doc_id")
+      clean1.select(col("doc_id")).unionByName(clean2.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: normalization-keyed exact dedup — copies that differ
     // only in case / punctuation / whitespace collapse into one group
     // (the CCNet/RefinedWeb hashing key). Planted noisy copies (ASCII
@@ -2287,6 +2316,34 @@ object PipelineQueries {
         |fresh AS (SELECT doc_id, text FROM batch
         |  WHERE text NOT IN (SELECT text FROM corpus))
         |SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // the index is digests of text; md5 equality ≡ text equality at any
+    // realistic scale, so the oracle replays the two-batch lifecycle
+    // with text membership
+    "d12_digest_index" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+        |b1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 450
+        |  UNION ALL SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id < 20
+        |),
+        |c1 AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM b1
+        |  WHERE text NOT IN (SELECT text FROM corpus) GROUP BY text
+        |),
+        |b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 450
+        |  UNION ALL SELECT doc_id + 5000000 AS doc_id, text
+        |  FROM documents WHERE doc_id >= 400 AND doc_id < 410
+        |),
+        |c2 AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM b2
+        |  WHERE text NOT IN (SELECT text FROM corpus)
+        |    AND text NOT IN (SELECT text FROM c1)
+        |  GROUP BY text
+        |)
+        |SELECT doc_id FROM c1
+        |UNION ALL SELECT doc_id FROM c2
+        |ORDER BY doc_id""".stripMargin,
 
     "t01_token_counts" ->
       """SELECT doc_id,

@@ -225,6 +225,37 @@ class PipelineOps4Spec extends SparkSpec {
     assert(Files.exists(Paths.get(path, "meta")) && Files.exists(Paths.get(path, "bands")))
   }
 
+  test("digest index: write / probe / append / compact lifecycle, crash-window heal") {
+    import java.nio.file.{Files, Paths}
+    val corpus = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val path = tmpDir("graft-digest").resolve("idx").toString
+    Dedup.writeDigestIndex(corpus, "text", path)
+    // distinct digests only
+    assert(spark.read.parquet(path).count() == 2L)
+    // probe: corpus dups dropped, min-id kept per in-batch dup group
+    val batch1 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"))
+      .toDF("doc_id", "text")
+    val clean1 = Dedup.probeDigestIndex(spark, path, batch1, "text", "doc_id")
+    assert(clean1.select("doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    // append survivors; a second batch repeating their content is dropped
+    Dedup.appendToDigestIndex(clean1, "text", path)
+    val batch2 = Seq((20L, "gamma"), (21L, "epsilon"), (22L, "beta"))
+      .toDF("doc_id", "text")
+    assert(Dedup.probeDigestIndex(spark, path, batch2, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(21L))
+    // compact folds appended segments back to one distinct set
+    Dedup.appendToDigestIndex(batch2.filter(col("doc_id") === 21L), "text", path)
+    Dedup.compactDigestIndex(spark, path)
+    assert(spark.read.parquet(path).count() == 5L) // alpha beta gamma delta epsilon
+    assert(spark.read.parquet(path).distinct().count() == 5L)
+    // probe self-heals the compaction crash window
+    Files.move(Paths.get(path), Paths.get(path + ".compacting"))
+    assert(Dedup.probeDigestIndex(spark, path,
+        Seq((30L, "zeta"), (31L, "alpha")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(30L))
+    assert(Files.exists(Paths.get(path)))
+  }
+
   test("semanticDedup: within-cell collapse, min-id and quality-aware selection, trained default") {
     // two well-separated direction clusters + a near-identical pair in each
     val base = Seq(
