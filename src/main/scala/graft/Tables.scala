@@ -15,20 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = name match {
-    case "events" =>
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
-      // default. Read nanos as long, then floor-divide to micros — the
-      // same truncation DuckDB applies, so oracle values agree.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      else raw
-    case _ =>
-      spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Naive (isAdjustedToUTC=false) timestamp columns must infer as
+    // TIMESTAMP, not TIMESTAMP_NTZ: sessions run UTC, so the values match
+    // DuckDB's naive-timestamp read and every ts function stays applicable.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    name match {
+      case "events" =>
+        // events.ts has been TIMESTAMP(NANOS) parquet, which Spark rejects
+        // by default: read nanos as long, floor-divide to micros — the same
+        // truncation DuckDB applies, so oracle values agree. Micros-typed
+        // regenerations need no conversion.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        else raw
+      case _ =>
+        spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   /** Register temp views for SQL-surface queries (≈ filesql's

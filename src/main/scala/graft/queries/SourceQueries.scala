@@ -35,6 +35,7 @@ object SourceQueries {
       case "ltsv" => LtsvSource.read(s, path)
       case "xlsx" => XlsxSource.readFirstSheet(s, path)
       case "parquet" => s.read.parquet(path)
+      case "orc" => s.read.orc(path)
       case "jsonl" => JsonlSource.read(s, path)
     }
   }
@@ -64,6 +65,12 @@ object SourceQueries {
     "src_parquet_roundtrip" -> ((s, dir) =>
       roundTrip(s, dir, "nation", "parquet")
         .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")),
+
+    // Superset: single-file ORC sink → native ORC scan (typed columnar
+    // alternative to parquet; int32/double/string survive untouched)
+    "src_orc_roundtrip" -> ((s, dir) =>
+      roundTrip(s, dir, "supplier", "orc")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy("s_suppkey")),
 
     // Superset: JSONL sink → JSONL scan (typed: numbers come back
     // BIGINT/DOUBLE natively, no string-cast pipeline)
@@ -206,6 +213,10 @@ object SourceQueries {
 
     "src_parquet_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "src_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "src_jsonl_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority

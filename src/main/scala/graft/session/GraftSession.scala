@@ -47,6 +47,10 @@ final class GraftSession private[session] (
   // application's unrelated queries don't permanently switch to UTC.
   private val previousTimeZone = spark.conf.getOption("spark.sql.session.timeZone")
   spark.conf.set("spark.sql.session.timeZone", "UTC")
+  // Naive parquet timestamps read as TIMESTAMP (not NTZ) — SQLite/DuckDB
+  // treat them as plain timestamps, and under the UTC pin the values are
+  // identical; NTZ columns would reject ts functions like unix_micros.
+  spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   graft.dialect.SqliteDialect.register(spark)
   private val restoreKernelFns = graft.functions.SqlKernels.registerScoped(spark)
   registerAll()
@@ -845,7 +849,7 @@ object FileCollector {
 
   final case class InputFile(path: String, format: String, tableName: String)
 
-  private val formats = Seq("csv", "tsv", "ltsv", "parquet", "xlsx", "jsonl")
+  private val formats = Seq("csv", "tsv", "ltsv", "parquet", "xlsx", "jsonl", "orc")
   private val compExts = Seq("", ".gz", ".bz2", ".xz", ".zst")
 
   def formatOf(path: String): Option[String] = {
@@ -906,6 +910,7 @@ object FileCollector {
       case "tsv" => Seq(f.tableName -> CsvSource.readTsv(spark, f.path, inferTypes, csvMultiLine))
       case "ltsv" => Seq(f.tableName -> LtsvSource.read(spark, f.path, inferTypes))
       case "parquet" => Seq(f.tableName -> spark.read.parquet(f.path))
+      case "orc" => Seq(f.tableName -> spark.read.orc(f.path))
       case "jsonl" => Seq(f.tableName -> JsonlSource.read(spark, f.path))
       case "xlsx" => XlsxSource.readAllSheets(spark, f.path, inferTypes)
       case other => throw UnsupportedFormatError(f.path)
@@ -918,6 +923,7 @@ object FileCollector {
       case "tsv" => CsvSource.readTsv(spark, path, inferTypes, csvMultiLine)
       case "ltsv" => LtsvSource.read(spark, path, inferTypes)
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
       case "jsonl" => JsonlSource.read(spark, path)
       case "xlsx" => XlsxSource.readFirstSheet(spark, path, inferTypes)
       case other => throw UnsupportedFormatError(path)

@@ -14,13 +14,13 @@ import graft.sources.{Compression, XlsxSource}
   * external compression of parquet is rejected like the reference
   * (`filesql.go:716-719`). */
 final case class DumpOptions(
-    format: String = "csv", // csv | tsv | ltsv | parquet | xlsx | jsonl
+    format: String = "csv", // csv | tsv | ltsv | parquet | xlsx | jsonl | orc
     compression: Option[Compression.Codec] = None,
     /** parity mode: write parquet columns as strings like the reference
       * (`filesql.go:709-821` writes all-UTF8); off = native typed (superset) */
     parquetAllString: Boolean = false) {
-  require(!(format == "parquet" && compression.nonEmpty),
-    "parquet with external compression is not supported (use parquet's internal codec)")
+  require(!(Seq("parquet", "orc").contains(format) && compression.nonEmpty),
+    s"$format with external compression is not supported (use the format's internal codec)")
   def extension: String = s".$format${compression.map(_.ext).getOrElse("")}"
 }
 
@@ -99,6 +99,7 @@ object Dump {
         case "jsonl" => writeJsonl(df, tmp)
         case "xlsx" => writeXlsx(df, table, tmp)
         case "parquet" => writeSingleParquet(df, tmp, opts.parquetAllString)
+        case "orc" => writeSingleColumnar(df, tmp, "orc")
         case other => throw graft.UnsupportedFormatError(other)
       }
       Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
@@ -276,9 +277,15 @@ object Dump {
     val toWrite =
       if (allString) df.select(df.columns.map(c => col(s"`$c`").cast("string").as(c)).toSeq: _*)
       else df
+    writeSingleColumnar(toWrite, target, "parquet")
+  }
+
+  /** Single-file columnar write (parquet/orc): coalesce(1) into a temp
+    * dir, then promote the lone part file to the target name. */
+  private def writeSingleColumnar(df: DataFrame, target: Path, format: String): Unit = {
     val tmp = Files.createTempDirectory("graft-dump-")
     val tmpOut = tmp.resolve("out")
-    toWrite.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    df.coalesce(1).write.mode("overwrite").format(format).save(tmpOut.toString)
     val listing = Files.list(tmpOut)
     val moved =
       try {
@@ -286,14 +293,14 @@ object Dump {
         var done = false
         while (it.hasNext && !done) {
           val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
+          if (p.getFileName.toString.endsWith(s".$format")) {
             Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
             done = true
           }
         }
         done
       } finally listing.close()
-    if (!moved) throw new IllegalStateException(s"no parquet part produced for $target")
+    if (!moved) throw new IllegalStateException(s"no $format part produced for $target")
   }
 
   // ------------------------------------------------------------ big-data path
@@ -310,6 +317,7 @@ object Dump {
       case "tsv" => w.option("header", "true").option("sep", "\t").csv(dir)
       case "jsonl" => w.json(dir)
       case "parquet" => w.parquet(dir)
+      case "orc" => w.orc(dir)
       case other => throw graft.UnsupportedFormatError(other)
     }
   }

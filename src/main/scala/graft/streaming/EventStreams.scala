@@ -27,17 +27,25 @@ object EventStreams {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
-  /** Stream over the driver testdata's events.parquet, whose `ts` is
-    * TIMESTAMP(NANOS): read nanos as long, convert to micros (same
-    * truncation as the batch loader in [[graft.Tables.load]]). */
+  /** Stream over a directory of driver-testdata `events` parquet files.
+    * Streaming reads need an explicit schema, and the driver has shipped
+    * `ts` as both TIMESTAMP(NANOS) and naive TIMESTAMP(MICROS) across
+    * rounds — so peek at the batch-inferred schema of the directory and
+    * pick the conversion: nanos-as-long is floor-divided to micros (the
+    * same truncation DuckDB applies, matching [[graft.Tables.load]]);
+    * micros (tz'd or naive under the UTC session) pass through. */
   def readStreamNanos(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(EventSchema.fields.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val readSchema = StructType(EventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    spark.readStream.schema(nanosSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(readSchema).parquet(path)
+    if (tsType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
   }
 
   /** Tumbling-window counts/sums per event type — identical code path

@@ -277,6 +277,41 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("ORC: typed single-file round-trip through the sink; session scan; compression rejected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructType, StructField}
+    val dir = tmpDir("orc")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("small", IntegerType),
+      StructField("score", DoubleType), StructField("note", StringType),
+      StructField("blob", BinaryType)))
+    val rows = Seq(
+      Row(1L, 7, 0.5, "plain", Array[Byte](1, 2, 0xff.toByte)),
+      Row(2L, null, -3.25, "unicode é✓", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row)), schema)
+    graft.sinks.Dump.writeTable(df, "t", dir.toString, graft.sinks.DumpOptions("orc"))
+    val path = dir.resolve("t.orc")
+    assert(java.nio.file.Files.isRegularFile(path)) // ONE file, not a part dir
+    val back = spark.read.orc(path.toString)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.schema("small").dataType == IntegerType)
+    assert(back.schema("score").dataType == DoubleType)
+    assert(back.schema("blob").dataType == BinaryType)
+    val r1 = back.filter("id = 1").collect().head
+    assert(r1.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 0xff.toByte))
+    val r2 = back.filter("id = 2").collect().head
+    assert(r2.getAs[String]("note") == "unicode é✓" && r2.isNullAt(r2.fieldIndex("small")))
+    // directory session scan picks the .orc file up as a table
+    val sess = graft.session.GraftSession.open(spark, dir.toString)
+    try assert(sess.sql("SELECT COUNT(*) AS n FROM t").collect().head.getLong(0) == 2L)
+    finally sess.close()
+    // external compression is rejected like parquet (internal codec owns it)
+    intercept[IllegalArgumentException] {
+      graft.sinks.DumpOptions("orc", Some(graft.sources.Compression.Gzip))
+    }
+  }
+
   test("JSONL: a column that is null in EVERY row survives the round trip") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructType, StructField}
