@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer learning and encoding
+  * (Sennrich et al. 2016) — the subword-vocabulary step of a training-data
+  * pipeline, complementing the word-level [[TextAnalysis.buildVocab]].
+  *
+  * Learning runs on the word-frequency DICTIONARY, not the corpus: the
+  * corpus is read once to count words (one hash aggregate with map-side
+  * combine over exploded tokens), and every merge iteration is a narrow
+  * `(left, right, weight)` aggregate over the vocabulary-sized dict plus a
+  * driver-side argmax of one row (`TakeOrderedAndProject`, no global sort).
+  * At 100 TB the dict is vocab-sized (millions of rows, not billions), so
+  * k merges cost k tiny shuffles after the single corpus pass. Encoding is
+  * embarrassingly parallel: a per-row chain of literal `replace` calls, no
+  * shuffle at all.
+  *
+  * Determinism, cross-engine: a word's working form is its symbols joined
+  * by single spaces with sentinel spaces at both ends (`" h e l l o "`),
+  * so applying merge `(l, r)` is `replace(form, " l r ", " l+r ")` — a
+  * left-to-right, non-overlapping literal replacement with identical
+  * semantics in Java and DuckDB, which makes the greedy merge order (and
+  * therefore the whole learned table) reproducible by the oracle. Pair
+  * weights are exact integer sums; ties break on `(left, right)`
+  * lexicographically — ASCII-only symbols compare identically everywhere.
+  * Learning is scoped to lowercase-ASCII words (`^[a-z]+$`): multi-byte
+  * codepoints would hit the Java-vs-utf8proc case/char divergences
+  * documented in CLAUDE.md, and production BPE is byte-level anyway.
+  */
+object Bpe {
+
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
+
+  private val AsciiWord = "^[a-z]+$"
+
+  /** `" h e l l o "` — spaced symbol form with sentinel spaces. */
+  private def spaced(w: Column): Column =
+    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+
+  /** Word-frequency dict of the learnable (lowercase-ASCII) words:
+    * `(word, freq, repr)` where `repr` starts as spaced characters. */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike(AsciiWord))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("repr", spaced(col("word")))
+
+  /** Adjacent-symbol pair weights of a dict state: `(left, right, weight)`.
+    * One narrow aggregate; words of one symbol contribute nothing. */
+  private def pairWeights(dict: DataFrame): DataFrame = {
+    val syms = split(trim(col("repr")), " ")
+    dict
+      .select(col("freq"), posexplode(
+        when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+          .otherwise(transform(sequence(lit(0), size(syms) - 2),
+            i => struct(element_at(syms, i + 1).as("l"), element_at(syms, i + 2).as("r"))))))
+      .select(col("col.l").as("left_sym"), col("col.r").as("right_sym"), col("freq"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
+  /** One literal merge application on a spaced form. */
+  private def applyMerge(form: Column, l: String, r: String): Column =
+    call_function("replace", form, lit(s" $l $r "), lit(s" $l$r "))
+
+  /** Learn `numMerges` BPE merges from the corpus. Driver loop of
+    * `numMerges` argmax steps (each an eager one-row top-1, like the
+    * k-means Lloyd loop); the dict's lineage — one `replace` per applied
+    * merge — is cut every 8 merges. */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var dict = Lineage.cut(wordDict(docs, textCol))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = pairWeights(dict)
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fused to one symbol
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, c)
+        dict = dict.withColumn("repr", applyMerge(col("repr"), l, r))
+        if (rank % 8 == 0) dict = Lineage.cut(dict)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Learned merges as a DataFrame `(merge_rank, left_sym, right_sym,
+    * pair_count)` — the persistable tokenizer artifact. */
+  def learnTable(spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    import spark.implicits._
+    learn(docs, textCol, numMerges)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Segment `textCol` into subword tokens with a learned merge list:
+    * `(idCol, subwords array<string>)`. Learnable words fold through the
+    * merge chain in rank order; other tokens (digits, punctuation, mixed)
+    * pass through atomically. Pure per-row codegen — no joins, no
+    * shuffles; merge literals ride inside the plan. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val sorted = merges.sortBy(_.rank)
+    val segmented = transform(TextAnalysis.tokens(col(textCol)), w =>
+      when(w.rlike(AsciiWord),
+        split(trim(sorted.foldLeft(spaced(w))((f, m) => applyMerge(f, m.left, m.right))), " "))
+        .otherwise(array(w)))
+    docs.select(col(idCol), flatten(segmented).as("subwords"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -554,6 +554,25 @@ object PipelineQueries {
       TextAnalysis.maximalDupSpans(docsWithNearDups(s, dir), "doc_id",
           "text", n = 8, minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
+
+    // ---- tokenizer: BPE merge learning over the word-frequency dict —
+    // 6 greedy merges; every pair weight is an exact integer sum and the
+    // sentinel-spaced replace has identical left-to-right semantics in
+    // DuckDB, so the oracle replays the whole merge sequence
+    "t17_bpe_merges" -> ((s, dir) =>
+      Bpe.learnTable(s, docs(s, dir), "text", numMerges = 6)
+        .orderBy(col("merge_rank"))),
+
+    // subword encoding with the learned merges: per-token fold through
+    // the merge chain (pure codegen, no shuffle), flattened to
+    // (doc_id, pos, subword)
+    "t18_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.learn(d, "text", numMerges = 6)
+      Bpe.encode(d.filter(col("doc_id") < 20), "doc_id", "text", merges)
+        .select(col("doc_id"), posexplode(col("subwords")).as(Seq("pos", "subword")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
 
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
@@ -1641,6 +1660,44 @@ object PipelineQueries {
        |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying `k` greedy BPE merges (see
+    * [[graft.ops.Bpe]]): `words`/`d0` seed the spaced word dict, then per
+    * merge `i` — `p_i` adjacent-pair weights, `m_i` the deterministic
+    * argmax (count DESC, pair lex), `d_{i+1}` the dict with that literal
+    * merge applied. `replace` is left-to-right non-overlapping in both
+    * engines, so the greedy chain is bitwise reproducible. */
+  private def bpeMergeCtes(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH words AS (
+        |  SELECT w AS word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w
+        |), d0 AS (
+        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS repr
+        |  FROM words
+        |)""".stripMargin)
+    for (i <- 0 until k) sb ++= s""", p$i AS (
+        |  SELECT s[CAST(i + 1 AS BIGINT)] AS left_sym, s[CAST(i + 2 AS BIGINT)] AS right_sym,
+        |    CAST(SUM(freq) AS BIGINT) AS pair_count
+        |  FROM (SELECT string_split(trim(repr), ' ') AS s, freq,
+        |          unnest(range(0, len(string_split(trim(repr), ' ')) - 1)) AS i
+        |        FROM d$i)
+        |  GROUP BY 1, 2
+        |), m$i AS (
+        |  SELECT left_sym, right_sym, pair_count FROM p$i
+        |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+        |), d${i + 1} AS (
+        |  SELECT word, freq,
+        |    replace(repr, ' ' || left_sym || ' ' || right_sym || ' ',
+        |                  ' ' || left_sym || right_sym || ' ') AS repr
+        |  FROM d$i, m$i
+        |)""".stripMargin
+    sb.toString
+  }
+
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
     "p01_corpus_prep" -> corpusPrepOracle,
@@ -2006,6 +2063,46 @@ object PipelineQueries {
         |  MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens, COUNT(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // BPE: the oracle replays the greedy merge loop — one (pN, mN, dN)
+    // CTE triple per merge, generated by bpeMergeCtes so Spark and SQL
+    // can never disagree on the iteration count
+    "t17_bpe_merges" -> {
+      val unions = (0 until 6).map(i =>
+        s"SELECT ${i + 1} AS merge_rank, left_sym, right_sym, pair_count FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""${bpeMergeCtes(6)}
+         |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+         |  $unions)
+         |ORDER BY merge_rank""".stripMargin
+    },
+
+    // encoding: every learnable token's final spaced form after 6 merges
+    // is its dict row (the fold and the dict apply the same replace
+    // chain); others pass through atomically; global position = row
+    // number over (word position, subword position)
+    "t18_bpe_encode" ->
+      s"""${bpeMergeCtes(6)},
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS lst
+         |  FROM documents WHERE doc_id < 20
+         |), pos_tok AS (
+         |  SELECT doc_id, i AS wpos, lst[CAST(i + 1 AS BIGINT)] AS token
+         |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM tk)
+         |), seg AS (
+         |  SELECT p.doc_id, p.wpos,
+         |    CASE WHEN d.word IS NOT NULL THEN string_split(trim(d.repr), ' ')
+         |         ELSE [p.token] END AS subs
+         |  FROM pos_tok p LEFT JOIN d6 d ON p.token = d.word
+         |), flat AS (
+         |  SELECT doc_id, wpos, j, subs[CAST(j + 1 AS BIGINT)] AS subword
+         |  FROM (SELECT doc_id, wpos, subs, unnest(range(0, len(subs))) AS j FROM seg)
+         |)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, j) - 1 AS INTEGER) AS pos,
+         |  subword
+         |FROM flat ORDER BY doc_id, pos""".stripMargin,
 
     // priority = w·M / v with v two Lehmer steps from the doc_id —
     // all-BIGINT modular arithmetic plus ONE double division of exact
