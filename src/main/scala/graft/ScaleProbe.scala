@@ -195,6 +195,16 @@ object ScaleProbe {
     t("maximal dup spans 50k docs")(noop(
       TextAnalysis.maximalDupSpans(d10, "doc_id", "text", n = 8, minDocs = 2)))
 
+    // round-5: BPE learning at 1× vs 10× corpus — each merge aggregates
+    // over the word-frequency DICT, so the per-merge cost must track the
+    // vocabulary (which grows sublinearly: the replicas reuse the same
+    // words), not the corpus; only the initial dict-building pass is
+    // corpus-linear.
+    t("bpe learn 4 merges 5k docs")(
+      graft.ops.Bpe.learn(d1, "text", numMerges = 4))
+    t("bpe learn 4 merges 50k docs")(
+      graft.ops.Bpe.learn(d10, "text", numMerges = 4))
+
     // round-5: the streaming-CDC snapshot swap under CONCURRENT reads —
     // a reader loop (healSwap + read + retry, the documented
     // restartable-read discipline) consumes the snapshot while the

@@ -17,17 +17,23 @@ import org.apache.spark.sql.functions._
   * embarrassingly parallel: a per-row chain of literal `replace` calls, no
   * shuffle at all.
   *
-  * Determinism, cross-engine: a word's working form is its symbols joined
-  * by single spaces with sentinel spaces at both ends (`" h e l l o "`),
-  * so applying merge `(l, r)` is `replace(form, " l r ", " l+r ")` — a
-  * left-to-right, non-overlapping literal replacement with identical
-  * semantics in Java and DuckDB, which makes the greedy merge order (and
-  * therefore the whole learned table) reproducible by the oracle. Pair
-  * weights are exact integer sums; ties break on `(left, right)`
-  * lexicographically — ASCII-only symbols compare identically everywhere.
-  * Learning is scoped to lowercase-ASCII words (`^[a-z]+$`): multi-byte
-  * codepoints would hit the Java-vs-utf8proc case/char divergences
-  * documented in CLAUDE.md, and production BPE is byte-level anyway.
+  * Determinism, cross-engine: a word's working form wraps every symbol
+  * in single spaces, so adjacent symbols are separated by TWO spaces and
+  * the word by one sentinel space per end (`" h  e  l  l  o "`). Applying
+  * merge `(l, r)` is `replace(form, " l  r ", " lr ")`: each occurrence
+  * consumes only its own wrapper characters, so back-to-back occurrences
+  * of the same pair all merge in ONE left-to-right pass — `"aaaa"` with
+  * merge `(a,a)` becomes `[aa, aa]`, exactly Sennrich's
+  * lookaround-regex semantics (a single-space form would under-merge
+  * runs: the shared separator is consumed by the first match). Literal
+  * `replace` scans left-to-right non-overlapping identically in Java and
+  * DuckDB, which makes the greedy merge order (and therefore the whole
+  * learned table) reproducible by the oracle. Pair weights are exact
+  * integer sums; ties break on `(left, right)` lexicographically —
+  * ASCII-only symbols compare identically everywhere. Learning is scoped
+  * to lowercase-ASCII words (`^[a-z]+$`): multi-byte codepoints would hit
+  * the Java-vs-utf8proc case/char divergences documented in CLAUDE.md,
+  * and production BPE is byte-level anyway.
   */
 object Bpe {
 
@@ -35,9 +41,9 @@ object Bpe {
 
   private val AsciiWord = "^[a-z]+$"
 
-  /** `" h e l l o "` — spaced symbol form with sentinel spaces. */
+  /** `" h  e  l  l  o "` — every symbol wrapped in single spaces. */
   private def spaced(w: Column): Column =
-    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
 
   /** Word-frequency dict of the learnable (lowercase-ASCII) words:
     * `(word, freq, repr)` where `repr` starts as spaced characters. */
@@ -48,22 +54,25 @@ object Bpe {
       .withColumn("repr", spaced(col("word")))
 
   /** Adjacent-symbol pair weights of a dict state: `(left, right, weight)`.
-    * One narrow aggregate; words of one symbol contribute nothing. */
-  private def pairWeights(dict: DataFrame): DataFrame = {
-    val syms = split(trim(col("repr")), " ")
+    * One narrow aggregate; words of one symbol contribute nothing. The
+    * symbol array is bound once OUTSIDE the pair lambda (the
+    * HOF-blocks-CSE trap — see CLAUDE.md / `Dedup.bindOnce`). */
+  private def pairWeights(dict: DataFrame): DataFrame =
     dict
-      .select(col("freq"), posexplode(
+      .select(col("freq"), explode(Dedup.bindOnce(split(trim(col("repr")), "  ")) { syms =>
         when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
           .otherwise(transform(sequence(lit(0), size(syms) - 2),
-            i => struct(element_at(syms, i + 1).as("l"), element_at(syms, i + 2).as("r"))))))
-      .select(col("col.l").as("left_sym"), col("col.r").as("right_sym"), col("freq"))
+            i => struct(element_at(syms, i + 1).as("l"), element_at(syms, i + 2).as("r"))))
+      }).as("pair"))
+      .select(col("pair.l").as("left_sym"), col("pair.r").as("right_sym"), col("freq"))
       .groupBy(col("left_sym"), col("right_sym"))
       .agg(sum(col("freq")).as("pair_count"))
-  }
 
-  /** One literal merge application on a spaced form. */
+  /** One literal merge application on a spaced form (one pass merges
+    * every occurrence, including back-to-back runs — wrappers overlap
+    * only on characters the pattern does not consume). */
   private def applyMerge(form: Column, l: String, r: String): Column =
-    call_function("replace", form, lit(s" $l $r "), lit(s" $l$r "))
+    call_function("replace", form, lit(s" $l  $r "), lit(s" $l$r "))
 
   /** Learn `numMerges` BPE merges from the corpus. Driver loop of
     * `numMerges` argmax steps (each an eager one-row top-1, like the
@@ -111,7 +120,7 @@ object Bpe {
     val sorted = merges.sortBy(_.rank)
     val segmented = transform(TextAnalysis.tokens(col(textCol)), w =>
       when(w.rlike(AsciiWord),
-        split(trim(sorted.foldLeft(spaced(w))((f, m) => applyMerge(f, m.left, m.right))), " "))
+        split(trim(sorted.foldLeft(spaced(w))((f, m) => applyMerge(f, m.left, m.right))), "  "))
         .otherwise(array(w)))
     docs.select(col(idCol), flatten(segmented).as("subwords"))
   }

@@ -111,14 +111,10 @@ object Dedup {
       indexPath: String, batch: DataFrame, contentCol: String,
       idCol: String): DataFrame = {
     FsOps.healSwap(spark, indexPath + ".compacting", indexPath)
-    val stored = spark.read.parquet(indexPath)
-      .select(col("digest").as(s"__corpus_digest"))
-    val dig = md5(col(contentCol).cast("binary"))
-    val fresh = batch.withColumn("__digest", dig)
-      .join(stored, col("__digest") === col("__corpus_digest"), "left_anti")
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
-    fresh.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__digest")
+    // one contract, one implementation: the index IS a digest corpus
+    incrementalExact(batch,
+      spark.read.parquet(indexPath).withColumnRenamed("digest", contentCol),
+      contentCol, idCol, corpusIsDigest = true)
   }
 
   /** Rewrite the digest index as one distinct set — one narrow

@@ -279,8 +279,9 @@ object PipelineQueries {
     // drop every row.
     "d12_digest_index" -> ((s, dir) => {
       val d = docs(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft-digest-idx")
-        .resolve("idx").toString
+      val idxTmp = java.nio.file.Files.createTempDirectory("graft-digest-idx")
+      idxTmp.toFile.deleteOnExit()
+      val path = idxTmp.resolve("idx").toString
       Dedup.writeDigestIndex(d.filter(col("doc_id") < 400), "text", path)
       val batch1 = d.filter(col("doc_id") >= 400 && col("doc_id") < 450)
         .select(col("doc_id"), col("text"))
@@ -1664,8 +1665,12 @@ object PipelineQueries {
     * [[graft.ops.Bpe]]): `words`/`d0` seed the spaced word dict, then per
     * merge `i` — `p_i` adjacent-pair weights, `m_i` the deterministic
     * argmax (count DESC, pair lex), `d_{i+1}` the dict with that literal
-    * merge applied. `replace` is left-to-right non-overlapping in both
-    * engines, so the greedy chain is bitwise reproducible. */
+    * merge applied. Symbols are wrapped in single spaces (double-space
+    * separators — the Sennrich run-merging form, see `Bpe` scaladoc), and
+    * `replace` is left-to-right non-overlapping in both engines, so the
+    * greedy chain is bitwise reproducible. `d_{i+1}` LEFT JOINs its merge
+    * row so an exhausted chain (no pairs left before rank k) carries the
+    * dict forward unchanged instead of collapsing to zero rows. */
   private def bpeMergeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """WITH words AS (
@@ -1676,14 +1681,15 @@ object PipelineQueries {
         |  WHERE regexp_matches(w, '^[a-z]+$')
         |  GROUP BY w
         |), d0 AS (
-        |  SELECT word, freq, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS repr
+        |  SELECT word, freq,
+        |    ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS repr
         |  FROM words
         |)""".stripMargin)
     for (i <- 0 until k) sb ++= s""", p$i AS (
         |  SELECT s[CAST(i + 1 AS BIGINT)] AS left_sym, s[CAST(i + 2 AS BIGINT)] AS right_sym,
         |    CAST(SUM(freq) AS BIGINT) AS pair_count
-        |  FROM (SELECT string_split(trim(repr), ' ') AS s, freq,
-        |          unnest(range(0, len(string_split(trim(repr), ' ')) - 1)) AS i
+        |  FROM (SELECT string_split(trim(repr), '  ') AS s, freq,
+        |          unnest(range(0, len(string_split(trim(repr), '  ')) - 1)) AS i
         |        FROM d$i)
         |  GROUP BY 1, 2
         |), m$i AS (
@@ -1691,9 +1697,10 @@ object PipelineQueries {
         |  ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
         |), d${i + 1} AS (
         |  SELECT word, freq,
-        |    replace(repr, ' ' || left_sym || ' ' || right_sym || ' ',
-        |                  ' ' || left_sym || right_sym || ' ') AS repr
-        |  FROM d$i, m$i
+        |    CASE WHEN m.left_sym IS NULL THEN repr
+        |         ELSE replace(repr, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+        |                            ' ' || m.left_sym || m.right_sym || ' ') END AS repr
+        |  FROM d$i LEFT JOIN m$i m ON TRUE
         |)""".stripMargin
     sb.toString
   }
@@ -2092,7 +2099,7 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM tk)
          |), seg AS (
          |  SELECT p.doc_id, p.wpos,
-         |    CASE WHEN d.word IS NOT NULL THEN string_split(trim(d.repr), ' ')
+         |    CASE WHEN d.word IS NOT NULL THEN string_split(trim(d.repr), '  ')
          |         ELSE [p.token] END AS subs
          |  FROM pos_tok p LEFT JOIN d6 d ON p.token = d.word
          |), flat AS (

@@ -50,6 +50,9 @@ final class GraftSession private[session] (
   // Naive parquet timestamps read as TIMESTAMP (not NTZ) — SQLite/DuckDB
   // treat them as plain timestamps, and under the UTC pin the values are
   // identical; NTZ columns would reject ts functions like unix_micros.
+  // Scoped like the timeZone pin: restored by close().
+  private val previousNtzInference =
+    spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
   spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   graft.dialect.SqliteDialect.register(spark)
   private val restoreKernelFns = graft.functions.SqlKernels.registerScoped(spark)
@@ -676,6 +679,14 @@ final class GraftSession private[session] (
       previousTimeZone match {
         case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
         case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
+    }
+    // same guarded restore for the NTZ-inference pin (an embedding app
+    // that relies on Spark's default NTZ inference gets it back)
+    if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false")) {
+      previousNtzInference match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", v)
+        case None => spark.conf.unset("spark.sql.parquet.inferTimestampNTZ.enabled")
       }
     }
   }

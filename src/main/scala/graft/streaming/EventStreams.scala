@@ -37,7 +37,10 @@ object EventStreams {
   def readStreamNanos(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val tsType = spark.read.parquet(path).schema("ts").dataType
+    // not-yet-populated directory (start-stream-then-feed pattern): no
+    // file to peek → assume the plain-TIMESTAMP shape of EventSchema
+    val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(TimestampType)
     val readSchema = StructType(EventSchema.fields.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f

@@ -44,17 +44,19 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == Seq.empty)
   }
 
-  test("greedy replace is left-to-right non-overlapping") {
+  test("runs of the same pair all merge in one pass (Sennrich semantics)") {
     val d = Seq((0L, "aa aa aaa")).toDF("doc_id", "text")
-    // dict: aa×2 (1 pair each), aaa×1 (2 pairs) → (a,a)=4; then " aa a "
-    // (left-to-right, NOT " a aa ") → (aa,a)=1
+    // dict: aa×2 (1 pair each), aaa×1 (2 pairs) → (a,a)=4; aaa merges
+    // left-to-right to [aa, a] → (aa,a)=1
     val merges = Bpe.learn(d, "text", numMerges = 2)
     assert(merges.map(m => (m.left, m.right, m.pairCount)) ==
       Seq(("a", "a", 4L), ("aa", "a", 1L)))
-    val enc = Bpe.encode(Seq((0L, "aaaa")).toDF("doc_id", "text"), "doc_id", "text", merges)
+    val enc = Bpe.encode(Seq((0L, "aaaa aaa")).toDF("doc_id", "text"), "doc_id", "text", merges)
       .collect().head.getSeq[String](1)
-    // " a a a a " -(a,a)-> " aa a a " -(aa,a)-> " aaa a "
-    assert(enc == Seq("aaa", "a"))
+    // "aaaa": (a,a) merges BOTH adjacent occurrences in one pass —
+    // [aa, aa] like Sennrich's lookaround regex, not [aa, a, a]; then
+    // (aa,a) finds no " aa  a ". "aaa": [aa, a] then [aaa].
+    assert(enc == Seq("aa", "aa", "aaa"))
   }
 
   test("learn stops early when every word is fully fused") {
