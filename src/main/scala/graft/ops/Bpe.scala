@@ -110,6 +110,38 @@ object Bpe {
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Symbol inventory of a merge list: ids 1–26 are `a`–`z`, id
+    * `26 + rank` is merge `rank`'s output symbol; 0 is reserved for
+    * everything else (non-learnable tokens). Two merges can produce the
+    * same string (e.g. `(a,bc)` and `(ab,c)`) — the lowest id wins, so
+    * the symbol→id map is a function. */
+  def vocab(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val rows = ('a' to 'z').zipWithIndex.map { case (c, i) => (i + 1, c.toString) } ++
+      merges.sortBy(_.rank).map(m => (26 + m.rank, m.left + m.right))
+    rows.toDF("id", "symbol")
+      .groupBy(col("symbol")).agg(min(col("id")).as("id"))
+      .select(col("id"), col("symbol"))
+  }
+
+  /** Encode to training-ready id sequences: `(idCol, token_ids
+    * array<int>)` — [[encode]]'s subwords joined against the broadcast
+    * [[vocab]] (unknown → 0), order preserved, tokenless docs → empty.
+    * Same reassembly shape as `TextAnalysis.encodeTokenIds`. */
+  def encodeToIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val v = broadcast(vocab(docs.sparkSession, merges)
+      .select(col("symbol").as("__sub"), col("id").as("__vid")))
+    encode(docs, idCol, textCol, merges)
+      .select(col(idCol), posexplode_outer(col("subwords")).as(Seq("__pos", "__sub")))
+      .join(v, Seq("__sub"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), coalesce(col("__vid"), lit(0)).as("tid"))))),
+        s => s.getField("tid")).as("token_ids"))
+  }
+
   /** Segment `textCol` into subword tokens with a learned merge list:
     * `(idCol, subwords array<string>)`. Learnable words fold through the
     * merge chain in rank order; other tokens (digits, punctuation, mixed)

@@ -65,6 +65,31 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.left, m.right, m.pairCount)) == Seq(("a", "b", 2L)))
   }
 
+  test("vocab ids: letters 1-26, merge outputs 26+rank, collisions keep lowest id") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    val v = Bpe.vocab(spark, merges).collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    assert(v("a") == 1 && v("z") == 26)
+    assert(v("es") == 27 && v("est") == 28 && v("lo") == 29 && v("low") == 30)
+    // a crafted collision: merge output equal to an existing letter is
+    // impossible (outputs have length >= 2), but two merges CAN emit the
+    // same string — lowest id must win
+    val dup = Seq(Bpe.Merge(1, "a", "bc", 1L), Bpe.Merge(2, "ab", "c", 1L))
+    val vd = Bpe.vocab(spark, dup).filter("symbol = 'abc'").collect()
+    assert(vd.length == 1 && vd.head.getInt(0) == 27)
+  }
+
+  test("encodeToIds: subword ids in order, unknown tokens 0, empty doc empty") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    val out = Bpe.encodeToIds(
+      Seq((0L, "lowest 42 newest"), (1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // lowest → [low, est] → [30, 28]; 42 → [0]; newest → n e w est →
+    // [14, 5, 23, 28]
+    assert(out(0L) == Seq(30, 28, 0, 14, 5, 23, 28))
+    assert(out(1L) == Seq.empty)
+  }
+
   test("learnTable exposes the artifact schema") {
     val t = Bpe.learnTable(spark, corpus, "text", numMerges = 2)
     assert(t.columns.toSeq == Seq("merge_rank", "left_sym", "right_sym", "pair_count"))
