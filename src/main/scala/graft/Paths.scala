@@ -10,4 +10,15 @@ object Paths {
     f.delete()
     ()
   }
+
+  /** Temp directory removed RECURSIVELY at JVM exit. The common
+    * `deleteOnExit()` idiom silently leaks non-empty directories
+    * (`File.delete` only removes empty ones) — every scratch dir that
+    * accumulates written data (parquet indexes, exports, stream feeds)
+    * must use this instead. */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir.toFile)))
+    dir
+  }
 }

@@ -110,6 +110,16 @@ object Bpe {
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Rehydrate a merge list from a persisted [[learnTable]] frame (e.g.
+    * written with `Dump.writeDistributed(t, path)` and read back) — the
+    * tokenizer artifact is tiny (numMerges rows), so this collect is a
+    * metadata read, not a data pass. */
+  def mergesFrom(table: DataFrame): Seq[Merge] =
+    table.select(col("merge_rank"), col("left_sym"), col("right_sym"), col("pair_count"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** Symbol inventory of a merge list: ids 1–26 are `a`–`z`, id
     * `26 + rank` is merge `rank`'s output symbol; 0 is reserved for
     * everything else (non-learnable tokens). Two merges can produce the
@@ -119,9 +129,9 @@ object Bpe {
     import spark.implicits._
     val rows = ('a' to 'z').zipWithIndex.map { case (c, i) => (i + 1, c.toString) } ++
       merges.sortBy(_.rank).map(m => (26 + m.rank, m.left + m.right))
-    rows.toDF("id", "symbol")
-      .groupBy(col("symbol")).agg(min(col("id")).as("id"))
-      .select(col("id"), col("symbol"))
+    // dedupe on the driver — 26 + numMerges rows never justify a shuffle
+    rows.groupBy(_._2).map { case (sym, xs) => (xs.map(_._1).min, sym) }
+      .toSeq.sortBy(_._1).toDF("id", "symbol")
   }
 
   /** Encode to training-ready id sequences: `(idCol, token_ids
@@ -129,18 +139,12 @@ object Bpe {
     * [[vocab]] (unknown → 0), order preserved, tokenless docs → empty.
     * Same reassembly shape as `TextAnalysis.encodeTokenIds`. */
   def encodeToIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    val v = broadcast(vocab(docs.sparkSession, merges)
-      .select(col("symbol").as("__sub"), col("id").as("__vid")))
-    encode(docs, idCol, textCol, merges)
-      .select(col(idCol), posexplode_outer(col("subwords")).as(Seq("__pos", "__sub")))
-      .join(v, Seq("__sub"), "left")
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(when(col("__pos").isNotNull,
-          struct(col("__pos"), coalesce(col("__vid"), lit(0)).as("tid"))))),
-        s => s.getField("tid")).as("token_ids"))
-  }
+      merges: Seq[Merge]): DataFrame =
+    TextAnalysis.idsFromExploded(
+      encode(docs, idCol, textCol, merges)
+        .select(col(idCol), posexplode_outer(col("subwords")).as(Seq("__pos", "__tok"))),
+      idCol,
+      vocab(docs.sparkSession, merges).select(col("symbol").as("token"), col("id")))
 
   /** Segment `textCol` into subword tokens with a learned merge list:
     * `(idCol, subwords array<string>)`. Learnable words fold through the

@@ -68,8 +68,14 @@ object Dedup {
       contentCol: String, idCol: String,
       corpusIsDigest: Boolean = false): DataFrame = {
     val dig = md5(col(contentCol).cast("binary"))
-    val corpusKey = if (corpusIsDigest) col(contentCol) else dig
-    val corpusDigests = corpus.select(corpusKey.as("__digest")).distinct()
+    // anti-join semantics are unaffected by duplicate build-side keys, so
+    // the distinct is purely a build-side reduction — worth a hash agg
+    // when the corpus is raw documents (dup-heavy), pure overhead when it
+    // is already a digest index (appends rarely duplicate; the index
+    // probe must stay ONE narrow anti-join)
+    val corpusDigests =
+      if (corpusIsDigest) corpus.select(col(contentCol).as("__digest"))
+      else corpus.select(dig.as("__digest")).distinct()
     val fresh = batch.withColumn("__digest", dig)
       .join(corpusDigests, Seq("__digest"), "left_anti")
     val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))

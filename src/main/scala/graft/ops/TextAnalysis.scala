@@ -482,11 +482,18 @@ object TextAnalysis {
     * per token) and never a corpus-side sort: array_sort orders each
     * doc's own (pos, id) pairs in memory. */
   def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    idsFromExploded(docs.select(col(idCol),
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok"))), idCol, vocab)
+
+  /** Shared id-reassembly for token encoders (word-level above, BPE
+    * subwords in [[Bpe.encodeToIds]]): `exploded` carries `(idCol,
+    * __pos, __tok)` from a `posexplode_outer`, `vocab` is `(token, id)`.
+    * Broadcast vocab join (OOV → 0), order restored by position,
+    * tokenless docs (null pos) → empty array. The vocab columns are
+    * aliased so a caller's idCol named "id"/"token" cannot collide. */
+  private[ops] def idsFromExploded(exploded: DataFrame, idCol: String,
       vocab: DataFrame): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-    // alias the vocab columns: a caller's idCol named "id" (or "token")
-    // must not collide with the vocab's own columns in the join
     val v = broadcast(vocab.select(col("token").as("__tok"), col("id").as("__vid")))
     exploded
       .join(v, Seq("__tok"), "left")

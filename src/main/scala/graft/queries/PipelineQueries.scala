@@ -121,9 +121,7 @@ object PipelineQueries {
       dir: String, prefix: String)(build: String => Unit): String =
     cache.getOrElseUpdate(dir, {
       lazy val built: String = {
-        val base = java.nio.file.Files.createTempDirectory(prefix)
-        Runtime.getRuntime.addShutdownHook(
-          new Thread(() => graft.Paths.rmTree(base.toFile)))
+        val base = graft.Paths.scratchDir(prefix)
         val path = base.resolve("index").toString
         build(path)
         path
@@ -279,9 +277,7 @@ object PipelineQueries {
     // drop every row.
     "d12_digest_index" -> ((s, dir) => {
       val d = docs(s, dir)
-      val idxTmp = java.nio.file.Files.createTempDirectory("graft-digest-idx")
-      idxTmp.toFile.deleteOnExit()
-      val path = idxTmp.resolve("idx").toString
+      val path = graft.Paths.scratchDir("graft-digest-idx").resolve("idx").toString
       Dedup.writeDigestIndex(d.filter(col("doc_id") < 400), "text", path)
       val batch1 = d.filter(col("doc_id") >= 400 && col("doc_id") < 450)
         .select(col("doc_id"), col("text"))
@@ -1016,8 +1012,7 @@ object PipelineQueries {
     // hash-match the single-copy batch oracle
     "e08_streaming_dedup" -> ((s, dir) => {
       val sink = "e08_dedup_out"
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-")
-      streamDir.toFile.deleteOnExit()
+      val streamDir = graft.Paths.scratchDir("graft-dedup-stream-")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events_a.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       java.nio.file.Files.createSymbolicLink(
@@ -1044,8 +1039,7 @@ object PipelineQueries {
     // per-purchase click stats must hash-match the batch oracle
     "e09_stream_interval_join" -> ((s, dir) => {
       val sink = "e09_join_out"
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj-stream-")
-      streamDir.toFile.deleteOnExit()
+      val streamDir = graft.Paths.scratchDir("graft-ssj-stream-")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       // two independent source streams over the same directory
@@ -1080,8 +1074,7 @@ object PipelineQueries {
     // stats must hash-match the pure-batch oracle
     "e10_stream_static_join" -> ((s, dir) => {
       val sink = "e10_enrich_out"
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-enrich-stream-")
-      streamDir.toFile.deleteOnExit()
+      val streamDir = graft.Paths.scratchDir("graft-enrich-stream-")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val static = Tables.load(s, dir, "events")
@@ -1111,8 +1104,7 @@ object PipelineQueries {
     // Merge.applyChanges + atomic dir swap; the final snapshot must
     // hash-match the batch oracle
     "e11_streaming_cdc" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft-cdc-")
-      base.toFile.deleteOnExit()
+      val base = graft.Paths.scratchDir("graft-cdc-")
       val snap = base.resolve("snapshot").toString
       val changesDir = base.resolve("changes").toString
       val ckpt = base.resolve("ckpt").toString
@@ -1169,8 +1161,7 @@ object PipelineQueries {
     "e03_streaming_tumbling" -> ((s, dir) => {
       val sink = "e03_streaming_out"
       // the file-stream source requires a directory: stage the table file
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-")
-      streamDir.toFile.deleteOnExit()
+      val streamDir = graft.Paths.scratchDir("graft-stream-")
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,8 +22,7 @@ object SourceQueries {
 
   private def roundTrip(s: SparkSession, dir: String, table: String,
       format: String, codec: Option[Compression.Codec] = None): DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-rt-$format-")
-    tmp.toFile.deleteOnExit()
+    val tmp = graft.Paths.scratchDir(s"graft-rt-$format-")
     val df = Tables.load(s, dir, table)
     Dump.writeTable(df, table, tmp.toString, DumpOptions(format, codec))
     val path = tmp.resolve(s"$table.$format${codec.map(_.ext).getOrElse("")}").toString
@@ -86,8 +83,7 @@ object SourceQueries {
 
     // S7 + session facade: directory open → temp views → SQL join
     "src_session_join" -> ((s, dir) => {
-      val tmp = Files.createTempDirectory("graft-sess-")
-      tmp.toFile.deleteOnExit()
+      val tmp = graft.Paths.scratchDir("graft-sess-")
       Dump.writeTable(Tables.load(s, dir, "nation"), "nation_f", tmp.toString, DumpOptions("csv"))
       Dump.writeTable(Tables.load(s, dir, "region"), "region_f", tmp.toString, DumpOptions("tsv"))
       val sess = GraftSession.open(s, tmp.toString)

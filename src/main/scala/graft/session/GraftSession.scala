@@ -750,8 +750,7 @@ object GraftSession {
       val in = Option(loader.getResourceAsStream(resourcePath))
         .getOrElse(throw UnsupportedFormatError(s"classpath:$resourcePath"))
       val name = resourcePath.split('/').last
-      val dir = Files.createTempDirectory("graft-res-")
-      dir.toFile.deleteOnExit()
+      val dir = graft.Paths.scratchDir("graft-res-")
       val target = dir.resolve(name)
       try Files.copy(in, target) finally in.close()
       target.toFile.deleteOnExit()
@@ -777,8 +776,7 @@ object GraftSession {
           .filter(p => matcher.matches(root.relativize(p)))
           .toSeq.sortBy(_.toString)
         finally stream.close()
-      val dir = Files.createTempDirectory("graft-fs-")
-      dir.toFile.deleteOnExit()
+      val dir = graft.Paths.scratchDir("graft-fs-")
       matched.foreach { p =>
         val target = dir.resolve(root.relativize(p).toString)
         Files.createDirectories(target.getParent)

@@ -284,23 +284,25 @@ object Dump {
     * dir, then promote the lone part file to the target name. */
   private def writeSingleColumnar(df: DataFrame, target: Path, format: String): Unit = {
     val tmp = Files.createTempDirectory("graft-dump-")
-    val tmpOut = tmp.resolve("out")
-    df.coalesce(1).write.mode("overwrite").format(format).save(tmpOut.toString)
-    val listing = Files.list(tmpOut)
-    val moved =
-      try {
-        val it = listing.iterator()
-        var done = false
-        while (it.hasNext && !done) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(s".$format")) {
-            Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
-            done = true
+    try {
+      val tmpOut = tmp.resolve("out")
+      df.coalesce(1).write.mode("overwrite").format(format).save(tmpOut.toString)
+      val listing = Files.list(tmpOut)
+      val moved =
+        try {
+          val it = listing.iterator()
+          var done = false
+          while (it.hasNext && !done) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(s".$format")) {
+              Files.move(p, target, StandardCopyOption.REPLACE_EXISTING)
+              done = true
+            }
           }
-        }
-        done
-      } finally listing.close()
-    if (!moved) throw new IllegalStateException(s"no $format part produced for $target")
+          done
+        } finally listing.close()
+      if (!moved) throw new IllegalStateException(s"no $format part produced for $target")
+    } finally graft.Paths.rmTree(tmp.toFile) // _SUCCESS/.crc leftovers
   }
 
   // ------------------------------------------------------------ big-data path

@@ -70,8 +70,7 @@ object Compression {
     case Some(c) if c.sparkNative => path
     case Some(c) =>
       val inner = stripExt(Paths.get(path).getFileName.toString)
-      val dir = Files.createTempDirectory("graft-decomp-")
-      dir.toFile.deleteOnExit()
+      val dir = graft.Paths.scratchDir("graft-decomp-")
       val target = dir.resolve(inner)
       val in = c.wrapRead(new BufferedInputStream(Files.newInputStream(Paths.get(path))))
       try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)

@@ -52,7 +52,7 @@ object XlsxSource {
         case p if p != path => p
         case p => // spark-native codec (gz/bz2) still needs local decompress for zip access
           val inner = Compression.stripExt(java.nio.file.Paths.get(p).getFileName.toString)
-          val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-")
+          val dir = graft.Paths.scratchDir("graft-xlsx-")
           val target = dir.resolve(inner)
           val in = Compression.openRead(p)
           try java.nio.file.Files.copy(in, target) finally in.close()

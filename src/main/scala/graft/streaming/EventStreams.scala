@@ -39,8 +39,18 @@ object EventStreams {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // not-yet-populated directory (start-stream-then-feed pattern): no
     // file to peek → assume the plain-TIMESTAMP shape of EventSchema
-    val tsType = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
-      .getOrElse(TimestampType)
+    // (nanos-shaped feeds must pre-populate before starting the stream).
+    // Only a PROVABLY empty directory falls back — a real peek failure
+    // (corrupt footer, missing ts column) still fails fast.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(hPath) && fs.listStatus(hPath).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+    val tsType =
+      if (hasData) spark.read.parquet(path).schema("ts").dataType
+      else TimestampType
     val readSchema = StructType(EventSchema.fields.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f

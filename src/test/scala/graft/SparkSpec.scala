@@ -8,11 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
-  def tmpDir(prefix: String): java.nio.file.Path = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    d.toFile.deleteOnExit()
-    d
-  }
+  def tmpDir(prefix: String): java.nio.file.Path =
+    // recursive shutdown-hook cleanup: deleteOnExit leaks non-empty dirs
+    graft.Paths.scratchDir(prefix)
 
   def writeFile(dir: java.nio.file.Path, name: String, content: String): String = {
     val p = dir.resolve(name)

@@ -90,9 +90,13 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == Seq.empty)
   }
 
-  test("learnTable exposes the artifact schema") {
+  test("learnTable exposes the artifact schema and round-trips through parquet") {
     val t = Bpe.learnTable(spark, corpus, "text", numMerges = 2)
     assert(t.columns.toSeq == Seq("merge_rank", "left_sym", "right_sym", "pair_count"))
     assert(t.count() == 2L)
+    val path = tmpDir("bpe-merges").resolve("m").toString
+    t.write.parquet(path)
+    val back = Bpe.mergesFrom(spark.read.parquet(path))
+    assert(back == Bpe.learn(corpus, "text", numMerges = 2))
   }
 }
