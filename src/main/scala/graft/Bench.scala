@@ -50,6 +50,15 @@ object Bench {
       s(s.length / 2)
     }
 
+    // host-speed calibration: a fixed scan-free pure-codegen workload.
+    // Cross-round totals are only comparable after dividing by the calib
+    // ratio — the same suite measured 1.65× slower on a slower host with
+    // IDENTICAL data and plans (round 5), which would otherwise read as
+    // a uniform regression.
+    val calib = median(Seq.fill(3)(time(
+      // bit_xor: overflow-free under ANSI mode, unlike sum of hashes
+      spark.range(50000000L).selectExpr("bit_xor(xxhash64(id))").collect())))
+
     // optional focus list for iterating on specific queries
     // (SPARK_GRAFT_BENCH_ONLY=q23_json_extract,s04_ann_ivfpq); the
     // driver never sets it, so the gate always measures the full suite
@@ -83,7 +92,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line(_.toString) + "\n")
