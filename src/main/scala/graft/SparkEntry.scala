@@ -17,8 +17,9 @@ import graft.queries._
   * so this comment cannot silently rot.
   * Query name groups:
   *   - q01–q34  relational SQL surface (SURVEY §2.2) + engine supersets
-  *   - m01–m07  DML mutation layer (INSERT/UPDATE/DELETE on views) +
-  *              merge tier (upsert / column upsert / CDC apply)
+  *   - m01–m08  DML mutation layer (INSERT/UPDATE/DELETE on views) +
+  *              merge tier (upsert / column upsert / CDC apply) +
+  *              SQLite row triggers (set-based audit-trigger path)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
   *   - s0*      similarity search (exact, LSH, IVF, IVF+PQ, filtered, int8)

@@ -35,6 +35,10 @@ object Mutations {
 
   final case class Insert(table: String, columns: Option[Seq[String]],
       tuples: Seq[Seq[String]]) extends Mutation {
+    /** Plan snapshot of the aligned inserted rows (pre-union) — the
+      * trigger layer binds NEW to it. Cheap: a literal local relation. */
+    @transient private[graft] var insertedSnapshot: Option[DataFrame] = None
+
     def apply(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
       val givenCols = resolveColumns(columns.getOrElse(targetCols), targetCols,
@@ -86,6 +90,7 @@ object Mutations {
       val newRows = spark.range(1)
         .select(explode(array(structs: _*)).as("__r"))
         .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
+      insertedSnapshot = Some(newRows)
       current.unionByName(newRows)
     }
   }
@@ -164,25 +169,32 @@ object Mutations {
 
   final case class Update(table: String, sets: Seq[(String, String)],
       where: Option[String]) extends Mutation {
-    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
-      val cond = where.map(expr).getOrElse(lit(true))
+    /** Post-image column expressions, evaluated against the PRE-update
+      * row ("UPDATE t SET a = b, b = a" swaps) — shared by apply() and
+      * the trigger layer's NEW binding so the two can't drift. */
+    private[graft] def newImageCols(current: DataFrame): Seq[org.apache.spark.sql.Column] = {
       val assigned = sets.toMap
       sets.foreach { case (c, _) =>
         if (!current.columns.contains(c))
           throw InvalidSqlError(s"UPDATE $table", s"unknown column $c")
       }
-      // SQL semantics: every SET right-hand side is evaluated against the
-      // PRE-update row ("UPDATE t SET a = b, b = a" swaps) — so all
-      // columns are rewritten in ONE projection, never sequentially.
-      val projected = current.columns.map { c =>
+      current.columns.toSeq.map { c =>
         assigned.get(c) match {
-          case Some(e) =>
-            val dt = current.schema(c).dataType
-            when(cond, expr(e).cast(dt)).otherwise(col(s"`$c`")).as(c)
+          case Some(e) => expr(e).cast(current.schema(c).dataType)
           case None => col(s"`$c`")
         }
       }
-      current.select(projected.toSeq: _*)
+    }
+
+    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+      val cond = where.map(expr).getOrElse(lit(true))
+      // all columns are rewritten in ONE projection, never sequentially
+      val projected = current.columns.toSeq.zip(newImageCols(current)).map {
+        case (c, newCol) =>
+          if (sets.exists(_._1 == c)) when(cond, newCol).otherwise(col(s"`$c`")).as(c)
+          else col(s"`$c`")
+      }
+      current.select(projected: _*)
     }
   }
 
@@ -286,8 +298,9 @@ object Mutations {
   }
 
   /** Index of a keyword at paren-depth 0 outside string literals,
-    * bounded by whitespace; -1 if absent. */
-  private def indexOfTopLevelWord(s: String, word: String): Int = {
+    * bounded by whitespace; -1 if absent. (Shared with the trigger
+    * parser, which splits CREATE TRIGGER at its top-level BEGIN.) */
+  private[graft] def indexOfTopLevelWord(s: String, word: String): Int = {
     var depth = 0; var inStr = false; var i = 0
     val n = s.length; val w = word.length
     while (i < n) {

@@ -177,6 +177,29 @@ object SourceQueries {
         .orderBy("c_custkey")
     }),
 
+    // Trigger tier: AFTER INSERT / AFTER UPDATE OF … WHEN / BEFORE DELETE
+    // row triggers maintaining an audit table, all on the set-based
+    // (INSERT … VALUES body) execution path — one audit row per affected
+    // row at any mutation size, no driver loop
+    "m08_trigger" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/nation.parquet")
+      sess.sql("CREATE TABLE audit (uid INTEGER, act TEXT)")
+      sess.sql("""CREATE TRIGGER ni AFTER INSERT ON nation BEGIN
+        |  INSERT INTO audit VALUES (NEW.n_nationkey, 'I'); END""".stripMargin)
+      sess.sql("""CREATE TRIGGER nu AFTER UPDATE OF n_name ON nation
+        |WHEN NEW.n_regionkey >= 2 BEGIN
+        |  INSERT INTO audit VALUES (NEW.n_nationkey, 'U:' || OLD.n_name); END""".stripMargin)
+      sess.sql("""CREATE TRIGGER nd BEFORE DELETE ON nation BEGIN
+        |  INSERT INTO audit VALUES (OLD.n_nationkey, 'D'); END""".stripMargin)
+      sess.sql("INSERT INTO nation VALUES (25, 'ATLANTIS', 2), (26, 'LEMURIA', 1)")
+      sess.sql("UPDATE nation SET n_name = n_name || '_X' WHERE n_nationkey % 3 = 0")
+      sess.sql("DELETE FROM nation WHERE n_regionkey = 4")
+      val out = sess.sql("SELECT uid, act FROM audit ORDER BY uid, act")
+      out.cache().count()
+      sess.close()
+      out
+    }),
+
     // Mutation layer: DELETE on a view
     "m03_delete" -> ((s, dir) => {
       val sess = GraftSession.open(s, s"$dir/orders.parquet")
@@ -279,6 +302,16 @@ object SourceQueries {
         |  SELECT c_custkey + 2000000, c_name, c_acctbal FROM customer
         |  WHERE c_custkey <= 20
         |) ORDER BY c_custkey""".stripMargin,
+
+    "m08_trigger" ->
+      """SELECT CAST(uid AS BIGINT) AS uid, act FROM (
+        |  SELECT 25 AS uid, 'I' AS act UNION ALL SELECT 26, 'I'
+        |  UNION ALL
+        |  SELECT n_nationkey, 'U:' || n_name FROM nation
+        |  WHERE n_nationkey % 3 = 0 AND n_regionkey >= 2
+        |  UNION ALL
+        |  SELECT n_nationkey, 'D' FROM nation WHERE n_regionkey = 4
+        |) ORDER BY uid, act""".stripMargin,
 
     "m02_update" ->
       """SELECT o_orderkey, 'X' AS o_orderstatus FROM orders

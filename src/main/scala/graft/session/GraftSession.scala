@@ -40,6 +40,16 @@ final class GraftSession private[session] (
     * statement would re-run a regex on every snapshot restore. */
   private val views = mutable.LinkedHashMap.empty[String, GraftSession.ViewDef]
 
+  /** CREATE TRIGGER registry (creation order = firing order); listed in
+    * `sqlite_master` with `type='trigger'` exactly as SQLite lists them.
+    * Declared before the constructor statements below — registerAll()
+    * reads it. */
+  private val triggers = mutable.LinkedHashMap.empty[String, TriggerDef]
+  // SQLite's recursive_triggers pragma defaults OFF: statements executed
+  // from inside a trigger body never fire triggers themselves (and leave
+  // changes()/last_insert_rowid() + auto-save to the outer statement)
+  private var inTriggerBody = false
+
   // SQLite treats naive timestamps as UTC, so the dialect shims
   // (strftime/julianday/date/…) only match its output under UTC — pin the
   // session timezone rather than silently diverging in non-UTC JVMs.
@@ -99,6 +109,8 @@ final class GraftSession private[session] (
       Row("table", name, name, 0, s"""CREATE TABLE "$name" ($ddlCols)""")
     } ++ views.toSeq.map { case (name, vd) =>
       Row("view", name, name, 0, vd.stmt)
+    } ++ triggers.toSeq.map { case (name, td) =>
+      Row("trigger", name, td.table, 0, td.createSql)
     }
     val schema = StructType(Seq(
       StructField("type", StringType), StructField("name", StringType),
@@ -125,9 +137,10 @@ final class GraftSession private[session] (
   // savepoint opened OUTSIDE a transaction starts an implicit one whose
   // outermost RELEASE commits.
   private final case class Snapshot(tabs: Seq[(String, DataFrame)],
-      vws: Seq[(String, GraftSession.ViewDef)], userVer: Long, schemaVer: Long)
+      vws: Seq[(String, GraftSession.ViewDef)],
+      trigs: Seq[(String, TriggerDef)], userVer: Long, schemaVer: Long)
   private def snapshotNow: Snapshot =
-    Snapshot(tables.toSeq, views.toSeq, userVersion, schemaVersion)
+    Snapshot(tables.toSeq, views.toSeq, triggers.toSeq, userVersion, schemaVersion)
 
   private var txnSnapshot: Option[Snapshot] = None
   private var txnDirty = false
@@ -153,6 +166,8 @@ final class GraftSession private[session] (
     snap.tabs.foreach { case (name, df) => tables.update(name, df) }
     views.clear()
     snap.vws.foreach { case (name, vd) => views.update(name, vd) }
+    triggers.clear()
+    snap.trigs.foreach { case (name, td) => triggers.update(name, td) }
     userVersion = snap.userVer
     // schema_version rolls back with the rest of the file header in
     // SQLite — a rolled-back DDL must not leave it incremented
@@ -394,6 +409,8 @@ final class GraftSession private[session] (
   private val RollbackToRe =
     """(?is)^\s*ROLLBACK(?:\s+TRANSACTION)?\s+TO\s+(?:SAVEPOINT\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val CreateTriggerRe = """(?is)^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TRIGGER\b.*""".r
+  private val DropTriggerRe =
+    """(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   // SQLite has no OR REPLACE on views, but Spark users write it — accept
   // both; OR REPLACE overwrites an existing VIEW (never a table)
   private val CreateViewRe =
@@ -468,8 +485,20 @@ final class GraftSession private[session] (
     case SavepointRe(ident) => savepoint(unquoteIdent(ident)); spark.emptyDataFrame
     case ReleaseRe(ident) => release(statement, unquoteIdent(ident)); spark.emptyDataFrame
     case CreateTriggerRe() =>
-      throw UnsupportedStatementError(statement.linesIterator.next(),
-        "triggers require an engine-side mutation hook; rewrite as explicit UPDATE/INSERT statements")
+      val (td, ifNotExists) = Triggers.parse(statement)
+      if (triggers.contains(td.name) || tables.contains(td.name) || views.contains(td.name)) {
+        if (ifNotExists) spark.emptyDataFrame
+        else throw InvalidSqlError(statement.linesIterator.next(),
+          s"trigger ${td.name} already exists")
+      } else if (!tables.contains(td.table))
+        throw InvalidSqlError(statement.linesIterator.next(), s"no such table: ${td.table}")
+      else applyDdl { triggers.update(td.name, td) }
+    case DropTriggerRe(ife, ident) =>
+      val name = unquoteIdent(ident)
+      if (!triggers.contains(name)) {
+        if (ife != null) spark.emptyDataFrame
+        else throw InvalidSqlError(statement, s"no such trigger: $name")
+      } else applyDdl { triggers.remove(name) }
     case CreateViewRe(orReplace, ifne, ident, select) =>
       val name = unquoteIdent(ident)
       val replaceable = orReplace != null && views.contains(name)
@@ -523,6 +552,8 @@ final class GraftSession private[session] (
       } else applyDdl {
         tables.remove(name)
         spark.catalog.dropTempView(name)
+        // SQLite drops a table's triggers with it
+        triggers.filterInPlace((_, td) => td.table != name)
       }
     case AlterRenameTableRe(fromI, toI) =>
       val from = unquoteIdent(fromI)
@@ -534,6 +565,12 @@ final class GraftSession private[session] (
         spark.catalog.dropTempView(from)
         tables.update(to, df)
         df.createOrReplaceTempView(to)
+        // SQLite ≥3.25 re-points triggers at the renamed table. (Only
+        // the ON-clause target is re-pointed; table references inside
+        // body statements keep their original text — documented
+        // deviation, same class as the LTSV key-order note.)
+        triggers.mapValuesInPlace((_, td) =>
+          if (td.table == from) td.copy(table = to) else td)
       }
     case AlterRenameColRe(tI, aI, bI) =>
       val name = unquoteIdent(tI)
@@ -589,15 +626,193 @@ final class GraftSession private[session] (
       case Some(mutation) =>
         val name = mutation.table
         val current = table(name)
-        val next = boundPlanDepth(name, mutation(spark, current))
-        recordMutationState(mutation, current, next)
-        tables.update(name, next)
-        next.createOrReplaceTempView(name)
-        if (inTransaction) txnDirty = true
-        else if (autoSave.exists(_.onCommit)) performAutoSave()
-        spark.emptyDataFrame
+        val trigs = triggersFor(mutation)
+        if (trigs.isEmpty) {
+          val next = boundPlanDepth(name, mutation(spark, current))
+          // a mutation fired FROM a trigger body leaves changes() /
+          // last_insert_rowid() reflecting the outer statement (SQLite:
+          // trigger-internal changes only show in total_changes())
+          if (!inTriggerBody) recordMutationState(mutation, current, next)
+          tables.update(name, next)
+          next.createOrReplaceTempView(name)
+          if (inTransaction) txnDirty = true
+          else if (!inTriggerBody && autoSave.exists(_.onCommit)) performAutoSave()
+          spark.emptyDataFrame
+        } else {
+          // statement-level atomicity: RAISE(ABORT) — or any body
+          // failure — must undo the mutation AND every trigger effect
+          val preSnapshot = snapshotNow
+          try {
+            val next = boundPlanDepth(name, mutation(spark, current))
+            fireTriggers(trigs, mutation, current, "BEFORE")
+            recordMutationState(mutation, current, next)
+            tables.update(name, next)
+            next.createOrReplaceTempView(name)
+            fireTriggers(trigs, mutation, current, "AFTER")
+          } catch {
+            case e: TriggerAbortError =>
+              restoreSnapshot(preSnapshot)
+              // RAISE(ROLLBACK) undoes the whole enclosing transaction
+              if (e.kind == "ROLLBACK" && inTransaction) rollback()
+              throw e
+            case scala.util.control.NonFatal(e) =>
+              restoreSnapshot(preSnapshot)
+              throw e
+          }
+          if (inTransaction) txnDirty = true
+          else if (autoSave.exists(_.onCommit)) performAutoSave()
+          spark.emptyDataFrame
+        }
       case None => spark.sql(statement)
     }
+  }
+
+  // ------------------------------------------------------ trigger firing
+  // SQLite row triggers, executed Spark-first: the affected-row set of
+  // the outer DML becomes ONE DataFrame with NEW/OLD struct columns, and
+  // INSERT-VALUES / SELECT-RAISE bodies run SET-BASED against it (no
+  // driver materialization, any mutation size). Other bodies fall back
+  // to faithful per-row firing, bounded by spark.graft.trigger.maxRows.
+  // See Triggers.scala for the parser and classification.
+
+  private def triggersFor(m: Mutations.Mutation): Seq[TriggerDef] = {
+    if (inTriggerBody || triggers.isEmpty) return Seq.empty
+    val event = m match {
+      case _: Mutations.Insert | _: Mutations.InsertSelect => "INSERT"
+      case _: Mutations.Update => "UPDATE"
+      case _: Mutations.Delete => "DELETE"
+    }
+    triggers.values.toSeq.filter { td =>
+      td.table == m.table && td.event == event && (td.updateOf.isEmpty || (m match {
+        // UPDATE OF fires only when the statement assigns a listed column
+        case u: Mutations.Update =>
+          u.sets.exists { case (c, _) => td.updateOf.exists(_.equalsIgnoreCase(c)) }
+        case _ => true
+      }))
+    }
+  }
+
+  /** One row per row the outer DML affects, with the struct columns a
+    * SQLite row trigger binds: NEW for INSERT, OLD for DELETE, both for
+    * UPDATE. Built from the PRE-mutation plan, so it stays stable while
+    * body statements re-register views. */
+  private def affectedRows(m: Mutations.Mutation, prev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct}
+    def asStruct(df: DataFrame, alias: String) =
+      struct(df.columns.toSeq.map(c => col(s"`$c`").as(c)): _*).as(alias)
+    m match {
+      case ins: Mutations.Insert =>
+        val rows = ins.insertedSnapshot.getOrElse(
+          throw new IllegalStateException("trigger fired before INSERT planning"))
+        rows.select(asStruct(rows, "NEW"))
+      case ins: Mutations.InsertSelect =>
+        val rows = ins.insertedSnapshot.getOrElse(
+          throw new IllegalStateException("trigger fired before INSERT planning"))
+        rows.select(asStruct(rows, "NEW"))
+      case u: Mutations.Update =>
+        // same matched-row semantics as changes(): NULL predicates don't match
+        val cond = u.where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
+        val matched = prev.filter(cond)
+        val newStruct = struct(matched.columns.toSeq.zip(u.newImageCols(matched))
+          .map { case (c, e) => e.as(c) }: _*).as("NEW")
+        matched.select(asStruct(matched, "OLD"), newStruct)
+      case d: Mutations.Delete =>
+        val doomed = d.where match {
+          case Some(w) => prev.filter(coalesce(expr(w), lit(false)))
+          case None => prev
+        }
+        doomed.select(asStruct(doomed, "OLD"))
+    }
+  }
+
+  private def fireTriggers(trigs: Seq[TriggerDef], m: Mutations.Mutation,
+      prev: DataFrame, timing: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val relevant = trigs.filter(_.timing == timing)
+    if (relevant.isEmpty) return
+    val affectedAll = affectedRows(m, prev)
+    for (td <- relevant) {
+      // WHEN references NEW/OLD; a NULL result skips the row, like WHERE
+      val affected = td.when.map(w => affectedAll.filter(expr(w))).getOrElse(affectedAll)
+      Triggers.vectorize(td.body) match {
+        case Some(vec) => fireVectorized(td, affected, vec)
+        case None => fireByRow(td, affected)
+      }
+    }
+  }
+
+  private val TriggerRowsView = "__graft_trigger_rows"
+
+  private def fireVectorized(td: TriggerDef, affected: DataFrame,
+      stmts: Seq[Triggers.VecStmt]): Unit = {
+    import org.apache.spark.sql.functions.expr
+    affected.createOrReplaceTempView(TriggerRowsView)
+    try {
+      inTriggerBody = true
+      try stmts.foreach {
+        case Triggers.VecRaise(kind, msg, cond) =>
+          val offending = cond.map(c => affected.filter(expr(c))).getOrElse(affected)
+          if (!offending.isEmpty) throw TriggerAbortError(td.name, kind, msg)
+        case Triggers.VecInsert(tbl, cols, exprs) =>
+          val colList = cols.map(_.map(c => s""""$c"""").mkString(" (", ", ", ")")).getOrElse("")
+          sql(s"""INSERT INTO "$tbl"$colList SELECT ${exprs.mkString(", ")} FROM $TriggerRowsView""")
+      } finally inTriggerBody = false
+    } finally spark.catalog.dropTempView(TriggerRowsView)
+  }
+
+  private def fireByRow(td: TriggerDef, affected: DataFrame): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val cap = spark.conf.getOption("spark.graft.trigger.maxRows").map(_.toInt).getOrElse(1000)
+    val rows = affected.limit(cap + 1).collect()
+    if (rows.length > cap)
+      throw InvalidSqlError(s"trigger ${td.name}",
+        s"per-row trigger body over more than $cap affected rows — raise " +
+          "spark.graft.trigger.maxRows, or restrict the body to INSERT … VALUES / " +
+          "SELECT RAISE(…) WHERE … statements, which execute set-based at any scale")
+    val schema = affected.schema
+    inTriggerBody = true
+    try for (row <- rows; stmt <- td.body) {
+      if (Triggers.hasRaiseIgnore(stmt))
+        throw UnsupportedStatementError(stmt,
+          "RAISE(IGNORE) (skip-this-row) is not supported; use a WHEN clause instead")
+      val substituted = Triggers.substituteRowRefs(stmt, (which, colName) => {
+        val sIdx =
+          try schema.fieldIndex(which)
+          catch { case _: IllegalArgumentException =>
+            throw InvalidSqlError(stmt, s"$which is not defined for ${td.event} triggers") }
+        val st = schema(sIdx).dataType.asInstanceOf[StructType]
+        val fIdx =
+          try st.fieldIndex(colName)
+          catch { case _: IllegalArgumentException =>
+            throw InvalidSqlError(stmt, s"no such column: $which.$colName") }
+        val struct = row.getStruct(sIdx)
+        Triggers.renderLiteral(if (struct.isNullAt(fIdx)) null else struct.get(fIdx),
+          st(fIdx).dataType)
+      })
+      Triggers.asSelectRaise(substituted) match {
+        case Some(Triggers.VecRaise(kind, msg, cond)) =>
+          // post-substitution the condition is a row-free expression
+          val hit = cond match {
+            case Some(c) => !spark.range(1)
+              .filter(org.apache.spark.sql.functions.expr(c)).isEmpty
+            case None => true
+          }
+          if (hit) throw TriggerAbortError(td.name, kind, msg)
+        case None =>
+          val out = sql(substituted)
+          // SELECT statements in a trigger body run for their side
+          // effects (RAISE embedded in a CASE) — force them
+          if (substituted.matches("(?is)^\\s*(SELECT|WITH)\\b.*"))
+            try out.collect()
+            catch {
+              case e: org.apache.spark.SparkThrowable
+                  if e.getCondition == "USER_RAISED_EXCEPTION" =>
+                throw TriggerAbortError(td.name, "ABORT",
+                  e.getMessageParameters.getOrDefault("errorMessage",
+                    e.asInstanceOf[Throwable].getMessage))
+            }
+      }
+    } finally inTriggerBody = false
   }
 
   // each UPDATE/DELETE/INSERT stacks one projection/filter/union on the

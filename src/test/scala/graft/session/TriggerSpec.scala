@@ -1,0 +1,204 @@
+package graft.session
+
+import graft.{InvalidSqlError, SparkSpec, TriggerAbortError, UnsupportedStatementError}
+
+/** SQLite CREATE TRIGGER surface (reference README.md:333 — triggers are
+  * promised via the embedded SQLite engine). Covers both execution paths:
+  * the set-based INSERT-VALUES/RAISE path and the per-row fallback. */
+class TriggerSpec extends SparkSpec {
+
+  private def openSess(prefix: String): GraftSession = {
+    val dir = tmpDir(prefix)
+    writeFile(dir, "users.csv",
+      "id,name,role,department_id\n1,Alice,admin,10\n2,Bob,user,20\n3,Carol,user,10\n")
+    val s = GraftSession.open(spark, dir.toString)
+    s.sql("CREATE TABLE audit (uid INTEGER, action TEXT)")
+    s
+  }
+
+  test("AFTER INSERT audit trigger fires per inserted row (set-based path)") {
+    val s = openSess("trg-ins")
+    s.sql("""CREATE TRIGGER au AFTER INSERT ON users BEGIN
+            |  INSERT INTO audit VALUES (NEW.id, 'I'); END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (4, 'Dan', 'user', 20), (5, 'Eve', 'user', 10)")
+    s.sql("INSERT INTO users SELECT id + 10, name, role, department_id FROM users WHERE id <= 2")
+    val audit = s.sql("SELECT uid, action FROM audit ORDER BY uid").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(audit == Seq((4L, "I"), (5L, "I"), (11L, "I"), (12L, "I")))
+    // changes() reflects the OUTER statement, not the trigger's inserts
+    s.sql("INSERT INTO users VALUES (6, 'Fay', 'user', 10)")
+    assert(s.sql("SELECT changes()").head().getLong(0) == 1L)
+    s.close()
+  }
+
+  test("UPDATE trigger binds OLD and NEW; WHEN filters affected rows") {
+    val s = openSess("trg-upd")
+    s.sql("""CREATE TRIGGER uu AFTER UPDATE ON users
+            |WHEN OLD.role <> NEW.role BEGIN
+            |  INSERT INTO audit (uid, action) VALUES (NEW.id, OLD.role || '>' || NEW.role);
+            |END""".stripMargin)
+    // matches ids 2,3 — but id 1 already admin is untouched by WHERE
+    s.sql("UPDATE users SET role = 'admin' WHERE role = 'user'")
+    val audit = s.sql("SELECT uid, action FROM audit ORDER BY uid").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(audit == Seq((2L, "user>admin"), (3L, "user>admin")))
+    // WHEN false for every matched row → no new audit rows
+    s.sql("UPDATE users SET role = 'admin' WHERE id = 1")
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 2L)
+    s.close()
+  }
+
+  test("UPDATE OF fires only when a listed column is assigned") {
+    val s = openSess("trg-of")
+    s.sql("""CREATE TRIGGER un AFTER UPDATE OF name ON users BEGIN
+            |  INSERT INTO audit VALUES (NEW.id, 'N'); END""".stripMargin)
+    s.sql("UPDATE users SET role = 'x' WHERE id = 1") // not OF name
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 0L)
+    s.sql("UPDATE users SET name = upper(name) WHERE id <= 2")
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 2L)
+    s.close()
+  }
+
+  test("DELETE trigger binds OLD; default timing is BEFORE") {
+    val s = openSess("trg-del")
+    s.sql("""CREATE TRIGGER dl DELETE ON users BEGIN
+            |  INSERT INTO audit VALUES (OLD.id, 'D'); END""".stripMargin)
+    s.sql("DELETE FROM users WHERE department_id = 10")
+    val audit = s.sql("SELECT uid FROM audit ORDER BY uid").collect().map(_.getLong(0)).toSeq
+    assert(audit == Seq(1L, 3L))
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 1L)
+    s.close()
+  }
+
+  test("RAISE(ABORT) validation trigger rolls back the whole statement") {
+    val s = openSess("trg-raise")
+    s.sql("""CREATE TRIGGER guard BEFORE INSERT ON users BEGIN
+            |  INSERT INTO audit VALUES (NEW.id, 'TRY');
+            |  SELECT RAISE(ABORT, 'negative id') WHERE NEW.id < 0;
+            |END""".stripMargin)
+    val e = intercept[TriggerAbortError](
+      s.sql("INSERT INTO users VALUES (7, 'Gil', 'user', 10), (-1, 'Bad', 'user', 10)"))
+    assert(e.getMessage.contains("negative id"))
+    // the statement AND the trigger's own audit insert both rolled back
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 3L)
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 0L)
+    // a clean insert passes and keeps its audit row
+    s.sql("INSERT INTO users VALUES (7, 'Gil', 'user', 10)")
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 4L)
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 1L)
+    s.close()
+  }
+
+  test("RAISE(ROLLBACK) undoes the enclosing transaction") {
+    val s = openSess("trg-rb")
+    s.sql("""CREATE TRIGGER guard BEFORE INSERT ON users BEGIN
+            |  SELECT RAISE(ROLLBACK, 'no') WHERE NEW.id > 100; END""".stripMargin)
+    s.sql("BEGIN")
+    s.sql("INSERT INTO users VALUES (8, 'Hal', 'user', 10)")
+    intercept[TriggerAbortError](s.sql("INSERT INTO users VALUES (101, 'Ivy', 'user', 10)"))
+    // whole transaction gone, including the earlier good insert
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 3L)
+    // and the transaction is closed (SQLite: ROLLBACK ends it)
+    s.sql("BEGIN"); s.sql("ROLLBACK")
+    s.close()
+  }
+
+  test("per-row fallback: counter UPDATE body fires once per affected row") {
+    val s = openSess("trg-row")
+    s.sql("CREATE TABLE counters (k TEXT, n INTEGER)")
+    s.sql("INSERT INTO counters VALUES ('dept10', 0)")
+    // body UPDATE is not vectorizable → per-row driver loop; two affected
+    // rows in department 10 must increment the counter twice
+    s.sql("""CREATE TRIGGER cnt AFTER UPDATE ON users
+            |WHEN NEW.department_id = 10 BEGIN
+            |  UPDATE counters SET n = n + 1 WHERE k = 'dept10'; END""".stripMargin)
+    s.sql("UPDATE users SET role = 'z'")
+    assert(s.sql("SELECT n FROM counters").head().getLong(0) == 2L)
+    s.close()
+  }
+
+  test("per-row fallback substitutes NEW literals incl. strings with quotes") {
+    val s = openSess("trg-sub")
+    s.sql("CREATE TABLE log (msg TEXT)")
+    s.sql("""CREATE TRIGGER lg AFTER INSERT ON users BEGIN
+            |  INSERT INTO log SELECT NEW.name || '!' FROM (SELECT 1) one; END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (9, 'O''Brien', 'user', 20)")
+    assert(s.sql("SELECT msg FROM log").head().getString(0) == "O'Brien!")
+    s.close()
+  }
+
+  test("trigger-body mutations do not re-fire triggers (recursive_triggers OFF)") {
+    val s = openSess("trg-rec")
+    s.sql("""CREATE TRIGGER self AFTER INSERT ON users BEGIN
+            |  INSERT INTO users VALUES (NEW.id + 1000, 'shadow', 'bot', 0); END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (10, 'Jan', 'user', 10)")
+    // exactly one shadow row — no cascade from the trigger's own insert
+    val ids = s.sql("SELECT id FROM users WHERE id >= 10 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(10L, 1010L))
+    s.close()
+  }
+
+  test("sqlite_master lists triggers; DROP TRIGGER and DROP TABLE cascade") {
+    val s = openSess("trg-meta")
+    s.sql("CREATE TRIGGER t1 AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
+    s.sql("CREATE TRIGGER t2 AFTER DELETE ON users BEGIN INSERT INTO audit VALUES (OLD.id, 'D'); END")
+    val listed = s.sql(
+      "SELECT name, tbl_name FROM sqlite_master WHERE type = 'trigger' ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(listed == Seq(("t1", "users"), ("t2", "users")))
+    val sqlText = s.sql("SELECT sql FROM sqlite_master WHERE name = 't1'").head().getString(0)
+    assert(sqlText.toUpperCase.startsWith("CREATE TRIGGER"))
+    intercept[InvalidSqlError](
+      s.sql("CREATE TRIGGER t1 AFTER INSERT ON users BEGIN SELECT 1; END"))
+    s.sql("DROP TRIGGER t1")
+    s.sql("DROP TRIGGER IF EXISTS missing")
+    intercept[InvalidSqlError](s.sql("DROP TRIGGER missing"))
+    s.sql("DROP TABLE users")
+    assert(s.sql("SELECT COUNT(*) AS n FROM sqlite_master WHERE type = 'trigger'")
+      .head().getLong(0) == 0L)
+    s.close()
+  }
+
+  test("transaction ROLLBACK restores the trigger registry") {
+    val s = openSess("trg-txn")
+    s.sql("BEGIN")
+    s.sql("CREATE TRIGGER tx AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
+    s.sql("ROLLBACK")
+    assert(s.sql("SELECT COUNT(*) AS n FROM sqlite_master WHERE type = 'trigger'")
+      .head().getLong(0) == 0L)
+    s.sql("INSERT INTO users VALUES (11, 'Kim', 'user', 10)")
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 0L)
+    s.close()
+  }
+
+  test("per-row cap guards driver loops; RAISE(IGNORE) is a typed rejection") {
+    val s = openSess("trg-cap")
+    s.sql("CREATE TABLE counters (k TEXT, n INTEGER)")
+    s.sql("INSERT INTO counters VALUES ('c', 0)")
+    s.sql("""CREATE TRIGGER cnt AFTER UPDATE ON users BEGIN
+            |  UPDATE counters SET n = n + 1 WHERE k = 'c'; END""".stripMargin)
+    spark.conf.set("spark.graft.trigger.maxRows", "2")
+    try {
+      val e = intercept[InvalidSqlError](s.sql("UPDATE users SET role = 'q'")) // 3 rows > cap 2
+      assert(e.getMessage.contains("maxRows"))
+      // the statement rolled back whole
+      assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE role = 'q'").head().getLong(0) == 0L)
+    } finally spark.conf.unset("spark.graft.trigger.maxRows")
+    s.sql("""CREATE TRIGGER ig AFTER DELETE ON users BEGIN
+            |  SELECT RAISE(IGNORE); END""".stripMargin)
+    intercept[UnsupportedStatementError](s.sql("DELETE FROM users WHERE id = 1"))
+    s.close()
+  }
+
+  test("ALTER TABLE RENAME re-points triggers at the new name") {
+    val s = openSess("trg-ren")
+    s.sql("CREATE TRIGGER au AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
+    s.sql("ALTER TABLE users RENAME TO members")
+    assert(s.sql("SELECT tbl_name FROM sqlite_master WHERE type = 'trigger'")
+      .head().getString(0) == "members")
+    s.sql("INSERT INTO members VALUES (12, 'Lou', 'user', 20)")
+    assert(s.sql("SELECT uid FROM audit").head().getLong(0) == 12L)
+    s.close()
+  }
+}
