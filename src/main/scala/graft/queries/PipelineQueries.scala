@@ -1005,6 +1005,44 @@ object PipelineQueries {
       EventStreams.sessionWindowStats(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // ---- events: STREAMING session windows — the same session_window
+    // aggregation through the streaming engine, fed as TWO micro-batches
+    // (events split by id parity, maxFilesPerTrigger=1) so sessions that
+    // span the split are merged IN THE STATE STORE across batches; the
+    // final complete-mode table must hash-match the batch gap-island
+    // oracle. Complete mode because session windows reject update mode
+    // and append would hold every session until a watermark passed it.
+    "e12_streaming_sessions" -> ((s, dir) => {
+      val sink = "e12_sessions_out"
+      val streamDir = graft.Paths.scratchDir("graft-sessw-stream-")
+      val ev = Tables.load(s, dir, "events")
+      Seq(0, 1).foreach { p =>
+        val tmp = graft.Paths.scratchDir(s"graft-sessw-half$p-")
+        ev.filter(col("event_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val files = java.nio.file.Files.list(tmp)
+        val part =
+          try files.filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally files.close()
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve(s"half$p.parquet"), part)
+      }
+      val stream = EventStreams.readStreamNanos(s, streamDir.toString,
+        maxFilesPerTrigger = Some(1))
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.sessionWindowStats(stream)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val out = s.table(sink).orderBy(col("user_id"), col("session_start"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: as-of join — each purchase matched to the user's most
     // recent prior click (oracle: DuckDB's native ASOF JOIN)
     "e05_asof_join" -> ((s, dir) => {
@@ -2614,6 +2652,26 @@ object PipelineQueries {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "e07_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP))
+        |            - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ids AS (
+        |  SELECT user_id, tsu,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT MIN(tsu) AS session_start, user_id, COUNT(*) AS n_events
+        |FROM ids GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // identical sessionization oracle as e07 — same operator semantics,
+    // exercised through the streaming engine's merging state store
+    "e12_streaming_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
         |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL

@@ -34,7 +34,8 @@ object EventStreams {
     * pick the conversion: nanos-as-long is floor-divided to micros (the
     * same truncation DuckDB applies, matching [[graft.Tables.load]]);
     * micros (tz'd or naive under the UTC session) pass through. */
-  def readStreamNanos(spark: SparkSession, path: String): DataFrame = {
+  def readStreamNanos(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // not-yet-populated directory (start-stream-then-feed pattern): no
@@ -55,7 +56,11 @@ object EventStreams {
       case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    val raw = spark.readStream.schema(readSchema).parquet(path)
+    val reader = spark.readStream.schema(readSchema)
+    // bound files per micro-batch (e.g. 1 → one batch per staged file, so
+    // cross-batch stateful merging is genuinely exercised by gates)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).parquet(path)
     if (tsType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw

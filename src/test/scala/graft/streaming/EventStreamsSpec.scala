@@ -40,6 +40,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge sessions across micro-batches") {
+    // user 1: events at 10:00 (batch 1) and 10:10 (batch 2) — inside the
+    // 30 min gap, so the state store must MERGE them into one session;
+    // user 2's events are 40 min apart — two sessions
+    val batch1 = Seq(ev(1, 600, 1, "click"), ev(3, 600, 2, "view"))
+    val batch2 = Seq(ev(2, 610, 1, "click"), ev(4, 640, 2, "view"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionWindowStats(stream.toDF())
+      .writeStream.format("memory").queryName("sessw_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sessw_out")
+        .orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      // user 1 → one merged 2-event session; user 2 → two 1-event sessions
+      assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)))
+      val expected = EventStreams.sessionWindowStats((batch1 ++ batch2).toDF())
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val streamed = spark.table("sessw_out")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("corpus-prep transforms (quality + langid) are stream-capable and match batch") {
     import graft.ops.TextAnalysis
     val docs = Seq(
