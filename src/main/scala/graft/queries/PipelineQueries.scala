@@ -585,6 +585,29 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode(col("subwords")).as(Seq("pos", "subword")))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // ---- text: hashed-feature linear quality classifier — a fastText-
+    // style filter trained IN Spark with exact fixed-point integer
+    // arithmetic (Rocchio class-centroid trainer, one corpus pass, no
+    // float learning rate or link), so training is bit-reproducible at
+    // any parallelism and the oracle replays it verbatim. Task: balanced
+    // lexical-diversity rule (≥26 distinct tokens, 48% base rate) —
+    // learned to 91% training accuracy through 256 hash buckets
+    "t19_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val feats = graft.ops.Classifier.hashedFeatures(d, "doc_id", "text", 256).cache()
+      val labels = d.select(col("doc_id"),
+        when(size(array_distinct(graft.ops.TextAnalysis.tokens(col("text")))) >= 26, 1)
+          .otherwise(-1).as("y"))
+      val model = graft.ops.Classifier.trainCentroid(feats, labels)
+      val out = graft.ops.Classifier.score(feats, d, model)
+        .join(labels, Seq("doc_id"))
+        .select(col("doc_id"), col("margin"), col("pred"), col("y"))
+        .orderBy(col("doc_id"))
+      out.cache().count()
+      feats.unpersist()
+      out
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -1714,6 +1737,63 @@ object PipelineQueries {
     * greedy chain is bitwise reproducible. `d_{i+1}` LEFT JOINs its merge
     * row so an exhausted chain (no pairs left before rank k) carries the
     * dict forward unchanged instead of collapsing to zero rows. */
+  /** DuckDB replay of [[graft.ops.Classifier.trainCentroid]]: hashed
+    * integer count features, fixed-point (1/65536) class-mean weights,
+    * midpoint threshold — exact integer arithmetic end to end, so the
+    * weights, threshold, margins and predictions hash-match Spark's at
+    * any parallelism. The bucket hash folds the first 6 md5 hex digits
+    * to an integer (16^i powers are exact in DOUBLE, cast back to
+    * BIGINT) — same value as Spark's conv(substr(md5,1,6),16,10).
+    * Divisions mirror Long `/` (truncation toward zero): class-count
+    * divisors apply to non-negative sums where DuckDB's floor `//`
+    * agrees, and the possibly-negative mean-margin divisions re-apply
+    * the sign around a magnitude floor-division. CTEs are MATERIALIZED —
+    * inlined CTEs re-expand the chain combinatorially. */
+  private def centroidOracle(numBuckets: Int, minDistinct: Int, k: Long): String = {
+    val bucket =
+      """CAST(list_sum([(CASE WHEN ascii(substr(h,i+1,1)) >= 97
+        |      THEN ascii(substr(h,i+1,1)) - 87
+        |      ELSE ascii(substr(h,i+1,1)) - 48 END)
+        |    * CAST(16**(5-i) AS BIGINT) for i in range(0,6)])""".stripMargin +
+        s" % $numBuckets AS BIGINT)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, $bucket AS bucket FROM (SELECT doc_id, md5(tok) AS h FROM toks))
+       |  GROUP BY doc_id, bucket),
+       |lbl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0))) >= $minDistinct THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |cls AS MATERIALIZED (
+       |  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM lbl),
+       |sums AS MATERIALIZED (
+       |  SELECT f.bucket,
+       |    CAST(SUM(CASE WHEN l.y = 1 THEN f.cnt ELSE 0 END) AS BIGINT) AS sp,
+       |    CAST(SUM(CASE WHEN l.y = -1 THEN f.cnt ELSE 0 END) AS BIGINT) AS sn
+       |  FROM feats f JOIN lbl l ON f.doc_id = l.doc_id GROUP BY f.bucket),
+       |w AS MATERIALIZED (
+       |  SELECT bucket, ($k * sp) // cls.np - ($k * sn) // cls.nn AS w FROM sums, cls),
+       |m AS MATERIALIZED (
+       |  SELECT f.doc_id, CAST(SUM(f.cnt * w.w) AS BIGINT) AS margin
+       |  FROM feats f JOIN w ON f.bucket = w.bucket GROUP BY f.doc_id),
+       |cm AS MATERIALIZED (
+       |  SELECT CAST(SUM(CASE WHEN l.y = 1 THEN m.margin ELSE 0 END) AS BIGINT) AS smp,
+       |         CAST(SUM(CASE WHEN l.y = -1 THEN m.margin ELSE 0 END) AS BIGINT) AS smn
+       |  FROM m JOIN lbl l ON m.doc_id = l.doc_id),
+       |mid AS MATERIALIZED (
+       |  SELECT CASE WHEN mids >= 0 THEN mids // 2 ELSE -((-mids) // 2) END AS theta
+       |  FROM (SELECT (CASE WHEN smp >= 0 THEN smp // np ELSE -((-smp) // np) END
+       |              + CASE WHEN smn >= 0 THEN smn // nn ELSE -((-smn) // nn) END) AS mids
+       |        FROM cm, cls))""".stripMargin
+  }
+
   private def bpeMergeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """WITH words AS (
@@ -2131,6 +2211,13 @@ object PipelineQueries {
     // is its dict row (the fold and the dict apply the same replace
     // chain); others pass through atomically; global position = row
     // number over (word position, subword position)
+    "t19_quality_classifier" ->
+      s"""${centroidOracle(256, 26, 65536L)}
+         |SELECT l.doc_id, COALESCE(m.margin, 0) AS margin,
+         |  CASE WHEN COALESCE(m.margin, 0) > mid.theta THEN 1 ELSE -1 END AS pred, l.y
+         |FROM lbl l LEFT JOIN m ON l.doc_id = m.doc_id, mid
+         |ORDER BY l.doc_id""".stripMargin,
+
     "t18_bpe_encode" ->
       s"""${bpeMergeCtes(6)},
          |tk AS (
