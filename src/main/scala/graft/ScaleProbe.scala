@@ -205,6 +205,27 @@ object ScaleProbe {
     t("bpe learn 4 merges 50k docs")(
       graft.ops.Bpe.learn(d10, "text", numMerges = 4))
 
+    // round-5: centroid quality-classifier training at 1× vs 10× — one
+    // feature pass (explode + hash agg) and two model-sized
+    // aggregations; must scale ~linearly in the corpus while the
+    // collected model stays a constant ≤256 rows.
+    {
+      def classify(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        val feats = graft.ops.Classifier.hashedFeatures(d, "doc_id", "text", 256)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = d.select(col("doc_id"),
+          when(size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26, 1)
+            .otherwise(-1).as("y"))
+        val model = t(s"centroid train $label")(
+          graft.ops.Classifier.trainCentroid(feats, labels))
+        t(s"centroid score $label")(noop(
+          graft.ops.Classifier.score(feats, d, model)))
+        feats.unpersist()
+      }
+      classify(d1, "5k docs")
+      classify(d10, "50k docs")
+    }
+
     // round-5: the streaming-CDC snapshot swap under CONCURRENT reads —
     // a reader loop (healSwap + read + retry, the documented
     // restartable-read discipline) consumes the snapshot while the

@@ -608,6 +608,35 @@ object PipelineQueries {
       out
     }),
 
+    // ---- text: leakage-free classifier evaluation — the deterministic
+    // md5-threshold 80/20 split feeds ONLY the train fold to the centroid
+    // trainer; per-fold confusion counts (train vs held-out test) prove
+    // the pipeline trains without peeking at the test fold. Composes
+    // Sampling.splitByHash + Classifier end to end.
+    "t20_classifier_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withSplit = graft.ops.Sampling.splitByHash(d.select("doc_id"),
+        col("doc_id"), Seq("train" -> 0.8, "test" -> 0.2))
+      val labels = d.select(col("doc_id"),
+        when(size(array_distinct(graft.ops.TextAnalysis.tokens(col("text")))) >= 26, 1)
+          .otherwise(-1).as("y"))
+      val feats = graft.ops.Classifier.hashedFeatures(d, "doc_id", "text", 256).cache()
+      val trainIds = withSplit.filter(col("split") === "train").select("doc_id")
+      val model = graft.ops.Classifier.trainCentroid(
+        feats.join(trainIds, Seq("doc_id")), labels.join(trainIds, Seq("doc_id")))
+      val out = graft.ops.Classifier.score(feats, d, model)
+        .join(labels, Seq("doc_id")).join(withSplit, Seq("doc_id"))
+        .groupBy(col("split")).agg(
+          sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
+        .orderBy(col("split"))
+      out.cache().count()
+      feats.unpersist()
+      out
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -1749,7 +1778,13 @@ object PipelineQueries {
     * agrees, and the possibly-negative mean-margin divisions re-apply
     * the sign around a magnitude floor-division. CTEs are MATERIALIZED —
     * inlined CTEs re-expand the chain combinatorially. */
-  private def centroidOracle(numBuckets: Int, minDistinct: Int, k: Long): String = {
+  /** @param trainCond SQL predicate over `l.doc_id` restricting the
+    *   TRAINING population (class counts, class sums, threshold) — the
+    *   scoring margins `m` always cover every doc. "TRUE" trains on the
+    *   full corpus (t19); t20 passes the md5-threshold train-split
+    *   predicate so the oracle trains leakage-free like the Spark side. */
+  private def centroidOracle(numBuckets: Int, minDistinct: Int, k: Long,
+      trainCond: String = "TRUE"): String = {
     val bucket =
       """CAST(list_sum([(CASE WHEN ascii(substr(h,i+1,1)) >= 97
         |      THEN ascii(substr(h,i+1,1)) - 87
@@ -1772,12 +1807,13 @@ object PipelineQueries {
        |cls AS MATERIALIZED (
        |  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
        |         CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
-       |  FROM lbl),
+       |  FROM lbl l WHERE $trainCond),
        |sums AS MATERIALIZED (
        |  SELECT f.bucket,
        |    CAST(SUM(CASE WHEN l.y = 1 THEN f.cnt ELSE 0 END) AS BIGINT) AS sp,
        |    CAST(SUM(CASE WHEN l.y = -1 THEN f.cnt ELSE 0 END) AS BIGINT) AS sn
-       |  FROM feats f JOIN lbl l ON f.doc_id = l.doc_id GROUP BY f.bucket),
+       |  FROM feats f JOIN lbl l ON f.doc_id = l.doc_id WHERE $trainCond
+       |  GROUP BY f.bucket),
        |w AS MATERIALIZED (
        |  SELECT bucket, ($k * sp) // cls.np - ($k * sn) // cls.nn AS w FROM sums, cls),
        |m AS MATERIALIZED (
@@ -1786,7 +1822,7 @@ object PipelineQueries {
        |cm AS MATERIALIZED (
        |  SELECT CAST(SUM(CASE WHEN l.y = 1 THEN m.margin ELSE 0 END) AS BIGINT) AS smp,
        |         CAST(SUM(CASE WHEN l.y = -1 THEN m.margin ELSE 0 END) AS BIGINT) AS smn
-       |  FROM m JOIN lbl l ON m.doc_id = l.doc_id),
+       |  FROM m JOIN lbl l ON m.doc_id = l.doc_id WHERE $trainCond),
        |mid AS MATERIALIZED (
        |  SELECT CASE WHEN mids >= 0 THEN mids // 2 ELSE -((-mids) // 2) END AS theta
        |  FROM (SELECT (CASE WHEN smp >= 0 THEN smp // np ELSE -((-smp) // np) END
@@ -2211,6 +2247,23 @@ object PipelineQueries {
     // is its dict row (the fold and the dict apply the same replace
     // chain); others pass through atomically; global position = row
     // number over (word position, subword position)
+    "t20_classifier_eval" -> {
+      val thr = graft.ops.Sampling.hexThresholdLex(0.8)
+      val trainCond = s"substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 12) < '$thr'"
+      s"""${centroidOracle(256, 26, 65536L, trainCond)}
+         |SELECT CASE WHEN substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 12) < '$thr'
+         |            THEN 'train' ELSE 'test' END AS split,
+         |  CAST(SUM(CASE WHEN pred = 1 AND p.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN pred = 1 AND p.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN pred = -1 AND p.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN pred = -1 AND p.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM (
+         |  SELECT l.doc_id, l.y,
+         |    CASE WHEN COALESCE(m.margin, 0) > mid.theta THEN 1 ELSE -1 END AS pred
+         |  FROM lbl l LEFT JOIN m ON l.doc_id = m.doc_id, mid) p
+         |GROUP BY split ORDER BY split""".stripMargin
+    },
+
     "t19_quality_classifier" ->
       s"""${centroidOracle(256, 26, 65536L)}
          |SELECT l.doc_id, COALESCE(m.margin, 0) AS margin,
