@@ -226,6 +226,29 @@ object ScaleProbe {
       classify(d10, "50k docs")
     }
 
+    // round-5: SQLite row triggers at 10× — an audit trigger with an
+    // INSERT-VALUES body runs SET-BASED (INSERT..SELECT over the
+    // affected-row frame), so a 60k-row UPDATE fires one aggregate-free
+    // insert of 60k audit rows, not 60k driver statements. The per-row
+    // fallback is capped and would refuse this size.
+    {
+      // sessions never write back to their source files (mutations are
+      // in-memory; no auto-save configured) — opening the testdata file
+      // directly is safe
+      val sess = graft.session.GraftSession.open(spark, s"$dir/orders.parquet")
+      sess.sql("CREATE TABLE audit (okey INTEGER, act TEXT)")
+      sess.sql("""CREATE TRIGGER au AFTER UPDATE ON orders BEGIN
+        INSERT INTO audit VALUES (NEW.o_orderkey, 'U'); END""")
+      t("trigger: 75k-row UPDATE with set-based audit body")(
+        sess.sql("UPDATE orders SET o_totalprice = o_totalprice + 1.0 " +
+          "WHERE o_orderkey % 2 = 0"))
+      val audited = sess.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0)
+      println(s"SCALE trigger audit rows: $audited")
+      assert(audited == Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0).count(), "audit row per affected row")
+      sess.close()
+    }
+
     // round-5: the streaming-CDC snapshot swap under CONCURRENT reads —
     // a reader loop (healSwap + read + retry, the documented
     // restartable-read discipline) consumes the snapshot while the

@@ -35,11 +35,15 @@ object Mutations {
 
   final case class Insert(table: String, columns: Option[Seq[String]],
       tuples: Seq[Seq[String]]) extends Mutation {
-    /** Plan snapshot of the aligned inserted rows (pre-union) — the
-      * trigger layer binds NEW to it. Cheap: a literal local relation. */
-    @transient private[graft] var insertedSnapshot: Option[DataFrame] = None
+    def apply(spark: SparkSession, current: DataFrame): DataFrame =
+      current.unionByName(plannedRows(spark, current))
 
-    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+    /** The aligned to-be-inserted rows (pre-union) — a cheap literal
+      * local relation; the trigger layer binds NEW to it. Recomputed
+      * per call: implicit rowids derive from the max over the `current`
+      * passed in, so the post-BEFORE-trigger state assigns them
+      * (SQLite assigns rowids at actual insert time). */
+    private[graft] def plannedRows(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
       val givenCols = resolveColumns(columns.getOrElse(targetCols), targetCols,
         s"INSERT INTO $table")
@@ -87,11 +91,9 @@ object Mutations {
           }
         }: _*)
       }
-      val newRows = spark.range(1)
+      spark.range(1)
         .select(explode(array(structs: _*)).as("__r"))
         .select(targetCols.map(c => col(s"__r.`$c`").as(c)): _*)
-      insertedSnapshot = Some(newRows)
-      current.unionByName(newRows)
     }
   }
 
@@ -117,10 +119,20 @@ object Mutations {
       select: String) extends Mutation {
     /** Plan snapshot of the aligned inserted rows (pre-union): lets the
       * session count inserted rows with one scan of just the insert
-      * source instead of re-executing the whole lineage twice. */
+      * source instead of re-executing the whole lineage twice, and the
+      * trigger layer binds NEW to it. Memoized: a BEFORE trigger sees
+      * the SAME materialized rows the statement then inserts (the
+      * SELECT evaluates once, against the pre-trigger catalog — SQLite
+      * calls same-table interference from BEFORE bodies undefined). */
     @transient private[graft] var insertedSnapshot: Option[DataFrame] = None
 
-    def apply(spark: SparkSession, current: DataFrame): DataFrame = {
+    private[graft] def plannedRows(spark: SparkSession, current: DataFrame): DataFrame =
+      insertedSnapshot.getOrElse(buildRows(spark, current))
+
+    def apply(spark: SparkSession, current: DataFrame): DataFrame =
+      current.unionByName(plannedRows(spark, current))
+
+    private def buildRows(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
       val hasAutoRowid = targetCols.contains("rowid") &&
         current.schema("rowid").dataType == org.apache.spark.sql.types.LongType
@@ -163,7 +175,7 @@ object Mutations {
       // matches SQLite's eager insert semantics).
       val rows = renamed.select(aligned: _*).localCheckpoint()
       insertedSnapshot = Some(rows)
-      current.unionByName(rows)
+      rows
     }
   }
 
@@ -222,7 +234,9 @@ object Mutations {
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
-  private def unquote(ident: String): String =
+  /** Strip one layer of double quotes — the single identifier-unquoting
+    * rule shared with the trigger parser. */
+  private[graft] def unquote(ident: String): String =
     if (ident.startsWith("\"") && ident.endsWith("\"")) ident.substring(1, ident.length - 1)
     else ident
 

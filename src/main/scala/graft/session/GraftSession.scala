@@ -643,12 +643,27 @@ final class GraftSession private[session] (
           // failure — must undo the mutation AND every trigger effect
           val preSnapshot = snapshotNow
           try {
-            val next = boundPlanDepth(name, mutation(spark, current))
-            fireTriggers(trigs, mutation, current, "BEFORE")
-            recordMutationState(mutation, current, next)
+            // BEFORE bodies see (and may mutate) the pre-statement
+            // tables; the statement is then planned from the
+            // post-BEFORE state, so a BEFORE INSERT body's insert into
+            // the same table survives (SQLite keeps both; for
+            // UPDATE/DELETE rows a BEFORE body touched, SQLite declares
+            // the result undefined — here the statement re-evaluates
+            // its predicate against the post-BEFORE state)
+            fireTriggers(trigs.filter(_.timing == "BEFORE"), mutation, current)
+            val base = table(name)
+            val next = boundPlanDepth(name, mutation(spark, base))
+            recordMutationState(mutation, base, next)
+            // the AFTER-trigger row binding must resolve any subquery in
+            // the statement's predicates against the PRE-mutation
+            // catalog — DataFrame construction analyzes eagerly, so
+            // build it before the table view is re-pointed at post-state
+            val afterTrigs = trigs.filter(_.timing == "AFTER")
+            val affectedAfter =
+              if (afterTrigs.nonEmpty) Some(affectedRows(mutation, base)) else None
             tables.update(name, next)
             next.createOrReplaceTempView(name)
-            fireTriggers(trigs, mutation, current, "AFTER")
+            affectedAfter.foreach(fireWith(afterTrigs, _))
           } catch {
             case e: TriggerAbortError =>
               restoreSnapshot(preSnapshot)
@@ -702,12 +717,10 @@ final class GraftSession private[session] (
       struct(df.columns.toSeq.map(c => col(s"`$c`").as(c)): _*).as(alias)
     m match {
       case ins: Mutations.Insert =>
-        val rows = ins.insertedSnapshot.getOrElse(
-          throw new IllegalStateException("trigger fired before INSERT planning"))
+        val rows = ins.plannedRows(spark, prev)
         rows.select(asStruct(rows, "NEW"))
       case ins: Mutations.InsertSelect =>
-        val rows = ins.insertedSnapshot.getOrElse(
-          throw new IllegalStateException("trigger fired before INSERT planning"))
+        val rows = ins.plannedRows(spark, prev)
         rows.select(asStruct(rows, "NEW"))
       case u: Mutations.Update =>
         // same matched-row semantics as changes(): NULL predicates don't match
@@ -725,16 +738,16 @@ final class GraftSession private[session] (
     }
   }
 
-  private def fireTriggers(trigs: Seq[TriggerDef], m: Mutations.Mutation,
-      prev: DataFrame, timing: String): Unit = {
+  private def fireTriggers(relevant: Seq[TriggerDef], m: Mutations.Mutation,
+      prev: DataFrame): Unit =
+    if (relevant.nonEmpty) fireWith(relevant, affectedRows(m, prev))
+
+  private def fireWith(relevant: Seq[TriggerDef], affectedAll: DataFrame): Unit = {
     import org.apache.spark.sql.functions.expr
-    val relevant = trigs.filter(_.timing == timing)
-    if (relevant.isEmpty) return
-    val affectedAll = affectedRows(m, prev)
     for (td <- relevant) {
       // WHEN references NEW/OLD; a NULL result skips the row, like WHERE
       val affected = td.when.map(w => affectedAll.filter(expr(w))).getOrElse(affectedAll)
-      Triggers.vectorize(td.body) match {
+      td.vectorized match {
         case Some(vec) => fireVectorized(td, affected, vec)
         case None => fireByRow(td, affected)
       }
@@ -799,10 +812,14 @@ final class GraftSession private[session] (
           }
           if (hit) throw TriggerAbortError(td.name, kind, msg)
         case None =>
-          val out = sql(substituted)
+          // non-canonical RAISE shapes (e.g. embedded in a CASE) become
+          // Spark's raise_error so conditional aborts actually execute;
+          // kind distinctions collapse to ABORT on this path (documented)
+          val executed = Triggers.rewriteRaise(substituted)
+          val out = sql(executed)
           // SELECT statements in a trigger body run for their side
-          // effects (RAISE embedded in a CASE) — force them
-          if (substituted.matches("(?is)^\\s*(SELECT|WITH)\\b.*"))
+          // effects (the RAISE above) — force them
+          if (executed.matches("(?is)^\\s*(SELECT|WITH)\\b.*"))
             try out.collect()
             catch {
               case e: org.apache.spark.SparkThrowable

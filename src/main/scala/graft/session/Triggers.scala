@@ -34,7 +34,11 @@ final case class TriggerDef(
     table: String,
     when: Option[String],
     body: Seq[String],
-    createSql: String)
+    createSql: String) {
+  /** Set-based body compilation, memoized per definition so firing
+    * doesn't re-parse the body on every DML statement. */
+  lazy val vectorized: Option[Seq[Triggers.VecStmt]] = Triggers.vectorize(body)
+}
 
 object Triggers {
 
@@ -46,10 +50,7 @@ object Triggers {
       """("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)\s*""" +
       """(?:FOR\s+EACH\s+ROW\s*)?(?:WHEN\s+(.+?))?\s*$""").r
 
-  private def unquote(ident: String): String =
-    if (ident.startsWith("\"") && ident.endsWith("\""))
-      ident.substring(1, ident.length - 1)
-    else ident
+  private def unquote(ident: String): String = Mutations.unquote(ident)
 
   /** Parse a full `CREATE TRIGGER … BEGIN stmts END` statement.
     * Returns (def, ifNotExists). */
@@ -150,6 +151,43 @@ object Triggers {
   def hasRaiseIgnore(stmt: String): Boolean =
     RaiseIgnoreRe.pattern.matcher(stmt).matches()
 
+  private val RaiseCallRe =
+    """(?is)^RAISE\s*\(\s*(?:ABORT|FAIL|ROLLBACK)\s*,\s*('(?:[^']|'')*')\s*\)""".r
+
+  /** Rewrite SQLite `RAISE(kind, 'msg')` calls to Spark's
+    * `raise_error('msg')` so non-canonical shapes (RAISE inside a CASE)
+    * actually execute on the per-row path. Kind distinctions collapse
+    * to ABORT here — only the canonical `SELECT RAISE(…) WHERE …`
+    * statement shape preserves ROLLBACK semantics. Quote-aware:
+    * occurrences inside string literals are left alone. */
+  def rewriteRaise(stmt: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    val n = stmt.length
+    while (i < n) {
+      val c = stmt.charAt(i)
+      if (inStr) {
+        sb += c
+        if (c == '\'') inStr = false
+        i += 1
+      } else if (c == '\'') {
+        sb += c; inStr = true; i += 1
+      } else {
+        val prevOk = i == 0 || !isWordChar(stmt.charAt(i - 1))
+        val m = if (prevOk) RaiseCallRe.findPrefixMatchOf(stmt.substring(i)) else None
+        m match {
+          case Some(mm) =>
+            sb ++= s"raise_error(${mm.group(1)})"
+            i += mm.end
+          case None =>
+            sb += c; i += 1
+        }
+      }
+    }
+    sb.result()
+  }
+
   /** Try to compile every body statement to a set-based form; None ⇒ the
     * body needs faithful per-row firing. */
   def vectorize(body: Seq[String]): Option[Seq[VecStmt]] = {
@@ -159,7 +197,10 @@ object Triggers {
       case SelectRaiseRe(kind, msg, cond) =>
         out += VecRaise(kind.toUpperCase, msg.replace("''", "'"), Option(cond).map(_.trim))
       case InsertValuesRe(tableI, _, cols, values) =>
-        val columns = Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        // unquote here: fireVectorized re-quotes each name, so a quoted
+        // source column would otherwise end up doubly quoted
+        val columns = Option(cols).map(
+          _.split(",").map(c => unquote(c.trim)).filter(_.nonEmpty).toSeq)
         val tuples = Mutations.splitTopLevel(values, ',').map(_.trim)
         for (t <- tuples) {
           if (!t.startsWith("(") || !t.endsWith(")")) return None
@@ -217,7 +258,16 @@ object Triggers {
         // the double type so arithmetic downstream keeps double semantics
         s"CAST('$d' AS DOUBLE)"
       case _: DecimalType => v.toString
-      case TimestampType => s"TIMESTAMP '${v.toString}'"
+      case TimestampType =>
+        // java.sql.Timestamp.toString renders in the JVM-default zone,
+        // but the literal re-parses under the session's pinned UTC —
+        // format the instant in UTC explicitly so non-UTC JVMs don't
+        // shift the value
+        val utc = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(v.asInstanceOf[java.sql.Timestamp].toInstant)
+        s"TIMESTAMP '$utc'"
       case DateType => s"DATE '${v.toString}'"
       case BinaryType =>
         val hex = v.asInstanceOf[Array[Byte]].map(b => f"$b%02X").mkString

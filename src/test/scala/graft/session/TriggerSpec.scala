@@ -191,6 +191,54 @@ class TriggerSpec extends SparkSpec {
     s.close()
   }
 
+  test("BEFORE INSERT body inserting into the same table keeps both rows") {
+    val s = openSess("trg-self-before")
+    s.sql("""CREATE TRIGGER pre BEFORE INSERT ON users BEGIN
+            |  INSERT INTO users VALUES (NEW.id + 500, 'pre', 'bot', 0); END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (20, 'Max', 'user', 10)")
+    // SQLite (recursive_triggers off) keeps the body's row AND the
+    // statement's row
+    val ids = s.sql("SELECT id FROM users WHERE id >= 20 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(20L, 520L))
+    s.close()
+  }
+
+  test("AFTER trigger binds OLD from PRE-statement state even with subquery WHERE") {
+    val s = openSess("trg-subq")
+    s.sql("""CREATE TRIGGER dl AFTER DELETE ON users BEGIN
+            |  INSERT INTO audit VALUES (OLD.id, 'D'); END""".stripMargin)
+    // the IN-subquery reads the same table the statement mutates: the
+    // trigger's OLD set must resolve it against the PRE-delete state
+    s.sql("DELETE FROM users WHERE id IN (SELECT MAX(id) FROM users)")
+    assert(s.sql("SELECT uid FROM audit").head().getLong(0) == 3L)
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 2L)
+    s.close()
+  }
+
+  test("RAISE embedded in a CASE aborts conditionally on the per-row path") {
+    val s = openSess("trg-case-raise")
+    s.sql("""CREATE TRIGGER guard BEFORE INSERT ON users BEGIN
+            |  SELECT CASE WHEN NEW.id < 0 THEN RAISE(ABORT, 'neg id') END;
+            |END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (21, 'Nia', 'user', 10)") // passes
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 4L)
+    val e = intercept[graft.TriggerAbortError](
+      s.sql("INSERT INTO users VALUES (-5, 'Bad', 'user', 10)"))
+    assert(e.getMessage.contains("neg id"))
+    assert(s.sql("SELECT COUNT(*) AS n FROM users").head().getLong(0) == 4L)
+    s.close()
+  }
+
+  test("quoted column list in a vectorized INSERT body resolves") {
+    val s = openSess("trg-quoted")
+    s.sql("""CREATE TRIGGER au AFTER INSERT ON users BEGIN
+            |  INSERT INTO audit ("uid", action) VALUES (NEW.id, 'I'); END""".stripMargin)
+    s.sql("INSERT INTO users VALUES (22, 'Oz', 'user', 20)")
+    assert(s.sql("SELECT uid FROM audit").head().getLong(0) == 22L)
+    s.close()
+  }
+
   test("ALTER TABLE RENAME re-points triggers at the new name") {
     val s = openSess("trg-ren")
     s.sql("CREATE TRIGGER au AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
