@@ -83,33 +83,101 @@ object Classifier {
     * sign re-applied) states the identical rule. */
   private def truncDiv(a: Long, b: Long): Long = a / b
 
-  /** Rocchio / nearest-centroid trainer in fixed point.
+  /** Per-bucket class sums — the ADDITIVE sufficient statistics of the
+    * centroid model: (bucket, sp, sn) with sp/sn ≥ 0. One shuffle, ≤D
+    * result rows. Two corpora's sums add bucket-wise, which is what
+    * makes the persisted model appendable without retraining. */
+  def classSums(features: DataFrame, labels: DataFrame): DataFrame =
+    features.join(labels, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(
+        sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
+        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
+
+  /** Class sizes (np, nn) — the scalar half of the sufficient stats. */
+  def classCounts(labels: DataFrame): (Long, Long) = {
+    val counts = labels.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn")).head()
+    (counts.getLong(0), counts.getLong(1))
+  }
+
+  /** Model from collected sufficient statistics. The threshold needs no
+    * second corpus pass: margins are LINEAR, so the class-sum of margins
+    * is Σ_b w[b]·sp[b] (resp. sn) — derivable from the same sums. */
+  private def derive(sums: Seq[(Long, Long, Long)], np: Long, nn: Long): LinearModel = {
+    require(np > 0 && nn > 0, "centroid training needs both classes present")
+    val w = sums.map { case (b, sp, sn) => b -> (Scale * sp / np - Scale * sn / nn) }
+      .filter(_._2 != 0L).toMap
+    val smp = sums.iterator.map { case (b, sp, _) => w.getOrElse(b, 0L) * sp }.sum
+    val smn = sums.iterator.map { case (b, _, sn) => w.getOrElse(b, 0L) * sn }.sum
+    // midpoint of the class-mean margins (possibly negative → sign-aware
+    // truncating division, mirrored in the oracle)
+    LinearModel(w, truncDiv(truncDiv(smp, np) + truncDiv(smn, nn), 2L))
+  }
+
+  private def collectSums(sums: DataFrame): Seq[(Long, Long, Long)] =
+    sums.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Rocchio / nearest-centroid trainer in fixed point — ONE corpus
+    * pass (the sufficient-statistics aggregation; the threshold derives
+    * from the same sums).
     *
     * @param features (doc_id, bucket, cnt) from [[hashedFeatures]]
     * @param labels   (doc_id, y) with y ∈ {+1, -1}, one row per doc
     */
   def trainCentroid(features: DataFrame, labels: DataFrame): LinearModel = {
-    val counts = labels.agg(
-      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
-      sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn")).head()
-    val (np, nn) = (counts.getLong(0), counts.getLong(1))
-    require(np > 0 && nn > 0, "centroid training needs both classes present")
-    // per-bucket class sums (sp, sn ≥ 0) — one shuffle, ≤D result rows
-    val sums = features.join(labels, Seq("doc_id"))
-      .groupBy(col("bucket")).agg(
-        sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
-        sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
-      .collect()
-    val w = sums.map { r =>
-      r.getLong(0) -> (Scale * r.getLong(1) / np - Scale * r.getLong(2) / nn)
-    }.filter(_._2 != 0L).toMap
-    // threshold: midpoint of the class-mean margins (margins can be
-    // negative → sign-aware truncating division, mirrored in the oracle)
-    val cm = margins(features, w).join(labels, Seq("doc_id"))
-      .agg(sum(when(col("y") === 1, col("margin")).otherwise(0L)).as("smp"),
-        sum(when(col("y") === -1, col("margin")).otherwise(0L)).as("smn")).head()
-    val theta = truncDiv(truncDiv(cm.getLong(0), np) + truncDiv(cm.getLong(1), nn), 2L)
-    LinearModel(w, theta)
+    val (np, nn) = classCounts(labels)
+    derive(collectSums(classSums(features, labels)), np, nn)
+  }
+
+  // ------------------------------------------------- persisted model
+  // The centroid model's sufficient statistics are tiny (≤D sum rows +
+  // one count row) and ADDITIVE — so the persisted form supports exact
+  // append: merging a new batch's sums yields bit-for-bit the model a
+  // full retrain over the union would produce (spec-pinned). Appends
+  // rewrite the (model-sized) files via the same two-phase swap
+  // discipline as the other persisted indexes.
+
+  /** Persist the model's sufficient statistics for `features`/`labels`. */
+  def writeCentroidModel(features: DataFrame, labels: DataFrame, path: String): Unit = {
+    val spark = features.sparkSession
+    val (np, nn) = classCounts(labels)
+    require(np > 0 || nn > 0, "refusing to persist an empty model")
+    classSums(features, labels).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sums")
+    import spark.implicits._
+    Seq((np, nn)).toDF("np", "nn").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a new labeled batch into a persisted model: bucket-wise sum
+    * addition + count addition. Crash-safe via write-sibling-then-swap
+    * ([[FsOps.swapDirs]]); readers self-heal the swap window. */
+  def appendCentroidModel(spark: SparkSession, path: String,
+      features: DataFrame, labels: DataFrame): Unit = {
+    FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
+    FsOps.healSwap(spark, s"$path/meta.appending", s"$path/meta")
+    val merged = spark.read.parquet(s"$path/sums")
+      .unionByName(classSums(features, labels))
+      .groupBy(col("bucket")).agg(sum(col("sp")).as("sp"), sum(col("sn")).as("sn"))
+      .localCheckpoint() // materialize BEFORE overwriting the source
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/sums.appending")
+    FsOps.swapDirs(spark, s"$path/sums.appending", s"$path/sums")
+    val (bp, bn) = classCounts(labels)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    import spark.implicits._
+    Seq((meta.getLong(0) + bp, meta.getLong(1) + bn)).toDF("np", "nn").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta.appending")
+    FsOps.swapDirs(spark, s"$path/meta.appending", s"$path/meta")
+  }
+
+  /** Derive the servable model from persisted sufficient statistics. */
+  def readCentroidModel(spark: SparkSession, path: String): LinearModel = {
+    FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
+    FsOps.healSwap(spark, s"$path/meta.appending", s"$path/meta")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    derive(collectSums(spark.read.parquet(s"$path/sums")),
+      meta.getLong(0), meta.getLong(1))
   }
 
   /** Train a batch perceptron (theta fixed at 0 — include a constant

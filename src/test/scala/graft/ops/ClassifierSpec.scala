@@ -78,6 +78,22 @@ class ClassifierSpec extends SparkSpec {
     assert(errs(pocketed) <= 1) // docs 1,2 conflict: at most one can be right
   }
 
+  test("persisted centroid model: append equals full retrain, exactly") {
+    val path = tmpDir("centroid-model").resolve("model").toString
+    val b1 = docs.filter(col("doc_id") <= 2 || col("doc_id") === 4)
+    val b2 = docs.filter(col("doc_id") === 3 || col("doc_id") >= 5)
+    def feats(d: org.apache.spark.sql.DataFrame) =
+      Classifier.hashedFeatures(d, "doc_id", "text", 256)
+    def lbls(d: org.apache.spark.sql.DataFrame) =
+      labels.join(d.select("doc_id"), Seq("doc_id"))
+    Classifier.writeCentroidModel(feats(b1), lbls(b1), path)
+    Classifier.appendCentroidModel(spark, path, feats(b2), lbls(b2))
+    val appended = Classifier.readCentroidModel(spark, path)
+    val retrained = Classifier.trainCentroid(feats(docs), labels)
+    // additive sufficient statistics ⇒ bit-for-bit the same model
+    assert(appended == retrained)
+  }
+
   test("score: docs with no overlapping features get margin 0") {
     val feats = Classifier.hashedFeatures(docs.filter(col("doc_id") <= 3),
       "doc_id", "text", 256)
