@@ -209,4 +209,53 @@ object Graph {
     nodes.join(oneLabel, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007,
+    * deterministic variant): every node starts labeled with its own id;
+    * each iteration EVERY node simultaneously adopts the most frequent
+    * label among its distinct neighbors, ties broken toward the
+    * smallest label. Synchronous updates + a total tie order make the
+    * result a pure function of (graph, iters) — reproducible at any
+    * parallelism, replayable by the DuckDB oracle (gate s12) — where
+    * the textbook's asynchronous random-order variant is not.
+    *
+    * Unlike connected components (one label per reachable set), LPA
+    * yields finer communities: dense neighborhoods out-vote bridge
+    * edges, so two cliques joined by one edge keep distinct labels.
+    *
+    * Scale shape: per iteration one equi-join of the NARROW (long,long)
+    * edge list against the (long,long) label map and two hash
+    * aggregations — count per (node, label), then a single max of
+    * struct(count, -label) per node (argmax without a window). Shuffles
+    * carry only longs; [[Lineage.cut]] truncates the iterative lineage.
+    *
+    * @param edges directed or undirected (`srcCol`, `dstCol`) pairs —
+    *        symmetrized + deduplicated internally; self loops dropped
+    * @return (id, label) for every endpoint; label = the community's
+    *         elected id */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4, checkpointEvery: Int = 2): DataFrame = {
+    val d = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    val sym = Lineage.cut(
+      d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var i = 0
+    while (i < iters) {
+      labels = sym
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        // argmax by (count desc, label asc): labels are non-negative
+        // ids, so max of struct(cnt, -label) picks highest count then
+        // smallest label — one aggregation, no window
+        .groupBy(col("dst").as("id"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("top"))
+        .select(col("id"), (-col("top.neg")).as("label"))
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        labels = Lineage.cut(labels)
+    }
+    labels
+  }
 }

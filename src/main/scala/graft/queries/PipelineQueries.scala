@@ -415,6 +415,23 @@ object PipelineQueries {
     // ---- similarity/graph: fixed-point integer PageRank over the kNN
     // graph — corpus-centrality as a curation prior; every iteration's
     // LONG floor-division arithmetic reproduced exactly by DuckDB
+    // ---- graph: synchronous label-propagation communities over the
+    // kNN similarity graph — finer than connected components (dense
+    // neighborhoods out-vote bridge edges); deterministic variant
+    // (simultaneous updates, smallest-label ties) so 4 iterations are a
+    // pure function of the graph
+    "s12_label_prop" -> ((s, dir) => {
+      withShufflePartitions(s, 8) {
+        val e = embeds(s, dir)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+            maxCell = Int.MaxValue,
+            centroids = Some(gateCentroidsN(e, semGateNList)))
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.labelPropagation(edges, "query_id", "neighbor_id", iters = 4)
+          .orderBy(col("id"))
+      }
+    }),
+
     "s08_pagerank" -> ((s, dir) => {
       val e = embeds(s, dir)
       val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
@@ -1642,6 +1659,31 @@ object PipelineQueries {
        |  SELECT b.dst, reach.r FROM reach JOIN bi b ON b.src = reach.node)
        |SELECT node AS id, MIN(r) AS label FROM reach GROUP BY node ORDER BY id""".stripMargin
 
+  /** Label-propagation oracle: the s08/s09 kNN edge CTEs, then 4
+    * unrolled synchronous vote rounds — per round a neighbor-label
+    * count and a ROW_NUMBER argmax (count desc, label asc), exactly the
+    * struct-max [[graft.ops.Graph.labelPropagation]] computes. Each
+    * l_i is referenced once, so the chain inlines linearly. */
+  private def s12OracleSql: String = {
+    val lpChain = (1 to 4).map { i =>
+      s"""c$i AS (
+         |  SELECT b.dst AS id, l.lbl, COUNT(*) AS c
+         |  FROM bi b JOIN l${i - 1} l ON l.id = b.src GROUP BY b.dst, l.lbl),
+         |l$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |ds AS (SELECT src, dst FROM edges WHERE src <> dst),
+       |bi AS (SELECT src, dst FROM ds UNION SELECT dst, src FROM ds),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM bi),
+       |$lpChain
+       |SELECT id, lbl AS label FROM l4 ORDER BY id""".stripMargin
+  }
+
   /** k-means oracle: 3 unrolled Lloyd iterations. Assignment rank
     * `‖c‖² − 2·x·c` via in-order `list_inner_product` (ties →
     * lowest cluster, same as Spark's least-of-structs); centroid
@@ -2093,6 +2135,7 @@ object PipelineQueries {
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
     "s09_components" -> s09OracleSql,
+    "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,
     "s11_trustrank" -> s11OracleSql,
     "d11_semantic_contam" -> d11OracleSql,

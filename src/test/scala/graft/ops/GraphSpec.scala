@@ -9,6 +9,35 @@ class GraphSpec extends SparkSpec {
   private val SCALE = 1000000000L
   private val BASE = SCALE * 15L / 100L
 
+  test("labelPropagation: cliques absorb their members; a bridge does not merge them") {
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10: LPA
+    // must keep two communities (dense votes beat the single bridge),
+    // where connected components would collapse them into one
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val got = Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(10L), got(11L), got(12L)).size == 1)
+    assert(got(1L) != got(10L), "bridge must not merge the two cliques")
+    // components DO merge them — LPA is strictly finer here
+    val comp = Graph.connectedComponentsStar(
+      edges.select(col("a").as("id_a"), col("b").as("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(12L))
+  }
+
+  test("labelPropagation: deterministic under partitioning and checkpoint cadence") {
+    val edges = (1L to 40L).flatMap(i => Seq((i, (i % 8) + 100L), (i, ((i + 3) % 8) + 100L)))
+      .toDF("a", "b")
+    def run(parts: Int, ckpt: Int) =
+      Graph.labelPropagation(edges.repartition(parts), "a", "b",
+          iters = 4, checkpointEvery = ckpt)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(1, 2) == run(13, 2))
+    assert(run(13, 2) == run(13, 1))
+  }
+
   test("pageRankInt: one iteration on a star matches hand arithmetic") {
     // 1→3, 2→3 ; 3 dangling
     val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
