@@ -241,4 +241,26 @@ object Classifier {
       .select(col("doc_id"),
         coalesce(col("margin"), lit(0L)).as("margin"),
         when(coalesce(col("margin"), lit(0L)) > model.theta, 1).otherwise(-1).as("pred"))
+
+  /** Row-local margin — the SERVING path: Σ_tokens w[bucket(token)],
+    * computed inside one projection from a broadcast weight-map
+    * literal. No feature shuffle, no state, so it scores unbounded
+    * STREAMS (plain append-mode projection) and costs one map lookup
+    * per token at 100 TB. Bitwise equal to [[score]]'s margins:
+    * weights are linear in counts, so the per-token sum IS the
+    * per-bucket dot product (spec-pinned).
+    *
+    * @param numBuckets must match the [[hashedFeatures]] dimension the
+    *        model was trained with */
+  def localMargin(text: Column, model: LinearModel, numBuckets: Int = 256): Column = {
+    val wmap = typedLit(model.weights)
+    aggregate(
+      transform(TextAnalysis.tokens(text),
+        t => coalesce(element_at(wmap, tokenBucket(t, numBuckets)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Row-local prediction: +1 iff [[localMargin]] > theta. */
+  def localPred(text: Column, model: LinearModel, numBuckets: Int = 256): Column =
+    when(localMargin(text, model, numBuckets) > model.theta, 1).otherwise(-1)
 }

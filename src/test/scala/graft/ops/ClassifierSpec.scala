@@ -94,6 +94,19 @@ class ClassifierSpec extends SparkSpec {
     assert(appended == retrained)
   }
 
+  test("localMargin (row-local serving path) is bitwise equal to the join scorer") {
+    val feats = Classifier.hashedFeatures(docs, "doc_id", "text", 256)
+    val model = Classifier.trainCentroid(feats, labels)
+    val joined = Classifier.score(feats, docs, model)
+      .select("doc_id", "margin", "pred").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val local = docs.select(col("doc_id"),
+        Classifier.localMargin(col("text"), model).as("margin"),
+        Classifier.localPred(col("text"), model).as("pred"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(local == joined)
+  }
+
   test("score: docs with no overlapping features get margin 0") {
     val feats = Classifier.hashedFeatures(docs.filter(col("doc_id") <= 3),
       "doc_id", "text", 256)

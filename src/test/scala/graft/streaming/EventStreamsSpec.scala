@@ -70,6 +70,35 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trained quality classifier scores a document stream statelessly") {
+    import graft.ops.Classifier
+    val docs = Seq((1L, "good fine great shared"), (2L, "bad awful poor shared"),
+      (3L, "good nice fine words"), (4L, "poor bad awful words"))
+    val df = docs.toDF("doc_id", "text")
+    val labels = df.select(col("doc_id"),
+      when(col("doc_id") % 2 === 1, 1).otherwise(-1).as("y"))
+    val model = Classifier.trainCentroid(
+      Classifier.hashedFeatures(df, "doc_id", "text", 64), labels)
+    def scored(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), Classifier.localMargin(col("text"), model, 64).as("margin"),
+        Classifier.localPred(col("text"), model, 64).as("pred"))
+    val batch = scored(df).orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    // row-local margins: plain append-mode projection, no state store
+    val q = scored(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("corpus-prep transforms (quality + langid) are stream-capable and match batch") {
     import graft.ops.TextAnalysis
     val docs = Seq(
