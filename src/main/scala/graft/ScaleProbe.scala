@@ -228,8 +228,8 @@ object ScaleProbe {
 
     // round-5: SQLite row triggers at 10× — an audit trigger with an
     // INSERT-VALUES body runs SET-BASED (INSERT..SELECT over the
-    // affected-row frame), so a 60k-row UPDATE fires one aggregate-free
-    // insert of 60k audit rows, not 60k driver statements. The per-row
+    // affected-row frame), so a 75k-row UPDATE fires one aggregate-free
+    // insert of 75k audit rows, not 75k driver statements. The per-row
     // fallback is capped and would refuse this size.
     {
       // sessions never write back to their source files (mutations are

@@ -35,15 +35,29 @@ object Mutations {
 
   final case class Insert(table: String, columns: Option[Seq[String]],
       tuples: Seq[Seq[String]]) extends Mutation {
+    // memoized per base plan (reference equality): rowid assignment runs
+    // an EAGER max(rowid) job over the table, and one statement binds
+    // these rows up to three times (BEFORE trigger, apply, AFTER
+    // trigger) — all against the same base unless a BEFORE body mutated
+    // the table, in which case the rebuild is exactly what SQLite's
+    // assign-at-insert-time rowid semantics want
+    @transient private var cached: Option[(DataFrame, DataFrame)] = None
+
     def apply(spark: SparkSession, current: DataFrame): DataFrame =
       current.unionByName(plannedRows(spark, current))
 
     /** The aligned to-be-inserted rows (pre-union) — a cheap literal
-      * local relation; the trigger layer binds NEW to it. Recomputed
-      * per call: implicit rowids derive from the max over the `current`
-      * passed in, so the post-BEFORE-trigger state assigns them
-      * (SQLite assigns rowids at actual insert time). */
-    private[graft] def plannedRows(spark: SparkSession, current: DataFrame): DataFrame = {
+      * local relation; the trigger layer binds NEW to it. */
+    private[graft] def plannedRows(spark: SparkSession, current: DataFrame): DataFrame =
+      cached match {
+        case Some((base, rows)) if base eq current => rows
+        case _ =>
+          val rows = buildRows(spark, current)
+          cached = Some((current, rows))
+          rows
+      }
+
+    private def buildRows(spark: SparkSession, current: DataFrame): DataFrame = {
       val targetCols = current.columns.toSeq
       val givenCols = resolveColumns(columns.getOrElse(targetCols), targetCols,
         s"INSERT INTO $table")

@@ -93,11 +93,12 @@ object Classifier {
         sum(when(col("y") === 1, col("cnt")).otherwise(0L)).as("sp"),
         sum(when(col("y") === -1, col("cnt")).otherwise(0L)).as("sn"))
 
-  /** Class sizes (np, nn) — the scalar half of the sufficient stats. */
+  /** Class sizes (np, nn) — the scalar half of the sufficient stats.
+    * Coalesced so an empty label frame reads (0, 0), not a NULL unbox. */
   def classCounts(labels: DataFrame): (Long, Long) = {
     val counts = labels.agg(
-      sum(when(col("y") === 1, 1L).otherwise(0L)).as("np"),
-      sum(when(col("y") === -1, 1L).otherwise(0L)).as("nn")).head()
+      coalesce(sum(when(col("y") === 1, 1L).otherwise(0L)), lit(0L)).as("np"),
+      coalesce(sum(when(col("y") === -1, 1L).otherwise(0L)), lit(0L)).as("nn")).head()
     (counts.getLong(0), counts.getLong(1))
   }
 
@@ -131,53 +132,58 @@ object Classifier {
   }
 
   // ------------------------------------------------- persisted model
-  // The centroid model's sufficient statistics are tiny (≤D sum rows +
-  // one count row) and ADDITIVE — so the persisted form supports exact
-  // append: merging a new batch's sums yields bit-for-bit the model a
-  // full retrain over the union would produce (spec-pinned). Appends
-  // rewrite the (model-sized) files via the same two-phase swap
-  // discipline as the other persisted indexes.
+  // The centroid model's sufficient statistics are tiny (≤D sum rows)
+  // and ADDITIVE — so the persisted form supports exact append: merging
+  // a new batch's sums yields bit-for-bit the model a full retrain over
+  // the union would produce (spec-pinned). The class counts (np, nn)
+  // live IN the sums table as a sentinel bucket −1 row (real buckets
+  // are ≥ 0) — counts are additive stats like any other, and a single
+  // table means a single [[FsOps.swapDirs]] per append: the whole model
+  // commits atomically (a sums/meta split would leave a crash window
+  // BETWEEN two swaps where weights divide by stale class counts).
+  //
+  // Lifecycle: a single-class model may be persisted (append the other
+  // class later); DERIVING a servable model requires both classes —
+  // readCentroidModel throws the informative require until then.
+
+  private val CountsBucket = -1L
+
+  private def statsFor(features: DataFrame, labels: DataFrame): DataFrame = {
+    import features.sparkSession.implicits._
+    val (np, nn) = classCounts(labels)
+    classSums(features, labels).unionByName(
+      Seq((CountsBucket, np, nn)).toDF("bucket", "sp", "sn"))
+  }
 
   /** Persist the model's sufficient statistics for `features`/`labels`. */
   def writeCentroidModel(features: DataFrame, labels: DataFrame, path: String): Unit = {
-    val spark = features.sparkSession
-    val (np, nn) = classCounts(labels)
-    require(np > 0 || nn > 0, "refusing to persist an empty model")
-    classSums(features, labels).coalesce(1)
+    require(!labels.isEmpty, "refusing to persist an empty model")
+    statsFor(features, labels).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/sums")
-    import spark.implicits._
-    Seq((np, nn)).toDF("np", "nn").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Fold a new labeled batch into a persisted model: bucket-wise sum
-    * addition + count addition. Crash-safe via write-sibling-then-swap
-    * ([[FsOps.swapDirs]]); readers self-heal the swap window. */
+  /** Fold a new labeled batch into a persisted model: bucket-wise
+    * addition (the sentinel counts row adds like every other). One
+    * write-sibling-then-swap — the model commits atomically; readers
+    * self-heal the swap's delete→rename window. */
   def appendCentroidModel(spark: SparkSession, path: String,
       features: DataFrame, labels: DataFrame): Unit = {
     FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
-    FsOps.healSwap(spark, s"$path/meta.appending", s"$path/meta")
     val merged = spark.read.parquet(s"$path/sums")
-      .unionByName(classSums(features, labels))
+      .unionByName(statsFor(features, labels))
       .groupBy(col("bucket")).agg(sum(col("sp")).as("sp"), sum(col("sn")).as("sn"))
       .localCheckpoint() // materialize BEFORE overwriting the source
     merged.coalesce(1).write.mode("overwrite").parquet(s"$path/sums.appending")
     FsOps.swapDirs(spark, s"$path/sums.appending", s"$path/sums")
-    val (bp, bn) = classCounts(labels)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    import spark.implicits._
-    Seq((meta.getLong(0) + bp, meta.getLong(1) + bn)).toDF("np", "nn").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta.appending")
-    FsOps.swapDirs(spark, s"$path/meta.appending", s"$path/meta")
   }
 
   /** Derive the servable model from persisted sufficient statistics. */
   def readCentroidModel(spark: SparkSession, path: String): LinearModel = {
     FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
-    FsOps.healSwap(spark, s"$path/meta.appending", s"$path/meta")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    derive(collectSums(spark.read.parquet(s"$path/sums")),
-      meta.getLong(0), meta.getLong(1))
+    val all = collectSums(spark.read.parquet(s"$path/sums"))
+    val (counts, sums) = all.partition(_._1 == CountsBucket)
+    require(counts.nonEmpty, s"corrupt centroid model at $path: no counts row")
+    derive(sums, counts.head._2, counts.head._3)
   }
 
   /** Train a batch perceptron (theta fixed at 0 — include a constant

@@ -235,15 +235,20 @@ object Graph {
     *         elected id */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 4, checkpointEvery: Int = 2): DataFrame = {
-    val d = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).filter(col("src") =!= col("dst"))
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // every endpoint — including self-loop-only nodes, which vote with
+    // nobody but must still appear as label=id singleton communities
+    // (same keep-alive convention as pageRankInt's zero-weight selves)
+    val allNodes = Lineage.cut(raw.select(col("src").as("id"))
+      .union(raw.select(col("dst").as("id"))).distinct())
+    val d = raw.filter(col("src") =!= col("dst"))
     val sym = Lineage.cut(
       d.union(d.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var labels = nodes.select(col("id"), col("id").as("label"))
+    var labels = allNodes.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < iters) {
-      labels = sym
+      val voted = sym
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         // argmax by (count desc, label asc): labels are non-negative
@@ -252,6 +257,8 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("top"))
         .select(col("id"), (-col("top.neg")).as("label"))
+      labels = allNodes.join(voted, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
       i += 1
       if (checkpointEvery > 0 && i % checkpointEvery == 0)
         labels = Lineage.cut(labels)

@@ -816,10 +816,18 @@ final class GraftSession private[session] (
           // Spark's raise_error so conditional aborts actually execute;
           // kind distinctions collapse to ABORT on this path (documented)
           val executed = Triggers.rewriteRaise(substituted)
+          val isSelect = executed.matches("(?is)^\\s*(SELECT|WITH)\\b.*")
+          if (executed != substituted && !isSelect)
+            // a raise_error inside a lazily-applied mutation would fire
+            // at some LATER materialization — outside this statement's
+            // try/restore atomicity window, with trigger effects kept
+            throw UnsupportedStatementError(stmt,
+              "RAISE inside a non-SELECT trigger-body statement is not supported — " +
+                "move the check into a SELECT RAISE(...) WHERE ... statement")
           val out = sql(executed)
           // SELECT statements in a trigger body run for their side
           // effects (the RAISE above) — force them
-          if (executed.matches("(?is)^\\s*(SELECT|WITH)\\b.*"))
+          if (isSelect)
             try out.collect()
             catch {
               case e: org.apache.spark.SparkThrowable

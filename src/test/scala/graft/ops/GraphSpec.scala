@@ -15,11 +15,14 @@ class GraphSpec extends SparkSpec {
     // where connected components would collapse them into one
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
-    val got = Graph.labelPropagation(edges, "a", "b", iters = 4)
+    val got = Graph.labelPropagation(
+        edges.union(Seq((50L, 50L)).toDF("a", "b")), "a", "b", iters = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Set(got(1L), got(2L), got(3L)).size == 1)
     assert(Set(got(10L), got(11L), got(12L)).size == 1)
     assert(got(1L) != got(10L), "bridge must not merge the two cliques")
+    // a self-loop-only node is kept as its own singleton community
+    assert(got(50L) == 50L)
     // components DO merge them — LPA is strictly finer here
     val comp = Graph.connectedComponentsStar(
       edges.select(col("a").as("id_a"), col("b").as("id_b")))
