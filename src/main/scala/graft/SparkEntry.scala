@@ -22,7 +22,7 @@ import graft.queries._
   *              SQLite row triggers (set-based audit-trigger path)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
-  *   - s0*/s1*  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
+  *   - s01–s12  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means)
   *   - t0*      text analysis (tokens, quality, langid, fingerprint, edit)

@@ -1112,6 +1112,54 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events: STREAM-STREAM LEFT OUTER interval join — every
+    // purchase appears, null-extended when the user had no click in the
+    // preceding hour. Matches emit immediately; null-extended rows emit
+    // once the watermark proves the right side complete past them, so
+    // the comparison is restricted to purchases strictly below the
+    // final watermark (min of both sources' max ts − 1 h delay) with a
+    // 1-minute guard band — a cutoff BOTH engines derive from the data,
+    // keeping the gate deterministic without trusting engine-internal
+    // boundary adjustments
+    "e13_stream_outer_join" -> ((s, dir) => {
+      val sink = "e13_loj_out"
+      val streamDir = graft.Paths.scratchDir("graft-loj-stream-")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val purchases = EventStreams.readStreamNanos(s, streamDir.toString)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = EventStreams.readStreamNanos(s, streamDir.toString)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          col("ts").as("c_ts"), col("value").as("c_value"))
+      withShufflePartitions(s, 4) {
+        val q = EventStreams.intervalJoinLeftOuter(purchases, clicks, "user_id",
+            "p_ts", "c_ts", "1 HOUR", watermark = "1 HOUR")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val bounds = Tables.load(s, dir, "events").agg(
+        max(when(col("event_type") === "purchase", col("ts"))).as("mp"),
+        max(when(col("event_type") === "click", col("ts"))).as("mc")).head()
+      val minMax = Seq(bounds.getTimestamp(0), bounds.getTimestamp(1)).min(
+        Ordering.by((t: java.sql.Timestamp) => t.getTime))
+      val cutoff = java.sql.Timestamp.from(
+        minMax.toInstant.minusSeconds(3600 + 60))
+      val out = s.table(sink)
+        .filter(col("p_ts") < lit(cutoff))
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(count(col("c_id")).as("n_clicks"),
+          sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("click_total"))
+        .orderBy(col("p_id"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: as-of join — each purchase matched to the user's most
     // recent prior click (oracle: DuckDB's native ASOF JOIN)
     "e05_asof_join" -> ((s, dir) => {
@@ -2851,6 +2899,29 @@ object PipelineQueries {
         |SELECT MIN(tsu) AS session_start, user_id, COUNT(*) AS n_events
         |FROM ids GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // the same LEFT JOIN + the data-derived watermark cutoff the Spark
+    // side applies (min of both sources' max ts − 1 h delay − 1 min
+    // guard); COUNT skips NULLs and SUM over an all-NULL group is NULL
+    // in both engines, so unmatched purchases compare exactly
+    "e13_stream_outer_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts, value AS c_value
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+        |    - INTERVAL 1 HOUR - INTERVAL 1 MINUTE AS w),
+        |j AS (
+        |  SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_value
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts)
+        |SELECT p_id, user_id, COUNT(c_id) AS n_clicks,
+        |  CAST(SUM(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE) AS click_total
+        |FROM j, wm WHERE j.p_ts < wm.w
+        |GROUP BY p_id, user_id ORDER BY p_id""".stripMargin,
 
     // identical sessionization oracle as e07 — same operator semantics,
     // exercised through the streaming engine's merging state store

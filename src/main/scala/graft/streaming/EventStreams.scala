@@ -135,14 +135,30 @@ object EventStreams {
     * right `key` column is dropped from the output). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, before: String,
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None, joinType: String = "inner"): DataFrame = {
     val l = watermark.fold(left)(w => left.withWatermark(leftTs, w))
     val r = watermark.fold(right)(w => right.withWatermark(rightTs, w))
     val cond = l(key) === r(key) &&
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
       r(rightTs) <= l(leftTs)
-    l.join(r, cond, "inner").drop(r(key))
+    l.join(r, cond, joinType).drop(r(key))
   }
+
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]] but
+    * left rows with NO in-range right match are still emitted,
+    * null-extended — the "every purchase, matched or not" shape.
+    * Matched rows emit immediately (inner semantics); the null-extended
+    * rows emit only once the watermark guarantees no further right row
+    * can match (right side complete past the row's range), so in a
+    * bounded run left rows YOUNGER than the final watermark stay
+    * unemitted — callers compare below that cutoff. Both sides MUST be
+    * watermarked: the delay is what lets the engine ever declare a left
+    * row unmatched. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, before: String,
+      watermark: String): DataFrame =
+    intervalJoin(left, right, key, leftTs, rightTs, before,
+      Some(watermark), "left_outer")
 
   /** Continuous CDC materialization: fold a change STREAM (target
     * columns + op I/U/D + monotone seq, the

@@ -70,6 +70,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched rows emit once the watermark passes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoinLeftOuter(
+      purchases.toDF().select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts")),
+      clicks.toDF().select(col("event_id").as("c_id"), col("user_id"),
+        col("ts").as("c_ts")),
+      "user_id", "p_ts", "c_ts", "1 HOUR", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("loj_out")
+      .outputMode("append").start()
+    try {
+      // user 1's purchase@10min is matched by their click@9min; user 2
+      // NEVER clicks, so their purchase@130min must surface
+      // null-extended once the watermark (min of both sources' max ts −
+      // 10min = 200min) passes it
+      purchases.addData(ev(1, 10, 1, "purchase"), ev(2, 130, 2, "purchase"),
+        ev(3, 200, 9, "purchase"))
+      clicks.addData(ev(4, 9, 1, "click"), ev(5, 200, 9, "click"))
+      q.processAllAvailable()
+      // a further pass lets the engine run the no-data batch that
+      // applies the advanced watermark to join state
+      purchases.addData(ev(6, 210, 9, "purchase"))
+      clicks.addData(ev(7, 210, 9, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out")
+        .select(col("p_id"), col("c_id")).orderBy("p_id", "c_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(rows.contains((1L, 4L)), "matched purchase emits with its click")
+      assert(rows.contains((2L, -1L)), "unmatched purchase emits null-extended")
+    } finally q.stop()
+  }
+
   test("trained quality classifier scores a document stream statelessly") {
     import graft.ops.Classifier
     val docs = Seq((1L, "good fine great shared"), (2L, "bad awful poor shared"),
