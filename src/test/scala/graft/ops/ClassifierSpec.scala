@@ -107,6 +107,18 @@ class ClassifierSpec extends SparkSpec {
     assert(local == joined)
   }
 
+  test("persisted model self-heals the append swap's crash window") {
+    val path = tmpDir("centroid-heal").resolve("model").toString
+    val feats = Classifier.hashedFeatures(docs, "doc_id", "text", 256)
+    Classifier.writeCentroidModel(feats, labels, path)
+    val before = Classifier.readCentroidModel(spark, path)
+    // simulate a crash between swapDirs' delete and rename: the live
+    // copy sits complete at sums.appending, sums is gone
+    val fs = new java.io.File(path)
+    assert(new java.io.File(fs, "sums").renameTo(new java.io.File(fs, "sums.appending")))
+    assert(Classifier.readCentroidModel(spark, path) == before)
+  }
+
   test("score: docs with no overlapping features get margin 0") {
     val feats = Classifier.hashedFeatures(docs.filter(col("doc_id") <= 3),
       "doc_id", "text", 256)
