@@ -218,4 +218,69 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
     substring(md5(key.cast("string")), 1, 12) < lit(hexThresholdLex(fraction))
   }
+
+  /** Token-budget mixture planning (deterministic integer waterfilling):
+    * given per-domain token supplies, integer target weights, and a
+    * total token budget, compute how many tokens to draw per domain so
+    * the mix follows the weights until a scarce domain SATURATES (its
+    * whole supply is taken) and its unmet share re-flows to the
+    * remaining domains — the standard "compose a pretraining mix under
+    * a budget" step (e.g. The Pile / Gopher-style mixture tables).
+    *
+    * Exact integer arithmetic throughout (quota = rem·w // ΣW, trunc):
+    * the plan is a pure function of (supplies, weights, budget),
+    * reproducible anywhere — including the DuckDB oracle, which replays
+    * the saturation waves as unrolled CTE iterations (gate p14).
+    * `iterations` bounds the saturation waves; once no wave saturates a
+    * new domain the state is a fixed point, so extra iterations are
+    * no-ops (6 covers any ≤6-wave instance; worst case = #domains).
+    *
+    * Driver-side on the collected per-domain stats — model-sized input
+    * (one row per domain), like k-means centroids. The resulting
+    * fractions feed [[mixtureByHash]] for the distributed draw.
+    *
+    * @param domainStats (domain: string, tokens: long) — one row per domain
+    * @param weights     integer target weights per domain (missing ⇒ 0)
+    * @param budget      total tokens to allocate; if ≥ Σ supplies every
+    *                    domain saturates (alloc = its supply)
+    * @return (domain, tokens, alloc, fraction_ppb) with fraction_ppb =
+    *         alloc·10⁹ // tokens — the per-domain sampling rate in
+    *         parts-per-billion */
+  def tokenBudgetPlan(domainStats: DataFrame, weights: Map[String, Long],
+      budget: Long, iterations: Int = 6): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    weights.foreach { case (d, w) => require(w >= 0, s"weight $w for $d is negative") }
+    // quota arithmetic (rem·w) must stay inside 64 bits on BOTH engines
+    // (DuckDB BIGINT multiplication errors on overflow rather than
+    // widening) — small integer weights are the natural mixture spec
+    val maxW = (weights.values ++ Seq(1L)).max
+    require(maxW <= 1000000L && budget <= Long.MaxValue / math.max(maxW, 1L),
+      "weights must be ≤ 1e6 and budget·maxWeight within 64 bits")
+    val spark = domainStats.sparkSession
+    val rows = domainStats.select(col("domain").cast("string"),
+      col("tokens").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var state = rows.map { case (d, t) =>
+      (d, t, weights.getOrElse(d, 0L), t == 0L || weights.getOrElse(d, 0L) == 0L, 0L)
+    } // (domain, tokens, w, saturated, alloc) — zero-weight/empty start saturated at 0
+    var i = 0
+    while (i < iterations) {
+      val rem = budget - state.filter(_._4).map(_._5).sum
+      val wa = state.filterNot(_._4).map(_._3).sum
+      if (wa > 0L) state = state.map { case s @ (d, t, w, sat, _) =>
+        if (sat) s
+        else if (rem * w / wa >= t) (d, t, w, true, t) // saturates: take all
+        else s
+      }
+      i += 1
+    }
+    val rem = budget - state.filter(_._4).map(_._5).sum
+    val wa = state.filterNot(_._4).map(_._3).sum
+    val fin = state.map { case (d, t, w, sat, a) =>
+      val alloc = if (sat) a else rem * w / wa
+      (d, t, alloc, if (t == 0L) 0L else alloc * 1000000000L / t)
+    }
+    import spark.implicits._
+    fin.toSeq.toDF("domain", "tokens", "alloc", "fraction_ppb")
+  }
 }

@@ -662,6 +662,22 @@ object PipelineQueries {
           col("doc_id"), col("n_chars"), n = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- sampling: token-budget mixture plan — integer waterfilling
+    // allocates 90% of the corpus' tokens across the 20 sources with
+    // weights 1..20; over-weighted domains saturate (whole supply
+    // taken) and their unmet share re-flows. Both engines run EXACTLY 6
+    // saturation waves, so the plan matches wave-for-wave
+    "p14_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = d.select(col("source").as("domain"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("domain")).agg(sum(col("n")).as("tokens"))
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toLong).toMap
+      val total = stats.agg(sum(col("tokens"))).head().getLong(0)
+      graft.ops.Sampling.tokenBudgetPlan(stats, weights, total * 9L / 10L)
+        .orderBy(col("domain"))
+    }),
+
     // ---- sampling: deterministic global shuffle — contiguous 1-based
     // positions in md5(seed:key) order; the order is a pure function of
     // (seed, key), so the oracle recomputes the exact position of every
@@ -1920,6 +1936,50 @@ object PipelineQueries {
        |        FROM cm, cls))""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Sampling.tokenBudgetPlan]]: per-domain
+    * token supplies, integer weights from the source name, then `iters`
+    * unrolled saturation waves — every quota is the same rem·w // ΣW
+    * truncating division (all operands non-negative, so DuckDB's floor
+    * `//` agrees with Long `/`). MATERIALIZED: each wave references the
+    * previous state twice. */
+  private def waterfillCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH stats AS MATERIALIZED (
+        |  SELECT source AS domain,
+        |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT CAST(SUM(t) AS BIGINT) * 9 // 10 AS budget FROM stats),
+        |s0 AS MATERIALIZED (
+        |  SELECT domain, t, CAST(CAST(substr(domain, 4) AS INTEGER) + 1 AS BIGINT) AS w,
+        |    (t = 0) AS sat, CAST(0 AS BIGINT) AS alloc
+        |  FROM stats)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS MATERIALIZED (
+        |  SELECT b.budget - CAST(COALESCE(SUM(CASE WHEN sat THEN alloc END), 0) AS BIGINT) AS rem,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS BIGINT) AS wa
+        |  FROM s${i - 1}, b GROUP BY b.budget),
+        |s$i AS MATERIALIZED (
+        |  SELECT domain, t, w,
+        |    sat OR (a.wa > 0 AND (a.rem * w) // a.wa >= t) AS sat,
+        |    CASE WHEN sat THEN alloc
+        |         WHEN a.wa > 0 AND (a.rem * w) // a.wa >= t THEN t
+        |         ELSE CAST(0 AS BIGINT) END AS alloc
+        |  FROM s${i - 1}, a$i a)""".stripMargin)
+    }
+    sb.append(s""",
+      |af AS (
+      |  SELECT b.budget - CAST(COALESCE(SUM(CASE WHEN sat THEN alloc END), 0) AS BIGINT) AS rem,
+      |    CAST(COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS BIGINT) AS wa
+      |  FROM s$iters, b GROUP BY b.budget),
+      |plan AS (
+      |  SELECT domain, t AS tokens,
+      |    CASE WHEN sat THEN alloc ELSE (af.rem * w) // af.wa END AS alloc
+      |  FROM s$iters, af)""".stripMargin)
+    sb.result()
+  }
+
   private def bpeMergeCtes(k: Int): String = {
     val sb = new StringBuilder(
       """WITH words AS (
@@ -2396,6 +2456,13 @@ object PipelineQueries {
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY priority DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "p14_token_budget" ->
+      s"""${waterfillCtes(6)}
+         |SELECT domain, tokens, alloc,
+         |  CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE alloc * 1000000000 // tokens END AS fraction_ppb
+         |FROM plan ORDER BY domain""".stripMargin,
 
     // the shuffle order is md5('e1:' || key) with a key-string tie-break
     // — both engines emit lowercase-hex md5 and sort strings bytewise,

@@ -10,6 +10,28 @@ class PipelineOps5Spec extends SparkSpec {
 
   import spark.implicits._
 
+  test("tokenBudgetPlan: saturation re-flows unmet share; exact integer quotas") {
+    // supplies: a=100, b=1000, c=1000; weights 1:1:1; budget 1500.
+    // wave 1: fair quota 500 each → a saturates at 100; wave 2: rem
+    // 1400 over b,c → 700 each (no further saturation)
+    val stats = Seq(("a", 100L), ("b", 1000L), ("c", 1000L)).toDF("domain", "tokens")
+    val plan = Sampling.tokenBudgetPlan(stats,
+        Map("a" -> 1L, "b" -> 1L, "c" -> 1L), budget = 1500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(plan("a") == ((100L, 1000000000L)))
+    assert(plan("b") == ((700L, 700000000L)))
+    assert(plan("c") == ((700L, 700000000L)))
+  }
+
+  test("tokenBudgetPlan: budget over supply saturates everything; zero weight gets zero") {
+    val stats = Seq(("a", 10L), ("b", 20L), ("z", 50L)).toDF("domain", "tokens")
+    val all = Sampling.tokenBudgetPlan(stats,
+        Map("a" -> 5L, "b" -> 1L, "z" -> 0L), budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all("a") == 10L && all("b") == 20L)
+    assert(all("z") == 0L, "zero-weight domain draws nothing")
+  }
+
   private val fluent50 = // 55 words, mean word length 3.89
     "the quick brown fox jumps over the lazy dog and then runs back home " +
       "to find that all of the food it wanted to have with dinner was gone " +
