@@ -242,7 +242,8 @@ object Sampling {
     * @param domainStats (domain: string, tokens: long) — one row per domain
     * @param weights     integer target weights per domain (missing ⇒ 0)
     * @param budget      total tokens to allocate; if ≥ Σ supplies every
-    *                    domain saturates (alloc = its supply)
+    *                    positively-weighted domain saturates (alloc =
+    *                    its supply; zero-weight domains always draw 0)
     * @return (domain, tokens, alloc, fraction_ppb) with fraction_ppb =
     *         alloc·10⁹ // tokens — the per-domain sampling rate in
     *         parts-per-billion */
@@ -277,8 +278,14 @@ object Sampling {
     val rem = budget - state.filter(_._4).map(_._5).sum
     val wa = state.filterNot(_._4).map(_._3).sum
     val fin = state.map { case (d, t, w, sat, a) =>
-      val alloc = if (sat) a else rem * w / wa
-      (d, t, alloc, if (t == 0L) 0L else alloc * 1000000000L / t)
+      // capped at the supply: an instance needing MORE saturation waves
+      // than `iterations` must still never plan alloc > tokens (the
+      // excess is undrawable and fraction_ppb would exceed 1e9)
+      val alloc = if (sat) a else math.min(rem * w / wa, t)
+      // BigInt: alloc·1e9 overflows Long for allocations > ~9.2e9
+      // tokens (routine at pretraining scale); the quotient ≤ 1e9 fits
+      (d, t, alloc,
+        if (t == 0L) 0L else (BigInt(alloc) * 1000000000L / t).toLong)
     }
     import spark.implicits._
     fin.toSeq.toDF("domain", "tokens", "alloc", "fraction_ppb")

@@ -671,11 +671,22 @@ object PipelineQueries {
       val d = docs(s, dir)
       val stats = d.select(col("source").as("domain"),
           graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
-        .groupBy(col("domain")).agg(sum(col("n")).as("tokens"))
-      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toLong).toMap
-      val total = stats.agg(sum(col("tokens"))).head().getLong(0)
-      graft.ops.Sampling.tokenBudgetPlan(stats, weights, total * 9L / 10L)
+        .groupBy(col("domain")).agg(sum(col("n")).as("tokens")).cache()
+      // ONE corpus aggregation: weights and the budget derive from the
+      // collected ≤#domains rows (cached for the op's internal pass).
+      // Weight = trailing source number + 1 — the SAME name rule the
+      // oracle applies, so a regenerated corpus with a different source
+      // set cannot desynchronize the two engines.
+      val rows = stats.collect()
+      val weights = rows.map { r =>
+        val dn = r.getString(0)
+        dn -> (dn.dropWhile(!_.isDigit).toLongOption.getOrElse(0L) + 1L)
+      }.toMap
+      val total = rows.map(_.getLong(1)).sum
+      val out = graft.ops.Sampling.tokenBudgetPlan(stats, weights, total * 9L / 10L)
         .orderBy(col("domain"))
+      stats.unpersist()
+      out
     }),
 
     // ---- sampling: deterministic global shuffle — contiguous 1-based
@@ -1951,7 +1962,8 @@ object PipelineQueries {
         |  FROM documents GROUP BY source),
         |b AS (SELECT CAST(SUM(t) AS BIGINT) * 9 // 10 AS budget FROM stats),
         |s0 AS MATERIALIZED (
-        |  SELECT domain, t, CAST(CAST(substr(domain, 4) AS INTEGER) + 1 AS BIGINT) AS w,
+        |  SELECT domain, t,
+        |    COALESCE(TRY_CAST(regexp_extract(domain, '[0-9].*$') AS BIGINT), 0) + 1 AS w,
         |    (t = 0) AS sat, CAST(0 AS BIGINT) AS alloc
         |  FROM stats)""".stripMargin)
     for (i <- 1 to iters) {
@@ -1975,7 +1987,8 @@ object PipelineQueries {
       |  FROM s$iters, b GROUP BY b.budget),
       |plan AS (
       |  SELECT domain, t AS tokens,
-      |    CASE WHEN sat THEN alloc ELSE (af.rem * w) // af.wa END AS alloc
+      |    CASE WHEN sat THEN alloc
+      |         ELSE LEAST((af.rem * w) // af.wa, t) END AS alloc
       |  FROM s$iters, af)""".stripMargin)
     sb.result()
   }
