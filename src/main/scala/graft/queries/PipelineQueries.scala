@@ -689,6 +689,18 @@ object PipelineQueries {
       out
     }),
 
+    // ---- layout: Morton (Z-order) clustering key — the exact-integer
+    // bit interleave behind Layout.zorderWrite's multi-dimensional file
+    // pruning; both engines recompute every bit (the layout itself is
+    // spec-verified via per-file min/max candidate counts)
+    "p15_zorder_key" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      e.select(col("event_id"),
+          graft.ops.Layout.zValue(col("user_id") % 65536L,
+            (col("event_id") * 2654435761L) % 65536L).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- sampling: deterministic global shuffle — contiguous 1-based
     // positions in md5(seed:key) order; the order is a pure function of
     // (seed, key), so the oracle recomputes the exact position of every
@@ -2469,6 +2481,14 @@ object PipelineQueries {
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY priority DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    "p15_zorder_key" ->
+      """SELECT event_id, CAST(list_sum([
+        |    ((user_id % 65536) // CAST(2**i AS BIGINT)) % 2 * CAST(2**(2*i+1) AS BIGINT)
+        |  + (((event_id * 2654435761) % 65536) // CAST(2**i AS BIGINT)) % 2
+        |      * CAST(2**(2*i) AS BIGINT)
+        |  for i in range(0, 16)]) AS BIGINT) AS z
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p14_token_budget" ->
       s"""${waterfillCtes(6)}
