@@ -26,19 +26,18 @@ object Layout {
 
   /** Morton interleave of the low `bits` bits of two non-negative
     * integer columns: bit i of `a` lands at position 2i+1, bit i of `b`
-    * at 2i. Declarative arithmetic only — `x / 2^i` is exact for these
-    * magnitudes and truncation equals floor on non-negative values, so
-    * DuckDB replays it with `//` bit-for-bit. */
+    * at 2i. Unrolled to literal shift/mask terms — pure integer
+    * whole-stage codegen, no higher-order function, no per-row pow();
+    * the DuckDB oracle replays the same bits with floor divisions by
+    * 2^i (trunc = floor on non-negatives). */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits $bits not in [1, 31]")
     val al = a.cast("long")
     val bl = b.cast("long")
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
-      acc
-        + ((al / pow(lit(2.0), i)).cast("long") % 2L)
-          * pow(lit(2.0), i * 2 + 1).cast("long")
-        + ((bl / pow(lit(2.0), i)).cast("long") % 2L)
-          * pow(lit(2.0), i * 2).cast("long"))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
   }
 
   /** Write `df` parquet-clustered in Z-order on two non-negative
