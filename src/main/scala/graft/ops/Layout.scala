@@ -24,16 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two non-negative
-    * integer columns: bit i of `a` lands at position 2i+1, bit i of `b`
-    * at 2i. Unrolled to literal shift/mask terms — pure integer
-    * whole-stage codegen, no higher-order function, no per-row pow();
-    * the DuckDB oracle replays the same bits with floor divisions by
-    * 2^i (trunc = floor on non-negatives). */
+  /** Morton interleave of the LOW `bits` bits of two integer columns
+    * (inputs are masked to those bits first, so negative or oversized
+    * keys take their two's-complement low bits instead of producing
+    * engine-divergent garbage): bit i of `a` lands at position 2i+1,
+    * bit i of `b` at 2i. Unrolled to literal shift/mask terms — pure
+    * integer whole-stage codegen, no higher-order function, no per-row
+    * pow(); an external engine replays the same bits with floor
+    * divisions by 2^i over the masked values. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits $bits not in [1, 31]")
-    val al = a.cast("long")
-    val bl = b.cast("long")
+    val mask = lit((1L << bits) - 1L)
+    val al = a.cast("long").bitwiseAND(mask)
+    val bl = b.cast("long").bitwiseAND(mask)
     (0 until bits).map { i =>
       shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i)
@@ -49,6 +52,8 @@ object Layout {
   def zorderWrite(df: DataFrame, a: Column, b: Column, path: String,
       numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    require(!df.columns.contains("__graft_z"),
+      "input already has a __graft_z column — the write would silently replace it")
     val cols = df.columns.toSeq
     df.withColumn("__graft_z", zValue(a, b, bits))
       .repartitionByRange(numFiles, col("__graft_z"))

@@ -680,7 +680,13 @@ object PipelineQueries {
       val rows = stats.collect()
       val weights = rows.map { r =>
         val dn = r.getString(0)
-        dn -> (dn.dropWhile(!_.isDigit).toLongOption.getOrElse(0L) + 1L)
+        // ASCII digits only (Character.isDigit accepts Unicode digits
+        // DuckDB's [0-9] does not) and folded mod 1000 so an arbitrary
+        // regenerated name can neither diverge from the oracle nor trip
+        // the planner's 64-bit weight bound; >19-digit tails overflow
+        // to None here and to NULL under the oracle's TRY_CAST — both 0
+        val num = dn.dropWhile(c => c < '0' || c > '9')
+        dn -> (num.toLongOption.map(_ % 1000L).getOrElse(0L) + 1L)
       }.toMap
       val total = rows.map(_.getLong(1)).sum
       val out = graft.ops.Sampling.tokenBudgetPlan(stats, weights, total * 9L / 10L)
@@ -1975,7 +1981,7 @@ object PipelineQueries {
         |b AS (SELECT CAST(SUM(t) AS BIGINT) * 9 // 10 AS budget FROM stats),
         |s0 AS MATERIALIZED (
         |  SELECT domain, t,
-        |    COALESCE(TRY_CAST(regexp_extract(domain, '[0-9].*$') AS BIGINT), 0) + 1 AS w,
+        |    COALESCE(TRY_CAST(regexp_extract(domain, '[0-9].*$') AS BIGINT) % 1000, 0) + 1 AS w,
         |    (t = 0) AS sat, CAST(0 AS BIGINT) AS alloc
         |  FROM stats)""".stripMargin)
     for (i <- 1 to iters) {
