@@ -226,6 +226,33 @@ object ScaleProbe {
       classify(d10, "50k docs")
     }
 
+    // round-5: Z-order layout at 10× — cluster the 6M-row fact on
+    // (orderkey, partkey) low bits; cost = one range shuffle + local
+    // sorts (what any global sort pays). Quality assert: a corner box
+    // on BOTH keys must intersect only a fraction of the written files.
+    {
+      val zBase = java.nio.file.Files.createTempDirectory("scale-z")
+      try {
+        val zPath = zBase.resolve("t").toString
+        // keys must FIT the interleave mask for raw min/max pruning to
+        // benefit: partkey ≤ 20k and suppkey ≤ 1k both sit inside 16
+        // bits at this scale
+        t("zorder write 6M rows, 32 files")(
+          graft.ops.Layout.zorderWrite(
+            l10.select("l_partkey", "l_suppkey", "l_quantity"),
+            col("l_partkey"), col("l_suppkey"), zPath, numFiles = 32))
+        val ranges = graft.ops.Layout.fileRanges(
+          spark.read.parquet(zPath), "l_partkey", "l_suppkey").cache()
+        val total = ranges.count()
+        // corner box on BOTH keys (≈ 1/16 of the key area): candidate
+        // files are those whose footer ranges intersect it
+        val cand = ranges.filter(col("a_min") <= 5000 && col("b_min") <= 250).count()
+        println(s"SCALE zorder candidate files: $cand / $total")
+        assert(cand * 2 <= total, "corner box should prune at least half the files")
+        ranges.unpersist()
+      } finally Paths.rmTree(zBase.toFile)
+    }
+
     // round-5: SQLite row triggers at 10× — an audit trigger with an
     // INSERT-VALUES body runs SET-BASED (INSERT..SELECT over the
     // affected-row frame), so a 75k-row UPDATE fires one aggregate-free
