@@ -94,6 +94,55 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
     }
+    // calib-normalized per-query delta vs the PREVIOUS run's
+    // BENCH_LOCAL.json (read before we overwrite it): ratio =
+    // (sec/calib) / (prevSec/prevCalib), so host-speed changes divide
+    // out and only real per-query movement remains. Report to stderr
+    // (the driver keeps a tail of STDOUT — the JSON line must stay last
+    // and unpolluted) and to BENCH_DELTA.txt. This makes the
+    // "regression or host noise?" hunt mechanical; still re-run suspects
+    // isolated (SPARK_GRAFT_BENCH_ONLY) before believing an in-suite
+    // delta — the documented suite-noise band is wide (see CLAUDE.md).
+    val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val deltaReport: Option[String] =
+      try {
+        if (!java.nio.file.Files.exists(prevPath)) None
+        else {
+          val txt = java.nio.file.Files.readString(prevPath)
+          val num = "-?[0-9][0-9.eE+-]*"
+          val calibRe = ("\"calib\":(" + num + ")").r
+          val pairRe = ("\"([A-Za-z0-9_]+)\":(" + num + ")").r
+          val prevCalib = calibRe.findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val prevQ = txt.indexOf("\"queries\":") match {
+            case -1 => Map.empty[String, Double]
+            case i => pairRe.findAllMatchIn(txt.substring(i))
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter { case (k, _) => k != "sf" }.toMap
+          }
+          prevCalib.filter(_ > 0).map { pc =>
+            val rows = results.flatMap { case (name, sec) =>
+              prevQ.get(name).filter(p => p > 0 && sec > 0).map { p =>
+                (name, sec, p, (sec / calib) / (p / pc))
+              }
+            }.sortBy(-_._4)
+            val hdr = f"[bench] calib ratio vs prev: ${calib / pc}%.3f " +
+              s"(prevCalib=$pc, calib=$calib)"
+            val body = rows.map { case (n, s, p, r) =>
+              f"[bench] $r%6.2fx $n%-28s ${s}%8.3fs (prev ${p}%8.3fs)" +
+                (if (r >= 1.3) "  <-- check isolated" else "")
+            }
+            (hdr +: body).mkString("\n")
+          }
+        }
+      } catch { case e: Throwable =>
+        Some(s"[bench] delta report failed: ${e.getMessage}")
+      }
+    deltaReport.foreach { rep =>
+      System.err.println(rep)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DELTA.txt"), rep + "\n")
+      catch { case _: Throwable => () }
+    }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), line(_.toString) + "\n")
     catch { case e: Throwable =>

@@ -202,8 +202,28 @@ object ScaleProbe {
     // corpus-linear.
     t("bpe learn 4 merges 5k docs")(
       graft.ops.Bpe.learn(d1, "text", numMerges = 4))
-    t("bpe learn 4 merges 50k docs")(
+    val learned50k = t("bpe learn 4 merges 50k docs")(
       graft.ops.Bpe.learn(d10, "text", numMerges = 4))
+
+    // round-6: production-shaped BPE ENCODE — a 512-deep merge chain
+    // (learned head + letter-pair tail, most of which fire) through
+    // encodeViaDict. The literal-replace fold at this depth is a
+    // 512-nested expression (interpreted fallback + O(tokens×merges));
+    // the dict path segments the DISTINCT vocabulary through the
+    // BpeSegment kernel loop and broadcast-joins, so 10× docs costs ~1×
+    // segmentation (replicas share the vocabulary) + a linear join.
+    {
+      val letters = ('a' to 'z').map(_.toString)
+      val learnedPairs = learned50k.map(m => (m.left, m.right)).toSet
+      val pad = (for (l <- letters; r <- letters) yield (l, r))
+        .filterNot(learnedPairs)
+      val chain = learned50k ++ pad.take(512 - learned50k.size).zipWithIndex
+        .map { case ((l, r), i) => graft.ops.Bpe.Merge(learned50k.size + i + 1, l, r, 1L) }
+      t("bpe encodeViaDict 512 merges 5k docs")(noop(
+        graft.ops.Bpe.encodeViaDict(d1, "doc_id", "text", chain)))
+      t("bpe encodeViaDict 512 merges 50k docs")(noop(
+        graft.ops.Bpe.encodeViaDict(d10, "doc_id", "text", chain)))
+    }
 
     // round-5: centroid quality-classifier training at 1× vs 10× — one
     // feature pass (explode + hash agg) and two model-sized

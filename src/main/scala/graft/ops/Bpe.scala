@@ -135,13 +135,13 @@ object Bpe {
   }
 
   /** Encode to training-ready id sequences: `(idCol, token_ids
-    * array<int>)` — [[encode]]'s subwords joined against the broadcast
-    * [[vocab]] (unknown → 0), order preserved, tokenless docs → empty.
-    * Same reassembly shape as `TextAnalysis.encodeTokenIds`. */
+    * array<int>)` — [[encodeViaDict]]'s subwords joined against the
+    * broadcast [[vocab]] (unknown → 0), order preserved, tokenless docs
+    * → empty. Same reassembly shape as `TextAnalysis.encodeTokenIds`. */
   def encodeToIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame =
     TextAnalysis.idsFromExploded(
-      encode(docs, idCol, textCol, merges)
+      encodeViaDict(docs, idCol, textCol, merges)
         .select(col(idCol), posexplode_outer(col("subwords")).as(Seq("__pos", "__tok"))),
       idCol,
       vocab(docs.sparkSession, merges).select(col("symbol").as("token"), col("id")))
@@ -150,7 +150,10 @@ object Bpe {
     * `(idCol, subwords array<string>)`. Learnable words fold through the
     * merge chain in rank order; other tokens (digits, punctuation, mixed)
     * pass through atomically. Pure per-row codegen — no joins, no
-    * shuffles; merge literals ride inside the plan. */
+    * shuffles — BUT the chained-`replace` expression tree is linear in
+    * the merge count and re-runs the whole chain on every token
+    * OCCURRENCE: use only for small merge tables (≲64). The production
+    * path is [[encodeViaDict]]; `BpeDictParitySpec` pins them equal. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val sorted = merges.sortBy(_.rank)
@@ -159,5 +162,49 @@ object Bpe {
         split(trim(sorted.foldLeft(spaced(w))((f, m) => applyMerge(f, m.left, m.right))), "  "))
         .otherwise(array(w)))
     docs.select(col(idCol), flatten(segmented).as("subwords"))
+  }
+
+  /** Production-scale encode — same output contract as [[encode]]
+    * (`(idCol, subwords array<string>)`, bitwise-identical results), but
+    * shaped for real merge tables and 100 TB corpora:
+    *
+    *  1. the DISTINCT learnable-word dictionary is segmented ONCE through
+    *     the merge chain (vocab-sized frame — merges amortize over
+    *     distinct words, not token occurrences; Zipf makes this ~100–1000×
+    *     less segmentation work than the per-occurrence fold), via the
+    *     [[graft.functions.BpeSegment]] kernel — a loop, not an
+    *     expression tree, so codegen stays constant-size at 32k merges
+    *     where the chained-`replace` fold falls back to interpretation;
+    *  2. each document's tokens broadcast-join to their subword arrays
+    *     (the dict is words × avg-bytes — tens of MB at a 1M vocab;
+    *     pass `broadcastDict = false` to let the planner shuffle-join a
+    *     larger-than-broadcast dictionary);
+    *  3. subwords reassemble in token order (position sort inside one
+    *     hash aggregate), non-learnable tokens passing through atomically.
+    *
+    * Costs one distinct + one join + one aggregate shuffle vs [[encode]]'s
+    * zero — the price of dict amortization, paid in narrow rows. */
+  def encodeViaDict(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val dict = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__word"))
+      .filter(col("__word").rlike(AsciiWord))
+      .distinct()
+      .withColumn("__subs",
+        graft.functions.BpeSegment.segment(col("__word"), pairs))
+    val dictSide = if (broadcastDict) broadcast(dict) else dict
+    docs
+      .select(col(idCol), col(textCol).isNull.as("__notext"),
+        posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__word")))
+      .join(dictSide, Seq("__word"), "left")
+      .groupBy(col(idCol))
+      // null text → null subwords (the [[encode]] contract); empty/
+      // tokenless text → empty array
+      .agg(when(max(col("__notext")), lit(null))
+        .otherwise(flatten(transform(
+          array_sort(collect_list(when(col("__pos").isNotNull,
+            struct(col("__pos"), coalesce(col("__subs"), array(col("__word"))).as("subs"))))),
+          s => s.getField("subs")))).as("subwords"))
   }
 }

@@ -593,11 +593,13 @@ object PipelineQueries {
         .orderBy(col("merge_rank"))
     }),
 
-    // subword encoding with the learned merges: per-token fold through
-    // the merge chain (pure codegen, no shuffle), flattened to
-    // (doc_id, pos, subword)
+    // subword encoding with the learned merges, via the production dict
+    // path: the DISTINCT word dictionary is segmented once (BpeSegment
+    // kernel — constant-size codegen at any merge count), then tokens
+    // broadcast-join to their subword arrays; bitwise-identical to the
+    // per-occurrence fold (BpeSpec parity), so the oracle is unchanged
     "t18_bpe_encode" -> ((s, dir) =>
-      Bpe.encode(docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
+      Bpe.encodeViaDict(docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text",
           learnedBpeMerges(s, dir))
         .select(col("doc_id"), posexplode(col("subwords")).as(Seq("pos", "subword")))
         .orderBy(col("doc_id"), col("pos"))),

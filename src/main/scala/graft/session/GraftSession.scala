@@ -575,10 +575,18 @@ final class GraftSession private[session] (
     case AlterRenameColRe(tI, aI, bI) =>
       val name = unquoteIdent(tI)
       val from = unquoteIdent(aI)
+      val to = unquoteIdent(bI)
       if (!table(name).columns.contains(from))
         throw InvalidSqlError(statement, s"no such column: $from")
-      val df = table(name).withColumnRenamed(from, unquoteIdent(bI))
-      applyDdl { tables.update(name, df); df.createOrReplaceTempView(name) }
+      val df = table(name).withColumnRenamed(from, to)
+      applyDdl {
+        tables.update(name, df); df.createOrReplaceTempView(name)
+        // SQLite ≥3.25 re-points trigger definitions at the renamed
+        // column (UPDATE OF lists + NEW./OLD. references) — without
+        // this an AFTER UPDATE OF <col> trigger silently stops firing
+        triggers.mapValuesInPlace((_, td) =>
+          if (td.table == name) Triggers.renameColumn(td, from, to) else td)
+      }
     case AlterAddColRe(tI, cI, tpe) =>
       import org.apache.spark.sql.functions.{expr, lit}
       val name = unquoteIdent(tI)

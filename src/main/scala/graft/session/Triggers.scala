@@ -94,6 +94,40 @@ object Triggers {
 
   private def firstLine(s: String): String = s.linesIterator.next()
 
+  /** Re-point a trigger definition at a renamed column of its subject
+    * table (SQLite ≥ 3.25 semantics): the `UPDATE OF` list and every
+    * `NEW.col`/`OLD.col` qualified reference (WHEN clause, body
+    * statements, stored CREATE SQL) are rewritten, so the trigger keeps
+    * firing and its bindings keep resolving. Unqualified references to
+    * the column inside body statements keep their original text — the
+    * same documented deviation class as RENAME TABLE's body references
+    * (a body targeting ANOTHER table may legitimately use the same
+    * column name). */
+  def renameColumn(td: TriggerDef, from: String, to: String): TriggerDef = {
+    val qf = java.util.regex.Pattern.quote(from)
+    val qt = java.util.regex.Matcher.quoteReplacement(to)
+    def fixRefs(s: String): String =
+      s.replaceAll("(?i)\\b(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")", "$1." + qt)
+    // the OF list in the stored CREATE SQL: rename matching idents
+    // between the first top-level OF and ON (UPDATE OF triggers only)
+    def fixOfList(sql: String): String =
+      if (td.updateOf.isEmpty) sql
+      else "(?is)(\\bOF\\s+)(.*?)(\\s+ON\\b)".r.findFirstMatchIn(sql) match {
+        case Some(m) =>
+          val cols = m.group(2).split(",").map { c =>
+            val t = c.trim
+            if (unquote(t).equalsIgnoreCase(from)) to else t
+          }.mkString(", ")
+          sql.substring(0, m.start) + m.group(1) + cols + m.group(3) + sql.substring(m.end)
+        case None => sql
+      }
+    td.copy(
+      updateOf = td.updateOf.map(c => if (c.equalsIgnoreCase(from)) to else c),
+      when = td.when.map(fixRefs),
+      body = td.body.map(fixRefs),
+      createSql = fixOfList(fixRefs(td.createSql)))
+  }
+
   /** Last top-level (quote/paren-aware) occurrence of a word. */
   private def lastTopLevelWord(s: String, word: String): Int = {
     var depth = 0; var inStr = false; var i = 0; var last = -1

@@ -124,4 +124,38 @@ class KernelParitySpec extends SparkSpec {
       declarative(col("a"), col("b")).as("d")).collect()
     assert(out.forall(r => bits(r.getDouble(0)) == bits(r.getDouble(1))))
   }
+
+  test("BPE segment kernel == chained-replace fold on random words and learned-shaped merge chains") {
+    // Bpe's (private) spaced form + literal merge replace, restated: the
+    // kernel's contract is bitwise equality with exactly this fold
+    def spaced(w: Column): Column =
+      concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+    def applyMerge(f: Column, l: String, r: String): Column =
+      call_function("replace", f, lit(s" $l  $r "), lit(s" $l$r "))
+    // a plausible chain: pairs drawn from a growing symbol pool so later
+    // merges consume earlier outputs (multi-char symbols, same-output
+    // collisions like (a,bc) vs (ab,c) both arise)
+    val alphabet = Vector("a", "b", "c")
+    var pool = alphabet
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < 24) {
+      val l = pool(rnd.nextInt(pool.size))
+      val r = pool(rnd.nextInt(pool.size))
+      if (!seen((l, r)) && (l + r).length <= 6) {
+        seen += ((l, r)); merges += ((l, r)); pool = pool :+ (l + r)
+      }
+    }
+    val words = Seq.fill(400)(
+      (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString) ++
+      Seq("a", "abcabcabc", "aaaaaaaa", "cccccc")
+    val df = words.map(Tuple1(_)).toDF("w")
+    val fold = split(trim(
+      merges.foldLeft(spaced(col("w")))((f, m) => applyMerge(f, m._1, m._2))), "  ")
+    val out = df.select(
+      graft.functions.BpeSegment.segment(col("w"), merges.toSeq).as("k"),
+      fold.as("d")).collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"word segmentation diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+  }
 }

@@ -90,6 +90,53 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == Seq.empty)
   }
 
+  test("encodeViaDict == encode on a mixed corpus (broadcast and shuffle join)") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    val mixed = Seq(
+      (0L, "Lowest widest 42 x9 newest"),
+      (1L, ""),
+      (2L, "aaaa low low aaaa"),             // repeated words + runs
+      (3L, "  spaced   out\ttabs "),         // whitespace shapes
+      (4L, null.asInstanceOf[String]))       // null text
+      .toDF("doc_id", "text")
+    val viaFold = Bpe.encode(mixed, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for (bcast <- Seq(true, false)) {
+      val viaDict = Bpe.encodeViaDict(mixed, "doc_id", "text", merges, broadcastDict = bcast)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaDict == viaFold, s"broadcastDict=$bcast")
+    }
+  }
+
+  test("encodeViaDict handles a production-sized merge chain (512 merges)") {
+    // a deep synthetic chain over {a,b}: the literal-replace fold at this
+    // depth is a 512-deep nested expression (codegen fallback territory);
+    // the dict path's kernel is a loop — this pins that it RUNS and that
+    // rank order is respected (a*32 folds through successive doublings)
+    val chain = scala.collection.mutable.ArrayBuffer[Bpe.Merge]()
+    var sym = "a"
+    var rank = 1
+    while (rank <= 5) { chain += Bpe.Merge(rank, sym, sym, 1L); sym = sym + sym; rank += 1 }
+    // pad with merges that never fire (distinct pairs over unused symbols)
+    val pad = (6 to 512).map(r => Bpe.Merge(r, "q" + r, "z", 1L))
+    val merges = chain.toSeq ++ pad
+    val out = Bpe.encodeViaDict(
+      Seq((0L, ("a" * 32) + " " + ("a" * 3))).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().head.getSeq[String](1)
+    assert(out == Seq("a" * 32, "aa", "a"))
+  }
+
+  test("encodeToIds routes through the dict path unchanged") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    val out = Bpe.encodeToIds(
+      Seq((0L, "lowest 42 newest"), (1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) == Seq(30, 28, 0, 14, 5, 23, 28))
+    assert(out(1L) == Seq.empty)
+  }
+
   test("learnTable exposes the artifact schema and round-trips through parquet") {
     val t = Bpe.learnTable(spark, corpus, "text", numMerges = 2)
     assert(t.columns.toSeq == Seq("merge_rank", "left_sym", "right_sym", "pair_count"))

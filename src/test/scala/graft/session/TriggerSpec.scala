@@ -239,6 +239,28 @@ class TriggerSpec extends SparkSpec {
     s.close()
   }
 
+  test("ALTER TABLE RENAME COLUMN re-points UPDATE OF lists and NEW/OLD references") {
+    val s = openSess("trg-rencol")
+    s.sql("""CREATE TRIGGER ru AFTER UPDATE OF role ON users
+            |WHEN OLD.role <> NEW.role BEGIN
+            |  INSERT INTO audit VALUES (NEW.id, OLD.role || '>' || NEW.role); END""".stripMargin)
+    s.sql("ALTER TABLE users RENAME COLUMN role TO grade")
+    // the trigger still fires on the renamed column...
+    s.sql("UPDATE users SET grade = 'admin' WHERE id = 2")
+    val audit = s.sql("SELECT uid, action FROM audit ORDER BY uid").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(audit == Seq((2L, "user>admin")))
+    // ...its stored SQL names the new column end to end...
+    val sql = s.sql("SELECT sql FROM sqlite_master WHERE type = 'trigger'")
+      .head().getString(0)
+    assert(sql.contains("OF grade ON") && sql.contains("NEW.grade") &&
+      !sql.toLowerCase.contains("role"))
+    // ...and an update of an unrelated column still does not fire it
+    s.sql("UPDATE users SET name = 'Bobby' WHERE id = 2")
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 1L)
+    s.close()
+  }
+
   test("ALTER TABLE RENAME re-points triggers at the new name") {
     val s = openSess("trg-ren")
     s.sql("CREATE TRIGGER au AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
