@@ -1774,9 +1774,14 @@ object PipelineQueries {
        |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
        |ds AS (SELECT src, dst FROM edges WHERE src <> dst),
        |bi AS (SELECT src, dst FROM ds UNION SELECT dst, src FROM ds),
+       |alln AS (SELECT DISTINCT src AS id FROM edges UNION SELECT dst AS id FROM edges),
        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM bi),
        |$lpChain
-       |SELECT id, lbl AS label FROM l4 ORDER BY id""".stripMargin
+       |SELECT id, label FROM (
+       |  SELECT id, lbl AS label FROM l4
+       |  UNION ALL
+       |  SELECT id, id AS label FROM alln WHERE id NOT IN (SELECT id FROM l0)
+       |) ORDER BY id""".stripMargin
   }
 
   /** k-means oracle: 3 unrolled Lloyd iterations. Assignment rank
@@ -2490,10 +2495,15 @@ object PipelineQueries {
         |  ORDER BY priority DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
+    // low 16 bits taken sign-normalized (((x % 65536) + 65536) % 65536)
+    // so the replay matches Layout.zValue's two's-complement bitwiseAND
+    // for ANY key sign, not just the non-negative ids in this corpus
     "p15_zorder_key" ->
       """SELECT event_id, CAST(list_sum([
-        |    ((user_id % 65536) // CAST(2**i AS BIGINT)) % 2 * CAST(2**(2*i+1) AS BIGINT)
-        |  + (((event_id * 2654435761) % 65536) // CAST(2**i AS BIGINT)) % 2
+        |    ((((user_id % 65536) + 65536) % 65536) // CAST(2**i AS BIGINT)) % 2
+        |      * CAST(2**(2*i+1) AS BIGINT)
+        |  + (((((event_id * 2654435761) % 65536) + 65536) % 65536)
+        |      // CAST(2**i AS BIGINT)) % 2
         |      * CAST(2**(2*i) AS BIGINT)
         |  for i in range(0, 16)]) AS BIGINT) AS z
         |FROM events ORDER BY event_id""".stripMargin,
