@@ -55,6 +55,10 @@ object Bench {
     // ratio — the same suite measured 1.65× slower on a slower host with
     // IDENTICAL data and plans (round 5), which would otherwise read as
     // a uniform regression.
+    // one UNTIMED execution first: codegen + classloading of the calib
+    // path land off the clock (the first run measured 0.87 s where the
+    // steady state is 0.12 s — a 7× warmup artifact)
+    spark.range(50000000L).selectExpr("bit_xor(xxhash64(id))").collect()
     val calib = median(Seq.fill(3)(time(
       // bit_xor: overflow-free under ANSI mode, unlike sum of hashes
       spark.range(50000000L).selectExpr("bit_xor(xxhash64(id))").collect())))
@@ -74,8 +78,19 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val sec =
-        try median(Seq.fill(repeats)(
-          time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())))
+        try {
+          // one UNTIMED warmup execution: per-query codegen, broadcast
+          // machinery and pay-once index builds land off the clock. The
+          // p10 "regression" hunt (round 6) found queries warm over
+          // 3-4 executions (6.3 s → 1.2 s steady state) — median-of-3
+          // without a warmup run measures a point on that curve, and
+          // WHICH point depends on what ran before (the documented
+          // in-suite noise class). Timed reps now start near steady
+          // state, which is the cost that matters at 100 TB.
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          median(Seq.fill(repeats)(
+            time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())))
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
@@ -143,10 +158,14 @@ object Bench {
         java.nio.file.Paths.get("BENCH_DELTA.txt"), rep + "\n")
       catch { case _: Throwable => () }
     }
+    // a scoped SPARK_GRAFT_BENCH_ONLY run must not clobber the full-suite
+    // reference file the delta report (and the next round's comparison)
+    // reads — partial runs land in BENCH_ONLY_LOCAL.json instead
+    val localName = if (only.isDefined) "BENCH_ONLY_LOCAL.json" else "BENCH_LOCAL.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line(_.toString) + "\n")
+      java.nio.file.Paths.get(localName), line(_.toString) + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $localName write failed: ${e.getMessage}")
     }
     println(line(r3))
     spark.stop()

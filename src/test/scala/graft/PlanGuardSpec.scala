@@ -39,7 +39,14 @@ class PlanGuardSpec extends SparkSpec {
       "e08_streaming_dedup",
       "e09_stream_interval_join", // executes a streaming query when built
       "e10_stream_static_join",   // executes a streaming query when built
-      "e11_streaming_cdc")        // executes a streaming query when built
+      "e11_streaming_cdc",        // executes a streaming query when built
+      "e12_streaming_sessions",   // executes a streaming query when built
+      "e13_stream_outer_join")    // executes a streaming query when built
+    // e12/e13 coverage note: their stateful operators (session_window,
+    // stream-stream interval join) only exist in streaming plans, which
+    // this guard cannot build without executing micro-batches; their
+    // batch-side shapes (window agg, range join) are covered by
+    // e05/e06/e07, and the streaming gates themselves run in Verify.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .flatMap { case (name, fn) =>
