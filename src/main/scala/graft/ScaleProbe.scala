@@ -270,6 +270,24 @@ object ScaleProbe {
         println(s"SCALE zorder candidate files: $cand / $total")
         assert(cand * 2 <= total, "corner box should prune at least half the files")
         ranges.unpersist()
+
+        // round-6 lifecycle: append a 600k batch (one range shuffle of
+        // the BATCH only), then compact — re-clusters only z-overlapping
+        // groups, two-phase swap. Quality must return to ~fresh-write.
+        t("zorder append 600k batch")(
+          graft.ops.Layout.appendZorder(
+            l1.select("l_partkey", "l_suppkey", "l_quantity"),
+            col("l_partkey"), col("l_suppkey"), zPath, numFiles = 4))
+        val rew = t("zorder compact 6.6M rows")(
+          graft.ops.Layout.compactZorder(spark, zPath,
+            col("l_partkey"), col("l_suppkey"), numFiles = 32))
+        val ranges2 = graft.ops.Layout.fileRanges(
+          spark.read.parquet(zPath), "l_partkey", "l_suppkey").cache()
+        val total2 = ranges2.count()
+        val cand2 = ranges2.filter(col("a_min") <= 5000 && col("b_min") <= 250).count()
+        println(s"SCALE zorder post-compact candidates: $cand2 / $total2 (rewrote $rew files)")
+        assert(cand2 * 2 <= total2, "compacted layout should prune like a fresh write")
+        ranges2.unpersist()
       } finally Paths.rmTree(zBase.toFile)
     }
 

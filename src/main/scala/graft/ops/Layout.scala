@@ -70,4 +70,131 @@ object Layout {
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(a)).as("a_min"), max(col(a)).as("a_max"),
         min(col(b)).as("b_min"), max(col(b)).as("b_max"))
+
+  // ------------------------------------------------------- lifecycle
+  //
+  // Continuous ingest over a z-ordered table, same discipline as the
+  // MinHash/digest indexes: appends are cheap and local, compaction
+  // restores global layout quality with a two-phase swap, and readers
+  // heal the delete→rename crash window at restartable points.
+
+  /** Self-heal a z-ordered table before reading/writing: recovers the
+    * delete→rename crash window of [[compactZorder]] (no-op when the
+    * table dir is intact). Call at restartable read points. */
+  def healZorder(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    FsOps.healSwap(spark, path + ".compacting", path)
+
+  /** Append a batch to a [[zorderWrite]] table WITHOUT re-sorting the
+    * table: the batch is z-clustered internally and lands as new files
+    * in the same directory (plain `spark.read.parquet(path)` sees all
+    * rows immediately). Layout quality degrades as appended files'
+    * z-ranges overlap the base files' — box queries stay correct, just
+    * with more candidate files — until [[compactZorder]] re-clusters.
+    * At 100 TB this is the only viable ingest shape: per-batch cost is
+    * one range shuffle of the BATCH, never a table re-sort. */
+  def appendZorder(df: DataFrame, a: Column, b: Column, path: String,
+      numFiles: Int = 1, bits: Int = 16): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    require(!df.columns.contains("__graft_z"),
+      "input already has a __graft_z column — the write would silently replace it")
+    healZorder(df.sparkSession, path)
+    val cols = df.columns.toSeq
+    df.withColumn("__graft_z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .select(cols.map(c => col(s"`$c`")): _*)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Re-cluster ONLY the z-overlapping region of an appended-to table,
+    * restoring fresh-write pruning quality without a global re-sort:
+    *
+    *  1. one narrow scan computes each file's z interval;
+    *  2. a driver sweep (file counts, not data) merges transitively
+    *     overlapping intervals into groups — a connected overlap
+    *     group's union is CONTIGUOUS, so group envelopes are disjoint
+    *     and rows re-partitioned within a group can never straddle
+    *     another group's range;
+    *  3. singleton groups are already-disjoint files: carried over as
+    *     raw byte copies (no decode, no shuffle — at cluster scale this
+    *     step is a filesystem copy, parallelizable with distcp);
+    *  4. each multi-file group is re-read and range-re-partitioned on z
+    *     into `ceil(groupRows / (totalRows / numFiles))` files;
+    *  5. the new table swaps in whole-dir two-phase ([[FsOps.swapDirs]];
+    *     crash window healed by [[healZorder]]).
+    *
+    * `a`/`b` must be the same key expressions the table was written
+    * with (they are recomputed from stored columns). Returns the number
+    * of files rewritten (0 = table was already fully disjoint; the
+    * copy-through is skipped entirely). */
+  def compactZorder(spark: org.apache.spark.sql.SparkSession, path: String,
+      a: Column, b: Column, numFiles: Int, bits: Int = 16): Int = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    healZorder(spark, path)
+    val stats = spark.read.parquet(path)
+      .select(input_file_name().as("file"), zValue(a, b, bits).as("z"))
+      .groupBy(col("file"))
+      .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    if (stats.isEmpty) return 0
+    // interval sweep: sort by zmin, extend the current group while the
+    // next interval starts inside the group's running envelope
+    val sorted = stats.sortBy(s => (s._2, s._3, s._1))
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(sorted.head))
+    var hi = sorted.head._3
+    for (s <- sorted.tail) {
+      if (s._2 <= hi) groups.last += s
+      else groups += scala.collection.mutable.ArrayBuffer(s)
+      hi = math.max(hi, s._3)
+    }
+    val dirty = groups.filter(_.size > 1)
+    if (dirty.isEmpty) return 0 // fully disjoint already — nothing to do
+    // proportional file budget across dirty groups (largest-remainder,
+    // ≥1 each) so the total file count — and therefore the row-quantile
+    // boundary placement — matches a fresh numFiles-way write instead of
+    // drifting upward from per-group ceils
+    val cleanCount = groups.size - dirty.size
+    val budget = math.max(dirty.size, numFiles - cleanCount)
+    val dirtyRows = dirty.map(_.map(_._4).sum)
+    val totalDirtyRows = math.max(1L, dirtyRows.sum)
+    val raw = dirtyRows.map(r => budget.toDouble * r / totalDirtyRows)
+    val ks = raw.map(x => math.max(1, x.toInt)).toArray
+    var left = budget - ks.sum
+    if (left > 0) {
+      val order = raw.zipWithIndex.sortBy { case (x, _) => -(x - x.toInt) }.map(_._2)
+      var i = 0
+      while (left > 0 && i < order.size) { ks(order(i)) += 1; left -= 1; i += 1 }
+    }
+    val tmpPath = path + ".compacting"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    // clean singletons: raw byte copy, original filenames kept (proof
+    // to specs — and operators — that they were not rewritten)
+    for (g <- groups if g.size == 1) {
+      val src = new org.apache.hadoop.fs.Path(new java.net.URI(g.head._1))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(tmp, src.getName), false, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // dirty groups: re-cluster each within its (disjoint) envelope
+    var rewritten = 0
+    val cols = spark.read.parquet(path).columns.toSeq
+    for ((g, k) <- dirty.zip(ks)) {
+      spark.read.parquet(g.map(_._1).toSeq: _*)
+        .withColumn("__graft_z", zValue(a, b, bits))
+        .repartitionByRange(k, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .select(cols.map(c => col(s"`$c`")): _*)
+        .write.mode("append").parquet(tmpPath)
+      rewritten += g.size
+    }
+    FsOps.swapDirs(spark, tmpPath, path)
+    rewritten
+  }
 }

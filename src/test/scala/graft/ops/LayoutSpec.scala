@@ -47,4 +47,92 @@ class LayoutSpec extends SparkSpec {
     // and the layout is lossless
     assert(spark.read.parquet(zPath).count() == 64L * 64L)
   }
+
+  private def cornerCandidates(path: String): Long =
+    Layout.fileRanges(spark.read.parquet(path), "x", "y")
+      .filter(col("a_min") <= 15 && col("a_max") >= 0 &&
+        col("b_min") <= 15 && col("b_max") >= 0).count()
+
+  test("appendZorder + compactZorder restores fresh-write pruning quality") {
+    // exact range quantiles for this comparison: boundary placement is
+    // otherwise sampling-approximate (default 100 points/partition),
+    // which moves candidate counts by ±2 for fresh AND compacted writes
+    // alike — noise, not layout quality
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "100000")
+    try testCompactQuality()
+    finally spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+  }
+
+  private def testCompactQuality(): Unit = {
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    // split the grid into a base (3/4) and three append batches (1/4)
+    val base = grid.filter(col("id") % 4 =!= 0)
+      .select("x", "y") // keep id out of the layout table
+    val freshPath = tmpDir("layout-fresh").resolve("t").toString
+    val lifePath = tmpDir("layout-life").resolve("t").toString
+    Layout.zorderWrite(grid.select("x", "y"), col("x"), col("y"), freshPath,
+      numFiles = 16, bits = 6)
+    Layout.zorderWrite(base, col("x"), col("y"), lifePath, numFiles = 16, bits = 6)
+    for (k <- Seq(0, 4, 8)) // three whole-key-space batches
+      Layout.appendZorder(grid.filter(col("id") % 4 === 0 && col("id") % 12 === k)
+        .select("x", "y"), col("x"), col("y"), lifePath, numFiles = 2, bits = 6)
+    // appended files span wide z ranges: pruning has degraded
+    assert(spark.read.parquet(lifePath).count() == 64L * 64L)
+    val degraded = cornerCandidates(lifePath)
+    val rewritten = Layout.compactZorder(spark, lifePath, col("x"), col("y"),
+      numFiles = 16, bits = 6)
+    assert(rewritten > 0, "whole-space appends must dirty at least one group")
+    // lossless, and corner-box pruning back to fresh-write quality
+    assert(spark.read.parquet(lifePath).count() == 64L * 64L)
+    val compacted = cornerCandidates(lifePath)
+    val fresh = cornerCandidates(freshPath)
+    assert(compacted <= fresh + 1,
+      s"compacted candidates $compacted should match fresh write $fresh (degraded: $degraded)")
+    assert(compacted <= degraded, "compaction must not worsen pruning")
+    // a second compact is a no-op: the table is already disjoint
+    assert(Layout.compactZorder(spark, lifePath, col("x"), col("y"), 16, bits = 6) == 0)
+  }
+
+  test("compactZorder re-clusters only overlapping groups; disjoint files are byte-carried") {
+    // two well-separated key clusters -> disjoint z regions
+    val lo = spark.range(512).select((col("id") % 16).as("x"), (col("id") / 32).as("y"))
+    val hi = lo.select((col("x") + 48).as("x"), (col("y") + 48).as("y"))
+    val path = tmpDir("layout-sel").resolve("t").toString
+    Layout.zorderWrite(lo.unionByName(hi), col("x"), col("y"), path,
+      numFiles = 4, bits = 6)
+    def files(): Set[String] =
+      Layout.fileRanges(spark.read.parquet(path), "x", "y")
+        .select("file").collect().map(_.getString(0)
+          .replaceAll(".*/", "")).toSet
+    val before = files()
+    // append a batch INSIDE the low cluster's key region only
+    Layout.appendZorder(lo.limit(64), col("x"), col("y"), path, numFiles = 1, bits = 6)
+    Layout.compactZorder(spark, path, col("x"), col("y"), numFiles = 4, bits = 6)
+    assert(spark.read.parquet(path).count() == 512 + 512 + 64)
+    val after = files()
+    // the high cluster's files were disjoint from the appended z range:
+    // their exact part files must survive compaction (byte copy, not
+    // rewrite), while at least one low-cluster file was re-clustered
+    assert(before.intersect(after).nonEmpty,
+      s"expected some untouched files to be byte-carried: before=$before after=$after")
+    assert(after.diff(before).nonEmpty, "expected the dirty group to produce new files")
+  }
+
+  test("healZorder recovers the delete-rename crash window") {
+    val grid = spark.range(256).select((col("id") % 16).as("x"), (col("id") / 16).as("y"))
+    val dir = tmpDir("layout-heal")
+    val path = dir.resolve("t").toString
+    Layout.zorderWrite(grid, col("x"), col("y"), path, numFiles = 2, bits = 4)
+    // simulate the crash: complete new copy at .compacting, dst deleted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".compacting"))
+    Layout.healZorder(spark, path)
+    assert(spark.read.parquet(path).count() == 256)
+    // heal is a no-op on an intact table
+    Layout.healZorder(spark, path)
+    assert(spark.read.parquet(path).count() == 256)
+  }
 }
