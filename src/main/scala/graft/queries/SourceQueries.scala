@@ -200,6 +200,33 @@ object SourceQueries {
       out
     }),
 
+    // Trigger tier: INSTEAD OF triggers — the SQLite view-DML mechanism.
+    // INSERT/UPDATE/DELETE on a two-table join view route through
+    // INSTEAD OF bodies that rewrite the base tables (the INSERT body is
+    // vectorized set-based; UPDATE/DELETE bodies run per-row over the
+    // small affected sets); the gate output is the final joined state
+    "m09_instead_of" -> ((s, dir) => {
+      val sess = GraftSession.open(s, s"$dir/nation.parquet", s"$dir/region.parquet")
+      sess.sql("""CREATE VIEW nations_v AS
+        |  SELECT n.n_nationkey AS nkey, n.n_name AS nname,
+        |         n.n_regionkey AS rkey, r.r_name AS rname
+        |  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey""".stripMargin)
+      sess.sql("""CREATE TRIGGER vi INSTEAD OF INSERT ON nations_v BEGIN
+        |  INSERT INTO nation VALUES (NEW.nkey, NEW.nname, NEW.rkey); END""".stripMargin)
+      sess.sql("""CREATE TRIGGER vu INSTEAD OF UPDATE OF nname ON nations_v BEGIN
+        |  UPDATE nation SET n_name = NEW.nname WHERE n_nationkey = OLD.nkey; END""".stripMargin)
+      sess.sql("""CREATE TRIGGER vd INSTEAD OF DELETE ON nations_v BEGIN
+        |  DELETE FROM nation WHERE n_nationkey = OLD.nkey; END""".stripMargin)
+      sess.sql("INSERT INTO nations_v VALUES (30, 'ATLANTIS', 0, 'AFRICA'), (31, 'AVALON', 2, 'ASIA')")
+      sess.sql("UPDATE nations_v SET nname = nname || '_V' WHERE rkey = 2")
+      sess.sql("DELETE FROM nations_v WHERE nkey % 7 = 3")
+      val out = sess.sql(
+        "SELECT nkey, nname, rname FROM nations_v ORDER BY nkey")
+      out.cache().count()
+      sess.close()
+      out
+    }),
+
     // Mutation layer: DELETE on a view
     "m03_delete" -> ((s, dir) => {
       val sess = GraftSession.open(s, s"$dir/orders.parquet")
@@ -312,6 +339,25 @@ object SourceQueries {
         |  UNION ALL
         |  SELECT n_nationkey, 'D' FROM nation WHERE n_regionkey = 4
         |) ORDER BY uid, act""".stripMargin,
+
+    // replay of the three view-DML statements' END STATE: inserts land
+    // whole, the region-2 rename applies to the inserted row too (it
+    // preceded the UPDATE), the %7 delete removes inserted id 31
+    "m09_instead_of" ->
+      """WITH base AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL SELECT 30, 'ATLANTIS', 0
+        |  UNION ALL SELECT 31, 'AVALON', 2
+        |),
+        |upd AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 2 THEN n_name || '_V' ELSE n_name END AS n_name,
+        |    n_regionkey FROM base
+        |),
+        |fin AS (SELECT * FROM upd WHERE n_nationkey % 7 <> 3)
+        |SELECT f.n_nationkey AS nkey, f.n_name AS nname, r.r_name AS rname
+        |FROM fin f JOIN region r ON r.r_regionkey = f.n_regionkey
+        |ORDER BY nkey""".stripMargin,
 
     "m02_update" ->
       """SELECT o_orderkey, 'X' AS o_orderstatus FROM orders

@@ -48,7 +48,12 @@ final class GraftSession private[session] (
   // SQLite's recursive_triggers pragma defaults OFF: statements executed
   // from inside a trigger body never fire triggers themselves (and leave
   // changes()/last_insert_rowid() + auto-save to the outer statement)
-  private var inTriggerBody = false
+  // trigger-body nesting depth: >0 while executing body statements.
+  // A counter, not a flag — INSTEAD OF triggers fire even from inside
+  // another trigger's body (SQLite's recursive_triggers setting does
+  // not apply to them), so bodies can nest.
+  private var triggerDepth = 0
+  private def inTriggerBody: Boolean = triggerDepth > 0
 
   // SQLite treats naive timestamps as UTC, so the dialect shims
   // (strftime/julianday/date/…) only match its output under UTC — pin the
@@ -490,9 +495,20 @@ final class GraftSession private[session] (
         if (ifNotExists) spark.emptyDataFrame
         else throw InvalidSqlError(statement.linesIterator.next(),
           s"trigger ${td.name} already exists")
-      } else if (!tables.contains(td.table))
+      } else if (td.timing == "INSTEAD OF") {
+        // SQLite: INSTEAD OF is the view-DML mechanism — views only
+        if (tables.contains(td.table))
+          throw InvalidSqlError(statement.linesIterator.next(),
+            s"cannot create INSTEAD OF trigger on table: ${td.table}")
+        if (!views.contains(td.table))
+          throw InvalidSqlError(statement.linesIterator.next(), s"no such view: ${td.table}")
+        applyDdl { triggers.update(td.name, td) }
+      } else if (!tables.contains(td.table)) {
+        if (views.contains(td.table))
+          throw InvalidSqlError(statement.linesIterator.next(),
+            s"cannot create ${td.timing} trigger on view: ${td.table} (use INSTEAD OF)")
         throw InvalidSqlError(statement.linesIterator.next(), s"no such table: ${td.table}")
-      else applyDdl { triggers.update(td.name, td) }
+      } else applyDdl { triggers.update(td.name, td) }
     case DropTriggerRe(ife, ident) =>
       val name = unquoteIdent(ident)
       if (!triggers.contains(name)) {
@@ -517,6 +533,8 @@ final class GraftSession private[session] (
       } else applyDdl {
         views.remove(name)
         spark.catalog.dropTempView(name)
+        // SQLite drops a view's INSTEAD OF triggers with it
+        triggers.filterInPlace((_, td) => td.table != name)
       }
     case CreateTableAsRe(ifne, ident, select) =>
       val name = unquoteIdent(ident)
@@ -631,6 +649,8 @@ final class GraftSession private[session] (
         s"$verb is a no-op on file-backed tables (Catalyst derives statistics per plan)")
       spark.emptyDataFrame
     case _ => Mutations.intercept(statement) match {
+      case Some(mutation) if views.contains(mutation.table) =>
+        fireInsteadOf(mutation, statement)
       case Some(mutation) =>
         val name = mutation.table
         val current = table(name)
@@ -698,21 +718,74 @@ final class GraftSession private[session] (
   // to faithful per-row firing, bounded by spark.graft.trigger.maxRows.
   // See Triggers.scala for the parser and classification.
 
+  private def eventOf(m: Mutations.Mutation): String = m match {
+    case _: Mutations.Insert | _: Mutations.InsertSelect => "INSERT"
+    case _: Mutations.Update => "UPDATE"
+    case _: Mutations.Delete => "DELETE"
+  }
+
+  /** UPDATE OF fires only when the statement assigns a listed column. */
+  private def updateOfMatches(td: TriggerDef, m: Mutations.Mutation): Boolean =
+    td.updateOf.isEmpty || (m match {
+      case u: Mutations.Update =>
+        u.sets.exists { case (c, _) => td.updateOf.exists(_.equalsIgnoreCase(c)) }
+      case _ => true
+    })
+
   private def triggersFor(m: Mutations.Mutation): Seq[TriggerDef] = {
     if (inTriggerBody || triggers.isEmpty) return Seq.empty
-    val event = m match {
-      case _: Mutations.Insert | _: Mutations.InsertSelect => "INSERT"
-      case _: Mutations.Update => "UPDATE"
-      case _: Mutations.Delete => "DELETE"
-    }
+    val event = eventOf(m)
     triggers.values.toSeq.filter { td =>
-      td.table == m.table && td.event == event && (td.updateOf.isEmpty || (m match {
-        // UPDATE OF fires only when the statement assigns a listed column
-        case u: Mutations.Update =>
-          u.sets.exists { case (c, _) => td.updateOf.exists(_.equalsIgnoreCase(c)) }
-        case _ => true
-      }))
+      td.timing != "INSTEAD OF" && td.table == m.table && td.event == event &&
+        updateOfMatches(td, m)
     }
+  }
+
+  /** View-directed DML: SQLite routes INSERT/UPDATE/DELETE on a view
+    * through its INSTEAD OF triggers — the statement itself mutates
+    * nothing; the trigger bodies ARE the write path. The affected-row
+    * frame binds NEW/OLD from the view's defining SELECT (analyzed
+    * eagerly against the pre-statement catalog, so body mutations
+    * cannot shift it); `changes()` reports the view rows the triggers
+    * processed; `last_insert_rowid()` is untouched (SQLite semantics
+    * for view inserts). INSTEAD OF firing is exempt from the
+    * body-suppression rule — view DML inside another trigger's body
+    * still routes here (SQLite: `recursive_triggers` does not apply to
+    * INSTEAD OF triggers), with a depth cap against self-referential
+    * loops. */
+  private def fireInsteadOf(m: Mutations.Mutation, statement: String): DataFrame = {
+    val name = m.table
+    val event = eventOf(m)
+    val trigs = triggers.values.toSeq.filter { td =>
+      td.timing == "INSTEAD OF" && td.table == name && td.event == event &&
+        updateOfMatches(td, m)
+    }
+    if (trigs.isEmpty)
+      throw InvalidSqlError(statement,
+        s"cannot modify $name because it is a view (no INSTEAD OF $event trigger)")
+    if (triggerDepth >= 32)
+      throw InvalidSqlError(statement, "too many levels of trigger recursion")
+    val affected = affectedRows(m, spark.table(quoteSparkIdent(name)))
+    val preSnapshot = snapshotNow
+    try {
+      if (!inTriggerBody) {
+        // the affected plan is pinned at analysis time, so the deferred
+        // count is stable across the body's own mutations
+        changesThunk = () => affected.count()
+      }
+      fireWith(trigs, affected)
+    } catch {
+      case e: TriggerAbortError =>
+        restoreSnapshot(preSnapshot)
+        if (e.kind == "ROLLBACK" && inTransaction) rollback()
+        throw e
+      case scala.util.control.NonFatal(e) =>
+        restoreSnapshot(preSnapshot)
+        throw e
+    }
+    if (inTransaction) txnDirty = true
+    else if (!inTriggerBody && autoSave.exists(_.onCommit)) performAutoSave()
+    spark.emptyDataFrame
   }
 
   /** One row per row the outer DML affects, with the struct columns a
@@ -767,18 +840,22 @@ final class GraftSession private[session] (
   private def fireVectorized(td: TriggerDef, affected: DataFrame,
       stmts: Seq[Triggers.VecStmt]): Unit = {
     import org.apache.spark.sql.functions.expr
-    affected.createOrReplaceTempView(TriggerRowsView)
+    // depth-suffixed rows view: an INSTEAD OF trigger fires from INSIDE
+    // another body when a body statement mutates a view, and the nested
+    // firing must not clobber (or drop) the outer body's rows view
+    val rowsView = TriggerRowsView + triggerDepth
+    affected.createOrReplaceTempView(rowsView)
     try {
-      inTriggerBody = true
+      triggerDepth += 1
       try stmts.foreach {
         case Triggers.VecRaise(kind, msg, cond) =>
           val offending = cond.map(c => affected.filter(expr(c))).getOrElse(affected)
           if (!offending.isEmpty) throw TriggerAbortError(td.name, kind, msg)
         case Triggers.VecInsert(tbl, cols, exprs) =>
           val colList = cols.map(_.map(c => s""""$c"""").mkString(" (", ", ", ")")).getOrElse("")
-          sql(s"""INSERT INTO "$tbl"$colList SELECT ${exprs.mkString(", ")} FROM $TriggerRowsView""")
-      } finally inTriggerBody = false
-    } finally spark.catalog.dropTempView(TriggerRowsView)
+          sql(s"""INSERT INTO "$tbl"$colList SELECT ${exprs.mkString(", ")} FROM $rowsView""")
+      } finally triggerDepth -= 1
+    } finally spark.catalog.dropTempView(rowsView)
   }
 
   private def fireByRow(td: TriggerDef, affected: DataFrame): Unit = {
@@ -791,7 +868,7 @@ final class GraftSession private[session] (
           "spark.graft.trigger.maxRows, or restrict the body to INSERT … VALUES / " +
           "SELECT RAISE(…) WHERE … statements, which execute set-based at any scale")
     val schema = affected.schema
-    inTriggerBody = true
+    triggerDepth += 1
     try for (row <- rows; stmt <- td.body) {
       if (Triggers.hasRaiseIgnore(stmt))
         throw UnsupportedStatementError(stmt,
@@ -845,7 +922,7 @@ final class GraftSession private[session] (
                     e.asInstanceOf[Throwable].getMessage))
             }
       }
-    } finally inTriggerBody = false
+    } finally triggerDepth -= 1
   }
 
   // each UPDATE/DELETE/INSERT stacks one projection/filter/union on the

@@ -1,6 +1,6 @@
 package graft.session
 
-import graft.{InvalidSqlError, UnsupportedStatementError}
+import graft.InvalidSqlError
 import graft.mutate.Mutations
 
 /** SQLite `CREATE TRIGGER` surface (reference `README.md:333` — "Triggers
@@ -76,9 +76,6 @@ object Triggers {
     header match {
       case HeaderRe(ifne, nameI, timingRaw, eventRaw, ofCols, tableI, whenExpr) =>
         val timing = Option(timingRaw).map(_.toUpperCase.replaceAll("\\s+", " ")).getOrElse("BEFORE")
-        if (timing == "INSTEAD OF")
-          throw UnsupportedStatementError(firstLine(statement),
-            "INSTEAD OF triggers (view-directed DML) are not supported — mutate base tables")
         val event = eventRaw.toUpperCase
         val of = Option(ofCols).toSeq
           .flatMap(_.split(",").toSeq).map(c => unquote(c.trim)).filter(_.nonEmpty)

@@ -172,16 +172,18 @@ class GraftSessionSpec extends SparkSpec {
     s.close()
   }
 
-  // CREATE TRIGGER execution semantics live in TriggerSpec; only the
-  // view-directed variant stays a typed rejection
-  test("INSTEAD OF triggers are rejected with a typed error, not a parse exception") {
+  // CREATE TRIGGER execution semantics (incl. INSTEAD OF view-directed
+  // DML, executed since round 6) live in TriggerSpec; here only the
+  // single-table view round trip
+  test("INSTEAD OF trigger on a single-table view routes an insert to the base table") {
     val dir = tmpDir("trig")
     fixtures(dir)
     val s = GraftSession.open(spark, dir.toString)
     s.sql("CREATE VIEW uv AS SELECT * FROM users")
-    val e = intercept[graft.UnsupportedStatementError](s.sql(
-      "CREATE TRIGGER noi INSTEAD OF INSERT ON uv BEGIN SELECT 1; END"))
-    assert(e.getMessage.contains("unsupported statement"))
+    s.sql("""CREATE TRIGGER vi INSTEAD OF INSERT ON uv BEGIN
+      |  INSERT INTO users VALUES (NEW.id, NEW.name, NEW.role, NEW.department_id); END""".stripMargin)
+    s.sql("INSERT INTO uv VALUES (77, 'Via', 'user', 10)")
+    assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE id = 77").head().getLong(0) == 1L)
     s.close()
   }
 

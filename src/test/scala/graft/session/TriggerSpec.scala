@@ -239,6 +239,102 @@ class TriggerSpec extends SparkSpec {
     s.close()
   }
 
+  // ------------------------------------------------ INSTEAD OF (views)
+
+  private def openViewSess(prefix: String): GraftSession = {
+    val s = openSess(prefix)
+    s.sql("CREATE TABLE departments (id INTEGER, dept_name TEXT)")
+    s.sql("INSERT INTO departments VALUES (10, 'eng'), (20, 'ops')")
+    s.sql("""CREATE VIEW staff AS
+            |  SELECT u.id, u.name, d.dept_name FROM users u
+            |  JOIN departments d ON d.id = u.department_id""".stripMargin)
+    s
+  }
+
+  test("INSTEAD OF INSERT routes view inserts into both base tables") {
+    val s = openViewSess("trg-iof-ins")
+    s.sql("""CREATE TRIGGER vi INSTEAD OF INSERT ON staff BEGIN
+            |  INSERT INTO departments VALUES (NEW.id * 10, NEW.dept_name);
+            |  INSERT INTO users VALUES (NEW.id, NEW.name, 'user', NEW.id * 10);
+            |END""".stripMargin)
+    s.sql("INSERT INTO staff VALUES (7, 'Gil', 'qa'), (8, 'Hal', 'ml')")
+    assert(s.sql("SELECT changes()").head().getLong(0) == 2L)
+    val got = s.sql("SELECT id, name, dept_name FROM staff WHERE id >= 7 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((7L, "Gil", "qa"), (8L, "Hal", "ml")))
+    s.close()
+  }
+
+  test("INSTEAD OF UPDATE and DELETE bind OLD/NEW from the view rows") {
+    val s = openViewSess("trg-iof-upd")
+    // UPDATE on the view rewrites the underlying user's name (per-row
+    // fallback body: UPDATE is not a vectorizable statement)
+    s.sql("""CREATE TRIGGER vu INSTEAD OF UPDATE OF name ON staff BEGIN
+            |  UPDATE users SET name = NEW.name WHERE id = OLD.id;
+            |END""".stripMargin)
+    s.sql("""CREATE TRIGGER vd INSTEAD OF DELETE ON staff BEGIN
+            |  DELETE FROM users WHERE id = OLD.id;
+            |END""".stripMargin)
+    s.sql("UPDATE staff SET name = 'Alicia' WHERE id = 1")
+    assert(s.sql("SELECT name FROM users WHERE id = 1").head().getString(0) == "Alicia")
+    s.sql("DELETE FROM staff WHERE dept_name = 'ops'")
+    assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE id = 2").head().getLong(0) == 0L)
+    // the view reflects base-table state
+    assert(s.sql("SELECT COUNT(*) AS n FROM staff").head().getLong(0) == 2L)
+    s.close()
+  }
+
+  test("view DML without a matching INSTEAD OF trigger is rejected; timing/target rules hold") {
+    val s = openViewSess("trg-iof-rules")
+    intercept[InvalidSqlError] { s.sql("INSERT INTO staff VALUES (9, 'Ida', 'qa')") }
+    // INSTEAD OF on a table / BEFORE on a view are both SQLite errors
+    intercept[InvalidSqlError] {
+      s.sql("CREATE TRIGGER bad1 INSTEAD OF INSERT ON users BEGIN INSERT INTO audit VALUES (1, 'x'); END")
+    }
+    intercept[InvalidSqlError] {
+      s.sql("CREATE TRIGGER bad2 AFTER INSERT ON staff BEGIN INSERT INTO audit VALUES (1, 'x'); END")
+    }
+    // an INSTEAD OF UPDATE OF list filters like the table variant
+    s.sql("""CREATE TRIGGER vu INSTEAD OF UPDATE OF dept_name ON staff BEGIN
+            |  INSERT INTO audit VALUES (OLD.id, 'deptchange'); END""".stripMargin)
+    intercept[InvalidSqlError] { s.sql("UPDATE staff SET name = 'Nope' WHERE id = 1") }
+    s.sql("UPDATE staff SET dept_name = 'qa' WHERE id = 1")
+    assert(s.sql("SELECT COUNT(*) AS n FROM audit").head().getLong(0) == 1L)
+    s.close()
+  }
+
+  test("RAISE in an INSTEAD OF body aborts atomically; DROP VIEW cascades its triggers") {
+    val s = openViewSess("trg-iof-raise")
+    s.sql("""CREATE TRIGGER vi INSTEAD OF INSERT ON staff BEGIN
+            |  INSERT INTO users VALUES (NEW.id, NEW.name, 'user', 10);
+            |  SELECT RAISE(ABORT, 'no hires') WHERE NEW.id >= 100;
+            |END""".stripMargin)
+    intercept[TriggerAbortError] { s.sql("INSERT INTO staff VALUES (100, 'Max', 'eng')") }
+    // the body's first insert was rolled back with the statement
+    assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE id = 100").head().getLong(0) == 0L)
+    s.sql("INSERT INTO staff VALUES (4, 'Dot', 'eng')")
+    assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE id = 4").head().getLong(0) == 1L)
+    s.sql("DROP VIEW staff")
+    assert(s.sql("SELECT COUNT(*) AS n FROM sqlite_master WHERE type = 'trigger'")
+      .head().getLong(0) == 0L)
+    s.close()
+  }
+
+  test("a table trigger body's view DML fires the view's INSTEAD OF trigger (nested)") {
+    val s = openViewSess("trg-iof-nested")
+    s.sql("""CREATE TRIGGER vi INSTEAD OF INSERT ON staff BEGIN
+            |  INSERT INTO users VALUES (NEW.id, NEW.name, 'user', 10);
+            |END""".stripMargin)
+    // an AFTER INSERT table trigger whose body inserts into the VIEW:
+    // the inner INSTEAD OF must fire even though we are in a body
+    s.sql("""CREATE TRIGGER da AFTER INSERT ON departments BEGIN
+            |  INSERT INTO staff VALUES (NEW.id + 500, 'auto', 'eng');
+            |END""".stripMargin)
+    s.sql("INSERT INTO departments VALUES (30, 'sales')")
+    assert(s.sql("SELECT COUNT(*) AS n FROM users WHERE id = 530").head().getLong(0) == 1L)
+    s.close()
+  }
+
   test("ALTER TABLE RENAME COLUMN re-points UPDATE OF lists and NEW/OLD references") {
     val s = openSess("trg-rencol")
     s.sql("""CREATE TRIGGER ru AFTER UPDATE OF role ON users
