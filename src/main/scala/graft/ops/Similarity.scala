@@ -461,10 +461,10 @@ object Similarity {
     * cell partitions — one pass over the BATCH, the existing index
     * files are untouched. Centroid drift note: appended batches are
     * quantized by the ORIGINAL centroids, so recall in a cell degrades
-    * as the corpus distribution drifts from the training draw; once
-    * appends dominate the base corpus (or probe recall drops), retrain
-    * and [[writeIvfIndex]] afresh — the rewrite costs what the original
-    * build did. */
+    * as the corpus distribution drifts from the training draw; chart
+    * [[indexDriftStats]] after append waves and retrain +
+    * [[writeIvfIndex]] afresh once occupancy skews or `mean_qerr`
+    * climbs — the rewrite costs what the original build did. */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val cts = readIvfMeta(batch.sparkSession, path) // heals, then reads
@@ -663,9 +663,9 @@ object Similarity {
     * [[ivfPqTopKIndexed]] serves the union immediately. Quantizer
     * drift note: appended vectors are snapped to codewords trained on
     * the ORIGINAL corpus draw, so ADC scores for drifted batches lose
-    * precision before cell recall degrades; once appends dominate (or
-    * scored recall drops against a brute-force spot check), retrain via
-    * [[trainIvfPq]] and rebuild with [[writeIvfPqIndex]]. */
+    * precision before cell recall degrades; score a fixed holdout with
+    * [[pqDriftStats]] after append waves and retrain via
+    * [[trainIvfPq]] + [[writeIvfPqIndex]] when the error climbs. */
   def appendToIvfPqIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
     val (cts, cb) = readIvfPqMeta(batch.sparkSession, path)
@@ -707,6 +707,69 @@ object Similarity {
       .filter(col("cell").isin(cells: _*))
       .withColumn("cell", col("cell").cast("int"))
     rerankPq(codes, probes, k)
+  }
+
+  /** Observability for a [[writeIvfIndex]] index: per-cell occupancy
+    * plus sampled mean quantization error, in ONE narrow scan of the
+    * index — makes [[appendToIvfIndex]]'s documented retrain criterion
+    * ("rebuild once appends dominate / drift grows") measurable.
+    *
+    * `mean_qerr` = 1 − cv·centroid(cell) over a deterministic
+    * one-in-`sampleOneIn` id-hash sample (both vectors unit-norm, so
+    * this is cosine distance to the assigned centroid). Appending
+    * in-distribution batches keeps it ~flat; distribution drift raises
+    * it (new vectors land far from every trained centroid) — chart it
+    * after appends, retrain when it climbs. */
+  def indexDriftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      sampleOneIn: Int = 20): DataFrame = {
+    require(sampleOneIn >= 1, s"sampleOneIn $sampleOneIn must be >= 1")
+    val cts = readIvfMeta(spark, path) // heals, then reads
+    import spark.implicits._
+    val ctDf = broadcast(
+      cts.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "ct"))
+    spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("int"))
+      .withColumn("__s", pmod(xxhash64(col("neighbor_id")), lit(sampleOneIn)) === 0)
+      .join(ctDf, Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__s"), lit(1L)).otherwise(lit(0L))).as("sample_n"),
+        avg(when(col("__s"), lit(1.0) - dot(col("cv"), col("ct")))).as("mean_qerr"))
+      .orderBy(col("cell"))
+  }
+
+  /** Drift of a [[writeIvfPqIndex]] index measured on a PROBE SAMPLE
+    * (stored m-byte codes do not retain raw vectors, so the index alone
+    * cannot be error-scored): the sample is assigned and PQ-encoded
+    * with the index's stored quantizers, then per-subspace
+    * reconstruction error ‖v_sub − codeword‖² is summed per vector.
+    * An in-distribution sample reproduces the training-time error; a
+    * drifted sample scores higher — score a fixed holdout after each
+    * append wave and retrain when the curve climbs. Cost: one explode
+    * (m rows per sample vector) + a broadcast codeword join — the
+    * corpus itself is never touched. */
+  def pqDriftStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      sample: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (cts, cb) = readIvfPqMeta(spark, path) // heals, then reads
+    import spark.implicits._
+    val cwDf = broadcast(
+      (for { mi <- 0 until cb.m; j <- 0 until cb.k }
+        yield (mi, j, cb.codewords(mi)(j).toSeq)).toDF("mi", "code", "w"))
+    val enc = sample
+      .select(col(idCol).as("id"), normalize(col(vecCol)).as("v"))
+      .withColumn("cell", cellId(col("v"), cts))
+      .select(col("id"), col("cell"), col("v"),
+        posexplode(pqEncode(col("v"), cb)).as(Seq("mi", "code")))
+    val perVec = enc.join(cwDf, Seq("mi", "code"))
+      .withColumn("vsub", slice(col("v"), col("mi") * cb.subDim + 1, lit(cb.subDim)))
+      .withColumn("err",
+        dot(col("vsub"), col("vsub")) - lit(2.0) * dot(col("vsub"), col("w")) +
+          dot(col("w"), col("w")))
+      .groupBy(col("cell"), col("id"))
+      .agg(sum(col("err")).as("recon_err"))
+    perVec.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sample_n"), avg(col("recon_err")).as("mean_recon_err"))
+      .orderBy(col("cell"))
   }
 
   /** Heuristic hyperplane count for an n-vector corpus: enough sign bits

@@ -376,6 +376,51 @@ class OpsSpec extends SparkSpec {
       .map(_.getLong(2)).toSeq == Seq(9000L))
   }
 
+  test("indexDriftStats / pqDriftStats: ~flat for in-distribution appends, grows for drifted data") {
+    val rnd = new scala.util.Random(19)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    // a DIFFERENT random draw: directions the quantizers never saw
+    val oodCenters = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    def mk(ids: Range, cs: Array[Array[Double]]) = ids.map { i =>
+      val c = cs(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, j) => (v + math.sin(i * 17 + j) * 0.3).toFloat })
+    }.toDF("vec_id", "embedding")
+    val base = mk(0 until 200, centers)
+    val (cts, cb) = Similarity.trainIvfPq(base, "embedding", nList = 8, m = 4, kSub = 16)
+
+    val ivf = tmpDir("ivf-drift").resolve("index").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", ivf, cts)
+    def ivfErr(): Double = {
+      // sampleOneIn=1: every row scored (tiny index; determinism beats
+      // sampling here — the sampled path is the same expression)
+      val rows = Similarity.indexDriftStats(spark, ivf, sampleOneIn = 1).collect()
+      val n = rows.map(_.getLong(2)).sum
+      rows.map(r => r.getDouble(3) * r.getLong(2)).sum / n
+    }
+    val e0 = ivfErr()
+    Similarity.appendToIvfIndex(mk(200 until 400, centers), "vec_id", "embedding", ivf)
+    val e1 = ivfErr()
+    assert(e1 <= e0 * 1.5 + 0.01, s"in-distribution append moved drift $e0 -> $e1")
+    Similarity.appendToIvfIndex(mk(400 until 600, oodCenters), "vec_id", "embedding", ivf)
+    val e2 = ivfErr()
+    assert(e2 >= e1 * 2, s"OOD append should raise drift: $e1 -> $e2")
+    // occupancy column reflects the appends
+    assert(Similarity.indexDriftStats(spark, ivf).agg(sum(col("n_rows")))
+      .head().getLong(0) == 600L)
+
+    val pq = tmpDir("pq-drift").resolve("index").toString
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", pq, cts, cb)
+    def pqErr(sample: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Similarity.pqDriftStats(spark, pq, sample, "vec_id", "embedding").collect()
+      val n = rows.map(_.getLong(1)).sum
+      rows.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    }
+    val inDist = pqErr(mk(600 until 700, centers))
+    val ood = pqErr(mk(700 until 800, oodCenters))
+    assert(ood >= inDist * 2,
+      s"OOD sample should reconstruct worse: in-dist $inDist vs ood $ood")
+  }
+
   test("approximate-ANN rerank is two-stage: partial per-partition top-k before the final rank") {
     // every approximate variant must rank via topKPerQuery — a hot cell
     // would otherwise funnel ALL of a query's candidates into one window
