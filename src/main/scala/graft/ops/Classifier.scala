@@ -49,13 +49,33 @@ object Classifier {
     conv(substring(md5(token), 1, 6), 16, 10).cast("long") % numBuckets
 
   /** Hashed bag-of-words ("hashing trick"): (doc_id, bucket, cnt) sparse
-    * integer count features. One explode + one hash aggregation. */
+    * integer count features. One explode + one hash aggregation.
+    *
+    * `bigrams = true` additionally hashes adjacent word PAIRS
+    * (`"a b"`) into the SAME bucket space — fastText's word-n-gram
+    * recipe. Word order becomes a feature: two docs with identical
+    * vocabularies but different orderings share every unigram bucket
+    * yet differ on bigrams (spec plants exactly that label). Costs one
+    * extra zip_with per row and roughly doubles feature rows; size
+    * `numBuckets` up with it (collisions grow with the gram count). */
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int = 256): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      numBuckets: Int = 256, bigrams: Boolean = false): DataFrame = {
+    // bindOnce: the token array feeds several sub-expressions — bound
+    // as a lambda var so the split runs once per row (the HOF-blocks-CSE
+    // trap, see CLAUDE.md)
+    val grams = Dedup.bindOnce(TextAnalysis.tokens(col(textCol))) { toks =>
+      if (!bigrams) toks
+      else concat(toks,
+        when(size(toks) >= 2,
+          zip_with(slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>")))
+    }
+    df.select(col(idCol).as("doc_id"), explode(grams).as("tok"))
       .select(col("doc_id"), tokenBucket(col("tok"), numBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
 
   /** A trained linear model: bucket → integer weight, decision
     * threshold (predict +1 iff margin > theta). */

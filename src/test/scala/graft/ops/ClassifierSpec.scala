@@ -119,6 +119,37 @@ class ClassifierSpec extends SparkSpec {
     assert(Classifier.readCentroidModel(spark, path) == before)
   }
 
+  test("bigram features earn their cost: a word-order label unigrams cannot learn") {
+    // every doc uses the SAME bag of words — only the order differs.
+    // +1 docs contain the bigram "not good"; -1 docs contain "good not".
+    // Unigram buckets are identical across classes by construction, so
+    // no unigram linear model can beat chance; bigrams separate exactly.
+    val ordered = (0 until 40).map { i =>
+      val fill = Seq("alpha", "beta", "gamma").map(w => w + (i % 5))
+      if (i % 2 == 0) (i.toLong, (fill :+ "not" :+ "good").mkString(" "))
+      else (i.toLong, (fill :+ "good" :+ "not").mkString(" "))
+    }.toDF("doc_id", "text")
+    val y = ordered.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, 1).otherwise(-1).as("y"))
+    def accuracy(bigrams: Boolean, buckets: Int): Double = {
+      val f = Classifier.hashedFeatures(ordered, "doc_id", "text", buckets,
+        bigrams = bigrams).cache()
+      val m = Classifier.trainCentroid(f, y)
+      val hit = Classifier.score(f, ordered, m).join(y, Seq("doc_id"))
+        .filter(col("pred") === col("y")).count()
+      f.unpersist()
+      hit / 40.0
+    }
+    val uni = accuracy(bigrams = false, 256)
+    val bi = accuracy(bigrams = true, 256)
+    assert(uni <= 0.6, s"unigram model should sit at chance on an order-only label, got $uni")
+    assert(bi == 1.0, s"bigram model should separate the order label exactly, got $bi")
+    // numBuckets sweep: more buckets -> fewer collisions -> no worse
+    val sweep = Seq(16, 64, 256).map(b => b -> accuracy(bigrams = true, b))
+    assert(sweep.last._2 >= sweep.head._2,
+      s"accuracy should not degrade with more buckets: $sweep")
+  }
+
   test("score: docs with no overlapping features get margin 0") {
     val feats = Classifier.hashedFeatures(docs.filter(col("doc_id") <= 3),
       "doc_id", "text", 256)
