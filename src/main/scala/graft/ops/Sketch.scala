@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches: KMV (k-minimum-values).
+  *
+  * The classic cardinality estimator (Bar-Yossef et al. 2002; the
+  * bottom-k / theta-sketch family): hash every value uniformly, keep
+  * only the k SMALLEST distinct hashes per key. If the k-th smallest
+  * normalized hash is U, the key saw ≈ (k−1)/U distinct values; with
+  * fewer than k distinct values the sketch IS the exact set. Standard
+  * error ≈ 1/√(k−2) (~13% at k=64, ~6% at k=256).
+  *
+  * Why not `approx_count_distinct`: Spark's HLL++ is neither mergeable
+  * at the DataFrame level (no exposed sketch artifact) nor replayable
+  * by an external engine. This sketch is BOTH: the artifact is k plain
+  * longs per key (persistable, unionable, re-aggregatable across days/
+  * segments), and the hash is the repo's portable md5 digit-fold
+  * ([[valueHash60]]) so DuckDB replays every slot and the estimate
+  * bit-for-bit (gate t21).
+  *
+  * 100 TB shape: aggregation state is a BOUNDED sorted array (≤ k
+  * longs) per key per partition — map-side partial aggregation shuffles
+  * at most k longs per (partition, key), never the distinct value set
+  * itself. Merging month-from-days is [[kmvMerge]]: union the sketch
+  * rows, re-cap — associative and order-independent (the k smallest
+  * distinct of a multiset do not depend on arrival order).
+  */
+object Sketch {
+
+  /** Portable 60-bit value hash: first 15 hex digits of md5, exact in
+    * Spark (`conv(…,16,10)`) and in DuckDB (digit fold with BIGINT
+    * powers — each 16^i is a power of two, exact through the DOUBLE
+    * cast). 60 bits keeps collision probability negligible (< 1e-9 at
+    * a billion distinct values per key) while staying far inside
+    * BIGINT. */
+  def valueHash60(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Bounded-state KMV aggregator: buffer = ascending Array[Long] of at
+    * most k distinct hashes. Insert and merge keep the array sorted and
+    * capped, so partial states stay ≤ k longs regardless of input
+    * volume — this is what makes the sketch a sketch. */
+  private final class KmvAgg(k: Int) extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], hBoxed: java.lang.Long): Array[Long] = {
+      if (hBoxed == null) return buf
+      val h = hBoxed.longValue()
+      val idx = java.util.Arrays.binarySearch(buf, h)
+      if (idx >= 0) buf // already present
+      else {
+        val ins = -idx - 1
+        if (buf.length >= k) {
+          if (ins >= k) buf // larger than the current cap — irrelevant
+          else {
+            val out = new Array[Long](k)
+            System.arraycopy(buf, 0, out, 0, ins)
+            out(ins) = h
+            System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+            out
+          }
+        } else {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // shared hash: once
+        if (o == 0 || out(o - 1) != take) { out(o) = take; o += 1 }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = r
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** KMV aggregation column over a 60-bit hash column: usable directly
+    * in any `groupBy(...).agg(...)`. */
+  def kmvAgg(hash60: Column, k: Int): Column = {
+    require(k >= 2, s"kmv k=$k must be >= 2 (the estimator needs k-1 >= 1)")
+    udaf(new KmvAgg(k)).apply(hash60)
+  }
+
+  /** Per-key KMV sketch of a value column: `(key, hashes array<long>
+    * ascending, ≤ k)`. One hash projection + one bounded aggregation. */
+  def kmvSketch(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), valueHash60(col(valueCol)).as("h"))
+      .groupBy(col("key"))
+      .agg(kmvAgg(col("h"), k).as("hashes"))
+
+  /** Merge sketch frames (built with the same k and hash): union →
+    * explode → re-cap. The artifact stays ≤ k longs per key, so
+    * merging a year of daily sketches is a narrow aggregation. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(col("key"), explode(col("hashes")).as("h"))
+      .groupBy(col("key"))
+      .agg(kmvAgg(col("h"), k).as("hashes"))
+
+  /** Distinct-count estimates from a sketch frame: `(key, n_sketch,
+    * est_distinct)`. Exact when the key had < k distinct values (the
+    * sketch holds them all); otherwise the KMV estimator
+    * (k−1) / U_(k) with U the 60-bit hash normalized to (0, 1] — the
+    * expression shape (one int→double cast, one exact power-of-two
+    * scale, one division, one round) is replayed bitwise by DuckDB. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    val n = size(col("hashes"))
+    val hk = element_at(col("hashes"), n).cast("double")
+    val u = greatest(hk, lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    sketch.select(col("key"),
+      n.cast("long").as("n_sketch"),
+      when(n < k, n.cast("long"))
+        .otherwise(round(lit((k - 1).toDouble) / u).cast("long")).as("est_distinct"))
+  }
+}

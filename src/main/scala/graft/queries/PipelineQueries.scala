@@ -656,6 +656,33 @@ object PipelineQueries {
       out
     }),
 
+    // ---- sketch: per-source KMV distinct-token estimate — mergeable
+    // bounded-state cardinality sketch (k smallest distinct 60-bit md5
+    // hashes; the portable digit-fold hash, so DuckDB replays every
+    // slot and the (k-1)/U estimator bit-for-bit). n_sketch, the
+    // estimate AND the exact count ride in the gate row, so the oracle
+    // also pins the estimator's accuracy contract on this corpus
+    "t21_kmv_sketch" -> ((s, dir) => {
+      // value = token#**(doc_id mod 97): the synthetic corpus shares one
+      // ~31-token vocabulary, so per-source distinct TOKEN counts sit
+      // below k (exact branch only) — the residue suffix lifts the
+      // domain to ~3k distinct values per source so the (k-1)/U
+      // estimator branch is oracle-checked too
+      val toks = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("source"),
+          concat(col("tok"), lit("#"), (col("doc_id") % 97).cast("string")).as("v"))
+      val k = 64
+      val est = graft.ops.Sketch.kmvEstimate(
+        graft.ops.Sketch.kmvSketch(toks, "source", "v", k), k)
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("v")).as("exact_distinct"))
+      est.select(col("key").as("source"), col("n_sketch"), col("est_distinct"))
+        .join(exact, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -2459,6 +2486,44 @@ object PipelineQueries {
          |  CASE WHEN COALESCE(m.margin, 0) > mid.theta THEN 1 ELSE -1 END AS pred, l.y
          |FROM lbl l LEFT JOIN m ON l.doc_id = m.doc_id, mid
          |ORDER BY l.doc_id""".stripMargin,
+
+    // KMV replay: distinct 15-hex-digit md5 folds per source (BIGINT
+    // powers of 16 are powers of two — exact through the DOUBLE cast),
+    // rank ascending, keep 64, estimate with the SAME expression shape
+    // (greatest-guard, one 2^60 scale, one division, round)
+    "t21_kmv_sketch" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) || '#' || CAST(doc_id % 97 AS VARCHAR) AS tok
+        |  FROM documents
+        |),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, i+1, 1)) >= 97
+        |        THEN ascii(substr(hh, i+1, 1)) - 87
+        |        ELSE ascii(substr(hh, i+1, 1)) - 48 END)
+        |      * CAST(16**(14-i) AS BIGINT) for i in range(0,15)]) AS BIGINT) AS hv
+        |  FROM (SELECT source, md5(tok) AS hh FROM toks)
+        |),
+        |ranked AS (
+        |  SELECT source, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM hs
+        |),
+        |sk AS (
+        |  SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS hk
+        |  FROM ranked WHERE rn <= 64 GROUP BY source
+        |),
+        |ex AS (SELECT source, COUNT(DISTINCT tok) AS exact_distinct
+        |       FROM toks GROUP BY source)
+        |SELECT s.source, s.n_sketch,
+        |  CASE WHEN s.n_sketch < 64 THEN s.n_sketch
+        |       ELSE CAST(round(63.0 / (GREATEST(CAST(s.hk AS DOUBLE), 1.0)
+        |         / 1152921504606846976.0)) AS BIGINT) END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM sk s JOIN ex USING (source)
+        |ORDER BY source""".stripMargin,
 
     "t18_bpe_encode" ->
       s"""${bpeMergeCtes(6)},
