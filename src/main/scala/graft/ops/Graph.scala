@@ -170,7 +170,8 @@ object Graph {
         greatest(col(idA), col(idB)).cast("long").as("g"))
       .filter(col("s") =!= col("g")).distinct())
     var round = 0
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged && round < maxRounds) {
       // large-star: m(u) = min(N(u) ∪ {u}); every edge (u,v) with
       // v > u is rewired to (m(u), v). m(u) ≤ u < v, so the rewired
@@ -180,9 +181,15 @@ object Graph {
         .union(e.select(col("g").as("u"), col("s").as("v")))
       val mins = bi.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = Lineage.cut(bi.join(mins, Seq("u")).filter(col("v") > col("u"))
+      // persist, not Lineage.cut: ls is read twice WITHIN this round
+      // (small-star groupBy + join) but sm's cut below bounds the
+      // round-over-round lineage — a cache avoids the recompute at a
+      // fraction of a checkpoint's materialization cost, and a lost
+      // executor merely recomputes from the checkpointed `e`
+      val ls = bi.join(mins, Seq("u")).filter(col("v") > col("u"))
         .select(col("m").as("s"), col("v").as("g"))
-        .distinct())
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // small-star on the larger endpoint: u = g has only smaller
       // neighbors here; m(u) = min of them; every smaller neighbor and
       // u itself connect to m(u).
@@ -192,8 +199,15 @@ object Graph {
         .filter(col("s") =!= col("g"))
         .union(m2.select(col("m").as("s"), col("g")))
         .distinct())
-      converged = sm.count() == e.count() && sm.except(e).isEmpty
+      // && short-circuits: the except() anti-join only runs once the
+      // counts match, i.e. at (or coincidentally near) convergence;
+      // the previous round's count carries forward, so most rounds pay
+      // ONE count over the just-checkpointed frame
+      val smCount = sm.count()
+      converged = smCount == eCount && sm.except(e).isEmpty
+      ls.unpersist() // sm is materialized (Lineage.cut is eager)
       e = sm
+      eCount = smCount
       round += 1
     }
     if (!converged)
