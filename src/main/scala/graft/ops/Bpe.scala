@@ -153,7 +153,8 @@ object Bpe {
     * shuffles — BUT the chained-`replace` expression tree is linear in
     * the merge count and re-runs the whole chain on every token
     * OCCURRENCE: use only for small merge tables (≲64). The production
-    * path is [[encodeViaDict]]; `BpeDictParitySpec` pins them equal. */
+    * path is [[encodeViaDict]]; `BpeSpec`'s mixed-corpus parity test
+    * pins them equal. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val sorted = merges.sortBy(_.rank)
@@ -183,9 +184,19 @@ object Bpe {
     *     hash aggregate), non-learnable tokens passing through atomically.
     *
     * Costs one distinct + one join + one aggregate shuffle vs [[encode]]'s
-    * zero — the price of dict amortization, paid in narrow rows. */
+    * zero — the price of dict amortization, paid in narrow rows.
+    *
+    * CONTRACT: `idCol` must uniquely identify rows (the same contract as
+    * every id-keyed op in this library — reassembly groups on it).
+    * Duplicate ids raise a typed error at execution rather than
+    * interleaving two documents' tokens; a duplicate-id corpus belongs
+    * on [[encode]] (per-row, no grouping). [[encodeToIds]] inherits the
+    * same contract. */
   def encodeViaDict(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
+    val reserved = Seq("__notext", "__pos", "__word", "__subs", "__cnt", "__cntd", "__items")
+    require(!reserved.contains(idCol),
+      s"encodeViaDict: idCol $idCol collides with an internal column name")
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
     val dict = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("__word"))
@@ -199,12 +210,31 @@ object Bpe {
         posexplode_outer(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__word")))
       .join(dictSide, Seq("__word"), "left")
       .groupBy(col(idCol))
-      // null text → null subwords (the [[encode]] contract); empty/
-      // tokenless text → empty array
-      .agg(when(max(col("__notext")), lit(null))
-        .otherwise(flatten(transform(
-          array_sort(collect_list(when(col("__pos").isNotNull,
-            struct(col("__pos"), coalesce(col("__subs"), array(col("__word"))).as("subs"))))),
-          s => s.getField("subs")))).as("subwords"))
+      .agg(
+        // duplicate-id detection: every input row contributes either
+        // its token positions (0..n-1, distinct within ONE row) or a
+        // single null-pos marker, so a group from one row always has
+        // count(*) == greatest(countDistinct(pos), 1). Two rows sharing
+        // an id double up positions (or markers) and trip this — a
+        // TYPED error instead of silently interleaving two documents'
+        // token arrays. (A per-row discriminator cannot fix this
+        // distributedly: any synthetic row id is unstable under partial
+        // stage re-execution — see Mutations' MIID note. Duplicate-id
+        // corpora belong on [[encode]], a pure per-row projection.)
+        count(lit(1)).as("__cnt"),
+        countDistinct(col("__pos")).as("__cntd"),
+        max(col("__notext")).as("__notext"),
+        collect_list(when(col("__pos").isNotNull,
+          struct(col("__pos"), coalesce(col("__subs"), array(col("__word"))).as("subs"))))
+          .as("__items"))
+      .select(col(idCol),
+        when(col("__cnt") =!= greatest(col("__cntd"), lit(1L)), raise_error(concat(
+          lit(s"Bpe.encodeViaDict: duplicate rows for $idCol="), col(idCol).cast("string"),
+          lit(" - ids must be unique (use Bpe.encode for duplicate-id corpora)"))))
+        // null text → null subwords (the [[encode]] contract);
+        // empty/tokenless text → empty array
+        .otherwise(when(col("__notext"), lit(null))
+          .otherwise(flatten(transform(array_sort(col("__items")),
+            s => s.getField("subs"))))).as("subwords"))
   }
 }

@@ -131,8 +131,14 @@ object Layout {
       a: Column, b: Column, numFiles: Int, bits: Int = 16): Int = {
     require(numFiles >= 1, "numFiles must be >= 1")
     healZorder(spark, path)
+    // null-keyed rows produce null z (zValue null-propagates) — coalesce
+    // to Long.MinValue so their files sort and group FIRST, matching
+    // where repartitionByRange places null z values on the rewrite path
+    // (min/max would otherwise skip them and getLong would NPE on an
+    // all-null file)
     val stats = spark.read.parquet(path)
-      .select(input_file_name().as("file"), zValue(a, b, bits).as("z"))
+      .select(input_file_name().as("file"),
+        coalesce(zValue(a, b, bits), lit(Long.MinValue)).as("z"))
       .groupBy(col("file"))
       .agg(min(col("z")).as("zmin"), max(col("z")).as("zmax"),
         count(lit(1)).as("rows"))
@@ -167,6 +173,22 @@ object Layout {
       val order = raw.zipWithIndex.sortBy { case (x, _) => -(x - x.toInt) }.map(_._2)
       var i = 0
       while (left > 0 && i < order.size) { ks(order(i)) += 1; left -= 1; i += 1 }
+    } else if (left < 0) {
+      // the max(1, _) floors can overshoot the budget (many tiny dirty
+      // groups next to one dominant one) — reclaim from the smallest
+      // fractional parts, never below 1 per group. budget ≥ dirty.size
+      // guarantees the loop terminates with left == 0.
+      val order = raw.zipWithIndex.sortBy { case (x, _) => x - x.toInt }.map(_._2)
+      while (left < 0) {
+        var changed = false
+        for (idx <- order if left < 0 && ks(idx) > 1) {
+          ks(idx) -= 1; left += 1; changed = true
+        }
+        // budget >= dirty.size, so a full pass always finds a group
+        // above its floor while left < 0 — fail loudly if not
+        if (!changed) throw new IllegalStateException(
+          s"compactZorder allocation invariant broken: left=$left ks=${ks.toSeq}")
+      }
     }
     val tmpPath = path + ".compacting"
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -186,7 +208,10 @@ object Layout {
     var rewritten = 0
     val cols = spark.read.parquet(path).columns.toSeq
     for ((g, k) <- dirty.zip(ks)) {
-      spark.read.parquet(g.map(_._1).toSeq: _*)
+      // decode the input_file_name URIs like the singleton branch —
+      // Hadoop Path(String) would re-quote '%' or truncate at '#'
+      spark.read.parquet(g.map(s =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(s._1)).toString).toSeq: _*)
         .withColumn("__graft_z", zValue(a, b, bits))
         .repartitionByRange(k, col("__graft_z"))
         .sortWithinPartitions(col("__graft_z"))

@@ -127,6 +127,24 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("a" * 32, "aa", "a"))
   }
 
+  test("encodeViaDict raises a typed error on duplicate ids instead of interleaving docs") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    // duplicate ids with different texts, identical texts, and null texts
+    for (dup <- Seq(
+      Seq((7L, "low low"), (7L, "widest"), (8L, "newest")),
+      Seq((7L, "low"), (7L, "low")),
+      Seq((7L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String])))) {
+      val e = intercept[Exception](
+        Bpe.encodeViaDict(dup.toDF("doc_id", "text"), "doc_id", "text", merges).collect())
+      assert(e.getMessage.contains("duplicate rows") ||
+        Option(e.getCause).exists(_.getMessage.contains("duplicate rows")),
+        s"expected the duplicate-id error, got: ${e.getMessage}")
+    }
+    // the per-row path handles the same corpus fine
+    assert(Bpe.encode(Seq((7L, "low low"), (7L, "widest")).toDF("doc_id", "text"),
+      "doc_id", "text", merges).count() == 2)
+  }
+
   test("encodeToIds routes through the dict path unchanged") {
     val merges = Bpe.learn(corpus, "text", numMerges = 4)
     val out = Bpe.encodeToIds(

@@ -119,6 +119,21 @@ class LayoutSpec extends SparkSpec {
     assert(after.diff(before).nonEmpty, "expected the dirty group to produce new files")
   }
 
+  test("compactZorder tolerates null-keyed rows (null z groups first, stays lossless)") {
+    val grid = spark.range(256)
+      .select(when(col("id") % 32 === 0, lit(null)).otherwise(col("id") % 16).as("x"),
+        (col("id") / 16).cast("long").as("y"))
+    val path = tmpDir("layout-null").resolve("t").toString
+    Layout.zorderWrite(grid, col("x"), col("y"), path, numFiles = 2, bits = 4)
+    // an ALL-null-key batch: its file's min/max z stats are empty
+    Layout.appendZorder(
+      spark.range(16).select(lit(null).cast("long").as("x"), lit(null).cast("long").as("y")),
+      col("x"), col("y"), path, numFiles = 1, bits = 4)
+    Layout.compactZorder(spark, path, col("x"), col("y"), numFiles = 4, bits = 4)
+    assert(spark.read.parquet(path).count() == 256 + 16)
+    assert(spark.read.parquet(path).filter(col("x").isNull).count() == 8 + 16)
+  }
+
   test("healZorder recovers the delete-rename crash window") {
     val grid = spark.range(256).select((col("id") % 16).as("x"), (col("id") / 16).as("y"))
     val dir = tmpDir("layout-heal")
