@@ -135,4 +135,61 @@ object Sketch {
       when(n < k, n.cast("long"))
         .otherwise(round(lit((k - 1).toDouble) / u).cast("long")).as("est_distinct"))
   }
+
+  // --------------------------------------------------------- count-min
+  //
+  // Frequency estimation companion to KMV (Cormode & Muthukrishnan
+  // 2005): depth × width counters; a value's estimate is the MIN of its
+  // depth bucket counts — never an undercount, overcounts only by
+  // collision mass (≤ 2N/width with prob 1 − 2^−depth). Unlike KMV's
+  // custom aggregator this is FULLY declarative: build and merge are
+  // plain hash aggregations (map-side combined), the artifact is
+  // (key, di, bucket, cnt) integer rows bounded by depth·width per key,
+  // and every hash/count/min is exact integer arithmetic the DuckDB
+  // oracle replays (gate t22).
+
+  /** Salted 60-bit row hash folded to a bucket: row `i`'s hash of `v`
+    * is the md5 fold of `"i#v"` — independent-enough rows from one
+    * portable hash function. */
+  def cmBucket(v: Column, row: Int, width: Int): Column =
+    pmod(valueHash60(concat(lit(row.toString), lit("#"), v.cast("string"))), lit(width.toLong))
+
+  /** Per-key count-min sketch of a value column: `(key, di, bucket,
+    * cnt)` rows — at most depth·width per key. One projection (the
+    * depth bucket expressions ride an inline posexplode) + one counting
+    * aggregation; pass `weightCol` to sum weights instead of counting
+    * occurrences. */
+  def cmSketch(df: DataFrame, keyCol: String, valueCol: String,
+      depth: Int = 4, width: Int = 1024,
+      weightCol: Option[String] = None): DataFrame = {
+    require(depth >= 1 && width >= 1, s"cmSketch: depth=$depth width=$width")
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), w.as("__w"),
+        posexplode(array((0 until depth).map(i =>
+          cmBucket(col(valueCol), i, width)): _*)).as(Seq("di", "bucket")))
+      .groupBy(col("key"), col("di"), col("bucket"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Merge count-min sketch frames (same depth/width/hash): counter
+    * matrices add element-wise, so merging is one SUM aggregation. */
+  def cmMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("key"), col("di"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Frequency estimates for a probe frame `(key, value)` against a
+    * sketch: `(key, value, est_count)` = min over the depth rows of the
+    * probed bucket counts (a bucket the sketch never saw counts 0).
+    * The join touches depth rows per probe — the corpus is never
+    * rescanned. */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      valueCol: String, depth: Int = 4, width: Int = 1024): DataFrame =
+    probes
+      .select(col(keyCol).as("key"), col(valueCol).as("value"),
+        posexplode(array((0 until depth).map(i =>
+          cmBucket(col(valueCol), i, width)): _*)).as(Seq("di", "bucket")))
+      .join(sketch, Seq("key", "di", "bucket"), "left")
+      .groupBy(col("key"), col("value"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
 }

@@ -683,6 +683,31 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- sketch: count-min frequency estimation — per-source token
+    // counts probed from a 4×512 counter matrix (never undercounts;
+    // exact integer arithmetic end to end, so the DuckDB oracle
+    // replays every salted hash, bucket count and min). Probes = the
+    // bm25 gate terms + one absent token (pins the 0 path); the exact
+    // count rides in the row so the sketch's guarantee is oracle-visible
+    "t22_cm_sketch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val sk = graft.ops.Sketch.cmSketch(toks, "source", "tok", depth = 4, width = 512)
+      val probeVals = bm25GateTerms :+ "zzz_absent"
+      val probes = d.select(col("source")).distinct()
+        .select(col("source"), explode(typedlit(probeVals)).as("value"))
+      val exact = toks.filter(col("tok").isin(probeVals: _*))
+        .groupBy(col("source"), col("tok").as("value"))
+        .agg(count(lit(1)).as("exact_count"))
+      graft.ops.Sketch.cmEstimate(sk, probes, "source", "value", 4, 512)
+        .select(col("key").as("source"), col("value"), col("est_count"))
+        .join(exact, Seq("source", "value"), "left")
+        .select(col("source"), col("value"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy(col("source"), col("value"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -2486,6 +2511,65 @@ object PipelineQueries {
          |  CASE WHEN COALESCE(m.margin, 0) > mid.theta THEN 1 ELSE -1 END AS pred, l.y
          |FROM lbl l LEFT JOIN m ON l.doc_id = m.doc_id, mid
          |ORDER BY l.doc_id""".stripMargin,
+
+    // count-min replay: per (source, depth-row) salted md5 folds mod
+    // width, integer bucket counts, MIN over the probed rows — every
+    // number exact in both engines
+    "t22_cm_sketch" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents
+        |),
+        |th AS (
+        |  SELECT source, tok, i,
+        |    md5(CAST(i AS VARCHAR) || '#' || tok) AS hh
+        |  FROM toks, range(0, 4) r(i)
+        |),
+        |cm AS (
+        |  SELECT source, i AS di,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |      % 512 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM th GROUP BY 1, 2, 3
+        |),
+        |probes AS (
+        |  SELECT s.source, p.value FROM (SELECT DISTINCT source FROM documents) s,
+        |    (SELECT unnest(['sort','join','window','stream','filter','zzz_absent']) AS value) p
+        |),
+        |ph AS (
+        |  SELECT source, value, i,
+        |    md5(CAST(i AS VARCHAR) || '#' || value) AS hh
+        |  FROM probes, range(0, 4) r(i)
+        |),
+        |pb AS (
+        |  SELECT source, value, i AS di,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |      % 512 AS bucket
+        |  FROM ph
+        |),
+        |est AS (
+        |  SELECT pb.source, pb.value, MIN(COALESCE(cm.cnt, 0)) AS est_count
+        |  FROM pb LEFT JOIN cm
+        |    ON cm.source = pb.source AND cm.di = pb.di AND cm.bucket = pb.bucket
+        |  GROUP BY 1, 2
+        |),
+        |ex AS (
+        |  SELECT source, tok AS value, COUNT(*) AS exact_count FROM toks
+        |  WHERE tok IN ('sort','join','window','stream','filter','zzz_absent')
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.source, e.value, e.est_count,
+        |  COALESCE(ex.exact_count, 0) AS exact_count
+        |FROM est e LEFT JOIN ex ON ex.source = e.source AND ex.value = e.value
+        |ORDER BY e.source, e.value""".stripMargin,
 
     // KMV replay: distinct 15-hex-digit md5 folds per source (BIGINT
     // powers of 16 are powers of two — exact through the DOUBLE cast),

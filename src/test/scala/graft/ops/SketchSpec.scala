@@ -60,6 +60,46 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct, "merge must equal the union sketch exactly")
   }
 
+  test("count-min: exact without collisions, never undercounts with them") {
+    val rows = (0 until 10000).map(i => ("k", "v" + (i % 50)))
+    val df = rows.toDF("key", "v")
+    val probes = (0 until 50).map(i => ("k", "v" + i)).toDF("key", "value")
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // wide sketch: 50 values over 4×4096 buckets — collisions absent
+    val wide = Sketch.cmEstimate(Sketch.cmSketch(df, "key", "v", 4, 4096),
+      probes, "key", "value", 4, 4096).collect()
+    wide.foreach(r => assert(r.getLong(2) == truth(r.getString(1)),
+      s"${r.getString(1)}: ${r.getLong(2)} != ${truth(r.getString(1))}"))
+    // narrow sketch: collisions guaranteed — estimates may inflate but
+    // can NEVER undercount
+    val narrow = Sketch.cmEstimate(Sketch.cmSketch(df, "key", "v", 2, 16),
+      probes, "key", "value", 2, 16).collect()
+    narrow.foreach(r => assert(r.getLong(2) >= truth(r.getString(1))))
+    // an absent value probes to 0 in the wide sketch
+    val absent = Sketch.cmEstimate(Sketch.cmSketch(df, "key", "v", 4, 4096),
+      Seq(("k", "nope")).toDF("key", "value"), "key", "value", 4, 4096).head()
+    assert(absent.getLong(2) == 0L)
+  }
+
+  test("count-min: merge equals the union sketch; weighted counts sum weights") {
+    val d1 = (0 until 3000).map(i => ("k", "a" + (i % 20))).toDF("key", "v")
+    val d2 = (0 until 2000).map(i => ("k", "a" + (i % 35))).toDF("key", "v")
+    val merged = Sketch.cmMerge(
+      Sketch.cmSketch(d1, "key", "v", 3, 256).unionByName(
+        Sketch.cmSketch(d2, "key", "v", 3, 256)))
+      .orderBy("di", "bucket").collect().map(_.toSeq)
+    val direct = Sketch.cmSketch(d1.unionByName(d2), "key", "v", 3, 256)
+      .orderBy("di", "bucket").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq)
+    // weighted: each value's estimate is the SUM of its weights
+    val wdf = Seq(("k", "x", 5L), ("k", "x", 7L), ("k", "y", 2L)).toDF("key", "v", "w")
+    val west = Sketch.cmEstimate(
+      Sketch.cmSketch(wdf, "key", "v", 4, 1024, weightCol = Some("w")),
+      Seq(("k", "x"), ("k", "y")).toDF("key", "value"), "key", "value", 4, 1024)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(west == Map("x" -> 12L, "y" -> 2L))
+  }
+
   test("null values are ignored; k < 2 rejected") {
     val df = Seq(("k", "a"), ("k", null), ("k", "b")).toDF("key", "v")
     val est = Sketch.kmvEstimate(Sketch.kmvSketch(df, "key", "v", 8), 8).head()
