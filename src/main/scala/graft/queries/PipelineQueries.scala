@@ -1211,6 +1211,52 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events × sketch: STREAMING KMV — per-event-type distinct-user
+    // estimation accumulated in aggregation STATE across two forced
+    // micro-batches (the bounded KMV aggregator's merge runs in the
+    // state store between batches). The sketch is order/batch-invariant
+    // by construction, so the DuckDB oracle replays it as one batch
+    // query; the exact distinct count rides alongside
+    "e14_stream_kmv" -> ((s, dir) => {
+      val sink = "e14_kmv_out"
+      val streamDir = graft.Paths.scratchDir("graft-kmv-stream-")
+      val ev = Tables.load(s, dir, "events")
+      Seq(0, 1).foreach { p =>
+        val tmp = graft.Paths.scratchDir(s"graft-kmv-half$p-")
+        ev.filter(col("event_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val files = java.nio.file.Files.list(tmp)
+        val part =
+          try files.filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally files.close()
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve(s"half$p.parquet"), part)
+      }
+      val stream = EventStreams.readStreamNanos(s, streamDir.toString,
+        maxFilesPerTrigger = Some(1))
+      withShufflePartitions(s, 4) {
+        val q = stream
+          .select(col("event_type"), graft.ops.Sketch.valueHash60(col("user_id")).as("h"))
+          .groupBy(col("event_type"))
+          .agg(graft.ops.Sketch.kmvAgg(col("h"), 64).as("hashes"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      val out = graft.ops.Sketch.kmvEstimate(
+          s.table(sink).select(col("event_type").as("key"), col("hashes")), 64)
+        .select(col("key").as("event_type"), col("n_sketch"), col("est_distinct"))
+        .join(exact, Seq("event_type"))
+        .orderBy(col("event_type"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: STREAM-STREAM LEFT OUTER interval join — every
     // purchase appears, null-extended when the user had no click in the
     // preceding hour. Matches emit immediately; null-extended rows emit
@@ -2511,6 +2557,37 @@ object PipelineQueries {
          |  CASE WHEN COALESCE(m.margin, 0) > mid.theta THEN 1 ELSE -1 END AS pred, l.y
          |FROM lbl l LEFT JOIN m ON l.doc_id = m.doc_id, mid
          |ORDER BY l.doc_id""".stripMargin,
+
+    // streaming-KMV replay: batch-invariance means the oracle is the
+    // plain batch KMV over the whole table — distinct per-type user-id
+    // folds, rank ascending, keep 64, same estimator shape as t21
+    "e14_stream_kmv" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT) AS hv
+        |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events)
+        |),
+        |ranked AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM hs
+        |),
+        |sk AS (
+        |  SELECT event_type, COUNT(*) AS n_sketch, MAX(hv) AS hk
+        |  FROM ranked WHERE rn <= 64 GROUP BY event_type
+        |),
+        |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        |       FROM events GROUP BY event_type)
+        |SELECT s.event_type, s.n_sketch,
+        |  CASE WHEN s.n_sketch < 64 THEN s.n_sketch
+        |       ELSE CAST(round(63.0 / (GREATEST(CAST(s.hk AS DOUBLE), 1.0)
+        |         / 1152921504606846976.0)) AS BIGINT) END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM sk s JOIN ex USING (event_type)
+        |ORDER BY s.event_type""".stripMargin,
 
     // count-min replay: per (source, depth-row) salted md5 folds mod
     // width, integer bucket counts, MIN over the probed rows — every
