@@ -225,6 +225,24 @@ object ScaleProbe {
         graft.ops.Bpe.encodeViaDict(d10, "doc_id", "text", chain)))
     }
 
+    // round-6 sketch tier at 1× vs 10×: bounded aggregation state means
+    // the shuffle carries sketches (k longs / depth×width counters per
+    // key), never the distinct token sets — cost should scale with the
+    // corpus SCAN, not its cardinality
+    {
+      def toks(d: org.apache.spark.sql.DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      t("kmv sketch k=256 5k docs")(noop(
+        graft.ops.Sketch.kmvSketch(toks(d1.withColumn("source", lit("all"))), "source", "tok", 256)))
+      t("kmv sketch k=256 50k docs")(noop(
+        graft.ops.Sketch.kmvSketch(toks(d10.withColumn("source", lit("all"))), "source", "tok", 256)))
+      val d10k = d10.withColumn("source", (col("doc_id") % 20).cast("string"))
+      t("cm sketch 4x1024 50k docs")(noop(
+        graft.ops.Sketch.cmSketch(toks(d10k), "source", "tok", 4, 1024)))
+      t("bloom 16k bits 50k docs")(noop(
+        graft.ops.Sketch.bloomSketch(toks(d10k), "source", "tok", 16384, 4)))
+    }
+
     // round-5: centroid quality-classifier training at 1× vs 10× — one
     // feature pass (explode + hash agg) and two model-sized
     // aggregations; must scale ~linearly in the corpus while the

@@ -192,4 +192,60 @@ object Sketch {
       .join(sketch, Seq("key", "di", "bucket"), "left")
       .groupBy(col("key"), col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  // ------------------------------------------------------------ bloom
+  //
+  // Membership filter completing the sketch tier: numHashes salted bit
+  // positions per value (the SAME portable salted hash as count-min —
+  // [[cmBucket]] with width = numBits), stored as 63-bit words
+  // (key, word_idx, bits) — 63, not 64, bits per word because a shift
+  // by 63 overflows DuckDB's checked BIGINT `<<` (probe-verified), and
+  // the oracle must replay every word. Build is one explode + one bit_or
+  // aggregation; merge is bit_or again; a probe is maybe-present iff
+  // ALL its bits are set — NO false negatives ever, false positives at
+  // the classic (1 − e^(−kn/m))^k rate. Use as a cheap pre-filter in
+  // front of exact membership joins (contamination screens, seen-URL
+  // checks): the filter for a billion values at 10 bits/value is
+  // ~1.2 GB of plain integer rows, broadcastable in shards and
+  // DuckDB-replayable bit for bit (gate t23).
+
+  /** Per-key Bloom filter of a value column: `(key, word_idx, bits)`
+    * rows — at most ceil(numBits/63) per key, typically far fewer
+    * (only words with set bits exist). */
+  def bloomSketch(df: DataFrame, keyCol: String, valueCol: String,
+      numBits: Int = 8192, numHashes: Int = 4): DataFrame = {
+    require(numBits >= 63, s"bloomSketch: numBits=$numBits must be >= 63")
+    require(numHashes >= 1, s"bloomSketch: numHashes=$numHashes")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        posexplode(array((0 until numHashes).map(i =>
+          cmBucket(col(valueCol), i, numBits)): _*)).as(Seq("hi", "pos")))
+      .select(col("key"), (col("pos") / 63).cast("int").as("word_idx"),
+        (col("pos") % 63).cast("int").as("bit"))
+      .groupBy(col("key"), col("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), col("bit"))).as("bits"))
+  }
+
+  /** Merge Bloom frames (same numBits/numHashes): bitmaps OR together. */
+  def bloomMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("key"), col("word_idx"))
+      .agg(bit_or(col("bits")).as("bits"))
+
+  /** Membership probes `(key, value)` → `(key, value, may_contain)`:
+    * true iff every salted bit position is set. False ⇒ definitely
+    * absent; true ⇒ present or a false positive. */
+  def bloomMayContain(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      valueCol: String, numBits: Int = 8192, numHashes: Int = 4): DataFrame =
+    probes
+      .select(col(keyCol).as("key"), col(valueCol).as("value"),
+        posexplode(array((0 until numHashes).map(i =>
+          cmBucket(col(valueCol), i, numBits)): _*)).as(Seq("hi", "pos")))
+      .select(col("key"), col("value"),
+        (col("pos") / 63).cast("int").as("word_idx"),
+        (col("pos") % 63).cast("int").as("bit"))
+      .join(sketch, Seq("key", "word_idx"), "left")
+      .groupBy(col("key"), col("value"))
+      .agg(bool_and(
+        coalesce(col("bits"), lit(0L)).bitwiseAND(call_function("shiftleft", lit(1L), col("bit"))) =!= 0L)
+        .as("may_contain"))
 }

@@ -708,6 +708,32 @@ object PipelineQueries {
         .orderBy(col("source"), col("value"))
     }),
 
+    // ---- sketch: Bloom membership filter — per-source token bitmaps
+    // (63-bit words; DuckDB's checked << overflows at 63, so the word
+    // size is chosen for exact cross-engine replay). Probes mix present
+    // terms and constructed absent ones; the actually_present column
+    // rides alongside so the no-false-negative contract is
+    // oracle-visible
+    "t23_bloom_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val sk = graft.ops.Sketch.bloomSketch(toks, "source", "tok",
+        numBits = 4096, numHashes = 4)
+      val probeVals = bm25GateTerms ++ (0 until 10).map(i => s"absent$i")
+      val probes = d.select(col("source")).distinct()
+        .select(col("source"), explode(typedlit(probeVals)).as("value"))
+      val present = toks.filter(col("tok").isin(probeVals: _*))
+        .select(col("source"), col("tok").as("value")).distinct()
+        .withColumn("__present", lit(true))
+      graft.ops.Sketch.bloomMayContain(sk, probes, "source", "value", 4096, 4)
+        .select(col("key").as("source"), col("value"), col("may_contain"))
+        .join(present, Seq("source", "value"), "left")
+        .select(col("source"), col("value"), col("may_contain"),
+          coalesce(col("__present"), lit(false)).as("actually_present"))
+        .orderBy(col("source"), col("value"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -2588,6 +2614,63 @@ object PipelineQueries {
         |  ex.exact_distinct
         |FROM sk s JOIN ex USING (event_type)
         |ORDER BY s.event_type""".stripMargin,
+
+    // bloom replay: the same salted folds mod numBits, 63-bit words via
+    // bit_or of checked shifts, bool_and over the probed bit tests
+    "t23_bloom_filter" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents
+        |),
+        |bp AS (
+        |  SELECT DISTINCT source,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |      % 4096 AS pos
+        |  FROM (SELECT source, md5(CAST(i AS VARCHAR) || '#' || tok) AS hh
+        |        FROM toks, range(0, 4) r(i))
+        |),
+        |bw AS (
+        |  SELECT source, CAST(pos // 63 AS INTEGER) AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |  FROM bp GROUP BY 1, 2
+        |),
+        |probes AS (
+        |  SELECT s.source, p.value FROM (SELECT DISTINCT source FROM documents) s,
+        |    (SELECT unnest(['sort','join','window','stream','filter',
+        |       'absent0','absent1','absent2','absent3','absent4',
+        |       'absent5','absent6','absent7','absent8','absent9']) AS value) p
+        |),
+        |pp AS (
+        |  SELECT source, value,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |      % 4096 AS pos
+        |  FROM (SELECT source, value, md5(CAST(i AS VARCHAR) || '#' || value) AS hh
+        |        FROM probes, range(0, 4) r(i))
+        |),
+        |chk AS (
+        |  SELECT p.source, p.value,
+        |    bool_and((COALESCE(b.bits, 0)
+        |      & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0) AS may_contain
+        |  FROM pp p LEFT JOIN bw b
+        |    ON b.source = p.source AND b.word_idx = CAST(p.pos // 63 AS INTEGER)
+        |  GROUP BY 1, 2
+        |),
+        |pres AS (
+        |  SELECT DISTINCT source, tok AS value, TRUE AS ap FROM toks
+        |  WHERE tok IN ('sort','join','window','stream','filter')
+        |)
+        |SELECT c.source, c.value, c.may_contain,
+        |  COALESCE(pres.ap, FALSE) AS actually_present
+        |FROM chk c LEFT JOIN pres ON pres.source = c.source AND pres.value = c.value
+        |ORDER BY c.source, c.value""".stripMargin,
 
     // count-min replay: per (source, depth-row) salted md5 folds mod
     // width, integer bucket counts, MIN over the probed rows — every

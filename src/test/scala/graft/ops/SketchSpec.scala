@@ -100,6 +100,31 @@ class SketchSpec extends SparkSpec {
     assert(west == Map("x" -> 12L, "y" -> 2L))
   }
 
+  test("bloom: no false negatives ever; absent values mostly definitely-absent; merge ORs") {
+    val present = (0 until 400).map(i => ("k", "in" + i))
+    val df = present.toDF("key", "v")
+    val sk = Sketch.bloomSketch(df, "key", "v", numBits = 8192, numHashes = 4)
+    // every inserted value MUST probe maybe-present (the bloom guarantee)
+    val inProbe = Sketch.bloomMayContain(sk, present.toDF("key", "value"),
+      "key", "value", 8192, 4).collect()
+    assert(inProbe.forall(_.getBoolean(2)), "false negative — bloom contract broken")
+    // absent values: deterministic hash → stable false-positive count;
+    // 400 values at 8192 bits / 4 hashes gives fp ≈ (1-e^-0.195)^4 ≈ 0.1%
+    val absent = (0 until 500).map(i => ("k", "out" + i)).toDF("key", "value")
+    val fp = Sketch.bloomMayContain(sk, absent, "key", "value", 8192, 4)
+      .filter(col("may_contain")).count()
+    assert(fp <= 10, s"false-positive rate too high: $fp/500")
+    // merging day-filters equals filtering the union
+    val d1 = present.take(200).toDF("key", "v")
+    val d2 = present.drop(150).toDF("key", "v") // overlap
+    val merged = Sketch.bloomMerge(
+      Sketch.bloomSketch(d1, "key", "v", 8192, 4).unionByName(
+        Sketch.bloomSketch(d2, "key", "v", 8192, 4)))
+      .orderBy("word_idx").collect().map(_.toSeq)
+    val direct = sk.orderBy("word_idx").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq)
+  }
+
   test("null values are ignored; k < 2 rejected") {
     val df = Seq(("k", "a"), ("k", null), ("k", "b")).toDF("key", "v")
     val est = Sketch.kmvEstimate(Sketch.kmvSketch(df, "key", "v", 8), 8).head()
