@@ -194,7 +194,7 @@ object Bpe {
     * same contract. */
   def encodeViaDict(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
-    val reserved = Seq("__notext", "__pos", "__word", "__subs", "__cnt", "__cntd", "__items")
+    val reserved = Seq("__notext", "__pos", "__word", "__subs", "__cnt", "__maxp", "__items")
     require(!reserved.contains(idCol),
       s"encodeViaDict: idCol $idCol collides with an internal column name")
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
@@ -211,24 +211,27 @@ object Bpe {
       .join(dictSide, Seq("__word"), "left")
       .groupBy(col(idCol))
       .agg(
-        // duplicate-id detection: every input row contributes either
-        // its token positions (0..n-1, distinct within ONE row) or a
-        // single null-pos marker, so a group from one row always has
-        // count(*) == greatest(countDistinct(pos), 1). Two rows sharing
-        // an id double up positions (or markers) and trip this — a
-        // TYPED error instead of silently interleaving two documents'
+        // duplicate-id detection: ONE input row contributes positions
+        // 0..n-1 (so count(*) = max(pos)+1) or a single null-pos marker
+        // (count(*) = 1, max null); two rows sharing an id make the
+        // counts ADD while the max stays at the longer row's n-1, so
+        // count(*) == coalesce(max(pos)+1, 1) holds iff the group is one
+        // row — an exact detector from plain count/max (a countDistinct
+        // here forces Spark's two-exchange distinct-agg expansion), and
+        // a TYPED error instead of silently interleaving two documents'
         // token arrays. (A per-row discriminator cannot fix this
         // distributedly: any synthetic row id is unstable under partial
         // stage re-execution — see Mutations' MIID note. Duplicate-id
         // corpora belong on [[encode]], a pure per-row projection.)
         count(lit(1)).as("__cnt"),
-        countDistinct(col("__pos")).as("__cntd"),
+        max(col("__pos")).as("__maxp"),
         max(col("__notext")).as("__notext"),
         collect_list(when(col("__pos").isNotNull,
           struct(col("__pos"), coalesce(col("__subs"), array(col("__word"))).as("subs"))))
           .as("__items"))
       .select(col(idCol),
-        when(col("__cnt") =!= greatest(col("__cntd"), lit(1L)), raise_error(concat(
+        when(col("__cnt") =!= coalesce(col("__maxp").cast("long") + 1L, lit(1L)),
+          raise_error(concat(
           lit(s"Bpe.encodeViaDict: duplicate rows for $idCol="), col(idCol).cast("string"),
           lit(" - ids must be unique (use Bpe.encode for duplicate-id corpora)"))))
         // null text → null subwords (the [[encode]] contract);
