@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Expression, LessThan, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, Concat, Conv, Expression, LessThan, Literal, Md5, Pmod, Substring}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -93,6 +93,24 @@ object SqlKernels {
       LessThan(hashPrefix(args(0)),
         Literal.create(graft.ops.Sampling.hexThresholdLex(f)))
     },
+    // sketch-tier hashes for SQL-only users: the portable 60-bit
+    // md5-fold value hash and the salted count-min/bloom bucket — the
+    // SAME trees Sketch.valueHash60/cmBucket plan, so a SQL-built KMV
+    // rank or CM counter matrix matches the Column-API sketches (and
+    // the DuckDB replay) bit for bit
+    "graft_hash60" -> { args =>
+      arity("graft_hash60", args, 1); hash60Expr(args(0))
+    },
+    "graft_cm_bucket" -> { args =>
+      arity("graft_cm_bucket", args, 3)
+      val row = litInt(args(1), "graft_cm_bucket", 1)
+      val width = litInt(args(2), "graft_cm_bucket", 2)
+      require(row >= 0, s"graft_cm_bucket: row $row must be >= 0")
+      require(width >= 1, s"graft_cm_bucket: width $width must be >= 1")
+      Pmod(hash60Expr(Concat(Seq(
+        Literal.create(row.toString), Literal.create("#"),
+        Cast(args(0), StringType)))), Literal(width.toLong))
+    },
     // graft_split(key, name1, w1, name2, w2, ...) — weights must sum
     // to 1 (same contract as splitByHash); returns the split label
     "graft_split" -> { args =>
@@ -117,6 +135,16 @@ object SqlKernels {
     Substring(
       Md5(Cast(Cast(key, StringType), org.apache.spark.sql.types.BinaryType)),
       Literal(1), Literal(12))
+
+  /** `conv(substring(md5(cast(v as string)), 1, 15), 16, 10)` cast to
+    * BIGINT — the identical tree [[graft.ops.Sketch.valueHash60]]
+    * builds through the Column API. */
+  private def hash60Expr(v: Expression): Expression =
+    Cast(Conv(
+      Substring(
+        Md5(Cast(Cast(v, StringType), org.apache.spark.sql.types.BinaryType)),
+        Literal(1), Literal(15)),
+      Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
 
   /** Register every graft kernel as a `graft_*` SQL function on this
     * session, permanently. Idempotent (createOrReplace). */

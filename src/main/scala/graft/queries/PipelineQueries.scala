@@ -866,6 +866,38 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin)
     }),
 
+    // ---- SQL-text sketch surface: a KMV distinct-count built from
+    // PURE SQL with graft_hash60 — the portable hash as a registered
+    // function, the bottom-k via window rank (the oracle's own shape),
+    // the estimator as the same literal-for-literal expression; value
+    // domain residue-suffixed like t21 so the estimator branch engages
+    "f03_sql_sketch" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """WITH toks AS (
+          |  SELECT source, tok || '#' || CAST(doc_id % 97 AS STRING) AS v FROM (
+          |    SELECT source, doc_id,
+          |      explode(filter(split(lower(text), '\\s+'), t -> length(t) > 0)) AS tok
+          |    FROM graft_sql_docs)
+          |),
+          |hs AS (SELECT DISTINCT source, graft_hash60(v) AS hv FROM toks),
+          |ranked AS (
+          |  SELECT source, hv,
+          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+          |  FROM hs
+          |),
+          |sk AS (
+          |  SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS hk
+          |  FROM ranked WHERE rn <= 64 GROUP BY source
+          |)
+          |SELECT source, n_sketch,
+          |  CASE WHEN n_sketch < 64 THEN n_sketch
+          |       ELSE CAST(round(63.0D / (GREATEST(CAST(hk AS DOUBLE), 1.0D)
+          |         / 1152921504606846976.0D)) AS BIGINT) END AS est_distinct
+          |FROM sk ORDER BY source""".stripMargin)
+    }),
+
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
     // applies before scoring, so all k results satisfy it (post-filtering
     // a candidate list would under-fill)
@@ -2892,6 +2924,38 @@ object PipelineQueries {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$keepThr'
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the SQL-surface KMV replays exactly like t21 (same value domain,
+    // same fold, same estimator literals), minus the exact column
+    "f03_sql_sketch" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) || '#' || CAST(doc_id % 97 AS VARCHAR) AS v
+        |  FROM documents
+        |),
+        |hs AS (
+        |  SELECT DISTINCT source,
+        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+        |        THEN ascii(substr(hh, fi+1, 1)) - 87
+        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT) AS hv
+        |  FROM (SELECT source, md5(v) AS hh FROM toks)
+        |),
+        |ranked AS (
+        |  SELECT source, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM hs
+        |),
+        |sk AS (
+        |  SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS hk
+        |  FROM ranked WHERE rn <= 64 GROUP BY source
+        |)
+        |SELECT source, n_sketch,
+        |  CASE WHEN n_sketch < 64 THEN n_sketch
+        |       ELSE CAST(round(63.0 / (GREATEST(CAST(hk AS DOUBLE), 1.0)
+        |         / 1152921504606846976.0)) AS BIGINT) END AS est_distinct
+        |FROM sk ORDER BY source""".stripMargin,
 
     "s06_filtered_ann" ->
       """SELECT query_id, rank, neighbor_id FROM (

@@ -46,6 +46,22 @@ class SqlKernelsSpec extends SparkSpec {
     assert(jac == e && jac > 0.5 && jac < 1.0)
   }
 
+  test("graft_hash60 / graft_cm_bucket from SQL match the Sketch builders bitwise") {
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "42"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "v").createOrReplaceTempView("hv")
+    val sql = spark.sql(
+      """SELECT id, graft_hash60(v) AS h, graft_cm_bucket(v, 0, 1024) AS b0,
+        |  graft_cm_bucket(v, 3, 1024) AS b3 FROM hv ORDER BY id""".stripMargin).collect()
+    val viaColumns = spark.table("hv").select(col("id"),
+        graft.ops.Sketch.valueHash60(col("v")).as("h"),
+        graft.ops.Sketch.cmBucket(col("v"), 0, 1024).as("b0"),
+        graft.ops.Sketch.cmBucket(col("v"), 3, 1024).as("b3"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == viaColumns.toSeq)
+    // non-literal structural args rejected
+    intercept[Exception](spark.sql("SELECT graft_cm_bucket(v, id, 8) FROM hv").collect())
+  }
+
   test("structural args must be integer literals; arity is enforced") {
     spark.range(1).selectExpr("cast(array('a','b') as array<string>) AS sh")
       .createOrReplaceTempView("one")
