@@ -17,20 +17,24 @@ import graft.queries._
   * so this comment cannot silently rot.
   * Query name groups:
   *   - q01–q34  relational SQL surface (SURVEY §2.2) + engine supersets
-  *   - m01–m08  DML mutation layer (INSERT/UPDATE/DELETE on views) +
+  *   - m01–m09  DML mutation layer (INSERT/UPDATE/DELETE on views) +
   *              merge tier (upsert / column upsert / CDC apply) +
-  *              SQLite row triggers (set-based audit-trigger path)
+  *              SQLite row triggers (set-based audit-trigger path,
+  *              INSTEAD OF view-directed DML)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
   *   - s01–s12  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means)
-  *   - t0*      text analysis (tokens, quality, langid, fingerprint, edit)
+  *   - t0*–t2*  text analysis (tokens, quality, langid, fingerprint, edit,
+  *              BPE, classifier) + sketches (KMV, count-min, Bloom)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*      event/time: windows, sessions, streaming (tumbling, dedup,
-  *              stream-stream interval join, stream-static enrichment),
-  *              as-of/range join
+  *   - e0*–e14  event/time: windows, sessions, streaming (tumbling, dedup,
+  *              stream-stream interval join, stream-static enrichment,
+  *              streaming-state KMV), as-of/range join
   *   - p0*      composed pipelines (corpus prep, sampling, packing, splits)
+  *   - f0*      SQL-text kernel surface (graft_* registered functions:
+  *              ANN, sampling, sketch hashes — pure-SQL demos)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -216,12 +216,9 @@ object Sketch {
       numBits: Int = 8192, numHashes: Int = 4): DataFrame = {
     require(numBits >= 63, s"bloomSketch: numBits=$numBits must be >= 63")
     require(numHashes >= 1, s"bloomSketch: numHashes=$numHashes")
-    df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).as("key"),
-        posexplode(array((0 until numHashes).map(i =>
-          cmBucket(col(valueCol), i, numBits)): _*)).as(Seq("hi", "pos")))
-      .select(col("key"), (col("pos") / 63).cast("int").as("word_idx"),
-        (col("pos") % 63).cast("int").as("bit"))
+    bloomBits(
+      df.filter(col(valueCol).isNotNull).select(col(keyCol).as("key"), col(valueCol)),
+      valueCol, numBits, numHashes, col("key"))
       .groupBy(col("key"), col("word_idx"))
       .agg(bit_or(call_function("shiftleft", lit(1L), col("bit"))).as("bits"))
   }
@@ -231,21 +228,32 @@ object Sketch {
     sketches.groupBy(col("key"), col("word_idx"))
       .agg(bit_or(col("bits")).as("bits"))
 
+  /** Shared salted-position decomposition: `(…, word_idx, bit)` rows,
+    * numHashes per input row. 63-bit words are load-bearing — DuckDB's
+    * checked `<<` overflows at shift 63, and the oracle replays every
+    * word — so build and probe must decompose identically. */
+  private def bloomBits(df: DataFrame, valueCol: String,
+      numBits: Int, numHashes: Int, keep: Column*): DataFrame =
+    df.select(keep :+
+      posexplode(array((0 until numHashes).map(i =>
+        cmBucket(col(valueCol), i, numBits)): _*)).as(Seq("hi", "pos")): _*)
+      .select(keep :+ (col("pos") / 63).cast("int").as("word_idx") :+
+        (col("pos") % 63).cast("int").as("bit"): _*)
+
   /** Membership probes `(key, value)` → `(key, value, may_contain)`:
     * true iff every salted bit position is set. False ⇒ definitely
-    * absent; true ⇒ present or a false positive. */
+    * absent; true ⇒ present or a false positive. A NULL probe value is
+    * definitely absent (the build path never inserts nulls) — reported
+    * `false`, mirroring [[cmEstimate]]'s 0 for null probes. */
   def bloomMayContain(sketch: DataFrame, probes: DataFrame, keyCol: String,
       valueCol: String, numBits: Int = 8192, numHashes: Int = 4): DataFrame =
-    probes
-      .select(col(keyCol).as("key"), col(valueCol).as("value"),
-        posexplode(array((0 until numHashes).map(i =>
-          cmBucket(col(valueCol), i, numBits)): _*)).as(Seq("hi", "pos")))
-      .select(col("key"), col("value"),
-        (col("pos") / 63).cast("int").as("word_idx"),
-        (col("pos") % 63).cast("int").as("bit"))
+    bloomBits(
+      probes.select(col(keyCol).as("key"), col(valueCol).as("value")),
+      "value", numBits, numHashes, col("key"), col("value"))
       .join(sketch, Seq("key", "word_idx"), "left")
       .groupBy(col("key"), col("value"))
-      .agg(bool_and(
-        coalesce(col("bits"), lit(0L)).bitwiseAND(call_function("shiftleft", lit(1L), col("bit"))) =!= 0L)
-        .as("may_contain"))
+      .agg(bool_and(coalesce(
+        coalesce(col("bits"), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L), col("bit"))) =!= 0L,
+        lit(false))).as("may_contain"))
 }

@@ -1240,21 +1240,8 @@ object PipelineQueries {
     // and append would hold every session until a watermark passed it.
     "e12_streaming_sessions" -> ((s, dir) => {
       val sink = "e12_sessions_out"
-      val streamDir = graft.Paths.scratchDir("graft-sessw-stream-")
-      val ev = Tables.load(s, dir, "events")
-      Seq(0, 1).foreach { p =>
-        val tmp = graft.Paths.scratchDir(s"graft-sessw-half$p-")
-        ev.filter(col("event_id") % 2 === p)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val files = java.nio.file.Files.list(tmp)
-        val part =
-          try files.filter(f => f.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally files.close()
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve(s"half$p.parquet"), part)
-      }
-      val stream = EventStreams.readStreamNanos(s, streamDir.toString,
+      val streamDir = twoBatchEventFeed(s, dir, "sessw")
+      val stream = EventStreams.readStreamNanos(s, streamDir,
         maxFilesPerTrigger = Some(1))
       withShufflePartitions(s, 4) {
         val q = EventStreams.sessionWindowStats(stream)
@@ -1277,21 +1264,9 @@ object PipelineQueries {
     // query; the exact distinct count rides alongside
     "e14_stream_kmv" -> ((s, dir) => {
       val sink = "e14_kmv_out"
-      val streamDir = graft.Paths.scratchDir("graft-kmv-stream-")
       val ev = Tables.load(s, dir, "events")
-      Seq(0, 1).foreach { p =>
-        val tmp = graft.Paths.scratchDir(s"graft-kmv-half$p-")
-        ev.filter(col("event_id") % 2 === p)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val files = java.nio.file.Files.list(tmp)
-        val part =
-          try files.filter(f => f.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally files.close()
-        java.nio.file.Files.createSymbolicLink(
-          streamDir.resolve(s"half$p.parquet"), part)
-      }
-      val stream = EventStreams.readStreamNanos(s, streamDir.toString,
+      val streamDir = twoBatchEventFeed(s, dir, "kmv")
+      val stream = EventStreams.readStreamNanos(s, streamDir,
         maxFilesPerTrigger = Some(1))
       withShufflePartitions(s, 4) {
         val q = stream
@@ -2134,6 +2109,41 @@ object PipelineQueries {
     * truncating division (all operands non-negative, so DuckDB's floor
     * `//` agrees with Long `/`). MATERIALIZED: each wave references the
     * previous state twice. */
+  /** DuckDB replay of [[graft.ops.Sketch.valueHash60]]: fold the first
+    * 15 hex digits of an md5 column named `hh` into a BIGINT (16^i
+    * powers are powers of two — exact through the DOUBLE cast; the sum
+    * runs in BIGINT, which a 6-digit-style double fold could not at 60
+    * bits). ONE definition interpolated into every sketch oracle so the
+    * replays cannot drift apart. */
+  private val duckHash60 =
+    """CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+      |        THEN ascii(substr(hh, fi+1, 1)) - 87
+      |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+      |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)""".stripMargin
+
+  /** Split the events table into two single-file halves (event_id
+    * parity) symlinked into a fresh stream directory — the feed shape
+    * that forces a streaming gate through TWO micro-batches with
+    * `maxFilesPerTrigger = 1` (e12/e14). */
+  private def twoBatchEventFeed(s: SparkSession, dir: String,
+      prefix: String): String = {
+    val streamDir = graft.Paths.scratchDir(s"graft-$prefix-stream-")
+    val ev = Tables.load(s, dir, "events")
+    Seq(0, 1).foreach { p =>
+      val tmp = graft.Paths.scratchDir(s"graft-$prefix-half$p-")
+      ev.filter(col("event_id") % 2 === p)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val files = java.nio.file.Files.list(tmp)
+      val part =
+        try files.filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally files.close()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"half$p.parquet"), part)
+    }
+    streamDir.toString
+  }
+
   private def waterfillCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH stats AS MATERIALIZED (
@@ -2620,12 +2630,9 @@ object PipelineQueries {
     // plain batch KMV over the whole table — distinct per-type user-id
     // folds, rank ascending, keep 64, same estimator shape as t21
     "e14_stream_kmv" ->
-      """WITH hs AS (
+      raw"""WITH hs AS (
         |  SELECT DISTINCT event_type,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT) AS hv
+        |    $duckHash60 AS hv
         |  FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hh FROM events)
         |),
         |ranked AS (
@@ -2650,7 +2657,7 @@ object PipelineQueries {
     // bloom replay: the same salted folds mod numBits, 63-bit words via
     // bit_or of checked shifts, bool_and over the probed bit tests
     "t23_bloom_filter" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok
@@ -2658,10 +2665,7 @@ object PipelineQueries {
         |),
         |bp AS (
         |  SELECT DISTINCT source,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |    $duckHash60
         |      % 4096 AS pos
         |  FROM (SELECT source, md5(CAST(i AS VARCHAR) || '#' || tok) AS hh
         |        FROM toks, range(0, 4) r(i))
@@ -2679,10 +2683,7 @@ object PipelineQueries {
         |),
         |pp AS (
         |  SELECT source, value,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |    $duckHash60
         |      % 4096 AS pos
         |  FROM (SELECT source, value, md5(CAST(i AS VARCHAR) || '#' || value) AS hh
         |        FROM probes, range(0, 4) r(i))
@@ -2697,7 +2698,9 @@ object PipelineQueries {
         |),
         |pres AS (
         |  SELECT DISTINCT source, tok AS value, TRUE AS ap FROM toks
-        |  WHERE tok IN ('sort','join','window','stream','filter')
+        |  WHERE tok IN ('sort','join','window','stream','filter',
+        |    'absent0','absent1','absent2','absent3','absent4',
+        |    'absent5','absent6','absent7','absent8','absent9')
         |)
         |SELECT c.source, c.value, c.may_contain,
         |  COALESCE(pres.ap, FALSE) AS actually_present
@@ -2708,7 +2711,7 @@ object PipelineQueries {
     // width, integer bucket counts, MIN over the probed rows — every
     // number exact in both engines
     "t22_cm_sketch" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS tok
@@ -2721,10 +2724,7 @@ object PipelineQueries {
         |),
         |cm AS (
         |  SELECT source, i AS di,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |    $duckHash60
         |      % 512 AS bucket,
         |    COUNT(*) AS cnt
         |  FROM th GROUP BY 1, 2, 3
@@ -2740,10 +2740,7 @@ object PipelineQueries {
         |),
         |pb AS (
         |  SELECT source, value, i AS di,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)
+        |    $duckHash60
         |      % 512 AS bucket
         |  FROM ph
         |),
@@ -2768,7 +2765,7 @@ object PipelineQueries {
     // rank ascending, keep 64, estimate with the SAME expression shape
     // (greatest-guard, one 2^60 scale, one division, round)
     "t21_kmv_sketch" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) || '#' || CAST(doc_id % 97 AS VARCHAR) AS tok
@@ -2776,10 +2773,7 @@ object PipelineQueries {
         |),
         |hs AS (
         |  SELECT DISTINCT source,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, i+1, 1)) >= 97
-        |        THEN ascii(substr(hh, i+1, 1)) - 87
-        |        ELSE ascii(substr(hh, i+1, 1)) - 48 END)
-        |      * CAST(16**(14-i) AS BIGINT) for i in range(0,15)]) AS BIGINT) AS hv
+        |    $duckHash60 AS hv
         |  FROM (SELECT source, md5(tok) AS hh FROM toks)
         |),
         |ranked AS (
@@ -2928,7 +2922,7 @@ object PipelineQueries {
     // the SQL-surface KMV replays exactly like t21 (same value domain,
     // same fold, same estimator literals), minus the exact column
     "f03_sql_sketch" ->
-      """WITH toks AS (
+      raw"""WITH toks AS (
         |  SELECT source,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) || '#' || CAST(doc_id % 97 AS VARCHAR) AS v
@@ -2936,10 +2930,7 @@ object PipelineQueries {
         |),
         |hs AS (
         |  SELECT DISTINCT source,
-        |    CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-        |        THEN ascii(substr(hh, fi+1, 1)) - 87
-        |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-        |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT) AS hv
+        |    $duckHash60 AS hv
         |  FROM (SELECT source, md5(v) AS hh FROM toks)
         |),
         |ranked AS (
