@@ -193,6 +193,45 @@ object Sketch {
       .groupBy(col("key"), col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
 
+  /** EXACT heavy hitters via a count-min prescreen: `(key, value, cnt)`
+    * for every value occurring ≥ `minCount` times under its key.
+    *
+    * The naive `groupBy(key, value).count().filter(...)` shuffles EVERY
+    * distinct value — at 100 TB the aggregation itself is the cost.
+    * Here pass 1 builds the bounded CM sketch (state ≤ depth·width per
+    * key); pass 2 probes each row's own value against the broadcast
+    * sketch and keeps rows whose estimate reaches `minCount` — CM never
+    * undercounts, so the survivors are a GUARANTEED superset of the
+    * true heavy hitters — then exact-counts only the survivors (whose
+    * distinct-value population is small by construction) and drops the
+    * sketch's false positives. The result is EXACT: identical to the
+    * naive aggregation (spec-pinned), at a shuffle bounded by the
+    * heavy-hitter candidates instead of the full value cardinality.
+    * Size `width` ≥ a few × (total rows / minCount) to keep collision
+    * false-positives (wasted pass-2 work, never wrong results) rare. */
+  def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
+      minCount: Long, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(minCount >= 1, s"heavyHitters: minCount=$minCount must be >= 1")
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valueCol).as("value"))
+    // heavy buckets per depth row: tiny (≤ candidates), broadcastable
+    val heavy = cmSketch(rows, "key", "value", depth, width)
+      .filter(col("cnt") >= minCount)
+    // a value survives iff EVERY depth row's bucket is heavy (its CM
+    // estimate = min over rows ≥ minCount) — expressed as depth chained
+    // BROADCAST SEMI-joins, so the prescreen is entirely map-side
+    var surv = rows
+    for (i <- 0 until depth) {
+      val hi = broadcast(heavy.filter(col("di") === i)
+        .select(col("key"), col("bucket").as(s"__b$i")))
+      surv = surv.withColumn(s"__b$i", cmBucket(col("value"), i, width))
+        .join(hi, Seq("key", s"__b$i"), "left_semi")
+    }
+    surv.groupBy(col("key"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   // ------------------------------------------------------------ bloom
   //
   // Membership filter completing the sketch tier: numHashes salted bit

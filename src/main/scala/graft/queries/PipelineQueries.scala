@@ -734,6 +734,21 @@ object PipelineQueries {
         .orderBy(col("source"), col("value"))
     }),
 
+    // ---- sketch composition: EXACT heavy hitters with a count-min
+    // prescreen — the sketch never undercounts, so broadcast semi-joins
+    // against heavy buckets keep a guaranteed superset and the exact
+    // aggregation shuffles only survivors. The output is exact, so the
+    // oracle is a plain GROUP BY ... HAVING — sketch internals cannot
+    // perturb it, only (provably not) drop rows
+    "t24_heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.ops.Sketch.heavyHitters(toks, "source", "tok",
+          minCount = 50L, depth = 3, width = 512)
+        .select(col("key").as("source"), col("value"), col("cnt"))
+        .orderBy(col("source"), col("value"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -2653,6 +2668,17 @@ object PipelineQueries {
         |  ex.exact_distinct
         |FROM sk s JOIN ex USING (event_type)
         |ORDER BY s.event_type""".stripMargin,
+
+    // heavy hitters are EXACT (the CM prescreen provably never drops a
+    // true heavy hitter), so the oracle is the naive aggregation
+    "t24_heavy_hitters" ->
+      """SELECT source, tok AS value, COUNT(*) AS cnt FROM (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS tok
+        |  FROM documents)
+        |GROUP BY source, tok HAVING COUNT(*) >= 50
+        |ORDER BY source, value""".stripMargin,
 
     // bloom replay: the same salted folds mod numBits, 63-bit words via
     // bit_or of checked shifts, bool_and over the probed bit tests

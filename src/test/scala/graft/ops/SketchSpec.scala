@@ -125,6 +125,24 @@ class SketchSpec extends SparkSpec {
     assert(merged.toSeq == direct.toSeq)
   }
 
+  test("heavyHitters: exact results equal the naive aggregation; prescreen is semi-join-shaped") {
+    // zipf-ish: value j occurs ~N/j times -> few heavy, long tail
+    val rows = (1 to 60).flatMap(j => Seq.fill(600 / j)(("k" + (j % 2), "v" + j)))
+    val df = rows.toDF("key", "v")
+    for (min <- Seq(30L, 100L, 400L); width <- Seq(16, 1024)) {
+      val got = Sketch.heavyHitters(df, "key", "v", min, depth = 3, width = width)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val naive = df.groupBy("key", "v").count().filter(col("count") >= min)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == naive, s"min=$min width=$width: $got != $naive")
+    }
+    // the prescreen plans as broadcast semi-joins (map-side), never a
+    // value-keyed shuffle before the final pruned aggregation
+    val plan = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("null values are ignored; k < 2 rejected") {
     val df = Seq(("k", "a"), ("k", null), ("k", "b")).toDF("key", "v")
     val est = Sketch.kmvEstimate(Sketch.kmvSketch(df, "key", "v", 8), 8).head()
