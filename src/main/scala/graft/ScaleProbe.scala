@@ -241,6 +241,10 @@ object ScaleProbe {
         graft.ops.Sketch.cmSketch(toks(d10k), "source", "tok", 4, 1024)))
       t("bloom 16k bits 50k docs")(noop(
         graft.ops.Sketch.bloomSketch(toks(d10k), "source", "tok", 16384, 4)))
+      val hh = t("heavy hitters (CM prescreen) 50k docs")(
+        graft.ops.Sketch.heavyHitters(toks(d10k), "source", "tok",
+          minCount = 500L, depth = 3, width = 1024).count())
+      println(s"SCALE heavy hitters found: $hh")
     }
 
     // round-5: centroid quality-classifier training at 1× vs 10× — one

@@ -210,13 +210,18 @@ object Sketch {
     * Size `width` ≥ a few × (total rows / minCount) to keep collision
     * false-positives (wasted pass-2 work, never wrong results) rare. */
   def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
-      minCount: Long, depth: Int = 4, width: Int = 1024): DataFrame = {
+      minCount: Long, depth: Int = 4, width: Int = 1024,
+      materialize: Boolean = true): DataFrame = {
     require(minCount >= 1, s"heavyHitters: minCount=$minCount must be >= 1")
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(valueCol).as("value"))
-    // heavy buckets per depth row: tiny (≤ candidates), broadcastable
+    // heavy buckets per depth row: tiny (≤ candidates), broadcastable.
+    // PERSISTED — it feeds `depth` separate broadcast builds, which
+    // would otherwise each re-run the whole corpus sketch pass
     val heavy = cmSketch(rows, "key", "value", depth, width)
       .filter(col("cnt") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    heavy.count()
     // a value survives iff EVERY depth row's bucket is heavy (its CM
     // estimate = min over rows ≥ minCount) — expressed as depth chained
     // BROADCAST SEMI-joins, so the prescreen is entirely map-side
@@ -227,9 +232,19 @@ object Sketch {
       surv = surv.withColumn(s"__b$i", cmBucket(col("value"), i, width))
         .join(hi, Seq("key", s"__b$i"), "left_semi")
     }
-    surv.groupBy(col("key"), col("value"))
+    val result = surv.groupBy(col("key"), col("value"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    if (materialize) {
+      // the result is heavy-hitter-sized — materialize it eagerly
+      // (Lineage.cut) so the sketch cache releases before return
+      val out = Lineage.cut(result)
+      heavy.unpersist()
+      out
+    } else result
+    // materialize = false returns the LAZY plan (for inspection or
+    // further composition); the persisted sketch then stays cached
+    // until the caller's action + a catalog cache clear
   }
 
   // ------------------------------------------------------------ bloom

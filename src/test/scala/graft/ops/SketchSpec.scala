@@ -137,10 +137,13 @@ class SketchSpec extends SparkSpec {
       assert(got == naive, s"min=$min width=$width: $got != $naive")
     }
     // the prescreen plans as broadcast semi-joins (map-side), never a
-    // value-keyed shuffle before the final pruned aggregation
-    val plan = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024)
+    // value-keyed shuffle before the final pruned aggregation —
+    // inspected via the lazy (materialize = false) variant, since the
+    // default eagerly materializes and truncates its plan
+    val plan = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024, materialize = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"), plan.take(2000))
+    spark.catalog.clearCache() // release the lazy variant's sketch cache
   }
 
   test("null values are ignored; k < 2 rejected") {
