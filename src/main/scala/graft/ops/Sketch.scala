@@ -211,40 +211,59 @@ object Sketch {
     * false-positives (wasted pass-2 work, never wrong results) rare. */
   def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
       minCount: Long, depth: Int = 4, width: Int = 1024,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, broadcastRowLimit: Long = 4000000L): DataFrame = {
     require(minCount >= 1, s"heavyHitters: minCount=$minCount must be >= 1")
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(valueCol).as("value"))
-    // heavy buckets per depth row: tiny (≤ candidates), broadcastable.
-    // PERSISTED — it feeds `depth` separate broadcast builds, which
-    // would otherwise each re-run the whole corpus sketch pass
-    val heavy = cmSketch(rows, "key", "value", depth, width)
-      .filter(col("cnt") >= minCount)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    heavy.count()
+    // the contract is EXACT equality with this aggregation — it is also
+    // the fallback when the candidate set is not broadcast-sized
+    def naive: DataFrame = rows.groupBy(col("key"), col("value"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount)
     // a value survives iff EVERY depth row's bucket is heavy (its CM
     // estimate = min over rows ≥ minCount) — expressed as depth chained
-    // BROADCAST SEMI-joins, so the prescreen is entirely map-side
-    var surv = rows
-    for (i <- 0 until depth) {
-      val hi = broadcast(heavy.filter(col("di") === i)
-        .select(col("key"), col("bucket").as(s"__b$i")))
-      surv = surv.withColumn(s"__b$i", cmBucket(col("value"), i, width))
-        .join(hi, Seq("key", s"__b$i"), "left_semi")
+    // BROADCAST SEMI-joins, so the prescreen is entirely map-side.
+    // Keys join NULL-SAFE: null-key groups are legal and must survive
+    // like they do in the naive aggregation.
+    def prescreened(heavy: DataFrame): DataFrame = {
+      var surv = rows
+      for (i <- 0 until depth) {
+        val hi = broadcast(heavy.filter(col("di") === i)
+          .select(col("key").as(s"__k$i"), col("bucket").as(s"__hb$i")))
+        surv = surv.withColumn(s"__b$i", cmBucket(col("value"), i, width))
+          .join(hi, col(s"__k$i") <=> col("key") &&
+            col(s"__hb$i") === col(s"__b$i"), "left_semi")
+      }
+      surv.groupBy(col("key"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
     }
-    val result = surv.groupBy(col("key"), col("value"))
-      .agg(count(lit(1)).as("cnt"))
+    val heavyPlan = cmSketch(rows, "key", "value", depth, width)
       .filter(col("cnt") >= minCount)
-    if (materialize) {
-      // the result is heavy-hitter-sized — materialize it eagerly
-      // (Lineage.cut) so the sketch cache releases before return
-      val out = Lineage.cut(result)
-      heavy.unpersist()
-      out
-    } else result
-    // materialize = false returns the LAZY plan (for inspection or
-    // further composition); the persisted sketch then stays cached
-    // until the caller's action + a catalog cache clear
+    if (!materialize) prescreened(heavyPlan)
+    // materialize = false is the PLAN-INSPECTION/composition variant:
+    // nothing is cached or executed at call time, and executing the
+    // returned plan re-runs the sketch pass once per broadcast build
+    else {
+      // persist across the depth broadcast builds (each would otherwise
+      // re-run the whole corpus sketch pass); the count both
+      // materializes the cache and sizes the candidate set
+      val heavy = heavyPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nHeavy = heavy.count()
+      if (nHeavy > broadcastRowLimit) {
+        // candidate buckets scale as depth·N/minCount — past broadcast
+        // size the prescreen cannot pay (a SHUFFLED semi-join would
+        // move the corpus depth times); the naive one-shuffle
+        // aggregation is the honest plan there
+        heavy.unpersist()
+        naive
+      } else {
+        // the result is heavy-hitter-sized — materialize it eagerly
+        // (Lineage.cut) so the sketch cache releases before return
+        val out = Lineage.cut(prescreened(heavy))
+        heavy.unpersist()
+        out
+      }
+    }
   }
 
   // ------------------------------------------------------------ bloom

@@ -143,7 +143,20 @@ class SketchSpec extends SparkSpec {
     val plan = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024, materialize = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"), plan.take(2000))
-    spark.catalog.clearCache() // release the lazy variant's sketch cache
+    // null-key groups survive exactly like the naive aggregation
+    val withNulls = df.unionByName(
+      Seq.fill(150)((null.asInstanceOf[String], "vn")).toDF("key", "v"))
+    val gotN = Sketch.heavyHitters(withNulls, "key", "v", 100L, 3, 1024)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val naiveN = withNulls.groupBy("key", "v").count().filter(col("count") >= 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotN == naiveN && gotN.exists(_._1 == null),
+      s"null-key heavy hitter must survive: $gotN")
+    // an over-large candidate set falls back to the naive plan, same result
+    val fb = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024, broadcastRowLimit = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fb == Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
   }
 
   test("null values are ignored; k < 2 rejected") {
