@@ -184,14 +184,22 @@ object Sketch {
     * The join touches depth rows per probe — the corpus is never
     * rescanned. */
   def cmEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
-      valueCol: String, depth: Int = 4, width: Int = 1024): DataFrame =
+      valueCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    // key joins NULL-SAFE: the build side keeps null-key groups (only
+    // null VALUES are filtered), so probing them must find their counts
+    // — a plain equi-join would silently under-count them to 0,
+    // breaking the never-undercount contract
+    val sk = sketch.select(col("key").as("__sk"), col("di").as("__sd"),
+      col("bucket").as("__sb"), col("cnt"))
     probes
       .select(col(keyCol).as("key"), col(valueCol).as("value"),
         posexplode(array((0 until depth).map(i =>
           cmBucket(col(valueCol), i, width)): _*)).as(Seq("di", "bucket")))
-      .join(sketch, Seq("key", "di", "bucket"), "left")
+      .join(sk, col("__sk") <=> col("key") && col("__sd") === col("di") &&
+        col("__sb") === col("bucket"), "left")
       .groupBy(col("key"), col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 
   /** EXACT heavy hitters via a count-min prescreen: `(key, value, cnt)`
     * for every value occurring ≥ `minCount` times under its key.
@@ -209,6 +217,11 @@ object Sketch {
     * heavy-hitter candidates instead of the full value cardinality.
     * Size `width` ≥ a few × (total rows / minCount) to keep collision
     * false-positives (wasted pass-2 work, never wrong results) rare. */
+  /** The prescreen-vs-naive decision, extracted so the comparator is
+    * unit-testable (result equality cannot distinguish the paths). */
+  private[ops] def prescreenPaysOff(nHeavyBuckets: Long, broadcastRowLimit: Long): Boolean =
+    nHeavyBuckets <= broadcastRowLimit
+
   def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
       minCount: Long, depth: Int = 4, width: Int = 1024,
       materialize: Boolean = true, broadcastRowLimit: Long = 4000000L): DataFrame = {
@@ -240,22 +253,25 @@ object Sketch {
     val heavyPlan = cmSketch(rows, "key", "value", depth, width)
       .filter(col("cnt") >= minCount)
     if (!materialize) prescreened(heavyPlan)
-    // materialize = false is the PLAN-INSPECTION/composition variant:
-    // nothing is cached or executed at call time, and executing the
-    // returned plan re-runs the sketch pass once per broadcast build
+    // materialize = false is the PLAN-INSPECTION variant ONLY: nothing
+    // is cached or executed at call time, there is NO broadcast-size
+    // fallback, and executing the returned plan re-runs the sketch pass
+    // once per broadcast build — do not execute it on large corpora
     else {
       // persist across the depth broadcast builds (each would otherwise
       // re-run the whole corpus sketch pass); the count both
       // materializes the cache and sizes the candidate set
       val heavy = heavyPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nHeavy = heavy.count()
-      if (nHeavy > broadcastRowLimit) {
+      if (!prescreenPaysOff(nHeavy, broadcastRowLimit)) {
         // candidate buckets scale as depth·N/minCount — past broadcast
         // size the prescreen cannot pay (a SHUFFLED semi-join would
         // move the corpus depth times); the naive one-shuffle
-        // aggregation is the honest plan there
+        // aggregation is the honest plan there. Still materialized —
+        // the materialize contract must not silently lapse on the
+        // fallback path (the output is heavy-hitter-sized either way).
         heavy.unpersist()
-        naive
+        Lineage.cut(naive)
       } else {
         // the result is heavy-hitter-sized — materialize it eagerly
         // (Lineage.cut) so the sketch cache releases before return
@@ -319,14 +335,20 @@ object Sketch {
     * definitely absent (the build path never inserts nulls) — reported
     * `false`, mirroring [[cmEstimate]]'s 0 for null probes. */
   def bloomMayContain(sketch: DataFrame, probes: DataFrame, keyCol: String,
-      valueCol: String, numBits: Int = 8192, numHashes: Int = 4): DataFrame =
+      valueCol: String, numBits: Int = 8192, numHashes: Int = 4): DataFrame = {
+    // null-safe key join: the filter stores null-KEY groups (only null
+    // values are skipped), and a false negative on them would break the
+    // bloom guarantee
+    val sk = sketch.select(col("key").as("__sk"),
+      col("word_idx").as("__sw"), col("bits"))
     bloomBits(
       probes.select(col(keyCol).as("key"), col(valueCol).as("value")),
       "value", numBits, numHashes, col("key"), col("value"))
-      .join(sketch, Seq("key", "word_idx"), "left")
+      .join(sk, col("__sk") <=> col("key") && col("__sw") === col("word_idx"), "left")
       .groupBy(col("key"), col("value"))
       .agg(bool_and(coalesce(
         coalesce(col("bits"), lit(0L))
           .bitwiseAND(call_function("shiftleft", lit(1L), col("bit"))) =!= 0L,
         lit(false))).as("may_contain"))
+  }
 }

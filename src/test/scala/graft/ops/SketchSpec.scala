@@ -157,6 +157,25 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(fb == Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    // the decision comparator itself (result equality cannot tell the
+    // two paths apart by contract)
+    assert(!Sketch.prescreenPaysOff(5L, 0L) && Sketch.prescreenPaysOff(5L, 10L)
+      && Sketch.prescreenPaysOff(10L, 10L))
+  }
+
+  test("cm/bloom probes find null-KEY groups (null-safe joins)") {
+    val nk = (Seq.fill(40)((null.asInstanceOf[String], "x")) ++
+      Seq.fill(7)(("k", "x"))).toDF("key", "v")
+    val est = Sketch.cmEstimate(Sketch.cmSketch(nk, "key", "v", 3, 512),
+      Seq((null.asInstanceOf[String], "x"), ("k", "x")).toDF("key", "value"),
+      "key", "value", 3, 512)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(est == Map(None -> 40L, Some("k") -> 7L))
+    val mc = Sketch.bloomMayContain(Sketch.bloomSketch(nk, "key", "v", 1024, 3),
+      Seq((null.asInstanceOf[String], "x"), (null.asInstanceOf[String], "nope"))
+        .toDF("key", "value"), "key", "value", 1024, 3)
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(mc("x"), "null-key inserted value must probe maybe-present")
   }
 
   test("null values are ignored; k < 2 rejected") {
