@@ -94,6 +94,23 @@ object ScaleProbe {
     t("ivf+pq topk 20k vectors")(noop(graft.ops.Similarity.ivfPqTopK(
       e1.filter(col("vec_id") < 10), e10, "vec_id", "embedding", 5)))
 
+    // round-6 drift observability at 20k vectors: write an IVF index,
+    // chart per-cell occupancy + sampled quantization error (one narrow
+    // index scan — the documented retrain criterion, made measurable)
+    {
+      val base = java.nio.file.Files.createTempDirectory("scale-drift")
+      try {
+        val p = base.resolve("ivf").toString
+        val cts = graft.ops.Similarity.trainCentroids(e10, "embedding", 16)
+        graft.ops.Similarity.writeIvfIndex(e10, "vec_id", "embedding", p, cts)
+        val stats = t("ivf drift stats 20k vectors")(
+          graft.ops.Similarity.indexDriftStats(spark, p).collect())
+        val n = stats.map(_.getLong(2)).sum
+        val err = stats.map(r => r.getDouble(3) * r.getLong(2)).sum / n
+        println(f"SCALE ivf drift: cells=${stats.length} sampled=$n meanQerr=$err%.4f")
+      } finally Paths.rmTree(base.toFile)
+    }
+
     // salted join sanity on a deliberately hot key
     val hot = l1.withColumn("k", when(col("l_orderkey") % 100 === 0, lit(1L)).otherwise(col("l_orderkey")))
     val dim = spark.range(200).toDF("k").withColumn("v", col("k") * 2)
