@@ -317,6 +317,79 @@ object Sketch {
     sketches.groupBy(col("key"), col("word_idx"))
       .agg(bit_or(col("bits")).as("bits"))
 
+  // Persisted Bloom index — the continuous-ingest lifecycle every other
+  // persisted index here has (MinHash bands, digest, IVF/PQ): pay the
+  // corpus pass at write time, append new batches as extra bitmap rows
+  // (bit_or is idempotent and associative, so segments never conflict),
+  // probe against the stored rows, compact to one row per word when
+  // append traffic accumulates. All dirs swap two-phase; readers heal.
+
+  /** Write a [[bloomSketch]] of the corpus to `path` as a
+    * self-describing index: bitmap rows at the root plus a `_meta`
+    * sidecar (numBits, numHashes) so probes need only the path. Built
+    * in a sibling dir and swapped in with ONE rename. */
+  def writeBloomIndex(df: DataFrame, keyCol: String, valueCol: String,
+      path: String, numBits: Int = 8192, numHashes: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val tmp = path + ".building"
+    bloomSketch(df, keyCol, valueCol, numBits, numHashes)
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  private def healBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    FsOps.healSwap(spark, path + ".building", path)
+
+  /** Index parameters from the `_meta` sidecar (heals first). */
+  def readBloomMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    healBloomIndex(spark, path)
+    val r = spark.read.parquet(path + "/_meta").collect().head
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Append a batch to a [[writeBloomIndex]] index with the index's OWN
+    * stored parameters: one pass over the BATCH, existing rows
+    * untouched. Bitmap rows may now repeat per (key, word_idx) across
+    * segments — probes bit_or-collapse on the fly; [[compactBloomIndex]]
+    * restores one-row-per-word after heavy append traffic. */
+  def appendToBloomIndex(batch: DataFrame, keyCol: String, valueCol: String,
+      path: String): Unit = {
+    val (numBits, numHashes) = readBloomMeta(batch.sparkSession, path)
+    bloomSketch(batch, keyCol, valueCol, numBits, numHashes)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Membership probes against a persisted index (heals, then reads):
+    * multi-segment rows collapse via bit_or BEFORE the bit tests — a
+    * bit set in ANY segment counts, exactly as if the union had been
+    * sketched fresh. */
+  def probeBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val (numBits, numHashes) = readBloomMeta(spark, path)
+    val collapsed = bloomMerge(spark.read.parquet(path))
+    bloomMayContain(collapsed, probes, keyCol, valueCol, numBits, numHashes)
+  }
+
+  /** Rewrite a multi-segment index as one row per (key, word_idx) —
+    * restores single-row probes after append traffic. Two-phase swap,
+    * heal window recovered at the next read. */
+  def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (numBits, numHashes) = readBloomMeta(spark, path)
+    val tmp = path + ".building"
+    bloomMerge(spark.read.parquet(path))
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
   /** Shared salted-position decomposition: `(…, word_idx, bit)` rows,
     * numHashes per input row. 63-bit words are load-bearing — DuckDB's
     * checked `<<` overflows at shift 63, and the oracle replays every

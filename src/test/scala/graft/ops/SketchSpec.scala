@@ -178,6 +178,40 @@ class SketchSpec extends SparkSpec {
     assert(mc("x"), "null-key inserted value must probe maybe-present")
   }
 
+  test("persisted bloom index: write/append/probe/compact lifecycle + heal") {
+    val day1 = (0 until 300).map(i => ("k", "d1-" + i)).toDF("key", "v")
+    val day2 = (0 until 300).map(i => ("k", "d2-" + i)).toDF("key", "v")
+    val dir = tmpDir("bloom-idx")
+    val path = dir.resolve("idx").toString
+    Sketch.writeBloomIndex(day1, "key", "v", path, numBits = 8192, numHashes = 4)
+    assert(Sketch.readBloomMeta(spark, path) == ((8192, 4)))
+    Sketch.appendToBloomIndex(day2, "key", "v", path)
+    // multi-segment probes ≡ a fresh sketch of the union
+    val probes = ((0 until 50).map(i => ("k", "d1-" + i)) ++
+      (0 until 50).map(i => ("k", "d2-" + i)) ++
+      (0 until 50).map(i => ("k", "none-" + i))).toDF("key", "value")
+    def probeMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    val viaIndex = probeMap(Sketch.probeBloomIndex(spark, path, probes, "key", "value"))
+    val fresh = probeMap(Sketch.bloomMayContain(
+      Sketch.bloomSketch(day1.unionByName(day2), "key", "v", 8192, 4),
+      probes, "key", "value", 8192, 4))
+    assert(viaIndex == fresh)
+    assert((0 until 50).forall(i => viaIndex("d1-" + i) && viaIndex("d2-" + i)),
+      "no false negatives across segments")
+    // compaction: one row per (key, word_idx), probes unchanged
+    Sketch.compactBloomIndex(spark, path)
+    val rows = spark.read.parquet(path)
+    assert(rows.groupBy("key", "word_idx").count().filter(col("count") > 1).isEmpty)
+    assert(probeMap(Sketch.probeBloomIndex(spark, path, probes, "key", "value")) == viaIndex)
+    // heal: recover the delete→rename crash window at the next read
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".building"))
+    assert(probeMap(Sketch.probeBloomIndex(spark, path, probes, "key", "value")) == viaIndex)
+  }
+
   test("null values are ignored; k < 2 rejected") {
     val df = Seq(("k", "a"), ("k", null), ("k", "b")).toDF("key", "v")
     val est = Sketch.kmvEstimate(Sketch.kmvSketch(df, "key", "v", 8), 8).head()
