@@ -168,6 +168,17 @@ object Bench {
       System.err.println(s"[bench] $localName write failed: ${e.getMessage}")
     }
     println(line(r3))
+    // final COMPACT summary line: the driver keeps only a ~2 kB stdout
+    // TAIL, and the full per-query line outgrew it at 90+ queries (every
+    // BENCH_r*.json parsed:null with the line's head cut off). The last
+    // line is therefore a complete, self-contained JSON document small
+    // enough (~400 B) that the tail always holds it whole: total, calib,
+    // query count, and the 10 slowest queries (the ones worth reading).
+    val okRes = results.filter(_._2 >= 0)
+    val slowest = okRes.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val total = okRes.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"n":${results.size},"failed":${results.size - okRes.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

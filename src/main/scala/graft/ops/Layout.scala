@@ -116,8 +116,9 @@ object Layout {
     *     and rows re-partitioned within a group can never straddle
     *     another group's range;
     *  3. singleton groups are already-disjoint files: carried over as
-    *     raw byte copies (no decode, no shuffle — at cluster scale this
-    *     step is a filesystem copy, parallelizable with distcp);
+    *     raw byte copies (no decode, no shuffle) issued as one executor
+    *     task per file — the carry scales with the cluster, not the
+    *     driver (a 100 TB table is mostly clean files at compact time);
     *  4. each multi-file group is re-read and range-re-partitioned on z
     *     into `ceil(groupRows / (totalRows / numFiles))` files;
     *  5. the new table swaps in whole-dir two-phase ([[FsOps.swapDirs]];
@@ -197,12 +198,33 @@ object Layout {
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
     // clean singletons: raw byte copy, original filenames kept (proof
-    // to specs — and operators — that they were not rewritten)
-    for (g <- groups if g.size == 1) {
-      val src = new org.apache.hadoop.fs.Path(new java.net.URI(g.head._1))
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-        new org.apache.hadoop.fs.Path(tmp, src.getName), false, false,
-        spark.sparkContext.hadoopConfiguration)
+    // to specs — and operators — that they were not rewritten). The
+    // copies run as EXECUTOR tasks, one file each: at 100 TB a
+    // compaction typically finds a few dirty groups among tens of
+    // thousands of clean files, and streaming those serially through
+    // the driver was the scale bottleneck (round-6 review finding).
+    // The hadoop conf rides a broadcast (Configuration is Writable) so
+    // filesystem credentials/settings survive into the tasks.
+    val cleanFiles = groups.filter(_.size == 1).map(_.head._1).toVector
+    if (cleanFiles.nonEmpty) {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(
+          spark.sparkContext.hadoopConfiguration))
+      val nSlices = math.min(cleanFiles.size,
+        math.max(1, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(cleanFiles, nSlices)
+        .foreachPartition { it =>
+          val conf = confBc.value.value
+          it.foreach { uri =>
+            val src = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+            val sfs = src.getFileSystem(conf)
+            org.apache.hadoop.fs.FileUtil.copy(sfs, src, sfs,
+              new org.apache.hadoop.fs.Path(
+                new org.apache.hadoop.fs.Path(tmpPath), src.getName),
+              false, false, conf)
+          }
+        }
+      confBc.destroy()
     }
     // dirty groups: re-cluster each within its (disjoint) envelope
     var rewritten = 0

@@ -734,7 +734,12 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("__s"), lit(1L)).otherwise(lit(0L))).as("sample_n"),
-        avg(when(col("__s"), lit(1.0) - dot(col("cv"), col("ct")))).as("mean_qerr"))
+        // a small/skewed cell whose hash sample selects zero rows has no
+        // error estimate — report NaN (not NULL: consumers getDouble a
+        // typed double column; NULL would NPE there) and let sample_n=0
+        // mark the cell as unsampled
+        coalesce(avg(when(col("__s"), lit(1.0) - dot(col("cv"), col("ct")))),
+          lit(Double.NaN)).as("mean_qerr"))
       .orderBy(col("cell"))
   }
 

@@ -224,7 +224,25 @@ object Sketch {
 
   def heavyHitters(df: DataFrame, keyCol: String, valueCol: String,
       minCount: Long, depth: Int = 4, width: Int = 1024,
-      materialize: Boolean = true, broadcastRowLimit: Long = 4000000L): DataFrame = {
+      broadcastRowLimit: Long = 4000000L): DataFrame =
+    heavyHittersImpl(df, keyCol, valueCol, minCount, depth, width,
+      materialize = true, broadcastRowLimit)
+
+  /** PLAN-INSPECTION variant only (hence `private[ops]`, exercised by
+    * SketchSpec's plan-shape pin): nothing is cached or executed at
+    * call time, there is NO broadcast-size fallback, and executing the
+    * returned plan re-runs the sketch pass once per depth broadcast
+    * build — never execute it on a large corpus. The public
+    * [[heavyHitters]] always takes the materialized path. */
+  private[ops] def heavyHittersPlanOnly(df: DataFrame, keyCol: String,
+      valueCol: String, minCount: Long, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    heavyHittersImpl(df, keyCol, valueCol, minCount, depth, width,
+      materialize = false, broadcastRowLimit = Long.MaxValue)
+
+  private def heavyHittersImpl(df: DataFrame, keyCol: String, valueCol: String,
+      minCount: Long, depth: Int, width: Int,
+      materialize: Boolean, broadcastRowLimit: Long): DataFrame = {
     require(minCount >= 1, s"heavyHitters: minCount=$minCount must be >= 1")
     val rows = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), col(valueCol).as("value"))
@@ -324,6 +342,24 @@ object Sketch {
   // probe against the stored rows, compact to one row per word when
   // append traffic accumulates. All dirs swap two-phase; readers heal.
 
+  /** Shared persisted-index plumbing for the whole sketch tier: sketch
+    * rows at the dir root plus a `_meta` parquet sidecar (underscore
+    * dirs are invisible to Spark's file index, so `read.parquet(path)`
+    * sees only the rows), built in a `.building` sibling and swapped in
+    * two-phase; the delete→rename crash window heals at the next
+    * metadata read. */
+  private def writeIndexDir(spark: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, metaDf: DataFrame, path: String): Unit = {
+    val tmp = path + ".building"
+    rows.write.mode("overwrite").parquet(tmp)
+    metaDf.coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  private def healIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    FsOps.healSwap(spark, path + ".building", path)
+
   /** Write a [[bloomSketch]] of the corpus to `path` as a
     * self-describing index: bitmap rows at the root plus a `_meta`
     * sidecar (numBits, numHashes) so probes need only the path. Built
@@ -331,23 +367,15 @@ object Sketch {
   def writeBloomIndex(df: DataFrame, keyCol: String, valueCol: String,
       path: String, numBits: Int = 8192, numHashes: Int = 4): Unit = {
     val spark = df.sparkSession
-    val tmp = path + ".building"
-    bloomSketch(df, keyCol, valueCol, numBits, numHashes)
-      .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
-    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
-      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
+    writeIndexDir(spark, bloomSketch(df, keyCol, valueCol, numBits, numHashes),
+      Seq((numBits, numHashes)).toDF("num_bits", "num_hashes"), path)
   }
-
-  private def healBloomIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
-    FsOps.healSwap(spark, path + ".building", path)
 
   /** Index parameters from the `_meta` sidecar (heals first). */
   def readBloomMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    healBloomIndex(spark, path)
+    healIndex(spark, path)
     val r = spark.read.parquet(path + "/_meta").collect().head
     (r.getInt(0), r.getInt(1))
   }
@@ -388,6 +416,118 @@ object Sketch {
     Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
     FsOps.swapDirs(spark, tmp, path)
+  }
+
+  // ----------------------------------------------- quantile histogram
+  //
+  // The fourth member of the sketch tier (cardinality = KMV, frequency
+  // = CM, membership = Bloom): per-key quantiles from a DETERMINISTIC
+  // log-linear histogram over non-negative longs — HdrHistogram /
+  // DDSketch bucket geometry with integer-exact boundaries. Values
+  // below 2^subBits map to themselves (exact region); above, the
+  // value's power-of-two block [2^e, 2^(e+1)) splits into 2^subBits
+  // linear sub-buckets, so EVERY bucket's relative width is ≤
+  // 2^-subBits — and so is the relative error of any extracted
+  // quantile (subBits = 5 → ≤ 3.125%). floor-log2 is length(bin(v))−1:
+  // exact integer arithmetic, no transcendentals.
+  //
+  // Why this over KLL/GK: the artifact is (key, bucket, cnt) integer
+  // rows — bounded by ~58·2^subBits per key regardless of data volume —
+  // build and merge are PLAIN hash aggregations (map-side combined,
+  // merge-ORDER independent, partitioning-invariant: counts just add),
+  // day→month rollup is one SUM, and every number (bucket ids,
+  // cumulative ranks, interpolated values) replays bitwise in DuckDB
+  // (gate t25). KLL's rank error depends on merge order and its buffer
+  // needs a custom aggregator; this trades a data-independent
+  // RELATIVE-VALUE error bound for none of that. q29's exact
+  // percentile_cont is a global-sort shape that cannot survive 100 TB;
+  // this is the shape that can.
+
+  /** Log-linear bucket id of a non-negative long value (negative values
+    * raise — the geometry is defined on [0, 2^63); scale signed doubles
+    * to non-negative longs first, e.g. the repo's round(x·1e8) recipe).
+    * Monotone in `v`, exact below 2^(subBits+1). */
+  def histBucket(v: Column, subBits: Int): Column = {
+    require(subBits >= 1 && subBits <= 20, s"histBucket: subBits=$subBits")
+    val cap = 1L << subBits
+    val vl = v.cast("long")
+    val e = (length(bin(vl)) - lit(1)).cast("int")
+    when(vl < 0L,
+      raise_error(concat(lit("histBucket: negative value "), vl.cast("string"))))
+      .when(vl < cap, vl)
+      .otherwise((e - lit(subBits - 1)).cast("long") * lit(cap) +
+        call_function("shiftright", vl, e - lit(subBits)) - lit(cap))
+  }
+
+  /** Inclusive lower bound of a bucket (the id itself in the exact
+    * region; (2^s + sub) · 2^(block−1) above). */
+  def histBucketLo(bucket: Column, subBits: Int): Column = {
+    val cap = 1L << subBits
+    val block = call_function("shiftright", bucket, lit(subBits))
+    when(bucket < cap, bucket)
+      .otherwise((lit(cap) + pmod(bucket, lit(cap))) *
+        call_function("shiftleft", lit(1L), (block - lit(1L)).cast("int")))
+  }
+
+  /** Width of a bucket (1 in the exact region; 2^(block−1) above). */
+  def histBucketWidth(bucket: Column, subBits: Int): Column = {
+    val cap = 1L << subBits
+    val block = call_function("shiftright", bucket, lit(subBits))
+    when(bucket < cap, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), (block - lit(1L)).cast("int")))
+  }
+
+  /** Per-key histogram sketch of a value column: `(key, bucket, cnt)`
+    * rows. One projection + one counting aggregation; null values are
+    * skipped, null keys kept (the tier-wide convention). */
+  def histSketch(df: DataFrame, keyCol: String, valueCol: String,
+      subBits: Int = 5): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), histBucket(col(valueCol), subBits).as("bucket"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram frames (same subBits): counts add — one SUM. */
+  def histMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("key"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile extraction: `(key, pct, est_value)` for each integer
+    * percent in `percents`. The target rank is the lower empirical
+    * quantile floor(pct/100 · (n−1)) + 1 (1-based); the answering
+    * bucket is the first whose cumulative count reaches it, and the
+    * estimate interpolates within the bucket at integer precision —
+    * always inside [lo, lo+width), so the 2^-subBits relative bound
+    * holds. Window cost is per-key over ≤ ~58·2^subBits bucket rows,
+    * never over the data. (The interpolation product width·(rank−1)
+    * assumes bucket_count · bucket_width < 2^63 — beyond any real
+    * telemetry; the bound holds even if interpolation is dropped.) */
+  def histQuantiles(sketch: DataFrame, subBits: Int,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"histQuantiles: percents=$percents must be integer percents in [0,100]")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("key").orderBy("bucket")
+    val wAll = Window.partitionBy("key")
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // pct/100 · (n−1): one double division, one multiply, one floor —
+    // the exact expression shape the DuckDB oracle replays
+    val target = (floor(col("pct").cast("double") / lit(100.0) *
+      (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L)).as("target")
+    val hit = cum
+      .select(col("key"), col("bucket"), col("cnt"), col("cum"), col("n"),
+        explode(typedlit(percents)).as("pct"))
+      .withColumn("target", target)
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+    val rankInBucket = col("target") - (col("cum") - col("cnt"))
+    val lo = histBucketLo(col("bucket"), subBits)
+    val width = histBucketWidth(col("bucket"), subBits)
+    hit.select(col("key"), col("pct"),
+      (lo + call_function("div",
+        (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value"))
   }
 
   /** Shared salted-position decomposition: `(…, word_idx, bit)` rows,

@@ -99,12 +99,16 @@ object Triggers {
     * the column inside body statements keep their original text — the
     * same documented deviation class as RENAME TABLE's body references
     * (a body targeting ANOTHER table may legitimately use the same
-    * column name). */
+    * column name). Text inside single-quoted string LITERALS is never
+    * rewritten (the scan is quote-aware, `''` escapes included); a
+    * double-quoted OF-list identifier whose name contains the token
+    * " on " falls in the same deviation class (the OF…ON span match is
+    * textual). */
   def renameColumn(td: TriggerDef, from: String, to: String): TriggerDef = {
     val qf = java.util.regex.Pattern.quote(from)
     val qt = java.util.regex.Matcher.quoteReplacement(to)
-    def fixRefs(s: String): String =
-      s.replaceAll("(?i)\\b(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")", "$1." + qt)
+    def fixRefs(s: String): String = rewriteOutsideLiterals(s)(
+      _.replaceAll("(?i)\\b(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")", "$1." + qt))
     // the OF list in the stored CREATE SQL: rename matching idents
     // between the first top-level OF and ON (UPDATE OF triggers only)
     def fixOfList(sql: String): String =
@@ -123,6 +127,36 @@ object Triggers {
       when = td.when.map(fixRefs),
       body = td.body.map(fixRefs),
       createSql = fixOfList(fixRefs(td.createSql)))
+  }
+
+  /** Apply `f` to the segments of `s` OUTSIDE single-quoted string
+    * literals, passing literals (and their `''` escapes) through
+    * verbatim — so textual rewrites (renameColumn's NEW./OLD. fix-ups)
+    * can never alter quoted data. A qualified reference cannot straddle
+    * a literal boundary, so segment-local rewriting is lossless. */
+  private def rewriteOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0; var inStr = false
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (!inStr) {
+        if (c == '\'') {
+          out.append(f(seg.toString)); seg.clear()
+          out.append(c); inStr = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < n && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+          else inStr = false
+        }
+      }
+      i += 1
+    }
+    out.append(f(seg.toString))
+    out.toString
   }
 
   /** Last top-level (quote/paren-aware) occurrence of a word. */

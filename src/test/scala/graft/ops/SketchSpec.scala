@@ -138,9 +138,9 @@ class SketchSpec extends SparkSpec {
     }
     // the prescreen plans as broadcast semi-joins (map-side), never a
     // value-keyed shuffle before the final pruned aggregation —
-    // inspected via the lazy (materialize = false) variant, since the
-    // default eagerly materializes and truncates its plan
-    val plan = Sketch.heavyHitters(df, "key", "v", 100L, 3, 1024, materialize = false)
+    // inspected via the private plan-only variant, since the public API
+    // eagerly materializes and truncates its plan
+    val plan = Sketch.heavyHittersPlanOnly(df, "key", "v", 100L, 3, 1024)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi") && plan.contains("BroadcastHashJoin"), plan.take(2000))
     // null-key groups survive exactly like the naive aggregation

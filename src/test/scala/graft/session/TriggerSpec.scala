@@ -357,6 +357,23 @@ class TriggerSpec extends SparkSpec {
     s.close()
   }
 
+  test("RENAME COLUMN never rewrites matches inside string literals") {
+    val s = openSess("trg-rencol-lit")
+    // the literal 'NEW.role' (with an '' escape alongside) must survive
+    // the rename verbatim; the real NEW.role reference must not
+    s.sql("""CREATE TRIGGER rl AFTER UPDATE OF role ON users BEGIN
+            |  INSERT INTO audit VALUES (NEW.id, 'NEW.role isn''t ' || NEW.role); END""".stripMargin)
+    s.sql("ALTER TABLE users RENAME COLUMN role TO grade")
+    val sql = s.sql("SELECT sql FROM sqlite_master WHERE type = 'trigger'")
+      .head().getString(0)
+    assert(sql.contains("'NEW.role isn''t '"), sql)
+    assert(sql.contains("|| NEW.grade") && sql.contains("OF grade ON"), sql)
+    s.sql("UPDATE users SET grade = 'admin' WHERE id = 2")
+    val act = s.sql("SELECT action FROM audit").head().getString(0)
+    assert(act == "NEW.role isn't admin", act)
+    s.close()
+  }
+
   test("ALTER TABLE RENAME re-points triggers at the new name") {
     val s = openSess("trg-ren")
     s.sql("CREATE TRIGGER au AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")
