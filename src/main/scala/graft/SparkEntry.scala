@@ -27,11 +27,12 @@ import graft.queries._
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means)
   *   - t0*–t2*  text analysis (tokens, quality, langid, fingerprint, edit,
-  *              BPE, classifier) + sketches (KMV, count-min, Bloom)
+  *              BPE, classifier) + sketches (KMV, count-min, Bloom,
+  *              quantile histogram)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e14  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - e0*–e15  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
-  *              streaming-state KMV), as-of/range join
+  *              streaming-state KMV, Bloom-index screen), as-of/range join
   *   - p0*      composed pipelines (corpus prep, sampling, packing, splits)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
   *              ANN, sampling, sketch hashes — pure-SQL demos)

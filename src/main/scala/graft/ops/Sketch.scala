@@ -409,13 +409,150 @@ object Sketch {
   def compactBloomIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val (numBits, numHashes) = readBloomMeta(spark, path)
-    val tmp = path + ".building"
-    bloomMerge(spark.read.parquet(path))
-      .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
-    Seq((numBits, numHashes)).toDF("num_bits", "num_hashes")
-      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
+    writeIndexDir(spark, bloomMerge(spark.read.parquet(path)),
+      Seq((numBits, numHashes)).toDF("num_bits", "num_hashes"), path)
+  }
+
+  // Persisted KMV / CM / histogram indexes — the same continuous-ingest
+  // lifecycle Bloom has, completing the tier's "union a year of daily
+  // sketches" story as managed artifacts instead of manual parquet
+  // handling: write pays the corpus pass once, append adds segment rows
+  // for just the batch (every merge here is associative and
+  // order-independent, so segments never conflict), reads collapse
+  // segments on the fly, compact restores one-row-per-group. All dirs
+  // swap two-phase; readers heal.
+
+  /** Write a [[kmvSketch]] of the corpus to `path` (self-describing:
+    * `_meta` stores k). */
+  def writeKmvIndex(df: DataFrame, keyCol: String, valueCol: String,
+      path: String, k: Int = 256): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    writeIndexDir(spark, kmvSketch(df, keyCol, valueCol, k),
+      Seq(k).toDF("k"), path)
+  }
+
+  /** Sketch parameter k from the `_meta` sidecar (heals first). */
+  def readKmvMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    healIndex(spark, path)
+    spark.read.parquet(path + "/_meta").collect().head.getInt(0)
+  }
+
+  /** Append a batch with the index's OWN stored k: one pass over the
+    * BATCH, existing rows untouched (per-key sketch rows may now repeat
+    * across segments — reads re-cap on the fly). */
+  def appendToKmvIndex(batch: DataFrame, keyCol: String, valueCol: String,
+      path: String): Unit = {
+    val k = readKmvMeta(batch.sparkSession, path)
+    kmvSketch(batch, keyCol, valueCol, k).write.mode("append").parquet(path)
+  }
+
+  /** Distinct-count estimates from a persisted index: segments re-cap
+    * through [[kmvMerge]] before estimation — exactly the sketch a
+    * fresh build over the union would produce (the k smallest distinct
+    * hashes of a multiset do not depend on how it was segmented). */
+  def kmvIndexEstimates(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val k = readKmvMeta(spark, path)
+    kmvEstimate(kmvMerge(spark.read.parquet(path), k), k)
+  }
+
+  /** Rewrite a multi-segment index as one row per key. */
+  def compactKmvIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val k = readKmvMeta(spark, path)
+    import spark.implicits._
+    writeIndexDir(spark, kmvMerge(spark.read.parquet(path), k),
+      Seq(k).toDF("k"), path)
+  }
+
+  /** Write a [[cmSketch]] of the corpus to `path` (self-describing:
+    * `_meta` stores depth and width). */
+  def writeCmIndex(df: DataFrame, keyCol: String, valueCol: String,
+      path: String, depth: Int = 4, width: Int = 1024,
+      weightCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    writeIndexDir(spark, cmSketch(df, keyCol, valueCol, depth, width, weightCol),
+      Seq((depth, width)).toDF("depth", "width"), path)
+  }
+
+  /** Sketch parameters from the `_meta` sidecar (heals first). */
+  def readCmMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    healIndex(spark, path)
+    val r = spark.read.parquet(path + "/_meta").collect().head
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Append a batch with the index's OWN stored parameters. */
+  def appendToCmIndex(batch: DataFrame, keyCol: String, valueCol: String,
+      path: String, weightCol: Option[String] = None): Unit = {
+    val (depth, width) = readCmMeta(batch.sparkSession, path)
+    cmSketch(batch, keyCol, valueCol, depth, width, weightCol)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Frequency estimates against a persisted index: segment counter
+    * rows SUM together ([[cmMerge]]) BEFORE the depth-min — min of
+    * per-segment counts would undercount and break the sketch's
+    * never-undercount contract. */
+  def probeCmIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val (depth, width) = readCmMeta(spark, path)
+    cmEstimate(cmMerge(spark.read.parquet(path)), probes, keyCol, valueCol,
+      depth, width)
+  }
+
+  /** Rewrite a multi-segment index as one row per (key, di, bucket). */
+  def compactCmIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val (depth, width) = readCmMeta(spark, path)
+    import spark.implicits._
+    writeIndexDir(spark, cmMerge(spark.read.parquet(path)),
+      Seq((depth, width)).toDF("depth", "width"), path)
+  }
+
+  /** Write a [[histSketch]] of the corpus to `path` (self-describing:
+    * `_meta` stores subBits). */
+  def writeHistIndex(df: DataFrame, keyCol: String, valueCol: String,
+      path: String, subBits: Int = 5): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    writeIndexDir(spark, histSketch(df, keyCol, valueCol, subBits),
+      Seq(subBits).toDF("sub_bits"), path)
+  }
+
+  /** Sketch parameter subBits from the `_meta` sidecar (heals first). */
+  def readHistMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    healIndex(spark, path)
+    spark.read.parquet(path + "/_meta").collect().head.getInt(0)
+  }
+
+  /** Append a batch with the index's OWN stored subBits. */
+  def appendToHistIndex(batch: DataFrame, keyCol: String, valueCol: String,
+      path: String): Unit = {
+    val subBits = readHistMeta(batch.sparkSession, path)
+    histSketch(batch, keyCol, valueCol, subBits).write.mode("append").parquet(path)
+  }
+
+  /** Quantiles from a persisted index: segment counts SUM together
+    * ([[histMerge]]) before extraction — identical to a fresh sketch of
+    * the union (counts are exact). */
+  def histIndexQuantiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, percents: Seq[Int]): DataFrame = {
+    val subBits = readHistMeta(spark, path)
+    histQuantiles(histMerge(spark.read.parquet(path)), subBits, percents)
+  }
+
+  /** Rewrite a multi-segment index as one row per (key, bucket). */
+  def compactHistIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val subBits = readHistMeta(spark, path)
+    import spark.implicits._
+    writeIndexDir(spark, histMerge(spark.read.parquet(path)),
+      Seq(subBits).toDF("sub_bits"), path)
   }
 
   // ----------------------------------------------- quantile histogram

@@ -749,6 +749,36 @@ object PipelineQueries {
         .orderBy(col("source"), col("value"))
     }),
 
+    // ---- sketch: quantile histogram — per-source n_chars quantiles
+    // from the deterministic log-linear bucket sketch (subBits=5 →
+    // ≤3.125% relative error; the tier's fourth member). The exact
+    // rank-target value rides in the row so the error contract is
+    // oracle-visible; every bucket id (floor-log2 = len(bin(v))−1),
+    // cumulative rank and interpolated value is exact integer
+    // arithmetic DuckDB replays bitwise
+    "t25_quantile_sketch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val subBits = 5
+      val pcts = Seq(25, 50, 75, 90, 99)
+      val d = docs(s, dir).select(col("source"), col("n_chars"))
+        .filter(col("n_chars").isNotNull)
+      val est = graft.ops.Sketch.histQuantiles(
+        graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits), subBits, pcts)
+        .select(col("key").as("source"), col("pct"), col("est_value"))
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("n_chars")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val exact = ranked
+        .select(col("source"), col("n_chars"), col("rn"), col("n"),
+          explode(typedlit(pcts)).as("pct"))
+        .filter(col("rn") === floor(col("pct").cast("double") / lit(100.0) *
+          (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L))
+        .select(col("source"), col("pct"), col("n_chars").as("exact_value"))
+      est.join(exact, Seq("source", "pct"))
+        .orderBy(col("source"), col("pct"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -1495,6 +1525,52 @@ object PipelineQueries {
       s.read.parquet(snap)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- events: STREAMING BLOOM SCREEN — a persisted Bloom index
+    // seeded from one third of the (event_type, user_id) pairs, then two
+    // sequential stream runs screen the other thirds: each batch's
+    // definitely-new pairs are admitted to a parquet feed and their bits
+    // appended to the index, so run 2 screens against seed ∪ run-1
+    // admissions (append-while-probing across micro-batches). Bloom is
+    // deterministic (salted md5), so DuckDB replays the whole cascade —
+    // including which genuinely-new pairs are falsely dropped
+    "e15_streaming_bloom_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-bloomscr-")
+      val idx = base.resolve("idx").toString
+      val outP = base.resolve("out").toString
+      // screen value = user@day: each third genuinely introduces new
+      // user-day combinations, so admissions, true-duplicate drops AND
+      // false-positive drops all occur and all replay
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          concat(col("user_id").cast("string"), lit("@"),
+            to_date(col("ts")).cast("string")).as("value"))
+      def third(r: Int) = ev.filter(col("event_id") % 3 === r)
+        .select(col("event_type"), col("value"))
+      graft.ops.Sketch.writeBloomIndex(third(0), "event_type", "value", idx,
+        numBits = 65536, numHashes = 3)
+      val feeds = Seq(1, 2).map { r =>
+        val p = base.resolve(s"feed$r")
+        third(r).coalesce(1).write.parquet(p.toString)
+        p.toString
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType)))
+      withShufflePartitions(s, 4) {
+        feeds.zipWithIndex.foreach { case (feed, i) =>
+          val q = EventStreams.streamingBloomScreen(
+            s.readStream.schema(schema).parquet(feed),
+            "event_type", "value", idx, outP,
+            base.resolve(s"ck$i").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).distinct()
+        .orderBy(col("event_type"), col("value"))
     }),
 
     // ---- events: keyed range join — events inside each user's first
@@ -2821,6 +2897,62 @@ object PipelineQueries {
         |FROM sk s JOIN ex USING (source)
         |ORDER BY source""".stripMargin,
 
+    // quantile-histogram replay: bucket = CASE on v<32 / log-linear id
+    // with floor-log2 from length(bin(v))−1; window sums cast off
+    // DuckDB's HUGEINT; target rank, hit bucket, bounds and the
+    // interpolation's // division are all exact integers
+    "t25_quantile_sketch" ->
+      """WITH vals AS (
+        |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT source,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
+        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |  FROM vals
+        |),
+        |hg AS (SELECT source, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM hg
+        |),
+        |tq AS (
+        |  SELECT c.source, c.bucket, c.cnt, c.cum, p.pct,
+        |    CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target
+        |  FROM cum c, (SELECT unnest([25, 50, 75, 90, 99]) AS pct) p
+        |),
+        |hit AS (
+        |  SELECT source, pct, bucket, cnt, cum, target FROM tq
+        |  WHERE cum >= target AND cum - cnt < target
+        |),
+        |est AS (
+        |  SELECT source, pct,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE (32 + bucket % 32)
+        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+        |    + ((target - (cum - cnt) - 1) *
+        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+        |      ) // cnt AS est_value
+        |  FROM hit
+        |),
+        |ranked AS (
+        |  SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM vals
+        |),
+        |ex AS (
+        |  SELECT r.source, p.pct, r.v AS exact_value
+        |  FROM ranked r, (SELECT unnest([25, 50, 75, 90, 99]) AS pct) p
+        |  WHERE r.rn = CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(r.n - 1 AS DOUBLE)) AS BIGINT) + 1
+        |)
+        |SELECT e.source, e.pct, e.est_value, x.exact_value
+        |FROM est e JOIN ex x ON x.source = e.source AND x.pct = e.pct
+        |ORDER BY e.source, e.pct""".stripMargin,
+
     "t18_bpe_encode" ->
       s"""${bpeMergeCtes(6)},
          |tk AS (
@@ -3339,6 +3471,77 @@ object PipelineQueries {
         |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 250 = 0
         |) ORDER BY o_orderkey""".stripMargin,
+
+    // streaming-bloom-screen replay: seed bits (event_id%3=0 pairs) →
+    // screen A (%3=1, probe vs seed) → bits2 = seed OR admitted-A bits →
+    // screen B (%3=2, probe vs bits2); same salted folds / 63-bit words
+    // as t23, so every admission AND every false-positive drop replays
+    "e15_streaming_bloom_screen" ->
+      raw"""WITH seedv AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR) AS value
+        |  FROM events WHERE event_id % 3 = 0
+        |),
+        |av AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR) AS value
+        |  FROM events WHERE event_id % 3 = 1
+        |),
+        |bv AS (
+        |  SELECT DISTINCT event_type AS key,
+        |    CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR) AS value
+        |  FROM events WHERE event_id % 3 = 2
+        |),
+        |sp AS (
+        |  SELECT key, value, $duckHash60 % 65536 AS pos
+        |  FROM (SELECT key, value, md5(CAST(i AS VARCHAR) || '#' || value) AS hh
+        |        FROM seedv, range(0, 3) r(i))
+        |),
+        |sw AS (
+        |  SELECT key, CAST(pos // 63 AS INTEGER) AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |  FROM sp GROUP BY 1, 2
+        |),
+        |ap AS (
+        |  SELECT key, value, $duckHash60 % 65536 AS pos
+        |  FROM (SELECT key, value, md5(CAST(i AS VARCHAR) || '#' || value) AS hh
+        |        FROM av, range(0, 3) r(i))
+        |),
+        |passa AS (
+        |  SELECT p.key, p.value
+        |  FROM ap p LEFT JOIN sw b
+        |    ON b.key = p.key AND b.w = CAST(p.pos // 63 AS INTEGER)
+        |  GROUP BY 1, 2
+        |  HAVING NOT bool_and((COALESCE(b.bits, 0)
+        |    & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0)
+        |),
+        |w2 AS (
+        |  SELECT key, w, bit_or(bits) AS bits FROM (
+        |    SELECT key, w, bits FROM sw
+        |    UNION ALL
+        |    SELECT key, CAST(pos // 63 AS INTEGER) AS w,
+        |      bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |    FROM (SELECT ap.key, ap.value, ap.pos FROM ap
+        |          JOIN passa USING (key, value))
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1, 2
+        |),
+        |bp AS (
+        |  SELECT key, value, $duckHash60 % 65536 AS pos
+        |  FROM (SELECT key, value, md5(CAST(i AS VARCHAR) || '#' || value) AS hh
+        |        FROM bv, range(0, 3) r(i))
+        |),
+        |passb AS (
+        |  SELECT p.key, p.value
+        |  FROM bp p LEFT JOIN w2 b
+        |    ON b.key = p.key AND b.w = CAST(p.pos // 63 AS INTEGER)
+        |  GROUP BY 1, 2
+        |  HAVING NOT bool_and((COALESCE(b.bits, 0)
+        |    & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0)
+        |)
+        |SELECT key AS event_type, value
+        |FROM (SELECT key, value FROM passa UNION SELECT key, value FROM passb)
+        |ORDER BY event_type, value""".stripMargin,
 
     "e10_stream_static_join" ->
       """WITH ut AS (

@@ -200,6 +200,46 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous first-occurrence screen over a persisted Bloom index
+    * ([[graft.ops.Sketch.writeBloomIndex]]): each micro-batch's DISTINCT
+    * (key, value) pairs probe the index, pairs that are
+    * definitely-absent (not all bits set) append to the `outPath`
+    * parquet feed, and exactly those passed pairs' bits append to the
+    * index — so later batches (and later stream runs over the same
+    * index) screen against everything previously admitted. The
+    * streaming twin of the d10/e11 persisted-artifact pattern.
+    *
+    * Screen semantics: no previously-admitted (or seeded) value is ever
+    * re-emitted — the Bloom no-false-negative guarantee; a small
+    * deterministic fraction of genuinely-new values is falsely dropped
+    * (classic Bloom false positives — size numBits for the tolerated
+    * rate). Order of writes is load-bearing: rows land in `outPath`
+    * BEFORE their bits land in the index, so a crash between the two
+    * replays the batch as at-least-once duplicates in `outPath`
+    * (bit_or re-append is idempotent) — never as silently lost rows,
+    * which the reverse order would produce. Downstream reads dedup or
+    * tolerate duplicates, as with every foreachBatch parquet sink. */
+  def streamingBloomScreen(stream: DataFrame, keyCol: String, valueCol: String,
+      indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val pairs = batch.select(col(keyCol), col(valueCol)).distinct()
+        // probeBloomIndex heals the index's swap crash window first
+        val fresh = graft.ops.Sketch
+          .probeBloomIndex(spark, indexPath, pairs, keyCol, valueCol)
+          .filter(!col("may_contain"))
+          .select(col("key").as(keyCol), col("value").as(valueCol))
+          .persist()
+        try {
+          fresh.write.mode("append").parquet(outPath)
+          graft.ops.Sketch.appendToBloomIndex(fresh, keyCol, valueCol, indexPath)
+        } finally fresh.unpersist()
+      }
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension frame (broadcast — no stream-side shuffle, no join
     * state to checkpoint; the classic fact-stream × dim-table shape).

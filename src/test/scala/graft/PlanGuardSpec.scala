@@ -42,7 +42,10 @@ class PlanGuardSpec extends SparkSpec {
       "e11_streaming_cdc",        // executes a streaming query when built
       "e12_streaming_sessions",   // executes a streaming query when built
       "e13_stream_outer_join",    // executes a streaming query when built
-      "e14_stream_kmv")           // executes a streaming query when built
+      "e14_stream_kmv",           // executes a streaming query when built
+      "e15_streaming_bloom_screen") // executes a streaming query when built;
+                                    // its probe join shape is t23's, guarded
+                                    // there and in the SketchSpec plan pin
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their

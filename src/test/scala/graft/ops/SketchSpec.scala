@@ -212,6 +212,133 @@ class SketchSpec extends SparkSpec {
     assert(probeMap(Sketch.probeBloomIndex(spark, path, probes, "key", "value")) == viaIndex)
   }
 
+  test("histogram sketch: exact region identity, quantile error bound, merge ≡ union, partitioning invariance") {
+    val subBits = 5
+    // deterministic values spanning the exact region and several
+    // power-of-two blocks (uniform over [0, 2^20))
+    val rows = (0 until 30000).map(i => ("k" + (i % 3), (i * 2654435761L) % 1048576L))
+    val df = rows.toDF("key", "v")
+    val sk = Sketch.histSketch(df, "key", "v", subBits)
+    // bucket(v) == v below 2^(subBits+1) — the exact region
+    val small = (0L until 64L).toDF("v")
+    assert(small.select(Sketch.histBucket(col("v"), subBits).as("b"), col("v"))
+      .filter(col("b") =!= col("v")).isEmpty)
+    // every extracted quantile lands in the bucket holding the true
+    // rank-target value, so |est − exact| ≤ bucket width ≤ exact·2^-s
+    val pcts = Seq(0, 25, 50, 75, 90, 99, 100)
+    val est = Sketch.histQuantiles(sk, subBits, pcts).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((key, vs) <- byKey; p <- pcts) {
+      val target = math.floor(p / 100.0 * (vs.size - 1)).toLong + 1
+      val exact = vs((target - 1).toInt)
+      val e = est((key, p))
+      assert(math.abs(e - exact) <= math.max(1.0, exact * math.pow(2.0, -subBits)),
+        s"$key p$p: est $e vs exact $exact breaks the 2^-$subBits bound")
+    }
+    // merging day-sketches equals sketching the union (counts add)
+    val h1 = Sketch.histSketch(rows.take(15000).toDF("key", "v"), "key", "v", subBits)
+    val h2 = Sketch.histSketch(rows.drop(15000).toDF("key", "v"), "key", "v", subBits)
+    val merged = Sketch.histMerge(h1.unionByName(h2))
+      .orderBy("key", "bucket").collect().map(_.toSeq)
+    val direct = sk.orderBy("key", "bucket").collect().map(_.toSeq)
+    assert(merged.toSeq == direct.toSeq)
+    // partitioning cannot move a count
+    val repart = Sketch.histSketch(df.repartition(17), "key", "v", subBits)
+      .orderBy("key", "bucket").collect().map(_.toSeq)
+    assert(repart.toSeq == direct.toSeq)
+  }
+
+  test("histogram sketch: negative values raise; percents validated") {
+    val bad = Seq(("k", -5L)).toDF("key", "v")
+    val e = intercept[Exception](Sketch.histSketch(bad, "key", "v", 5).collect())
+    assert(e.getMessage != null && e.getMessage.contains("negative"), e.getMessage)
+    intercept[IllegalArgumentException](
+      Sketch.histQuantiles(Sketch.histSketch(Seq(("k", 1L)).toDF("key", "v"), "key", "v", 5),
+        5, Seq(101)))
+  }
+
+  test("persisted kmv index: write/append/estimate/compact lifecycle + heal") {
+    val day1 = (0 until 4000).map(i => ("k" + (i % 2), "d1-" + (i % 1500))).toDF("key", "v")
+    val day2 = (0 until 4000).map(i => ("k" + (i % 2), "d2-" + (i % 1200))).toDF("key", "v")
+    val path = tmpDir("kmv-idx").resolve("idx").toString
+    Sketch.writeKmvIndex(day1, "key", "v", path, k = 128)
+    assert(Sketch.readKmvMeta(spark, path) == 128)
+    Sketch.appendToKmvIndex(day2, "key", "v", path)
+    def estMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // multi-segment estimates ≡ a fresh sketch of the union
+    val viaIndex = estMap(Sketch.kmvIndexEstimates(spark, path))
+    val fresh = estMap(Sketch.kmvEstimate(
+      Sketch.kmvSketch(day1.unionByName(day2), "key", "v", 128), 128))
+    assert(viaIndex == fresh)
+    Sketch.compactKmvIndex(spark, path)
+    assert(spark.read.parquet(path).groupBy("key").count()
+      .filter(col("count") > 1).isEmpty, "compact must leave one row per key")
+    assert(estMap(Sketch.kmvIndexEstimates(spark, path)) == viaIndex)
+    // heal: recover the delete→rename crash window at the next read
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".building"))
+    assert(estMap(Sketch.kmvIndexEstimates(spark, path)) == viaIndex)
+  }
+
+  test("persisted cm index: write/append/probe/compact lifecycle + heal") {
+    val day1 = (0 until 3000).map(i => ("k", "a" + (i % 20))).toDF("key", "v")
+    val day2 = (0 until 2000).map(i => ("k", "a" + (i % 35))).toDF("key", "v")
+    val path = tmpDir("cm-idx").resolve("idx").toString
+    Sketch.writeCmIndex(day1, "key", "v", path, depth = 3, width = 2048)
+    assert(Sketch.readCmMeta(spark, path) == ((3, 2048)))
+    Sketch.appendToCmIndex(day2, "key", "v", path)
+    val probes = (0 until 35).map(i => ("k", "a" + i)).toDF("key", "value")
+    def estMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // segments SUM before the depth-min: estimates ≡ fresh union sketch
+    // (per-segment mins would undercount split values)
+    val viaIndex = estMap(Sketch.probeCmIndex(spark, path, probes, "key", "value"))
+    val fresh = estMap(Sketch.cmEstimate(
+      Sketch.cmSketch(day1.unionByName(day2), "key", "v", 3, 2048),
+      probes, "key", "value", 3, 2048))
+    assert(viaIndex == fresh)
+    // the true counts ride under both (width 2048, 35 values: no collisions)
+    assert(viaIndex("a0") == 150L + 58L && viaIndex("a30") == 57L)
+    Sketch.compactCmIndex(spark, path)
+    assert(spark.read.parquet(path).groupBy("key", "di", "bucket").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(estMap(Sketch.probeCmIndex(spark, path, probes, "key", "value")) == viaIndex)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".building"))
+    assert(estMap(Sketch.probeCmIndex(spark, path, probes, "key", "value")) == viaIndex)
+  }
+
+  test("persisted hist index: write/append/quantiles/compact lifecycle + heal") {
+    val day1 = (0 until 8000).map(i => ("k", (i * 2654435761L) % 65536L)).toDF("key", "v")
+    val day2 = (0 until 8000).map(i => ("k", (i * 40503L) % 300000L)).toDF("key", "v")
+    val path = tmpDir("hist-idx").resolve("idx").toString
+    Sketch.writeHistIndex(day1, "key", "v", path, subBits = 5)
+    assert(Sketch.readHistMeta(spark, path) == 5)
+    Sketch.appendToHistIndex(day2, "key", "v", path)
+    val pcts = Seq(10, 50, 95)
+    def qMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val viaIndex = qMap(Sketch.histIndexQuantiles(spark, path, pcts))
+    val fresh = qMap(Sketch.histQuantiles(
+      Sketch.histSketch(day1.unionByName(day2), "key", "v", 5), 5, pcts))
+    assert(viaIndex == fresh)
+    Sketch.compactHistIndex(spark, path)
+    assert(spark.read.parquet(path).groupBy("key", "bucket").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(qMap(Sketch.histIndexQuantiles(spark, path, pcts)) == viaIndex)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".building"))
+    assert(qMap(Sketch.histIndexQuantiles(spark, path, pcts)) == viaIndex)
+  }
+
   test("null values are ignored; k < 2 rejected") {
     val df = Seq(("k", "a"), ("k", null), ("k", "b")).toDF("key", "v")
     val est = Sketch.kmvEstimate(Sketch.kmvSketch(df, "key", "v", 8), 8).head()

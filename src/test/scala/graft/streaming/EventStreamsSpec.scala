@@ -174,6 +174,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom screen: admits first occurrences once, never re-admits across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("bloom-screen")
+    val idx = dir.resolve("idx").toString
+    val outP = dir.resolve("out").toString
+    val seed = (0 until 10).map(i => ("k", "seed" + i)).toDF("key", "v")
+    graft.ops.Sketch.writeBloomIndex(seed, "key", "v", idx, numBits = 8192, numHashes = 4)
+    val stream = MemoryStream[(String, String)]
+    val q = EventStreams.streamingBloomScreen(stream.toDF().toDF("key", "v"),
+      "key", "v", idx, outP, dir.resolve("ck").toString)
+    try {
+      // batch 1: new values (one duplicated IN-batch → one row) + a seeded value
+      stream.addData(("k", "a"), ("k", "a"), ("k", "seed3"), ("k", "b"))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect().map(_.getString(1)).sorted.toSeq
+      assert(out1 == Seq("a", "b"), s"batch-1 admissions: $out1")
+      // batch 2: batch-1 admissions screened out by their appended bits;
+      // genuinely new value still passes (append-while-probing)
+      stream.addData(("k", "a"), ("k", "c"), ("k", "seed7"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect().map(_.getString(1)).sorted.toSeq
+      assert(out2 == Seq("a", "b", "c"), s"after batch 2: $out2")
+    } finally q.stop()
+    // the persisted index absorbed the admissions across batches
+    val probe = Seq(("k", "a"), ("k", "c"), ("k", "zz-new")).toDF("key", "value")
+    val m = graft.ops.Sketch.probeBloomIndex(spark, idx, probe, "key", "value")
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(m("a") && m("c") && !m("zz-new"))
+  }
+
   test("mapGroupsWithState: per-user state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
