@@ -111,6 +111,13 @@ object SqlKernels {
         Literal.create(row.toString), Literal.create("#"),
         Cast(args(0), StringType)))), Literal(width.toLong))
     },
+    "graft_hist_bucket" -> { args =>
+      arity("graft_hist_bucket", args, 2)
+      val subBits = litInt(args(1), "graft_hist_bucket", 1)
+      require(subBits >= 1 && subBits <= 20,
+        s"graft_hist_bucket: subBits $subBits not in [1,20]")
+      histBucketExpr(args(0), subBits)
+    },
     // graft_split(key, name1, w1, name2, w2, ...) — weights must sum
     // to 1 (same contract as splitByHash); returns the split label
     "graft_split" -> { args =>
@@ -145,6 +152,30 @@ object SqlKernels {
         Md5(Cast(Cast(v, StringType), org.apache.spark.sql.types.BinaryType)),
         Literal(1), Literal(15)),
       Literal(16), Literal(10)), org.apache.spark.sql.types.LongType)
+
+  /** The log-linear histogram bucket id as raw Catalyst nodes — the
+    * identical tree [[graft.ops.Sketch.histBucket]] builds through the
+    * Column API (CaseWhen arms in the same order, same left-assoc
+    * arithmetic), so SQL-built histograms match the Column sketches and
+    * the DuckDB replay bit for bit. */
+  private def histBucketExpr(v: Expression, subBits: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Bin, Length, Multiply, RaiseError, ShiftRight, Subtract}
+    import org.apache.spark.sql.types.LongType
+    val cap = 1L << subBits
+    val vl = Cast(v, LongType)
+    val e = Cast(Subtract(Length(Bin(vl)), Literal(1)), IntegerType)
+    val high = Subtract(
+      Add(
+        Multiply(Cast(Subtract(e, Literal(subBits - 1)), LongType), Literal(cap)),
+        ShiftRight(vl, Subtract(e, Literal(subBits)))),
+      Literal(cap))
+    CaseWhen(Seq(
+      (LessThan(vl, Literal(0L)),
+        RaiseError(Concat(Seq(Literal.create("histBucket: negative value "),
+          Cast(vl, StringType))))),
+      (LessThan(vl, Literal(cap)), vl)),
+      Some(high))
+  }
 
   /** Register every graft kernel as a `graft_*` SQL function on this
     * session, permanently. Idempotent (createOrReplace). */

@@ -297,12 +297,15 @@ object Mutations {
     }
   }
 
-  /** Split on a separator at paren-depth 0 outside string literals. */
+  /** Split on a separator at paren-depth 0 outside string literals and
+    * double-quoted identifiers (an apostrophe inside `"aud'it"` must
+    * not open a literal, nor a `;` inside either span split). */
   private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
+    var inDq = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -312,8 +315,15 @@ object Mutations {
           if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur += '\''; i += 1 }
           else inStr = false
         }
+      } else if (inDq) {
+        cur += c
+        if (c == '"') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+          else inDq = false
+        }
       } else c match {
         case '\'' => inStr = true; cur += c
+        case '"' => inDq = true; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
         case `sep` if depth == 0 => out += cur.result(); cur.clear()
@@ -325,17 +335,20 @@ object Mutations {
     out.result()
   }
 
-  /** Index of a keyword at paren-depth 0 outside string literals,
-    * bounded by whitespace; -1 if absent. (Shared with the trigger
-    * parser, which splits CREATE TRIGGER at its top-level BEGIN.) */
+  /** Index of a keyword at paren-depth 0 outside string literals and
+    * double-quoted identifiers, bounded by whitespace; -1 if absent.
+    * (Shared with the trigger parser, which splits CREATE TRIGGER at
+    * its top-level BEGIN.) */
   private[graft] def indexOfTopLevelWord(s: String, word: String): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false; var i = 0
     val n = s.length; val w = word.length
     while (i < n) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -351,12 +364,14 @@ object Mutations {
   }
 
   private def indexOfTopLevel(s: String, target: Char): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case `target` if depth == 0 => return i

@@ -215,16 +215,42 @@ object Layout {
       spark.sparkContext.parallelize(cleanFiles, nSlices)
         .foreachPartition { it =>
           val conf = confBc.value.value
+          val dstDir = new org.apache.hadoop.fs.Path(tmpPath)
+          // retries and speculative/zombie duplicates are both possible:
+          // each attempt copies to its OWN dot-prefixed temp (invisible
+          // to readers even if leaked) and publishes with an atomic
+          // rename — rename-to-existing fails, so exactly one complete
+          // copy ever owns the final name; a shared-final-name overwrite
+          // would let a zombie re-truncate a finished file (silent
+          // corruption), and overwrite=false would abort honest retries
+          val attemptId = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
           it.foreach { uri =>
             val src = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
             val sfs = src.getFileSystem(conf)
-            org.apache.hadoop.fs.FileUtil.copy(sfs, src, sfs,
-              new org.apache.hadoop.fs.Path(
-                new org.apache.hadoop.fs.Path(tmpPath), src.getName),
-              false, false, conf)
+            val dst = new org.apache.hadoop.fs.Path(dstDir, src.getName)
+            val tmpF = new org.apache.hadoop.fs.Path(dstDir,
+              "." + src.getName + ".inflight." + attemptId)
+            org.apache.hadoop.fs.FileUtil.copy(sfs, src, sfs, tmpF,
+              false, true, conf)
+            if (!sfs.rename(tmpF, dst)) {
+              // rename=false is only benign when a duplicate attempt
+              // already published dst — any other cause (vanished src,
+              // parent trouble) must fail LOUDLY here, or the swap would
+              // silently publish a table missing this file's rows
+              if (!sfs.exists(dst)) throw new java.io.IOException(
+                s"compactZorder: carry of $src to $dst failed (no duplicate present)")
+              sfs.delete(tmpF, false)
+            }
           }
         }
       confBc.destroy()
+      // zombie/killed attempts can leak dot-prefixed inflight temps
+      // (invisible to readers but full-size) — sweep them before the
+      // swap publishes the directory
+      for (st <- Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(tmp, ".*.inflight.*"))).toSeq.flatten)
+        fs.delete(st.getPath, false)
     }
     // dirty groups: re-cluster each within its (disjoint) envelope
     var rewritten = 0

@@ -538,12 +538,12 @@ object Sketch {
   }
 
   /** Quantiles from a persisted index: segment counts SUM together
-    * ([[histMerge]]) before extraction — identical to a fresh sketch of
-    * the union (counts are exact). */
+    * (inside [[histQuantiles]]) before extraction — identical to a
+    * fresh sketch of the union (counts are exact). */
   def histIndexQuantiles(spark: org.apache.spark.sql.SparkSession,
       path: String, percents: Seq[Int]): DataFrame = {
     val subBits = readHistMeta(spark, path)
-    histQuantiles(histMerge(spark.read.parquet(path)), subBits, percents)
+    histQuantiles(spark.read.parquet(path), subBits, percents)
   }
 
   /** Rewrite a multi-segment index as one row per (key, bucket). */
@@ -646,7 +646,12 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("key").orderBy("bucket")
     val wAll = Window.partitionBy("key")
-    val cum = sketch
+    // collapse duplicate (key, bucket) rows first: un-merged
+    // multi-segment input would make duplicates window PEERS (same cum
+    // under the RANGE frame), and the hit filter could then emit
+    // conflicting rows per (key, pct). One cheap aggregation over
+    // bucket-count rows makes any segmentation safe.
+    val cum = histMerge(sketch)
       .withColumn("cum", sum(col("cnt")).over(wOrd))
       .withColumn("n", sum(col("cnt")).over(wAll))
     // pct/100 · (n−1): one double division, one multiply, one floor —

@@ -911,11 +911,13 @@ object PipelineQueries {
           |ORDER BY doc_id""".stripMargin)
     }),
 
-    // ---- SQL-text sketch surface: a KMV distinct-count built from
-    // PURE SQL with graft_hash60 — the portable hash as a registered
-    // function, the bottom-k via window rank (the oracle's own shape),
-    // the estimator as the same literal-for-literal expression; value
-    // domain residue-suffixed like t21 so the estimator branch engages
+    // ---- SQL-text sketch surface: a KMV distinct-count AND a
+    // histogram-sketch median built from PURE SQL — graft_hash60 /
+    // graft_hist_bucket as registered functions, the bottom-k via
+    // window rank (the oracle's own shape), the estimator and the
+    // quantile extraction as the same literal-for-literal expressions;
+    // value domain residue-suffixed like t21 so the estimator branch
+    // engages
     "f03_sql_sketch" -> ((s, dir) => {
       graft.functions.SqlKernels.registerAll(s)
       docs(s, dir).createOrReplaceTempView("graft_sql_docs")
@@ -935,12 +937,37 @@ object PipelineQueries {
           |sk AS (
           |  SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS hk
           |  FROM ranked WHERE rn <= 64 GROUP BY source
+          |),
+          |hg AS (
+          |  SELECT source, graft_hist_bucket(n_chars, 5) AS bucket, COUNT(*) AS cnt
+          |  FROM graft_sql_docs WHERE n_chars IS NOT NULL GROUP BY source, bucket
+          |),
+          |hc AS (
+          |  SELECT source, bucket, cnt,
+          |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+          |    SUM(cnt) OVER (PARTITION BY source) AS n
+          |  FROM hg
+          |),
+          |med AS (
+          |  SELECT source,
+          |    CASE WHEN bucket < 32 THEN bucket
+          |         ELSE (32 + bucket % 32)
+          |              * shiftleft(CAST(1 AS BIGINT), CAST(bucket div 32 - 1 AS INT)) END
+          |    + ((target - (cum - cnt) - 1) *
+          |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+          |            ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket div 32 - 1 AS INT)) END
+          |      ) div cnt AS med_chars
+          |  FROM (SELECT *, CAST(floor(CAST(50 AS DOUBLE) / 100.0D
+          |          * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target FROM hc)
+          |  WHERE cum >= target AND cum - cnt < target
           |)
-          |SELECT source, n_sketch,
-          |  CASE WHEN n_sketch < 64 THEN n_sketch
-          |       ELSE CAST(round(63.0D / (GREATEST(CAST(hk AS DOUBLE), 1.0D)
-          |         / 1152921504606846976.0D)) AS BIGINT) END AS est_distinct
-          |FROM sk ORDER BY source""".stripMargin)
+          |SELECT sk.source, sk.n_sketch,
+          |  CASE WHEN sk.n_sketch < 64 THEN sk.n_sketch
+          |       ELSE CAST(round(63.0D / (GREATEST(CAST(sk.hk AS DOUBLE), 1.0D)
+          |         / 1152921504606846976.0D)) AS BIGINT) END AS est_distinct,
+          |  med.med_chars
+          |FROM sk JOIN med ON med.source = sk.source
+          |ORDER BY sk.source""".stripMargin)
     }),
 
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
@@ -3099,12 +3126,41 @@ object PipelineQueries {
         |sk AS (
         |  SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS hk
         |  FROM ranked WHERE rn <= 64 GROUP BY source
+        |),
+        |hg AS (
+        |  SELECT source,
+        |    CASE WHEN n_chars < 32 THEN n_chars
+        |         ELSE CAST(length(bin(n_chars)) - 5 AS BIGINT) * 32
+        |              + (n_chars >> CAST(length(bin(n_chars)) - 6 AS INTEGER)) - 32 END AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |),
+        |hc AS (
+        |  SELECT source, bucket, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM hg
+        |),
+        |med AS (
+        |  SELECT source,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE (32 + bucket % 32)
+        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+        |    + ((target - (cum - cnt) - 1) *
+        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+        |      ) // cnt AS med_chars
+        |  FROM (SELECT *, CAST(floor(CAST(50 AS DOUBLE) / 100.0
+        |          * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target FROM hc)
+        |  WHERE cum >= target AND cum - cnt < target
         |)
-        |SELECT source, n_sketch,
-        |  CASE WHEN n_sketch < 64 THEN n_sketch
-        |       ELSE CAST(round(63.0 / (GREATEST(CAST(hk AS DOUBLE), 1.0)
-        |         / 1152921504606846976.0)) AS BIGINT) END AS est_distinct
-        |FROM sk ORDER BY source""".stripMargin,
+        |SELECT sk.source, sk.n_sketch,
+        |  CASE WHEN sk.n_sketch < 64 THEN sk.n_sketch
+        |       ELSE CAST(round(63.0 / (GREATEST(CAST(sk.hk AS DOUBLE), 1.0)
+        |         / 1152921504606846976.0)) AS BIGINT) END AS est_distinct,
+        |  med.med_chars
+        |FROM sk JOIN med ON med.source = sk.source
+        |ORDER BY sk.source""".stripMargin,
 
     "s06_filtered_ann" ->
       """SELECT query_id, rank, neighbor_id FROM (

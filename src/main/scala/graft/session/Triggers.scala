@@ -106,9 +106,10 @@ object Triggers {
     * textual). */
   def renameColumn(td: TriggerDef, from: String, to: String): TriggerDef = {
     val qf = java.util.regex.Pattern.quote(from)
-    val qt = java.util.regex.Matcher.quoteReplacement(to)
-    def fixRefs(s: String): String = rewriteOutsideLiterals(s)(
-      _.replaceAll("(?i)\\b(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")", "$1." + qt))
+    val fixRe = ("(?is)^(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")").r
+    def fixRefs(s: String): String = rewriteTopLevel(s) { rest =>
+      fixRe.findPrefixMatchOf(rest).map(mm => (mm.group(1) + "." + to, mm.end))
+    }
     // the OF list in the stored CREATE SQL: rename matching idents
     // between the first top-level OF and ON (UPDATE OF triggers only)
     def fixOfList(sql: String): String =
@@ -129,45 +130,18 @@ object Triggers {
       createSql = fixOfList(fixRefs(td.createSql)))
   }
 
-  /** Apply `f` to the segments of `s` OUTSIDE single-quoted string
-    * literals, passing literals (and their `''` escapes) through
-    * verbatim — so textual rewrites (renameColumn's NEW./OLD. fix-ups)
-    * can never alter quoted data. A qualified reference cannot straddle
-    * a literal boundary, so segment-local rewriting is lossless. */
-  private def rewriteOutsideLiterals(s: String)(f: String => String): String = {
-    val out = new StringBuilder
-    val seg = new StringBuilder
-    var i = 0; var inStr = false
-    val n = s.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (!inStr) {
-        if (c == '\'') {
-          out.append(f(seg.toString)); seg.clear()
-          out.append(c); inStr = true
-        } else seg.append(c)
-      } else {
-        out.append(c)
-        if (c == '\'') {
-          if (i + 1 < n && s.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
-          else inStr = false
-        }
-      }
-      i += 1
-    }
-    out.append(f(seg.toString))
-    out.toString
-  }
-
-  /** Last top-level (quote/paren-aware) occurrence of a word. */
+  /** Last top-level (quote/paren-aware — single-quoted literals AND
+    * double-quoted identifiers) occurrence of a word. */
   private def lastTopLevelWord(s: String, word: String): Int = {
-    var depth = 0; var inStr = false; var i = 0; var last = -1
+    var depth = 0; var inStr = false; var inDq = false; var i = 0; var last = -1
     val n = s.length; val w = word.length
     while (i < n) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -225,27 +199,49 @@ object Triggers {
     * to ABORT here — only the canonical `SELECT RAISE(…) WHERE …`
     * statement shape preserves ROLLBACK semantics. Quote-aware:
     * occurrences inside string literals are left alone. */
-  def rewriteRaise(stmt: String): String = {
+  def rewriteRaise(stmt: String): String = rewriteTopLevel(stmt) { rest =>
+    RaiseCallRe.findPrefixMatchOf(rest)
+      .map(mm => (s"raise_error(${mm.group(1)})", mm.end))
+  }
+
+  /** The ONE quote-aware rewrite engine every textual body transform
+    * rides (RAISE rewriting, per-row NEW/OLD substitution, renameColumn
+    * fix-ups — previously three hand-rolled scanners with drifting
+    * quote policies): scan `stmt` left to right, attempt `matcher`
+    * against the remaining suffix at each word boundary OUTSIDE
+    * single-quoted literals, and pass everything else through verbatim.
+    * Double-quoted identifiers pass through un-matched as atomic spans
+    * (an apostrophe inside `"aud'it"` must not open a literal), but a
+    * match may itself CONSUME a quoted identifier (NEW."col") because
+    * matching is attempted before the quote is consumed. `matcher`
+    * returns (replacement, charsConsumed); replacements are emitted
+    * verbatim, never rescanned. */
+  private def rewriteTopLevel(stmt: String)(
+      matcher: String => Option[(String, Int)]): String = {
     val sb = new StringBuilder
-    var inStr = false
+    var inSq = false; var inDq = false
     var i = 0
     val n = stmt.length
     while (i < n) {
       val c = stmt.charAt(i)
-      if (inStr) {
+      if (inSq) {
         sb += c
-        if (c == '\'') inStr = false
+        if (c == '\'') inSq = false
         i += 1
-      } else if (c == '\'') {
-        sb += c; inStr = true; i += 1
+      } else if (inDq) {
+        sb += c
+        if (c == '"') inDq = false
+        i += 1
       } else {
         val prevOk = i == 0 || !isWordChar(stmt.charAt(i - 1))
-        val m = if (prevOk) RaiseCallRe.findPrefixMatchOf(stmt.substring(i)) else None
+        val m = if (prevOk) matcher(stmt.substring(i)) else None
         m match {
-          case Some(mm) =>
-            sb ++= s"raise_error(${mm.group(1)})"
-            i += mm.end
+          case Some((replacement, consumed)) =>
+            sb ++= replacement
+            i += consumed
           case None =>
+            if (c == '\'') inSq = true
+            else if (c == '"') inDq = true
             sb += c; i += 1
         }
       }
@@ -280,34 +276,14 @@ object Triggers {
   /** Substitute `NEW.col` / `OLD.col` references with rendered literals
     * for per-row firing. Quote-aware: references inside string literals
     * are left alone. */
-  def substituteRowRefs(stmt: String, render: (String, String) => String): String = {
-    val sb = new StringBuilder
-    var inStr = false
-    var i = 0
-    val n = stmt.length
-    val RefRe = """(?is)^(NEW|OLD)\s*\.\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)""".r
-    while (i < n) {
-      val c = stmt.charAt(i)
-      if (inStr) {
-        sb += c
-        if (c == '\'') inStr = false
-        i += 1
-      } else if (c == '\'') {
-        sb += c; inStr = true; i += 1
-      } else {
-        val prevOk = i == 0 || !isWordChar(stmt.charAt(i - 1))
-        val m = if (prevOk) RefRe.findPrefixMatchOf(stmt.substring(i)) else None
-        m match {
-          case Some(mm) =>
-            sb ++= render(mm.group(1).toUpperCase, unquote(mm.group(2)))
-            i += mm.end
-          case None =>
-            sb += c; i += 1
-        }
-      }
+  private val RefRe =
+    """(?is)^(NEW|OLD)\s*\.\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)""".r
+
+  def substituteRowRefs(stmt: String, render: (String, String) => String): String =
+    rewriteTopLevel(stmt) { rest =>
+      RefRe.findPrefixMatchOf(rest)
+        .map(mm => (render(mm.group(1).toUpperCase, unquote(mm.group(2))), mm.end))
     }
-    sb.result()
-  }
 
   /** Render one row value as a SQL literal for per-row substitution. */
   def renderLiteral(v: Any, dt: org.apache.spark.sql.types.DataType): String = {

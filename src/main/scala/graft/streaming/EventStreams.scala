@@ -226,7 +226,12 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val pairs = batch.select(col(keyCol), col(valueCol)).distinct()
+        // null VALUES are dropped to mirror the index build side (which
+        // never stores them): a null probe reports definitely-absent,
+        // so without this filter a (key, null) pair would be re-admitted
+        // in EVERY batch — its bits can never be stored
+        val pairs = batch.select(col(keyCol), col(valueCol))
+          .filter(col(valueCol).isNotNull).distinct()
         // probeBloomIndex heals the index's swap crash window first
         val fresh = graft.ops.Sketch
           .probeBloomIndex(spark, indexPath, pairs, keyCol, valueCol)

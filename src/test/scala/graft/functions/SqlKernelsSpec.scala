@@ -62,6 +62,26 @@ class SqlKernelsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT graft_cm_bucket(v, id, 8) FROM hv").collect())
   }
 
+  test("graft_hist_bucket from SQL matches Sketch.histBucket bitwise incl. boundaries") {
+    // exact region, block boundaries, interior points, a 60-bit value
+    val vals = Seq(0L, 1L, 31L, 32L, 63L, 64L, 65L, 127L, 128L, 1000L,
+      1048575L, 1048576L, (1L << 60) - 1L)
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").createOrReplaceTempView("bv")
+    val sql = spark.sql(
+      "SELECT id, graft_hist_bucket(v, 5) AS b FROM bv ORDER BY id").collect()
+    val viaColumns = spark.table("bv")
+      .select(col("id"), graft.ops.Sketch.histBucket(col("v"), 5).as("b"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == viaColumns.toSeq)
+    // negative values raise through the SQL surface too
+    val neg = intercept[Exception](
+      spark.sql("SELECT graft_hist_bucket(-3, 5)").collect())
+    assert(neg.getMessage.contains("negative")
+      || neg.getCause != null && neg.getCause.getMessage.contains("negative"))
+    intercept[Exception](spark.sql("SELECT graft_hist_bucket(v, id) FROM bv").collect())
+  }
+
   test("structural args must be integer literals; arity is enforced") {
     spark.range(1).selectExpr("cast(array('a','b') as array<string>) AS sh")
       .createOrReplaceTempView("one")

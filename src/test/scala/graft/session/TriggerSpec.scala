@@ -374,6 +374,37 @@ class TriggerSpec extends SparkSpec {
     s.close()
   }
 
+  test("trigger parser: apostrophe inside a double-quoted identifier does not swallow END or split points") {
+    // the scanners (BEGIN/END finding, ';' splitting) must treat "aud'it"
+    // as an identifier, not an unterminated string literal
+    val (td, _) = Triggers.parse(
+      """CREATE TRIGGER dq AFTER UPDATE ON users BEGIN
+        |  INSERT INTO "aud'it" VALUES (NEW.id, NEW.role);
+        |  INSERT INTO audit VALUES (NEW.id, 'plain');
+        |END""".stripMargin)
+    assert(td.body.size == 2, td.body)
+    assert(td.body.head.contains("\"aud'it\""), td.body.head)
+    // and renameColumn over the parser-produced def still rewrites the
+    // reference AFTER the quoted identifier
+    val r = Triggers.renameColumn(td, "role", "grade")
+    assert(r.body.head.contains("NEW.grade") && r.body.head.contains("\"aud'it\""))
+  }
+
+  test("RENAME COLUMN: apostrophe inside a double-quoted identifier does not open a literal") {
+    val body = """INSERT INTO "aud'it" VALUES (NEW.id, NEW.role)"""
+    val td = TriggerDef("t", "AFTER", "UPDATE", Nil, "users", None, Seq(body),
+      s"CREATE TRIGGER t AFTER UPDATE ON users BEGIN $body; END")
+    val r = Triggers.renameColumn(td, "role", "grade")
+    // the reference AFTER the quoted identifier is still rewritten...
+    assert(r.body.head.contains("NEW.grade") && !r.body.head.contains("NEW.role"),
+      r.body.head)
+    // ...and the identifier itself survives verbatim
+    assert(r.body.head.contains("\"aud'it\""), r.body.head)
+    // quoted-identifier column references rewrite too
+    val td2 = td.copy(body = Seq("""INSERT INTO audit VALUES (NEW.id, NEW."role")"""))
+    assert(Triggers.renameColumn(td2, "role", "grade").body.head.contains("NEW.grade"))
+  }
+
   test("ALTER TABLE RENAME re-points triggers at the new name") {
     val s = openSess("trg-ren")
     s.sql("CREATE TRIGGER au AFTER INSERT ON users BEGIN INSERT INTO audit VALUES (NEW.id, 'I'); END")

@@ -191,8 +191,11 @@ class EventStreamsSpec extends SparkSpec {
       val out1 = spark.read.parquet(outP).collect().map(_.getString(1)).sorted.toSeq
       assert(out1 == Seq("a", "b"), s"batch-1 admissions: $out1")
       // batch 2: batch-1 admissions screened out by their appended bits;
-      // genuinely new value still passes (append-while-probing)
-      stream.addData(("k", "a"), ("k", "c"), ("k", "seed7"))
+      // genuinely new value still passes (append-while-probing); a null
+      // value is never admitted (its bits could never be stored, so
+      // admitting it would re-emit it every batch)
+      stream.addData(("k", "a"), ("k", "c"), ("k", "seed7"),
+        ("k", null.asInstanceOf[String]))
       q.processAllAvailable()
       val out2 = spark.read.parquet(outP).collect().map(_.getString(1)).sorted.toSeq
       assert(out2 == Seq("a", "b", "c"), s"after batch 2: $out2")
