@@ -402,6 +402,31 @@ object ScaleProbe {
       assert(finalCount == 1000L, s"final snapshot is v1 (6 swaps): $finalCount")
       assert(reads > 0L, "reader never completed a read")
     } finally Paths.rmTree(swapBase.toFile)
+
+    // round-7: quantile histogram sketch at 6M values — the artifact
+    // stays bucket-bounded (≤ ~58·32 rows per key) while the data grows
+    // 10×; build is one narrow map-side-combined aggregation, and
+    // extraction cost depends on bucket rows only, never on data volume
+    {
+      val vals = l10.select(col("l_returnflag").as("k"),
+        round(col("l_extendedprice") * lit(100.0)).cast("long").as("v"))
+      val sk = graft.ops.Sketch.histSketch(vals, "k", "v", subBits = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBuckets = t("hist sketch build 6M values")(sk.count())
+      println(s"SCALE hist sketch artifact rows: $nBuckets (from 6M values)")
+      val est = t("hist quantile extraction (bucket rows only)")(
+        graft.ops.Sketch.histQuantiles(sk, 5, Seq(25, 50, 75, 90, 99))
+          .collect())
+      val p50 = est.filter(r => r.getString(0) == "N" && r.getInt(1) == 50)
+        .head.getLong(2)
+      val exact = vals.filter(col("k") === "N")
+        .agg(expr("percentile(v, 0.5D)")).head().getDouble(0)
+      println(f"SCALE hist p50(N)=$p50 exact=$exact%.0f " +
+        f"relerr=${math.abs(p50 - exact) / exact}%.4f")
+      assert(math.abs(p50 - exact) / exact <= 0.04,
+        s"hist p50 $p50 outside the relative bound vs $exact")
+      sk.unpersist()
+    }
     spark.stop()
   }
 }
