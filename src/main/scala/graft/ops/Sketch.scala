@@ -616,13 +616,19 @@ object Sketch {
 
   /** Per-key histogram sketch of a value column: `(key, bucket, cnt)`
     * rows. One projection + one counting aggregation; null values are
-    * skipped, null keys kept (the tier-wide convention). */
+    * skipped, null keys kept (the tier-wide convention). Pass
+    * `weightCol` to sum weights instead of counting rows — quantiles
+    * then answer over the weight MASS (e.g. token-weighted document
+    * lengths: "half the tokens live in docs shorter than X"). */
   def histSketch(df: DataFrame, keyCol: String, valueCol: String,
-      subBits: Int = 5): DataFrame =
+      subBits: Int = 5, weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).as("key"), histBucket(col(valueCol), subBits).as("bucket"))
+      .select(col(keyCol).as("key"), histBucket(col(valueCol), subBits).as("bucket"),
+        w.as("__w"))
       .groupBy(col("key"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
 
   /** Merge histogram frames (same subBits): counts add — one SUM. */
   def histMerge(sketches: DataFrame): DataFrame =
@@ -670,6 +676,44 @@ object Sketch {
     hit.select(col("key"), col("pct"),
       (lo + call_function("div",
         (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value"))
+  }
+
+  /** Inverse quantile (CDF) probes `(key, value)` against a histogram
+    * sketch: `(key, value, est_le, n, frac)` — the estimated count (or
+    * weight mass) of sketched values ≤ `value`, the key's total, and
+    * their ratio. Whole buckets below the probe's bucket count fully;
+    * the probe's own bucket contributes linearly-interpolated mass
+    * (exact in the exact region, ≤ 2^-subBits relative error above).
+    * The join touches bucket rows per probe — never the data. Null-safe
+    * on the key (null-key groups are sketched and must probe); a NULL
+    * probe value reports est_le = 0 / frac = 0.0, mirroring
+    * [[cmEstimate]]'s convention; a key absent from the sketch reports
+    * n = 0 with frac = NaN (no distribution to place the probe in). */
+  def histCdf(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      valueCol: String, subBits: Int): DataFrame = {
+    val sk = histMerge(sketch).select(col("key").as("__sk"),
+      col("bucket"), col("cnt"))
+    val p = probes
+      .select(col(keyCol).as("key"), col(valueCol).as("value"))
+      .withColumn("__b",
+        when(col("value").isNotNull, histBucket(col("value"), subBits)))
+    val joined = p.join(sk, col("__sk") <=> col("key"), "left")
+      .groupBy(col("key"), col("value"), col("__b"))
+      .agg(
+        sum(when(col("bucket") < col("__b"), col("cnt")).otherwise(lit(0L))).as("__below"),
+        sum(when(col("bucket") === col("__b"), col("cnt")).otherwise(lit(0L))).as("__inb"),
+        sum(coalesce(col("cnt"), lit(0L))).as("n"))
+    val lo = histBucketLo(col("__b"), subBits)
+    val width = histBucketWidth(col("__b"), subBits)
+    val partial = call_function("div",
+      col("__inb") * (col("value") - lo + lit(1L)), width)
+    joined.select(col("key"), col("value"),
+      coalesce(col("__below") + partial, lit(0L)).as("est_le"),
+      col("n"),
+      when(col("n") > 0L,
+        coalesce(col("__below") + partial, lit(0L)).cast("double") /
+          col("n").cast("double"))
+        .otherwise(lit(Double.NaN)).as("frac"))
   }
 
   /** Shared salted-position decomposition: `(…, word_idx, bit)` rows,

@@ -779,6 +779,32 @@ object PipelineQueries {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // ---- sketch: WEIGHTED quantiles + CDF round trip — the histogram
+    // sketch weighted by token count ("half the token mass lives in
+    // docs shorter than X"), then each extracted quantile probed back
+    // through histCdf: frac must land at ≈ pct/100, making the
+    // quantile↔CDF inverse pair oracle-visible in one row. Weights,
+    // buckets, ranks, interpolations and the final exact-integer double
+    // division all replay bitwise
+    "t26_weighted_quantiles" -> ((s, dir) => {
+      val subBits = 5
+      val pcts = Seq(25, 50, 75, 90, 99)
+      val d = docs(s, dir)
+        .select(col("source"), col("n_chars"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+        .filter(col("n_chars").isNotNull)
+      val sk = graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits, Some("w"))
+      val q = graft.ops.Sketch.histQuantiles(sk, subBits, pcts)
+      val cdf = graft.ops.Sketch.histCdf(sk,
+        q.select(col("key"), col("est_value")), "key", "est_value", subBits)
+        .select(col("key").as("__ck"), col("value").as("__cv"),
+          col("est_le"), col("n"), col("frac"))
+      q.join(cdf, col("key") === col("__ck") && col("est_value") === col("__cv"))
+        .select(col("key").as("source"), col("pct"), col("est_value"),
+          col("est_le"), col("n"), col("frac"))
+        .orderBy(col("source"), col("pct"))
+    }),
+
     // ---- sampling: priority (weighted reservoir) sampling — n_chars-
     // weighted top-100 by w/u priority; the Lehmer pseudo-uniform and
     // the single exact-integer division are recomputed by the oracle
@@ -2923,6 +2949,79 @@ object PipelineQueries {
         |  ex.exact_distinct
         |FROM sk s JOIN ex USING (source)
         |ORDER BY source""".stripMargin,
+
+    // weighted-quantile + CDF replay: t25's bucket/rank machinery with
+    // SUM(token weight) for counts, then each extracted quantile's CDF
+    // recomputed from the same bucket rows (whole buckets below + the
+    // probe bucket's linear share); the frac division is one double
+    // division of exact integers — bitwise in both engines
+    "t26_weighted_quantiles" ->
+      raw"""WITH vals AS (
+        |  SELECT source, n_chars AS v,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> len(t) > 0)) AS BIGINT) AS w
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |),
+        |bk AS (
+        |  SELECT source, w,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
+        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |  FROM vals
+        |),
+        |hg AS (SELECT source, bucket, CAST(SUM(w) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM hg
+        |),
+        |tq AS (
+        |  SELECT c.source, c.bucket, c.cnt, c.cum, p.pct,
+        |    CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target
+        |  FROM cum c, (SELECT unnest([25, 50, 75, 90, 99]) AS pct) p
+        |),
+        |est AS (
+        |  SELECT source, pct,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE (32 + bucket % 32)
+        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+        |    + ((target - (cum - cnt) - 1) *
+        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+        |      ) // cnt AS est_value
+        |  FROM tq WHERE cum >= target AND cum - cnt < target
+        |),
+        |eb AS (
+        |  SELECT source, pct, est_value,
+        |    CASE WHEN est_value < 32 THEN est_value
+        |         ELSE CAST(length(bin(est_value)) - 5 AS BIGINT) * 32
+        |              + (est_value >> CAST(length(bin(est_value)) - 6 AS INTEGER)) - 32 END AS pb
+        |  FROM est
+        |),
+        |cdf AS (
+        |  SELECT eb.source, eb.pct, eb.est_value, eb.pb,
+        |    CAST(SUM(CASE WHEN h.bucket < eb.pb THEN h.cnt ELSE 0 END) AS BIGINT) AS below,
+        |    CAST(SUM(CASE WHEN h.bucket = eb.pb THEN h.cnt ELSE 0 END) AS BIGINT) AS inb,
+        |    CAST(SUM(h.cnt) AS BIGINT) AS n
+        |  FROM eb JOIN hg h ON h.source = eb.source
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |fin AS (
+        |  SELECT source, pct, est_value,
+        |    below + (inb * (est_value
+        |      - CASE WHEN pb < 32 THEN pb
+        |             ELSE (32 + pb % 32)
+        |                  * (CAST(1 AS BIGINT) << CAST(pb // 32 - 1 AS INTEGER)) END
+        |      + 1)) //
+        |      CASE WHEN pb < 32 THEN CAST(1 AS BIGINT)
+        |           ELSE CAST(1 AS BIGINT) << CAST(pb // 32 - 1 AS INTEGER) END AS est_le,
+        |    n
+        |  FROM cdf
+        |)
+        |SELECT source, pct, est_value, est_le, n,
+        |  CAST(est_le AS DOUBLE) / CAST(n AS DOUBLE) AS frac
+        |FROM fin ORDER BY source, pct""".stripMargin,
 
     // quantile-histogram replay: bucket = CASE on v<32 / log-linear id
     // with floor-log2 from length(bin(v))−1; window sums cast off

@@ -249,6 +249,33 @@ class SketchSpec extends SparkSpec {
     assert(repart.toSeq == direct.toSeq)
   }
 
+  test("histCdf: exact in the exact region; weighted sketch ≡ row repetition; null/absent probes") {
+    // values 0..19, five of each — the exact region, so CDF is exact counting
+    val rows = Seq.tabulate(100)(i => ("k", (i % 20).toLong))
+    val sk = Sketch.histSketch(rows.toDF("key", "v"), "key", "v", 5)
+    val probes = Seq[(String, java.lang.Long)](
+      ("k", 0L), ("k", 7L), ("k", 19L), ("k", 100L), ("k", null), ("absent", 5L))
+      .toDF("key", "value")
+    val got = Sketch.histCdf(sk, probes, "key", "value", 5).collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("k", Some(0L))) == ((5L, 100L, 0.05)))
+    assert(got(("k", Some(7L))) == ((40L, 100L, 0.4)))
+    assert(got(("k", Some(19L))) == ((100L, 100L, 1.0)))
+    assert(got(("k", Some(100L))) == ((100L, 100L, 1.0)), "past the max: full mass")
+    assert(got(("k", None))._1 == 0L && got(("k", None))._3 == 0.0, "null probe: 0")
+    val (ale, an, afrac) = got(("absent", Some(5L)))
+    assert(ale == 0L && an == 0L && afrac.isNaN, "absent key: n=0, frac=NaN")
+    // weight w ≡ w repeated rows — sketches identical
+    val wdf = Seq(("k", 3L, 4L), ("k", 70L, 2L), ("k", 3L, 1L)).toDF("key", "v", "w")
+    val rep = (Seq.fill(5)(("k", 3L)) ++ Seq.fill(2)(("k", 70L))).toDF("key", "v")
+    val a = Sketch.histSketch(wdf, "key", "v", 5, Some("w"))
+      .orderBy("bucket").collect().map(_.toSeq)
+    val b = Sketch.histSketch(rep, "key", "v", 5)
+      .orderBy("bucket").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("histogram sketch: negative values raise; percents validated") {
     val bad = Seq(("k", -5L)).toDF("key", "v")
     val e = intercept[Exception](Sketch.histSketch(bad, "key", "v", 5).collect())
