@@ -136,6 +136,15 @@ object Demo {
     Merge.applyChanges(Merge.upsert(snapshot, delta, Seq("id")), cdc, Seq("id"))
       .orderBy("id").show(truncate = false)
 
+    println("-- mergeable sketches: distinct counts + quantile telemetry --")
+    import graft.ops.Sketch
+    val evs = (0 until 1000).map(i => ("day" + (i % 2), "user" + (i % 137), (i * 7 % 500).toLong))
+      .toDF("day", "user", "latency")
+    Sketch.kmvEstimate(Sketch.kmvSketch(evs, "day", "user", 64), 64)
+      .orderBy("key").show(truncate = false)
+    Sketch.histQuantiles(Sketch.histSketch(evs, "day", "latency", 5), 5, Seq(50, 99))
+      .orderBy("key", "pct").show(truncate = false)
+
     println("-- vocabulary + token ids (OOV = 0) --")
     val corpus = survivors.orderBy("doc_id").limit(1000)
     val vocab = TextAnalysis.buildVocab(corpus, "text", 100)
