@@ -1388,6 +1388,58 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events × sketch: STREAMING quantile telemetry — the
+    // log-linear histogram accumulated in aggregation STATE across two
+    // forced micro-batches (bucket counts just add in the state store,
+    // so the streaming aggregation IS the sketch build — the quantile
+    // tier's twin of e14's KMV-in-state); quantiles extracted from the
+    // final sketch. Counts are batch-invariant by construction, so the
+    // DuckDB oracle replays it as one batch query, with the exact
+    // rank-target value alongside
+    "e16_stream_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sink = "e16_hist_out"
+      val subBits = 5
+      val pcts = Seq(50, 90, 99)
+      val streamDir = twoBatchEventFeed(s, dir, "hist")
+      val stream = EventStreams.readStreamNanos(s, streamDir,
+        maxFilesPerTrigger = Some(1))
+      withShufflePartitions(s, 4) {
+        val q = stream
+          .select(col("event_type"),
+            graft.ops.Sketch.histBucket(
+              round(col("value") * lit(100.0)).cast("long"), subBits).as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * lit(100.0)).cast("long").as("cents"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("cents")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val exact = ranked
+        .select(col("event_type"), col("cents"), col("rn"), col("n"),
+          explode(typedlit(pcts)).as("pct"))
+        .filter(col("rn") === floor(col("pct").cast("double") / lit(100.0) *
+          (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L))
+        .select(col("event_type"), col("pct"), col("cents").as("exact_value"))
+      val out = graft.ops.Sketch.histQuantiles(
+          s.table(sink).select(col("event_type").as("key"), col("bucket"), col("cnt")),
+          subBits, pcts)
+        .select(col("key").as("event_type"), col("pct"), col("est_value"))
+        .join(exact, Seq("event_type", "pct"))
+        .orderBy(col("event_type"), col("pct"))
+      out.cache().count()
+      out
+    }),
+
     // ---- events: STREAM-STREAM LEFT OUTER interval join — every
     // purchase appears, null-extended when the user had no click in the
     // preceding hour. Matches emit immediately; null-extended rows emit
@@ -3626,6 +3678,57 @@ object PipelineQueries {
         |  SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice
         |  FROM orders WHERE o_orderkey % 250 = 0
         |) ORDER BY o_orderkey""".stripMargin,
+
+    // streaming-quantile replay: counts are batch-invariant, so the
+    // two-micro-batch state accumulation collapses to t25's batch
+    // bucket/rank machinery over round(value·100) cents
+    "e16_stream_quantiles" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v FROM events
+        |),
+        |bk AS (
+        |  SELECT event_type,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
+        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |  FROM vals
+        |),
+        |hg AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, cnt,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hg
+        |),
+        |tq AS (
+        |  SELECT c.event_type, c.bucket, c.cnt, c.cum, p.pct,
+        |    CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target
+        |  FROM cum c, (SELECT unnest([50, 90, 99]) AS pct) p
+        |),
+        |est AS (
+        |  SELECT event_type, pct,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE (32 + bucket % 32)
+        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+        |    + ((target - (cum - cnt) - 1) *
+        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+        |      ) // cnt AS est_value
+        |  FROM tq WHERE cum >= target AND cum - cnt < target
+        |),
+        |ranked AS (
+        |  SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM vals
+        |),
+        |ex AS (
+        |  SELECT r.event_type, p.pct, r.v AS exact_value
+        |  FROM ranked r, (SELECT unnest([50, 90, 99]) AS pct) p
+        |  WHERE r.rn = CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(r.n - 1 AS DOUBLE)) AS BIGINT) + 1
+        |)
+        |SELECT e.event_type, e.pct, e.est_value, x.exact_value
+        |FROM est e JOIN ex x ON x.event_type = e.event_type AND x.pct = e.pct
+        |ORDER BY e.event_type, e.pct""".stripMargin,
 
     // streaming-bloom-screen replay: seed bits (event_id%3=0 pairs) →
     // screen A (%3=1, probe vs seed) → bits2 = seed OR admitted-A bits →

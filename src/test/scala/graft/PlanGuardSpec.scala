@@ -43,9 +43,11 @@ class PlanGuardSpec extends SparkSpec {
       "e12_streaming_sessions",   // executes a streaming query when built
       "e13_stream_outer_join",    // executes a streaming query when built
       "e14_stream_kmv",           // executes a streaming query when built
-      "e15_streaming_bloom_screen") // executes a streaming query when built;
+      "e15_streaming_bloom_screen", // executes a streaming query when built;
                                     // its probe join shape is t23's, guarded
                                     // there and in the SketchSpec plan pin
+      "e16_stream_quantiles")       // executes a streaming query when built;
+                                    // its batch shape is t25's, guarded there
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their
