@@ -120,20 +120,75 @@ object Sketch {
       .groupBy(col("key"))
       .agg(kmvAgg(col("h"), k).as("hashes"))
 
+  private val HashSpace = 1152921504606846976.0 // 2^60
+
+  /** The KMV estimator over a sketch array — exact below k, (k−1)/U_(k)
+    * above, as one expression (shared by [[kmvEstimate]] and
+    * [[kmvSetEstimates]] so every surface replays identically). */
+  private def kmvEstExpr(hashes: Column, k: Int): Column = {
+    val n = size(hashes)
+    val hk = element_at(hashes, n).cast("double")
+    val u = greatest(hk, lit(1.0)) / lit(HashSpace)
+    when(n < k, n.cast("long"))
+      .otherwise(round(lit((k - 1).toDouble) / u).cast("long"))
+  }
+
   /** Distinct-count estimates from a sketch frame: `(key, n_sketch,
     * est_distinct)`. Exact when the key had < k distinct values (the
     * sketch holds them all); otherwise the KMV estimator
     * (k−1) / U_(k) with U the 60-bit hash normalized to (0, 1] — the
     * expression shape (one int→double cast, one exact power-of-two
     * scale, one division, one round) is replayed bitwise by DuckDB. */
-  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame = {
-    val n = size(col("hashes"))
-    val hk = element_at(col("hashes"), n).cast("double")
-    val u = greatest(hk, lit(1.0)) / lit(1152921504606846976.0) // 2^60
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
     sketch.select(col("key"),
-      n.cast("long").as("n_sketch"),
-      when(n < k, n.cast("long"))
-        .otherwise(round(lit((k - 1).toDouble) / u).cast("long")).as("est_distinct"))
+      size(col("hashes")).cast("long").as("n_sketch"),
+      kmvEstExpr(col("hashes"), k).as("est_distinct"))
+
+  /** Set-algebra estimates between two per-key KMV sketch frames built
+    * with the same k and hash — the theta-sketch construction
+    * (DataSketches / Dasgupta et al.): `(key, est_a, est_b, est_union,
+    * est_intersect, est_jaccard)`.
+    *
+    * The union sketch is the bottom-k of the merged hash sets (exactly
+    * what a fresh sketch of A∪B would hold). For the intersection,
+    * θ_X = the k-th smallest hash of side X (its sampling threshold;
+    * the full hash space when the side is exact), θ = min(θ_A, θ_B),
+    * and every shared hash below θ is a uniform sample of A∩B at rate
+    * θ/2^60 — so |A∩B| ≈ matches · 2^60/θ, EXACT when both sides are
+    * exact. Keys missing from one side estimate intersection 0; the
+    * join is null-safe (null-key sketches participate).
+    *
+    * This is what makes bounded sketches an ALGEBRA: daily audience
+    * sketches roll up to month unions, overlap matrices (campaign ×
+    * campaign reach) come from pairwise intersections, and join-size
+    * estimates from key-column sketches — all without touching the
+    * corpus again. Fully declarative (array ops over ≤ k-long arrays),
+    * replayed bitwise by DuckDB (gate t27). */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"kmvSetEstimates: k=$k must be >= 2")
+    val ja = a.select(col("key").as("__ka"), col("hashes").as("__ha"))
+    val jb = b.select(col("key").as("__kb"), col("hashes").as("__hb"))
+    val empty = typedlit(Array.empty[Long])
+    val joined = ja.join(jb, col("__ka") <=> col("__kb"), "full")
+    val ha = coalesce(col("__ha"), empty)
+    val hb = coalesce(col("__hb"), empty)
+    def theta(h: Column): Column =
+      when(size(h) < k, lit(HashSpace)).otherwise(element_at(h, k).cast("double"))
+    val th = least(theta(ha), theta(hb))
+    val matches = size(filter(array_intersect(ha, hb),
+      h => h.cast("double") < th))
+    val hu = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
+    val estInter = round(matches.cast("double") * (lit(HashSpace) / th)).cast("long")
+    val estUnion = kmvEstExpr(hu, k)
+    joined.select(
+      coalesce(col("__ka"), col("__kb")).as("key"),
+      kmvEstExpr(ha, k).as("est_a"),
+      kmvEstExpr(hb, k).as("est_b"),
+      estUnion.as("est_union"),
+      estInter.as("est_intersect"),
+      when(estUnion > 0L,
+        estInter.cast("double") / estUnion.cast("double"))
+        .otherwise(lit(0.0)).as("est_jaccard"))
   }
 
   // --------------------------------------------------------- count-min

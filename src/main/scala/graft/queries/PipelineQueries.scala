@@ -779,6 +779,35 @@ object PipelineQueries {
         .orderBy(col("source"), col("pct"))
     }),
 
+    // ---- sketch: KMV SET ALGEBRA — weekly clicking-vs-purchasing user
+    // overlap from the theta-sketch construction: per-week bottom-64
+    // sketches of each side, union = bottom-k of the merged hash sets,
+    // intersection = shared hashes below θ = min of the two sampling
+    // thresholds, scaled back by 2^60/θ. The exact intersection rides
+    // alongside; every rank, threshold and the two double steps
+    // (scale, jaccard) replay bitwise
+    "t27_kmv_set_ops" -> ((s, dir) => {
+      val k = 64
+      val ev = Tables.load(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+          col("event_type"), col("user_id"))
+      def sk(t: String) = graft.ops.Sketch.kmvSketch(
+        ev.filter(col("event_type") === t), "wk", "user_id", k)
+      val est = graft.ops.Sketch.kmvSetEstimates(sk("click"), sk("purchase"), k)
+      val exact = ev.filter(col("event_type") === "click")
+        .select(col("wk"), col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("wk"), col("user_id")).distinct(), Seq("wk", "user_id"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("exact_intersect"))
+      est.select(col("key").as("wk"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_intersect"), col("est_jaccard"))
+        .join(exact, Seq("wk"), "left")
+        .select(col("wk"), col("est_a"), col("est_b"), col("est_union"),
+          col("est_intersect"), col("est_jaccard"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("wk"))
+    }),
+
     // ---- sketch: WEIGHTED quantiles + CDF round trip — the histogram
     // sketch weighted by token count ("half the token mass lives in
     // docs shorter than X"), then each extracted quantile probed back
@@ -3001,6 +3030,78 @@ object PipelineQueries {
         |  ex.exact_distinct
         |FROM sk s JOIN ex USING (source)
         |ORDER BY source""".stripMargin,
+
+    // KMV set-algebra replay: per-week per-side bottom-64 hash ranks,
+    // θ_X = the 64th hash (2^60 when exact), matches = shared kept
+    // hashes below min(θ_A, θ_B) via a plain join, union re-ranked from
+    // the merged distinct hashes; estimator shapes shared with t21
+    "t27_kmv_set_ops" ->
+      raw"""WITH ev AS (
+        |  SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk,
+        |    event_type, user_id
+        |  FROM events
+        |),
+        |ah AS (SELECT DISTINCT wk, $duckHash60 AS hv
+        |       FROM (SELECT wk, md5(CAST(user_id AS VARCHAR)) AS hh
+        |             FROM ev WHERE event_type = 'click')),
+        |bh AS (SELECT DISTINCT wk, $duckHash60 AS hv
+        |       FROM (SELECT wk, md5(CAST(user_id AS VARCHAR)) AS hh
+        |             FROM ev WHERE event_type = 'purchase')),
+        |ar AS (SELECT wk, hv, ROW_NUMBER() OVER (PARTITION BY wk ORDER BY hv) AS rn FROM ah),
+        |br AS (SELECT wk, hv, ROW_NUMBER() OVER (PARTITION BY wk ORDER BY hv) AS rn FROM bh),
+        |ask AS (SELECT wk, COUNT(*) AS n, MAX(hv) AS hk FROM ar WHERE rn <= 64 GROUP BY wk),
+        |bsk AS (SELECT wk, COUNT(*) AS n, MAX(hv) AS hk FROM br WHERE rn <= 64 GROUP BY wk),
+        |uh AS (SELECT DISTINCT wk, hv FROM
+        |        (SELECT wk, hv FROM ar WHERE rn <= 64
+        |         UNION ALL SELECT wk, hv FROM br WHERE rn <= 64)),
+        |ur AS (SELECT wk, hv, ROW_NUMBER() OVER (PARTITION BY wk ORDER BY hv) AS rn FROM uh),
+        |usk AS (SELECT wk, COUNT(*) AS n, MAX(hv) AS hk FROM ur WHERE rn <= 64 GROUP BY wk),
+        |c AS (
+        |  SELECT COALESCE(a.wk, b.wk) AS wk,
+        |    COALESCE(a.n, 0) AS na, COALESCE(a.hk, 0) AS hka,
+        |    COALESCE(b.n, 0) AS nb, COALESCE(b.hk, 0) AS hkb,
+        |    LEAST(
+        |      CASE WHEN COALESCE(a.n, 0) < 64 THEN 1152921504606846976.0
+        |           ELSE CAST(a.hk AS DOUBLE) END,
+        |      CASE WHEN COALESCE(b.n, 0) < 64 THEN 1152921504606846976.0
+        |           ELSE CAST(b.hk AS DOUBLE) END) AS th
+        |  FROM ask a FULL JOIN bsk b ON a.wk = b.wk
+        |),
+        |m AS (
+        |  SELECT a.wk, COUNT(*) AS matches
+        |  FROM (SELECT wk, hv FROM ar WHERE rn <= 64) a
+        |  JOIN (SELECT wk, hv FROM br WHERE rn <= 64) b ON a.wk = b.wk AND a.hv = b.hv
+        |  JOIN c ON c.wk = a.wk
+        |  WHERE CAST(a.hv AS DOUBLE) < c.th
+        |  GROUP BY a.wk
+        |),
+        |fin AS (
+        |  SELECT c.wk,
+        |    CASE WHEN c.na < 64 THEN c.na
+        |         ELSE CAST(round(63.0 / (GREATEST(CAST(c.hka AS DOUBLE), 1.0)
+        |           / 1152921504606846976.0)) AS BIGINT) END AS est_a,
+        |    CASE WHEN c.nb < 64 THEN c.nb
+        |         ELSE CAST(round(63.0 / (GREATEST(CAST(c.hkb AS DOUBLE), 1.0)
+        |           / 1152921504606846976.0)) AS BIGINT) END AS est_b,
+        |    CASE WHEN u.n < 64 THEN u.n
+        |         ELSE CAST(round(63.0 / (GREATEST(CAST(u.hk AS DOUBLE), 1.0)
+        |           / 1152921504606846976.0)) AS BIGINT) END AS est_union,
+        |    CAST(round(CAST(COALESCE(m.matches, 0) AS DOUBLE)
+        |      * (1152921504606846976.0 / c.th)) AS BIGINT) AS est_intersect
+        |  FROM c JOIN usk u ON u.wk = c.wk LEFT JOIN m ON m.wk = c.wk
+        |),
+        |xa AS (SELECT DISTINCT wk, user_id FROM ev WHERE event_type = 'click'),
+        |xb AS (SELECT DISTINCT wk, user_id FROM ev WHERE event_type = 'purchase'),
+        |xi AS (SELECT xa.wk, COUNT(*) AS exact_intersect
+        |       FROM xa JOIN xb ON xa.wk = xb.wk AND xa.user_id = xb.user_id
+        |       GROUP BY xa.wk)
+        |SELECT f.wk, f.est_a, f.est_b, f.est_union, f.est_intersect,
+        |  CASE WHEN f.est_union > 0
+        |       THEN CAST(f.est_intersect AS DOUBLE) / CAST(f.est_union AS DOUBLE)
+        |       ELSE 0.0 END AS est_jaccard,
+        |  COALESCE(xi.exact_intersect, 0) AS exact_intersect
+        |FROM fin f LEFT JOIN xi ON xi.wk = f.wk
+        |ORDER BY f.wk""".stripMargin,
 
     // weighted-quantile + CDF replay: t25's bucket/rank machinery with
     // SUM(token weight) for counts, then each extracted quantile's CDF

@@ -212,6 +212,35 @@ class SketchSpec extends SparkSpec {
     assert(probeMap(Sketch.probeBloomIndex(spark, path, probes, "key", "value")) == viaIndex)
   }
 
+  test("kmvSetEstimates: exact when both sides exact; estimator in band; one-sided and null keys") {
+    // exact branch: 30 vs 20 values with overlap 10, all below k
+    val A = (0 until 30).map(i => ("k", "v" + i)).toDF("key", "v")
+    val B = (20 until 40).map(i => ("k", "v" + i)).toDF("key", "v")
+    val e = Sketch.kmvSetEstimates(
+      Sketch.kmvSketch(A, "key", "v", 64), Sketch.kmvSketch(B, "key", "v", 64), 64)
+      .head()
+    assert((e.getLong(1), e.getLong(2), e.getLong(3), e.getLong(4)) == ((30L, 20L, 40L, 10L)))
+    assert(e.getDouble(5) == 0.25)
+    // estimator branch: 5000 vs 4000 with 2000 shared, k=256
+    val A2 = (0 until 5000).map(i => ("k", "u" + i)).toDF("key", "v")
+    val B2 = (3000 until 7000).map(i => ("k", "u" + i)).toDF("key", "v")
+    val e2 = Sketch.kmvSetEstimates(
+      Sketch.kmvSketch(A2, "key", "v", 256), Sketch.kmvSketch(B2, "key", "v", 256), 256)
+      .head()
+    assert(math.abs(e2.getLong(1) - 5000.0) / 5000.0 <= 0.25)
+    assert(math.abs(e2.getLong(3) - 7000.0) / 7000.0 <= 0.25, s"union ${e2.getLong(3)}")
+    assert(math.abs(e2.getLong(4) - 2000.0) / 2000.0 <= 0.5, s"intersect ${e2.getLong(4)}")
+    // a key present on one side only: its intersection is 0; null keys flow
+    val A3 = ((0 until 10).map(i => ("only_a", "v" + i)) ++
+      (0 until 5).map(i => (null.asInstanceOf[String], "n" + i))).toDF("key", "v")
+    val B3 = (0 until 3).map(i => (null.asInstanceOf[String], "n" + i)).toDF("key", "v")
+    val m = Sketch.kmvSetEstimates(
+      Sketch.kmvSketch(A3, "key", "v", 64), Sketch.kmvSketch(B3, "key", "v", 64), 64)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(m(Some("only_a")) == ((10L, 0L, 0L)))
+    assert(m(None) == ((5L, 3L, 3L)), "null-key sketches must join null-safe")
+  }
+
   test("histogram sketch: exact region identity, quantile error bound, merge ≡ union, partitioning invariance") {
     val subBits = 5
     // deterministic values spanning the exact region and several
