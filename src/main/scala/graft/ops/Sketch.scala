@@ -174,9 +174,13 @@ object Sketch {
     val hb = coalesce(col("__hb"), empty)
     def theta(h: Column): Column =
       when(size(h) < k, lit(HashSpace)).otherwise(element_at(h, k).cast("double"))
+    // θ is bound ONCE via the 1-element-transform idiom — referencing it
+    // directly inside the filter lambda would re-evaluate both CaseWhen
+    // trees per array element (the documented HOF-blocks-CSE trap)
+    val matches = Dedup.bindOnce(least(theta(ha), theta(hb))) { th =>
+      size(filter(array_intersect(ha, hb), h => h.cast("double") < th))
+    }
     val th = least(theta(ha), theta(hb))
-    val matches = size(filter(array_intersect(ha, hb),
-      h => h.cast("double") < th))
     val hu = slice(array_sort(array_distinct(concat(ha, hb))), 1, k)
     val estInter = round(matches.cast("double") * (lit(HashSpace) / th)).cast("long")
     val estUnion = kmvEstExpr(hu, k)
@@ -218,7 +222,15 @@ object Sketch {
       depth: Int = 4, width: Int = 1024,
       weightCol: Option[String] = None): DataFrame = {
     require(depth >= 1 && width >= 1, s"cmSketch: depth=$depth width=$width")
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // negative/null weights raise: a negative weight breaks the sketch's
+    // never-undercount contract (and null weights would null whole
+    // bucket counters)
+    val w = weightCol.map { c =>
+      val wl = col(c).cast("long")
+      when(wl.isNull || wl < 0L, raise_error(concat(
+        lit(s"cmSketch: weight column $c must be non-negative and non-null, got "),
+        coalesce(wl.cast("string"), lit("null"))))).otherwise(wl)
+    }.getOrElse(lit(1L))
     df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), w.as("__w"),
         posexplode(array((0 until depth).map(i =>
@@ -674,10 +686,18 @@ object Sketch {
     * skipped, null keys kept (the tier-wide convention). Pass
     * `weightCol` to sum weights instead of counting rows — quantiles
     * then answer over the weight MASS (e.g. token-weighted document
-    * lengths: "half the tokens live in docs shorter than X"). */
+    * lengths: "half the tokens live in docs shorter than X"). Weights
+    * must be non-negative and non-null (raised per row): a negative or
+    * null weight would make cumulative counts non-monotone and
+    * silently corrupt — or vanish — quantile rows downstream. */
   def histSketch(df: DataFrame, keyCol: String, valueCol: String,
       subBits: Int = 5, weightCol: Option[String] = None): DataFrame = {
-    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val w = weightCol.map { c =>
+      val wl = col(c).cast("long")
+      when(wl.isNull || wl < 0L, raise_error(concat(
+        lit(s"histSketch: weight column $c must be non-negative and non-null, got "),
+        coalesce(wl.cast("string"), lit("null"))))).otherwise(wl)
+    }.getOrElse(lit(1L))
     df.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), histBucket(col(valueCol), subBits).as("bucket"),
         w.as("__w"))
@@ -748,8 +768,10 @@ object Sketch {
       valueCol: String, subBits: Int): DataFrame = {
     val sk = histMerge(sketch).select(col("key").as("__sk"),
       col("bucket"), col("cnt"))
+    // distinct: a duplicated (key, value) probe row would fan the join
+    // out and double-count est_le/n in the shared group
     val p = probes
-      .select(col(keyCol).as("key"), col(valueCol).as("value"))
+      .select(col(keyCol).as("key"), col(valueCol).as("value")).distinct()
       .withColumn("__b",
         when(col("value").isNotNull, histBucket(col("value"), subBits)))
     val joined = p.join(sk, col("__sk") <=> col("key"), "left")

@@ -757,7 +757,6 @@ object PipelineQueries {
     // cumulative rank and interpolated value is exact integer
     // arithmetic DuckDB replays bitwise
     "t25_quantile_sketch" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val subBits = 5
       val pcts = Seq(25, 50, 75, 90, 99)
       val d = docs(s, dir).select(col("source"), col("n_chars"))
@@ -765,17 +764,7 @@ object PipelineQueries {
       val est = graft.ops.Sketch.histQuantiles(
         graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits), subBits, pcts)
         .select(col("key").as("source"), col("pct"), col("est_value"))
-      val ranked = d
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy("n_chars")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-      val exact = ranked
-        .select(col("source"), col("n_chars"), col("rn"), col("n"),
-          explode(typedlit(pcts)).as("pct"))
-        .filter(col("rn") === floor(col("pct").cast("double") / lit(100.0) *
-          (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L))
-        .select(col("source"), col("pct"), col("n_chars").as("exact_value"))
-      est.join(exact, Seq("source", "pct"))
+      est.join(exactRankValues(d, "source", "n_chars", pcts), Seq("source", "pct"))
         .orderBy(col("source"), col("pct"))
     }),
 
@@ -1426,7 +1415,6 @@ object PipelineQueries {
     // DuckDB oracle replays it as one batch query, with the exact
     // rank-target value alongside
     "e16_stream_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val sink = "e16_hist_out"
       val subBits = 5
       val pcts = Seq(50, 90, 99)
@@ -1434,12 +1422,14 @@ object PipelineQueries {
       val stream = EventStreams.readStreamNanos(s, streamDir,
         maxFilesPerTrigger = Some(1))
       withShufflePartitions(s, 4) {
-        val q = stream
-          .select(col("event_type"),
-            graft.ops.Sketch.histBucket(
-              round(col("value") * lit(100.0)).cast("long"), subBits).as("bucket"))
-          .groupBy(col("event_type"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
+        // histSketch itself runs as the streaming aggregation (its
+        // filter/select/groupBy/sum is streaming-legal), so the stream
+        // build shares the batch operator's exact logic — including the
+        // null-value filter
+        val q = graft.ops.Sketch.histSketch(
+            stream.withColumn("cents",
+              round(col("value") * lit(100.0)).cast("long")),
+            "event_type", "cents", subBits)
           .writeStream.format("memory").queryName(sink)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1449,19 +1439,10 @@ object PipelineQueries {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"),
           round(col("value") * lit(100.0)).cast("long").as("cents"))
-      val ranked = ev
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("event_type").orderBy("cents")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      val exact = ranked
-        .select(col("event_type"), col("cents"), col("rn"), col("n"),
-          explode(typedlit(pcts)).as("pct"))
-        .filter(col("rn") === floor(col("pct").cast("double") / lit(100.0) *
-          (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L))
-        .select(col("event_type"), col("pct"), col("cents").as("exact_value"))
+        .filter(col("cents").isNotNull)
+      val exact = exactRankValues(ev, "event_type", "cents", pcts)
       val out = graft.ops.Sketch.histQuantiles(
-          s.table(sink).select(col("event_type").as("key"), col("bucket"), col("cnt")),
-          subBits, pcts)
+          s.table(sink), subBits, pcts)
         .select(col("key").as("event_type"), col("pct"), col("est_value"))
         .join(exact, Seq("event_type", "pct"))
         .orderBy(col("event_type"), col("pct"))
@@ -2346,6 +2327,23 @@ object PipelineQueries {
       |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
       |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)""".stripMargin
 
+  /** The EXACT lower empirical quantile value at rank
+    * floor(pct/100 · (n−1)) + 1 per partition — the load-bearing
+    * cross-engine rank contract, shared by the t25/e16 gates' exact
+    * comparison sides so the two cannot drift. */
+  private def exactRankValues(df: org.apache.spark.sql.DataFrame,
+      partCol: String, valCol: String, pcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(partCol).orderBy(valCol)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(partCol)))
+      .select(col(partCol), col(valCol), col("rn"), col("n"),
+        explode(typedlit(pcts)).as("pct"))
+      .filter(col("rn") === floor(col("pct").cast("double") / lit(100.0) *
+        (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L))
+      .select(col(partCol), col("pct"), col(valCol).as("exact_value"))
+  }
+
   /** Split the events table into two single-file halves (event_id
     * parity) symlinked into a fresh stream directory — the feed shape
     * that forces a streaming gate through TWO micro-batches with
@@ -3065,13 +3063,14 @@ object PipelineQueries {
         |           ELSE CAST(a.hk AS DOUBLE) END,
         |      CASE WHEN COALESCE(b.n, 0) < 64 THEN 1152921504606846976.0
         |           ELSE CAST(b.hk AS DOUBLE) END) AS th
-        |  FROM ask a FULL JOIN bsk b ON a.wk = b.wk
+        |  FROM ask a FULL JOIN bsk b ON a.wk IS NOT DISTINCT FROM b.wk
         |),
         |m AS (
         |  SELECT a.wk, COUNT(*) AS matches
         |  FROM (SELECT wk, hv FROM ar WHERE rn <= 64) a
-        |  JOIN (SELECT wk, hv FROM br WHERE rn <= 64) b ON a.wk = b.wk AND a.hv = b.hv
-        |  JOIN c ON c.wk = a.wk
+        |  JOIN (SELECT wk, hv FROM br WHERE rn <= 64) b
+        |    ON a.wk IS NOT DISTINCT FROM b.wk AND a.hv = b.hv
+        |  JOIN c ON c.wk IS NOT DISTINCT FROM a.wk
         |  WHERE CAST(a.hv AS DOUBLE) < c.th
         |  GROUP BY a.wk
         |),
@@ -3088,7 +3087,8 @@ object PipelineQueries {
         |           / 1152921504606846976.0)) AS BIGINT) END AS est_union,
         |    CAST(round(CAST(COALESCE(m.matches, 0) AS DOUBLE)
         |      * (1152921504606846976.0 / c.th)) AS BIGINT) AS est_intersect
-        |  FROM c JOIN usk u ON u.wk = c.wk LEFT JOIN m ON m.wk = c.wk
+        |  FROM c JOIN usk u ON u.wk IS NOT DISTINCT FROM c.wk
+        |    LEFT JOIN m ON m.wk IS NOT DISTINCT FROM c.wk
         |),
         |xa AS (SELECT DISTINCT wk, user_id FROM ev WHERE event_type = 'click'),
         |xb AS (SELECT DISTINCT wk, user_id FROM ev WHERE event_type = 'purchase'),

@@ -303,6 +303,13 @@ class SketchSpec extends SparkSpec {
     val b = Sketch.histSketch(rep, "key", "v", 5)
       .orderBy("bucket").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
+    // negative / null weights raise (they would corrupt rank selection)
+    val wNeg = intercept[Exception](Sketch.histSketch(
+      Seq(("k", 1L, -2L)).toDF("key", "v", "w"), "key", "v", 5, Some("w")).collect())
+    assert(wNeg.getMessage.contains("non-negative"), wNeg.getMessage)
+    intercept[Exception](Sketch.cmSketch(
+      Seq(("k", "x", -1L)).toDF("key", "v", "w"), "key", "v", 3, 64,
+      weightCol = Some("w")).collect())
   }
 
   test("histogram sketch: negative values raise; percents validated") {
