@@ -427,6 +427,32 @@ object ScaleProbe {
         s"hist p50 $p50 outside the relative bound vs $exact")
       sk.unpersist()
     }
+
+    // round-7: KMV set algebra at 6M rows — supplier-set overlap between
+    // line statuses per return flag; two bounded sketch passes + a
+    // ≤k-array join, the corpus never re-touched for the set estimates
+    {
+      def side(status: String) = graft.ops.Sketch.kmvSketch(
+        l10.filter(col("l_linestatus") === status)
+          .select(col("l_returnflag").as("key"), col("l_suppkey").as("v")),
+        "key", "v", 256)
+      val ests = t("kmv set algebra 6M rows (sketches + estimates)")(
+        graft.ops.Sketch.kmvSetEstimates(side("O"), side("F"), 256).collect())
+      println("SCALE kmv set ops: " + ests.sortBy(_.getString(0)).map(r =>
+        s"${r.getString(0)}:u=${r.getLong(3)},i=${r.getLong(4)}").mkString(" "))
+      val exact = l10.filter(col("l_linestatus") === "O")
+        .select(col("l_returnflag"), col("l_suppkey")).distinct()
+        .join(l10.filter(col("l_linestatus") === "F")
+          .select(col("l_returnflag"), col("l_suppkey")).distinct(),
+          Seq("l_returnflag", "l_suppkey"))
+        .groupBy("l_returnflag").agg(count(lit(1))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      ests.foreach { r =>
+        val ex = exact.getOrElse(r.getString(0), 0L)
+        assert(ex == 0 || math.abs(r.getLong(4) - ex.toDouble) / ex <= 0.5,
+          s"set-ops intersect ${r.getLong(4)} too far from exact $ex")
+      }
+    }
     spark.stop()
   }
 }

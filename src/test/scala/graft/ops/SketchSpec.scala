@@ -312,6 +312,36 @@ class SketchSpec extends SparkSpec {
       weightCol = Some("w")).collect())
   }
 
+  test("histBucket geometry properties over the full domain: containment and monotonicity") {
+    // 100k deterministic values spanning every power-of-two block up to
+    // 2^62 (xorshift-ish spread within each block) plus the block edges
+    val edges = (0 until 63).flatMap { e =>
+      val base = 1L << e
+      Seq(base - 1, base, base + 1).filter(v => v >= 0 && v < (1L << 62))
+    }
+    val spread = (0 until 100000).map { i =>
+      val e = i % 62
+      val r = (i * 2654435761L) & ((1L << e) - 1)
+      (1L << e) + (if (r < 0) -r else r) % math.max(1L, 1L << e)
+    }
+    val df = (edges ++ spread :+ 0L).toDF("v")
+    for (s <- Seq(1, 3, 5, 8)) {
+      val b = Sketch.histBucket(col("v"), s)
+      val lo = Sketch.histBucketLo(b, s)
+      val width = Sketch.histBucketWidth(b, s)
+      // containment: lo(bucket(v)) <= v < lo + width, for EVERY value
+      val escapees = df.filter(!(lo <= col("v") && col("v") < lo + width)).count()
+      assert(escapees == 0L, s"subBits=$s: $escapees values outside their bucket bounds")
+      // monotonicity: sorted by v, bucket ids never decrease
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("v")
+      val inversions = df.select(col("v"), b.as("b"))
+        .withColumn("pb", lag(col("b"), 1).over(w))
+        .filter(col("pb").isNotNull && col("pb") > col("b")).count()
+      assert(inversions == 0L, s"subBits=$s: bucket id not monotone in v")
+    }
+  }
+
   test("histogram sketch: negative values raise; percents validated") {
     val bad = Seq(("k", -5L)).toDF("key", "v")
     val e = intercept[Exception](Sketch.histSketch(bad, "key", "v", 5).collect())
