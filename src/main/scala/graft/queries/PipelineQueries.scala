@@ -759,8 +759,11 @@ object PipelineQueries {
     "t25_quantile_sketch" -> ((s, dir) => {
       val subBits = 5
       val pcts = Seq(25, 50, 75, 90, 99)
+      // >= 0: histBucket RAISES on negatives — a regenerated corpus with
+      // a negative n_chars must degrade to a row-set change both engines
+      // agree on, not a gate error
       val d = docs(s, dir).select(col("source"), col("n_chars"))
-        .filter(col("n_chars").isNotNull)
+        .filter(col("n_chars").isNotNull && col("n_chars") >= 0L)
       val est = graft.ops.Sketch.histQuantiles(
         graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits), subBits, pcts)
         .select(col("key").as("source"), col("pct"), col("est_value"))
@@ -810,7 +813,7 @@ object PipelineQueries {
       val d = docs(s, dir)
         .select(col("source"), col("n_chars"),
           graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
-        .filter(col("n_chars").isNotNull)
+        .filter(col("n_chars").isNotNull && col("n_chars") >= 0L)
       val sk = graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits, Some("w"))
       val q = graft.ops.Sketch.histQuantiles(sk, subBits, pcts)
       val cdf = graft.ops.Sketch.histCdf(sk,
@@ -1428,7 +1431,8 @@ object PipelineQueries {
         // null-value filter
         val q = graft.ops.Sketch.histSketch(
             stream.withColumn("cents",
-              round(col("value") * lit(100.0)).cast("long")),
+              round(col("value") * lit(100.0)).cast("long"))
+              .filter(col("cents").isNull || col("cents") >= 0L),
             "event_type", "cents", subBits)
           .writeStream.format("memory").queryName(sink)
           .outputMode("complete")
@@ -1439,7 +1443,7 @@ object PipelineQueries {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_type"),
           round(col("value") * lit(100.0)).cast("long").as("cents"))
-        .filter(col("cents").isNotNull)
+        .filter(col("cents").isNotNull && col("cents") >= 0L)
       val exact = exactRankValues(ev, "event_type", "cents", pcts)
       val out = graft.ops.Sketch.histQuantiles(
           s.table(sink), subBits, pcts)
@@ -3113,7 +3117,7 @@ object PipelineQueries {
         |  SELECT source, n_chars AS v,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS BIGINT) AS w
-        |  FROM documents WHERE n_chars IS NOT NULL
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
         |),
         |bk AS (
         |  SELECT source, w,
@@ -3182,7 +3186,8 @@ object PipelineQueries {
     // interpolation's // division are all exact integers
     "t25_quantile_sketch" ->
       """WITH vals AS (
-        |  SELECT source, n_chars AS v FROM documents WHERE n_chars IS NOT NULL
+        |  SELECT source, n_chars AS v FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0
         |),
         |bk AS (
         |  SELECT source,
@@ -3786,6 +3791,7 @@ object PipelineQueries {
     "e16_stream_quantiles" ->
       """WITH vals AS (
         |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND round(value * 100.0) >= 0
         |),
         |bk AS (
         |  SELECT event_type,
