@@ -753,6 +753,49 @@ object Sketch {
         (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value"))
   }
 
+  /** Total-variation distance between two per-key histogram sketch
+    * frames (same subBits): `(key, tv)` with
+    * TV = ½ Σ_b |p_a(b) − p_b(b)| ∈ [0, 1] — the standard distribution
+    * drift metric (0 = identical bucket distributions, 1 = disjoint).
+    * Chart it between daily snapshots of a corpus statistic to catch
+    * composition drift; bucket rows only, the data is never re-read.
+    *
+    * Exact and cross-engine deterministic BY CONSTRUCTION: the
+    * numerator Σ|ca·nb − cb·na| is a DECIMAL(38,0) sum of exact integer
+    * products (order-independent under any partitioning — the repo's
+    * decimal-sum recipe; no transcendentals, unlike KL/PSI), divided
+    * once at the end by 2·na·nb. A key empty on one side scores 1.0
+    * (total divergence), empty on both 0.0; the join is null-safe. */
+  def histDistance(a: DataFrame, b: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val am = histMerge(a).select(col("key").as("ka"),
+      col("bucket").as("ba"), col("cnt").as("ca"))
+    val bm = histMerge(b).select(col("key").as("kb"),
+      col("bucket").as("bb"), col("cnt").as("cb"))
+    val joined = am.join(bm,
+        col("ka") <=> col("kb") && col("ba") === col("bb"), "full")
+      .select(coalesce(col("ka"), col("kb")).as("key"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.groupBy(col("key"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      .select(col("key").as("kt"), col("na"), col("nb"))
+    // no broadcast hint: telemetry key sets are usually tiny (AQE will
+    // broadcast them), but a million-key frame must stay shuffle-safe
+    joined.join(totals, col("key") <=> col("kt"))
+      .groupBy(col("key"))
+      .agg(
+        sum(abs(col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na")))
+          .as("__num"),
+        first(col("na")).as("__na"), first(col("nb")).as("__nb"))
+      .select(col("key"),
+        when(col("__na") > 0L && col("__nb") > 0L,
+          col("__num").cast("double") /
+            (lit(2.0) * col("__na").cast("double") * col("__nb").cast("double")))
+          .when(col("__na") > 0L || col("__nb") > 0L, lit(1.0))
+          .otherwise(lit(0.0)).as("tv"))
+  }
+
   /** Inverse quantile (CDF) probes `(key, value)` against a histogram
     * sketch: `(key, value, est_le, n, frac)` — the estimated count (or
     * weight mass) of sketched values ≤ `value`, the key's total, and

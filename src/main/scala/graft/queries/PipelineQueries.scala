@@ -800,6 +800,31 @@ object PipelineQueries {
         .orderBy(col("wk"))
     }),
 
+    // ---- sketch: DISTRIBUTION DRIFT — exact total-variation distance
+    // between histogram sketches, per source: even-vs-odd doc halves
+    // (homogeneous ⇒ near 0) and corpus-vs-shifted-copy (⇒ near 1) in
+    // one row. The numerator is a DECIMAL sum of integer products
+    // (order-independent), the only double step one final division —
+    // DuckDB replays both TVs bitwise
+    "t28_hist_drift" -> ((s, dir) => {
+      val subBits = 5
+      val d = docs(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+        .filter(col("n_chars").isNotNull && col("n_chars") >= 0L)
+      def sk(df: org.apache.spark.sql.DataFrame, v: Column) =
+        graft.ops.Sketch.histSketch(
+          df.select(col("source"), v.as("v")), "source", "v", subBits)
+      val tvSplit = graft.ops.Sketch.histDistance(
+          sk(d.filter(col("doc_id") % 2 === 0), col("n_chars")),
+          sk(d.filter(col("doc_id") % 2 === 1), col("n_chars")))
+        .select(col("key").as("source"), col("tv").as("tv_split"))
+      val tvShift = graft.ops.Sketch.histDistance(
+          sk(d, col("n_chars")),
+          sk(d, col("n_chars") + lit(4096L)))
+        .select(col("key").as("source"), col("tv").as("tv_shift"))
+      tvSplit.join(tvShift, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // ---- sketch: WEIGHTED quantiles + CDF round trip — the histogram
     // sketch weighted by token count ("half the token mass lives in
     // docs shorter than X"), then each extracted quantile probed back
@@ -2325,6 +2350,43 @@ object PipelineQueries {
     * runs in BIGINT, which a 6-digit-style double fold could not at 60
     * bits). ONE definition interpolated into every sketch oracle so the
     * replays cannot drift apart. */
+  /** DuckDB replay of [[graft.ops.Sketch.histBucket]]'s log-linear id
+    * (subBits = 5): exact region below 32, else floor-log2 from
+    * length(bin(v))−1. */
+  private def duckBucket(e: String): String =
+    s"CASE WHEN ($e) < 32 THEN ($e) " +
+      s"ELSE CAST(length(bin($e)) - 5 AS BIGINT) * 32 " +
+      s"+ (($e) >> CAST(length(bin($e)) - 6 AS INTEGER)) - 32 END"
+
+  /** DuckDB replay of [[graft.ops.Sketch.histDistance]]'s exact TV
+    * machinery over two bucket-count CTEs `(source, bucket, c)`:
+    * emits CTEs j/t/f with suffix `p`; the final SELECT applies the
+    * one double division per pair. */
+  private def duckTv(p: String, aCte: String, bCte: String): String =
+    s"""j$p AS (
+       |  SELECT COALESCE(a.source, b.source) AS source,
+       |    COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+       |  FROM $aCte a FULL JOIN $bCte b
+       |    ON a.source IS NOT DISTINCT FROM b.source AND a.bucket = b.bucket
+       |),
+       |t$p AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+       |          CAST(SUM(cb) AS BIGINT) AS nb
+       |        FROM j$p GROUP BY 1),
+       |f$p AS (
+       |  SELECT j.source,
+       |    SUM(ABS(CAST(j.ca AS DECIMAL(38,0)) * t.nb
+       |          - CAST(j.cb AS DECIMAL(38,0)) * t.na)) AS num,
+       |    MAX(t.na) AS na, MAX(t.nb) AS nb
+       |  FROM j$p j JOIN t$p t ON t.source IS NOT DISTINCT FROM j.source
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  private def duckTvSelect(p: String): String =
+    s"""CASE WHEN f$p.na > 0 AND f$p.nb > 0
+       |       THEN CAST(f$p.num AS DOUBLE)
+       |            / (2.0 * CAST(f$p.na AS DOUBLE) * CAST(f$p.nb AS DOUBLE))
+       |       WHEN f$p.na > 0 OR f$p.nb > 0 THEN 1.0 ELSE 0.0 END""".stripMargin
+
   private val duckHash60 =
     """CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
       |        THEN ascii(substr(hh, fi+1, 1)) - 87
@@ -3032,6 +3094,30 @@ object PipelineQueries {
         |  ex.exact_distinct
         |FROM sk s JOIN ex USING (source)
         |ORDER BY source""".stripMargin,
+
+    // drift replay: bucket counts per half/variant, then the exact TV
+    // machinery — decimal numerator, one double division per pair
+    "t28_hist_drift" -> {
+      s"""WITH vals AS (
+         |  SELECT source, doc_id, n_chars AS v FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 0
+         |),
+         |ce AS (SELECT source, ${duckBucket("v")} AS bucket, COUNT(*) AS c
+         |       FROM vals WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |co AS (SELECT source, ${duckBucket("v")} AS bucket, COUNT(*) AS c
+         |       FROM vals WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |cal AS (SELECT source, ${duckBucket("v")} AS bucket, COUNT(*) AS c
+         |        FROM vals GROUP BY 1, 2),
+         |csh AS (SELECT source, ${duckBucket("v + 4096")} AS bucket, COUNT(*) AS c
+         |        FROM vals GROUP BY 1, 2),
+         |${duckTv("1", "ce", "co")},
+         |${duckTv("2", "cal", "csh")}
+         |SELECT f1.source,
+         |  ${duckTvSelect("1")} AS tv_split,
+         |  ${duckTvSelect("2")} AS tv_shift
+         |FROM f1 JOIN f2 ON f2.source = f1.source
+         |ORDER BY f1.source""".stripMargin
+    },
 
     // KMV set-algebra replay: per-week per-side bottom-64 hash ranks,
     // θ_X = the 64th hash (2^60 when exact), matches = shared kept

@@ -312,6 +312,28 @@ class SketchSpec extends SparkSpec {
       weightCol = Some("w")).collect())
   }
 
+  test("histDistance: 0 identical, 1 disjoint, exact half-overlap, partition-invariant, one-sided keys") {
+    def sk(rows: Seq[(String, Long)]) =
+      Sketch.histSketch(rows.toDF("key", "v"), "key", "v", 5)
+    val a = sk(Seq.fill(100)(("k", 0L)))
+    val b = sk(Seq.fill(50)(("k", 0L)) ++ Seq.fill(50)(("k", 100L)))
+    val c = sk(Seq.fill(100)(("k", 100L)))
+    def tv(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Sketch.histDistance(x, y).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tv(a, a)("k") == 0.0)
+    assert(tv(a, c)("k") == 1.0, "disjoint bucket distributions")
+    assert(tv(a, b)("k") == 0.5, "half the mass moved: TV exactly 0.5")
+    // decimal numerator: identical double under any partitioning
+    val bRep = Sketch.histSketch(
+      (Seq.fill(50)(("k", 0L)) ++ Seq.fill(50)(("k", 100L)))
+        .toDF("key", "v").repartition(13), "key", "v", 5)
+    assert(tv(a, bRep)("k") == 0.5)
+    // a key present on one side only diverges totally
+    val a2 = sk(Seq.fill(10)(("only", 5L)) ++ Seq.fill(10)(("k", 0L)))
+    val m = tv(a2, sk(Seq.fill(10)(("k", 0L))))
+    assert(m("only") == 1.0 && m("k") == 0.0)
+  }
+
   test("histBucket geometry properties over the full domain: containment and monotonicity") {
     // 100k deterministic values spanning every power-of-two block up to
     // 2^62 (xorshift-ish spread within each block) plus the block edges
