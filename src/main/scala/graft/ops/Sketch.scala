@@ -777,12 +777,14 @@ object Sketch {
       .select(coalesce(col("ka"), col("kb")).as("key"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    val totals = joined.groupBy(col("key"))
-      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-      .select(col("key").as("kt"), col("na"), col("nb"))
-    // no broadcast hint: telemetry key sets are usually tiny (AQE will
-    // broadcast them), but a million-key frame must stay shuffle-safe
-    joined.join(totals, col("key") <=> col("kt"))
+    // per-key totals as WINDOW sums (the histQuantiles pattern): one
+    // pass over the join, and the following groupBy reuses the window's
+    // key partitioning — a groupBy + self-join back would execute the
+    // full outer join twice and add a shuffle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    joined
+      .withColumn("na", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("cb")).over(w))
       .groupBy(col("key"))
       .agg(
         sum(abs(col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na")))

@@ -820,8 +820,11 @@ object PipelineQueries {
       val tvShift = graft.ops.Sketch.histDistance(
           sk(d, col("n_chars")),
           sk(d, col("n_chars") + lit(4096L)))
-        .select(col("key").as("source"), col("tv").as("tv_shift"))
-      tvSplit.join(tvShift, Seq("source"))
+        .select(col("key").as("__s2"), col("tv").as("tv_shift"))
+      // null-safe: a null-source drift row must survive the composition
+      // (tier convention — histDistance itself preserves null keys)
+      tvSplit.join(tvShift, col("source") <=> col("__s2"))
+        .select(col("source"), col("tv_split"), col("tv_shift"))
         .orderBy(col("source"))
     }),
 
@@ -838,7 +841,8 @@ object PipelineQueries {
       val d = docs(s, dir)
         .select(col("source"), col("n_chars"),
           graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
-        .filter(col("n_chars").isNotNull && col("n_chars") >= 0L)
+        .filter(col("n_chars").isNotNull && col("n_chars") >= 0L &&
+          col("text").isNotNull)
       val sk = graft.ops.Sketch.histSketch(d, "source", "n_chars", subBits, Some("w"))
       val q = graft.ops.Sketch.histQuantiles(sk, subBits, pcts)
       val cdf = graft.ops.Sketch.histCdf(sk,
@@ -1012,7 +1016,8 @@ object PipelineQueries {
           |),
           |hg AS (
           |  SELECT source, graft_hist_bucket(n_chars, 5) AS bucket, COUNT(*) AS cnt
-          |  FROM graft_sql_docs WHERE n_chars IS NOT NULL GROUP BY source, bucket
+          |  FROM graft_sql_docs WHERE n_chars IS NOT NULL AND n_chars >= 0
+          |  GROUP BY source, bucket
           |),
           |hc AS (
           |  SELECT source, bucket, cnt,
@@ -2350,6 +2355,12 @@ object PipelineQueries {
     * runs in BIGINT, which a 6-digit-style double fold could not at 60
     * bits). ONE definition interpolated into every sketch oracle so the
     * replays cannot drift apart. */
+  private val duckHash60 =
+    """CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
+      |        THEN ascii(substr(hh, fi+1, 1)) - 87
+      |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
+      |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Sketch.histBucket]]'s log-linear id
     * (subBits = 5): exact region below 32, else floor-log2 from
     * length(bin(v))−1. */
@@ -2386,12 +2397,6 @@ object PipelineQueries {
        |       THEN CAST(f$p.num AS DOUBLE)
        |            / (2.0 * CAST(f$p.na AS DOUBLE) * CAST(f$p.nb AS DOUBLE))
        |       WHEN f$p.na > 0 OR f$p.nb > 0 THEN 1.0 ELSE 0.0 END""".stripMargin
-
-  private val duckHash60 =
-    """CAST(list_sum([(CASE WHEN ascii(substr(hh, fi+1, 1)) >= 97
-      |        THEN ascii(substr(hh, fi+1, 1)) - 87
-      |        ELSE ascii(substr(hh, fi+1, 1)) - 48 END)
-      |      * CAST(16**(14-fi) AS BIGINT) for fi in range(0,15)]) AS BIGINT)""".stripMargin
 
   /** The EXACT lower empirical quantile value at rank
     * floor(pct/100 · (n−1)) + 1 per partition — the load-bearing
@@ -3115,7 +3120,7 @@ object PipelineQueries {
          |SELECT f1.source,
          |  ${duckTvSelect("1")} AS tv_split,
          |  ${duckTvSelect("2")} AS tv_shift
-         |FROM f1 JOIN f2 ON f2.source = f1.source
+         |FROM f1 JOIN f2 ON f2.source IS NOT DISTINCT FROM f1.source
          |ORDER BY f1.source""".stripMargin
     },
 
@@ -3203,13 +3208,12 @@ object PipelineQueries {
         |  SELECT source, n_chars AS v,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |      t -> len(t) > 0)) AS BIGINT) AS w
-        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0 AND text IS NOT NULL
         |),
         |bk AS (
         |  SELECT source, w,
-        |    CASE WHEN v < 32 THEN v
-        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
-        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |    ${duckBucket("v")} AS bucket
         |  FROM vals
         |),
         |hg AS (SELECT source, bucket, CAST(SUM(w) AS BIGINT) AS cnt FROM bk GROUP BY 1, 2),
@@ -3237,9 +3241,7 @@ object PipelineQueries {
         |),
         |eb AS (
         |  SELECT source, pct, est_value,
-        |    CASE WHEN est_value < 32 THEN est_value
-        |         ELSE CAST(length(bin(est_value)) - 5 AS BIGINT) * 32
-        |              + (est_value >> CAST(length(bin(est_value)) - 6 AS INTEGER)) - 32 END AS pb
+        |    ${duckBucket("est_value")} AS pb
         |  FROM est
         |),
         |cdf AS (
@@ -3271,15 +3273,13 @@ object PipelineQueries {
     // DuckDB's HUGEINT; target rank, hit bucket, bounds and the
     // interpolation's // division are all exact integers
     "t25_quantile_sketch" ->
-      """WITH vals AS (
+      s"""WITH vals AS (
         |  SELECT source, n_chars AS v FROM documents
         |  WHERE n_chars IS NOT NULL AND n_chars >= 0
         |),
         |bk AS (
         |  SELECT source,
-        |    CASE WHEN v < 32 THEN v
-        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
-        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |    ${duckBucket("v")} AS bucket
         |  FROM vals
         |),
         |hg AS (SELECT source, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
@@ -3472,11 +3472,9 @@ object PipelineQueries {
         |),
         |hg AS (
         |  SELECT source,
-        |    CASE WHEN n_chars < 32 THEN n_chars
-        |         ELSE CAST(length(bin(n_chars)) - 5 AS BIGINT) * 32
-        |              + (n_chars >> CAST(length(bin(n_chars)) - 6 AS INTEGER)) - 32 END AS bucket,
+        |    ${duckBucket("n_chars")} AS bucket,
         |    COUNT(*) AS cnt
-        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1, 2
         |),
         |hc AS (
         |  SELECT source, bucket, cnt,
@@ -3875,15 +3873,13 @@ object PipelineQueries {
     // two-micro-batch state accumulation collapses to t25's batch
     // bucket/rank machinery over round(value·100) cents
     "e16_stream_quantiles" ->
-      """WITH vals AS (
+      s"""WITH vals AS (
         |  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v FROM events
         |  WHERE value IS NOT NULL AND round(value * 100.0) >= 0
         |),
         |bk AS (
         |  SELECT event_type,
-        |    CASE WHEN v < 32 THEN v
-        |         ELSE CAST(length(bin(v)) - 5 AS BIGINT) * 32
-        |              + (v >> CAST(length(bin(v)) - 6 AS INTEGER)) - 32 END AS bucket
+        |    ${duckBucket("v")} AS bucket
         |  FROM vals
         |),
         |hg AS (SELECT event_type, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),

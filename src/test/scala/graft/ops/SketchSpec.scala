@@ -343,8 +343,8 @@ class SketchSpec extends SparkSpec {
     }
     val spread = (0 until 100000).map { i =>
       val e = i % 62
-      val r = (i * 2654435761L) & ((1L << e) - 1)
-      (1L << e) + (if (r < 0) -r else r) % math.max(1L, 1L << e)
+      // masked offset is already in [0, 2^e): value lands inside block e
+      (1L << e) + ((i * 2654435761L) & ((1L << e) - 1))
     }
     val df = (edges ++ spread :+ 0L).toDF("v")
     for (s <- Seq(1, 3, 5, 8)) {
