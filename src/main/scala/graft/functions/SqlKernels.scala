@@ -156,25 +156,27 @@ object SqlKernels {
   /** The log-linear histogram bucket id as raw Catalyst nodes — the
     * identical tree [[graft.ops.Sketch.histBucket]] builds through the
     * Column API (CaseWhen arms in the same order, same left-assoc
-    * arithmetic), so SQL-built histograms match the Column sketches and
-    * the DuckDB replay bit for bit. */
+    * arithmetic, same −1 − bucket⁺(−(v+1)) negative mirror), so
+    * SQL-built histograms match the Column sketches and the DuckDB
+    * replay bit for bit. */
   private def histBucketExpr(v: Expression, subBits: Int): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Add, Bin, Length, Multiply, RaiseError, ShiftRight, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Bin, Length, Multiply, ShiftRight, Subtract, UnaryMinus}
     import org.apache.spark.sql.types.LongType
     val cap = 1L << subBits
     val vl = Cast(v, LongType)
-    val e = Cast(Subtract(Length(Bin(vl)), Literal(1)), IntegerType)
-    val high = Subtract(
-      Add(
-        Multiply(Cast(Subtract(e, Literal(subBits - 1)), LongType), Literal(cap)),
-        ShiftRight(vl, Subtract(e, Literal(subBits)))),
-      Literal(cap))
+    def pos(u: Expression): Expression = {
+      val e = Cast(Subtract(Length(Bin(u)), Literal(1)), IntegerType)
+      val high = Subtract(
+        Add(
+          Multiply(Cast(Subtract(e, Literal(subBits - 1)), LongType), Literal(cap)),
+          ShiftRight(u, Subtract(e, Literal(subBits)))),
+        Literal(cap))
+      CaseWhen(Seq((LessThan(u, Literal(cap)), u)), Some(high))
+    }
     CaseWhen(Seq(
       (LessThan(vl, Literal(0L)),
-        RaiseError(Concat(Seq(Literal.create("histBucket: negative value "),
-          Cast(vl, StringType))))),
-      (LessThan(vl, Literal(cap)), vl)),
-      Some(high))
+        Subtract(Literal(-1L), pos(UnaryMinus(Add(vl, Literal(1L))))))),
+      Some(pos(vl)))
   }
 
   /** Register every graft kernel as a `graft_*` SQL function on this

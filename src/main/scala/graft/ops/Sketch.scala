@@ -626,7 +626,8 @@ object Sketch {
   //
   // The fourth member of the sketch tier (cardinality = KMV, frequency
   // = CM, membership = Bloom): per-key quantiles from a DETERMINISTIC
-  // log-linear histogram over non-negative longs — HdrHistogram /
+  // log-linear histogram over the FULL signed long domain (negative
+  // values sign-mirror through −1 − bucket⁺(−(v+1))) — HdrHistogram /
   // DDSketch bucket geometry with integer-exact boundaries. Values
   // below 2^subBits map to themselves (exact region); above, the
   // value's power-of-two block [2^e, 2^(e+1)) splits into 2^subBits
@@ -647,25 +648,33 @@ object Sketch {
   // percentile_cont is a global-sort shape that cannot survive 100 TB;
   // this is the shape that can.
 
-  /** Log-linear bucket id of a non-negative long value (negative values
-    * raise — the geometry is defined on [0, 2^63); scale signed doubles
-    * to non-negative longs first, e.g. the repo's round(x·1e8) recipe).
-    * Monotone in `v`, exact below 2^(subBits+1). */
-  def histBucket(v: Column, subBits: Int): Column = {
-    require(subBits >= 1 && subBits <= 20, s"histBucket: subBits=$subBits")
+  /** The non-negative-side bucket id — exact below 2^subBits, then
+    * 2^subBits linear sub-buckets per power-of-two block. Kept as its
+    * own tree so the DuckDB replays (which filter to v ≥ 0) stay
+    * byte-for-byte what they always were. */
+  private def histBucketPos(u: Column, subBits: Int): Column = {
     val cap = 1L << subBits
-    val vl = v.cast("long")
-    val e = (length(bin(vl)) - lit(1)).cast("int")
-    when(vl < 0L,
-      raise_error(concat(lit("histBucket: negative value "), vl.cast("string"))))
-      .when(vl < cap, vl)
+    val e = (length(bin(u)) - lit(1)).cast("int")
+    when(u < cap, u)
       .otherwise((e - lit(subBits - 1)).cast("long") * lit(cap) +
-        call_function("shiftright", vl, e - lit(subBits)) - lit(cap))
+        call_function("shiftright", u, e - lit(subBits)) - lit(cap))
   }
 
-  /** Inclusive lower bound of a bucket (the id itself in the exact
-    * region; (2^s + sub) · 2^(block−1) above). */
-  def histBucketLo(bucket: Column, subBits: Int): Column = {
+  /** Log-linear bucket id over the FULL signed long domain, monotone in
+    * `v` and exact in (−2^(subBits+1), 2^(subBits+1)): non-negative
+    * values use the standard geometry; a negative value mirrors through
+    * bucket(v) = −1 − bucket⁺(−(v+1)) (the −(v+1) reflection is
+    * overflow-free at Long.MinValue), so bucket −1 holds −1, the
+    * negative side's relative-width bound matches the positive side's,
+    * and signed telemetry (latency deltas, PnL) sketches directly. */
+  def histBucket(v: Column, subBits: Int): Column = {
+    require(subBits >= 1 && subBits <= 20, s"histBucket: subBits=$subBits")
+    val vl = v.cast("long")
+    when(vl < 0L, lit(-1L) - histBucketPos(-(vl + lit(1L)), subBits))
+      .otherwise(histBucketPos(vl, subBits))
+  }
+
+  private def histBucketLoPos(bucket: Column, subBits: Int): Column = {
     val cap = 1L << subBits
     val block = call_function("shiftright", bucket, lit(subBits))
     when(bucket < cap, bucket)
@@ -673,13 +682,32 @@ object Sketch {
         call_function("shiftleft", lit(1L), (block - lit(1L)).cast("int")))
   }
 
-  /** Width of a bucket (1 in the exact region; 2^(block−1) above). */
-  def histBucketWidth(bucket: Column, subBits: Int): Column = {
+  private def histBucketWidthPos(bucket: Column, subBits: Int): Column = {
     val cap = 1L << subBits
     val block = call_function("shiftright", bucket, lit(subBits))
     when(bucket < cap, lit(1L))
       .otherwise(call_function("shiftleft", lit(1L), (block - lit(1L)).cast("int")))
   }
+
+  /** Inclusive lower bound of a bucket (the id itself in the exact
+    * region; (2^s + sub) · 2^(block−1) above; negative buckets mirror:
+    * lo(−1−b⁺) = −(lo⁺(b⁺) + width⁺(b⁺)) — the reflection of the
+    * positive bucket's inclusive value range). */
+  def histBucketLo(bucket: Column, subBits: Int): Column = {
+    val mirror = lit(-1L) - bucket
+    // (−lo⁺) − width⁺, NOT −(lo⁺ + width⁺): the latter's intermediate is
+    // hi⁺+1, which overflows at the top block (ANSI raises); the
+    // reassociated form bottoms out exactly at Long.MinValue
+    when(bucket >= 0L, histBucketLoPos(bucket, subBits))
+      .otherwise((-histBucketLoPos(mirror, subBits)) -
+        histBucketWidthPos(mirror, subBits))
+  }
+
+  /** Width of a bucket (1 in the exact region; 2^(block−1) above;
+    * symmetric under the sign mirror). */
+  def histBucketWidth(bucket: Column, subBits: Int): Column =
+    when(bucket >= 0L, histBucketWidthPos(bucket, subBits))
+      .otherwise(histBucketWidthPos(lit(-1L) - bucket, subBits))
 
   /** Per-key histogram sketch of a value column: `(key, bucket, cnt)`
     * rows. One projection + one counting aggregation; null values are

@@ -759,9 +759,9 @@ object PipelineQueries {
     "t25_quantile_sketch" -> ((s, dir) => {
       val subBits = 5
       val pcts = Seq(25, 50, 75, 90, 99)
-      // >= 0: histBucket RAISES on negatives — a regenerated corpus with
-      // a negative n_chars must degrade to a row-set change both engines
-      // agree on, not a gate error
+      // >= 0 symmetric in both engines: a negative n_chars is corrupt
+      // data this gate excludes by the SAME predicate on both sides, so
+      // a regenerated corpus degrades to an agreed row-set change
       val d = docs(s, dir).select(col("source"), col("n_chars"))
         .filter(col("n_chars").isNotNull && col("n_chars") >= 0L)
       val est = graft.ops.Sketch.histQuantiles(
@@ -2363,11 +2363,16 @@ object PipelineQueries {
 
   /** DuckDB replay of [[graft.ops.Sketch.histBucket]]'s log-linear id
     * (subBits = 5): exact region below 32, else floor-log2 from
-    * length(bin(v))−1. */
-  private def duckBucket(e: String): String =
-    s"CASE WHEN ($e) < 32 THEN ($e) " +
-      s"ELSE CAST(length(bin($e)) - 5 AS BIGINT) * 32 " +
-      s"+ (($e) >> CAST(length(bin($e)) - 6 AS INTEGER)) - 32 END"
+    * length(bin(v))−1; negative values mirror through
+    * −1 − bucket⁺(−(v)−1). (Every current oracle filters to v ≥ 0, so
+    * the mirror arm is parity insurance, not load-bearing.) */
+  private def duckBucket(e: String): String = {
+    def pos(u: String): String =
+      s"CASE WHEN ($u) < 32 THEN ($u) " +
+        s"ELSE CAST(length(bin($u)) - 5 AS BIGINT) * 32 " +
+        s"+ (($u) >> CAST(length(bin($u)) - 6 AS INTEGER)) - 32 END"
+    s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-($e) - 1")}) ELSE ${pos(e)} END"
+  }
 
   /** DuckDB replay of [[graft.ops.Sketch.histDistance]]'s exact TV
     * machinery over two bucket-count CTEs `(source, bucket, c)`:

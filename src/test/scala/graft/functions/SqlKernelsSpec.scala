@@ -63,9 +63,12 @@ class SqlKernelsSpec extends SparkSpec {
   }
 
   test("graft_hist_bucket from SQL matches Sketch.histBucket bitwise incl. boundaries") {
-    // exact region, block boundaries, interior points, a 60-bit value
+    // exact region, block boundaries, interior points, a 60-bit value,
+    // and the signed mirror (incl. Long.MinValue through the −(v+1)
+    // reflection)
     val vals = Seq(0L, 1L, 31L, 32L, 63L, 64L, 65L, 127L, 128L, 1000L,
-      1048575L, 1048576L, (1L << 60) - 1L)
+      1048575L, 1048576L, (1L << 60) - 1L,
+      -1L, -32L, -33L, -1000L, Long.MinValue)
     vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
       .toDF("id", "v").createOrReplaceTempView("bv")
     val sql = spark.sql(
@@ -74,11 +77,8 @@ class SqlKernelsSpec extends SparkSpec {
       .select(col("id"), graft.ops.Sketch.histBucket(col("v"), 5).as("b"))
       .orderBy("id").collect()
     assert(sql.toSeq == viaColumns.toSeq)
-    // negative values raise through the SQL surface too
-    val neg = intercept[Exception](
-      spark.sql("SELECT graft_hist_bucket(-3, 5)").collect())
-    assert(neg.getMessage.contains("negative")
-      || neg.getCause != null && neg.getCause.getMessage.contains("negative"))
+    // the signed mirror holds through the SQL surface (exact region)
+    assert(spark.sql("SELECT graft_hist_bucket(-3, 5)").head().getLong(0) == -3L)
     intercept[Exception](spark.sql("SELECT graft_hist_bucket(v, id) FROM bv").collect())
   }
 

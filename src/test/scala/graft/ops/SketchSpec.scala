@@ -346,7 +346,10 @@ class SketchSpec extends SparkSpec {
       // masked offset is already in [0, 2^e): value lands inside block e
       (1L << e) + ((i * 2654435761L) & ((1L << e) - 1))
     }
-    val df = (edges ++ spread :+ 0L).toDF("v")
+    // mirror everything across zero: the signed geometry must hold on
+    // both sides (incl. the −(v+1) reflection's off-by-one band)
+    val pos = edges ++ spread :+ 0L
+    val df = (pos ++ pos.map(v => -v - 1L) :+ Long.MinValue).toDF("v")
     for (s <- Seq(1, 3, 5, 8)) {
       val b = Sketch.histBucket(col("v"), s)
       val lo = Sketch.histBucketLo(b, s)
@@ -364,10 +367,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("histogram sketch: negative values raise; percents validated") {
-    val bad = Seq(("k", -5L)).toDF("key", "v")
-    val e = intercept[Exception](Sketch.histSketch(bad, "key", "v", 5).collect())
-    assert(e.getMessage != null && e.getMessage.contains("negative"), e.getMessage)
+  test("histogram sketch: signed domain mirrors exactly; percents validated") {
+    // bucket(v) = −1 − bucket⁺(−(v+1)): the exact region mirrors to
+    // identity, and quantiles over signed data land on true values
+    val vals = Seq(-100L, -33L, -32L, -31L, -1L, 0L, 1L, 31L, 32L, 99L, 100L)
+    val got = vals.toDF("v")
+      .select(col("v"), Sketch.histBucket(col("v"), 5).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identity in the mirrored exact region, symmetry elsewhere
+    for (v <- Seq(-32L, -31L, -1L, 0L, 1L, 31L, 32L)) assert(got(v) == v, s"v=$v")
+    assert(got(-33L) == -1L - got(32L), "mirror at the exact-region edge")
+    assert(got(-100L) == -1L - got(99L), "mirror: bucket(-v-1) reflects bucket(v)")
+    // signed quantiles: median of a symmetric set is exact
+    val sym = ((-50L to 49L).map(i => ("k", i))).toDF("key", "v")
+    val med = Sketch.histQuantiles(Sketch.histSketch(sym, "key", "v", 5), 5, Seq(50))
+      .head().getLong(2)
+    assert(med == -1L, s"median of -50..49 at the floor-rank definition: $med")
     intercept[IllegalArgumentException](
       Sketch.histQuantiles(Sketch.histSketch(Seq(("k", 1L)).toDF("key", "v"), "key", "v", 5),
         5, Seq(101)))
