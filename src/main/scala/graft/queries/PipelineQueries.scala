@@ -2364,14 +2364,20 @@ object PipelineQueries {
   /** DuckDB replay of [[graft.ops.Sketch.histBucket]]'s log-linear id
     * (subBits = 5): exact region below 32, else floor-log2 from
     * length(bin(v))−1; negative values mirror through
-    * −1 − bucket⁺(−(v)−1). (Every current oracle filters to v ≥ 0, so
-    * the mirror arm is parity insurance, not load-bearing.) */
+    * −1 − bucket⁺(−(v+1)) — the SAME −(v+1) reflection as Spark, which
+    * is the overflow-free form (DuckDB's checked negation raises on
+    * −(Long.MinValue); negating v+1 never does). Every current oracle
+    * filters to v ≥ 0, so the mirror arm is parity insurance, not
+    * load-bearing — and it covers BUCKET IDS only: the quantile
+    * lo/width replay CTEs in t25/t26/e16/f03 remain positive-only (a
+    * future signed gate must mirror those too, minding that DuckDB `//`
+    * floors where Spark div truncates on negatives). */
   private def duckBucket(e: String): String = {
     def pos(u: String): String =
       s"CASE WHEN ($u) < 32 THEN ($u) " +
         s"ELSE CAST(length(bin($u)) - 5 AS BIGINT) * 32 " +
         s"+ (($u) >> CAST(length(bin($u)) - 6 AS INTEGER)) - 32 END"
-    s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-($e) - 1")}) ELSE ${pos(e)} END"
+    s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-(($e) + 1)")}) ELSE ${pos(e)} END"
   }
 
   /** DuckDB replay of [[graft.ops.Sketch.histDistance]]'s exact TV
