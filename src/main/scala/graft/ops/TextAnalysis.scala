@@ -85,6 +85,60 @@ object TextAnalysis {
       .withColumn("lang_score", scripted.getField("score"))
   }
 
+  /** Raw-web text extraction patterns (shared verbatim with the t29
+    * DuckDB oracle, which interpolates these constants — one source of
+    * truth for both engines). All RE2-safe: inline `(?is)` flags,
+    * non-greedy `.*?`, no lookaround/backrefs, so java.util.regex
+    * (Spark codegen) and RE2-family engines match identically. */
+  val ScriptBlock = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val StyleBlock = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  val CommentBlock = "(?s)<!--.*?-->"
+  val CdataBlock = "(?s)<!\\[CDATA\\[(.*?)\\]\\]>"
+  val AnyTag = "<[^>]*>"
+
+  /** Common HTML entities, decoded with LITERAL replace (cross-engine
+    * exact) in this order — `&amp;` LAST, so double-escaped text like
+    * `&amp;lt;` decodes exactly one level per pass (`&lt;`), matching
+    * single-pass HTML semantics. */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&#34;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Raw-web text extraction: strip HTML/XML markup down to visible
+    * text — the step BEFORE every other text operator in a real
+    * pretraining pipeline (CCNet/RefinedWeb presume extracted input;
+    * cf. reference scope in SURVEY §2 — this is extension tier).
+    *
+    * Chain (order is load-bearing):
+    *   1. `<script>`/`<style>` blocks removed WHOLE (their content is
+    *      code — tags/comments inside them must not leak as text);
+    *   2. comments `<!-- … -->` removed;
+    *   3. CDATA sections unwrapped (content kept — but see deviation);
+    *   4. every remaining tag replaced by a SPACE (block tags are word
+    *      boundaries: `<p>a</p><p>b</p>` reads "a b", never "ab");
+    *   5. [[Entities]] decoded (after tag-strip, so a decoded `<` is
+    *      never re-parsed as markup);
+    *   6. whitespace collapsed to single spaces, trimmed.
+    *
+    * Pure per-row `regexp_replace`/`replace`: whole-stage codegen, no
+    * shuffle — extracting 100 TB is one pass over the scan with column
+    * pruning intact.
+    *
+    * Documented conservative deviations (spec-pinned): CDATA content is
+    * unwrapped BEFORE tag-stripping, so markup-like text inside CDATA
+    * is also stripped (strict XML would preserve it verbatim); an
+    * unclosed comment/script loses only its tags (HTML5 would swallow
+    * to EOF); a bare `<` with no subsequent `>` passes through. */
+  def extractText(html: Column): Column = {
+    val noBlocks = Seq(ScriptBlock, StyleBlock, CommentBlock)
+      .foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val unwrapped = regexp_replace(noBlocks, CdataBlock, "$1")
+    val noTags = regexp_replace(unwrapped, AnyTag, " ")
+    val decoded = Entities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Canonical text form for fingerprinting: lower-case, collapse
     * whitespace, trim. */
   def normalized(text: Column): Column =

@@ -1300,6 +1300,47 @@ object PipelineQueries {
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))),
 
+    // ---- text: RAW-WEB EXTRACTION — each doc is wrapped in a
+    // deterministic doc_id-derived HTML page (style + script blocks
+    // whose content must NOT leak, uppercase SCRIPT for ids %5==0
+    // exercising (?i), a multiline comment for odd ids, a CDATA section
+    // for ids %3==0 whose content MUST survive, entities in headings
+    // and body), then TextAnalysis.extractText must recover exactly
+    // "Doc N [cdata N ok] Title & N AT&T <x> \"q\" 's end <text>" —
+    // the recovery bit rides in-row (ok), and the extracted md5
+    // hash-checks the whole regex chain cross-engine (the oracle
+    // interpolates the SAME pattern constants and replays the chain
+    // with RE2)
+    "t29_markup_strip" -> ((s, dir) => {
+      val d = col("doc_id")
+      val ds = d.cast("string")
+      val scriptOpen = when(d % 5 === 0, lit("<SCRIPT type=\"text/javascript\">"))
+        .otherwise(lit("<script type=\"text/javascript\">"))
+      val scriptClose = when(d % 5 === 0, lit("</SCRIPT >")).otherwise(lit("</script>"))
+      val html = concat(
+        lit("<html ><head><title>Doc "), ds, lit("</title>"),
+        lit("<style type=\"text/css\">p { color: #fff; }\nh1 > em { x: 1 }</style>"),
+        scriptOpen, lit("if (a < b && c > d) { s = \"<p>not text</p>\"; }"), scriptClose,
+        lit("</head><body>"),
+        when(d % 2 === 1, concat(lit("<!-- hidden "), ds, lit("\nmultiline -->")))
+          .otherwise(lit("")),
+        when(d % 3 === 0, concat(lit("<![CDATA[cdata "), ds, lit(" ok]]>")))
+          .otherwise(lit("")),
+        lit("<h1 class=\"t\">Title &amp; "), ds, lit("</h1>"),
+        lit("<p>AT&amp;T &lt;x&gt; &quot;q&quot; &#39;s&nbsp;end</p>"),
+        lit("<p>"), col("text"), lit("</p></body></html>"))
+      val extracted = TextAnalysis.extractText(html)
+      val expected = concat(
+        lit("Doc "), ds, lit(" "),
+        when(d % 3 === 0, concat(lit("cdata "), ds, lit(" ok "))).otherwise(lit("")),
+        lit("Title & "), ds, lit(" AT&T <x> \"q\" 's end "), col("text"))
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(d, md5(extracted).as("ext_md5"),
+          (extracted === expected).cast("int").as("ok"),
+          length(extracted).as("n_chars_ext"))
+        .orderBy(d)
+    }),
+
     // ---- multimodal: binary payload + deterministic stub metadata
     "mm01_media_meta" -> ((s, dir) => {
       val withPayload = Multimodal.withBinaryPayload(docs(s, dir))
@@ -3806,6 +3847,60 @@ object PipelineQueries {
     "t04_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the FULL extraction chain in RE2 — the block/tag patterns
+    // are interpolated from the SAME TextAnalysis constants the Spark
+    // side compiles (one source of truth), entity decode is the same
+    // literal-replace sequence, and the expected-recovery string is
+    // rebuilt per-row
+    "t29_markup_strip" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    '<html ><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        |    || '<style type="text/css">p { color: #fff; }' || chr(10) || 'h1 > em { x: 1 }</style>'
+        |    || CASE WHEN doc_id % 5 = 0 THEN '<SCRIPT type="text/javascript">'
+        |            ELSE '<script type="text/javascript">' END
+        |    || 'if (a < b && c > d) { s = "<p>not text</p>"; }'
+        |    || CASE WHEN doc_id % 5 = 0 THEN '</SCRIPT >' ELSE '</script>' END
+        |    || '</head><body>'
+        |    || CASE WHEN doc_id % 2 = 1
+        |            THEN '<!-- hidden ' || CAST(doc_id AS VARCHAR) || chr(10) || 'multiline -->'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN '<![CDATA[cdata ' || CAST(doc_id AS VARCHAR) || ' ok]]>'
+        |            ELSE '' END
+        |    || '<h1 class="t">Title &amp; ' || CAST(doc_id AS VARCHAR) || '</h1>'
+        |    || '<p>AT&amp;T &lt;x&gt; &quot;q&quot; &#39;s&nbsp;end</p>'
+        |    || '<p>' || text || '</p></body></html>' AS h
+        |  FROM documents WHERE text IS NOT NULL
+        |), ext AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(h, '${TextAnalysis.ScriptBlock}', ' ', 'g'),
+        |              '${TextAnalysis.StyleBlock}', ' ', 'g'),
+        |            '${TextAnalysis.CommentBlock}', ' ', 'g'),
+        |          '${TextAnalysis.CdataBlock}', '\\1', 'g'),
+        |        '${TextAnalysis.AnyTag}', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+        |      '&#39;', ''''), '&#34;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\\s+', ' ', 'g')) AS extracted
+        |  FROM base
+        |)
+        |SELECT doc_id, md5(extracted) AS ext_md5,
+        |  CAST(CASE WHEN extracted =
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN 'cdata ' || CAST(doc_id AS VARCHAR) || ' ok ' ELSE '' END
+        |    || 'Title & ' || CAST(doc_id AS VARCHAR)
+        |    || ' AT&T <x> "q" ''s end ' || text
+        |  THEN 1 ELSE 0 END AS INTEGER) AS ok,
+        |  CAST(length(extracted) AS INTEGER) AS n_chars_ext
+        |FROM ext ORDER BY doc_id""".stripMargin,
 
     "mm01_media_meta" ->
       """SELECT doc_id,

@@ -701,4 +701,56 @@ class OpsSpec extends SparkSpec {
     val empty = Multimodal.withBinaryPayload(Seq((9L, "")).toDF("doc_id", "text"))
     assert(Multimodal.sampleFrames(empty).count() == 0)
   }
+
+  private def extract(html: String): String = {
+    val df = Seq(Tuple1(html)).toDF("h")
+    df.select(TextAnalysis.extractText(col("h")).as("t")).collect()(0).getString(0)
+  }
+
+  test("extractText: basic page — scripts/styles/comments gone, text joined by spaces") {
+    val html = """<html><head><title>T</title><style>p{a:1}</style>
+      |<script>if (a < b) { s = "<p>no</p>"; }</script></head>
+      |<body><!-- c --><h1>Head</h1><p>one</p><p>two</p></body></html>""".stripMargin
+    assert(extract(html) == "T Head one two")
+  }
+
+  test("extractText: case-insensitive multiline blocks, entities, nbsp") {
+    assert(extract("<SCRIPT a=1>\nvar x;\n</SCRIPT ><P>AT&amp;T&nbsp;&lt;y&gt; &quot;q&quot; &#39;s</P>")
+      == "AT&T <y> \"q\" 's")
+    assert(extract("<STYLE>\nh1 > em { }\n</STYLE>ok") == "ok")
+  }
+
+  test("extractText: double-escaped entities decode exactly one level") {
+    assert(extract("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
+    assert(extract("&amp;amp;") == "&amp;")
+  }
+
+  test("extractText: CDATA content kept; markup inside CDATA stripped (documented deviation)") {
+    // unwrap splices content in-place (no spaces added)
+    assert(extract("a<![CDATA[kept text]]>b") == "akept textb")
+    // unwrap happens before tag strip, so tag-like CDATA content is stripped too
+    assert(extract("<p><![CDATA[x <raw> y]]></p>") == "x y")
+  }
+
+  test("extractText: unclosed/nested/bare-angle edge cases are conservative, never crash") {
+    // unclosed comment: '<!-- foo > rest' — tag regex eats '<!-- foo >', rest survives
+    assert(extract("<!-- foo > rest") == "rest")
+    // unclosed script: only its open tag is stripped (no matching close)
+    assert(extract("<script>var x = 1; rest") == "var x = 1; rest")
+    // nested same-name close: non-greedy stops at FIRST </script>
+    assert(extract("<script>a = '</script>'; b</script>done") == "'; b done")
+    // bare '<' with no later '>' passes through
+    assert(extract("i < 3 and done") == "i < 3 and done")
+    // entities inside attributes vanish with the tag
+    assert(extract("<a href=\"?a=1&amp;b=2\">link</a>") == "link")
+    // attribute containing '>' splits the tag early (documented regex semantics)
+    assert(extract("<img alt=\"x > y\">z") == "y\">z")
+    assert(extract("<p title='a'>t</p>") == "t")
+  }
+
+  test("extractText: whitespace normalization and idempotence on plain text") {
+    assert(extract("  a \t b \n\n c  ") == "a b c")
+    val plain = "already extracted plain text"
+    assert(extract(plain) == plain)
+  }
 }
