@@ -604,6 +604,46 @@ object Sketch {
     histSketch(batch, keyCol, valueCol, subBits).write.mode("append").parquet(path)
   }
 
+  /** EXACTLY-ONCE segment publication for streaming-replay writers
+    * ([[graft.streaming.EventStreams.streamingDriftScreen]]): publish
+    * an already-built sketch frame as ONE file `segment-<tag>.parquet`
+    * under the index root via write-to-hidden-temp + single atomic
+    * rename. Returns false (and writes nothing) when the tag is
+    * already published — a replayed foreachBatch thus cannot
+    * double-count, which plain `mode("append")` would: histogram/CM
+    * counts are NOT idempotent under re-append, unlike Bloom's bit_or
+    * ([[appendToBloomIndex]]'s documented at-least-once tolerance).
+    *
+    * Single-file is safe BY CONSTRUCTION here: sketch artifacts are
+    * bounded (≤ ~58·2^subBits bucket rows per key), so `coalesce(1)`
+    * never concentrates corpus-sized data. The dot-prefixed temp dir
+    * is invisible to index readers and deterministic per tag: a
+    * crashed attempt's leftover is deleted by the retry, not swept by
+    * readers (a reader sweep would race a live concurrent writer). */
+  def publishSegmentOnce(sketch: DataFrame, path: String, tag: String): Boolean = {
+    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"publishSegmentOnce: tag '$tag' must be [A-Za-z0-9_-]+ (it names a file)")
+    val spark = sketch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
+    if (fs.exists(dst)) return false
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.segment-$tag.tmp")
+    fs.delete(tmp, true) // a prior crashed attempt's leftover
+    sketch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"publishSegmentOnce: expected exactly one part file at $tmp, got ${parts.length}")
+    // losing the rename race to a concurrent/zombie attempt publishing
+    // the SAME tag is success: the content is deterministic per tag
+    if (!fs.rename(parts.head, dst) && !fs.exists(dst))
+      throw new IllegalStateException(
+        s"publishSegmentOnce: rename to $dst failed with no winner")
+    fs.delete(tmp, true)
+    true
+  }
+
   /** Quantiles from a persisted index: segment counts SUM together
     * (inside [[histQuantiles]]) before extraction — identical to a
     * fresh sketch of the union (counts are exact). */

@@ -1525,6 +1525,53 @@ object PipelineQueries {
       out
     }),
 
+    // ---- events × sketch: STREAMING DRIFT SCREEN — the t28 distance
+    // composed with the persisted hist index as a production telemetry
+    // loop: run 1's feed (event thirds, same distribution as the seed)
+    // scores low (~0.3 — honest finite-sample noise across fine cent
+    // buckets at this SF) against the seed index; run 2's feed (values
+    // shifted +10^8, fully disjoint buckets) scores EXACTLY 1.0 against
+    // seed+run1 — proving each batch is scored against everything
+    // absorbed BEFORE it. Two sequential single-batch stream runs
+    // (coalesce(1) feeds arrive as one batch each); the oracle replays
+    // both TVs over the same bucket geometry
+    "e17_stream_drift" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-driftscr-")
+      val idx = base.resolve("idx").toString
+      val tel = base.resolve("tel").toString
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * lit(100.0)).cast("long").as("v"))
+        .filter(col("v").isNotNull && col("v") >= 0L)
+      graft.ops.Sketch.writeHistIndex(
+        ev.filter(col("event_id") % 3 === 0), "event_type", "v", idx, subBits = 5)
+      val feeds = Seq(
+        ("r1", ev.filter(col("event_id") % 3 === 1).select(col("event_type"), col("v"))),
+        ("r2", ev.filter(col("event_id") % 3 === 2)
+          .select(col("event_type"), (col("v") + 100000000L).as("v"))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      withShufflePartitions(s, 4) {
+        feeds.foreach { case (runId, df) =>
+          val p = base.resolve(s"feed$runId")
+          df.coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingDriftScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "event_type", "v", idx, tel,
+            base.resolve(s"ck$runId").toString, runId)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      // distinct: telemetry is at-least-once with content-identical
+      // duplicates by design (none in a clean run — e15's hygiene)
+      s.read.parquet(tel)
+        .select(col("run_id"), col("key").as("event_type"), col("tv"))
+        .distinct().orderBy(col("run_id"), col("event_type"))
+    }),
+
     // ---- events: STREAM-STREAM LEFT OUTER interval join — every
     // purchase appears, null-extended when the user had no click in the
     // preceding hour. Matches emit immediately; null-extended rows emit
@@ -2425,22 +2472,23 @@ object PipelineQueries {
     * machinery over two bucket-count CTEs `(source, bucket, c)`:
     * emits CTEs j/t/f with suffix `p`; the final SELECT applies the
     * one double division per pair. */
-  private def duckTv(p: String, aCte: String, bCte: String): String =
+  private def duckTv(p: String, aCte: String, bCte: String,
+      keyCol: String = "source"): String =
     s"""j$p AS (
-       |  SELECT COALESCE(a.source, b.source) AS source,
+       |  SELECT COALESCE(a.$keyCol, b.$keyCol) AS $keyCol,
        |    COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
        |  FROM $aCte a FULL JOIN $bCte b
-       |    ON a.source IS NOT DISTINCT FROM b.source AND a.bucket = b.bucket
+       |    ON a.$keyCol IS NOT DISTINCT FROM b.$keyCol AND a.bucket = b.bucket
        |),
-       |t$p AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+       |t$p AS (SELECT $keyCol, CAST(SUM(ca) AS BIGINT) AS na,
        |          CAST(SUM(cb) AS BIGINT) AS nb
        |        FROM j$p GROUP BY 1),
        |f$p AS (
-       |  SELECT j.source,
+       |  SELECT j.$keyCol,
        |    SUM(ABS(CAST(j.ca AS DECIMAL(38,0)) * t.nb
        |          - CAST(j.cb AS DECIMAL(38,0)) * t.na)) AS num,
        |    MAX(t.na) AS na, MAX(t.nb) AS nb
-       |  FROM j$p j JOIN t$p t ON t.source IS NOT DISTINCT FROM j.source
+       |  FROM j$p j JOIN t$p t ON t.$keyCol IS NOT DISTINCT FROM j.$keyCol
        |  GROUP BY 1
        |)""".stripMargin
 
@@ -4024,6 +4072,34 @@ object PipelineQueries {
         |SELECT e.event_type, e.pct, e.est_value, x.exact_value
         |FROM est e JOIN ex x ON x.event_type = e.event_type AND x.pct = e.pct
         |ORDER BY e.event_type, e.pct""".stripMargin,
+
+    // drift-screen replay: run 1 scores its batch vs the SEED sketch,
+    // run 2 vs seed+batch1 (counts add) — the absorb-after-score
+    // ordering made oracle-visible; both TVs are the t28 decimal-sum
+    // shape over the shared duckBucket geometry
+    "e17_stream_drift" ->
+      s"""WITH vals AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND round(value * 100.0) >= 0
+        |),
+        |c0 AS (SELECT event_type, ${duckBucket("v")} AS bucket, COUNT(*) AS c
+        |       FROM vals WHERE event_id % 3 = 0 GROUP BY 1, 2),
+        |b1 AS (SELECT event_type, ${duckBucket("v")} AS bucket, COUNT(*) AS c
+        |       FROM vals WHERE event_id % 3 = 1 GROUP BY 1, 2),
+        |r2 AS (SELECT event_type, bucket, CAST(SUM(c) AS BIGINT) AS c
+        |       FROM (SELECT * FROM c0 UNION ALL SELECT * FROM b1) GROUP BY 1, 2),
+        |b2 AS (SELECT event_type, ${duckBucket("v + 100000000")} AS bucket, COUNT(*) AS c
+        |       FROM vals WHERE event_id % 3 = 2 GROUP BY 1, 2),
+        |${duckTv("1", "b1", "c0", "event_type")},
+        |${duckTv("2", "b2", "r2", "event_type")}
+        |SELECT run_id, event_type, tv FROM (
+        |  SELECT 'r1' AS run_id, f1.event_type AS event_type,
+        |    ${duckTvSelect("1")} AS tv FROM f1
+        |  UNION ALL
+        |  SELECT 'r2' AS run_id, f2.event_type AS event_type,
+        |    ${duckTvSelect("2")} AS tv FROM f2
+        |) ORDER BY run_id, event_type""".stripMargin,
 
     // streaming-bloom-screen replay: seed bits (event_id%3=0 pairs) →
     // screen A (%3=1, probe vs seed) → bits2 = seed OR admitted-A bits →

@@ -245,6 +245,65 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous distribution-drift telemetry over a persisted histogram
+    * index ([[graft.ops.Sketch.writeHistIndex]]): each micro-batch is
+    * sketched with the index's OWN stored subBits, scored against the
+    * CURRENT index content via [[graft.ops.Sketch.histDistance]]
+    * (per-key total-variation — exact, transcendental-free), the
+    * `(run_id, batch_id, key, tv)` rows append to the telemetry feed,
+    * and THEN the batch's sketch is absorbed into the index — so batch
+    * k scores against seed + batches 0..k−1: the production "alert when
+    * today's corpus stops looking like yesterday's" loop. Keys absent
+    * from the batch but present in the reference (and vice versa) score
+    * 1.0 — vanishing is drift too.
+    *
+    * Write ordering and replay semantics (the e15/r5 reasoning class):
+    * telemetry lands BEFORE the index absorbs the batch. The absorb
+    * step is EXACTLY-once ([[graft.ops.Sketch.publishSegmentOnce]] with
+    * tag `runId-batchId` — histogram counts are not idempotent under
+    * re-append, and a replay that had first folded the batch into its
+    * own reference would bias tv toward 0, the one failure a drift
+    * alarm must not have). A crash between the two writes replays as a
+    * duplicate telemetry row with IDENTICAL content (same batch scored
+    * against the same pre-absorb reference) — downstream dedups by
+    * (run_id, batch_id, key); a crash after both replays as a no-op on
+    * the index and a content-identical telemetry duplicate. Empty
+    * micro-batches are skipped: "no data arrived" is not "a corpus
+    * where every key vanished".
+    *
+    * `runId` must be unique per stream RUN (it prefixes segment tags):
+    * restarting from the same checkpoint reuses batch ids, which the
+    * exactly-once guard requires; a NEW run over a new checkpoint
+    * restarts batch ids at 0 and needs a fresh runId to not collide. */
+  def streamingDriftScreen(stream: DataFrame, keyCol: String, valueCol: String,
+      indexPath: String, telemetryPath: String, checkpoint: String,
+      runId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val subBits = graft.ops.Sketch.readHistMeta(spark, indexPath) // heals
+          val batchSketch = graft.ops.Sketch.histSketch(
+            batch.select(col(keyCol), col(valueCol)), keyCol, valueCol, subBits)
+            .persist()
+          try {
+            // the telemetry write runs — and fully materializes its
+            // lazy read of the index — BEFORE the absorb below, so tv
+            // always scores against the pre-absorb reference
+            val tv = graft.ops.Sketch.histDistance(
+                batchSketch, spark.read.parquet(indexPath))
+              .select(lit(runId).as("run_id"), lit(batchId).as("batch_id"),
+                col("key"), col("tv"))
+            tv.write.mode("append").parquet(telemetryPath)
+            // false = this tag was already published (a replayed batch)
+            val _ = graft.ops.Sketch.publishSegmentOnce(
+              batchSketch, indexPath, s"$runId-$batchId")
+          } finally batchSketch.unpersist()
+        }
+      }
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension frame (broadcast — no stream-side shuffle, no join
     * state to checkpoint; the classic fact-stream × dim-table shape).

@@ -46,8 +46,10 @@ class PlanGuardSpec extends SparkSpec {
       "e15_streaming_bloom_screen", // executes a streaming query when built;
                                     // its probe join shape is t23's, guarded
                                     // there and in the SketchSpec plan pin
-      "e16_stream_quantiles")       // executes a streaming query when built;
+      "e16_stream_quantiles",       // executes a streaming query when built;
                                     // its batch shape is t25's, guarded there
+      "e17_stream_drift")           // executes a streaming query when built;
+                                    // its distance shape is t28's, guarded there
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their

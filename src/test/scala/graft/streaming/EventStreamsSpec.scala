@@ -207,6 +207,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(m("a") && m("c") && !m("zz-new"))
   }
 
+  test("streaming drift screen: each batch scores vs what was absorbed before it; replay-safe absorb") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("drift-screen")
+    val idx = dir.resolve("idx").toString
+    val tel = dir.resolve("tel").toString
+    // seed: 100 uniform values 0..99 under key "k"
+    val seed = (0L until 100L).map(v => ("k", v)).toDF("key", "v")
+    graft.ops.Sketch.writeHistIndex(seed, "key", "v", idx, subBits = 5)
+    val stream = MemoryStream[(String, Long)]
+    val q = EventStreams.streamingDriftScreen(stream.toDF().toDF("key", "v"),
+      "key", "v", idx, tel, dir.resolve("ck").toString, runId = "spec")
+    try {
+      // batch 0: same distribution → tv ≈ 0 vs the seed
+      stream.addData((0L until 100L).map(v => ("k", v)): _*)
+      q.processAllAvailable()
+      val t0 = spark.read.parquet(tel).collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(t0 == Seq((0L, "k", 0.0)), s"batch-0 telemetry: $t0")
+      // batch 1: disjoint shifted values → tv = 1 vs seed+batch0;
+      // a second key unseen by the reference also scores 1.0
+      stream.addData(((0L until 100L).map(v => ("k", v + 1000000L)) :+ ("new", 5L)): _*)
+      q.processAllAvailable()
+      val t1 = spark.read.parquet(tel).collect()
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).sorted.toSeq
+      assert(t1 == Seq((0L, "k", 0.0), (1L, "k", 1.0), (1L, "new", 1.0)),
+        s"after batch 1: $t1")
+    } finally q.stop()
+    // the index absorbed both batches: 300 total mass under "k", 1 under "new"
+    val merged = graft.ops.Sketch.histMerge(spark.read.parquet(idx))
+      .groupBy(col("key")).agg(sum(col("cnt")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("k" -> 300L, "new" -> 1L), s"index mass: $merged")
+    // replaying an already-published segment tag is a no-op (exactly-once)
+    val again = graft.ops.Sketch.publishSegmentOnce(
+      graft.ops.Sketch.histSketch(seed, "key", "v", 5), idx, "spec-0")
+    assert(!again)
+    val merged2 = graft.ops.Sketch.histMerge(spark.read.parquet(idx))
+      .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(merged2 == 301L, s"replay must not double-count: $merged2")
+  }
+
   test("mapGroupsWithState: per-user state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev]
