@@ -1268,6 +1268,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- FULL-CHAIN PIPELINE INTEGRATION: seven already-verified
+    // operators composed end-to-end the way a real pretraining prep job
+    // runs them — plant PII (t09 recipe) → gopherQuality gate → langid
+    // 'en' filter → normalized exact dedup (d09 key) → Pii.redact →
+    // chunkByTokens → splitByHash per doc → packGreedy within each
+    // split — then per-split doc/chunk/token/bin counts. Catches the
+    // cross-operator contract bugs (null-safety, column collisions,
+    // order dependence) per-operator gates cannot; every stage's DuckDB
+    // recipe already exists, the oracle chains them in one CTE pipeline
+    "p16_pipeline" -> ((s, dir) => {
+      val planted = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("doc_id") < 40, concat(col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +555 123 4567, host 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".7, ssn 123-45-6789")))
+            .otherwise(col("text")).as("text"))
+      val q = TextAnalysis.gopherQuality(planted, minStopHits = 1)
+        .filter(col("gopher_pass")).select("doc_id", "text")
+      val en = TextAnalysis.languageId(q)
+        .filter(col("lang_pred") === "en").select("doc_id", "text")
+      val canon = Dedup.exactGroupsByHash(
+        en.select(col("doc_id"),
+          TextAnalysis.normalizeForDedup(col("text")).as("norm")),
+        "norm", "doc_id").select(col("canonical_id").as("doc_id"))
+      val ded = en.join(canon, Seq("doc_id"))
+      val red = ded.select(col("doc_id"), Pii.redact(col("text")).as("text"))
+      val chunks = Chunking.chunkByTokens(red, "doc_id", "text",
+        chunkWindow, chunkStride)
+      val packed = Chunking.packGreedy(
+        Sampling.splitByHash(chunks, col("doc_id"), splitWeights),
+        col("split"), col("n_tokens"), packBudget,
+        Seq(col("doc_id"), col("chunk_idx")))
+      // ONE pass over the packed chunks: n_docs counts chunk_idx==0
+      // rows (every doc surviving gopher has ≥ minWords tokens, so
+      // exactly one zeroth chunk) — not a second full-chain
+      // recomputation for a doc-level frame, and not countDistinct
+      // over chunk rows (Spark's two-exchange distinct expansion)
+      packed.groupBy(col("split")).agg(
+          sum(when(col("chunk_idx") === 0, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (max(col("bin_id")) + lit(1)).as("n_bins"))
+        .orderBy(col("split"))
+    }),
+
     // ---- text: corpus-LM bigram plausibility — the corpus is its own
     // language model; mean P(w2|w1) per doc (decimal sums, rational
     // probabilities: cross-engine exact).
@@ -1913,6 +1959,103 @@ object PipelineQueries {
        |WHERE lang_pred = 'en'
        |  AND doc_id IN (SELECT min(doc_id) FROM p WHERE lang_pred = 'en' GROUP BY text)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for the p16 full-chain pipeline: each stage reuses
+    * its own gate's verified recipe (t09 plant, t15 gopher, t03 langid,
+    * d09 normalization, t09 redaction, t11 chunking, p07 split, p08
+    * packing), chained as one CTE pipeline; every list/regex constant
+    * interpolates from the SAME Scala values the Spark chain compiles. */
+  private def pipelineOracle: String = {
+    def lst(words: Seq[String]) =
+      words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+    val scored = TextAnalysis.LangProfiles.toSeq.map { case (lang, words) =>
+      s"printf('%06d', len(list_filter(tk, x -> list_contains(${lst(words)}, x)))) || '$lang'"
+    }.mkString(", ")
+    val red = Pii.Rules.foldLeft("text") { case (acc, (pat, tok)) =>
+      s"regexp_replace($acc, '$pat', '$tok', 'g')"
+    }
+    val arms = splitWeights.map(_._1).dropRight(1).zip(splitThresholds)
+      .map { case (nm, t) =>
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$t' THEN '$nm'"
+      }.mkString(" ")
+    val splitCase = s"CASE $arms ELSE '${splitWeights.last._1}' END"
+    s"""WITH planted AS (
+       |  SELECT doc_id, CASE WHEN doc_id < 40 THEN text || ' contact user' || doc_id
+       |    || '@example.com or +555 123 4567, host 10.0.' || (doc_id % 256)
+       |    || '.7, ssn 123-45-6789' ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL
+       |), tkk AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk,
+       |    list_filter(list_transform(string_split_regex(text, '\n'), l -> trim(l)),
+       |      l -> len(l) > 0) AS lines
+       |  FROM planted
+       |), gm AS (
+       |  SELECT doc_id, text, tk,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS sum_word_len,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS symbol_cnt,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$$'))) AS BIGINT) AS ellipsis_lines,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(${lst(TextAnalysis.GopherStopwords)},
+       |      w -> list_contains(tk, w))) AS BIGINT) AS stop_hits
+       |  FROM tkk
+       |), g AS (
+       |  SELECT doc_id, text, tk FROM gm
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND sum_word_len >= CAST(3.0 AS DOUBLE) * greatest(n_words, 1)
+       |    AND sum_word_len <= CAST(10.0 AS DOUBLE) * greatest(n_words, 1)
+       |    AND symbol_cnt < CAST(0.1 AS DOUBLE) * greatest(n_words, 1)
+       |    AND bullet_lines < CAST(0.9 AS DOUBLE) * greatest(n_lines, 1)
+       |    AND ellipsis_lines < CAST(0.3 AS DOUBLE) * greatest(n_lines, 1)
+       |    AND alpha_words >= CAST(0.8 AS DOUBLE) * greatest(n_words, 1)
+       |    AND stop_hits >= 1
+       |), en AS (
+       |  SELECT doc_id, text FROM g
+       |  WHERE CASE
+       |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |    WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]') THEN 'ja'
+       |    WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+       |    WHEN regexp_matches(text, '[\\x{0600}-\\x{06ff}]') THEN 'ar'
+       |    ELSE substr(greatest($scored), 7) END = 'en'
+       |), norm AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(regexp_replace(
+       |      translate(text, '$asciiUpper', '$asciiLower'), '[[:punct:]]', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS n
+       |  FROM en
+       |), ded AS (
+       |  SELECT doc_id, text FROM norm
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM norm GROUP BY n)
+       |), redacted AS (
+       |  SELECT doc_id, $red AS rtext FROM ded
+       |), toksr AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(rtext, '\\s+'), t -> len(t) > 0) AS tk2
+       |  FROM redacted
+       |), t2 AS (SELECT doc_id, tk2, len(tk2) AS n FROM toksr WHERE len(tk2) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |    CAST(len(tk2[CAST(i*$chunkStride+1 AS BIGINT) : CAST(least(i*$chunkStride+$chunkWindow, n) AS BIGINT)]) AS INTEGER) AS n_tokens
+       |  FROM t2, range(0, 200) r(i) WHERE i*$chunkStride < n
+       |), sp AS (
+       |  SELECT *, $splitCase AS split FROM chunks
+       |), packed AS (
+       |  SELECT split, doc_id, chunk_idx, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id, chunk_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS strt
+       |  FROM sp
+       |)
+       |SELECT split,
+       |  CAST(COUNT(*) FILTER (WHERE chunk_idx = 0) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(MAX(strt // $packBudget) + 1 AS INTEGER) AS n_bins
+       |FROM packed GROUP BY 1
+       |ORDER BY split""".stripMargin
   }
 
   /** DuckDB oracle for d07: exact all-pairs hamming over the SAME
@@ -2615,6 +2758,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "t03_langid" -> langidOracle,
     "p01_corpus_prep" -> corpusPrepOracle,
+    "p16_pipeline" -> pipelineOracle,
     "d07_simhash_bands" -> simhashBandsOracle,
 
     "t06_doc_freq" ->
