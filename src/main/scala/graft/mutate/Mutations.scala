@@ -298,14 +298,19 @@ object Mutations {
   }
 
   /** Split on a separator at paren-depth 0 outside string literals and
-    * double-quoted identifiers (an apostrophe inside `"aud'it"` must
-    * not open a literal, nor a `;` inside either span split). */
+    * quoted identifiers — double-quoted, `backtick` (Spark/MySQL form,
+    * doubling escapes) and [bracket] (SQLite form, ends at the first
+    * `]`, no escape) all scan as atomic spans: an apostrophe, comma or
+    * paren inside `"aud'it"`, `we're` or [we're] must not open a
+    * literal, split the list, or shift the depth. */
   private[graft] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
     var inStr = false
     var inDq = false
+    var inBt = false
+    var inBr = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -321,9 +326,20 @@ object Mutations {
           if (i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
           else inDq = false
         }
+      } else if (inBt) {
+        cur += c
+        if (c == '`') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '`') { cur += '`'; i += 1 }
+          else inBt = false
+        }
+      } else if (inBr) {
+        cur += c
+        if (c == ']') inBr = false
       } else c match {
         case '\'' => inStr = true; cur += c
         case '"' => inDq = true; cur += c
+        case '`' => inBt = true; cur += c
+        case '[' => inBr = true; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
         case `sep` if depth == 0 => out += cur.result(); cur.clear()
@@ -340,15 +356,20 @@ object Mutations {
     * (Shared with the trigger parser, which splits CREATE TRIGGER at
     * its top-level BEGIN.) */
   private[graft] def indexOfTopLevelWord(s: String, word: String): Int = {
-    var depth = 0; var inStr = false; var inDq = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false
+    var inBt = false; var inBr = false; var i = 0
     val n = s.length; val w = word.length
     while (i < n) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inDq) { if (c == '"') inDq = false }
+      else if (inBt) { if (c == '`') inBt = false }
+      else if (inBr) { if (c == ']') inBr = false }
       else c match {
         case '\'' => inStr = true
         case '"' => inDq = true
+        case '`' => inBt = true
+        case '[' => inBr = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -364,14 +385,19 @@ object Mutations {
   }
 
   private def indexOfTopLevel(s: String, target: Char): Int = {
-    var depth = 0; var inStr = false; var inDq = false; var i = 0
+    var depth = 0; var inStr = false; var inDq = false
+    var inBt = false; var inBr = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inDq) { if (c == '"') inDq = false }
+      else if (inBt) { if (c == '`') inBt = false }
+      else if (inBr) { if (c == ']') inBr = false }
       else c match {
         case '\'' => inStr = true
         case '"' => inDq = true
+        case '`' => inBt = true
+        case '[' => inBr = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case `target` if depth == 0 => return i

@@ -132,6 +132,18 @@ object Layout {
       a: Column, b: Column, numFiles: Int, bits: Int = 16): Int = {
     require(numFiles >= 1, "numFiles must be >= 1")
     healZorder(spark, path)
+    // sweep inflight temps a PREVIOUS compaction's zombie attempts may
+    // have recreated after that run's own pre-swap sweep (task kills
+    // are asynchronous): dot-prefixed so invisible to readers, but
+    // full-size — without this they'd accumulate as a silent disk leak
+    // across compactions. Safe here: this run hasn't started copying,
+    // and concurrent compactions of one table are unsupported (their
+    // swaps would race), so any .inflight file is a dead attempt's.
+    val fsSweep = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- Option(fsSweep.globStatus(new org.apache.hadoop.fs.Path(
+        path, ".*.inflight.*"))).toSeq.flatten)
+      fsSweep.delete(st.getPath, false)
     // null-keyed rows produce null z (zValue null-propagates) — coalesce
     // to Long.MinValue so their files sort and group FIRST, matching
     // where repartitionByRange places null z values on the rewrite path

@@ -833,7 +833,16 @@ object Sketch {
     * products (order-independent under any partitioning — the repo's
     * decimal-sum recipe; no transcendentals, unlike KL/PSI), divided
     * once at the end by 2·na·nb. A key empty on one side scores 1.0
-    * (total divergence), empty on both 0.0; the join is null-safe. */
+    * (total divergence), empty on both 0.0; the join is null-safe.
+    *
+    * Domain bound (the histQuantiles-style contract): the numerator sum
+    * is ≤ 2·na·nb, so DECIMAL(38,0) holds exactly while
+    * na·nb < (10³⁸−1)/2 ≈ 5·10³⁷ — beyond any row-counted sketch, but
+    * REACHABLE for weighted sketches merged over long horizons (both
+    * totals past ~7·10¹⁸). A cheap per-key guard raises a typed error
+    * at that bound instead of letting the ANSI decimal sum blow up
+    * mid-aggregation (where the replaying engine would diverge at a
+    * different row). */
   def histDistance(a: DataFrame, b: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val am = histMerge(a).select(col("key").as("ka"),
@@ -853,6 +862,16 @@ object Sketch {
     joined
       .withColumn("na", sum(col("ca")).over(w))
       .withColumn("nb", sum(col("cb")).over(w))
+      // scaladoc domain bound, enforced as a typed error BEFORE the
+      // decimal aggregation can overflow mid-query. DOUBLE comparison
+      // with a threshold conservatively below (10^38−1)/2: even at the
+      // accept edge the sum stays ≤ 2·4.9e37·(1+ε) < 10^38−1
+      .filter(when(
+        col("na").cast("double") * col("nb").cast("double") > lit(4.9e37),
+        raise_error(concat(lit("histDistance: per-key totals too large for "),
+          lit("the exact DECIMAL(38,0) numerator (na*nb > ~4.9e37) at key "),
+          coalesce(col("key").cast("string"), lit("null"))))
+        ).otherwise(lit(true)))
       .groupBy(col("key"))
       .agg(
         sum(abs(col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na")))

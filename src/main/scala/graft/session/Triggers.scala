@@ -210,7 +210,8 @@ object Triggers {
     * quote policies): scan `stmt` left to right, attempt `matcher`
     * against the remaining suffix at each word boundary OUTSIDE
     * single-quoted literals, and pass everything else through verbatim.
-    * Double-quoted identifiers pass through un-matched as atomic spans
+    * Double-quoted, backtick and [bracket] identifiers pass through
+    * un-matched as atomic spans
     * (an apostrophe inside `"aud'it"` must not open a literal), but a
     * match may itself CONSUME a quoted identifier (NEW."col") because
     * matching is attempted before the quote is consumed. `matcher`
@@ -220,6 +221,7 @@ object Triggers {
       matcher: String => Option[(String, Int)]): String = {
     val sb = new StringBuilder
     var inSq = false; var inDq = false
+    var inBt = false; var inBr = false
     var i = 0
     val n = stmt.length
     while (i < n) {
@@ -232,6 +234,14 @@ object Triggers {
         sb += c
         if (c == '"') inDq = false
         i += 1
+      } else if (inBt) {
+        sb += c
+        if (c == '`') inBt = false
+        i += 1
+      } else if (inBr) {
+        sb += c
+        if (c == ']') inBr = false
+        i += 1
       } else {
         val prevOk = i == 0 || !isWordChar(stmt.charAt(i - 1))
         val m = if (prevOk) matcher(stmt.substring(i)) else None
@@ -242,6 +252,8 @@ object Triggers {
           case None =>
             if (c == '\'') inSq = true
             else if (c == '"') inDq = true
+            else if (c == '`') inBt = true
+            else if (c == '[') inBr = true
             sb += c; i += 1
         }
       }

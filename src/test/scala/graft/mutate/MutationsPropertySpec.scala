@@ -72,4 +72,22 @@ class MutationsPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("backtick and [bracket] identifier spans are atomic in the scanners") {
+    // an apostrophe / comma / semicolon / paren inside either quoting
+    // form must not open a literal, split the list, or shift depth
+    assert(Mutations.splitTopLevel("`we're, ok`,b", ',') == Seq("`we're, ok`", "b"))
+    assert(Mutations.splitTopLevel("[we're, ok],b", ',') == Seq("[we're, ok]", "b"))
+    assert(Mutations.splitTopLevel("`a``b,c`,d", ',') == Seq("`a``b,c`", "d"))
+    assert(Mutations.splitTopLevel("f(arr[i], 2),g", ',') == Seq("f(arr[i], 2)", "g"))
+    // a WHERE inside a backtick/bracket span is not a top-level keyword
+    assert(Mutations.indexOfTopLevelWord("`x WHERE y` WHERE z", "WHERE") == 12)
+    assert(Mutations.indexOfTopLevelWord("[x WHERE y] WHERE z", "WHERE") == 12)
+    // UPDATE SET scanning survives a bracket span with an apostrophe
+    Mutations.intercept("UPDATE t SET a = [col with 'quote'] WHERE b = 1") match {
+      case Some(Mutations.Update("t", Seq(("a", rhs)), Some(where))) =>
+        assert(rhs == "[col with 'quote']" && where == "b = 1")
+      case other => fail(s"unexpected parse: $other")
+    }
+  }
 }

@@ -332,6 +332,18 @@ class SketchSpec extends SparkSpec {
     val a2 = sk(Seq.fill(10)(("only", 5L)) ++ Seq.fill(10)(("k", 0L)))
     val m = tv(a2, sk(Seq.fill(10)(("k", 0L))))
     assert(m("only") == 1.0 && m("k") == 0.0)
+    // domain-bound guard: weighted totals past ~7e18 each would blow
+    // the DECIMAL(38,0) numerator mid-aggregation — the guard raises a
+    // typed error instead (na*nb > ~4.9e37)
+    def huge() = Sketch.histSketch(
+      Seq(("k", 0L, 2400000000000000000L), ("k", 100L, 2400000000000000000L),
+        ("k", 200L, 2400000000000000000L)).toDF("key", "v", "w"),
+      "key", "v", 5, Some("w"))
+    val e = intercept[Exception] {
+      Sketch.histDistance(huge(), huge()).collect()
+    }
+    assert(e.getMessage.contains("histDistance") ||
+      Option(e.getCause).exists(_.getMessage.contains("histDistance")), e.getMessage)
   }
 
   test("histBucket geometry properties over the full domain: containment and monotonicity") {

@@ -390,6 +390,22 @@ class TriggerSpec extends SparkSpec {
     assert(r.body.head.contains("NEW.grade") && r.body.head.contains("\"aud'it\""))
   }
 
+  test("trigger parser: apostrophes inside backtick/[bracket] identifiers do not corrupt scanning") {
+    // the SQLite dialect the reference rides also accepts `backtick`
+    // and [bracket] quoting — both must scan as atomic spans
+    val (td, _) = Triggers.parse(
+      """CREATE TRIGGER bq AFTER UPDATE ON users BEGIN
+        |  INSERT INTO audit VALUES (NEW.id, `we're`, [don't; stop], NEW.role);
+        |  INSERT INTO audit VALUES (NEW.id, 'plain');
+        |END""".stripMargin)
+    assert(td.body.size == 2, td.body)
+    assert(td.body.head.contains("`we're`") && td.body.head.contains("[don't; stop]"),
+      td.body.head)
+    // NEW/OLD rewriting after the spans still fires
+    val r = Triggers.renameColumn(td, "role", "grade")
+    assert(r.body.head.contains("NEW.grade") && r.body.head.contains("[don't; stop]"))
+  }
+
   test("RENAME COLUMN: apostrophe inside a double-quoted identifier does not open a literal") {
     val body = """INSERT INTO "aud'it" VALUES (NEW.id, NEW.role)"""
     val td = TriggerDef("t", "AFTER", "UPDATE", Nil, "users", None, Seq(body),
