@@ -30,10 +30,10 @@ import graft.queries._
   *              BPE, classifier) + sketches (KMV, count-min, Bloom,
   *              quantile histogram)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e16  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - e0*–e17  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index
-  *              screen), as-of/range join
+  *              screen, drift screen), as-of/range join
   *   - p0*      composed pipelines (corpus prep, sampling, packing, splits)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
   *              ANN, sampling, sketch hashes — pure-SQL demos)
