@@ -62,6 +62,73 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order write with PRE-PLANNED range boundaries (from
+    * [[Sketch.histBoundaries]] over a z-value histogram sketch) instead
+    * of `repartitionByRange`'s per-write reservoir sampling: no
+    * sampling pass, and the file ranges are DETERMINISTIC — the same
+    * boundaries give the same file layout run after run, so an
+    * append/compact lifecycle keeps stable range ownership and a
+    * persisted hist index amortizes one corpus pass across every write
+    * planned from it.
+    *
+    * Placement mechanics: the range index (count of boundaries ≤ z) is
+    * remapped through a driver-computed bijection so Spark's HASH
+    * partitioner sends each range to its OWN shuffle partition —
+    * `pmod(hash(remap(i)), k) == i` by construction, collisions
+    * impossible — then `sortWithinPartitions(z)` makes every output
+    * file a contiguous z range, exactly like [[zorderWrite]]. Null z
+    * (null keys) lands in range 0, matching [[compactZorder]]'s
+    * nulls-first convention. Boundary semantics: file i covers
+    * [b_{i−1}, b_i) except file 0 = (−∞, b_0) and file k−1 = [b_{k−2}, ∞). */
+  def zorderWritePlanned(df: DataFrame, a: Column, b: Column, path: String,
+      boundaries: Seq[Long], bits: Int = 16): Unit = {
+    require(!df.columns.contains("__graft_z"),
+      "input already has a __graft_z column — the write would silently replace it")
+    require(boundaries == boundaries.sorted,
+      s"boundaries must be ascending, got $boundaries")
+    val cols = df.columns.toSeq
+    val k = boundaries.size + 1
+    val z = zValue(a, b, bits)
+    if (k == 1) {
+      df.withColumn("__graft_z", z).coalesce(1)
+        .sortWithinPartitions(col("__graft_z"))
+        .select(cols.map(c => col(s"`$c`")): _*)
+        .write.mode("overwrite").parquet(path)
+      return
+    }
+    val part = boundaries.foldLeft(lit(0)) { case (acc, b0) =>
+      acc + when(z >= lit(b0), 1).otherwise(0) }
+    val remap = hashBijection(df.sparkSession, k)
+    df.withColumn("__graft_z", z)
+      .withColumn("__graft_p",
+        element_at(typedlit(remap), part + lit(1)))
+      .repartition(k, col("__graft_p"))
+      .sortWithinPartitions(col("__graft_z"))
+      .select(cols.map(c => col(s"`$c`")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** For each residue i in 0..k−1, a long v with
+    * `pmod(hash(v), k) == i` — computed with Spark's OWN `hash`
+    * expression (the exact function `repartition(k, col)` places by),
+    * so the remap can never drift from the partitioner. One tiny job
+    * over 64·k candidate longs (coupon-collector needs ~k·ln k);
+    * deterministic given k. */
+  private[ops] def hashBijection(
+      spark: org.apache.spark.sql.SparkSession, k: Int): Seq[Long] = {
+    var span = 64L * k
+    while (span < Int.MaxValue.toLong) {
+      val found = spark.range(0, span)
+        .select(col("id"), pmod(hash(col("id")), lit(k)).as("r"))
+        .groupBy(col("r")).agg(min(col("id")).as("v"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (found.size == k) return (0 until k).map(found)
+      span *= 4 // astronomically unlikely; loud loop rather than silent gap
+    }
+    throw new IllegalStateException(
+      s"hashBijection: could not cover all $k residues")
+  }
+
   /** Per-file (min, max) ranges of two columns in a written table —
     * the footer statistics a pruning scan consults, surfaced so layout
     * quality is measurable: a box query's CANDIDATE files are those

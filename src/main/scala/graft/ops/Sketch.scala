@@ -821,6 +821,49 @@ object Sketch {
         (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value"))
   }
 
+  /** GLOBAL k-way range boundaries from a histogram sketch — the
+    * write-planning primitive: `k−1` ascending values v_1..v_{k−1} such
+    * that ranges (−∞,v_1], (v_1,v_2], …, (v_{k−1},∞) each hold ≈ 1/k of
+    * the sketched mass (boundary i sits at rank ⌊i·(n−1)/k⌋+1, the
+    * histQuantiles rank contract at fraction i/k). Key columns are
+    * collapsed — buckets are a pure function of the value, so summing
+    * across keys IS the global histogram.
+    *
+    * Why this instead of `repartitionByRange`'s reservoir sampling:
+    * boundaries become DETERMINISTIC (same sketch → same boundaries,
+    * run after run — stable file ranges across an append/compact
+    * lifecycle) and cost bucket rows only (≤ ~58·2^subBits), not a
+    * sampling pass over the data; a persisted hist index amortizes the
+    * one corpus pass across every write that plans from it. The
+    * single-partition window is over bucket rows, never data. Balance
+    * error inherits the sketch's ≤2^-subBits relative-value bound.
+    * Consumed by [[Layout.zorderWritePlanned]]. */
+  def histBoundaries(sketch: DataFrame, subBits: Int, k: Int): Seq[Long] = {
+    require(k >= 1 && k <= (1 << 20), s"histBoundaries: k=$k not in [1, 2^20]")
+    if (k == 1) return Seq.empty
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy("bucket")
+    val cum = sketch.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wOrd))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val target = (floor(col("i").cast("double") *
+      (col("n") - lit(1L)).cast("double") / lit(k.toDouble)).cast("long") +
+      lit(1L)).as("target")
+    val hit = cum
+      .select(col("bucket"), col("cnt"), col("cum"), col("n"),
+        explode(typedlit((1 until k).toList)).as("i"))
+      .withColumn("target", target)
+      .filter(col("cum") >= col("target") &&
+        (col("cum") - col("cnt")) < col("target"))
+    val rankInBucket = col("target") - (col("cum") - col("cnt"))
+    val lo = histBucketLo(col("bucket"), subBits)
+    val width = histBucketWidth(col("bucket"), subBits)
+    hit.select(col("i"), (lo + call_function("div",
+        (rankInBucket - lit(1L)) * width, col("cnt"))).as("v"))
+      .orderBy(col("i"))
+      .collect().map(_.getLong(1)).toSeq
+  }
+
   /** Total-variation distance between two per-key histogram sketch
     * frames (same subBits): `(key, tv)` with
     * TV = ½ Σ_b |p_a(b) − p_b(b)| ∈ [0, 1] — the standard distribution

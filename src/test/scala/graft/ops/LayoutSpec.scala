@@ -48,6 +48,62 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == 64L * 64L)
   }
 
+  test("zorderWritePlanned: sketch-derived boundaries give deterministic, disjoint, balanced files") {
+    val grid = spark.range(64L * 64L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    // one corpus pass builds the z-value sketch; boundaries derive from
+    // bucket rows — every later write plans from them without sampling
+    val zs = grid.select(lit("_").as("k"),
+      Layout.zValue(col("x"), col("y"), 6).as("z"))
+    val sketch = Sketch.histSketch(zs, "k", "z", subBits = 5)
+    val bounds = Sketch.histBoundaries(sketch, subBits = 5, k = 16)
+    assert(bounds.size == 15 && bounds == bounds.sorted)
+    val p1 = tmpDir("layout-plan1").resolve("t").toString
+    val p2 = tmpDir("layout-plan2").resolve("t").toString
+    Layout.zorderWritePlanned(grid, col("x"), col("y"), p1, bounds, bits = 6)
+    Layout.zorderWritePlanned(grid, col("x"), col("y"), p2, bounds, bits = 6)
+    // lossless, and exactly k non-empty files (boundaries from the data)
+    assert(spark.read.parquet(p1).count() == 64L * 64L)
+    def zRanges(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(Layout.zValue(col("x"), col("y"), 6)).as("zmin"),
+          max(Layout.zValue(col("x"), col("y"), 6)).as("zmax"),
+          count(lit(1)).as("rows"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val r1 = zRanges(p1)
+    assert(r1.size == 16, s"expected 16 files, got ${r1.size}")
+    // files cover DISJOINT contiguous z ranges (the pruning contract)
+    for (Seq((_, hi, _), (lo2, _, _)) <- r1.toSeq.sliding(2))
+      assert(hi < lo2, s"overlapping file z ranges: $r1")
+    // deterministic: the second write has identical per-file ranges/rows
+    assert(zRanges(p2).toSeq == r1.toSeq, "same boundaries must give the same layout")
+    // balance inherits the sketch bound — uniform grid lands near 256/file
+    val rows = r1.map(_._3)
+    assert(rows.max <= 2 * rows.min,
+      s"planned files should be balanced on uniform data: ${rows.toSeq}")
+    // pruning parity with the sampled writer on the corner box
+    assert(cornerCandidates(p1) <= 4)
+    // null z (null keys) lands in range 0, lossless
+    val withNull = grid.unionByName(Seq((null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("x", "y").select(col("x").cast("long").as("x"), col("y")))
+    val p3 = tmpDir("layout-plan3").resolve("t").toString
+    Layout.zorderWritePlanned(withNull, col("x"), col("y"), p3, bounds, bits = 6)
+    assert(spark.read.parquet(p3).count() == 64L * 64L + 1)
+  }
+
+  test("hashBijection: residues are a bijection and match Spark's partitioner placement") {
+    for (k <- Seq(2, 7, 16, 61)) {
+      val remap = Layout.hashBijection(spark, k)
+      assert(remap.size == k)
+      val placed = remap.toDF("v")
+        .select(pmod(hash(col("v")), lit(k)).as("r"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(placed == (0 until k), s"k=$k: $placed")
+    }
+  }
+
   private def cornerCandidates(path: String): Long =
     Layout.fileRanges(spark.read.parquet(path), "x", "y")
       .filter(col("a_min") <= 15 && col("a_max") >= 0 &&
