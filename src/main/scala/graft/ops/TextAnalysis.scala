@@ -162,6 +162,43 @@ object TextAnalysis {
   val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
   val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+  /** CCNet-style PARAGRAPH-level dedup — the granularity real web
+    * pipelines dedup at (boilerplate repeats across pages even when no
+    * two full documents match): split each document into paragraphs
+    * (`sepRe` runs, blank paragraphs dropped), keep a paragraph only at
+    * its FIRST occurrence corpus-wide — ordered by `(idCol, position)`,
+    * keyed on the md5 digest of [[normalizeForDedup]] so near-identical
+    * whitespace/case/punctuation variants collapse — and reassemble
+    * each document from its kept paragraphs (original text, original
+    * order, canonical "\n\n" separators). Returns
+    * `(idCol, textCol, n_paras, n_kept)`; a document whose every
+    * paragraph was seen earlier keeps its row with empty text.
+    *
+    * Shape at 100 TB: one paragraph explode (narrow rows) → one shuffle
+    * on the fixed-width digest for the first-occurrence window → one
+    * doc-keyed shuffle to reassemble. No self-join, no corpus×corpus
+    * anything; both shuffles carry each paragraph exactly once.
+    * `idCol` must be unique (it breaks first-occurrence ties);
+    * documents with no non-blank paragraphs are dropped. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sepRe: String = "\\n{2,}"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__p")))
+      .filter(length(trim(col("__p"))) > 0)
+    val w = Window.partitionBy(col("__key")).orderBy(col(idCol), col("__pos"))
+    paras
+      .withColumn("__key", md5(normalizeForDedup(col("__p")).cast("binary")))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n\n", transform(array_sort(collect_list(
+          when(col("__rn") === 1, struct(col("__pos"), col("__p"))))),
+          s => s.getField("__p"))).as(textCol),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Exact-content fingerprint (md5 of normalized text). */
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
 

@@ -1387,6 +1387,34 @@ object PipelineQueries {
         .orderBy(d)
     }),
 
+    // ---- text: CCNet-style PARAGRAPH dedup — multi-paragraph docs are
+    // constructed so paragraphs genuinely repeat across pages (doc at
+    // row r carries its own text, row r+7's text (wrapping), and a
+    // boilerplate line shared by EVERY page), then dedupParagraphs must
+    // keep each paragraph only at its first (doc, pos) occurrence and
+    // reassemble: the boilerplate survives in exactly one doc, each
+    // text in exactly one of its two carriers. Row-number pairing (not
+    // doc_id arithmetic) so a regenerated corpus with different ids
+    // cannot desynchronize the construction between engines
+    "t30_paragraph_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val rn = base
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val partner = rn.select(col("rn").as("prn"), col("text").as("ptext"))
+      val built = rn.join(partner,
+          col("prn") === pmod(col("rn") + lit(6), col("n")) + lit(1))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("ptext"),
+            lit("shared boilerplate paragraph across every page")).as("text"))
+      TextAnalysis.dedupParagraphs(built, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_paras"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: binary payload + deterministic stub metadata
     "mm01_media_meta" -> ((s, dir) => {
       val withPayload = Multimodal.withBinaryPayload(docs(s, dir))
@@ -4093,6 +4121,44 @@ object PipelineQueries {
         |  THEN 1 ELSE 0 END AS INTEGER) AS ok,
         |  CAST(length(extracted) AS INTEGER) AS n_chars_ext
         |FROM ext ORDER BY doc_id""".stripMargin,
+
+    // paragraph-dedup replay: same row-number pairing construction,
+    // same d09 normalization as the dedup key, first occurrence by
+    // (doc_id, pos), string_agg reassembly ordered by position
+    "t30_paragraph_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |rn AS (SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY doc_id) AS rn,
+        |         (SELECT COUNT(*) FROM base) AS n
+        |       FROM base),
+        |built AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || chr(10) || b.ptext || chr(10) || chr(10)
+        |      || 'shared boilerplate paragraph across every page' AS text
+        |  FROM rn a JOIN (SELECT rn AS prn, text AS ptext FROM rn) b
+        |    ON b.prn = ((a.rn + 6) % a.n) + 1
+        |),
+        |lsts AS (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS lst FROM built),
+        |paras AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos, lst[CAST(i + 1 AS BIGINT)] AS p
+        |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM lsts)
+        |  WHERE len(trim(lst[CAST(i + 1 AS BIGINT)])) > 0
+        |),
+        |marked AS (
+        |  SELECT doc_id, pos, p,
+        |    row_number() OVER (PARTITION BY
+        |      trim(regexp_replace(regexp_replace(
+        |        translate(p, '$asciiUpper', '$asciiLower'),
+        |        '[[:punct:]]', ' ', 'g'), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM paras
+        |)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(p, chr(10) || chr(10) ORDER BY pos)
+        |    FILTER (WHERE rn = 1), '')) AS text_md5,
+        |  COUNT(*) AS n_paras,
+        |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "mm01_media_meta" ->
       """SELECT doc_id,

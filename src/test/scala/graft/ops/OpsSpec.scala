@@ -702,6 +702,25 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(empty).count() == 0)
   }
 
+  test("dedupParagraphs: first occurrence wins corpus-wide; normalization variants collapse") {
+    val df = Seq(
+      (1L, "alpha one\n\nshared para\n\nbeta two"),
+      (2L, "shared para\n\ngamma three"),   // shared seen at (1,1) first
+      (3L, "  SHARED, para!! \n\ndelta four"), // normalization variant of shared
+      (4L, "alpha one\n\nalpha one"),       // cross-doc dup + within-doc dup
+      (5L, "   \n\n\n"),                     // blank-only: row dropped
+      (6L, "epsilon five\n\n\n\n\n\nzeta six") // 2+ newline runs = one separator
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha one\n\nshared para\n\nbeta two", 3L, 3L)))
+    assert(out(2L) == (("gamma three", 2L, 1L)))
+    assert(out(3L) == (("delta four", 2L, 1L)), "case/punct variant must collapse")
+    assert(out(4L) == (("", 2L, 0L)), "both copies seen at doc 1 already")
+    assert(!out.contains(5L), "no non-blank paragraphs -> dropped")
+    assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
+  }
+
   private def extract(html: String): String = {
     val df = Seq(Tuple1(html)).toDF("h")
     df.select(TextAnalysis.extractText(col("h")).as("t")).collect()(0).getString(0)
