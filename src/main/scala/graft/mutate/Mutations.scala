@@ -248,10 +248,15 @@ object Mutations {
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
 
-  /** Strip one layer of double quotes — the single identifier-unquoting
-    * rule shared with the trigger parser. */
+  /** Strip one layer of identifier quoting — the single unquoting rule
+    * shared with the trigger parser. All three SQLite-dialect forms:
+    * `"x"`, `` `x` `` (both ≥2 chars) and `[x]` (brackets never nest). */
   private[graft] def unquote(ident: String): String =
-    if (ident.startsWith("\"") && ident.endsWith("\"")) ident.substring(1, ident.length - 1)
+    if (ident.length >= 2 &&
+        ((ident.startsWith("\"") && ident.endsWith("\"")) ||
+          (ident.startsWith("`") && ident.endsWith("`")) ||
+          (ident.startsWith("[") && ident.endsWith("]"))))
+      ident.substring(1, ident.length - 1)
     else ident
 
   /** Normalize a statement identifier the way [[resolveColumns]] does —

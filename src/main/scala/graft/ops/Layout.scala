@@ -82,8 +82,9 @@ object Layout {
     * [b_{i−1}, b_i) except file 0 = (−∞, b_0) and file k−1 = [b_{k−2}, ∞). */
   def zorderWritePlanned(df: DataFrame, a: Column, b: Column, path: String,
       boundaries: Seq[Long], bits: Int = 16): Unit = {
-    require(!df.columns.contains("__graft_z"),
-      "input already has a __graft_z column — the write would silently replace it")
+    for (c <- Seq("__graft_z", "__graft_p"))
+      require(!df.columns.contains(c),
+        s"input already has a $c column — the write would silently replace it")
     require(boundaries == boundaries.sorted,
       s"boundaries must be ascending, got $boundaries")
     val cols = df.columns.toSeq
@@ -96,8 +97,15 @@ object Layout {
         .write.mode("overwrite").parquet(path)
       return
     }
-    val part = boundaries.foldLeft(lit(0)) { case (acc, b0) =>
-      acc + when(z >= lit(b0), 1).otherwise(0) }
+    // range index = count of boundaries ≤ z, as ONE constant-size
+    // expression over a sorted array literal — a k-deep when() chain
+    // would blow whole-stage codegen's method limit at large k. The
+    // lambda references the __graft_z COLUMN (already bound), never the
+    // z expression tree — the HOF-blocks-CSE trap. Null z → every
+    // comparison null → filter keeps nothing → range 0 (nulls first,
+    // matching compactZorder's convention).
+    val part = size(filter(typedlit(boundaries.toList),
+      bnd => bnd <= col("__graft_z")))
     val remap = hashBijection(df.sparkSession, k)
     df.withColumn("__graft_z", z)
       .withColumn("__graft_p",

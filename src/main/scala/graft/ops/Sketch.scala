@@ -620,6 +620,17 @@ object Sketch {
     * is invisible to index readers and deterministic per tag: a
     * crashed attempt's leftover is deleted by the retry, not swept by
     * readers (a reader sweep would race a live concurrent writer). */
+  /** True iff [[publishSegmentOnce]] has already published `tag` to the
+    * index at `path` — replaying writers MUST check this before doing
+    * any work derived from the pre-absorb index content (scoring a
+    * batch against an index that already absorbed it is the biased
+    * outcome the exactly-once publication exists to prevent). */
+  def segmentPublished(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def publishSegmentOnce(sketch: DataFrame, path: String, tag: String): Boolean = {
     require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"publishSegmentOnce: tag '$tag' must be [A-Za-z0-9_-]+ (it names a file)")
@@ -627,9 +638,12 @@ object Sketch {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
-    if (fs.exists(dst)) return false
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.segment-$tag.tmp")
-    fs.delete(tmp, true) // a prior crashed attempt's leftover
+    // sweep the stale temp BEFORE the already-published early return: a
+    // crash in the rename→delete window would otherwise leak the temp
+    // forever (every retry would return early past the cleanup)
+    fs.delete(tmp, true)
+    if (fs.exists(dst)) return false
     sketch.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-"))
@@ -822,12 +836,14 @@ object Sketch {
   }
 
   /** GLOBAL k-way range boundaries from a histogram sketch — the
-    * write-planning primitive: `k−1` ascending values v_1..v_{k−1} such
-    * that ranges (−∞,v_1], (v_1,v_2], …, (v_{k−1},∞) each hold ≈ 1/k of
-    * the sketched mass (boundary i sits at rank ⌊i·(n−1)/k⌋+1, the
-    * histQuantiles rank contract at fraction i/k). Key columns are
-    * collapsed — buckets are a pure function of the value, so summing
-    * across keys IS the global histogram.
+    * write-planning primitive: `k−1` ascending values v_1..v_{k−1}
+    * splitting the domain into (−∞,v_1), [v_1,v_2), …, [v_{k−1},∞) —
+    * range i owns z ∈ [v_i, v_{i+1}), the EXACT convention
+    * [[Layout.zorderWritePlanned]] implements (`count of boundaries ≤
+    * z`) — each holding ≈ 1/k of the sketched mass (boundary i sits at
+    * rank ⌊i·(n−1)/k⌋+1, the histQuantiles rank contract at fraction
+    * i/k). Key columns are collapsed — buckets are a pure function of
+    * the value, so summing across keys IS the global histogram.
     *
     * Why this instead of `repartitionByRange`'s reservoir sampling:
     * boundaries become DETERMINISTIC (same sketch → same boundaries,

@@ -106,7 +106,12 @@ object Triggers {
     * textual). */
   def renameColumn(td: TriggerDef, from: String, to: String): TriggerDef = {
     val qf = java.util.regex.Pattern.quote(from)
-    val fixRe = ("(?is)^(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf + "\")").r
+    // bare, "quoted", `backtick` and [bracket] qualified references all
+    // re-point — the scanners treat the latter two as atomic spans, so
+    // the rename must understand them too or the trigger would keep
+    // firing against the dropped column name
+    val fixRe = ("(?is)^(NEW|OLD)\\s*\\.\\s*(?:" + qf + "\\b|\"" + qf +
+      "\"|`" + qf + "`|\\[" + qf + "\\])").r
     def fixRefs(s: String): String = rewriteTopLevel(s) { rest =>
       fixRe.findPrefixMatchOf(rest).map(mm => (mm.group(1) + "." + to, mm.end))
     }
@@ -133,15 +138,20 @@ object Triggers {
   /** Last top-level (quote/paren-aware — single-quoted literals AND
     * double-quoted identifiers) occurrence of a word. */
   private def lastTopLevelWord(s: String, word: String): Int = {
-    var depth = 0; var inStr = false; var inDq = false; var i = 0; var last = -1
+    var depth = 0; var inStr = false; var inDq = false
+    var inBt = false; var inBr = false; var i = 0; var last = -1
     val n = s.length; val w = word.length
     while (i < n) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inDq) { if (c == '"') inDq = false }
+      else if (inBt) { if (c == '`') inBt = false }
+      else if (inBr) { if (c == ']') inBr = false }
       else c match {
         case '\'' => inStr = true
         case '"' => inDq = true
+        case '`' => inBt = true
+        case '[' => inBr = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>

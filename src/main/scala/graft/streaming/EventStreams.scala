@@ -266,23 +266,34 @@ object EventStreams {
     * alarm must not have). A crash between the two writes replays as a
     * duplicate telemetry row with IDENTICAL content (same batch scored
     * against the same pre-absorb reference) — downstream dedups by
-    * (run_id, batch_id, key); a crash after both replays as a no-op on
-    * the index and a content-identical telemetry duplicate. Empty
+    * (run_id, batch_id, key); a crash after both writes replays as a
+    * pure no-op (the segment guard skips the whole body). Empty
     * micro-batches are skipped: "no data arrived" is not "a corpus
     * where every key vanished".
     *
     * `runId` must be unique per stream RUN (it prefixes segment tags):
     * restarting from the same checkpoint reuses batch ids, which the
     * exactly-once guard requires; a NEW run over a new checkpoint
-    * restarts batch ids at 0 and needs a fresh runId to not collide. */
+    * restarts batch ids at 0 and needs a fresh runId to not collide.
+    * A replayed batch whose segment is already in the index skips the
+    * WHOLE body (guard below): the reference now contains the batch's
+    * own counts, and re-scoring against it would emit a conflicting
+    * biased-low telemetry row — so a crash after both writes replays
+    * as a pure no-op, not even a duplicate. */
   def streamingDriftScreen(stream: DataFrame, keyCol: String, valueCol: String,
       indexPath: String, telemetryPath: String, checkpoint: String,
       runId: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
+        val spark = batch.sparkSession
+        // a replayed batch whose segment WAS already absorbed must skip
+        // entirely: the index now contains the batch's own counts, so
+        // re-scoring would write a conflicting biased-low telemetry row
+        // — the suppressed-alarm failure this screen must never have
+        val alreadyAbsorbed = graft.ops.Sketch.segmentPublished(
+          spark, indexPath, s"$runId-$batchId")
+        if (!alreadyAbsorbed && !batch.isEmpty) {
           val subBits = graft.ops.Sketch.readHistMeta(spark, indexPath) // heals
           val batchSketch = graft.ops.Sketch.histSketch(
             batch.select(col(keyCol), col(valueCol)), keyCol, valueCol, subBits)
@@ -296,7 +307,6 @@ object EventStreams {
               .select(lit(runId).as("run_id"), lit(batchId).as("batch_id"),
                 col("key"), col("tv"))
             tv.write.mode("append").parquet(telemetryPath)
-            // false = this tag was already published (a replayed batch)
             val _ = graft.ops.Sketch.publishSegmentOnce(
               batchSketch, indexPath, s"$runId-$batchId")
           } finally batchSketch.unpersist()

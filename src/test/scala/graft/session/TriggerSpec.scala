@@ -392,18 +392,37 @@ class TriggerSpec extends SparkSpec {
 
   test("trigger parser: apostrophes inside backtick/[bracket] identifiers do not corrupt scanning") {
     // the SQLite dialect the reference rides also accepts `backtick`
-    // and [bracket] quoting — both must scan as atomic spans
+    // and [bracket] quoting — both must scan as atomic spans. The ODD
+    // total apostrophe count is load-bearing: an un-extended scanner
+    // (END detection included) would be stuck inStr at the trailing END
     val (td, _) = Triggers.parse(
       """CREATE TRIGGER bq AFTER UPDATE ON users BEGIN
-        |  INSERT INTO audit VALUES (NEW.id, `we're`, [don't; stop], NEW.role);
+        |  INSERT INTO audit VALUES (NEW.id, [don't; stop], NEW.role);
         |  INSERT INTO audit VALUES (NEW.id, 'plain');
         |END""".stripMargin)
     assert(td.body.size == 2, td.body)
-    assert(td.body.head.contains("`we're`") && td.body.head.contains("[don't; stop]"),
-      td.body.head)
+    assert(td.body.head.contains("[don't; stop]"), td.body.head)
     // NEW/OLD rewriting after the spans still fires
     val r = Triggers.renameColumn(td, "role", "grade")
     assert(r.body.head.contains("NEW.grade") && r.body.head.contains("[don't; stop]"))
+  }
+
+  test("renameColumn re-points backtick/[bracket]-quoted NEW/OLD references") {
+    val (td, _) = Triggers.parse(
+      """CREATE TRIGGER q AFTER UPDATE ON users BEGIN
+        |  INSERT INTO audit VALUES (NEW.`role`, OLD.[role], NEW."role", NEW.role2);
+        |END""".stripMargin)
+    val r = Triggers.renameColumn(td, "role", "grade")
+    assert(r.body.head.contains("NEW.grade") && r.body.head.contains("OLD.grade"),
+      r.body.head)
+    assert(!r.body.head.contains("`role`") && !r.body.head.contains("[role]") &&
+      !r.body.head.contains("\"role\""), r.body.head)
+    // a DIFFERENT column sharing the prefix is untouched
+    assert(r.body.head.contains("NEW.role2"), r.body.head)
+    // unquote strips one layer of any dialect form
+    import graft.mutate.Mutations.unquote
+    assert(unquote("`x`") == "x" && unquote("[x]") == "x" && unquote("\"x\"") == "x")
+    assert(unquote("x") == "x" && unquote("[") == "[" && unquote("`") == "`")
   }
 
   test("RENAME COLUMN: apostrophe inside a double-quoted identifier does not open a literal") {

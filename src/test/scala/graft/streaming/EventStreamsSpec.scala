@@ -246,6 +246,25 @@ class EventStreamsSpec extends SparkSpec {
     val merged2 = graft.ops.Sketch.histMerge(spark.read.parquet(idx))
       .agg(sum(col("cnt"))).collect()(0).getLong(0)
     assert(merged2 == 301L, s"replay must not double-count: $merged2")
+    // a REPLAYED batch whose segment was already absorbed (crash after
+    // both writes) must skip entirely: no biased re-score against a
+    // reference that contains the batch itself, no duplicate telemetry
+    val telCount = spark.read.parquet(tel).count()
+    val pre = graft.ops.Sketch.publishSegmentOnce(
+      graft.ops.Sketch.histSketch(seed, "key", "v", 5), idx, "replayed-0")
+    assert(pre)
+    val stream2 = MemoryStream[(String, Long)]
+    val q2 = EventStreams.streamingDriftScreen(stream2.toDF().toDF("key", "v"),
+      "key", "v", idx, tel, dir.resolve("ck2").toString, runId = "replayed")
+    try {
+      stream2.addData(("k", 0L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(tel).count() == telCount,
+      "an already-absorbed batch must write no telemetry")
+    val merged3 = graft.ops.Sketch.histMerge(spark.read.parquet(idx))
+      .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(merged3 == 401L, s"index unchanged beyond the pre-published segment: $merged3")
   }
 
   test("mapGroupsWithState: per-user state accumulates across micro-batches") {
