@@ -604,6 +604,32 @@ object Sketch {
     histSketch(batch, keyCol, valueCol, subBits).write.mode("append").parquet(path)
   }
 
+  // ONE source of truth for the segment naming scheme: the publisher
+  // and the replay guard must never disagree on it — a drifted guard
+  // would silently always-miss and re-score every replayed batch
+  private def segmentDst(path: String, tag: String) =
+    new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
+  private def segmentTmp(path: String, tag: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.segment-$tag.tmp")
+
+  /** True iff [[publishSegmentOnce]] has already published `tag` to the
+    * index at `path` — replaying writers MUST check this before doing
+    * any work derived from the pre-absorb index content (scoring a
+    * batch against an index that already absorbed it is the biased
+    * outcome the exactly-once publication exists to prevent). When the
+    * segment IS published, any leftover temp of that tag is a dead
+    * crash-window residue (rename succeeded, delete didn't) and is
+    * swept here — replay guards skip the publisher, so this is the only
+    * cleanup point a replayed batch ever reaches. */
+  def segmentPublished(spark: org.apache.spark.sql.SparkSession,
+      path: String, tag: String): Boolean = {
+    val dst = segmentDst(path, tag)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val published = fs.exists(dst)
+    if (published) fs.delete(segmentTmp(path, tag), true)
+    published
+  }
+
   /** EXACTLY-ONCE segment publication for streaming-replay writers
     * ([[graft.streaming.EventStreams.streamingDriftScreen]]): publish
     * an already-built sketch frame as ONE file `segment-<tag>.parquet`
@@ -620,25 +646,14 @@ object Sketch {
     * is invisible to index readers and deterministic per tag: a
     * crashed attempt's leftover is deleted by the retry, not swept by
     * readers (a reader sweep would race a live concurrent writer). */
-  /** True iff [[publishSegmentOnce]] has already published `tag` to the
-    * index at `path` — replaying writers MUST check this before doing
-    * any work derived from the pre-absorb index content (scoring a
-    * batch against an index that already absorbed it is the biased
-    * outcome the exactly-once publication exists to prevent). */
-  def segmentPublished(spark: org.apache.spark.sql.SparkSession,
-      path: String, tag: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
   def publishSegmentOnce(sketch: DataFrame, path: String, tag: String): Boolean = {
     require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"publishSegmentOnce: tag '$tag' must be [A-Za-z0-9_-]+ (it names a file)")
     val spark = sketch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(s"$path/segment-$tag.parquet")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.segment-$tag.tmp")
+    val dst = segmentDst(path, tag)
+    val tmp = segmentTmp(path, tag)
     // sweep the stale temp BEFORE the already-published early return: a
     // crash in the rename→delete window would otherwise leak the temp
     // forever (every retry would return early past the cleanup)
@@ -802,37 +817,56 @@ object Sketch {
     * never over the data. (The interpolation product width·(rank−1)
     * assumes bucket_count · bucket_width < 2^63 — beyond any real
     * telemetry; the bound holds even if interpolation is dropped.) */
-  def histQuantiles(sketch: DataFrame, subBits: Int,
-      percents: Seq[Int]): DataFrame = {
-    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
-      s"histQuantiles: percents=$percents must be integer percents in [0,100]")
+  /** Shared rank-target extraction over merged bucket rows — the ONE
+    * implementation behind [[histQuantiles]] (per-key, pct targets) and
+    * [[histBoundaries]] (global, i/k targets): cumulative/total window
+    * sums over `partCols`, one probe explode, the hit filter, and the
+    * integer interpolation `lo + (rank−1)·width div cnt` (truncating
+    * IntegralDivide — DuckDB `//` parity on non-negative operands; the
+    * width·(rank−1) product assumes bucket_count · bucket_width < 2^63,
+    * the documented histQuantiles caveat, inherited by every caller).
+    * `merged` must already be one row per (partCols, bucket); `target`
+    * is the caller's rank expression over the probe column and `n` —
+    * its tree shape is oracle-replayed, so each caller owns it. */
+  private def rankExtract(merged: DataFrame, subBits: Int,
+      probeCol: String, probes: Seq[Int], target: Column,
+      partCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy("key").orderBy("bucket")
-    val wAll = Window.partitionBy("key")
-    // collapse duplicate (key, bucket) rows first: un-merged
-    // multi-segment input would make duplicates window PEERS (same cum
-    // under the RANGE frame), and the hit filter could then emit
-    // conflicting rows per (key, pct). One cheap aggregation over
-    // bucket-count rows makes any segmentation safe.
-    val cum = histMerge(sketch)
+    val parts = partCols.map(col)
+    val wOrd = Window.partitionBy(parts: _*).orderBy("bucket")
+    val wAll = Window.partitionBy(parts: _*)
+    val cum = merged
       .withColumn("cum", sum(col("cnt")).over(wOrd))
       .withColumn("n", sum(col("cnt")).over(wAll))
-    // pct/100 · (n−1): one double division, one multiply, one floor —
-    // the exact expression shape the DuckDB oracle replays
-    val target = (floor(col("pct").cast("double") / lit(100.0) *
-      (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L)).as("target")
     val hit = cum
-      .select(col("key"), col("bucket"), col("cnt"), col("cum"), col("n"),
-        explode(typedlit(percents)).as("pct"))
+      .select(parts ++ Seq(col("bucket"), col("cnt"), col("cum"), col("n"),
+        explode(typedlit(probes.toList)).as(probeCol)): _*)
       .withColumn("target", target)
       .filter(col("cum") >= col("target") &&
         (col("cum") - col("cnt")) < col("target"))
     val rankInBucket = col("target") - (col("cum") - col("cnt"))
     val lo = histBucketLo(col("bucket"), subBits)
     val width = histBucketWidth(col("bucket"), subBits)
-    hit.select(col("key"), col("pct"),
+    hit.select(parts ++ Seq(col(probeCol),
       (lo + call_function("div",
-        (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value"))
+        (rankInBucket - lit(1L)) * width, col("cnt"))).as("est_value")): _*)
+  }
+
+  def histQuantiles(sketch: DataFrame, subBits: Int,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"histQuantiles: percents=$percents must be integer percents in [0,100]")
+    // pct/100 · (n−1): one double division, one multiply, one floor —
+    // the exact expression shape the DuckDB oracle replays
+    val target = (floor(col("pct").cast("double") / lit(100.0) *
+      (col("n") - lit(1L)).cast("double")).cast("long") + lit(1L)).as("target")
+    // histMerge first: un-merged multi-segment input would make
+    // duplicate (key, bucket) rows window PEERS (same cum under the
+    // RANGE frame), and the hit filter could then emit conflicting
+    // rows per (key, pct). One cheap aggregation makes any
+    // segmentation safe.
+    rankExtract(histMerge(sketch), subBits, "pct", percents, target,
+      Seq("key"))
   }
 
   /** GLOBAL k-way range boundaries from a histogram sketch — the
@@ -857,25 +891,13 @@ object Sketch {
   def histBoundaries(sketch: DataFrame, subBits: Int, k: Int): Seq[Long] = {
     require(k >= 1 && k <= (1 << 20), s"histBoundaries: k=$k not in [1, 2^20]")
     if (k == 1) return Seq.empty
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.orderBy("bucket")
-    val cum = sketch.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wOrd))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    // i·(n−1)/k as multiply-then-divide: i/k alone would round before
+    // the scale-up and misplace targets for large n
     val target = (floor(col("i").cast("double") *
       (col("n") - lit(1L)).cast("double") / lit(k.toDouble)).cast("long") +
       lit(1L)).as("target")
-    val hit = cum
-      .select(col("bucket"), col("cnt"), col("cum"), col("n"),
-        explode(typedlit((1 until k).toList)).as("i"))
-      .withColumn("target", target)
-      .filter(col("cum") >= col("target") &&
-        (col("cum") - col("cnt")) < col("target"))
-    val rankInBucket = col("target") - (col("cum") - col("cnt"))
-    val lo = histBucketLo(col("bucket"), subBits)
-    val width = histBucketWidth(col("bucket"), subBits)
-    hit.select(col("i"), (lo + call_function("div",
-        (rankInBucket - lit(1L)) * width, col("cnt"))).as("v"))
+    rankExtract(sketch.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt")),
+        subBits, "i", (1 until k).toList, target, Seq.empty)
       .orderBy(col("i"))
       .collect().map(_.getLong(1)).toSeq
   }

@@ -278,7 +278,8 @@ object Triggers {
     for (stmt <- body) stmt match {
       case RaiseIgnoreRe() => return None // per-row path rejects it with a typed error
       case SelectRaiseRe(kind, msg, cond) =>
-        out += VecRaise(kind.toUpperCase, msg.replace("''", "'"), Option(cond).map(_.trim))
+        out += VecRaise(kind.toUpperCase, msg.replace("''", "'"),
+          Option(cond).map(c => normalizeRowRefs(c.trim)))
       case InsertValuesRe(tableI, _, cols, values) =>
         // unquote here: fireVectorized re-quotes each name, so a quoted
         // source column would otherwise end up doubly quoted
@@ -287,7 +288,8 @@ object Triggers {
         val tuples = Mutations.splitTopLevel(values, ',').map(_.trim)
         for (t <- tuples) {
           if (!t.startsWith("(") || !t.endsWith(")")) return None
-          val exprs = Mutations.splitTopLevel(t.substring(1, t.length - 1), ',').map(_.trim)
+          val exprs = Mutations.splitTopLevel(t.substring(1, t.length - 1), ',')
+            .map(e => normalizeRowRefs(e.trim))
           out += VecInsert(unquote(tableI), columns, exprs)
         }
       case _ => return None
@@ -295,11 +297,29 @@ object Triggers {
     Some(out.result())
   }
 
+  /** Normalize QUOTED `NEW.x`/`OLD.x` references to Spark-native
+    * backtick form for vectorized execution, where the text reaches
+    * Spark's parser verbatim (the per-row path renders literals via
+    * [[substituteRowRefs]] and needs no normalization): `NEW."x"`,
+    * `NEW.[x]` and `NEW.`x`` all become `NEW.`x``; bare references
+    * pass through untouched. */
+  private def normalizeRowRefs(s: String): String = rewriteTopLevel(s) { rest =>
+    RefRe.findPrefixMatchOf(rest).collect {
+      case mm if { val h = mm.group(2).head; h == '"' || h == '`' || h == '[' } =>
+        (mm.group(1).toUpperCase + ".`" +
+          unquote(mm.group(2)).replace("`", "``") + "`", mm.end)
+    }
+  }
+
   /** Substitute `NEW.col` / `OLD.col` references with rendered literals
     * for per-row firing. Quote-aware: references inside string literals
     * are left alone. */
+  // all four dialect identifier forms: bare, "quoted", `backtick`,
+  // [bracket] — the scanners accept the latter two as atomic spans, so
+  // the fire-time substituter must resolve them too (a NEW.`role` left
+  // as raw text would fail analysis: no NEW relation exists per-row)
   private val RefRe =
-    """(?is)^(NEW|OLD)\s*\.\s*("[^"]+"|[A-Za-z_][A-Za-z0-9_]*)""".r
+    """(?is)^(NEW|OLD)\s*\.\s*("[^"]+"|`[^`]+`|\[[^\]]+\]|[A-Za-z_][A-Za-z0-9_]*)""".r
 
   def substituteRowRefs(stmt: String, render: (String, String) => String): String =
     rewriteTopLevel(stmt) { rest =>

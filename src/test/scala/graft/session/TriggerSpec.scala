@@ -393,18 +393,38 @@ class TriggerSpec extends SparkSpec {
   test("trigger parser: apostrophes inside backtick/[bracket] identifiers do not corrupt scanning") {
     // the SQLite dialect the reference rides also accepts `backtick`
     // and [bracket] quoting — both must scan as atomic spans. The ODD
-    // total apostrophe count is load-bearing: an un-extended scanner
+    // total apostrophe count (one in the backtick span, one in each
+    // bracket span = 3) is load-bearing: a scanner missing EITHER form
     // (END detection included) would be stuck inStr at the trailing END
     val (td, _) = Triggers.parse(
       """CREATE TRIGGER bq AFTER UPDATE ON users BEGIN
-        |  INSERT INTO audit VALUES (NEW.id, [don't; stop], NEW.role);
+        |  INSERT INTO audit VALUES (NEW.id, `we're`, [don't; stop], [o'clock], NEW.role);
         |  INSERT INTO audit VALUES (NEW.id, 'plain');
         |END""".stripMargin)
     assert(td.body.size == 2, td.body)
-    assert(td.body.head.contains("[don't; stop]"), td.body.head)
+    assert(td.body.head.contains("`we're`") && td.body.head.contains("[don't; stop]"),
+      td.body.head)
     // NEW/OLD rewriting after the spans still fires
     val r = Triggers.renameColumn(td, "role", "grade")
     assert(r.body.head.contains("NEW.grade") && r.body.head.contains("[don't; stop]"))
+  }
+
+  test("vectorize normalizes quoted NEW/OLD refs to backtick form (Spark-parseable)") {
+    val vec = Triggers.vectorize(Seq(
+      """INSERT INTO audit VALUES (NEW.[role], OLD.`x`, NEW."y", NEW.z, 'NEW.[lit]')"""))
+    vec match {
+      case Some(Seq(Triggers.VecInsert("audit", None, exprs))) =>
+        assert(exprs == Seq("NEW.`role`", "OLD.`x`", "NEW.`y`", "NEW.z", "'NEW.[lit]'"),
+          exprs)
+      case other => fail(s"unexpected vectorization: $other")
+    }
+    // RAISE condition refs normalize too
+    Triggers.vectorize(Seq(
+      "SELECT RAISE(ABORT, 'no') WHERE NEW.[v] < 0")) match {
+      case Some(Seq(Triggers.VecRaise("ABORT", "no", Some(cond)))) =>
+        assert(cond == "NEW.`v` < 0", cond)
+      case other => fail(s"unexpected: $other")
+    }
   }
 
   test("renameColumn re-points backtick/[bracket]-quoted NEW/OLD references") {
