@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -1385,6 +1385,54 @@ object PipelineQueries {
           (extracted === expected).cast("int").as("ok"),
           length(extracted).as("n_chars_ext"))
         .orderBy(d)
+    }),
+
+    // ---- web: URL PREP — the step before text ever loads in a web
+    // pipeline. doc_id-derived URLs share a core identity (doc_id % 50)
+    // under per-doc noise that canonicalization must erase (case,
+    // default ports, fragments, utm params, trailing slashes), then:
+    // normalize → URL dedup → registrable domain → blocklist screen
+    // (broadcast anti) → deterministic per-domain cap. Every distinct
+    // normalized URL, domain split, and cap rank replays in DuckDB
+    "t31_url_prep" -> ((s, dir) => {
+      val d = col("doc_id")
+      val core = d % 50
+      val schemeL = when(core % 2 === 0, lit("http")).otherwise(lit("https"))
+      val hostL = concat(
+        when(core % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), (core % 7).cast("string"), lit("."),
+        when(core % 5 === 0, lit("com")).when(core % 5 === 1, lit("org"))
+          .when(core % 5 === 2, lit("co.uk")).when(core % 5 === 3, lit("io"))
+          .otherwise(lit("net")))
+      val schemeHost = concat(schemeL, lit("://"), hostL)
+      val url = concat(
+        when(d % 2 === 1, translate(schemeHost, asciiLower, asciiUpper))
+          .otherwise(schemeHost),
+        when(d % 4 === 0, when(core % 2 === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        lit("/p/"), (core % 11).cast("string"),
+        when(d % 5 === 0, lit("/")).otherwise(lit("")),
+        when(core % 4 === 0, concat(lit("?id="), core.cast("string")))
+          .otherwise(lit("")),
+        when(d % 3 === 1,
+          when(core % 4 === 0, lit("&utm_source=g")).otherwise(lit("?utm_source=g")))
+          .otherwise(lit("")),
+        when(d % 2 === 1, concat(lit("#sec"), d.cast("string"))).otherwise(lit("")))
+      val normed = docs(s, dir).select(d, Web.normalizeUrl(url).as("url_norm"))
+      val deduped = Dedup.exactGroups(normed, "url_norm", "doc_id")
+        .select(col("url_norm"), col("canonical_id"), col("dup_count"))
+        .withColumn("domain",
+          Web.registrableDomain(Web.hostOf(col("url_norm"))))
+      val blocked = { import s.implicits._
+        Seq("site0.com", "site3.co.uk").toDF("domain") }
+      val screened = Web.blocklistScreen(deduped, "domain", blocked)
+      val byDom = screened.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_urls"), sum(col("dup_count")).as("n_docs"),
+        min(col("url_norm")).as("first_url"))
+      val capped = Sampling.stratifiedByHash(screened, "domain",
+          col("url_norm"), n = 1)
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_kept"))
+      byDom.join(capped, Seq("domain")).orderBy(col("domain"))
     }),
 
     // ---- text: CCNet-style PARAGRAPH dedup — multi-paragraph docs are
@@ -4121,6 +4169,110 @@ object PipelineQueries {
         |  THEN 1 ELSE 0 END AS INTEGER) AS ok,
         |  CAST(length(extracted) AS INTEGER) AS n_chars_ext
         |FROM ext ORDER BY doc_id""".stripMargin,
+
+    // url-prep replay: same doc_id-derived construction, then the FULL
+    // normalizeUrl chain (fragment strip → authority case-fold +
+    // default-port strip → query split / tracking-param filter /
+    // trailing-slash strip), hostOf, the registrable-domain heuristic,
+    // the NOT-IN blocklist and the md5-ranked per-domain cap — pattern
+    // constants interpolated from Web's Scala values
+    "t31_url_prep" ->
+      s"""WITH u0 AS (
+        |  SELECT doc_id, doc_id % 50 AS core FROM documents
+        |), built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1
+        |         THEN translate(sh, '$asciiLower', '$asciiUpper') ELSE sh END
+        |    || CASE WHEN doc_id % 4 = 0
+        |            THEN CASE WHEN core % 2 = 0 THEN ':80' ELSE ':443' END
+        |            ELSE '' END
+        |    || '/p/' || CAST(core % 11 AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN core % 4 = 0 THEN '?id=' || CAST(core AS VARCHAR) ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 1
+        |            THEN CASE WHEN core % 4 = 0 THEN '&utm_source=g'
+        |                      ELSE '?utm_source=g' END
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id AS VARCHAR)
+        |            ELSE '' END AS url
+        |  FROM (
+        |    SELECT doc_id, core,
+        |      (CASE WHEN core % 2 = 0 THEN 'http' ELSE 'https' END) || '://'
+        |      || (CASE WHEN core % 3 = 0 THEN 'www.' ELSE '' END)
+        |      || 'site' || CAST(core % 7 AS VARCHAR) || '.'
+        |      || (CASE WHEN core % 5 = 0 THEN 'com' WHEN core % 5 = 1 THEN 'org'
+        |               WHEN core % 5 = 2 THEN 'co.uk' WHEN core % 5 = 3 THEN 'io'
+        |               ELSE 'net' END) AS sh
+        |    FROM u0)
+        |), n1 AS (
+        |  SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS t FROM built
+        |), n2 AS (
+        |  SELECT doc_id, t,
+        |    regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
+        |  FROM n1
+        |), n3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(pfx) > 0
+        |         THEN regexp_replace(regexp_replace(
+        |                translate(pfx, '$asciiUpper', '$asciiLower'),
+        |                ':80$$', ''), ':443$$', '')
+        |              || substr(t, length(pfx) + 1)
+        |         ELSE t END AS u
+        |  FROM n2
+        |), n4 AS (
+        |  SELECT doc_id, u, instr(u, '?') AS qpos FROM n3
+        |), n5 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(CASE WHEN qpos > 0 THEN substr(u, 1, qpos - 1) ELSE u END,
+        |      '/$$', '') AS base,
+        |    list_filter(string_split(substr(u, qpos + 1), '&'),
+        |      p -> NOT regexp_matches(p, '${Web.TrackingParamRe}')) AS kept,
+        |    qpos
+        |  FROM n4
+        |), normd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN qpos > 0 AND len(kept) > 0
+        |         THEN base || '?' || array_to_string(kept, '&')
+        |         ELSE base END AS url_norm
+        |  FROM n5
+        |), ded AS (
+        |  SELECT url_norm, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |  FROM normd GROUP BY url_norm
+        |), hosts AS (
+        |  SELECT *,
+        |    translate(regexp_replace(regexp_replace(
+        |      regexp_extract(trim(url_norm), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@]*@', ''), ':[0-9]*$$', ''), '$asciiUpper', '$asciiLower') AS host
+        |  FROM ded
+        |), doms AS (
+        |  SELECT url_norm, canonical_id, dup_count,
+        |    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+        |         ELSE array_to_string(
+        |           string_split(host, '.')[
+        |             greatest(len(string_split(host, '.')) -
+        |               (CASE WHEN len(string_split(host, '.')) > 2
+        |                      AND list_contains(${Web.MultiPartSecond
+                                 .map(w => s"'$w'").mkString("[", ",", "]")},
+        |                        string_split(host, '.')[len(string_split(host, '.')) - 1])
+        |                      AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+        |                 THEN 3 ELSE 2 END) + 1, 1) :
+        |             len(string_split(host, '.'))], '.')
+        |    END AS domain
+        |  FROM hosts
+        |), screened AS (
+        |  SELECT * FROM doms WHERE domain NOT IN ('site0.com', 'site3.co.uk')
+        |), capped AS (
+        |  SELECT domain, COUNT(*) AS n_kept FROM (
+        |    SELECT domain,
+        |      ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY md5(url_norm), url_norm) AS rn
+        |    FROM screened) WHERE rn <= 1 GROUP BY domain
+        |)
+        |SELECT s.domain, COUNT(*) AS n_urls,
+        |  CAST(SUM(s.dup_count) AS BIGINT) AS n_docs,
+        |  MIN(s.url_norm) AS first_url, MAX(c.n_kept) AS n_kept
+        |FROM screened s JOIN capped c ON c.domain = s.domain
+        |GROUP BY s.domain ORDER BY s.domain""".stripMargin,
 
     // paragraph-dedup replay: same row-number pairing construction,
     // same d09 normalization as the dedup key, first occurrence by

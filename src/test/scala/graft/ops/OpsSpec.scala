@@ -721,6 +721,40 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("normalizeUrl / hostOf / registrableDomain: canonical forms and edge cases") {
+    def norm(u: String): String =
+      Seq(Tuple1(u)).toDF("u").select(Web.normalizeUrl(col("u"))).collect()(0).getString(0)
+    def host(u: String): String =
+      Seq(Tuple1(u)).toDF("u").select(Web.hostOf(col("u"))).collect()(0).getString(0)
+    def dom(h: String): String =
+      Seq(Tuple1(h)).toDF("h").select(Web.registrableDomain(col("h"))).collect()(0).getString(0)
+    // case folds scheme+host only; default ports and fragments go
+    assert(norm("HTTP://WWW.Example.COM:80/Path/X#frag") == "http://www.example.com/Path/X")
+    assert(norm("https://a.io:443/") == "https://a.io")
+    // non-default port kept; path case kept
+    assert(norm("http://a.io:8080/A/") == "http://a.io:8080/A")
+    // tracking params drop, real params survive in order; bare '?' drops
+    assert(norm("http://a.io/p?utm_source=x&id=3&fbclid=z&b=2") == "http://a.io/p?id=3&b=2")
+    assert(norm("http://a.io/p?utm_campaign=only") == "http://a.io/p")
+    assert(norm("http://a.io/p?ref") == "http://a.io/p")
+    // '?' inside the query stays with it; trailing slash strips pre-query
+    assert(norm("http://a.io/p/?q=a?b") == "http://a.io/p?q=a?b")
+    // scheme-less input: no authority folding, still slash/fragment/query rules
+    assert(norm("  Relative/Path/#f  ") == "Relative/Path")
+    assert(host("https://User:pw@Sub.Site.ORG:8443/x") == "sub.site.org")
+    assert(host("no-scheme/path") == "")
+    assert(dom("www.example.com") == "example.com")
+    assert(dom("a.b.co.uk") == "b.co.uk")
+    assert(dom("a.b.co.com") == "co.com")    // 3-letter TLD: plain last-two rule
+    assert(dom("localhost") == "localhost")
+    // blocklist screen drops exactly the blocked domains (broadcast anti)
+    val rows = Seq((1L, "example.com"), (2L, "kept.org"), (3L, "example.com"))
+      .toDF("id", "domain")
+    val blocked = Seq(Tuple1("example.com")).toDF("domain")
+    assert(Web.blocklistScreen(rows, "domain", blocked)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   private def extract(html: String): String = {
     val df = Seq(Tuple1(html)).toDF("h")
     df.select(TextAnalysis.extractText(col("h")).as("t")).collect()(0).getString(0)
