@@ -1387,6 +1387,51 @@ object PipelineQueries {
         .orderBy(d)
     }),
 
+    // ---- streaming: EXACT dedup screen — e15's Bloom screen with
+    // exact digest-index semantics (no false drops). Contents repeat
+    // and scatter across thirds (row r carries row ((31·r % 379) + 1)'s
+    // text — 31 is invertible mod 379, so keys decorrelate from the
+    // % 3 third assignment; a plain (r−1) % K key is hit by k·3
+    // arithmetic and degenerates to all-or-nothing admission), the
+    // index seeds from third 0, feeds for thirds 1 and 2 run as
+    // sequential single-batch streams: feed 1 admits first occurrences
+    // not in the seed, feed 2 additionally screens against feed 1's
+    // absorbed digests. The oracle replays the cascade with NOT-IN sets
+    "e18_stream_exact_screen" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.Paths.scratchDir("graft-exscr-")
+      val idx = base.resolve("idx").toString
+      val outP = base.resolve("out").toString
+      val b = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val rn = b.withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      val assigned = rn.join(
+          rn.select(col("rn").as("crn"), col("text").as("content")),
+          col("crn") === (col("rn") * 31) % 379 + 1)
+        .select(col("doc_id"), (col("rn") % 3).as("third"), col("content"))
+      Dedup.writeDigestIndex(assigned.filter(col("third") === 0), "content", idx)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType)))
+      withShufflePartitions(s, 4) {
+        Seq(1, 2).foreach { r =>
+          val p = base.resolve(s"feed$r")
+          assigned.filter(col("third") === r).select("doc_id", "content")
+            .coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingExactDedupScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "content", "doc_id", idx, outP,
+            base.resolve(s"ck$r").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP)
+        .select(col("doc_id"), md5(col("content")).as("content_md5"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
     // ---- web: URL PREP — the step before text ever loads in a web
     // pipeline. doc_id-derived URLs share a core identity (doc_id % 50)
     // under per-doc noise that canonicalization must erase (case,
@@ -4169,6 +4214,36 @@ object PipelineQueries {
         |  THEN 1 ELSE 0 END AS INTEGER) AS ok,
         |  CAST(length(extracted) AS INTEGER) AS n_chars_ext
         |FROM ext ORDER BY doc_id""".stripMargin,
+
+    // exact-screen replay: feed 1 = min-id first occurrences among
+    // third-1 rows whose content the seed third lacks; feed 2 the same
+    // minus everything feed 1 absorbed — set subtraction replayed with
+    // NOT IN over the same rn-pairing construction
+    "e18_stream_exact_screen" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |rn AS (SELECT doc_id, text,
+        |         row_number() OVER (ORDER BY doc_id) AS rn
+        |       FROM base),
+        |assigned AS (
+        |  SELECT a.doc_id, a.rn % 3 AS third, b.text AS content
+        |  FROM rn a JOIN rn b ON b.rn = ((a.rn * 31) % 379) + 1
+        |),
+        |f1 AS (
+        |  SELECT content, MIN(doc_id) AS doc_id FROM assigned
+        |  WHERE third = 1
+        |    AND content NOT IN (SELECT content FROM assigned WHERE third = 0)
+        |  GROUP BY content
+        |),
+        |f2 AS (
+        |  SELECT content, MIN(doc_id) AS doc_id FROM assigned
+        |  WHERE third = 2
+        |    AND content NOT IN (SELECT content FROM assigned WHERE third = 0)
+        |    AND content NOT IN (SELECT content FROM f1)
+        |  GROUP BY content
+        |)
+        |SELECT doc_id, md5(content) AS content_md5
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY doc_id""".stripMargin,
 
     // url-prep replay: same doc_id-derived construction, then the FULL
     // normalizeUrl chain (fragment strip → authority case-fold +

@@ -245,6 +245,41 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous EXACT first-occurrence screen over a persisted digest
+    * index ([[graft.ops.Dedup.writeDigestIndex]]) — the
+    * [[streamingBloomScreen]]'s exact twin: each micro-batch is cleaned
+    * by [[graft.ops.Dedup.probeDigestIndex]] (in-batch min-id dedup +
+    * one narrow anti-join against every digest previously admitted),
+    * survivors append to the `outPath` feed and THEN their digests to
+    * the index. Exact semantics — no false drops — at the cost of the
+    * full digest set (~32 B/doc) instead of a bitmap; pick by whether a
+    * deterministic small loss rate is acceptable.
+    *
+    * Ordering/replay (the e15 reasoning class): rows land in `outPath`
+    * BEFORE their digests — a crash between the two replays the batch
+    * as at-least-once duplicates in the feed, never as silent loss.
+    * Digest re-append is harmless: membership is idempotent under
+    * duplicate digest rows ([[graft.ops.Dedup.compactDigestIndex]]
+    * restores one-row-per-digest). Null content is dropped, mirroring
+    * the index build side — a null digest never matches the anti-join,
+    * so an admitted null row would be re-admitted every batch. */
+  def streamingExactDedupScreen(stream: DataFrame, contentCol: String,
+      idCol: String, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.ops.Dedup.probeDigestIndex(spark, indexPath,
+          batch.filter(col(contentCol).isNotNull), contentCol, idCol)
+          .persist()
+        try {
+          fresh.write.mode("append").parquet(outPath)
+          graft.ops.Dedup.appendToDigestIndex(fresh, contentCol, indexPath)
+        } finally fresh.unpersist()
+      }
+      .start()
+
   /** Continuous distribution-drift telemetry over a persisted histogram
     * index ([[graft.ops.Sketch.writeHistIndex]]): each micro-batch is
     * sketched with the index's OWN stored subBits, scored against the

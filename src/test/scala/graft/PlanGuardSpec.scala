@@ -48,8 +48,10 @@ class PlanGuardSpec extends SparkSpec {
                                     // there and in the SketchSpec plan pin
       "e16_stream_quantiles",       // executes a streaming query when built;
                                     // its batch shape is t25's, guarded there
-      "e17_stream_drift")           // executes a streaming query when built;
+      "e17_stream_drift",           // executes a streaming query when built;
                                     // its distance shape is t28's, guarded there
+      "e18_stream_exact_screen")    // executes a streaming query when built;
+                                    // its probe shape is d08/d12's, guarded there
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their

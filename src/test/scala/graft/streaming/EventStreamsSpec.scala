@@ -207,6 +207,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(m("a") && m("c") && !m("zz-new"))
   }
 
+  test("streaming exact-dedup screen: first occurrence admitted once, min-id in batch, exact across runs") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("exact-screen")
+    val idx = dir.resolve("idx").toString
+    val outP = dir.resolve("out").toString
+    val seed = Seq((0L, "seeded-a"), (1L, "seeded-b")).toDF("doc_id", "content")
+    graft.ops.Dedup.writeDigestIndex(seed, "content", idx)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingExactDedupScreen(
+      stream.toDF().toDF("doc_id", "content"),
+      "content", "doc_id", idx, outP, dir.resolve("ck").toString)
+    try {
+      // batch 1: in-batch dup keeps min id; seeded content screened;
+      // null content never admitted (would re-admit every batch)
+      stream.addData((10L, "x"), (12L, "x"), (11L, "seeded-a"),
+        (13L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+      assert(out1 == Seq(10L -> "x"), s"batch-1 admissions: $out1")
+      // batch 2: batch-1 admission screened EXACTLY (no false drops:
+      // a brand-new content always passes), seeded still screened
+      stream.addData((20L, "x"), (21L, "y"), (22L, "seeded-b"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sorted.toSeq
+      assert(out2 == Seq(10L -> "x", 21L -> "y"), s"after batch 2: $out2")
+    } finally q.stop()
+    // the index absorbed the admissions: a restarted run still screens
+    val cleaned = graft.ops.Dedup.probeDigestIndex(spark, idx,
+      Seq((30L, "x"), (31L, "y"), (32L, "z")).toDF("doc_id", "content"),
+      "content", "doc_id")
+    assert(cleaned.collect().map(_.getLong(0)).toSeq == Seq(32L))
+  }
+
   test("streaming drift screen: each batch scores vs what was absorbed before it; replay-safe absorb") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("drift-screen")
