@@ -453,6 +453,81 @@ object ScaleProbe {
           s"set-ops intersect ${r.getLong(4)} too far from exact $ex")
       }
     }
+    // round-8: the web-prep tier at 10× docs — 50k multi-paragraph
+    // pages: markup strip (pure per-row regex chain), paragraph-level
+    // dedup (one digest shuffle + one doc shuffle), URL normalization.
+    {
+      val d1 = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val docs10 = (0 until 10).map(i =>
+          d1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+      // every page shares a boilerplate paragraph; text paragraphs
+      // repeat via the %-key so cross-page dup mass is real (~2 copies)
+      val pages = docs10.withColumn("text",
+        concat(lit("<html><head><style>p{x:1}</style></head><body><p>"),
+          col("text"), lit("</p><p>boilerplate &amp; footer</p></body></html>")))
+      println("SCALE web pages: " + pages.count())
+      t("markup strip 50k pages")(noop(pages.select(
+        graft.ops.TextAnalysis.extractText(col("text")).as("t"))))
+      val stripped = pages.select(col("doc_id"),
+        graft.ops.TextAnalysis.extractText(col("text")).as("text"))
+      val deduped = t("paragraph dedup 50k docs")(
+        graft.ops.TextAnalysis.dedupParagraphs(
+          stripped.withColumn("text",
+            regexp_replace(col("text"), "boilerplate & footer",
+              "boilerplate & footer\n\nshared tail")), "doc_id", "text")
+          .agg(sum(col("n_paras")), sum(col("n_kept"))).collect()(0))
+      println(s"SCALE paragraph dedup: paras=${deduped.getLong(0)} kept=${deduped.getLong(1)}")
+      assert(deduped.getLong(1) < deduped.getLong(0) / 2,
+        "cross-page repeats must actually dedup")
+      t("url normalize 6M rows")(noop(l10.select(graft.ops.Web.normalizeUrl(
+        concat(lit("HTTP://Site"), (col("l_partkey") % 1000).cast("string"),
+          lit(".example.COM:80/p/"), col("l_suppkey").cast("string"),
+          lit("/?id="), col("l_orderkey").cast("string"),
+          lit("&utm_source=x#f"))).as("u"))))
+    }
+
+    // round-8: sketch-planned z-order write at 6M rows — boundaries from
+    // a histogram sketch of the z values (bucket rows, no sampling
+    // pass), then the planned write; file ranges must be disjoint and
+    // the layout identical across two writes (the determinism the
+    // sampled path cannot give)
+    {
+      val zBase = Paths.scratchDir("graft-scale-zplan-")
+      try {
+        val keyed = l10.select("l_partkey", "l_suppkey", "l_quantity")
+        val zcol = graft.ops.Layout.zValue(col("l_partkey"), col("l_suppkey"))
+        // subBits=8 for WRITE PLANNING: boundary placement error is
+        // bounded by in-bucket mass, so finer buckets (0.39% relative
+        // width, artifact still ≤ ~58·256 rows) directly bound file
+        // imbalance on skewed key distributions — subBits=5 measured
+        // 20× row skew on this data, 8 reads near-balanced
+        val sk = t("z-value hist sketch 6M rows")(
+          graft.ops.Sketch.histSketch(
+            keyed.select(lit("_").as("k"), zcol.as("z")), "k", "z", 8).cache())
+        sk.count()
+        val bounds = graft.ops.Sketch.histBoundaries(sk, 8, 32)
+        val p1 = zBase.resolve("w1").toString
+        t("planned zorder write 6M rows / 32 files")(
+          graft.ops.Layout.zorderWritePlanned(keyed,
+            col("l_partkey"), col("l_suppkey"), p1, bounds))
+        def ranges(p: String) = spark.read.parquet(p)
+          .groupBy(input_file_name())
+          .agg(min(zcol).as("zmin"), max(zcol).as("zmax"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+        val r1 = ranges(p1)
+        for (Seq((_, hi, _), (lo2, _, _)) <- r1.sliding(2))
+          assert(hi < lo2, "planned files must cover disjoint z ranges")
+        val p2 = zBase.resolve("w2").toString
+        graft.ops.Layout.zorderWritePlanned(keyed,
+          col("l_partkey"), col("l_suppkey"), p2, bounds)
+        assert(ranges(p2) == r1, "same boundaries must give the same layout")
+        println(s"SCALE planned zorder: files=${r1.size} " +
+          s"maxRows=${r1.map(_._3).max} minRows=${r1.map(_._3).min}")
+        sk.unpersist()
+      } finally Paths.rmTree(zBase.toFile)
+    }
     spark.stop()
   }
 }

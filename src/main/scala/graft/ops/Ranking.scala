@@ -51,6 +51,73 @@ object Ranking {
     * The per-doc sum runs over DECIMAL(18,12) partial scores, so the
     * result is identical under any partitioning/ordering.
     */
+  /** Persist an inverted (postings) index for BM25 serving: the corpus
+    * is tokenized ONCE at write time; a query then touches only its own
+    * terms' postings — never the corpus text again. Layout at `path`:
+    * postings rows `(term, doc_id, tf, dl)` range-partitioned and
+    * sorted by term (each parquet file covers a contiguous term range,
+    * so a term-set query prunes to a handful of files by footer
+    * min/max), plus a `_meta` sidecar `(n_docs, total_dl)` — the only
+    * corpus-level stats BM25 needs. Per-term document frequency is NOT
+    * stored: [[queryPostingsIndex]] recomputes it from the pruned
+    * postings it reads anyway, so there is no df sidecar to go stale.
+    * Built in a sibling dir and swapped in with the two-phase [[FsOps]]
+    * discipline (readers see old or new, never a mix); null-text docs
+    * are excluded up front (they can never match and their null token
+    * array would poison the length stats).
+    *
+    * At 100 TB: the index is one tokenize + one hash aggregate at build
+    * time; postings are ~16 B/term-occurrence, and query cost scales
+    * with the queried terms' posting volume, not the corpus. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+    val tmp = path + ".building"
+    toks.select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .repartitionByRange(numFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    toks.agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  /** BM25 top-matching documents served from a [[writePostingsIndex]]
+    * index: identical scores to [[bm25]] over the same corpus (the
+    * arithmetic shapes match term for term; the per-doc sum is the same
+    * DECIMAL(18,12) order-independent aggregate), but the corpus is
+    * never re-read — the scan prunes to the queried terms' posting
+    * files and df comes from the rows it already read. The `_meta` read
+    * is one row (driver-bounded). */
+  def queryPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    FsOps.healSwap(spark, path + ".building", path)
+    val meta = spark.read.parquet(path + "/_meta").collect().head
+    val (nDocs, totalDl) = (meta.getLong(0), meta.getLong(1))
+    val tf = spark.read.parquet(path)
+      .filter(col("term").isin(queryTerms: _*))
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
+    val ratio = (lit(nDocs).cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + ratio) else ratio
+    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
+    val den = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    tf.join(dfreq, "term")
+      .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
+      .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
+  }
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       logIdf: Boolean = true): DataFrame = {

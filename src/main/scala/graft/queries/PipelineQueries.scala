@@ -1251,6 +1251,20 @@ object PipelineQueries {
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
         .select(col("doc_id"), col("bm25"))),
 
+    // ---- search: BM25 served from a PERSISTED postings index — the
+    // corpus is tokenized once at index-write time, the query touches
+    // only its own terms' posting files (term-range pruning) and df is
+    // recomputed from the rows it reads (no sidecar to go stale). Must
+    // hash-match the corpus-scan t08 oracle exactly: same terms, same
+    // rational-arithmetic scoring, same decimal-summed aggregation
+    "t32_postings_search" -> ((s, dir) => {
+      val idx = graft.Paths.scratchDir("graft-postings-").resolve("idx").toString
+      Ranking.writePostingsIndex(docs(s, dir), "doc_id", "text", idx)
+      Ranking.queryPostingsIndex(s, idx, bm25GateTerms, logIdf = false)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25"))
+    }),
+
     // ---- text: PII detection + redaction over docs with planted
     // email/phone/IPv4/SSN strings (the synthetic corpus has none);
     // redaction equality is checked via md5 of the redacted text.
@@ -3906,6 +3920,9 @@ object PipelineQueries {
     "s03_ann_ivf" -> s03OracleSql,
     "s04_ann_ivfpq" -> s04OracleSql,
     "t08_bm25_rank" -> bm25OracleSql,
+    // the index-served query must reproduce the corpus-scan scores
+    // EXACTLY — one oracle serves both gates
+    "t32_postings_search" -> bm25OracleSql,
     "t09_pii_redact" -> piiOracleSql,
 
     "p02_stratified_sample" ->

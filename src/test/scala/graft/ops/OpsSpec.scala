@@ -721,6 +721,40 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("postings index: served BM25 equals the corpus scan bitwise; term files prune; heal") {
+    val dir = tmpDir("postings")
+    val idx = dir.resolve("idx").toString
+    val corpus = docs.unionByName(
+      Seq((200L, "sphinx sphinx sphinx of the quick dog")).toDF("doc_id", "text"))
+    Ranking.writePostingsIndex(corpus, "doc_id", "text", idx, numFiles = 4)
+    for (logIdf <- Seq(true, false)) {
+      val terms = Seq("sphinx", "quick", "dog", "zzz-absent")
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val served = m(Ranking.queryPostingsIndex(spark, idx, terms, logIdf = logIdf))
+      val scanned = m(Ranking.bm25(corpus, "doc_id", "text", terms, logIdf = logIdf))
+      assert(served == scanned, s"logIdf=$logIdf: served $served vs scanned $scanned")
+      assert(served.nonEmpty)
+    }
+    // the queried-term scan reads pruned postings, never the corpus:
+    // the filter reaches the parquet scan as a pushed IN predicate
+    val plan = Ranking.queryPostingsIndex(spark, idx, Seq("sphinx"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"), plan.take(400))
+    // null-text docs are excluded from the stats, not poisoned into them
+    val withNull = corpus.unionByName(
+      Seq((300L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val idx2 = dir.resolve("idx2").toString
+    Ranking.writePostingsIndex(withNull, "doc_id", "text", idx2)
+    assert(spark.read.parquet(idx2 + "/_meta").collect()(0).getLong(0) == corpus.count())
+    // heal: the delete->rename crash window recovers at query time
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + ".building"))
+    assert(Ranking.queryPostingsIndex(spark, idx, Seq("sphinx")).count() > 0)
+  }
+
   test("normalizeUrl / hostOf / registrableDomain: canonical forms and edge cases") {
     def norm(u: String): String =
       Seq(Tuple1(u)).toDF("u").select(Web.normalizeUrl(col("u"))).collect()(0).getString(0)
