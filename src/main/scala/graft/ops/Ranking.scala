@@ -100,6 +100,8 @@ object Ranking {
       b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     FsOps.healSwap(spark, path + ".building", path)
+    // and the meta rebuild's own delete→rename window
+    FsOps.healSwap(spark, path + "/_meta.rebuilding", path + "/_meta")
     val meta = spark.read.parquet(path + "/_meta").collect().head
     val (nDocs, totalDl) = (meta.getLong(0), meta.getLong(1))
     val tf = spark.read.parquet(path)
@@ -116,6 +118,74 @@ object Ranking {
       .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
       .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
+  }
+
+  /** Append a document batch to a [[writePostingsIndex]] index without
+    * rebuilding: the batch's postings land as new files (term-range
+    * pruning degrades gracefully — footer min/max still bounds each
+    * file, there are just more candidate files per term until
+    * [[compactPostingsIndex]]), then `_meta` is atomically re-written
+    * with the batch's stats added.
+    *
+    * Crash window, reasoned (the r5 split-artifact class): postings
+    * land BEFORE the meta update, so a crash between the two leaves new
+    * postings scored under the OLD corpus stats — idf/avgdl slightly
+    * stale, every document still retrievable; the reverse order would
+    * inflate N against missing postings AND lose the batch silently on
+    * replay-with-dedup. [[repairPostingsMeta]] (also run by compact)
+    * recomputes `_meta` exactly from the postings, healing any such
+    * window. `idCol` values must be new (an already-indexed doc would
+    * double its postings — this is an append, not an upsert). */
+  def appendToPostingsIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    FsOps.healSwap(spark, path + ".building", path)
+    val toks = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+    toks.select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("append").parquet(path)
+    repairPostingsMeta(spark, path)
+  }
+
+  /** Recompute `_meta` (n_docs, total_dl) exactly from the postings —
+    * one narrow aggregate over index rows (dl rides on every posting;
+    * max per doc is exact), swapped in atomically. Heals the append
+    * crash window; note a doc whose every token was unique still has
+    * postings, and a doc with NO tokens was never indexed (it cannot
+    * match any query, and [[writePostingsIndex]] counted it only if its
+    * build saw it — after a repair such docs drop out of N, a
+    * documented hair of conservatism). */
+  def repairPostingsMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val metaTmp = path + "/_meta.rebuilding"
+    spark.read.parquet(path)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(metaTmp)
+    FsOps.swapDirs(spark, metaTmp, path + "/_meta")
+  }
+
+  /** Rewrite a multi-segment postings index back to `numFiles`
+    * term-range-sorted files (restores fresh-build pruning) and repair
+    * the stats — the standard two-phase compaction. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 32): Unit = {
+    FsOps.healSwap(spark, path + ".building", path)
+    val tmp = path + ".building"
+    val rows = spark.read.parquet(path).persist()
+    try {
+      rows.repartitionByRange(numFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      rows.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    } finally rows.unpersist()
+    FsOps.swapDirs(spark, tmp, path)
   }
 
   def bm25(docs: DataFrame, idCol: String, textCol: String,

@@ -755,6 +755,48 @@ class OpsSpec extends SparkSpec {
     assert(Ranking.queryPostingsIndex(spark, idx, Seq("sphinx")).count() > 0)
   }
 
+  test("postings index lifecycle: append ≡ rebuild, compact restores layout, meta heals") {
+    val dir = tmpDir("postings-life")
+    val idx = dir.resolve("idx").toString
+    val a = docs.filter(col("doc_id") < 100)
+    val b = docs.filter(col("doc_id") >= 100)
+    Ranking.writePostingsIndex(a, "doc_id", "text", idx, numFiles = 4)
+    Ranking.appendToPostingsIndex(b, "doc_id", "text", idx)
+    val terms = Seq("sphinx", "quick", "the")
+    def served() = Ranking.queryPostingsIndex(spark, idx, terms, logIdf = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val afterAppend = served()
+    // append ≡ a fresh build over the whole corpus
+    val full = dir.resolve("full").toString
+    Ranking.writePostingsIndex(docs, "doc_id", "text", full, numFiles = 4)
+    val rebuilt = Ranking.queryPostingsIndex(spark, full, terms, logIdf = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(afterAppend == rebuilt, "append must serve identically to a rebuild")
+    // compact: same answers, restored term-sorted layout
+    Ranking.compactPostingsIndex(spark, idx, numFiles = 4)
+    assert(served() == rebuilt, "compaction must not change answers")
+    // meta repair heals a stats-stale index (simulate the crash window:
+    // postings appended, meta still the OLD build's)
+    val idx2 = dir.resolve("idx2").toString
+    Ranking.writePostingsIndex(a, "doc_id", "text", idx2, numFiles = 2)
+    val fs = new org.apache.hadoop.fs.Path(idx2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // raw postings append with no meta update = the documented window
+    spark.read.parquet(full).join(
+        b.select(col("doc_id").as("d2")), col("doc_id") === col("d2"))
+      .select("term", "doc_id", "tf", "dl")
+      .write.mode("append").parquet(idx2)
+    Ranking.repairPostingsMeta(spark, idx2)
+    val healed = Ranking.queryPostingsIndex(spark, idx2, terms, logIdf = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(healed == rebuilt, "repaired meta must serve exactly like a rebuild")
+    // a half-done meta rebuild heals at query time
+    fs.rename(new org.apache.hadoop.fs.Path(idx2 + "/_meta"),
+      new org.apache.hadoop.fs.Path(idx2 + "/_meta.rebuilding"))
+    assert(Ranking.queryPostingsIndex(spark, idx2, terms, logIdf = false)
+      .collect().nonEmpty)
+  }
+
   test("normalizeUrl / hostOf / registrableDomain: canonical forms and edge cases") {
     def norm(u: String): String =
       Seq(Tuple1(u)).toDF("u").select(Web.normalizeUrl(col("u"))).collect()(0).getString(0)
