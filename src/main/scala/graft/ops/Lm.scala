@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Persisted corpus language model — the CCNet-style quality filter's
+  * production shape: learn bigram statistics from a TRUSTED reference
+  * corpus once, then score every new crawl batch against that artifact
+  * ("does this document read like the reference?") without re-touching
+  * the reference. [[graft.ops.TextAnalysis.bigramPlausibility]] is the
+  * one-corpus self-scored variant; this is the cross-corpus persisted
+  * one.
+  *
+  * Model artifact: ONE table of `(w1, w2, c)` rows where `w2 IS NULL`
+  * marks the context total c1(w1) — all sufficient statistics in one
+  * atomically-swapped table (the r5 split-artifact lesson: a
+  * counts/context two-directory model has a crash window between the
+  * two swaps where scores divide by mismatched stats). Size is bounded
+  * by the reference's observed bigram vocabulary.
+  *
+  * Scoring stays in the repo's exact-arithmetic envelope: P(w2|w1) =
+  * c12/c1 is rational (no transcendentals, unlike log-perplexity), the
+  * per-doc mean sums DECIMAL(18,12) partials — order-independent under
+  * any parallelism, replayed bitwise by the t33 oracle. Unseen bigram
+  * or unseen context scores 0 (the harshest backoff; documents full of
+  * out-of-reference language are exactly the ones the filter exists to
+  * down-rank).
+  */
+object Lm {
+
+  private def grams(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // bigram array bound once (HOF-CSE trap — see bigramPlausibility)
+    val bigramsArr = Dedup.bindOnce(TextAnalysis.tokens(col(textCol))) { tk =>
+      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - 2),
+          i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2"))))
+    }
+    df.select(col(idCol).as("doc_id"), explode(bigramsArr).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+  }
+
+  /** Learn and persist the reference LM at `path`: bigram count rows
+    * plus `w2 IS NULL` context-total rows, one table, two-phase swap.
+    * Two hash aggregations over one exploded pass; no driver state. */
+  def writeLmIndex(reference: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = reference.sparkSession
+    val g = grams(reference, idCol, textCol)
+    val rows = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .unionByName(g.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c")).withColumn("w2", lit(null).cast("string"))
+        .select(col("w1"), col("w2"), col("c")))
+    val tmp = path + ".building"
+    rows.write.mode("overwrite").parquet(tmp)
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  /** Score a batch against a persisted [[writeLmIndex]] model:
+    * `(doc_id, n_bigrams, lm_score)` with lm_score = mean over the
+    * doc's bigrams of P(w2|w1) under the REFERENCE counts (0 for
+    * unseen). Docs with fewer than 2 tokens are dropped (no bigrams to
+    * judge). Two shuffle joins against bounded model rows — the
+    * reference corpus is never re-read. */
+  def scoreWithLm(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    FsOps.healSwap(spark, path + ".building", path)
+    val model = spark.read.parquet(path)
+    val bi = model.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+    val ctx = model.filter(col("w2").isNull)
+      .select(col("w1"), col("c").as("c1"))
+    grams(batch, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .withColumn("p",
+        coalesce((col("c12").cast("double") / col("c1").cast("double"))
+          .cast("decimal(18,12)"), lit(0).cast("decimal(18,12)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("psum").cast("double") / col("n_bigrams").cast("double"))
+          .as("lm_score"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Chunking, Dedup, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -1326,6 +1326,20 @@ object PipelineQueries {
           sum(col("n_tokens")).as("sum_tokens"),
           (max(col("bin_id")) + lit(1)).as("n_bins"))
         .orderBy(col("split"))
+    }),
+
+    // ---- text: CROSS-CORPUS LM filter — the CCNet quality-filter
+    // production shape: a bigram LM learned from the even-doc reference
+    // half is PERSISTED, then the odd-doc candidate half is scored
+    // against the artifact (mean P(w2|w1) under reference counts,
+    // unseen -> 0) without re-touching the reference. Rational
+    // probabilities + decimal sums: bitwise cross-engine
+    "t33_lm_filter" -> ((s, dir) => {
+      val path = graft.Paths.scratchDir("graft-lm-").resolve("lm").toString
+      val base = docs(s, dir)
+      Lm.writeLmIndex(base.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      Lm.scoreWithLm(s, path, base.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text").orderBy(col("doc_id"))
     }),
 
     // ---- text: corpus-LM bigram plausibility — the corpus is its own
@@ -4084,6 +4098,30 @@ object PipelineQueries {
     // the corpus-as-LM oracle: same explode → bigram/unigram counts →
     // rational P(w2|w1), decimal sum, mean; docs with <2 tokens have no
     // bigram rows and are absent in both engines
+    "t33_lm_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
+        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
+        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM grams
+        |       WHERE doc_id % 2 = 0 GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(COALESCE(
+        |      CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(18,12)),
+        |      CAST(0 AS DECIMAL(18,12)))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS lm_score
+        |FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+        |WHERE g.doc_id % 2 = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t10_bigram_plaus" ->
       """WITH toks AS (
         |  SELECT doc_id,

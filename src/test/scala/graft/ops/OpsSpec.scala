@@ -721,6 +721,34 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("persisted LM filter: reference counts score candidates; unseen language scores 0") {
+    val dir = tmpDir("lm")
+    val path = dir.resolve("lm").toString
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    Lm.writeLmIndex(ref, "doc_id", "text", path)
+    def score(t: String): (Long, Double) = {
+      val r = Lm.scoreWithLm(spark, path, Seq((9L, t)).toDF("doc_id", "text"),
+        "doc_id", "text").collect()(0)
+      (r.getLong(1), r.getDouble(2))
+    }
+    // in-reference phrasing scores high: P(cat|the)=2/6, P(sat|cat)=1/2 …
+    val (n1, s1) = score("the cat sat")
+    assert(n1 == 2 && s1 > 0.3, s"$s1")
+    // out-of-reference language: every bigram unseen -> exactly 0
+    assert(score("quantum flux capacitor overload") == ((3L, 0.0)))
+    // seen words in unseen order: contexts exist, bigrams don't -> 0
+    assert(score("mat the on sat")._2 == 0.0)
+    // mixed: unseen bigrams pull the mean down, not poison it
+    val (_, sMix) = score("the cat flux capacitor")
+    assert(sMix > 0.0 && sMix < s1, s"$sMix vs $s1")
+    // single-token docs have no bigrams: dropped, not scored
+    assert(Lm.scoreWithLm(spark, path, Seq((9L, "the")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
   test("postings index: served BM25 equals the corpus scan bitwise; term files prune; heal") {
     val dir = tmpDir("postings")
     val idx = dir.resolve("idx").toString
