@@ -41,18 +41,24 @@ object Lm {
 
   /** Learn and persist the reference LM at `path`: bigram count rows
     * plus `w2 IS NULL` context-total rows, one table, two-phase swap.
-    * Two hash aggregations over one exploded pass; no driver state. */
+    * ONE corpus tokenize/explode pass: the context totals derive from
+    * the bigram-count table itself (c1(w1) = Σ_w2 c12(w1,w2) exactly),
+    * so the second aggregate runs over bounded count rows, never the
+    * corpus again. */
   def writeLmIndex(reference: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = reference.sparkSession
-    val g = grams(reference, idCol, textCol)
-    val rows = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .unionByName(g.groupBy(col("w1"))
-        .agg(count(lit(1)).as("c")).withColumn("w2", lit(null).cast("string"))
+    val bc = grams(reference, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val rows = bc.unionByName(bc.groupBy(col("w1"))
+        .agg(sum(col("c")).as("c")).withColumn("w2", lit(null).cast("string"))
         .select(col("w1"), col("w2"), col("c")))
-    val tmp = path + ".building"
-    rows.write.mode("overwrite").parquet(tmp)
-    FsOps.swapDirs(spark, tmp, path)
+      val tmp = path + ".building"
+      rows.write.mode("overwrite").parquet(tmp)
+      FsOps.swapDirs(spark, tmp, path)
+    } finally bc.unpersist()
   }
 
   /** Score a batch against a persisted [[writeLmIndex]] model:

@@ -39,6 +39,9 @@ object Ranking {
 
   /** BM25 relevance of every matching document to a bag of query terms.
     * Returns (doc_id, bm25) for documents containing ≥1 query term.
+    * Null-text documents are excluded from the corpus statistics — the
+    * SAME exclusion [[writePostingsIndex]] applies, so index-served
+    * scores stay bitwise identical to this scan on any corpus.
     *
     * `logIdf = true` (default) is classic BM25:
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)). `logIdf = false` drops the
@@ -51,149 +54,12 @@ object Ranking {
     * The per-doc sum runs over DECIMAL(18,12) partial scores, so the
     * result is identical under any partitioning/ordering.
     */
-  /** Persist an inverted (postings) index for BM25 serving: the corpus
-    * is tokenized ONCE at write time; a query then touches only its own
-    * terms' postings — never the corpus text again. Layout at `path`:
-    * postings rows `(term, doc_id, tf, dl)` range-partitioned and
-    * sorted by term (each parquet file covers a contiguous term range,
-    * so a term-set query prunes to a handful of files by footer
-    * min/max), plus a `_meta` sidecar `(n_docs, total_dl)` — the only
-    * corpus-level stats BM25 needs. Per-term document frequency is NOT
-    * stored: [[queryPostingsIndex]] recomputes it from the pruned
-    * postings it reads anyway, so there is no df sidecar to go stale.
-    * Built in a sibling dir and swapped in with the two-phase [[FsOps]]
-    * discipline (readers see old or new, never a mix); null-text docs
-    * are excluded up front (they can never match and their null token
-    * array would poison the length stats).
-    *
-    * At 100 TB: the index is one tokenize + one hash aggregate at build
-    * time; postings are ~16 B/term-occurrence, and query cost scales
-    * with the queried terms' posting volume, not the corpus. */
-  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, numFiles: Int = 32): Unit = {
-    val spark = docs.sparkSession
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-    val tmp = path + ".building"
-    toks.select(col("doc_id"), size(col("tk")).as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .repartitionByRange(numFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(tmp)
-    toks.agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("total_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
-  }
-
-  /** BM25 top-matching documents served from a [[writePostingsIndex]]
-    * index: identical scores to [[bm25]] over the same corpus (the
-    * arithmetic shapes match term for term; the per-doc sum is the same
-    * DECIMAL(18,12) order-independent aggregate), but the corpus is
-    * never re-read — the scan prunes to the queried terms' posting
-    * files and df comes from the rows it already read. The `_meta` read
-    * is one row (driver-bounded). */
-  def queryPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, queryTerms: Seq[String], k1: Double = 1.2,
-      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
-    require(queryTerms.nonEmpty, "empty query")
-    FsOps.healSwap(spark, path + ".building", path)
-    // and the meta rebuild's own delete→rename window
-    FsOps.healSwap(spark, path + "/_meta.rebuilding", path + "/_meta")
-    val meta = spark.read.parquet(path + "/_meta").collect().head
-    val (nDocs, totalDl) = (meta.getLong(0), meta.getLong(1))
-    val tf = spark.read.parquet(path)
-      .filter(col("term").isin(queryTerms: _*))
-    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
-    val ratio = (lit(nDocs).cast("double") - col("df") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val idf = if (logIdf) log(lit(1.0) + ratio) else ratio
-    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
-    val den = col("tf").cast("double") +
-      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
-    tf.join(dfreq, "term")
-      .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
-      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
-      .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
-  }
-
-  /** Append a document batch to a [[writePostingsIndex]] index without
-    * rebuilding: the batch's postings land as new files (term-range
-    * pruning degrades gracefully — footer min/max still bounds each
-    * file, there are just more candidate files per term until
-    * [[compactPostingsIndex]]), then `_meta` is atomically re-written
-    * with the batch's stats added.
-    *
-    * Crash window, reasoned (the r5 split-artifact class): postings
-    * land BEFORE the meta update, so a crash between the two leaves new
-    * postings scored under the OLD corpus stats — idf/avgdl slightly
-    * stale, every document still retrievable; the reverse order would
-    * inflate N against missing postings AND lose the batch silently on
-    * replay-with-dedup. [[repairPostingsMeta]] (also run by compact)
-    * recomputes `_meta` exactly from the postings, healing any such
-    * window. `idCol` values must be new (an already-indexed doc would
-    * double its postings — this is an append, not an upsert). */
-  def appendToPostingsIndex(batch: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
-    val spark = batch.sparkSession
-    FsOps.healSwap(spark, path + ".building", path)
-    val toks = batch.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-    toks.select(col("doc_id"), size(col("tk")).as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .write.mode("append").parquet(path)
-    repairPostingsMeta(spark, path)
-  }
-
-  /** Recompute `_meta` (n_docs, total_dl) exactly from the postings —
-    * one narrow aggregate over index rows (dl rides on every posting;
-    * max per doc is exact), swapped in atomically. Heals the append
-    * crash window; note a doc whose every token was unique still has
-    * postings, and a doc with NO tokens was never indexed (it cannot
-    * match any query, and [[writePostingsIndex]] counted it only if its
-    * build saw it — after a repair such docs drop out of N, a
-    * documented hair of conservatism). */
-  def repairPostingsMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val metaTmp = path + "/_meta.rebuilding"
-    spark.read.parquet(path)
-      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(metaTmp)
-    FsOps.swapDirs(spark, metaTmp, path + "/_meta")
-  }
-
-  /** Rewrite a multi-segment postings index back to `numFiles`
-    * term-range-sorted files (restores fresh-build pruning) and repair
-    * the stats — the standard two-phase compaction. */
-  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, numFiles: Int = 32): Unit = {
-    FsOps.healSwap(spark, path + ".building", path)
-    val tmp = path + ".building"
-    val rows = spark.read.parquet(path).persist()
-    try {
-      rows.repartitionByRange(numFiles, col("term"), col("doc_id"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("overwrite").parquet(tmp)
-      rows.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    } finally rows.unpersist()
-    FsOps.swapDirs(spark, tmp, path)
-  }
-
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       logIdf: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
     // corpus passes: ONE aggregate for (N, Σdl) + ONE explode for tf —
     // the doc length rides along through the tf aggregate (constant per
     // doc, so max() is exact) instead of a third tokenize + shuffle join
@@ -215,6 +81,164 @@ object Ranking {
     val den = col("tf").cast("double") +
       lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
     tf.join(dfreq, "term").crossJoin(totals)
+      .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
+      .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
+      .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
+  }
+
+  // -------------------------------------------- persisted postings index
+
+  /** Persist an inverted (postings) index for BM25 serving: the corpus
+    * is tokenized ONCE at write time (cached across the two writes —
+    * never re-scanned for the stats); a query then touches only its own
+    * terms' postings, never the corpus text again. Layout at `path`:
+    * postings rows `(term, doc_id, tf, dl)` range-partitioned and
+    * sorted by term (each parquet file covers a contiguous term range,
+    * so a term-set query prunes to a handful of files by footer
+    * min/max), plus a `_meta` sidecar `(n_docs, total_dl)` — the only
+    * corpus-level stats BM25 needs. Per-term document frequency is NOT
+    * stored: [[queryPostingsIndex]] recomputes it from the pruned
+    * postings it reads anyway, so there is no df sidecar to go stale.
+    * Built in a sibling dir and swapped in with the two-phase [[FsOps]]
+    * discipline (readers see old or new, never a mix). Null-text docs
+    * are excluded — the SAME exclusion [[bm25]] applies, keeping
+    * served ≡ scanned bitwise on any corpus. */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .persist()
+    try {
+      val tmp = path + ".building"
+      toks.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .repartitionByRange(numFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      toks.agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("total_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+      FsOps.swapDirs(spark, tmp, path)
+    } finally toks.unpersist()
+  }
+
+  /** Append a document batch to a [[writePostingsIndex]] index without
+    * rebuilding: the batch's postings land as new files (term-range
+    * pruning degrades gracefully — footer min/max still bounds each
+    * file, there are just more candidate files per term until
+    * [[compactPostingsIndex]]), then `_meta` is atomically re-written
+    * with the batch's stats ADDED — O(batch), the index is not
+    * re-scanned.
+    *
+    * Crash/replay semantics, reasoned (the r5 split-artifact class):
+    * postings land BEFORE the meta update, so a crash between the two
+    * leaves new postings scored under slightly stale corpus stats —
+    * every document still retrievable; the reverse order would inflate
+    * N against missing postings. A REPLAYED append lays down duplicate
+    * identical posting rows and adds its stats twice: the duplicate
+    * ROWS are collapsed by the `.distinct()` every reader applies
+    * ([[queryPostingsIndex]]/[[compactPostingsIndex]]/
+    * [[repairPostingsMeta]]), and the doubled STATS are healed by
+    * [[repairPostingsMeta]] — run it (or compact) after any suspected
+    * replay. `idCol` values must be new to the index (an append is not
+    * an upsert: re-appending a changed document's text is user error
+    * and leaves both versions' postings). */
+  def appendToPostingsIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    FsOps.healSwap(spark, path + ".building", path)
+    FsOps.healSwap(spark, path + "/_meta.rebuilding", path + "/_meta")
+    val toks = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .persist()
+    try {
+      toks.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .write.mode("append").parquet(path)
+      val old = spark.read.parquet(path + "/_meta").collect().head
+      val add = toks.agg(count(lit(1)), sum(size(col("tk")))).collect().head
+      val metaTmp = path + "/_meta.rebuilding"
+      import spark.implicits._
+      Seq((old.getLong(0) + add.getLong(0),
+          old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))))
+        .toDF("n_docs", "total_dl")
+        .coalesce(1).write.mode("overwrite").parquet(metaTmp)
+      FsOps.swapDirs(spark, metaTmp, path + "/_meta")
+    } finally toks.unpersist()
+  }
+
+  /** Recompute `_meta` (n_docs, total_dl) exactly from the postings —
+    * one narrow aggregate over DISTINCT index rows (dl rides on every
+    * posting; max per doc is exact), swapped in atomically. Heals the
+    * append crash window and a replayed append's doubled stats. Note:
+    * a doc with NO tokens has no postings — after a repair such docs
+    * drop out of N, a documented hair of conservatism ([[bm25]] counts
+    * them; they can never match a query either way). */
+  def repairPostingsMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val metaTmp = path + "/_meta.rebuilding"
+    spark.read.parquet(path).distinct()
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(metaTmp)
+    FsOps.swapDirs(spark, metaTmp, path + "/_meta")
+  }
+
+  /** Rewrite a multi-segment postings index back to `numFiles`
+    * term-range-sorted DISTINCT files (collapses any replayed append's
+    * duplicate rows, restores fresh-build pruning) and repair the
+    * stats — the standard two-phase compaction. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 32): Unit = {
+    FsOps.healSwap(spark, path + ".building", path)
+    val tmp = path + ".building"
+    val rows = spark.read.parquet(path).distinct().persist()
+    try {
+      rows.repartitionByRange(numFiles, col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      rows.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    } finally rows.unpersist()
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  /** BM25 top-matching documents served from a [[writePostingsIndex]]
+    * index: identical scores to [[bm25]] over the same corpus (the
+    * arithmetic shapes match term for term; the per-doc sum is the same
+    * DECIMAL(18,12) order-independent aggregate), but the corpus is
+    * never re-read — the scan prunes to the queried terms' posting
+    * files and df comes from the rows it already read, deduplicated
+    * first so a replayed append cannot double-count (cheap: the
+    * distinct runs over the PRUNED rows only). The `_meta` read is one
+    * row (driver-bounded). */
+  def queryPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, logIdf: Boolean = true): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    FsOps.healSwap(spark, path + ".building", path)
+    // and the meta rebuild's own delete→rename window
+    FsOps.healSwap(spark, path + "/_meta.rebuilding", path + "/_meta")
+    val meta = spark.read.parquet(path + "/_meta").collect().head
+    val (nDocs, totalDl) = (meta.getLong(0), meta.getLong(1))
+    val tf = spark.read.parquet(path)
+      .filter(col("term").isin(queryTerms: _*)).distinct()
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val avgdl = lit(totalDl).cast("double") / lit(nDocs).cast("double")
+    val ratio = (lit(nDocs).cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val idf = if (logIdf) log(lit(1.0) + ratio) else ratio
+    val num = col("tf").cast("double") * (lit(k1) + lit(1.0))
+    val den = col("tf").cast("double") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    tf.join(dfreq, "term")
       .withColumn("term_score", (idf * num / den).cast("decimal(18,12)"))
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
       .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))

@@ -31,9 +31,11 @@ object Web {
     *
     *  1. trim;
     *  2. fragment strip (`#…` never reaches the server);
-    *  3. ASCII-lowercase the scheme and authority ONLY (path and query
-    *     are case-significant by RFC 3986);
-    *  4. default-port strip (`:80` for http, `:443` for https);
+    *  3. ASCII-lowercase the scheme and host:port ONLY (path, query AND
+    *     userinfo are case-significant by RFC 3986);
+    *  4. default-port strip, scheme-conditional (`:80` only under
+    *     `http://`, `:443` only under `https://` — `https://h:80` is a
+    *     distinct origin and stays);
     *  5. split at the first `?`: the pre-query part loses one trailing
     *     `/` (`…/a/` ≡ `…/a`, `host/` ≡ `host`), the query loses
     *     [[TrackingParamRe]] params — dropped entirely (with its `?`)
@@ -47,14 +49,25 @@ object Web {
     * host — [[registrableDomain]] is the level at which `www.` folds). */
   def normalizeUrl(url: Column): Column = {
     val t = regexp_replace(trim(url), "#.*", "")
-    // authority prefix "scheme://host[:port]" — [^/?#]* stops at the path
+    // authority prefix "scheme://[userinfo@]host[:port]" — [^/?#]* stops
+    // at the path
     val prefixRe = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
     val prefix = regexp_extract(t, prefixRe, 1)
-    val folded = concat(
-      regexp_replace(regexp_replace(asciiFold(prefix),
-        ":80$", ""), ":443$", ""),
-      substring(t, length(prefix) + 1, lit(Int.MaxValue)))
-    val u = when(length(prefix) > 0, folded).otherwise(t)
+    // fold the scheme and host:port ONLY — userinfo is case-significant
+    // by RFC 3986 (folding it would merge distinct users' URLs). The
+    // greedy [^/?#]* before '@' splits at the LAST '@' of the authority.
+    val schemePart = regexp_extract(prefix, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
+    val afterScheme = substring(prefix, length(schemePart) + 1, lit(Int.MaxValue))
+    val userinfo = regexp_extract(afterScheme, "^([^/?#]*@)", 1)
+    val hostPort = substring(afterScheme, length(userinfo) + 1, lit(Int.MaxValue))
+    val foldedPrefix = concat(asciiFold(schemePart), userinfo, asciiFold(hostPort))
+    // default-port strip is SCHEME-conditional: https://h:80 is a real
+    // non-default origin and must not merge with https://h
+    val portStripped = regexp_replace(regexp_replace(foldedPrefix,
+      "^(http://[^/?#]*):80$", "$1"), "^(https://[^/?#]*):443$", "$1")
+    val u = when(length(prefix) > 0,
+      concat(portStripped, substring(t, length(prefix) + 1, lit(Int.MaxValue))))
+      .otherwise(t)
     // split at the first '?' (later '?' are query content and move with it)
     val qpos = instr(u, "?")
     val base = regexp_replace(

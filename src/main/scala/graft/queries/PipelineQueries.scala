@@ -2612,7 +2612,7 @@ object PipelineQueries {
     val termList = bm25GateTerms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
        |totals AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
        |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
@@ -4340,15 +4340,26 @@ object PipelineQueries {
         |  SELECT doc_id, t,
         |    regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
         |  FROM n1
+        |), n2b AS (
+        |  SELECT doc_id, t, pfx,
+        |    regexp_extract(pfx, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) AS sp
+        |  FROM n2
+        |), n2c AS (
+        |  SELECT doc_id, t, pfx, sp,
+        |    regexp_extract(substr(pfx, length(sp) + 1), '^([^/?#]*@)', 1) AS ui
+        |  FROM n2b
         |), n3 AS (
         |  SELECT doc_id,
         |    CASE WHEN length(pfx) > 0
         |         THEN regexp_replace(regexp_replace(
-        |                translate(pfx, '$asciiUpper', '$asciiLower'),
-        |                ':80$$', ''), ':443$$', '')
+        |                translate(sp, '$asciiUpper', '$asciiLower') || ui ||
+        |                translate(substr(pfx, length(sp) + length(ui) + 1),
+        |                  '$asciiUpper', '$asciiLower'),
+        |                '^(http://[^/?#]*):80$$', '\\1'),
+        |                '^(https://[^/?#]*):443$$', '\\1')
         |              || substr(t, length(pfx) + 1)
         |         ELSE t END AS u
-        |  FROM n2
+        |  FROM n2c
         |), n4 AS (
         |  SELECT doc_id, u, instr(u, '?') AS qpos FROM n3
         |), n5 AS (

@@ -818,6 +818,16 @@ class OpsSpec extends SparkSpec {
     val healed = Ranking.queryPostingsIndex(spark, idx2, terms, logIdf = false)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(healed == rebuilt, "repaired meta must serve exactly like a rebuild")
+    // a REPLAYED append (identical rows laid down twice) cannot
+    // double-count: readers dedup rows, repair heals the stats
+    spark.read.parquet(full).join(
+        b.select(col("doc_id").as("d2")), col("doc_id") === col("d2"))
+      .select("term", "doc_id", "tf", "dl")
+      .write.mode("append").parquet(idx2)
+    Ranking.repairPostingsMeta(spark, idx2)
+    assert(Ranking.queryPostingsIndex(spark, idx2, terms, logIdf = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == rebuilt,
+      "duplicate posting rows must not change scores")
     // a half-done meta rebuild heals at query time
     fs.rename(new org.apache.hadoop.fs.Path(idx2 + "/_meta"),
       new org.apache.hadoop.fs.Path(idx2 + "/_meta.rebuilding"))
@@ -837,6 +847,13 @@ class OpsSpec extends SparkSpec {
     assert(norm("https://a.io:443/") == "https://a.io")
     // non-default port kept; path case kept
     assert(norm("http://a.io:8080/A/") == "http://a.io:8080/A")
+    // default-port strip is scheme-conditional: a MISMATCHED default
+    // port is a distinct origin and must survive
+    assert(norm("https://a.io:80/x") == "https://a.io:80/x")
+    assert(norm("http://a.io:443/x") == "http://a.io:443/x")
+    // userinfo keeps its case (credentials are case-significant);
+    // scheme and host still fold, default port still strips
+    assert(norm("HTTP://UserA:PW@Example.COM:80/x") == "http://UserA:PW@example.com/x")
     // tracking params drop, real params survive in order; bare '?' drops
     assert(norm("http://a.io/p?utm_source=x&id=3&fbclid=z&b=2") == "http://a.io/p?id=3&b=2")
     assert(norm("http://a.io/p?utm_campaign=only") == "http://a.io/p")
