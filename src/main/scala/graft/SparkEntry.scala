@@ -26,15 +26,17 @@ import graft.queries._
   *   - s01–s12  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means)
-  *   - t0*–t2*  text analysis (tokens, quality, langid, fingerprint, edit,
-  *              BPE, classifier) + sketches (KMV, count-min, Bloom,
-  *              quantile histogram)
+  *   - t0*–t3*  text analysis (tokens, quality, langid, fingerprint, edit,
+  *              BPE, classifier, markup strip, paragraph dedup, URL prep,
+  *              postings search, LM filter) + sketches (KMV, count-min,
+  *              Bloom, quantile histogram)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e17  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - e0*–e18  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index
-  *              screen, drift screen), as-of/range join
-  *   - p0*      composed pipelines (corpus prep, sampling, packing, splits)
+  *              screen, drift screen, exact-dedup screen), as-of/range join
+  *   - p0*–p16  composed pipelines (corpus prep, sampling, packing, splits,
+  *              the seven-operator full-chain integration gate)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
   *              ANN, sampling, sketch hashes — pure-SQL demos)
   */
