@@ -268,6 +268,65 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** Join-cardinality estimate between two per-key count-min sketch
+    * frames (same depth/width/hash): `(key, est_inner)` where
+    * `est_inner` estimates Σ_v f_a(v)·f_b(v) — the equi-join row count
+    * between the two sketched multisets on the value column (the CM
+    * inner-product estimator, Cormode & Muthukrishnan 2005 §4.2). Size
+    * a join (broadcast? pre-salt?) from two bounded artifacts without
+    * touching either table; day-level sketches compose via [[cmMerge]]
+    * first, so horizon-level join sizing is still sketch-only.
+    *
+    * One-sided like [[cmEstimate]]: per depth row the bucket-wise
+    * product sum only ADDS collision mass over the true inner product,
+    * so the min over depth rows NEVER undercounts. The inner bucket
+    * join is exact for each row's sum (a bucket absent on either side
+    * contributes 0) — and a depth row with NO shared buckets proves the
+    * true inner product is 0, so a key with fewer than `depth` joined
+    * rows estimates 0. Keys present in only one sketch (join size
+    * provably 0) surface as 0 via the null-safe key-universe join (tier
+    * invariant: null keys are groups too, checked FIRST — see the
+    * round-6 notes).
+    *
+    * Domain bound (the [[histDistance]] contract): each per-row sum is
+    * ≤ na·nb (non-negative counts), so the DECIMAL(38,0) sum is exact
+    * while na·nb < 10³⁸−1; a cheap typed-error guard on the joined
+    * rows' window totals (≤ the true totals, same Σab ≤ ΣaΣb bound)
+    * raises at ~9·10³⁷ instead of letting the ANSI decimal aggregation
+    * blow up mid-query at an engine-dependent row. */
+  def cmInnerProduct(a: DataFrame, b: DataFrame, depth: Int = 4): DataFrame = {
+    require(depth >= 1, s"cmInnerProduct: depth=$depth")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val am = cmMerge(a)
+    val bm = cmMerge(b)
+    val bS = bm.select(col("key").as("__bk"), col("di").as("__bd"),
+      col("bucket").as("__bb"), col("cnt").as("__bc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key", "di")
+    val perRow = am.join(bS,
+        col("key") <=> col("__bk") && col("di") === col("__bd") &&
+          col("bucket") === col("__bb"))
+      // shared-bucket window totals bound the product sum from above;
+      // the groupBy below reuses the window's (key, di) partitioning
+      .withColumn("__na", sum(col("cnt")).over(w))
+      .withColumn("__nb", sum(col("__bc")).over(w))
+      .filter(when(
+        col("__na").cast("double") * col("__nb").cast("double") > lit(9e37),
+        raise_error(concat(lit("cmInnerProduct: per-key totals too large "),
+          lit("for the exact DECIMAL(38,0) sum (na*nb > ~9e37) at key "),
+          coalesce(col("key").cast("string"), lit("null"))))
+        ).otherwise(lit(true)))
+      .groupBy(col("key"), col("di"))
+      .agg(sum(col("cnt").cast(dec) * col("__bc")).as("ip"))
+    val est = perRow.groupBy(col("key"))
+      .agg(when(count(lit(1)) < depth, lit(0L).cast(dec))
+        .otherwise(min(col("ip"))).as("est_inner"))
+    val keys = am.select(col("key")).union(bm.select(col("key"))).distinct()
+    keys.join(est.select(col("key").as("__ek"), col("est_inner")),
+        col("key") <=> col("__ek"), "left")
+      .select(col("key"),
+        coalesce(col("est_inner"), lit(0L).cast(dec)).as("est_inner"))
+  }
+
   /** EXACT heavy hitters via a count-min prescreen: `(key, value, cnt)`
     * for every value occurring ≥ `minCount` times under its key.
     *

@@ -828,6 +828,32 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- sketch: JOIN-SIZE ESTIMATION — the CM inner-product
+    // estimator sizes the weekly click⋈view equi-join on user_id from
+    // two bounded sketches, never re-reading events. min over depth
+    // rows of the bucket-product sums never undercounts (collisions
+    // only add mass), so est ≥ exact always — the exact join size rides
+    // in-row to make the contract oracle-visible. Every bucket id,
+    // product and the DECIMAL sum replay bitwise in DuckDB
+    "t34_cm_join_size" -> ((s, dir) => {
+      val (depth, width) = (4, 512)
+      val ev = Tables.load(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("date").cast("string").as("wk"),
+          col("event_type"), col("user_id"))
+      def sk(t: String) = graft.ops.Sketch.cmSketch(
+        ev.filter(col("event_type") === t), "wk", "user_id", depth, width)
+      val est = graft.ops.Sketch.cmInnerProduct(sk("click"), sk("view"), depth)
+      def cnts(t: String, n: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("wk"), col("user_id")).agg(count(lit(1)).as(n))
+      val exact = cnts("click", "ca").join(cnts("view", "cb"), Seq("wk", "user_id"))
+        .groupBy(col("wk")).agg(sum(col("ca") * col("cb")).as("exact_join_size"))
+      est.select(col("key").as("wk"), col("est_inner").cast("long").as("est_join_size"))
+        .join(exact, Seq("wk"), "left")
+        .select(col("wk"), col("est_join_size"),
+          coalesce(col("exact_join_size"), lit(0L)).as("exact_join_size"))
+        .orderBy(col("wk"))
+    }),
+
     // ---- sketch: WEIGHTED quantiles + CDF round trip — the histogram
     // sketch weighted by token count ("half the token mass lives in
     // docs shorter than X"), then each extracted quantile probed back
@@ -3516,6 +3542,55 @@ object PipelineQueries {
          |FROM f1 JOIN f2 ON f2.source IS NOT DISTINCT FROM f1.source
          |ORDER BY f1.source""".stripMargin
     },
+
+    // CM inner-product replay: both sides' salted md5 folds mod width,
+    // per-(wk, depth-row) bucket-product sums, MIN over the 4 rows with
+    // the <4-joined-rows ⇒ 0 rule; exact join size rides alongside
+    "t34_cm_join_size" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk,
+        |    event_type, user_id
+        |  FROM events
+        |),
+        |ca AS (
+        |  SELECT wk, i AS di, $duckHash60 % 512 AS bucket, COUNT(*) AS cnt
+        |  FROM (SELECT wk, i,
+        |          md5(CAST(i AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)) AS hh
+        |        FROM ev, range(0, 4) r(i) WHERE event_type = 'click')
+        |  GROUP BY 1, 2, 3
+        |),
+        |cb AS (
+        |  SELECT wk, i AS di, $duckHash60 % 512 AS bucket, COUNT(*) AS cnt
+        |  FROM (SELECT wk, i,
+        |          md5(CAST(i AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)) AS hh
+        |        FROM ev, range(0, 4) r(i) WHERE event_type = 'view')
+        |  GROUP BY 1, 2, 3
+        |),
+        |ip AS (
+        |  SELECT ca.wk, ca.di, SUM(ca.cnt * cb.cnt) AS ip
+        |  FROM ca JOIN cb ON cb.wk = ca.wk AND cb.di = ca.di
+        |    AND cb.bucket = ca.bucket
+        |  GROUP BY 1, 2
+        |),
+        |est AS (
+        |  SELECT wk, CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ip) END AS e
+        |  FROM ip GROUP BY 1
+        |),
+        |ks AS (SELECT DISTINCT wk FROM ca UNION SELECT DISTINCT wk FROM cb),
+        |exact AS (
+        |  SELECT wk, SUM(c2.c * v2.c) AS x
+        |  FROM (SELECT wk, user_id, COUNT(*) AS c FROM ev
+        |        WHERE event_type = 'click' GROUP BY 1, 2) c2
+        |  JOIN (SELECT wk, user_id, COUNT(*) AS c FROM ev
+        |        WHERE event_type = 'view' GROUP BY 1, 2) v2
+        |    USING (wk, user_id)
+        |  GROUP BY 1
+        |)
+        |SELECT k.wk, CAST(COALESCE(e.e, 0) AS BIGINT) AS est_join_size,
+        |  CAST(COALESCE(x.x, 0) AS BIGINT) AS exact_join_size
+        |FROM ks k LEFT JOIN est e ON e.wk = k.wk
+        |LEFT JOIN exact x ON x.wk = k.wk
+        |ORDER BY k.wk""".stripMargin,
 
     // KMV set-algebra replay: per-week per-side bottom-64 hash ranks,
     // θ_X = the 64th hash (2^60 when exact), matches = shared kept

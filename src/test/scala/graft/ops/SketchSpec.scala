@@ -100,6 +100,43 @@ class SketchSpec extends SparkSpec {
     assert(west == Map("x" -> 12L, "y" -> 2L))
   }
 
+  test("cmInnerProduct: exact without collisions, never undercounts, 0 on disjoint/one-sided, null keys") {
+    val aRows = (0 until 6000).map(i => ("k", "v" + (i % 30)))
+    val bRows = (0 until 4000).map(i => ("k", "v" + (i % 45)))
+    val fa = aRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val fb = bRows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val truth = fa.keySet.intersect(fb.keySet).toSeq.map(v => fa(v) * fb(v)).sum
+    def ip(w: Int) = Sketch.cmInnerProduct(
+      Sketch.cmSketch(aRows.toDF("key", "v"), "key", "v", 4, w),
+      Sketch.cmSketch(bRows.toDF("key", "v"), "key", "v", 4, w), 4)
+      .collect().map(r => Option(r.getString(0)) ->
+        r.getDecimal(1).longValueExact()).toMap
+    // wide: 45 values over 4×4096 buckets — collision-free, est exact
+    assert(ip(4096) == Map(Some("k") -> truth))
+    // narrow: collisions guaranteed — inflate allowed, undercount never
+    assert(ip(16)(Some("k")) >= truth)
+    // disjoint value sets: every depth row still joins (collisions can
+    // share buckets) but some width keeps rows; estimate stays >= 0 and
+    // a wide sketch proves 0
+    val disj = Sketch.cmInnerProduct(
+      Sketch.cmSketch(Seq(("k", "only_a")).toDF("key", "v"), "key", "v", 4, 4096),
+      Sketch.cmSketch(Seq(("k", "only_b")).toDF("key", "v"), "key", "v", 4, 4096), 4)
+      .collect().map(r => r.getDecimal(1).longValueExact())
+    assert(disj.toSeq == Seq(0L))
+    // a key on one side only estimates 0; null keys survive end-to-end
+    val oneSided = Sketch.cmInnerProduct(
+      Sketch.cmSketch(Seq(("ka", "x"), (null, "x")).toDF("key", "v"), "key", "v", 4, 64),
+      Sketch.cmSketch(Seq(("kb", "x"), (null, "x")).toDF("key", "v"), "key", "v", 4, 64), 4)
+      .collect().map(r => Option(r.getString(0)) -> r.getDecimal(1).longValueExact()).toMap
+    assert(oneSided == Map(Some("ka") -> 0L, Some("kb") -> 0L, None -> 1L))
+    // partitioning invariance: the estimate is a pure function of the sketches
+    val a12 = Sketch.cmSketch(aRows.toDF("key", "v").repartition(12), "key", "v", 4, 256)
+    val a1 = Sketch.cmSketch(aRows.toDF("key", "v").coalesce(1), "key", "v", 4, 256)
+    val bS = Sketch.cmSketch(bRows.toDF("key", "v"), "key", "v", 4, 256)
+    assert(Sketch.cmInnerProduct(a12, bS, 4).collect().map(_.toSeq).toSeq ==
+      Sketch.cmInnerProduct(a1, bS, 4).collect().map(_.toSeq).toSeq)
+  }
+
   test("bloom: no false negatives ever; absent values mostly definitely-absent; merge ORs") {
     val present = (0 until 400).map(i => ("k", "in" + i))
     val df = present.toDF("key", "v")
