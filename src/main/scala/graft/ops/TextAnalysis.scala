@@ -314,6 +314,52 @@ object TextAnalysis {
       .select(col("probe_id"), col("doc_id"))
   }
 
+  /** Benchmark decontamination screen at n-gram granularity — the
+    * GPT-3/Gopher recipe: build a Bloom filter over the benchmark set's
+    * word n-grams ONCE, then score every training document by the
+    * fraction of its distinct n-grams the filter may contain.
+    * `(doc_id, n_grams, n_hit, flagged)` with
+    * `flagged ⇔ n_hit ≥ flagFrac·n_grams`. [[contaminated]] answers
+    * "which docs contain this exact probe span"; this answers the
+    * doc-level "how much of this doc overlaps the benchmark AT ALL" —
+    * the screen real pretraining pipelines run before a release.
+    *
+    * One-sided like every screen in the tier: Bloom has NO false
+    * negatives, so `n_hit` never undercounts the true overlap and
+    * `flagged` never misses a truly-contaminated doc at the threshold;
+    * collision false positives can only over-flag (rate set by
+    * `numBits`, observable in-gate against the exact hit count).
+    *
+    * Scale shape: the benchmark pass happens once into a bounded
+    * artifact (numBits/63 long words); training grams DEDUP before
+    * probing (grams repeat heavily across docs), the probe join touches
+    * word rows of the tiny filter, and the hit bits join back to the
+    * per-doc explode on the gram string — no corpus×benchmark join
+    * anywhere. The final count is one hash aggregation per doc. */
+  def ngramOverlapScreen(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 5,
+      numBits: Int = 1 << 16, numHashes: Int = 4,
+      flagFrac: Double = 0.5): DataFrame = {
+    require(n >= 1 && flagFrac >= 0.0, s"ngramOverlapScreen: n=$n flagFrac=$flagFrac")
+    val bg = bench.filter(col(benchTextCol).isNotNull)
+      .select(lit("b").as("k"),
+        explode(Dedup.wordShingles(tokens(col(benchTextCol)), n)).as("g"))
+    val bloom = Sketch.bloomSketch(bg, "k", "g", numBits, numHashes)
+    val tg = train.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.wordShingles(tokens(col(textCol)), n)).as("g"))
+    val probes = tg.select(lit("b").as("k"), col("g")).distinct()
+    val hit = Sketch.bloomMayContain(bloom, probes, "k", "g", numBits, numHashes)
+      .select(col("value").as("g"), col("may_contain"))
+    tg.join(hit, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(coalesce(col("may_contain"), lit(false)), 1L).otherwise(0L))
+          .as("n_hit"))
+      .withColumn("flagged", col("n_hit").cast("double") >=
+        lit(flagFrac) * col("n_grams").cast("double"))
+  }
+
   /** Corpus composition report for mixture planning: per domain (source,
     * language, …) the document count, total whitespace-token count, the
     * domain's share of all tokens, and the cumulative share walking

@@ -854,6 +854,45 @@ object PipelineQueries {
         .orderBy(col("wk"))
     }),
 
+    // ---- decontamination: doc-level n-gram Bloom overlap screen (the
+    // GPT-3/Gopher release screen) — benchmark = docs 0..19, training
+    // set = the rest plus 20 PLANTED docs with a benchmark doc's text
+    // appended (random 5-gram collisions are vanishingly rare at this
+    // vocabulary, so word-for-word contamination must be planted).
+    // Bloom has no false negatives: n_hit ≥ the exact hit count riding
+    // in-row. At sf0.01 the screen flags 19/20 planted docs (one short
+    // benchmark appendix dilutes below the 0.3 threshold — honest
+    // threshold semantics, both arms exercised) AND catches doc 245, a
+    // corpus-planted near-duplicate of a benchmark doc — exactly the
+    // leak the screen exists to find. Every bloom bit and count replays
+    "t35_ngram_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") < 20).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .withColumn("__bid", col("doc_id") % 20)
+        .join(bench.select(col("doc_id").as("__bid"), col("text").as("__btext")),
+          Seq("__bid"))
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ", col("text"), col("__btext")).as("text"))
+      val train = d.filter(col("doc_id") >= 20).select("doc_id", "text")
+        .unionByName(planted)
+      val screen = TextAnalysis.ngramOverlapScreen(train, "doc_id", "text",
+        bench, "text", n = 5, numBits = 8192, numHashes = 4, flagFrac = 0.3)
+      // exact hit count alongside (public helpers, not screen internals):
+      // the no-false-negative contract n_hit >= n_hit_exact is in-row
+      val bgrams = bench.select(explode(
+        graft.ops.Dedup.wordShingles(TextAnalysis.tokens(col("text")), 5)).as("g"))
+        .distinct()
+      val exact = train.select(col("doc_id"), explode(
+          graft.ops.Dedup.wordShingles(TextAnalysis.tokens(col("text")), 5)).as("g"))
+        .join(bgrams, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit_exact"))
+      screen.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          coalesce(col("n_hit_exact"), lit(0L)).as("n_hit_exact"), col("flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sketch: WEIGHTED quantiles + CDF round trip — the histogram
     // sketch weighted by token count ("half the token mass lives in
     // docs shorter than X"), then each extracted quantile probed back
@@ -3591,6 +3630,77 @@ object PipelineQueries {
         |FROM ks k LEFT JOIN est e ON e.wk = k.wk
         |LEFT JOIN exact x ON x.wk = k.wk
         |ORDER BY k.wk""".stripMargin,
+
+    // n-gram Bloom decontamination replay: distinct word 5-grams per
+    // doc (the wordShingles shape: whole-text gram below n tokens),
+    // benchmark grams → salted folds mod 8192 → 63-bit words, probes
+    // bool_and the bit tests, per-doc hit counts + the exact semi-join
+    "t35_ngram_decontam" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |planted AS (
+        |  SELECT t.doc_id + 4000000 AS doc_id, t.text || ' ' || b.text AS text
+        |  FROM documents t JOIN bench b ON b.doc_id = t.doc_id % 20
+        |  WHERE t.doc_id >= 20 AND t.doc_id < 40
+        |),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+        |  UNION ALL SELECT doc_id, text FROM planted
+        |),
+        |bg AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(toks) < 5
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(
+        |        toks[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ')
+        |        for i in range(0, len(toks)-4)]) END) AS g
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+        |          t -> len(t) > 0) AS toks FROM bench)
+        |),
+        |tg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 5
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(
+        |        toks[CAST(i+1 AS BIGINT):CAST(i+5 AS BIGINT)], ' ')
+        |        for i in range(0, len(toks)-4)]) END) AS g
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+        |          t -> len(t) > 0) AS toks FROM train)
+        |),
+        |bw AS (
+        |  SELECT CAST(pos // 63 AS INTEGER) AS word_idx,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+        |  FROM (SELECT DISTINCT $duckHash60 % 8192 AS pos
+        |        FROM (SELECT md5(CAST(i AS VARCHAR) || '#' || g) AS hh
+        |              FROM bg, range(0, 4) r(i)))
+        |  GROUP BY 1
+        |),
+        |pp AS (
+        |  SELECT g, $duckHash60 % 8192 AS pos
+        |  FROM (SELECT g, md5(CAST(i AS VARCHAR) || '#' || g) AS hh
+        |        FROM (SELECT DISTINCT g FROM tg), range(0, 4) r(i))
+        |),
+        |hit AS (
+        |  SELECT p.g,
+        |    bool_and((COALESCE(b.bits, 0)
+        |      & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INTEGER))) <> 0) AS mc
+        |  FROM pp p LEFT JOIN bw b ON b.word_idx = CAST(p.pos // 63 AS INTEGER)
+        |  GROUP BY p.g
+        |),
+        |scr AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN hit.mc THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM tg LEFT JOIN hit ON hit.g = tg.g
+        |  GROUP BY tg.doc_id
+        |),
+        |ex AS (
+        |  SELECT tg.doc_id, COUNT(*) AS n_hit_exact
+        |  FROM tg JOIN bg ON bg.g = tg.g
+        |  GROUP BY tg.doc_id
+        |)
+        |SELECT s.doc_id, s.n_grams, s.n_hit,
+        |  COALESCE(ex.n_hit_exact, 0) AS n_hit_exact,
+        |  CAST(s.n_hit AS DOUBLE) >=
+        |    CAST(0.3 AS DOUBLE) * CAST(s.n_grams AS DOUBLE) AS flagged
+        |FROM scr s LEFT JOIN ex ON ex.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     // KMV set-algebra replay: per-week per-side bottom-64 hash ranks,
     // θ_X = the 64th hash (2^60 when exact), matches = shared kept

@@ -208,4 +208,38 @@ class PipelineOps5Spec extends SparkSpec {
       .map(r => (r.getInt(1), r.getInt(2))).sorted
     assert(spans.toSeq == Seq((0, 2), (7, 9)))
   }
+
+  test("ngramOverlapScreen: full copy flags, disjoint doesn't, no false negatives, short/null docs") {
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      // full copy of bench 0: every gram hits → flagged at any threshold
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // disjoint vocabulary: zero exact hits
+      (11L, "red orange yellow green blue indigo violet pink brown black"),
+      // half-and-half: bench 1's text embedded in novel context
+      (12L, "novel words precede here one two three four five six seven"),
+      // short doc (< n tokens): whole-text gram, not in bench
+      (13L, "tiny doc"),
+      (14L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramOverlapScreen(train, "doc_id", "text",
+        bench, "text", n = 5, numBits = 1 << 14, numHashes = 4, flagFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc 10: 6 grams, all in bench → flagged
+    assert(out(10L) == ((6L, 6L, true)), s"got ${out(10L)}")
+    // doc 11: no exact overlap; FP odds at 2^14 bits are ~0 for 6 grams
+    assert(out(11L)._2 == 0L && !out(11L)._3)
+    // doc 12: the 3 grams fully inside bench 1's text hit; 11 tokens →
+    // 7 grams; 3/7 ≈ 0.43 < 0.5 → not flagged at this threshold
+    assert(out(12L)._1 == 7L && out(12L)._2 >= 3L && !out(12L)._3)
+    // doc 13: one whole-text gram, absent
+    assert(out(13L) == ((1L, 0L, false)))
+    // null text filtered, not crashed
+    assert(!out.contains(14L))
+    // no-false-negative: exact hits computed independently never exceed n_hit
+    val exact = Map(10L -> 6L, 11L -> 0L, 12L -> 3L, 13L -> 0L)
+    exact.foreach { case (id, e) => assert(out(id)._2 >= e, s"doc $id undercounts") }
+  }
 }
