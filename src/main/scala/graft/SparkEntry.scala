@@ -27,14 +27,15 @@ import graft.queries._
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means)
   *   - t0*–t3*  text analysis (tokens, quality, langid, fingerprint, edit,
-  *              BPE, classifier, markup strip, paragraph dedup, URL prep,
+  *              BPE, classifier, markup strip, paragraph dedup, URL prep, n-gram decontam,
   *              postings search, LM filter) + sketches (KMV, count-min,
-  *              Bloom, quantile histogram)
+  *              Bloom, quantile histogram, CM join-size estimation)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e18  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - e0*–e19  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index
-  *              screen, drift screen, exact-dedup screen), as-of/range join
+  *              screen, drift screen, exact-dedup screen, LM quality
+  *              screen), as-of/range join
   *   - p0*–p16  composed pipelines (corpus prep, sampling, packing, splits,
   *              the seven-operator full-chain integration gate)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:

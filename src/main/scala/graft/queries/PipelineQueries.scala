@@ -1525,6 +1525,43 @@ object PipelineQueries {
         .distinct().orderBy(col("doc_id"))
     }),
 
+    // ---- streaming: CROSS-CORPUS LM QUALITY SCREEN — t33's persisted
+    // reference model composed with the streaming crawl loop: the even
+    // half trains the LM once, the odd half arrives as two forced
+    // micro-batches (doc_id%4 ∈ {1,3}); each batch is scored against
+    // the static artifact and docs with lm_score ≥ 0.0335 (the sf0.01
+    // median — both arms exercised) land in the admitted feed. The
+    // model is static so admission is batch-order independent; the
+    // oracle is t33's replay restricted to admitted docs — scores are
+    // rational doubles + decimal sums, bitwise across engines
+    "e19_stream_lm_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-lmscr-")
+      val lmP = base.resolve("lm").toString
+      val outP = base.resolve("out").toString
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Lm.writeLmIndex(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", lmP)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      withShufflePartitions(s, 4) {
+        Seq(1, 3).foreach { r =>
+          val p = base.resolve(s"feed$r")
+          d.filter(col("doc_id") % 4 === r)
+            .coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingLmScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "doc_id", "text", lmP, outP, minScore = 0.0335,
+            base.resolve(s"ck$r").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).distinct()
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- web: URL PREP — the step before text ever loads in a web
     // pipeline. doc_id-derived URLs share a core identity (doc_id % 50)
     // under per-doc noise that canonicalization must erase (case,
@@ -4483,6 +4520,38 @@ object PipelineQueries {
         |)
         |SELECT doc_id, md5(content) AS content_md5
         |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+        |ORDER BY doc_id""".stripMargin,
+
+    // streaming LM screen replay: t33's scoring chain (rational bigram
+    // probabilities, decimal sums) restricted to admitted docs — the
+    // static model makes batch boundaries invisible in the result
+    "e19_stream_lm_screen" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
+        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
+        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM grams
+        |       WHERE doc_id % 2 = 0 GROUP BY w1),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(SUM(COALESCE(
+        |        CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(18,12)),
+        |        CAST(0 AS DECIMAL(18,12)))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS lm_score
+        |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+        |  WHERE g.doc_id % 2 = 1
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bigrams, lm_score FROM sc
+        |WHERE lm_score >= CAST(0.0335 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
 
     // url-prep replay: same doc_id-derived construction, then the FULL

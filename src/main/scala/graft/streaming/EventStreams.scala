@@ -349,6 +349,41 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous CROSS-CORPUS quality screen over a persisted LM index
+    * ([[graft.ops.Lm.writeLmIndex]]): each micro-batch's docs are
+    * scored against the REFERENCE bigram model (mean P(w2|w1) under
+    * reference counts, unseen → 0 — [[graft.ops.Lm.scoreWithLm]]) and
+    * docs reading sufficiently like the reference (`lm_score ≥
+    * minScore`) append to the admitted feed with their scores. This is
+    * the CCNet crawl loop's production shape: the reference corpus is
+    * paid for once at index-write time; each crawl batch costs two
+    * joins against the bounded model rows.
+    *
+    * The model is STATIC by design — folding admitted docs back into
+    * the reference would make admission order-dependent across batches
+    * and replay-biased (the e17 suppressed-alarm class; an adaptive
+    * variant needs per-batch exactly-once segment machinery the
+    * one-table LM artifact deliberately doesn't have). With a static
+    * model the screen is a pure per-batch function: its single append
+    * is idempotent in CONTENT, so a crash mid-batch replays as
+    * at-least-once duplicate rows with identical values — downstream
+    * dedups by id — never as loss or score drift. Null text is dropped
+    * (scoreWithLm already drops sub-2-token docs: no bigrams to
+    * judge). */
+  def streamingLmScreen(stream: DataFrame, idCol: String, textCol: String,
+      lmPath: String, outPath: String, minScore: Double,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Lm.scoreWithLm(spark, lmPath,
+            batch.filter(col(textCol).isNotNull), idCol, textCol)
+          .filter(col("lm_score") >= minScore)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension frame (broadcast — no stream-side shuffle, no join
     * state to checkpoint; the classic fact-stream × dim-table shape).

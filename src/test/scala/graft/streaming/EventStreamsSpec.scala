@@ -242,6 +242,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(cleaned.collect().map(_.getLong(0)).toSeq == Seq(32L))
   }
 
+  test("streaming LM screen: scores against the static reference; admission is batch-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("lm-screen")
+    val lmP = dir.resolve("lm").toString
+    val outP = dir.resolve("out").toString
+    // reference: "a b" dominates; "a c" rare → P(b|a)=3/4, P(c|a)=1/4
+    val ref = Seq((0L, "a b a b a b a c")).toDF("doc_id", "text")
+    graft.ops.Lm.writeLmIndex(ref, "doc_id", "text", lmP)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingLmScreen(
+      stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", lmP, outP, minScore = 0.3, dir.resolve("ck").toString)
+    try {
+      // batch 1: "a b" scores high (P(b|a)=0.75 ≥ 0.3 mean), pure
+      // out-of-reference text scores 0, null text dropped, single-token
+      // doc dropped (no bigrams)
+      stream.addData((10L, "a b a b"), (11L, "z z z z"),
+        (12L, null.asInstanceOf[String]), (13L, "a"))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out1 == Seq((10L, 3L)), s"batch-1 admissions: $out1")
+      // batch 2: the SAME doc admitted again — the model is static, so
+      // scores are identical across batches (order independence); a
+      // borderline doc ("a c": mean 0.25 < 0.3) stays out
+      stream.addData((20L, "a b a b"), (21L, "a c"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+      assert(out2.map(t => (t._1, t._2)) == Seq((10L, 3L), (20L, 3L)), s"after batch 2: $out2")
+      // identical text → bitwise-identical score in both batches
+      assert(out2(0)._3 == out2(1)._3)
+    } finally q.stop()
+  }
+
   test("streaming drift screen: each batch scores vs what was absorbed before it; replay-safe absorb") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("drift-screen")
