@@ -279,4 +279,57 @@ object Graph {
     }
     labels
   }
+
+  /** Exact per-node triangle counts over an undirected simple graph —
+    * the clustering-coefficient numerator (spam/link-farm detection,
+    * community cohesion scoring over the kNN similarity graph).
+    *
+    * Degree-ordered orientation (Schank–Wagner / Cohen's MapReduce
+    * formulation, from the published construction): every undirected
+    * edge is directed from its lower-(degree, id) endpoint to the
+    * higher, so each triangle {x,y,z} with rank x<y<z materializes
+    * EXACTLY once — as the wedge at x (out-edges x→y, x→z) closed by
+    * the oriented edge y→z. This is what makes the self-join safe at
+    * scale: out-degree under the orientation is O(√m), so wedge volume
+    * is bounded by Σ outdeg² = O(m^1.5) — the best known bound for
+    * exact counting — instead of Σ deg² (quadratic in the max hub
+    * degree, ruinous on power-law graphs). All three joins are narrow
+    * (long, long) equi-joins on node keys.
+    *
+    * @param edges directed or undirected (`srcCol`, `dstCol`) rows —
+    *        canonicalized + deduplicated internally; self loops and
+    *        null endpoints dropped
+    * @return (node, triangles) for every node in ≥1 triangle */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s0 = col(srcCol).cast("long")
+    val d0 = col(dstCol).cast("long")
+    val und = edges
+      .filter(s0.isNotNull && d0.isNotNull && s0 =!= d0)
+      .select(least(s0, d0).as("a"), greatest(s0, d0).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    // wedge at u over two DISTINCT out-neighbors; exactly one of the
+    // two (v,w) orderings closes (the closing edge is oriented from
+    // the lower rank), so no v<w constraint — and no double count
+    val wedges = orient
+      .join(orient.select(col("u").as("__u2"), col("v").as("w")),
+        col("__u2") === col("u") && col("w") =!= col("v"))
+      .select(col("u"), col("v"), col("w"))
+    val tri = wedges.join(
+        orient.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+      .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
 }

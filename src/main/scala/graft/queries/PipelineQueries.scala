@@ -442,6 +442,22 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- graph: exact TRIANGLE COUNTS over the kNN similarity graph
+    // (clustering-coefficient numerator — community cohesion / link-farm
+    // signal). Degree-ordered orientation: each triangle materializes
+    // exactly once as a wedge at its lowest-(degree,id) corner, bounding
+    // wedge volume at O(m^1.5) regardless of hub degrees. Exact integer
+    // counts — the oracle replays the same orientation and joins
+    "s13_triangles" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("neighbor_id"))
+      graft.ops.Graph.triangleCounts(edges, "query_id", "neighbor_id")
+        .orderBy(col("node"))
+    }),
+
     // ---- graph: personalized PageRank (TrustRank) — restart mass on a
     // trusted seed set only; rank = link-proximity to the seeds over the
     // kNN similarity graph, the classic propagate-trust curation prior
@@ -2556,6 +2572,40 @@ object PipelineQueries {
        |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Triangle-count oracle: the s08 kNN edges canonicalized to
+    * undirected simple form, the same degree-ordered orientation
+    * (lower (deg, id) endpoint first), wedges at each node's out-edges
+    * closed by the oriented third edge — each triangle exactly once. */
+  private def s13OracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |und AS (
+       |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+       |    GREATEST(query_id, neighbor_id) AS b
+       |  FROM knn_ranked WHERE rank <= 5 AND query_id <> neighbor_id
+       |),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+       |  GROUP BY n
+       |),
+       |orient AS (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |           THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |           THEN u.b ELSE u.a END AS v
+       |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+       |),
+       |tri AS (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM orient e1
+       |  JOIN orient e2 ON e2.u = e1.u AND e2.v <> e1.v
+       |  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+       |)
+       |SELECT node, COUNT(*) AS triangles FROM (
+       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |GROUP BY node ORDER BY node""".stripMargin
+
   /** TrustRank oracle: the s08 fixed-point chain with the restart mass
     * gated to the seed set (vec_id % 50 = 0) — base joins in per node,
     * ranks start at `scale` on seeds and 0 elsewhere; every floor
@@ -3235,6 +3285,7 @@ object PipelineQueries {
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
+    "s13_triangles" -> s13OracleSql,
     "s09_components" -> s09OracleSql,
     "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,

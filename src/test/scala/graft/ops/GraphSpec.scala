@@ -196,6 +196,34 @@ class GraphSpec extends SparkSpec {
     assert(dist == driver)
   }
 
+  test("triangleCounts: known shapes, input canonicalization, brute-force cross-check") {
+    def counts(edges: Seq[(Long, Long)]) =
+      Graph.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in exactly 3
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(counts(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // path graph: no triangles at all → empty result
+    assert(counts(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // canonicalization: duplicates, reversed directions and self loops
+    // collapse to one undirected triangle
+    assert(counts(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 1L))) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // brute force on a deterministic pseudo-random graph: per-node
+    // membership over all C(n,3) id triples must match exactly
+    val n = 40
+    val rndEdges = (for (i <- 0 until n; j <- 0 until n if i < j)
+      yield (i.toLong, j.toLong)).filter { case (i, j) =>
+        (i * 2654435761L + j * 40503L) % 7 == 0 }
+    val es = rndEdges.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (x <- 0L until n; y <- x + 1 until n; z <- y + 1 until n)
+      if (es((x, y)) && es((x, z)) && es((y, z))) {
+        brute(x) += 1; brute(y) += 1; brute(z) += 1
+      }
+    assert(counts(rndEdges) == brute.toMap, "distributed != brute force")
+  }
+
   test("pageRankInt: plan is join + aggregate per iteration — no windows, no cartesian") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val plan = Graph.pageRankInt(edges, "src", "dst", iters = 3)
