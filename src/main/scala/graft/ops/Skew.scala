@@ -42,4 +42,45 @@ object Skew {
     * choosing a strategy (broadcast, salt, or AQE default). */
   def keyHistogram(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(topN)
+
+  /** One-row join-planning stats from SKETCHES ONLY — what you read
+    * before choosing broadcast / salt / AQE-default for an equi-join,
+    * priced at one pass over each side into bounded artifacts (and at
+    * 100 TB the sides' sketches are usually already persisted —
+    * [[Sketch.writeCmIndex]]/[[Sketch.writeKmvIndex]] — making this
+    * free):
+    *
+    *   - `rows_a`/`rows_b` — exact row counts (a CM depth row's total);
+    *   - `distinct_a`/`distinct_b` — KMV distinct-key estimates
+    *     (exact below k);
+    *   - `est_join_rows` — the CM inner-product estimate of the join
+    *     output size ([[Sketch.cmInnerProduct]], NEVER an undercount);
+    *   - `est_fanout_a` — est_join_rows / rows_a: how many output rows
+    *     each left row spawns on average. est_join_rows ≫ rows_a+rows_b
+    *     with low distinct counts is the many-to-many blow-up you salt
+    *     or pre-aggregate BEFORE running, not after the stage dies.
+    *
+    * Null keys count like any group (tier invariant). The final
+    * assembly cross-joins five 1-row frames — the documented benign
+    * scalar-subquery BNLJ shape. */
+  def joinPlanStats(a: DataFrame, b: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 1024, k: Int = 256): DataFrame = {
+    def side(df: DataFrame) = df.select(lit("all").as("__k"), col(keyCol).as("__v"))
+    val sa = Sketch.cmSketch(side(a), "__k", "__v", depth, width)
+    val sb = Sketch.cmSketch(side(b), "__k", "__v", depth, width)
+    val est = Sketch.cmInnerProduct(sa, sb, depth)
+      .select(col("est_inner").cast("long").as("est_join_rows"))
+    def rows(sk: DataFrame, n: String) = sk.filter(col("di") === 0)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as(n))
+    def dist(df: DataFrame, n: String) =
+      Sketch.kmvEstimate(Sketch.kmvSketch(side(df), "__k", "__v", k), k)
+        .select(col("est_distinct").as(n))
+    rows(sa, "rows_a").crossJoin(rows(sb, "rows_b"))
+      .crossJoin(dist(a, "distinct_a")).crossJoin(dist(b, "distinct_b"))
+      .crossJoin(est)
+      .withColumn("est_fanout_a",
+        when(col("rows_a") > 0L,
+          col("est_join_rows").cast("double") / col("rows_a").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -685,6 +685,27 @@ class OpsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("joinPlanStats: exact with wide sketches; fan-out blow-up visible; est never undercounts") {
+    // a: 300 rows over 3 keys (100x each); b: 30 rows over the same 3
+    // keys (10x each) → join = 3·100·10 = 3000 rows, fanout 10
+    val a = (0 until 300).map(i => ("k" + (i % 3), i)).toDF("k", "pa")
+    val b = (0 until 30).map(i => ("k" + (i % 3), i)).toDF("k", "pb")
+    val st = Skew.joinPlanStats(a, b, "k", depth = 4, width = 1024, k = 64).head()
+    assert(st.getAs[Long]("rows_a") == 300L && st.getAs[Long]("rows_b") == 30L)
+    assert(st.getAs[Long]("distinct_a") == 3L && st.getAs[Long]("distinct_b") == 3L)
+    // 3 keys over 4×1024 buckets: collision-free → exact
+    assert(st.getAs[Long]("est_join_rows") == 3000L)
+    assert(st.getAs[Double]("est_fanout_a") == 10.0)
+    // exact join size for a narrow sketch is still never undercounted
+    val narrow = Skew.joinPlanStats(a, b, "k", depth = 2, width = 4, k = 64).head()
+    assert(narrow.getAs[Long]("est_join_rows") >= 3000L)
+    // disjoint key sets → join provably empty, fanout 0
+    val c = (0 until 20).map(i => ("z" + i, i)).toDF("k", "pc")
+    val dj = Skew.joinPlanStats(a, c, "k", depth = 4, width = 1024, k = 64).head()
+    assert(dj.getAs[Long]("est_join_rows") == 0L)
+    assert(dj.getAs[Double]("est_fanout_a") == 0.0)
+  }
+
   test("multimodal: payload plumbing, stub decode, frame sampling") {
     val df = Seq((1L, "hello world payload"), (2L, "x")).toDF("doc_id", "text")
     val withPayload = Multimodal.withBinaryPayload(df)
