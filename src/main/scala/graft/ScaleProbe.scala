@@ -528,6 +528,60 @@ object ScaleProbe {
         sk.unpersist()
       } finally Paths.rmTree(zBase.toFile)
     }
+
+    // round-8: CM inner-product join sizing at 6M rows — the estimate
+    // reads two bounded sketches (width sized so collision mass is a
+    // few % of the true inner product: E[overcount] ≈ na·nb/width);
+    // exact Σ f_a·f_b computed once to pin the one-sided contract
+    {
+      def side(status: String) = graft.ops.Sketch.cmSketch(
+        l10.filter(col("l_linestatus") === status)
+          .select(col("l_returnflag").as("key"), col("l_suppkey").as("v")),
+        "key", "v", depth = 4, width = 65536)
+      val est = t("cm inner product 6M rows (sketches + estimate)")(
+        graft.ops.Sketch.cmInnerProduct(side("O"), side("F"), 4).collect())
+        .map(r => r.getString(0) -> r.getDecimal(1).longValueExact()).toMap
+      val exact = l10.filter(col("l_linestatus").isin("O", "F"))
+        .groupBy(col("l_returnflag"), col("l_suppkey"), col("l_linestatus"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"), col("l_suppkey"))
+        .agg(sum(when(col("l_linestatus") === "O", col("c"))).as("ca"),
+          sum(when(col("l_linestatus") === "F", col("c"))).as("cb"))
+        .filter(col("ca").isNotNull && col("cb").isNotNull)
+        .groupBy(col("l_returnflag")).agg(sum(col("ca") * col("cb")).as("x"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println("SCALE cm join sizes: " + est.toSeq.sortBy(_._1).map { case (k, e) =>
+        f"$k:est=$e,exact=${exact.getOrElse(k, 0L)}" }.mkString(" "))
+      est.foreach { case (k, e) =>
+        val ex = exact.getOrElse(k, 0L)
+        assert(e >= ex, s"cm inner product undercut exact at $k: $e < $ex")
+        if (ex > 0) assert(e.toDouble / ex <= 1.2,
+          s"cm inner product overcount at $k: $e vs $ex (width too narrow?)")
+      }
+    }
+
+    // round-8: exact triangle counting at 50k nodes / 1.2M edges — 1000
+    // disjoint 50-cliques, so every node's true count is C(49,2) = 1176
+    // analytically. Degree-ordered orientation bounds the wedge join at
+    // Σ outdeg² ≈ c³/3 per clique (~41M narrow rows total) — the
+    // O(m^1.5) shape that survives power-law degree blow-ups
+    {
+      val c = 50
+      val nodes = spark.range(0L, 1000L * c)
+      val edges = nodes.select(col("id").as("src"),
+          explode(sequence(lit(1), lit(c - 1) - (col("id") % c).cast("int")))
+            .as("off"))
+        .select(col("src"), (col("src") + col("off")).as("dst"))
+      val counts = t("triangle count 50k nodes / 1.2M edges")(
+        graft.ops.Graph.triangleCounts(edges, "src", "dst")
+          .agg(count(lit(1)), min(col("triangles")), max(col("triangles")))
+          .head())
+      println(s"SCALE triangles: nodes=${counts.getLong(0)} " +
+        s"min=${counts.getLong(1)} max=${counts.getLong(2)}")
+      assert(counts.getLong(0) == 1000L * c, "every clique node joins triangles")
+      assert(counts.getLong(1) == 1176L && counts.getLong(2) == 1176L,
+        "clique node count must be exactly C(49,2)")
+    }
     spark.stop()
   }
 }
