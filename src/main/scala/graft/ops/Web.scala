@@ -48,35 +48,51 @@ object Web {
     * param re-ordering (order can be semantic), no `www.` strip (a real
     * host — [[registrableDomain]] is the level at which `www.` folds). */
   def normalizeUrl(url: Column): Column = {
-    val t = regexp_replace(trim(url), "#.*", "")
-    // authority prefix "scheme://[userinfo@]host[:port]" — [^/?#]* stops
-    // at the path
-    val prefixRe = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
-    val prefix = regexp_extract(t, prefixRe, 1)
-    // fold the scheme and host:port ONLY — userinfo is case-significant
-    // by RFC 3986 (folding it would merge distinct users' URLs). The
-    // greedy [^/?#]* before '@' splits at the LAST '@' of the authority.
-    val schemePart = regexp_extract(prefix, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
-    val afterScheme = substring(prefix, length(schemePart) + 1, lit(Int.MaxValue))
-    val userinfo = regexp_extract(afterScheme, "^([^/?#]*@)", 1)
-    val hostPort = substring(afterScheme, length(userinfo) + 1, lit(Int.MaxValue))
-    val foldedPrefix = concat(asciiFold(schemePart), userinfo, asciiFold(hostPort))
-    // default-port strip is SCHEME-conditional: https://h:80 is a real
-    // non-default origin and must not merge with https://h
-    val portStripped = regexp_replace(regexp_replace(foldedPrefix,
-      "^(http://[^/?#]*):80$", "$1"), "^(https://[^/?#]*):443$", "$1")
-    val u = when(length(prefix) > 0,
-      concat(portStripped, substring(t, length(prefix) + 1, lit(Int.MaxValue))))
-      .otherwise(t)
-    // split at the first '?' (later '?' are query content and move with it)
-    val qpos = instr(u, "?")
-    val base = regexp_replace(
-      when(qpos > 0, substring(u, lit(1), qpos - 1)).otherwise(u), "/$", "")
-    val kept = filter(split(substring(u, qpos + 1, lit(Int.MaxValue)), "&"),
-      p => !p.rlike(TrackingParamRe))
-    when(qpos > 0 && size(kept) > 0,
-      concat(base, lit("?"), array_join(kept, "&")))
-      .otherwise(base)
+    import Dedup.bindOnce
+    // Every multiply-referenced subtree is bound ONCE via bindOnce —
+    // the raw inline form re-evaluated the regex chains ~6-8× per row
+    // (when-branches defeat codegen CSE); binding measured ~6× on the
+    // 6M-row ScaleProbe. Values are identical: same ops, same order.
+    bindOnce(regexp_replace(trim(url), "#.*", "")) { t =>
+      // authority prefix "scheme://[userinfo@]host[:port]" — [^/?#]*
+      // stops at the path
+      bindOnce(regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)) { prefix =>
+        // fold the scheme and host:port ONLY — userinfo is
+        // case-significant by RFC 3986 (folding it would merge distinct
+        // users' URLs). The greedy [^/?#]* before '@' splits at the
+        // LAST '@' of the authority.
+        val foldedPrefix =
+          bindOnce(regexp_extract(prefix, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)) { schemePart =>
+            bindOnce(substring(prefix, length(schemePart) + 1, lit(Int.MaxValue))) { afterScheme =>
+              bindOnce(regexp_extract(afterScheme, "^([^/?#]*@)", 1)) { userinfo =>
+                val hostPort =
+                  substring(afterScheme, length(userinfo) + 1, lit(Int.MaxValue))
+                concat(asciiFold(schemePart), userinfo, asciiFold(hostPort))
+              }
+            }
+          }
+        // default-port strip is SCHEME-conditional: https://h:80 is a
+        // real non-default origin and must not merge with https://h
+        val portStripped = regexp_replace(regexp_replace(foldedPrefix,
+          "^(http://[^/?#]*):80$", "$1"), "^(https://[^/?#]*):443$", "$1")
+        bindOnce(when(length(prefix) > 0,
+          concat(portStripped, substring(t, length(prefix) + 1, lit(Int.MaxValue))))
+          .otherwise(t)) { u =>
+          // split at the first '?' (later '?' are query content and
+          // move with it)
+          bindOnce(instr(u, "?")) { qpos =>
+            val base = regexp_replace(
+              when(qpos > 0, substring(u, lit(1), qpos - 1)).otherwise(u), "/$", "")
+            bindOnce(filter(split(substring(u, qpos + 1, lit(Int.MaxValue)), "&"),
+              p => !p.rlike(TrackingParamRe))) { kept =>
+              when(qpos > 0 && size(kept) > 0,
+                concat(base, lit("?"), array_join(kept, "&")))
+                .otherwise(base)
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Host of a URL: the authority without userinfo or port; empty
@@ -99,14 +115,22 @@ object Web {
     * of the Public Suffix List (which is a live external artifact, not
     * embeddable here); single-label hosts pass through. */
   def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val take = when(n > lit(2) &&
-        element_at(labels, n - 1).isin(MultiPartSecond.map(lit(_)): _*) &&
-        length(element_at(labels, n)) === 2, lit(3))
-      .otherwise(lit(2))
-    when(n <= 1, host)
-      .otherwise(array_join(slice(labels, greatest(n - take + 1, lit(1)), take), "."))
+    import Dedup.bindOnce
+    // host (often a hostOf(...) tree) and the split are bound once —
+    // the inline form re-ran the split ~4× and the caller's host tree
+    // 2× per row.
+    bindOnce(host) { h =>
+      bindOnce(split(h, "\\.")) { labels =>
+        bindOnce(size(labels)) { n =>
+          val take = when(n > lit(2) &&
+              element_at(labels, n - 1).isin(MultiPartSecond.map(lit(_)): _*) &&
+              length(element_at(labels, n)) === 2, lit(3))
+            .otherwise(lit(2))
+          when(n <= 1, h)
+            .otherwise(array_join(slice(labels, greatest(n - take + 1, lit(1)), take), "."))
+        }
+      }
+    }
   }
 
   /** Drop rows whose registrable domain appears in `blocked` (one
