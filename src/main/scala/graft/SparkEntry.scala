@@ -23,12 +23,14 @@ import graft.queries._
   *              INSTEAD OF view-directed DML)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
-  *   - s01–s13  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
+  *   - s01–s15  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
   *              int8) + graph analytics (PageRank, TrustRank, components,
-  *              label-propagation communities, k-means, triangle counts)
+  *              label-propagation communities, k-means, triangle counts,
+  *              clustering coefficients, k-core)
   *   - t0*–t3*  text analysis (tokens, quality, langid, fingerprint, edit,
   *              BPE, classifier, markup strip, paragraph dedup, URL prep, n-gram decontam,
-  *              postings search, LM filter) + sketches (KMV, count-min,
+  *              postings search, LM filter, DSIR importance selection) +
+  *              sketches (KMV, count-min,
   *              Bloom, quantile histogram, CM join-size estimation)
   *   - mm0*     multimodal binary-column plumbing
   *   - e0*–e19  event/time: windows, sessions, streaming (tumbling, dedup,

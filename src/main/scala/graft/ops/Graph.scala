@@ -301,15 +301,32 @@ object Graph {
     *        null endpoints dropped
     * @return (node, triangles) for every node in ≥1 triangle */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirectedSimple(edges, srcCol, dstCol)
+    orientedTriangles(und, degreesOf(und))
+  }
+
+  /** Canonical undirected simple form of an edge list: each edge once as
+    * `(a, b)` with `a < b`, self loops and null endpoints dropped. */
+  private def undirectedSimple(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     val s0 = col(srcCol).cast("long")
     val d0 = col(dstCol).cast("long")
-    val und = edges
+    edges
       .filter(s0.isNotNull && d0.isNotNull && s0 =!= d0)
       .select(least(s0, d0).as("a"), greatest(s0, d0).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("n"))
+  }
+
+  /** Undirected degrees `(n, d)` of a [[undirectedSimple]] edge list. */
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** The triangle-count body shared by [[triangleCounts]] and
+    * [[clusteringCoefficients]] — see [[triangleCounts]] for the
+    * degree-ordered-orientation argument. */
+  private def orientedTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val orient = und
@@ -331,5 +348,89 @@ object Graph {
       .union(tri.select(col("y").as("node")))
       .union(tri.select(col("z").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per node over an undirected simple
+    * graph: `lcc(v) = triangles(v) / (deg(v)·(deg(v)−1)/2)` — the share
+    * of a node's neighbor pairs that are themselves connected. The
+    * classic cohesion signal: near 1 on tight communities (and on
+    * link-farm cliques), near 0 on hub-and-spoke spam shapes, so it
+    * separates organically clustered corpora from manufactured link
+    * structure at a glance.
+    *
+    * Exactness: triangle counts come from [[triangleCounts]]'s
+    * degree-ordered orientation (each triangle once, wedge volume
+    * O(m^1.5)); wedge pairs `d·(d−1)/2` use LONG integral division (the
+    * product is even, so exact); the coefficient is ONE double division
+    * of two exactly-converted longs — bit-identical cross-engine (the
+    * s14 gate's DuckDB oracle replays it). Degree-1 nodes get 0.0.
+    *
+    * Shape at 100 TB: the triangle pipeline's three narrow equi-joins
+    * plus one left join of the ≤n-row degree table against the ≤n-row
+    * triangle table — no new shuffle class over [[triangleCounts]].
+    *
+    * @return (node, degree, triangles, lcc) for every node with ≥1 edge */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = undirectedSimple(edges, srcCol, dstCol)
+    val deg = degreesOf(und)
+    val tri = orientedTriangles(und, deg)
+    val wedges = call_function("div", col("d") * (col("d") - 1), lit(2L))
+    deg.join(tri, deg("n") === tri("node"), "left")
+      .select(deg("n").as("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          coalesce(col("triangles"), lit(0L)).cast("double") /
+            wedges.cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
+
+  /** k-core peeling over an undirected simple graph: repeatedly delete
+    * nodes of degree < k (each wave recomputes degrees over the surviving
+    * subgraph) until a fixed point — the surviving nodes form the k-core,
+    * the standard "dense cohesive subgraph" extractor (community cores,
+    * spam-ring detection, robust-seed selection for TrustRank).
+    *
+    * Runs at most `maxWaves` peel waves, stopping early when a wave
+    * deletes nothing; with `maxWaves` large enough this is the exact
+    * k-core. A FIXED wave count is also a determinism contract: the
+    * result after exactly j waves is well-defined (peeling is confluent —
+    * each wave's deletions depend only on the previous subgraph), which
+    * is what the s15 gate's DuckDB oracle replays wave-for-wave even if
+    * unconverged.
+    *
+    * Shape at 100 TB: each wave is one hash aggregate (degrees, map-side
+    * combined) + two semi-joins of the edge list against the ≤n-row
+    * survivor set — no windows, no driver-side node state; the edge list
+    * passes through [[Lineage.cut]] every wave so the iterative plan
+    * stays linear. The loop is driver-coordinated but each wave's
+    * convergence check is a cheap count on the ≤n-row degree table.
+    *
+    * @return (node, degree) of the surviving subgraph — degree WITHIN
+    *         the core, every survivor has degree ≥ k (unless `maxWaves`
+    *         ran out, in which case the last wave's subgraph is returned)
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxWaves: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxWaves >= 1, "maxWaves must be >= 1")
+    var e = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    var deg = degreesOf(e).persist()
+    var dropped = deg.filter(col("d") < k).count()
+    var waves = 0
+    while (dropped > 0 && waves < maxWaves) {
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = Lineage.cut(e
+        .join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      deg.unpersist()
+      deg = degreesOf(e).persist()
+      dropped = deg.filter(col("d") < k).count()
+      waves += 1
+    }
+    val out = deg.select(col("n").as("node"), col("d").as("degree"))
+    deg.unpersist()
+    out
   }
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance weighting (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169 — the published construction): fit hashed
+  * bag-of-n-grams generative models of a small TARGET corpus (the data
+  * you want more of) and the big RAW pool, then score every raw document
+  * by how target-like its n-gram distribution is. The standard
+  * domain-matching selector in LLM pretraining pipelines — "give me the
+  * CommonCrawl slice that looks like Wikipedia".
+  *
+  * Deterministic variant (default): per-bucket weights are
+  * integer-scaled LIKELIHOOD RATIOS
+  * `w_b = round(scale · p̂_t(b) / p̂_r(b))` with add-one smoothing
+  * (`p̂(b) = (c_b + 1)/(N + B)`), and each document scores
+  * `Σ_b c_db · w_b` in EXACT long arithmetic — bit-reproducible at any
+  * parallelism and replayable by the DuckDB oracle (gate t36): the
+  * ratio is one double division of two exactly-computed longs, the
+  * `round(x·scale)` step is the cross-engine-stable double→integer
+  * conversion (see CLAUDE.md round-3 notes). `logWeights = true` gives
+  * the paper's exact form (`w_b = round(scale · ln(p̂_t/p̂_r))`, doc
+  * score = scaled log likelihood ratio) — same plan shape but `ln` is
+  * transcendental, so it is reproducible within Spark yet not
+  * oracle-gated cross-engine (the t08 `logIdf` precedent).
+  *
+  * Shape at 100 TB: two feature builds (explode + hash agg each), two
+  * ≤B-row bucket aggregations, two 1-row total reads (driver-bounded by
+  * construction), one broadcast-sized (≤B rows) weight join against the
+  * raw features, one doc-keyed aggregation — no windows over data, no
+  * cartesian anything. The weight table is bounded by `numBuckets`
+  * regardless of corpus size.
+  */
+object Importance {
+
+  /** Importance scores for every `raw` document against a `target`
+    * corpus — higher = more target-like. See the object doc for the
+    * weighting scheme.
+    *
+    * Overflow bound (guarded with a typed raise): smoothing products
+    * `(c_b+1)·(N+B)` are bounded by `(Nt+B)·(Nr+B)`, which must stay
+    * under 2⁶³ — both corpora under ~3·10⁹ total grams. Beyond that,
+    * downsample the feature counts or shrink `scale`.
+    *
+    * @param raw     pool to score, one row per document
+    * @param target  corpus whose distribution defines "good" (may
+    *                overlap `raw`; must be non-empty after tokenizing)
+    * @param numBuckets hash-feature space (collisions blur weights —
+    *                size like a classifier feature space)
+    * @param bigrams also hash adjacent word pairs (fastText recipe,
+    *                the paper's default feature set)
+    * @param scale   fixed-point scale for bucket weights
+    * @param logWeights use the paper's log-ratio weights (NOT
+    *                cross-engine reproducible; see object doc)
+    * @return (doc_id, n_grams, score) for EVERY raw row — docs with no
+    *         grams score 0 */
+  def ngramImportance(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 256, bigrams: Boolean = false,
+      scale: Long = 1000000L, logWeights: Boolean = false): DataFrame = {
+    require(numBuckets >= 2, s"ngramImportance: numBuckets=$numBuckets must be >= 2")
+    require(scale >= 1L, s"ngramImportance: scale=$scale must be >= 1")
+    val fr = Classifier.hashedFeatures(raw, idCol, textCol, numBuckets, bigrams)
+    val ft = Classifier.hashedFeatures(target, idCol, textCol, numBuckets, bigrams)
+    val rawSums = fr.groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
+    val tgtSums = ft.groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
+    // eager 1-row total reads (driver-bounded): the totals embed as
+    // literals in the weight expression, so the weight join needs no
+    // scalar-subquery broadcast shapes
+    val nt = tgtSums.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val nr = rawSums.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
+    require(nt > 0L, "ngramImportance: target corpus has no grams")
+    val b = numBuckets.toLong
+    require(nr + b > 0L && nt + b <= Long.MaxValue / (nr + b),
+      s"ngramImportance: (Nt+B)·(Nr+B) overflows long (Nt=$nt Nr=$nr B=$b) — " +
+        "downsample the feature counts")
+    // full outer: buckets seen only in target get smoothed raw counts
+    // (and vice versa), so the op is total over both vocabularies
+    val num = (coalesce(col("ct"), lit(0L)) + 1L) * lit(nr + b)
+    val den = (coalesce(col("cr"), lit(0L)) + 1L) * lit(nt + b)
+    val ratio = num.cast("double") / den.cast("double")
+    val w = round((if (logWeights) log(ratio) else ratio) *
+      lit(scale.toDouble)).cast("long").as("w")
+    val weights = tgtSums.join(rawSums, Seq("bucket"), "full_outer")
+      .select(col("bucket"), w)
+    val scores = fr.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("cnt")).as("n_grams"), sum(col("cnt") * col("w")).as("score"))
+    raw.select(col(idCol).as("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+}

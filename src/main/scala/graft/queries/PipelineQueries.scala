@@ -458,6 +458,51 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- graph: local clustering coefficient — triangles(v) over the
+    // node's neighbor-pair count d(d−1)/2, the cohesion-vs-hub signal
+    // (link farms read ~1, spam hubs ~0). Composes the s13 triangle
+    // pipeline with the degree table; the lcc is ONE double division of
+    // exact longs, so DuckDB replays it bitwise
+    "s14_clustering_coeff" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("neighbor_id"))
+      graft.ops.Graph.clusteringCoefficients(edges, "query_id", "neighbor_id")
+        .orderBy(col("node"))
+    }),
+
+    // ---- graph: k-core peeling — repeatedly delete degree<k nodes
+    // (each wave over the surviving subgraph) to isolate the dense
+    // cohesive core. Fixed maxWaves=3 is the determinism contract: the
+    // oracle unrolls EXACTLY 3 waves (idempotent once converged, so
+    // early Spark convergence still matches — the waterfilling-gate
+    // recipe); survivors carry their within-core degree. Fixture: the
+    // organic 5-NN graph has NO nonempty core above its min degree
+    // (measured: k=6 and k=7 peel it to nothing), so a 14-node clique
+    // is planted on vec_id < 14 — the spam-ring shape k-core exists to
+    // isolate. The gate proves BOTH sides (the e18 lesson): peeling
+    // strips the organic graph AND the planted core survives intact
+    "s15_kcore" -> ((s, dir) => {
+      // the peel loop runs EAGERLY (per-wave counts + checkpoints):
+      // scope the shuffle width down for this narrow gate graph
+      withShufflePartitions(s, 8) {
+        val e = embeds(s, dir)
+        val knn = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+            maxCell = Int.MaxValue,
+            centroids = Some(gateCentroidsN(e, semGateNList)))
+          .select(col("query_id"), col("neighbor_id"))
+        val ring = e.filter(col("vec_id") < 14).select(col("vec_id"))
+        val clique = ring.select(col("vec_id").as("query_id"))
+          .join(ring.select(col("vec_id").as("neighbor_id")),
+            col("query_id") < col("neighbor_id"))
+        graft.ops.Graph.kCore(knn.unionByName(clique), "query_id",
+            "neighbor_id", k = 7, maxWaves = 3)
+          .orderBy(col("node"))
+      }
+    }),
+
     // ---- graph: personalized PageRank (TrustRank) — restart mass on a
     // trusted seed set only; rank = link-proximity to the seeds over the
     // kNN similarity graph, the classic propagate-trust curation prior
@@ -670,6 +715,26 @@ object PipelineQueries {
       out.cache().count()
       feats.unpersist()
       out
+    }),
+
+    // ---- text: DSIR importance selection — hashed bag-of-words models
+    // of a target corpus (text-derived lexical-diversity rule, the t19
+    // task) vs the raw pool; every doc scores Σ cnt_b·w_b with
+    // integer-scaled likelihood-ratio bucket weights (exact longs; the
+    // one double step is the stable round(x·scale) conversion). Output:
+    // the top-40 most target-like docs — y rides along to show the
+    // selector actually enriches for the target class
+    "t36_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isTarget =
+        size(array_distinct(graft.ops.TextAnalysis.tokens(col("text")))) >= 26
+      val imp = graft.ops.Importance.ngramImportance(
+        d, d.filter(isTarget), "doc_id", "text", numBuckets = 256)
+      imp.join(d.select(col("doc_id"),
+          when(isTarget, 1).otherwise(-1).as("y")), Seq("doc_id"))
+        .orderBy(col("score").desc, col("doc_id")).limit(40)
+        .select(col("doc_id"), col("n_grams"), col("score"), col("y"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- sketch: per-source KMV distinct-token estimate — mergeable
@@ -2606,6 +2671,82 @@ object PipelineQueries {
        |  UNION ALL SELECT z FROM tri)
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Clustering-coefficient oracle: the s13 triangle CTEs plus the
+    * degree table; lcc = triangles / (d·(d−1)//2) — one double division
+    * of exact BIGINTs, bitwise identical to Spark's tree. */
+  private def s14OracleSql: String =
+    s"""WITH $knnGraphCtes,
+       |und AS (
+       |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+       |    GREATEST(query_id, neighbor_id) AS b
+       |  FROM knn_ranked WHERE rank <= 5 AND query_id <> neighbor_id
+       |),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+       |  GROUP BY n
+       |),
+       |orient AS (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |           THEN u.a ELSE u.b END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+       |           THEN u.b ELSE u.a END AS v
+       |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+       |),
+       |tri AS (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM orient e1
+       |  JOIN orient e2 ON e2.u = e1.u AND e2.v <> e1.v
+       |  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+       |),
+       |tcnt AS (
+       |  SELECT node, COUNT(*) AS triangles FROM (
+       |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY node
+       |)
+       |SELECT d.n AS node, CAST(d.d AS BIGINT) AS degree,
+       |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN d.d >= 2 THEN CAST(coalesce(t.triangles, 0) AS DOUBLE)
+       |    / CAST((d.d * (d.d - 1)) // 2 AS DOUBLE)
+       |    ELSE CAST(0 AS DOUBLE) END AS lcc
+       |FROM deg d LEFT JOIN tcnt t ON t.node = d.n
+       |ORDER BY node""".stripMargin
+
+  /** k-core oracle: EXACTLY 3 unrolled peel waves at k=7 over the 5-NN
+    * graph plus the planted 14-clique (a wave keeps edges whose
+    * endpoints both had degree ≥ k in the previous wave's subgraph) —
+    * idempotent once converged, so early Spark convergence still
+    * matches. AS MATERIALIZED: each wave references its predecessor
+    * three times (inlined CTEs would re-expand 3^k-fold). */
+  private def s15OracleSql: String = {
+    val k = 7
+    val waves = (1 to 3).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (
+         |  SELECT n, COUNT(*) AS d FROM (
+         |    SELECT a AS n FROM w${i - 1} UNION ALL SELECT b FROM w${i - 1})
+         |  GROUP BY n),
+         |w$i AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM w${i - 1} e
+         |  JOIN d${i - 1} ka ON ka.n = e.a AND ka.d >= $k
+         |  JOIN d${i - 1} kb ON kb.n = e.b AND kb.d >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(a0, b0) AS a, GREATEST(a0, b0) AS b FROM (
+       |    SELECT query_id AS a0, neighbor_id AS b0 FROM knn_ranked WHERE rank <= 5
+       |    UNION ALL
+       |    SELECT x.vec_id AS a0, y.vec_id AS b0 FROM e x JOIN e y
+       |      ON x.vec_id < 14 AND y.vec_id < 14 AND x.vec_id < y.vec_id)
+       |  WHERE a0 <> b0),
+       |$waves,
+       |d3 AS (
+       |  SELECT n, COUNT(*) AS d FROM (
+       |    SELECT a AS n FROM w3 UNION ALL SELECT b FROM w3) GROUP BY n)
+       |SELECT n AS node, CAST(d AS BIGINT) AS degree FROM d3
+       |ORDER BY node""".stripMargin
+  }
+
   /** TrustRank oracle: the s08 fixed-point chain with the restart mass
     * gated to the seed set (vec_id % 50 = 0) — base joins in per node,
     * ranks start at `scale` on seeds and 0 elsewhere; every floor
@@ -2828,14 +2969,19 @@ object PipelineQueries {
     *   scoring margins `m` always cover every doc. "TRUE" trains on the
     *   full corpus (t19); t20 passes the md5-threshold train-split
     *   predicate so the oracle trains leakage-free like the Spark side. */
+  /** DuckDB replay of [[graft.ops.Classifier.tokenBucket]]: the 6-hex
+    * md5 digit fold mod `numBuckets`, over a column named `h` holding
+    * `md5(token)`. Shared by the classifier and DSIR oracles. */
+  private def duckBucket6(numBuckets: Int): String =
+    """CAST(list_sum([(CASE WHEN ascii(substr(h,i+1,1)) >= 97
+      |      THEN ascii(substr(h,i+1,1)) - 87
+      |      ELSE ascii(substr(h,i+1,1)) - 48 END)
+      |    * CAST(16**(5-i) AS BIGINT) for i in range(0,6)])""".stripMargin +
+      s" % $numBuckets AS BIGINT)"
+
   private def centroidOracle(numBuckets: Int, minDistinct: Int, k: Long,
       trainCond: String = "TRUE"): String = {
-    val bucket =
-      """CAST(list_sum([(CASE WHEN ascii(substr(h,i+1,1)) >= 97
-        |      THEN ascii(substr(h,i+1,1)) - 87
-        |      ELSE ascii(substr(h,i+1,1)) - 48 END)
-        |    * CAST(16**(5-i) AS BIGINT) for i in range(0,6)])""".stripMargin +
-        s" % $numBuckets AS BIGINT)"
+    val bucket = duckBucket6(numBuckets)
     s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
        |    x -> len(x) > 0)) AS tok
@@ -2873,6 +3019,52 @@ object PipelineQueries {
        |  FROM (SELECT (CASE WHEN smp >= 0 THEN smp // np ELSE -((-smp) // np) END
        |              + CASE WHEN smn >= 0 THEN smn // nn ELSE -((-smn) // nn) END) AS mids
        |        FROM cm, cls))""".stripMargin
+  }
+
+  /** DSIR oracle: the t19 feature/label CTEs, add-one-smoothed bucket
+    * ratios scaled to integers (the round(x·scale) stable conversion —
+    * both engines' double trees share the (num/den)·1e6 shape), exact
+    * BIGINT doc scores, top-40 by (score desc, doc_id). */
+  private def t36OracleSql: String = {
+    val bucket = duckBucket6(256)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, $bucket AS bucket FROM (SELECT doc_id, md5(tok) AS h FROM toks))
+       |  GROUP BY doc_id, bucket),
+       |lbl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0))) >= 26 THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |rs AS MATERIALIZED (
+       |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM feats GROUP BY bucket),
+       |ts AS MATERIALIZED (
+       |  SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS ct
+       |  FROM feats f JOIN lbl l ON l.doc_id = f.doc_id AND l.y = 1
+       |  GROUP BY f.bucket),
+       |tot AS (SELECT
+       |  CAST(coalesce((SELECT SUM(ct) FROM ts), 0) AS BIGINT) AS nt,
+       |  CAST(coalesce((SELECT SUM(cr) FROM rs), 0) AS BIGINT) AS nr),
+       |w AS MATERIALIZED (
+       |  SELECT r.bucket,
+       |    CAST(round(CAST((coalesce(t.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE)
+       |      / CAST((r.cr + 1) * (tot.nt + 256) AS DOUBLE) * 1000000.0) AS BIGINT) AS w
+       |  FROM rs r LEFT JOIN ts t ON t.bucket = r.bucket CROSS JOIN tot),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+       |    CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+       |  FROM feats f JOIN w ON w.bucket = f.bucket GROUP BY f.doc_id),
+       |alld AS (
+       |  SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+       |    CAST(coalesce(s.score, 0) AS BIGINT) AS score, l.y
+       |  FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id
+       |  JOIN lbl l ON l.doc_id = d.doc_id),
+       |top AS (SELECT * FROM alld ORDER BY score DESC, doc_id LIMIT 40)
+       |SELECT doc_id, n_grams, score, y FROM top ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[graft.ops.Sampling.tokenBudgetPlan]]: per-domain
@@ -3286,6 +3478,9 @@ object PipelineQueries {
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
     "s13_triangles" -> s13OracleSql,
+    "s14_clustering_coeff" -> s14OracleSql,
+    "s15_kcore" -> s15OracleSql,
+    "t36_dsir_select" -> t36OracleSql,
     "s09_components" -> s09OracleSql,
     "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,

@@ -231,4 +231,59 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("Window"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("clusteringCoefficients: known shapes and the brute-force graph") {
+    def lccs(edges: Seq[(Long, Long)]) =
+      Graph.clusteringCoefficients(edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // triangle + pendant at node 1: node 1 has degree 3, 1 triangle,
+    // 3 neighbor pairs → 1/3; nodes 2,3 are fully clustered; pendant 4
+    // has degree 1 → lcc 0 by convention
+    val got = lccs(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+    assert(got(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)) && got(3L) == ((2L, 1L, 1.0)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // K4: every node degree 3, 3 triangles, lcc exactly 1
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(lccs(k4).values.toSet == Set((3L, 3L, 1.0)))
+    // star: hub clusters nothing, leaves have degree 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(lccs(star)(0L) == ((3L, 0L, 0.0)))
+    // brute force: lcc must equal triangles/(d choose 2) on the same
+    // pseudo-random graph the triangle spec cross-checks
+    val n = 30
+    val rndEdges = (for (i <- 0 until n; j <- 0 until n if i < j)
+      yield (i.toLong, j.toLong)).filter { case (i, j) =>
+        (i * 2654435761L + j * 40503L) % 5 == 0 }
+    for ((node, (d, tri, lcc)) <- lccs(rndEdges)) {
+      val wedges = d * (d - 1) / 2
+      val expect = if (d >= 2) tri.toDouble / wedges.toDouble else 0.0
+      assert(lcc == expect, s"node $node: lcc $lcc != $expect")
+    }
+  }
+
+  test("kCore: peels to the exact core, early-stops, respects maxWaves") {
+    def core(edges: Seq[(Long, Long)], k: Int, waves: Int = 100) =
+      Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, waves)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 with a tail 4-5-6: the 3-core is exactly the K4 (tail and its
+    // attachment edges peel away over two waves)
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+    val g = k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    assert(core(g, 3) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k above max degree: everything peels
+    assert(core(g, 5).isEmpty)
+    // k=1 keeps every non-isolated node
+    assert(core(g, 1).keySet == (0L to 6L).toSet)
+    // cascade needs >1 wave: a chain peels one end per wave at k=2;
+    // maxWaves=1 leaves the intermediate state (only wave-1 deletions)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(chain, 2).isEmpty, "chain has no 2-core")
+    val oneWave = core(chain, 2, waves = 1)
+    assert(oneWave.keySet == Set(2L, 3L, 4L), s"wave-1 state: $oneWave")
+    // canonicalization: reversed/duplicate/self-loop edges collapse
+    assert(core(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)), 2)
+      == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
 }
