@@ -568,9 +568,14 @@ object ScaleProbe {
     {
       val c = 50
       val nodes = spark.range(0L, 1000L * c)
+      // the last node of each clique has bound 0 and Spark's
+      // sequence(1, 0) counts DOWN to [1, 0] — guard with an empty
+      // array so the cliques are genuinely disjoint (no self loop, no
+      // cross-clique bridge, no phantom node 50000)
+      val bound = lit(c - 1) - (col("id") % c).cast("int")
       val edges = nodes.select(col("id").as("src"),
-          explode(sequence(lit(1), lit(c - 1) - (col("id") % c).cast("int")))
-            .as("off"))
+          explode(when(bound >= 1, sequence(lit(1), bound))
+            .otherwise(array().cast("array<int>"))).as("off"))
         .select(col("src"), (col("src") + col("off")).as("dst"))
       val counts = t("triangle count 50k nodes / 1.2M edges")(
         graft.ops.Graph.triangleCounts(edges, "src", "dst")

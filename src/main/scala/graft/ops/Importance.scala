@@ -61,8 +61,13 @@ object Importance {
       scale: Long = 1000000L, logWeights: Boolean = false): DataFrame = {
     require(numBuckets >= 2, s"ngramImportance: numBuckets=$numBuckets must be >= 2")
     require(scale >= 1L, s"ngramImportance: scale=$scale must be >= 1")
-    val fr = Classifier.hashedFeatures(raw, idCol, textCol, numBuckets, bigrams)
-    val ft = Classifier.hashedFeatures(target, idCol, textCol, numBuckets, bigrams)
+    // Lineage.cut materializes each feature build ONCE: fr otherwise
+    // appears three times (the eager total read + two subtrees of the
+    // returned plan) and the corpus would be re-tokenized for each
+    val fr = Lineage.cut(
+      Classifier.hashedFeatures(raw, idCol, textCol, numBuckets, bigrams))
+    val ft = Lineage.cut(
+      Classifier.hashedFeatures(target, idCol, textCol, numBuckets, bigrams))
     val rawSums = fr.groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
     val tgtSums = ft.groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
     // eager 1-row total reads (driver-bounded): the totals embed as
@@ -84,9 +89,19 @@ object Importance {
       lit(scale.toDouble)).cast("long").as("w")
     val weights = tgtSums.join(rawSums, Seq("bucket"), "full_outer")
       .select(col("bucket"), w)
+    // score accumulates in DECIMAL(38,0): cnt·w can pass 2⁶³ on skewed
+    // ratio × long-doc combinations inside the smoothing bound, and an
+    // ANSI long sum would raise at an arbitrary row — the decimal sum
+    // is exact, and the one typed raise below names the doc instead
+    val dscore = sum(col("cnt").cast("decimal(19,0)") *
+      col("w").cast("decimal(19,0)"))
     val scores = fr.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id")).agg(
-        sum(col("cnt")).as("n_grams"), sum(col("cnt") * col("w")).as("score"))
+        sum(col("cnt")).as("n_grams"),
+        when(abs(dscore) > lit(Long.MaxValue),
+          raise_error(concat(lit("ngramImportance: score overflows long for doc "),
+            col("doc_id").cast("string"), lit(" — shrink scale"))))
+          .otherwise(dscore.cast("long")).as("score"))
     raw.select(col(idCol).as("doc_id"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -44,13 +44,14 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(topN)
 
   /** One-row join-planning stats from SKETCHES ONLY — what you read
-    * before choosing broadcast / salt / AQE-default for an equi-join,
-    * priced at one pass over each side into bounded artifacts (and at
-    * 100 TB the sides' sketches are usually already persisted —
+    * before choosing broadcast / salt / AQE-default for an equi-join.
+    * Cost: two bounded-artifact sketch builds per side (a CM and a KMV —
+    * one scan each; at 100 TB read persisted sketches instead —
     * [[Sketch.writeCmIndex]]/[[Sketch.writeKmvIndex]] — making this
     * free):
     *
-    *   - `rows_a`/`rows_b` — exact row counts (a CM depth row's total);
+    *   - `rows_a`/`rows_b` — exact JOINABLE row counts (a CM depth
+    *     row's total);
     *   - `distinct_a`/`distinct_b` — KMV distinct-key estimates
     *     (exact below k);
     *   - `est_join_rows` — the CM inner-product estimate of the join
@@ -60,7 +61,12 @@ object Skew {
     *     with low distinct counts is the many-to-many blow-up you salt
     *     or pre-aggregate BEFORE running, not after the stage dies.
     *
-    * Null keys count like any group (tier invariant). The final
+    * Every stat covers NON-NULL-key rows only (the sketches filter null
+    * values): null keys never match an equi-join, so they belong in
+    * none of est_join_rows/fan-out/distinct — but it also means rows_*
+    * UNDERSTATES a nullable-keyed table's physical size; add the null
+    * count separately before byte-sizing a broadcast. Always returns
+    * EXACTLY one row — empty or all-null sides read as zeros. The final
     * assembly cross-joins five 1-row frames — the documented benign
     * scalar-subquery BNLJ shape. */
   def joinPlanStats(a: DataFrame, b: DataFrame, keyCol: String,
@@ -68,13 +74,17 @@ object Skew {
     def side(df: DataFrame) = df.select(lit("all").as("__k"), col(keyCol).as("__v"))
     val sa = Sketch.cmSketch(side(a), "__k", "__v", depth, width)
     val sb = Sketch.cmSketch(side(b), "__k", "__v", depth, width)
+    // each leg is a GLOBAL aggregate over its (possibly empty) keyed
+    // frame: global aggs always emit one row, so an empty/all-null side
+    // cannot annihilate the cross-join chain — it reads as 0
     val est = Sketch.cmInnerProduct(sa, sb, depth)
-      .select(col("est_inner").cast("long").as("est_join_rows"))
+      .agg(coalesce(sum(col("est_inner").cast("long")), lit(0L))
+        .as("est_join_rows"))
     def rows(sk: DataFrame, n: String) = sk.filter(col("di") === 0)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as(n))
     def dist(df: DataFrame, n: String) =
       Sketch.kmvEstimate(Sketch.kmvSketch(side(df), "__k", "__v", k), k)
-        .select(col("est_distinct").as(n))
+        .agg(coalesce(sum(col("est_distinct")), lit(0L)).as(n))
     rows(sa, "rows_a").crossJoin(rows(sb, "rows_b"))
       .crossJoin(dist(a, "distinct_a")).crossJoin(dist(b, "distinct_b"))
       .crossJoin(est)

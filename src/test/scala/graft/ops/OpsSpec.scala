@@ -704,6 +704,20 @@ class OpsSpec extends SparkSpec {
     val dj = Skew.joinPlanStats(a, c, "k", depth = 4, width = 1024, k = 64).head()
     assert(dj.getAs[Long]("est_join_rows") == 0L)
     assert(dj.getAs[Double]("est_fanout_a") == 0.0)
+    // an EMPTY or all-null-key side must still yield exactly one stats
+    // row of zeros (review finding: the KMV legs used to annihilate the
+    // cross-join chain) — the broadcast-obvious case most needs stats
+    val empty = Seq.empty[(String, Int)].toDF("k", "pe")
+    val nul = Seq((null.asInstanceOf[String], 1)).toDF("k", "pn")
+    for (weird <- Seq(empty, nul)) {
+      val got = Skew.joinPlanStats(a, weird, "k")
+      assert(got.count() == 1L)
+      val r = got.head()
+      assert(r.getAs[Long]("rows_a") == 300L)
+      assert(r.getAs[Long]("rows_b") == 0L && r.getAs[Long]("distinct_b") == 0L)
+      assert(r.getAs[Long]("est_join_rows") == 0L)
+      assert(r.getAs[Double]("est_fanout_a") == 0.0)
+    }
   }
 
   test("multimodal: payload plumbing, stub decode, frame sampling") {
