@@ -85,8 +85,17 @@ object Importance {
     val num = (coalesce(col("ct"), lit(0L)) + 1L) * lit(nr + b)
     val den = (coalesce(col("cr"), lit(0L)) + 1L) * lit(nt + b)
     val ratio = num.cast("double") / den.cast("double")
-    val w = round((if (logWeights) log(ratio) else ratio) *
-      lit(scale.toDouble)).cast("long").as("w")
+    // the weight itself can pass 2⁶³ inside the smoothing bound
+    // (ratio ≤ (Nt+1)(Nr+B)/(Nt+B) on asymmetric corpora) — typed raise
+    // instead of an ANSI cast error at an arbitrary weight row. The
+    // upper test is ≥ 2⁶³ (Long.MaxValue.toDouble): any castable double
+    // is strictly below it; −2⁶³ itself is a valid long
+    val wd = round((if (logWeights) log(ratio) else ratio) * lit(scale.toDouble))
+    val w = when(wd >= lit(Long.MaxValue.toDouble) ||
+        wd < lit(Long.MinValue.toDouble),
+      raise_error(concat(lit("ngramImportance: bucket weight overflows long "),
+        lit("at bucket "), col("bucket").cast("string"), lit(" — shrink scale"))))
+      .otherwise(wd.cast("long")).as("w")
     val weights = tgtSums.join(rawSums, Seq("bucket"), "full_outer")
       .select(col("bucket"), w)
     // score accumulates in DECIMAL(38,0): cnt·w can pass 2⁶³ on skewed
@@ -98,7 +107,7 @@ object Importance {
     val scores = fr.join(broadcast(weights), Seq("bucket"))
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_grams"),
-        when(abs(dscore) > lit(Long.MaxValue),
+        when(dscore > lit(Long.MaxValue) || dscore < lit(Long.MinValue),
           raise_error(concat(lit("ngramImportance: score overflows long for doc "),
             col("doc_id").cast("string"), lit(" — shrink scale"))))
           .otherwise(dscore.cast("long")).as("score"))

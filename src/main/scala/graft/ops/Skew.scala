@@ -46,9 +46,9 @@ object Skew {
   /** One-row join-planning stats from SKETCHES ONLY — what you read
     * before choosing broadcast / salt / AQE-default for an equi-join.
     * Cost: two bounded-artifact sketch builds per side (a CM and a KMV —
-    * one scan each; at 100 TB read persisted sketches instead —
-    * [[Sketch.writeCmIndex]]/[[Sketch.writeKmvIndex]] — making this
-    * free):
+    * one scan each). At 100 TB use [[joinPlanStatsFromSketches]] with
+    * persisted sketches instead ([[Sketch.writeCmIndex]]/
+    * [[Sketch.writeKmvIndex]]) — the corpus pass is then already paid:
     *
     *   - `rows_a`/`rows_b` — exact JOINABLE row counts (a CM depth
     *     row's total);
@@ -66,27 +66,55 @@ object Skew {
     * none of est_join_rows/fan-out/distinct — but it also means rows_*
     * UNDERSTATES a nullable-keyed table's physical size; add the null
     * count separately before byte-sizing a broadcast. Always returns
-    * EXACTLY one row — empty or all-null sides read as zeros. The final
-    * assembly cross-joins five 1-row frames — the documented benign
-    * scalar-subquery BNLJ shape. */
+    * EXACTLY one row — empty or all-null sides read as zeros;
+    * est_join_rows saturates at Long.MaxValue (an estimate past 2⁶³ is
+    * already the loudest possible "do not run this join as-is"). The
+    * final assembly cross-joins five 1-row frames — the documented
+    * benign scalar-subquery BNLJ shape. */
   def joinPlanStats(a: DataFrame, b: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 1024, k: Int = 256): DataFrame = {
     def side(df: DataFrame) = df.select(lit("all").as("__k"), col(keyCol).as("__v"))
-    val sa = Sketch.cmSketch(side(a), "__k", "__v", depth, width)
-    val sb = Sketch.cmSketch(side(b), "__k", "__v", depth, width)
+    joinPlanStatsFromSketches(
+      Sketch.cmSketch(side(a), "__k", "__v", depth, width),
+      Sketch.cmSketch(side(b), "__k", "__v", depth, width),
+      Sketch.kmvSketch(side(a), "__k", "__v", k),
+      Sketch.kmvSketch(side(b), "__k", "__v", k), depth, k)
+  }
+
+  /** [[joinPlanStats]] over PRE-BUILT sketch frames — the 100 TB path:
+    * the corpus pass is paid once when the sketches are persisted
+    * ([[Sketch.writeCmIndex]]/[[Sketch.writeKmvIndex]]), and every
+    * planning decision afterwards reads bounded artifacts only.
+    *
+    * `cmA`/`cmB`: CM sketch frames as from [[Sketch.cmSketch]] — or a
+    * `readCmIndex` segment frame directly (the inner product merges
+    * segments internally, and the row totals sum correctly across
+    * segments). `kmvA`/`kmvB`: KMV sketch frames as from
+    * [[Sketch.kmvSketch]]; merge an un-compacted index's segments with
+    * [[Sketch.kmvMerge]] first (two `hashes` rows per key would
+    * double-count). All four must be built over the SAME single-group
+    * literal key with value = the join key. */
+  def joinPlanStatsFromSketches(cmA: DataFrame, cmB: DataFrame,
+      kmvA: DataFrame, kmvB: DataFrame, depth: Int = 4,
+      k: Int = 256): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // each leg is a GLOBAL aggregate over its (possibly empty) keyed
     // frame: global aggs always emit one row, so an empty/all-null side
-    // cannot annihilate the cross-join chain — it reads as 0
-    val est = Sketch.cmInnerProduct(sa, sb, depth)
-      .agg(coalesce(sum(col("est_inner").cast("long")), lit(0L))
-        .as("est_join_rows"))
+    // cannot annihilate the cross-join chain — it reads as 0. The
+    // estimate stays DECIMAL until after the saturation clamp: a
+    // blow-up estimate past 2⁶³ must not crash the very call that
+    // exists to warn about it (coalesce BEFORE least — Spark's least
+    // skips nulls, so least(null, max) would read max on empty input)
+    val est = Sketch.cmInnerProduct(cmA, cmB, depth)
+      .agg(least(coalesce(sum(col("est_inner")), lit(0L).cast(dec)),
+        lit(Long.MaxValue).cast(dec)).cast("long").as("est_join_rows"))
     def rows(sk: DataFrame, n: String) = sk.filter(col("di") === 0)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as(n))
-    def dist(df: DataFrame, n: String) =
-      Sketch.kmvEstimate(Sketch.kmvSketch(side(df), "__k", "__v", k), k)
+    def dist(sk: DataFrame, n: String) =
+      Sketch.kmvEstimate(sk, k)
         .agg(coalesce(sum(col("est_distinct")), lit(0L)).as(n))
-    rows(sa, "rows_a").crossJoin(rows(sb, "rows_b"))
-      .crossJoin(dist(a, "distinct_a")).crossJoin(dist(b, "distinct_b"))
+    rows(cmA, "rows_a").crossJoin(rows(cmB, "rows_b"))
+      .crossJoin(dist(kmvA, "distinct_a")).crossJoin(dist(kmvB, "distinct_b"))
       .crossJoin(est)
       .withColumn("est_fanout_a",
         when(col("rows_a") > 0L,

@@ -704,9 +704,10 @@ class OpsSpec extends SparkSpec {
     val dj = Skew.joinPlanStats(a, c, "k", depth = 4, width = 1024, k = 64).head()
     assert(dj.getAs[Long]("est_join_rows") == 0L)
     assert(dj.getAs[Double]("est_fanout_a") == 0.0)
-    // an EMPTY or all-null-key side must still yield exactly one stats
-    // row of zeros (review finding: the KMV legs used to annihilate the
-    // cross-join chain) — the broadcast-obvious case most needs stats
+    // an EMPTY or all-null-key side — on EITHER side, or both — must
+    // still yield exactly one stats row of zeros (review finding: the
+    // KMV legs used to annihilate the cross-join chain) — the
+    // broadcast-obvious case most needs stats
     val empty = Seq.empty[(String, Int)].toDF("k", "pe")
     val nul = Seq((null.asInstanceOf[String], 1)).toDF("k", "pn")
     for (weird <- Seq(empty, nul)) {
@@ -717,7 +718,23 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("rows_b") == 0L && r.getAs[Long]("distinct_b") == 0L)
       assert(r.getAs[Long]("est_join_rows") == 0L)
       assert(r.getAs[Double]("est_fanout_a") == 0.0)
+      // left side: rows_a = 0 exercises the fan-out division guard
+      val l = Skew.joinPlanStats(weird, a, "k").head()
+      assert(l.getAs[Long]("rows_a") == 0L && l.getAs[Long]("rows_b") == 300L)
+      assert(l.getAs[Double]("est_fanout_a") == 0.0)
+      val both = Skew.joinPlanStats(weird, weird, "k").head()
+      assert(both.getAs[Long]("est_join_rows") == 0L)
     }
+    // the persisted-sketch path returns the same stats row as the
+    // build-from-raw path when fed the same sketches
+    def side(df: org.apache.spark.sql.DataFrame) =
+      df.select(lit("all").as("__k"), col("k").as("__v"))
+    val fromSk = Skew.joinPlanStatsFromSketches(
+      Sketch.cmSketch(side(a), "__k", "__v", 4, 1024),
+      Sketch.cmSketch(side(b), "__k", "__v", 4, 1024),
+      Sketch.kmvSketch(side(a), "__k", "__v", 64),
+      Sketch.kmvSketch(side(b), "__k", "__v", 64), depth = 4, k = 64).head()
+    assert(fromSk.toSeq == st.toSeq, "sketch-frame overload must match")
   }
 
   test("multimodal: payload plumbing, stub decode, frame sampling") {
