@@ -33,11 +33,11 @@ import graft.queries._
   *              sketches (KMV, count-min,
   *              Bloom, quantile histogram, CM join-size estimation)
   *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e19  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - e0*–e20  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index
   *              screen, drift screen, exact-dedup screen, LM quality
-  *              screen), as-of/range join
+  *              screen, DSIR importance screen), as-of/range join
   *   - p0*–p16  composed pipelines (corpus prep, sampling, packing, splits,
   *              the seven-operator full-chain integration gate)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:

@@ -1643,6 +1643,49 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- streaming: DSIR IMPORTANCE SCREEN — t36's selector composed
+    // with the streaming crawl loop over a PERSISTED model: the even
+    // half seeds the sufficient-statistics artifact once (target =
+    // lexical-diversity rule, the t19/t36 task), the odd half arrives
+    // as two forced micro-batches; each batch scores against the static
+    // model and docs whose mean per-gram weight clears 0.99·scale (the
+    // sf0.01 median per-gram ratio is ~0.9906, so both arms run) are
+    // admitted. Static model ⇒ batch-order-independent admission; the
+    // oracle replays the model from the even half and the exact-long
+    // filter over the odd half
+    "e20_stream_dsir_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-dsirscr-")
+      val mP = base.resolve("model").toString
+      val outP = base.resolve("out").toString
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val even = d.filter(col("doc_id") % 2 === 0)
+      val isTarget =
+        size(array_distinct(graft.ops.TextAnalysis.tokens(col("text")))) >= 26
+      graft.ops.Importance.writeImportanceModel(
+        even, even.filter(isTarget), "doc_id", "text", mP, numBuckets = 256)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      withShufflePartitions(s, 4) {
+        Seq(1, 3).foreach { r =>
+          val p = base.resolve(s"feed$r")
+          d.filter(col("doc_id") % 4 === r)
+            .coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingImportanceScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "doc_id", "text", mP, outP, scale = 1000000L,
+            minNum = 99L, minDen = 100L,
+            base.resolve(s"ck$r").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).distinct()
+        .select(col("doc_id"), col("n_grams"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- web: URL PREP — the step before text ever loads in a web
     // pipeline. doc_id-derived URLs share a core identity (doc_id % 50)
     // under per-doc noise that canonicalization must erase (case,
@@ -3067,6 +3110,54 @@ object PipelineQueries {
        |SELECT doc_id, n_grams, score, y FROM top ORDER BY doc_id""".stripMargin
   }
 
+  /** e20 oracle: the t36 recipe with the model statistics restricted to
+    * the EVEN half (the persisted seed), weights derived over the FULL
+    * range(0,256) bucket space (scoreWithModel's range left-join — new
+    * batches can hash into buckets the seed never saw), odd docs scored
+    * and the exact-long admission filter replayed. */
+  private def e20OracleSql: String = {
+    val bucket = duckBucket6(256)
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+       |    SELECT doc_id, $bucket AS bucket FROM (SELECT doc_id, md5(tok) AS h FROM toks))
+       |  GROUP BY doc_id, bucket),
+       |lbl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0))) >= 26 THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |rs AS MATERIALIZED (
+       |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cr FROM feats
+       |  WHERE doc_id % 2 = 0 GROUP BY bucket),
+       |ts AS MATERIALIZED (
+       |  SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS ct
+       |  FROM feats f JOIN lbl l ON l.doc_id = f.doc_id AND l.y = 1
+       |  WHERE f.doc_id % 2 = 0 GROUP BY f.bucket),
+       |tot AS (SELECT
+       |  CAST(coalesce((SELECT SUM(ct) FROM ts), 0) AS BIGINT) AS nt,
+       |  CAST(coalesce((SELECT SUM(cr) FROM rs), 0) AS BIGINT) AS nr),
+       |w AS MATERIALIZED (
+       |  SELECT r.i AS bucket,
+       |    CAST(round(CAST((coalesce(t.ct, 0) + 1) * (tot.nr + 256) AS DOUBLE)
+       |      / CAST((coalesce(s.cr, 0) + 1) * (tot.nt + 256) AS DOUBLE) * 1000000.0) AS BIGINT) AS w
+       |  FROM range(0, 256) r(i)
+       |  LEFT JOIN ts t ON t.bucket = r.i
+       |  LEFT JOIN rs s ON s.bucket = r.i
+       |  CROSS JOIN tot),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_grams,
+       |    CAST(SUM(f.cnt * w.w) AS BIGINT) AS score
+       |  FROM feats f JOIN w ON w.bucket = f.bucket
+       |  WHERE f.doc_id % 2 = 1 GROUP BY f.doc_id)
+       |SELECT doc_id, n_grams, score FROM sc
+       |WHERE score * 100 > n_grams * 1000000 * 99
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.ops.Sampling.tokenBudgetPlan]]: per-domain
     * token supplies, integer weights from the source name, then `iters`
     * unrolled saturation waves — every quota is the same rem·w // ΣW
@@ -3481,6 +3572,7 @@ object PipelineQueries {
     "s14_clustering_coeff" -> s14OracleSql,
     "s15_kcore" -> s15OracleSql,
     "t36_dsir_select" -> t36OracleSql,
+    "e20_stream_dsir_screen" -> e20OracleSql,
     "s09_components" -> s09OracleSql,
     "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,

@@ -384,6 +384,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming DSIR importance screen: each micro-batch is scored
+    * against a persisted importance model
+    * ([[graft.ops.Importance.scoreWithModel]]) and docs whose MEAN
+    * per-gram weight clears `(minNum/minDen)·scale` land in the
+    * admitted feed — `score·minDen > n_grams·scale·minNum`, all exact
+    * longs (keep `n_grams·scale·minNum` under 2⁶³: the batch's longest
+    * doc times the threshold terms). No-gram docs never clear (0 > 0).
+    *
+    * The model is STATIC by design, like [[streamingLmScreen]]: an
+    * adaptive variant would make admission order-dependent and
+    * replay-biased (the e17 class). The screen is a pure per-batch
+    * function — crash replay = at-least-once duplicates with identical
+    * values, never loss or drift. */
+  def streamingImportanceScreen(stream: DataFrame, idCol: String,
+      textCol: String, modelPath: String, outPath: String, scale: Long,
+      minNum: Long, minDen: Long,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(minDen >= 1L, s"streamingImportanceScreen: minDen=$minDen must be >= 1")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Importance.scoreWithModel(spark, modelPath,
+            batch.filter(col(textCol).isNotNull), idCol, textCol, scale)
+          .filter(col("score") * lit(minDen) >
+            col("n_grams") * lit(scale) * lit(minNum))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+  }
+
   /** Stream-static enrichment join: every micro-batch joins against the
     * static dimension frame (broadcast — no stream-side shuffle, no join
     * state to checkpoint; the classic fact-stream × dim-table shape).

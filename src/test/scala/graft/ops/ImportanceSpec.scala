@@ -73,6 +73,71 @@ class ImportanceSpec extends SparkSpec {
     }
   }
 
+  test("persisted model: score parity with the inline scorer; append == rebuild; unseen buckets weighted") {
+    val raw = (targetish ++ noise).toDF("doc_id", "text")
+    val target = targetish.toDF("doc_id", "text")
+    val base = graft.Paths.scratchDir("imp-model-")
+    val p1 = base.resolve("m1").toString
+    // write from (raw, target), score raw → must equal ngramImportance
+    // bitwise (same weight expression, every raw bucket covered)
+    Importance.writeImportanceModel(raw, target, "doc_id", "text", p1)
+    val inline = Importance.ngramImportance(raw, target, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val served = Importance.scoreWithModel(spark, p1, raw, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served == inline, "persisted-model scoring must match inline")
+    // append == rebuild: seed with half of each corpus, append the rest
+    val p2 = base.resolve("m2").toString
+    Importance.writeImportanceModel(
+      raw.filter(col("doc_id") % 2 === 0), target.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", p2)
+    Importance.appendImportanceModel(spark, p2,
+      raw.filter(col("doc_id") % 2 === 1), target.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val appended = Importance.scoreWithModel(spark, p2, raw, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(appended == inline, "append must equal single-shot rebuild")
+    // a batch hashing into buckets the seed never saw still scores:
+    // every gram unseen → every bucket weight is the smoothed default
+    val novel = Seq((99L, "zzqx wvplk mmtrn")).toDF("doc_id", "text")
+    val ns = Importance.scoreWithModel(spark, p1, novel, "doc_id", "text")
+      .head()
+    assert(ns.getLong(1) == 3L && ns.getLong(2) > 0L,
+      "unseen-bucket grams must get the smoothed weight, not drop")
+    // append-only-raw (empty target side) shifts cr but keeps serving
+    Importance.appendImportanceModel(spark, p1, novel,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val after = Importance.scoreWithModel(spark, p1, novel, "doc_id", "text")
+      .head()
+    assert(after.getLong(2) < ns.getLong(2),
+      "appending the novel doc to the raw pool must lower its ratio score")
+  }
+
+  test("persisted model: corrupt artifacts raise typed errors") {
+    val base = graft.Paths.scratchDir("imp-corrupt-")
+    val p = base.resolve("m").toString
+    val raw = targetish.toDF("doc_id", "text")
+    // missing config row
+    raw.sparkSession.range(1)
+      .select(lit(-1L).as("bucket"), lit(5L).as("ct"), lit(5L).as("cr"))
+      .write.parquet(s"$p/sums")
+    val e1 = intercept[IllegalArgumentException] {
+      Importance.scoreWithModel(spark, p, raw, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("no config row"))
+    // empty target in the persisted totals
+    val p3 = base.resolve("m3").toString
+    raw.sparkSession.range(1).select(lit(-1L).as("bucket"),
+        lit(0L).as("ct"), lit(9L).as("cr"))
+      .unionAll(raw.sparkSession.range(1).select(lit(-2L).as("bucket"),
+        lit(256L).as("ct"), lit(0L).as("cr")))
+      .write.parquet(s"$p3/sums")
+    val e2 = intercept[IllegalArgumentException] {
+      Importance.scoreWithModel(spark, p3, raw, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("empty target"))
+  }
+
   test("ngramImportance: scoring raw against itself is near-uniform per gram") {
     // target == raw ⇒ every bucket ratio is exactly 1 ⇒ every weight is
     // exactly `scale` ⇒ score = n_grams · scale
