@@ -64,14 +64,14 @@ object Importance {
     // is strictly below it; −2⁶³ itself is a valid long
     val wd = round((if (logWeights) log(ratio) else ratio) * lit(scale.toDouble))
     when(wd >= lit(Long.MaxValue.toDouble) || wd < lit(Long.MinValue.toDouble),
-      raise_error(concat(lit("ngramImportance: bucket weight overflows long "),
+      raise_error(concat(lit("Importance: bucket weight overflows long "),
         lit("at bucket "), col("bucket").cast("string"), lit(" — shrink scale"))))
       .otherwise(wd.cast("long"))
   }
 
   private def requireSmoothingBound(nt: Long, nr: Long, b: Long): Unit =
     require(nr + b > 0L && nt + b <= Long.MaxValue / (nr + b),
-      s"ngramImportance: (Nt+B)·(Nr+B) overflows long (Nt=$nt Nr=$nr B=$b) — " +
+      s"Importance: (Nt+B)·(Nr+B) overflows long (Nt=$nt Nr=$nr B=$b) — " +
         "downsample the feature counts")
 
   /** Score a feature frame against a bucket-weight table and re-attach
@@ -89,7 +89,7 @@ object Importance {
       .groupBy(col("doc_id")).agg(
         sum(col("cnt")).as("n_grams"),
         when(dscore > lit(Long.MaxValue) || dscore < lit(Long.MinValue),
-          raise_error(concat(lit("ngramImportance: score overflows long for doc "),
+          raise_error(concat(lit("Importance: score overflows long for doc "),
             col("doc_id").cast("string"), lit(" — shrink scale"))))
           .otherwise(dscore.cast("long")).as("score"))
     ids.join(scores, Seq("doc_id"), "left")
@@ -123,64 +123,77 @@ object Importance {
       scale: Long = 1000000L, logWeights: Boolean = false): DataFrame = {
     require(numBuckets >= 2, s"ngramImportance: numBuckets=$numBuckets must be >= 2")
     require(scale >= 1L, s"ngramImportance: scale=$scale must be >= 1")
-    // Lineage.cut materializes each feature build ONCE: fr otherwise
-    // appears three times (the eager total read + two subtrees of the
-    // returned plan) and the corpus would be re-tokenized for each
+    val (fr, joined) = corpusSums(raw, target, idCol, textCol, numBuckets, bigrams)
+    // eager 1-row total read (driver-bounded): the totals embed as
+    // literals in the weight expression, so the weight join needs no
+    // scalar-subquery broadcast shapes
+    val tot = joined.agg(coalesce(sum(col("ct")), lit(0L)),
+      coalesce(sum(col("cr")), lit(0L))).head()
+    val (nt, nr) = (tot.getLong(0), tot.getLong(1))
+    require(nt > 0L, "ngramImportance: target corpus has no grams")
+    val b = numBuckets.toLong
+    requireSmoothingBound(nt, nr, b)
+    val weights = joined
+      .select(col("bucket"), weightCol(nt, nr, b, scale, logWeights).as("w"))
+    scoreAgainst(weights, fr, raw.select(col(idCol).as("doc_id")))
+  }
+
+  /** The shared corpus-sums build: raw features (materialized once via
+    * [[Lineage.cut]] — they otherwise appear several times across the
+    * total read and the scoring plan) and the full-outer per-bucket
+    * `(bucket, ct, cr)` frame over both vocabularies (nullable counts —
+    * [[weightCol]] smooths nulls as zero). ONE definition, so the
+    * inline scorer and the persisted model cannot drift. */
+  private def corpusSums(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int,
+      bigrams: Boolean): (DataFrame, DataFrame) = {
     val fr = Lineage.cut(
       Classifier.hashedFeatures(raw, idCol, textCol, numBuckets, bigrams))
     val ft = Lineage.cut(
       Classifier.hashedFeatures(target, idCol, textCol, numBuckets, bigrams))
     val rawSums = fr.groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
     val tgtSums = ft.groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
-    // eager 1-row total reads (driver-bounded): the totals embed as
-    // literals in the weight expression, so the weight join needs no
-    // scalar-subquery broadcast shapes
-    val nt = tgtSums.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
-    val nr = rawSums.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
-    require(nt > 0L, "ngramImportance: target corpus has no grams")
-    val b = numBuckets.toLong
-    requireSmoothingBound(nt, nr, b)
-    // full outer: buckets seen only in target get smoothed raw counts
-    // (and vice versa), so the op is total over both vocabularies —
-    // and every fr bucket exists in rawSums by construction
-    val weights = tgtSums.join(rawSums, Seq("bucket"), "full_outer")
-      .select(col("bucket"), weightCol(nt, nr, b, scale, logWeights).as("w"))
-    scoreAgainst(weights, fr, raw.select(col(idCol).as("doc_id")))
+    (fr, tgtSums.join(rawSums, Seq("bucket"), "full_outer"))
   }
 
   /** The model's sufficient statistics: per-bucket (ct, cr) over the
     * bucket union, plus the `MetaBucket` totals row. ≤ B+1 rows. */
   private def bucketStats(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int, bigrams: Boolean): DataFrame = {
-    val fr = Lineage.cut(
-      Classifier.hashedFeatures(raw, idCol, textCol, numBuckets, bigrams))
-    val ft = Lineage.cut(
-      Classifier.hashedFeatures(target, idCol, textCol, numBuckets, bigrams))
-    val rawSums = fr.groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
-    val tgtSums = ft.groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
-    val buckets = tgtSums.join(rawSums, Seq("bucket"), "full_outer")
-      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
-        coalesce(col("cr"), lit(0L)).as("cr"))
+    // cut: the ≤B-row frame feeds both the union branch and the totals
+    // aggregate — without it the two corpus aggregations and the join
+    // run twice (the r2 union-branch + agg-subtree plan-doubling trap)
+    val buckets = Lineage.cut(
+      corpusSums(raw, target, idCol, textCol, numBuckets, bigrams)._2
+        .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr")))
     buckets.unionByName(buckets.agg(lit(MetaBucket).as("bucket"),
       coalesce(sum(col("ct")), lit(0L)).as("ct"),
       coalesce(sum(col("cr")), lit(0L)).as("cr")))
   }
 
   /** Persist the model's sufficient statistics — appendable, servable.
-    * ONE table (bucket sums + sentinel totals + sentinel config) behind
-    * one atomic parquet write: there is no multi-artifact crash window.
-    * The config sentinel pins `numBuckets`/`bigrams` so append and
-    * serve cannot silently hash into a different feature space. */
+    * ONE table (bucket sums + sentinel totals + sentinel config), staged
+    * to a sibling and atomically swapped in: a crash mid-write leaves an
+    * existing model untouched, and the delete→rename window self-heals
+    * at every read/append ([[FsOps.healSwap]]). The config sentinel pins
+    * `numBuckets`/`bigrams` so append and serve cannot silently hash
+    * into a different feature space. */
   def writeImportanceModel(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, path: String, numBuckets: Int = 256,
       bigrams: Boolean = false): Unit = {
     require(numBuckets >= 2, s"writeImportanceModel: numBuckets=$numBuckets must be >= 2")
+    val spark = raw.sparkSession
+    // complete any interrupted swap first so the stale staging dir of a
+    // crashed append can never be resurrected over this fresh write
+    FsOps.healSwap(spark, s"$path/sums.staging", s"$path/sums")
     val stats = bucketStats(raw, target, idCol, textCol, numBuckets, bigrams)
-    val conf = stats.sparkSession.range(1).select(
+    val conf = spark.range(1).select(
       lit(ConfBucket).as("bucket"), lit(numBuckets.toLong).as("ct"),
       lit(if (bigrams) 1L else 0L).as("cr"))
     stats.unionByName(conf).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/sums")
+      .write.mode("overwrite").parquet(s"$path/sums.staging")
+    FsOps.swapDirs(spark, s"$path/sums.staging", s"$path/sums")
   }
 
   /** Fold new corpora into a persisted model: bucket-wise addition (the
@@ -188,20 +201,22 @@ object Importance {
     * appears only on the persisted side, so the sum leaves it intact).
     * Either side may be empty (e.g. append raw-pool docs only). One
     * write-sibling-then-swap — the model commits atomically; readers
-    * self-heal the swap's delete→rename window. */
+    * self-heal the swap's delete→rename window. The merge plan stays
+    * LAZY: it reads the intact `sums` dir while writing the staging
+    * sibling (no self-overwrite), so a lost executor just recomputes —
+    * a checkpoint here would only add non-recomputable blocks. */
   def appendImportanceModel(spark: SparkSession, path: String,
       raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String): Unit = {
-    FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
+    FsOps.healSwap(spark, s"$path/sums.staging", s"$path/sums")
     val existing = spark.read.parquet(s"$path/sums")
     val (numBuckets, bigrams) = readConf(existing, path)
     val merged = existing
       .unionByName(bucketStats(raw, target, idCol, textCol, numBuckets, bigrams))
       .groupBy(col("bucket"))
       .agg(sum(col("ct")).as("ct"), sum(col("cr")).as("cr"))
-      .localCheckpoint() // materialize BEFORE overwriting the source
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/sums.appending")
-    FsOps.swapDirs(spark, s"$path/sums.appending", s"$path/sums")
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$path/sums.staging")
+    FsOps.swapDirs(spark, s"$path/sums.staging", s"$path/sums")
   }
 
   private def readConf(sums: DataFrame, path: String): (Int, Boolean) = {
@@ -221,8 +236,10 @@ object Importance {
       idCol: String, textCol: String, scale: Long = 1000000L,
       logWeights: Boolean = false): DataFrame = {
     require(scale >= 1L, s"scoreWithModel: scale=$scale must be >= 1")
-    FsOps.healSwap(spark, s"$path/sums.appending", s"$path/sums")
-    val sums = spark.read.parquet(s"$path/sums").localCheckpoint()
+    FsOps.healSwap(spark, s"$path/sums.staging", s"$path/sums")
+    // cut: the ≤B-row artifact is read three times (config, totals,
+    // weight join) — materialize once, honoring the checkpoint flag
+    val sums = Lineage.cut(spark.read.parquet(s"$path/sums"))
     val (numBuckets, bigrams) = readConf(sums, path)
     val meta = sums.filter(col("bucket") === MetaBucket).collect()
     require(meta.nonEmpty, s"corrupt importance model at $path: no totals row")
