@@ -38,8 +38,9 @@ import graft.queries._
   *              streaming-state KMV + histogram quantiles, Bloom-index
   *              screen, drift screen, exact-dedup screen, LM quality
   *              screen, DSIR importance screen), as-of/range join
-  *   - p0*–p16  composed pipelines (corpus prep, sampling, packing, splits,
-  *              the seven-operator full-chain integration gate)
+  *   - p0*–p17  composed pipelines (corpus prep, sampling, packing, splits,
+  *              the seven-operator full-chain integration gate,
+  *              cluster-balanced coreset sampling)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
   *              ANN, sampling, sketch hashes — pure-SQL demos)
   */

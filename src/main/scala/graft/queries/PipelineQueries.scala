@@ -557,6 +557,32 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- pipeline: CLUSTER-BALANCED CORESET SAMPLE — the
+    // embedding-space curation pattern (cap every k-means cluster at the
+    // same budget so dominant modes stop drowning rare ones): s10's
+    // Lloyd assignment composed with the p02 deterministic md5-rank cap,
+    // per-cluster totals riding in-row so the balance is visible against
+    // the raw populations. Every assignment, rank and total replays in
+    // DuckDB
+    "p17_cluster_sample" -> ((s, dir) => {
+      val e = embeds(s, dir).localCheckpoint()
+      val n = e.count()
+      val init = Similarity.rawVectorsByIds(e, "vec_id", "embedding",
+        (0 until 8).map(j => j * n / 8))
+      val (assign, _) = graft.ops.Clustering.kmeans(
+        e, "vec_id", "embedding", k = 8, iters = 3,
+        initCentroids = Some(init))
+      // cut: the assignment feeds both the cap and the totals (the
+      // Lloyd loop must not replay twice)
+      val asg = graft.ops.Lineage.cut(
+        assign.select(col("id").as("vec_id"), col("cluster")))
+      val kept = Sampling.stratifiedByHash(asg, "cluster", col("vec_id"), n = 20)
+      val totals = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_total"))
+      kept.join(totals, Seq("cluster"))
+        .select(col("cluster"), col("vec_id"), col("n_total"))
+        .orderBy(col("cluster"), col("vec_id"))
+    }),
+
     // ---- similarity: k-NN GRAPH (corpus × corpus top-k inside
     // coarse-quantizer cells — the SemDeDup/graph-clustering primitive).
     // Deterministic strided-row centroids (s03 discipline) so DuckDB
@@ -2878,7 +2904,11 @@ object PipelineQueries {
     * sums, one double division chain); empty clusters COALESCE to the
     * previous centroid; init = raw strided corpus rows both engines
     * derive from count(*). */
-  private def s10OracleSql: String = {
+  /** Shared Lloyd-replay CTE chain (the s10 oracle body): strided-row
+    * init, 3 quantized-mean iterations, ending with the final
+    * assignment `af(vec_id, v, cluster)`. Reused by p17's
+    * cluster-balanced sample. */
+  private def kmeansCtes: String = {
     val k = 8
     val js = (0 until k).map(j => s"($j)").mkString(",")
     def assignCte(name: String, cents: String) =
@@ -2901,14 +2931,31 @@ object PipelineQueries {
          |c$i AS (SELECT p.cluster, COALESCE(q.v, p.v) AS v
          |  FROM c${i - 1} p LEFT JOIN n$i q ON q.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $k AS cid
        |  FROM (VALUES $js) t(j)),
        |c0 AS (SELECT cids.j AS cluster, e.v FROM cids JOIN e ON e.vec_id = cids.cid),
        |$iterChain,
-       |${assignCte("af", "c3")}
-       |SELECT vec_id, cluster FROM af ORDER BY vec_id""".stripMargin
+       |${assignCte("af", "c3")}""".stripMargin
   }
+
+  private def s10OracleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster FROM af ORDER BY vec_id""".stripMargin
+
+  /** p17 oracle: the kmeans assignment CTEs, then the p02 md5-rank cap
+    * per cluster (top-20 by (md5(vec_id), vec_id)) with the cluster's
+    * total population riding in-row. */
+  private def p17OracleSql: String =
+    s"""WITH $kmeansCtes,
+       |kept AS (SELECT cluster, vec_id FROM (
+       |  SELECT cluster, vec_id, ROW_NUMBER() OVER (PARTITION BY cluster
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM af) WHERE rn <= 20),
+       |tot AS (SELECT cluster, COUNT(*) AS n_total FROM af GROUP BY cluster)
+       |SELECT k.cluster, k.vec_id, t.n_total
+       |FROM kept k JOIN tot t ON t.cluster = k.cluster
+       |ORDER BY k.cluster, k.vec_id""".stripMargin
 
   /** DuckDB oracle for d11 (semantic contamination): corpus and scaled
     * probes normalized and cell-assigned against the same strided-row
@@ -3573,6 +3620,7 @@ object PipelineQueries {
     "s15_kcore" -> s15OracleSql,
     "t36_dsir_select" -> t36OracleSql,
     "e20_stream_dsir_screen" -> e20OracleSql,
+    "p17_cluster_sample" -> p17OracleSql,
     "s09_components" -> s09OracleSql,
     "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,
