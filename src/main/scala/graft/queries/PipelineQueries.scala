@@ -572,8 +572,10 @@ object PipelineQueries {
       val (assign, _) = graft.ops.Clustering.kmeans(
         e, "vec_id", "embedding", k = 8, iters = 3,
         initCentroids = Some(init))
-      // cut: the assignment feeds both the cap and the totals (the
-      // Lloyd loop must not replay twice)
+      // cut: the assignment feeds both the cap and the totals. The
+      // Lloyd loop itself CANNOT replay (it runs eagerly at build time
+      // and embeds the final centroids as literals) — the cut only
+      // keeps the k×dim distance-CASE projection out of the plan twice
       val asg = graft.ops.Lineage.cut(
         assign.select(col("id").as("vec_id"), col("cluster")))
       val kept = Sampling.stratifiedByHash(asg, "cluster", col("vec_id"), n = 20)
@@ -2931,12 +2933,15 @@ object PipelineQueries {
          |c$i AS (SELECT p.cluster, COALESCE(q.v, p.v) AS v
          |  FROM c${i - 1} p LEFT JOIN n$i q ON q.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
+    // af is MATERIALIZED: p17 consumes it twice (cap + totals), and an
+    // inlined reference would re-expand the whole Lloyd chain per use
+    // (the r5 iterative-oracle rule)
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $k AS cid
        |  FROM (VALUES $js) t(j)),
        |c0 AS (SELECT cids.j AS cluster, e.v FROM cids JOIN e ON e.vec_id = cids.cid),
        |$iterChain,
-       |${assignCte("af", "c3")}""".stripMargin
+       |${assignCte("af", "c3").replace("af AS (", "af AS MATERIALIZED (")}""".stripMargin
   }
 
   private def s10OracleSql: String =

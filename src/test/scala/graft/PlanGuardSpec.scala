@@ -6,10 +6,11 @@ package graft
   * physical planning only), not executed, so this sweeps all queries
   * cheaply; any future query that regresses into a quadratic join shape
   * fails here before it ever reaches the driver gate. (Exception: the
-  * iterative gates — s08/s09/s10 PageRank, star components, k-means —
-  * run their driver-side loop actions at plan-BUILD time; at sf0.001
-  * that costs a few small jobs each, and their final plans are still
-  * checked like everything else.)
+  * iterative gates — s08/s09/s10/s12 PageRank, star components,
+  * k-means, label propagation, plus s15 k-core peeling and the
+  * kmeans-composed p17 — run their driver-side loop actions at
+  * plan-BUILD time; at sf0.001 that costs a few small jobs each, and
+  * their final plans are still checked like everything else.)
   */
 class PlanGuardSpec extends SparkSpec {
 

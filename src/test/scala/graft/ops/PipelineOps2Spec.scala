@@ -66,6 +66,14 @@ class PipelineOps2Spec extends SparkSpec {
     val again = Sampling.stratifiedByHash(df.repartition(11), "lang", col("id"), 7)
     assert(s.select("id").as[Long].collect().sorted.sameElements(
       again.select("id").as[Long].collect().sorted))
+    // both arms in one frame (the p17 composition shape): a dominant
+    // stratum is capped at n while an under-budget one survives WHOLE —
+    // the degenerate all-under-budget case would hide a cap regression
+    val skewed = ((0 until 30).map(i => (i.toLong, "big")) ++
+      (100 until 105).map(i => (i.toLong, "small"))).toDF("id", "lang")
+    val capped = Sampling.stratifiedByHash(skewed, "lang", col("id"), 20)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("big" -> 20L, "small" -> 5L), s"got $capped")
   }
 
   test("pii: counts find planted classes; redact replaces in order") {
