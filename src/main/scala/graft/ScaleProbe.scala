@@ -586,6 +586,55 @@ object ScaleProbe {
       assert(counts.getLong(0) == 1000L * c, "every clique node joins triangles")
       assert(counts.getLong(1) == 1176L && counts.getLong(2) == 1176L,
         "clique node count must be exactly C(49,2)")
+
+      // round-8: k-core peeling on the same 1.2M-edge graph with a
+      // 5-node tail chained onto each clique (analytic answer: at k=3
+      // the tails peel over waves while every 50-clique survives whole
+      // with internal degree 49; the attachment node keeps its bridge
+      // degree until the tail is gone)
+      // chain: clique-node → t0 → t1 → … → t4 (per clique)
+      val chain = nodes.filter(col("id") % c === 0).select(
+          (col("id") / c).cast("long").as("cl"),
+          explode(sequence(lit(0), lit(4))).as("p"))
+        .select(
+          when(col("p") === 0, col("cl") * c)
+            .otherwise(lit(1000L * c) + col("cl") * 5 + col("p") - 1).as("src"),
+          (lit(1000L * c) + col("cl") * 5 + col("p")).as("dst"))
+      val core = t("k-core peel 50k cliques + 5k tail nodes (k=3)")(
+        graft.ops.Graph.kCore(edges.unionByName(chain), "src", "dst",
+            k = 3, maxWaves = 10)
+          .agg(count(lit(1)), min(col("degree"))).head())
+      println(s"SCALE kcore: survivors=${core.getLong(0)} minDeg=${core.getLong(1)}")
+      assert(core.getLong(0) == 1000L * c,
+        "exactly the clique nodes survive 3-core peeling")
+      assert(core.getLong(1) == 49L, "surviving degrees are pure clique degrees")
+    }
+
+    // round-8: DSIR importance scoring at 6M docs — two feature builds
+    // (explode + hash agg over ~30M grams), a 256-row weight table, one
+    // broadcast join + doc aggregation. Target = rows whose synthetic
+    // text carries the rare token; the probe checks the selector
+    // separates the classes at full corpus scale
+    {
+      val docs6m = l10.select(col("l_orderkey").as("doc_id"),
+        concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
+          lit(" tok"), (col("l_suppkey") % 50).cast("string"),
+          lit(" common filler words here"),
+          when(col("l_orderkey") % 10 === 0, lit(" raretoken")).otherwise(lit("")))
+          .as("text")).localCheckpoint(eager = true)
+      val target = docs6m.filter(col("doc_id") % 10 === 0)
+      val scored = t("DSIR importance 6M docs (model + score)")(
+        graft.ops.Importance.ngramImportance(docs6m, target, "doc_id", "text")
+          .withColumn("is_t", (col("doc_id") % 10 === 0).cast("int"))
+          .groupBy(col("is_t"))
+          .agg(count(lit(1)).as("n"), avg(col("score").cast("double") /
+            greatest(col("n_grams"), lit(1L)).cast("double")).as("pg"))
+          .orderBy(col("is_t")).collect())
+      val Array(noise, tgt) = scored
+      println(f"SCALE dsir: target pg=${tgt.getDouble(2)}%.4f (n=${tgt.getLong(1)}) " +
+        f"noise pg=${noise.getDouble(2)}%.4f (n=${noise.getLong(1)})")
+      assert(tgt.getDouble(2) > noise.getDouble(2),
+        "target docs must out-score the pool per gram")
     }
     spark.stop()
   }

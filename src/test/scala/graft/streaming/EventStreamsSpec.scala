@@ -277,6 +277,44 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming importance screen: static persisted model; exact-long admission; batch-order independent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("imp-screen")
+    val mP = dir.resolve("model").toString
+    val outP = dir.resolve("out").toString
+    // model: target = the 'a' doc, raw = both → ct_a=4 cr_a=4 cr_z=4,
+    // Nt=4 Nr=8 B=256 ⇒ w_a = round(1e6·(5·264)/(5·260)) = 1015385,
+    // w_z = round(1e6·(1·264)/(5·260)) = 203077 — exact long arithmetic
+    // the assertions below replay by hand
+    val raw = Seq((0L, "a a a a"), (1L, "z z z z")).toDF("doc_id", "text")
+    val target = Seq((0L, "a a a a")).toDF("doc_id", "text")
+    graft.ops.Importance.writeImportanceModel(raw, target, "doc_id", "text", mP)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingImportanceScreen(
+      stream.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", mP, outP, scale = 1000000L, minNum = 1L, minDen = 1L,
+      dir.resolve("ck").toString)
+    try {
+      // batch 1: "a a" clears (per-gram 1015385 > 1e6); all-noise and
+      // mixed docs fall short; null text dropped pre-score; empty text
+      // scores 0 and 0 > 0 never admits
+      stream.addData((10L, "a a"), (11L, "z z"), (12L, "a z"),
+        (13L, null.asInstanceOf[String]), (14L, ""))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(out1 == Seq((10L, 2L, 2030770L)), s"batch-1 admissions: $out1")
+      // batch 2: identical text admits again with the IDENTICAL exact
+      // score (static model ⇒ order independence); 'z a z' stays out
+      // (1421539 < 3e6)
+      stream.addData((20L, "a a"), (21L, "z a z"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+      assert(out2 == Seq((10L, 2030770L), (20L, 2030770L)), s"after batch 2: $out2")
+    } finally q.stop()
+  }
+
   test("streaming drift screen: each batch scores vs what was absorbed before it; replay-safe absorb") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("drift-screen")
