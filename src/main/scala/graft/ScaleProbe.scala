@@ -588,10 +588,10 @@ object ScaleProbe {
         "clique node count must be exactly C(49,2)")
 
       // round-8: k-core peeling on the same 1.2M-edge graph with a
-      // 5-node tail chained onto each clique (analytic answer: at k=3
-      // the tails peel over waves while every 50-clique survives whole
-      // with internal degree 49; the attachment node keeps its bridge
-      // degree until the tail is gone)
+      // 5-node tail chained onto each clique. k=2 makes the peel
+      // GENUINELY iterative — only the tail tip has degree < 2, so the
+      // chain dies one node per wave (5 waves) while every 50-clique
+      // survives whole with internal degree 49
       // chain: clique-node → t0 → t1 → … → t4 (per clique)
       val chain = nodes.filter(col("id") % c === 0).select(
           (col("id") / c).cast("long").as("cl"),
@@ -600,13 +600,13 @@ object ScaleProbe {
           when(col("p") === 0, col("cl") * c)
             .otherwise(lit(1000L * c) + col("cl") * 5 + col("p") - 1).as("src"),
           (lit(1000L * c) + col("cl") * 5 + col("p")).as("dst"))
-      val core = t("k-core peel 50k cliques + 5k tail nodes (k=3)")(
+      val core = t("k-core peel 50k cliques + 5k tail nodes (k=2, 5 waves)")(
         graft.ops.Graph.kCore(edges.unionByName(chain), "src", "dst",
-            k = 3, maxWaves = 10)
+            k = 2, maxWaves = 10)
           .agg(count(lit(1)), min(col("degree"))).head())
       println(s"SCALE kcore: survivors=${core.getLong(0)} minDeg=${core.getLong(1)}")
       assert(core.getLong(0) == 1000L * c,
-        "exactly the clique nodes survive 3-core peeling")
+        "exactly the clique nodes survive 2-core peeling")
       assert(core.getLong(1) == 49L, "surviving degrees are pure clique degrees")
     }
 
@@ -616,11 +616,17 @@ object ScaleProbe {
     // text carries the rare token; the probe checks the selector
     // separates the classes at full corpus scale
     {
-      val docs6m = l10.select(col("l_orderkey").as("doc_id"),
+      // unique ids from the natural (l_orderkey, l_linenumber) key —
+      // l_orderkey alone repeats ~4x per order, which would merge texts
+      // per id and fan scores back out; a row_number would be a
+      // single-partition global window. The rare-token plant keys off
+      // the SAME id so the target class is exactly the planted class
+      val did = col("l_orderkey") * 8 + col("l_linenumber")
+      val docs6m = l10.select(did.as("doc_id"),
         concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
           lit(" tok"), (col("l_suppkey") % 50).cast("string"),
           lit(" common filler words here"),
-          when(col("l_orderkey") % 10 === 0, lit(" raretoken")).otherwise(lit("")))
+          when(did % 10 === 0, lit(" raretoken")).otherwise(lit("")))
           .as("text")).localCheckpoint(eager = true)
       val target = docs6m.filter(col("doc_id") % 10 === 0)
       val scored = t("DSIR importance 6M docs (model + score)")(

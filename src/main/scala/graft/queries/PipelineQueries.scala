@@ -2913,13 +2913,15 @@ object PipelineQueries {
   private def kmeansCtes: String = {
     val k = 8
     val js = (0 until k).map(j => s"($j)").mkString(",")
-    def assignCte(name: String, cents: String) =
-      s"""$name AS (SELECT vec_id, v, cluster FROM (
+    def assignCte(name: String, cents: String, materialized: Boolean = false) = {
+      val mat = if (materialized) " MATERIALIZED" else ""
+      s"""$name AS$mat (SELECT vec_id, v, cluster FROM (
          |  SELECT e.vec_id, e.v, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
          |      list_inner_product(c.v, c.v) - 2.0 * list_inner_product(e.v, c.v),
          |      c.cluster) AS rn
          |  FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    }
     val iterChain = (1 to 3).map { i =>
       s"""${assignCte(s"a$i", s"c${i - 1}")},
          |x$i AS (SELECT cluster, i,
@@ -2933,15 +2935,16 @@ object PipelineQueries {
          |c$i AS (SELECT p.cluster, COALESCE(q.v, p.v) AS v
          |  FROM c${i - 1} p LEFT JOIN n$i q ON q.cluster = p.cluster)""".stripMargin
     }.mkString(",\n")
-    // af is MATERIALIZED: p17 consumes it twice (cap + totals), and an
-    // inlined reference would re-expand the whole Lloyd chain per use
-    // (the r5 iterative-oracle rule)
+    // af is MATERIALIZED (structurally, not via string patching): p17
+    // consumes it twice (cap + totals), and an inlined reference would
+    // re-expand the whole Lloyd chain per use (the r5 iterative-oracle
+    // rule)
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cids AS (SELECT j, j * (SELECT count(*) FROM embeddings) // $k AS cid
        |  FROM (VALUES $js) t(j)),
        |c0 AS (SELECT cids.j AS cluster, e.v FROM cids JOIN e ON e.vec_id = cids.cid),
        |$iterChain,
-       |${assignCte("af", "c3").replace("af AS (", "af AS MATERIALIZED (")}""".stripMargin
+       |${assignCte("af", "c3", materialized = true)}""".stripMargin
   }
 
   private def s10OracleSql: String =
