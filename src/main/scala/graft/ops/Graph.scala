@@ -414,7 +414,17 @@ object Graph {
       maxWaves: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxWaves >= 1, "maxWaves must be >= 1")
-    var e = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    val e = peelToCore(
+      Lineage.cut(undirectedSimple(edges, srcCol, dstCol)), k, maxWaves)
+    degreesOf(e).select(col("n").as("node"), col("d").as("degree"))
+  }
+
+  /** The peel loop shared by [[kCore]] and [[coreness]]: delete
+    * degree<k nodes wave-by-wave over a [[undirectedSimple]] edge list
+    * (already lineage-cut by the caller) until a fixed point or
+    * `maxWaves`; returns the surviving (cut) edge list. */
+  private def peelToCore(edges: DataFrame, k: Int, maxWaves: Int): DataFrame = {
+    var e = edges
     var deg = degreesOf(e).persist()
     var dropped = deg.filter(col("d") < k).count()
     var waves = 0
@@ -429,8 +439,55 @@ object Graph {
       dropped = deg.filter(col("d") < k).count()
       waves += 1
     }
-    val out = deg.select(col("n").as("node"), col("d").as("degree"))
     deg.unpersist()
-    out
+    e
+  }
+
+  /** Full core decomposition: the core number of every node — the
+    * largest k such that the node survives k-core peeling. The standard
+    * graph-curation prior one level up from [[kCore]]: degeneracy
+    * ordering, "how deep in the dense part of the web/citation/kNN
+    * graph does this document sit".
+    *
+    * Algorithm: peel to the (k+1)-core for k = 1, 2, …; nodes present
+    * in the k-core but gone from the (k+1)-core have core number
+    * exactly k. The outer loop runs `degeneracy(G)` rounds (single
+    * digits on sparse corpus graphs; bounded by `maxK` against
+    * adversarial near-cliques — survivors past `maxK` are reported AS
+    * `maxK`, a documented lower bound). Each round is the [[kCore]]
+    * wave loop; per-round results are ≤n-row (node, coreness) frames
+    * accumulated by union with lineage cut every round, so the plan
+    * stays linear in rounds.
+    *
+    * @return (node, coreness) for every node with ≥1 edge; coreness is
+    *         exact below `maxK` and clamped at `maxK` above it */
+  def coreness(edges: DataFrame, srcCol: String, dstCol: String,
+      maxK: Int = 64, maxWaves: Int = 1000): DataFrame = {
+    require(maxK >= 1, "maxK must be >= 1")
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("node", LongType), StructField("coreness", IntegerType)))
+    var result = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    var e = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    var k = 1
+    var empty = e.isEmpty
+    while (!empty && k <= maxK) {
+      val next =
+        if (k == maxK) e.limit(0) // clamp: report survivors as maxK
+        else peelToCore(e, k + 1, maxWaves)
+      val curNodes = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node"))).distinct()
+      val nextNodes = next.select(col("a").as("node"))
+        .union(next.select(col("b").as("node"))).distinct()
+      val droppedNodes = curNodes.join(nextNodes, Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("coreness"))
+      result = Lineage.cut(result.unionByName(droppedNodes))
+      e = next
+      empty = e.isEmpty
+      k += 1
+    }
+    result
   }
 }

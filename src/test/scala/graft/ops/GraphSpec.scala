@@ -286,4 +286,59 @@ class GraphSpec extends SparkSpec {
     assert(core(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L)), 2)
       == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("coreness: exact core numbers, brute-force cross-check, maxK clamp") {
+    def cores(edges: Seq[(Long, Long)], maxK: Int = 64) =
+      Graph.coreness(edges.toDF("src", "dst"), "src", "dst", maxK)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // peel-mirroring brute force: for k = 1, 2, … peel to the
+    // (k+1)-core; nodes dropped from the k-core have core number k
+    def brute(es: Seq[(Long, Long)]): Map[Long, Int] = {
+      var edges = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(p => p._1 != p._2).toSet
+      var res = Map.empty[Long, Int]
+      var k = 1
+      while (edges.nonEmpty) {
+        var cur = edges
+        var changed = true
+        while (changed) {
+          val deg = cur.toSeq.flatMap(p => Seq(p._1, p._2))
+            .groupBy(identity).map { case (n, l) => n -> l.size }
+          val keep = deg.filter(_._2 >= k + 1).keySet
+          val nxt = cur.filter(p => keep(p._1) && keep(p._2))
+          changed = nxt != cur
+          cur = nxt
+        }
+        val dropped = edges.flatMap(p => Seq(p._1, p._2)) --
+          cur.flatMap(p => Seq(p._1, p._2))
+        dropped.foreach(n => res += n -> k)
+        edges = cur
+        k += 1
+      }
+      res
+    }
+    // K4 + tail: clique nodes sit in the 3-core, the chain in the 1-core
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+    val g = k4 ++ Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    assert(cores(g) == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3,
+      4L -> 1, 5L -> 1, 6L -> 1))
+    // triangle + pendant
+    assert(cores(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+      == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1))
+    // brute force on the pseudo-random graph the other graph specs use
+    val n = 30
+    val rndEdges = (for (i <- 0 until n; j <- 0 until n if i < j)
+      yield (i.toLong, j.toLong)).filter { case (i, j) =>
+        (i * 2654435761L + j * 40503L) % 5 == 0 }
+    assert(cores(rndEdges) == brute(rndEdges), "distributed != brute force")
+    // maxK clamp: K4's true coreness is 3; at maxK=2 the clique reports
+    // the documented lower bound while the tail stays exact
+    assert(cores(g, maxK = 2) == Map(0L -> 2, 1L -> 2, 2L -> 2, 3L -> 2,
+      4L -> 1, 5L -> 1, 6L -> 1))
+    // consistency: nodes with coreness >= k are exactly kCore(k)'s survivors
+    val c = cores(rndEdges)
+    val k3 = Graph.kCore(rndEdges.toDF("src", "dst"), "src", "dst", 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(c.filter(_._2 >= 3).keySet == k3)
+  }
 }
