@@ -439,6 +439,14 @@ object Graph {
       dropped = deg.filter(col("d") < k).count()
       waves += 1
     }
+    if (dropped > 0)
+      // long-path graphs peel one node per wave: a silent exhaustion
+      // would make the returned subgraph a superset of the true k-core
+      // (and inflate coreness labels downstream) — warn like
+      // connectedComponentsStar's unconverged exit
+      System.err.println(s"[graft] kCore: maxWaves=$maxWaves exhausted " +
+        s"before the $k-core converged ($dropped nodes still below k) — " +
+        "the result is a SUPERSET of the true core; raise maxWaves")
     deg.unpersist()
     e
   }
@@ -464,27 +472,31 @@ object Graph {
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
       maxK: Int = 64, maxWaves: Int = 1000): DataFrame = {
     require(maxK >= 1, "maxK must be >= 1")
+    require(maxWaves >= 1, "maxWaves must be >= 1")
     val spark = edges.sparkSession
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("node", LongType), StructField("coreness", IntegerType)))
     var result = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def nodesOf(g: DataFrame) = g.select(col("a").as("node"))
+      .union(g.select(col("b").as("node"))).distinct()
     var e = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    // carried across rounds: round k's survivor set is round k+1's
+    // start set, so each distinct runs once, not twice
+    var curNodes = Lineage.cut(nodesOf(e))
     var k = 1
     var empty = e.isEmpty
     while (!empty && k <= maxK) {
       val next =
         if (k == maxK) e.limit(0) // clamp: report survivors as maxK
         else peelToCore(e, k + 1, maxWaves)
-      val curNodes = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node"))).distinct()
-      val nextNodes = next.select(col("a").as("node"))
-        .union(next.select(col("b").as("node"))).distinct()
+      val nextNodes = Lineage.cut(nodesOf(next))
       val droppedNodes = curNodes.join(nextNodes, Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("coreness"))
       result = Lineage.cut(result.unionByName(droppedNodes))
       e = next
+      curNodes = nextNodes
       empty = e.isEmpty
       k += 1
     }

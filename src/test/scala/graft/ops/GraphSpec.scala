@@ -288,9 +288,14 @@ class GraphSpec extends SparkSpec {
   }
 
   test("coreness: exact core numbers, brute-force cross-check, maxK clamp") {
-    def cores(edges: Seq[(Long, Long)], maxK: Int = 64) =
-      Graph.coreness(edges.toDF("src", "dst"), "src", "dst", maxK)
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cores(edges: Seq[(Long, Long)], maxK: Int = 64) = {
+      val rows = Graph.coreness(edges.toDF("src", "dst"), "src", "dst", maxK)
+        .collect().map(r => r.getLong(0) -> r.getInt(1))
+      // one row per node — a duplicate-label bug must not hide in .toMap
+      assert(rows.map(_._1).distinct.length == rows.length,
+        s"duplicate coreness rows: ${rows.toSeq}")
+      rows.toMap
+    }
     // peel-mirroring brute force: for k = 1, 2, … peel to the
     // (k+1)-core; nodes dropped from the k-core have core number k
     def brute(es: Seq[(Long, Long)]): Map[Long, Int] = {
