@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * by the reference's observed bigram vocabulary.
   *
   * Scoring stays in the repo's exact-arithmetic envelope: P(w2|w1) =
-  * c12/c1 is rational (no transcendentals, unlike log-perplexity), the
-  * per-doc mean sums DECIMAL(18,12) partials — order-independent under
-  * any parallelism, replayed bitwise by the t33 oracle. Unseen bigram
-  * or unseen context scores 0 (the harshest backoff; documents full of
-  * out-of-reference language are exactly the ones the filter exists to
-  * down-rank).
+  * c12/c1 is rational (no transcendentals, unlike log-perplexity), and
+  * each probability goes through the round-to-INTEGER stable conversion
+  * `round(p·10¹²) cast long` before the per-doc sum — exact LONG
+  * arithmetic, order-independent under any parallelism AND engine
+  * (DECIMAL casts of arbitrary quotient doubles are NOT cross-engine
+  * stable on rare boundary values — the [[Similarity.meanPool]]
+  * recipe; see CLAUDE.md round-3 notes). Replayed bitwise by the t33
+  * oracle. Unseen bigram or unseen context scores 0 (the harshest
+  * backoff; documents full of out-of-reference language are exactly
+  * the ones the filter exists to down-rank).
   */
 object Lm {
 
@@ -65,26 +69,31 @@ object Lm {
     * `(doc_id, n_bigrams, lm_score)` with lm_score = mean over the
     * doc's bigrams of P(w2|w1) under the REFERENCE counts (0 for
     * unseen). Docs with fewer than 2 tokens are dropped (no bigrams to
-    * judge). Two shuffle joins against bounded model rows — the
-    * reference corpus is never re-read. */
+    * judge). Two BROADCAST joins (explicit — the model is bounded by
+    * the reference's bigram vocabulary by construction, so the right
+    * side is always model-sized; matches
+    * [[Importance.scoreAgainst]]'s intent) — the reference corpus is
+    * never re-read and the batch never shuffles for the joins. */
   def scoreWithLm(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
     val model = spark.read.parquet(path)
-    val bi = model.filter(col("w2").isNotNull)
-      .select(col("w1"), col("w2"), col("c").as("c12"))
-    val ctx = model.filter(col("w2").isNull)
-      .select(col("w1"), col("c").as("c1"))
+    val bi = broadcast(model.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("c12")))
+    val ctx = broadcast(model.filter(col("w2").isNull)
+      .select(col("w1"), col("c").as("c1")))
     grams(batch, idCol, textCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
-      .withColumn("p",
-        coalesce((col("c12").cast("double") / col("c1").cast("double"))
-          .cast("decimal(18,12)"), lit(0).cast("decimal(18,12)")))
+      // round-to-integer stable conversion (meanPool recipe): exact
+      // long partials, summed exactly; p <= 1 so each partial <= 1e12
+      .withColumn("ps", coalesce(
+        round(col("c12").cast("double") / col("c1").cast("double") * lit(1e12))
+          .cast("long"), lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
-        (col("psum").cast("double") / col("n_bigrams").cast("double"))
-          .as("lm_score"))
+        (col("psum").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e12))).as("lm_score"))
   }
 }

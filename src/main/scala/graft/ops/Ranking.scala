@@ -165,8 +165,12 @@ object Ranking {
       val add = toks.agg(count(lit(1)), sum(size(col("tk")))).collect().head
       val metaTmp = path + "/_meta.rebuilding"
       import spark.implicits._
+      // an index written from an empty (or all-null-text) corpus
+      // persists total_dl = NULL (SUM over zero rows) — appending to
+      // it is the legitimate first-real-batch path, so read it as 0
       Seq((old.getLong(0) + add.getLong(0),
-          old.getLong(1) + (if (add.isNullAt(1)) 0L else add.getLong(1))))
+          (if (old.isNullAt(1)) 0L else old.getLong(1)) +
+            (if (add.isNullAt(1)) 0L else add.getLong(1))))
         .toDF("n_docs", "total_dl")
         .coalesce(1).write.mode("overwrite").parquet(metaTmp)
       FsOps.swapDirs(spark, metaTmp, path + "/_meta")
@@ -227,6 +231,11 @@ object Ranking {
     // and the meta rebuild's own delete→rename window
     FsOps.healSwap(spark, path + "/_meta.rebuilding", path + "/_meta")
     val meta = spark.read.parquet(path + "/_meta").collect().head
+    // an empty-corpus index persists total_dl = NULL (SUM over zero
+    // rows) and n_docs = 0 — there is nothing to score and avgdl would
+    // be 0/0 (constant-folded under ANSI): typed error beats an NPE
+    if (meta.getLong(0) == 0L || meta.isNullAt(1))
+      throw graft.NoDataError(s"$path (empty postings index)")
     val (nDocs, totalDl) = (meta.getLong(0), meta.getLong(1))
     val tf = spark.read.parquet(path)
       .filter(col("term").isin(queryTerms: _*)).distinct()

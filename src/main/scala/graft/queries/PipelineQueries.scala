@@ -4712,8 +4712,10 @@ object PipelineQueries {
         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // the corpus-as-LM oracle: same explode → bigram/unigram counts →
-    // rational P(w2|w1), decimal sum, mean; docs with <2 tokens have no
-    // bigram rows and are absent in both engines
+    // rational P(w2|w1) through the round(p·1e12)→BIGINT stable
+    // conversion (meanPool recipe — DECIMAL casts of arbitrary quotient
+    // doubles are not cross-engine stable), exact long sum, mean; docs
+    // with <2 tokens have no bigram rows and are absent in both engines
     "t33_lm_filter" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -4730,10 +4732,10 @@ object PipelineQueries {
         |uc AS (SELECT w1, count(*) AS c1 FROM grams
         |       WHERE doc_id % 2 = 0 GROUP BY w1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(SUM(COALESCE(
-        |      CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(18,12)),
-        |      CAST(0 AS DECIMAL(18,12)))) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS lm_score
+        |  CAST(CAST(SUM(COALESCE(
+        |      CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |        * 1000000000000.0) AS BIGINT), 0)) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
         |FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
         |WHERE g.doc_id % 2 = 1
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -4936,10 +4938,10 @@ object PipelineQueries {
         |       WHERE doc_id % 2 = 0 GROUP BY w1),
         |sc AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(SUM(COALESCE(
-        |        CAST(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) AS DECIMAL(18,12)),
-        |        CAST(0 AS DECIMAL(18,12)))) AS DOUBLE)
-        |      / CAST(count(*) AS DOUBLE) AS lm_score
+        |    CAST(CAST(SUM(COALESCE(
+        |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |          * 1000000000000.0) AS BIGINT), 0)) AS BIGINT) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
         |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
         |  WHERE g.doc_id % 2 = 1
         |  GROUP BY doc_id

@@ -51,8 +51,15 @@ class PlanGuardSpec extends SparkSpec {
                                     // its batch shape is t25's, guarded there
       "e17_stream_drift",           // executes a streaming query when built;
                                     // its distance shape is t28's, guarded there
-      "e18_stream_exact_screen")    // executes a streaming query when built;
-                                    // its probe shape is d08/d12's, guarded there
+      "e18_stream_exact_screen",    // executes a streaming query when built;
+                                    // its probe shape is d08/d12's, guarded
+                                    // there
+      "e19_stream_lm_screen",  // executes an index write + two streaming
+                               // queries when built; its scoring shape is
+                               // t33's, guarded there
+      "e20_stream_dsir_screen") // executes an index write + two streaming
+                                // queries when built; its scoring shape is
+                                // t36's, guarded there
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their

@@ -799,6 +799,33 @@ class OpsSpec extends SparkSpec {
     // single-token docs have no bigrams: dropped, not scored
     assert(Lm.scoreWithLm(spark, path, Seq((9L, "the")).toDF("doc_id", "text"),
       "doc_id", "text").count() == 0)
+    // the model joins are explicit broadcasts (the model is bounded by
+    // the reference's bigram vocabulary by construction) — the batch
+    // side never shuffles for them
+    val plan = Lm.scoreWithLm(spark, path,
+        Seq((9L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("empty postings index: typed error on query, first real append recovers") {
+    val dir = tmpDir("postings-empty")
+    val idx = dir.resolve("idx").toString
+    // all-null-text corpus -> n_docs = 0, total_dl = NULL in _meta
+    val empty = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Ranking.writePostingsIndex(empty, "doc_id", "text", idx, numFiles = 2)
+    intercept[graft.NoDataError] {
+      Ranking.queryPostingsIndex(spark, idx, Seq("sphinx"))
+    }
+    // appending the first real batch to the empty index is legitimate
+    // (NULL total_dl reads as 0, not NPE) and makes the index servable
+    Ranking.appendToPostingsIndex(
+      Seq((2L, "sphinx of the quick dog")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val served = Ranking.queryPostingsIndex(spark, idx, Seq("sphinx"),
+      logIdf = false).collect()
+    assert(served.length == 1 && served(0).getLong(0) == 2L)
   }
 
   test("postings index: served BM25 equals the corpus scan bitwise; term files prune; heal") {
