@@ -96,21 +96,59 @@ object Bench {
         }
       name -> sec
     }
-    // stdout line: millisecond-rounded values — the driver keeps only a
-    // ~2 kB tail of output, and with 90+ queries the full-precision line
-    // outgrew it (every BENCH_r*.json shows parsed:null with the head of
-    // the line cut off). The full-precision copy goes to BENCH_LOCAL.json
-    // in the repo root, where it survives any stdout truncation.
-    def r3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"queries":$qs,"sf":"$sfDir"}"""
-    }
-    // calib-normalized per-query delta vs the PREVIOUS run's
-    // BENCH_LOCAL.json (read before we overwrite it): ratio =
+    // parse the PREVIOUS full run's BENCH_LOCAL.json once (before we
+    // overwrite it): feeds both the outlier re-rep below and the
+    // calib-normalized delta report.
+    val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val (prevCalib, prevQ): (Option[Double], Map[String, Double]) =
+      try {
+        if (!java.nio.file.Files.exists(prevPath)) (None, Map.empty)
+        else {
+          val txt = java.nio.file.Files.readString(prevPath)
+          val num = "-?[0-9][0-9.eE+-]*"
+          val calibRe = ("\"calib\":(" + num + ")").r
+          val pairRe = ("\"([A-Za-z0-9_]+)\":(" + num + ")").r
+          val pc = calibRe.findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val pq = txt.indexOf("\"queries\":") match {
+            case -1 => Map.empty[String, Double]
+            case i => pairRe.findAllMatchIn(txt.substring(i))
+              .map(m => m.group(1) -> m.group(2).toDouble)
+              .filter { case (k, _) => k != "sf" }.toMap
+          }
+          (pc, pq)
+        }
+      } catch { case _: Throwable => (None, Map.empty) }
+
+    // PHANTOM-OUTLIER re-rep (round-8 verdict): a transient host churn
+    // spike can inflate ONE in-suite query >10× (t33 in r8: 23.2 s in
+    // the driver artifact vs 1.855 s isolated at EQUAL calib — +23% on
+    // the headline total from a single phantom). Any full-suite query
+    // reading > 4× its previous full-run entry (and > 0.5 s — the
+    // sub-second band jitters 2× routinely and is too cheap to matter)
+    // is re-run once, same JVM, after the whole suite; we publish the
+    // MIN of the two and record both in `outlier_reruns` so the
+    // artifact shows the adjudication instead of the phantom. Raw 4×
+    // (no calib scaling) on purpose: a uniformly slow host re-runs
+    // slow too and min ≈ orig, so false triggers only cost seconds.
+    val rerunLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val finalResults =
+      if (only.isDefined) results
+      else results.map { case (name, sec) =>
+        prevQ.get(name) match {
+          case Some(p) if sec > 0.5 && p > 0 && sec > 4.0 * p =>
+            spark.catalog.clearCache()
+            System.gc()
+            val again =
+              try Some(time(SparkEntry.queries(name)(spark, sfDir)
+                .write.format("noop").mode("overwrite").save()))
+              catch { case _: Throwable => None }
+            again.map { a => rerunLog += ((name, sec, a)); name -> math.min(sec, a) }
+              .getOrElse(name -> sec)
+          case _ => name -> sec
+        }
+      }
+
+    // calib-normalized per-query delta vs the previous run: ratio =
     // (sec/calib) / (prevSec/prevCalib), so host-speed changes divide
     // out and only real per-query movement remains. Report to stderr
     // (the driver keeps a tail of STDOUT — the JSON line must stay last
@@ -118,40 +156,42 @@ object Bench {
     // "regression or host noise?" hunt mechanical; still re-run suspects
     // isolated (SPARK_GRAFT_BENCH_ONLY) before believing an in-suite
     // delta — the documented suite-noise band is wide (see CLAUDE.md).
-    val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
     val deltaReport: Option[String] =
       try {
-        if (!java.nio.file.Files.exists(prevPath)) None
-        else {
-          val txt = java.nio.file.Files.readString(prevPath)
-          val num = "-?[0-9][0-9.eE+-]*"
-          val calibRe = ("\"calib\":(" + num + ")").r
-          val pairRe = ("\"([A-Za-z0-9_]+)\":(" + num + ")").r
-          val prevCalib = calibRe.findFirstMatchIn(txt).map(_.group(1).toDouble)
-          val prevQ = txt.indexOf("\"queries\":") match {
-            case -1 => Map.empty[String, Double]
-            case i => pairRe.findAllMatchIn(txt.substring(i))
-              .map(m => m.group(1) -> m.group(2).toDouble)
-              .filter { case (k, _) => k != "sf" }.toMap
-          }
-          prevCalib.filter(_ > 0).map { pc =>
-            val rows = results.flatMap { case (name, sec) =>
-              prevQ.get(name).filter(p => p > 0 && sec > 0).map { p =>
-                (name, sec, p, (sec / calib) / (p / pc))
-              }
-            }.sortBy(-_._4)
-            val hdr = f"[bench] calib ratio vs prev: ${calib / pc}%.3f " +
-              s"(prevCalib=$pc, calib=$calib)"
-            val body = rows.map { case (n, s, p, r) =>
-              f"[bench] $r%6.2fx $n%-28s ${s}%8.3fs (prev ${p}%8.3fs)" +
-                (if (r >= 1.3) "  <-- check isolated" else "")
+        prevCalib.filter(_ > 0).map { pc =>
+          val rows = finalResults.flatMap { case (name, sec) =>
+            prevQ.get(name).filter(p => p > 0 && sec > 0).map { p =>
+              (name, sec, p, (sec / calib) / (p / pc))
             }
-            (hdr +: body).mkString("\n")
+          }.sortBy(-_._4)
+          val hdr = f"[bench] calib ratio vs prev: ${calib / pc}%.3f " +
+            s"(prevCalib=$pc, calib=$calib)"
+          val body = rows.map { case (n, s, p, r) =>
+            f"[bench] $r%6.2fx $n%-28s ${s}%8.3fs (prev ${p}%8.3fs)" +
+              (if (r >= 1.3) "  <-- check isolated" else "")
           }
+          (hdr +: body).mkString("\n")
         }
       } catch { case e: Throwable =>
         Some(s"[bench] delta report failed: ${e.getMessage}")
       }
+    // stdout line: millisecond-rounded values — the driver keeps only a
+    // ~2 kB tail of output, and with 90+ queries the full-precision line
+    // outgrew it (every BENCH_r*.json shows parsed:null with the head of
+    // the line cut off). The full-precision copy goes to BENCH_LOCAL.json
+    // in the repo root, where it survives any stdout truncation.
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def rerunsJson(fmt: Double => String): String =
+      rerunLog.map { case (n, orig, again) =>
+        "\"" + n + "\":{\"orig\":" + fmt(orig) + ",\"rerun\":" + fmt(again) + "}"
+      }.mkString("{", ",", "}")
+    def line(fmt: Double => String): String = {
+      val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = finalResults.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"outlier_reruns":${rerunsJson(fmt)},"queries":$qs,"sf":"$sfDir"}"""
+    }
     deltaReport.foreach { rep =>
       System.err.println(rep)
       try java.nio.file.Files.writeString(
@@ -174,11 +214,11 @@ object Bench {
     // line is therefore a complete, self-contained JSON document small
     // enough (~400 B) that the tail always holds it whole: total, calib,
     // query count, and the 10 slowest queries (the ones worth reading).
-    val okRes = results.filter(_._2 >= 0)
+    val okRes = finalResults.filter(_._2 >= 0)
     val slowest = okRes.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = okRes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"n":${results.size},"failed":${results.size - okRes.size},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"n":${finalResults.size},"failed":${finalResults.size - okRes.size},"outlier_reruns":${rerunsJson(r3)},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
