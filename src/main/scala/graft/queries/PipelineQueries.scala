@@ -1854,6 +1854,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal: PERCEPTUAL near-dup — the exact-dedup gap
+    // closed: payloads are deterministic doc_id-derived byte signals
+    // (a sawtooth "image"; ids ≥ 400 carry RE-ENCODED copies of ids
+    // 0..39 — a +40 brightness bump on every 8th 16-byte block, the
+    // blocking artifact a lossy re-encode leaves) hashed by the dHash
+    // kernel (box-downsample → 63 adjacent-cell comparison bits), then
+    // paired through the SAME pigeonhole band machinery as SimHash:
+    // maxDistance 3 → 4 chunks, any ≤3-bit pair shares an exact chunk
+    // (no-miss contract). Copies land at hamming 0-2, so exact dedup
+    // (mm03) would keep every one of them. Oracle replays the byte
+    // construction, the cell/bit arithmetic (all non-negative integer
+    // ops — // ≡ Scala /), the banding and the verify filter.
+    "mm05_media_neardup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val core = when(d < 400, d).otherwise(d - 400)
+      val pert = d >= 400
+      val n = lit(200) + pmod(core, lit(50))
+      val bytesHex = concat_ws("", transform(sequence(lit(0), n - 1), i =>
+        lpad(hex(least(lit(255), pmod(core * 31 + i * 7, lit(251)) +
+            when(pert && pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))),
+          2, "0")))
+      val hashed = docs(s, dir).select(d).filter(d < 440)
+        .select(d, graft.functions.PerceptualHash.dhash(unhex(bytesHex)).as("phash"))
+      Dedup.simhashPairs(hashed, "doc_id", "phash", maxDistance = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- events: tumbling-window stats (same code runs on streams)
     "e01_tumbling_stats" -> ((s, dir) =>
       EventStreams.tumblingStats(Tables.load(s, dir, "events"))
@@ -5138,6 +5165,55 @@ object PipelineQueries {
         |)
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM media GROUP BY content ORDER BY canonical_id""".stripMargin,
+
+    // perceptual near-dup replay: byte signal → 64 box cells → 63
+    // comparison bits → BIGINT hash (bits ≤ 62: DuckDB << is
+    // overflow-checked at 63) → 16-bit pigeonhole bands → bucket-size
+    // guard → hamming verify — every step exact non-negative integer
+    // arithmetic shared with the kernel
+    "mm05_media_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id < 400 THEN doc_id ELSE doc_id - 400 END AS core,
+        |    doc_id >= 400 AS pert
+        |  FROM documents WHERE doc_id < 440
+        |), b AS (
+        |  SELECT doc_id,
+        |    [ least(255, (core*31 + i*7) % 251
+        |        + CASE WHEN pert AND (i>>4)%8 = 0 THEN 40 ELSE 0 END)
+        |      for i in range(0, 200 + core % 50) ] AS bytes
+        |  FROM img
+        |), withn AS (
+        |  SELECT doc_id, bytes, len(bytes) AS n FROM b
+        |), cl AS (
+        |  SELECT doc_id,
+        |    [ list_sum(bytes[(j*n//64)+1 : greatest((j*n//64)+1, (j+1)*n//64)])
+        |        // (greatest((j*n//64)+1, (j+1)*n//64) - (j*n//64))
+        |      for j in range(0, 64) ] AS cells
+        |  FROM withn
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([ CASE WHEN cells[j+2] < cells[j+1]
+        |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+        |      for j in range(0, 63) ]) AS BIGINT) AS ph
+        |  FROM cl
+        |), band AS (
+        |  SELECT doc_id, c, (ph >> CAST(16*c AS BIGINT)) & 65535 AS cv
+        |  FROM h, range(0,4) r(c)
+        |), bsz AS (
+        |  SELECT c, cv, count(*) AS bn FROM band GROUP BY c, cv
+        |), okband AS (
+        |  SELECT band.doc_id, band.c, band.cv
+        |  FROM band JOIN bsz USING (c, cv) WHERE bn BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM okband a JOIN okband b USING (c, cv)
+        |  WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha.ph, hb.ph)) AS INTEGER) AS hamming
+        |FROM cand JOIN h ha ON ha.doc_id = cand.id_a JOIN h hb ON hb.doc_id = cand.id_b
+        |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "e01_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
