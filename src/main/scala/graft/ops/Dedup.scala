@@ -135,6 +135,62 @@ object Dedup {
     FsOps.swapDirs(spark, tmp, path)
   }
 
+  // ------------------------------------------------- corpus snapshot diff
+
+  /** Per-group churn between two corpus snapshots — the dataset-
+    * versioning report every production corpus refresh needs: for each
+    * `groupCol` value (domain, source, shard), how many distinct
+    * documents were added, removed, and retained from v1 to v2.
+    * Membership is by content digest (md5 — equality ≡ text equality
+    * at any realistic scale, the d12 contract), so an edited document
+    * counts as one removal plus one addition, and a document that
+    * moved groups counts against both groups — group-wise set algebra
+    * on (group, digest) keys.
+    *
+    * Shape: union with side markers → ONE hash aggregate on
+    * (group, digest) (map-side combinable) → one tiny per-group
+    * aggregate. No join — so no null-key join trap (null content
+    * digests group together on both sides) and exactly one wide
+    * shuffle of 16-byte digest rows at any corpus size. */
+  def corpusChurn(v1: DataFrame, v2: DataFrame, contentCol: String,
+      groupCol: String): DataFrame = {
+    def side(df: DataFrame, a: Int, b: Int) =
+      df.select(col(groupCol).as("grp"),
+        md5(col(contentCol).cast("binary")).as("digest"),
+        lit(a).as("v1"), lit(b).as("v2"))
+    side(v1, 1, 0).unionByName(side(v2, 0, 1))
+      .groupBy(col("grp"), col("digest"))
+      .agg(max(col("v1")).as("in1"), max(col("v2")).as("in2"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("in2") === 1 && col("in1") === 0, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in1") === 1 && col("in2") === 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in1") === 1 && col("in2") === 1, 1L).otherwise(0L)).as("n_retained"))
+  }
+
+  /** Set-algebra diff of two persisted [[writeDigestIndex]] snapshots:
+    * one row `(n_added, n_removed, n_retained)` — what changed between
+    * corpus v1 and v2, computed entirely over the bounded digest rows
+    * (the corpora are never re-read). Same union-and-aggregate shape
+    * as [[corpusChurn]]; append-duplicated digests collapse in the
+    * membership aggregate, so an uncompacted index diffs exactly like
+    * a compacted one. */
+  def diffDigestIndexes(spark: org.apache.spark.sql.SparkSession,
+      pathV1: String, pathV2: String): DataFrame = {
+    FsOps.healSwap(spark, pathV1 + ".compacting", pathV1)
+    FsOps.healSwap(spark, pathV2 + ".compacting", pathV2)
+    def side(p: String, a: Int, b: Int) =
+      spark.read.parquet(p).select(col("digest"),
+        lit(a).as("v1"), lit(b).as("v2"))
+    side(pathV1, 1, 0).unionByName(side(pathV2, 0, 1))
+      .groupBy(col("digest"))
+      .agg(max(col("v1")).as("in1"), max(col("v2")).as("in2"))
+      .agg(
+        sum(when(col("in2") === 1 && col("in1") === 0, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in1") === 1 && col("in2") === 0, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in1") === 1 && col("in2") === 1, 1L).otherwise(0L)).as("n_retained"))
+  }
+
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order
     * functions block Spark's common-subexpression elimination, so an
     * expensive expression referenced inside a `transform` lambda would

@@ -304,6 +304,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: CORPUS SNAPSHOT DIFF — the dataset-versioning report:
+    // per-source added/removed/retained counts between corpus v1
+    // (doc_id < 400) and v2 (100 ≤ doc_id < 500, with 200..249's text
+    // EDITED — each edit must register as one removal plus one
+    // addition, never a retain). One union + one (group, digest)
+    // membership aggregate — no join, one wide shuffle of digest rows
+    // at any corpus size. Oracle replays with text-set algebra
+    // (md5 equality ≡ text equality, the d12 contract).
+    "d13_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.filter(col("doc_id") < 400).select(col("source"), col("text"))
+      val v2 = d.filter(col("doc_id") >= 100 && col("doc_id") < 500)
+        .select(col("source"),
+          when(col("doc_id") >= 200 && col("doc_id") < 250,
+            concat(col("text"), lit(" v2-edit"))).otherwise(col("text")).as("text"))
+      Dedup.corpusChurn(v1, v2, "text", "source")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    }),
+
     // ---- dedup: normalization-keyed exact dedup — copies that differ
     // only in case / punctuation / whitespace collapse into one group
     // (the CCNet/RefinedWeb hashing key). Planted noisy copies (ASCII
@@ -4824,6 +4844,30 @@ object PipelineQueries {
         |SELECT doc_id FROM c1
         |UNION ALL SELECT doc_id FROM c2
         |ORDER BY doc_id""".stripMargin,
+
+    // snapshot-diff replay: per-source DISTINCT text sets for each
+    // version, union with side markers, membership aggregate, then the
+    // added/removed/retained classification — text equality stands in
+    // for digest equality (the d12 contract)
+    "d13_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT DISTINCT source AS grp, text FROM documents WHERE doc_id < 400
+        |), v2 AS (
+        |  SELECT DISTINCT source AS grp,
+        |    CASE WHEN doc_id >= 200 AND doc_id < 250
+        |         THEN text || ' v2-edit' ELSE text END AS text
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 500
+        |), u AS (
+        |  SELECT grp, text, 1 AS s1, 0 AS s2 FROM v1
+        |  UNION ALL SELECT grp, text, 0 AS s1, 1 AS s2 FROM v2
+        |), m AS (
+        |  SELECT grp, text, max(s1) AS in1, max(s2) AS in2 FROM u GROUP BY grp, text
+        |)
+        |SELECT grp AS source,
+        |  CAST(SUM(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(SUM(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |FROM m GROUP BY grp ORDER BY grp""".stripMargin,
 
     "t01_token_counts" ->
       """SELECT doc_id,

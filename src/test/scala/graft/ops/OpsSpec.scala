@@ -773,6 +773,37 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("snapshot diff: churn classification; index diff vs own append = exactly the batch") {
+    val dir = tmpDir("snapdiff")
+    // per-group churn: edits = remove+add, moves charge both groups
+    val v1 = Seq(("a", "kept"), ("a", "edited-old"), ("a", "dropped"),
+      ("b", "moves-to-a")).toDF("src", "text")
+    val v2 = Seq(("a", "kept"), ("a", "edited-new"), ("a", "moves-to-a"),
+      ("b", "brand-new")).toDF("src", "text")
+    val churn = Dedup.corpusChurn(v1, v2, "text", "src")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(churn("a") == ((2L, 2L, 1L)), s"a: ${churn("a")}") // +edited-new +moves-to-a / -edited-old -dropped / kept
+    assert(churn("b") == ((1L, 1L, 0L)), s"b: ${churn("b")}") // +brand-new / -moves-to-a
+    // index-level: diff of an index against (itself + appended batch)
+    // is exactly the batch — and duplicate append segments don't count
+    val p1 = dir.resolve("idx1").toString
+    val p2 = dir.resolve("idx2").toString
+    val base = docs.filter(col("doc_id") < 60)
+    val batch = Seq((9000001L, "wholly new snapshot doc one"),
+      (9000002L, "wholly new snapshot doc two")).toDF("doc_id", "text")
+    Dedup.writeDigestIndex(base, "text", p1)
+    Dedup.writeDigestIndex(base, "text", p2)
+    Dedup.appendToDigestIndex(batch, "text", p2)
+    Dedup.appendToDigestIndex(batch, "text", p2) // replayed append
+    val Array(row) = Dedup.diffDigestIndexes(spark, p1, p2).collect()
+    val nBase = spark.read.parquet(p1).distinct().count()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 0L, nBase)),
+      s"$row vs base $nBase")
+    // reversed direction: the batch reads as removed
+    val Array(rev) = Dedup.diffDigestIndexes(spark, p2, p1).collect()
+    assert((rev.getLong(0), rev.getLong(1), rev.getLong(2)) == ((0L, 2L, nBase)))
+  }
+
   test("persisted LM filter: reference counts score candidates; unseen language scores 0") {
     val dir = tmpDir("lm")
     val path = dir.resolve("lm").toString
