@@ -392,6 +392,40 @@ object Dedup {
       .drop("__rn", "__cluster", "__cc_id", "__cc_label")
   }
 
+  /** SOFT dedup: keep every row, down-weight near-dup cluster members
+    * instead of dropping them — `weight = scale / cluster_size` (exact
+    * integer division; singletons get the full `scale`). Modern
+    * pipelines often prefer this to [[nearDedup]]'s hard drop: the
+    * cluster's content still appears in training at 1/cluster-size
+    * effective rate, so no document is lost but boilerplate families
+    * stop dominating. The integer weight feeds straight into
+    * [[graft.ops.Sampling.prioritySample]] /
+    * [[graft.ops.Sampling.tokenBudgetPlan]] (their integer-weight
+    * contract is why `scale` exists — a rational 1/k would be refused
+    * loudly there).
+    *
+    * Adds `cluster_id` (component min id; the row's own id for
+    * singletons), `cluster_size`, and `weight`. The component map is
+    * pairs-bounded — tiny relative to the corpus — so the join back is
+    * broadcast-friendly; everything else is one narrow aggregate over
+    * component labels. */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"softDedupWeights: scale=$scale must be >= 1")
+    val comp = connectedComponents(pairs)
+    val sized = comp.join(
+        comp.groupBy(col("label")).agg(count(lit(1)).as("__csize")), "label")
+      .select(col("id").as("__sd_id"), col("label").as("__sd_label"),
+        col("__csize"))
+    df.join(sized, col(idCol) === col("__sd_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__sd_label"), col(idCol)))
+      .withColumn("cluster_size", coalesce(col("__csize"), lit(1L)))
+      .withColumn("weight",
+        org.apache.spark.sql.functions.call_function("div",
+          lit(scale), col("cluster_size")))
+      .drop("__sd_id", "__sd_label", "__csize")
+  }
+
   /** 64-bit SimHash over a token array: per-bit majority vote of token
     * hashes. Backed by a custom codegen-invoked implementation
     * ([[graft.functions.SimHashImpl]]) — the declarative `aggregate`/

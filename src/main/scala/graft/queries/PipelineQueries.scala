@@ -1057,6 +1057,26 @@ object PipelineQueries {
           col("doc_id"), col("n_chars"), n = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- sampling: SOFT DEDUP — near-dup cluster members are kept at
+    // weight scale/cluster_size instead of dropped (d04's verified
+    // pairs → components → integer weights), then the weights drive a
+    // deterministic priority sample: a doc in a 2-cluster is sampled
+    // at half a singleton's rate, no document is ever lost. Oracle
+    // replays the exact all-pairs closure (d04 shape), the per-
+    // component sizes, the // weights and the Lehmer priority draw
+    "p18_soft_dedup" -> ((s, dir) => {
+      val base = docsWithNearDups(s, dir)
+      val pairs = Dedup.nearDupPairs(
+        base.withColumn("shingles", Dedup.textShingles(col("text"), 3)),
+        "doc_id", "shingles", threshold = 0.6,
+        numHashes = 64, numBands = 32, maxBucket = Int.MaxValue)
+      val weighted = Dedup.softDedupWeights(
+        base.select(col("doc_id")), "doc_id", pairs, scale = 1000L)
+      Sampling.prioritySample(weighted, col("doc_id"), col("weight"), n = 150)
+        .select(col("doc_id"), col("cluster_size"), col("weight"), col("priority"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling: token-budget mixture plan — integer waterfilling
     // allocates 90% of the corpus' tokens across the 20 sources with
     // weights 1..20; over-weighted domains saturate (whole supply
@@ -4757,6 +4777,59 @@ object PipelineQueries {
         |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
         |    ORDER BY q DESC, doc_id) AS rn
         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // soft-dedup replay: d04's exact closure → per-component sizes →
+    // // weights → the p12 Lehmer priority draw over the weights
+    "p18_soft_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+        |    END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.6
+        |), sym AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS a, id_a AS b FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+        |), compm AS (
+        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp
+        |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
+        |), sized AS (
+        |  SELECT comp, CAST(count(*) AS BIGINT) AS csize FROM labeled GROUP BY comp
+        |), weighted AS (
+        |  SELECT l.doc_id, s.csize AS cluster_size, 1000 // s.csize AS weight
+        |  FROM labeled l JOIN sized s ON s.comp = l.comp
+        |)
+        |SELECT doc_id, cluster_size, weight, priority FROM (
+        |  SELECT doc_id, cluster_size, CAST(weight AS BIGINT) AS weight,
+        |    CAST(weight * 2147483647 AS DOUBLE) /
+        |      ((48271 * ((48271 * (doc_id % 2147483646 + 1)) % 2147483647)) % 2147483647) AS priority
+        |  FROM weighted WHERE weight > 0
+        |  ORDER BY priority DESC, doc_id LIMIT 150)
+        |ORDER BY doc_id""".stripMargin,
 
     // the corpus-as-LM oracle: same explode → bigram/unigram counts →
     // rational P(w2|w1) through the round(p·1e12)→BIGINT stable

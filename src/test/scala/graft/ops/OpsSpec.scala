@@ -773,6 +773,28 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("soft dedup: singletons weight scale, k-clique members scale/k; feeds prioritySample") {
+    val rows = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val w = Dedup.softDedupWeights(rows, "id", pairs, scale = 999L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 3-clique {1,2,3}: cluster_id 1, size 3, weight 999/3
+    Seq(1L, 2L, 3L).foreach(id => assert(w(id) == ((1L, 3L, 333L)), s"id $id: ${w(id)}"))
+    // singletons: own id, size 1, full scale
+    Seq(4L, 5L).foreach(id => assert(w(id) == ((id, 1L, 999L)), s"id $id: ${w(id)}"))
+    // the integer weight satisfies prioritySample's typed contract and
+    // clique members sample at 1/3 a singleton's effective weight
+    val sampled = graft.ops.Sampling.prioritySample(
+      Dedup.softDedupWeights(rows, "id", pairs, scale = 999L),
+      col("id"), col("weight"), n = 5)
+    assert(sampled.count() == 5)
+    // weight 0 (scale < cluster size) rows are excluded by the sampler
+    val tiny = graft.ops.Sampling.prioritySample(
+      Dedup.softDedupWeights(rows, "id", pairs, scale = 2L),
+      col("id"), col("weight"), n = 5)
+    assert(tiny.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
   test("snapshot diff: churn classification; index diff vs own append = exactly the batch") {
     val dir = tmpDir("snapdiff")
     // per-group churn: edits = remove+add, moves charge both groups
