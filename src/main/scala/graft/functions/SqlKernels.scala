@@ -46,6 +46,9 @@ object SqlKernels {
     require(args.length == n,
       s"$fn expects $n argument(s), got ${args.length}")
 
+  private def deep(c: org.apache.spark.sql.Column): Expression =
+    ColumnBridge.expressionDeep(c)
+
   private type Builder = Seq[Expression] => Expression
 
   /** Name → builder for every graft kernel function. */
@@ -117,6 +120,28 @@ object SqlKernels {
       require(subBits >= 1 && subBits <= 20,
         s"graft_hist_bucket: subBits $subBits not in [1,20]")
       histBucketExpr(args(0), subBits)
+    },
+    // web/text prep tier for SQL-only users: each builder composes the
+    // SAME Column-API chain (shared pattern constants — the chains
+    // cannot drift from the Column surface because they ARE it),
+    // deep-converted to a raw Catalyst tree via
+    // ColumnBridge.expressionDeep (the lazy `expression` wrapper does
+    // not resolve inside a FunctionRegistry builder — round-5 lesson)
+    "graft_extract_text" -> { args =>
+      arity("graft_extract_text", args, 1)
+      deep(graft.ops.TextAnalysis.extractText(ColumnBridge.column(args(0))))
+    },
+    "graft_normalize_url" -> { args =>
+      arity("graft_normalize_url", args, 1)
+      deep(graft.ops.Web.normalizeUrl(ColumnBridge.column(args(0))))
+    },
+    "graft_host" -> { args =>
+      arity("graft_host", args, 1)
+      deep(graft.ops.Web.hostOf(ColumnBridge.column(args(0))))
+    },
+    "graft_domain" -> { args =>
+      arity("graft_domain", args, 1)
+      deep(graft.ops.Web.registrableDomain(ColumnBridge.column(args(0))))
     },
     // graft_split(key, name1, w1, name2, w2, ...) — weights must sum
     // to 1 (same contract as splitByHash); returns the split label

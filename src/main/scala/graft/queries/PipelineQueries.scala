@@ -1261,6 +1261,65 @@ object PipelineQueries {
           |ORDER BY sk.source""".stripMargin)
     }),
 
+    // ---- SQL-text surface: the WEB/TEXT PREP tier driven entirely
+    // from spark.sql — graft_normalize_url / graft_host / graft_domain
+    // / graft_extract_text are the SAME Column-API chains
+    // (deep-converted builders share every pattern constant), so this
+    // is t31's normalize → dedup → domain → blocklist pipeline as pure
+    // SQL; the extract runs over a planted wrapper whose ground truth
+    // the oracle recomputes (the mm04 pattern)
+    "f04_sql_webprep" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        s"""WITH u0 AS (SELECT doc_id, doc_id % 50 AS core FROM graft_sql_docs),
+          |built AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 1
+          |         THEN translate(sh, '$asciiLower', '$asciiUpper') ELSE sh END
+          |    || CASE WHEN doc_id % 4 = 0
+          |            THEN CASE WHEN core % 2 = 0 THEN ':80' ELSE ':443' END
+          |            ELSE '' END
+          |    || '/p/' || CAST(core % 11 AS STRING)
+          |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+          |    || CASE WHEN core % 4 = 0 THEN '?id=' || CAST(core AS STRING) ELSE '' END
+          |    || CASE WHEN doc_id % 3 = 1
+          |            THEN CASE WHEN core % 4 = 0 THEN '&utm_source=g'
+          |                      ELSE '?utm_source=g' END
+          |            ELSE '' END
+          |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id AS STRING)
+          |            ELSE '' END AS url
+          |  FROM (
+          |    SELECT doc_id, core,
+          |      (CASE WHEN core % 2 = 0 THEN 'http' ELSE 'https' END) || '://'
+          |      || (CASE WHEN core % 3 = 0 THEN 'www.' ELSE '' END)
+          |      || 'site' || CAST(core % 7 AS STRING) || '.'
+          |      || (CASE WHEN core % 5 = 0 THEN 'com' WHEN core % 5 = 1 THEN 'org'
+          |               WHEN core % 5 = 2 THEN 'co.uk' WHEN core % 5 = 3 THEN 'io'
+          |               ELSE 'net' END) AS sh
+          |    FROM u0)
+          |),
+          |normd AS (
+          |  SELECT doc_id, graft_normalize_url(url) AS url_norm FROM built
+          |),
+          |ded AS (
+          |  SELECT url_norm, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+          |  FROM normd GROUP BY url_norm
+          |),
+          |doms AS (
+          |  SELECT url_norm, dup_count,
+          |    graft_domain(graft_host(url_norm)) AS domain,
+          |    length(graft_extract_text('<p>page ' || url_norm || '</p>')) AS extract_len
+          |  FROM ded
+          |),
+          |screened AS (
+          |  SELECT * FROM doms WHERE domain NOT IN ('site0.com', 'site3.co.uk')
+          |)
+          |SELECT domain, COUNT(*) AS n_urls, SUM(dup_count) AS n_docs,
+          |  MIN(url_norm) AS first_url, SUM(extract_len) AS sum_extract_len
+          |FROM screened GROUP BY domain ORDER BY domain""".stripMargin)
+    }),
+
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
     // applies before scoring, so all k results satisfy it (post-filtering
     // a candidate list would under-fill)
@@ -3317,6 +3376,117 @@ object PipelineQueries {
     s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-(($e) + 1)")}) ELSE ${pos(e)} END"
   }
 
+  /** DuckDB URL-prep replay fragments shared by the t31 and f04
+    * oracles — ONE text each for the doc_id-derived URL construction,
+    * the full normalizeUrl chain, and the host + registrable-domain
+    * heuristic, so the two replays cannot drift (the duckBucket
+    * precedent). Each is a comma-joined CTE run; [[duckUrlHostsDoms]]
+    * consumes a `ded` CTE carrying a `url_norm` column. */
+  private lazy val duckUrlBuilt: String =
+    s"""u0 AS (
+       |  SELECT doc_id, doc_id % 50 AS core FROM documents
+       |), built AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1
+       |         THEN translate(sh, '$asciiLower', '$asciiUpper') ELSE sh END
+       |    || CASE WHEN doc_id % 4 = 0
+       |            THEN CASE WHEN core % 2 = 0 THEN ':80' ELSE ':443' END
+       |            ELSE '' END
+       |    || '/p/' || CAST(core % 11 AS VARCHAR)
+       |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+       |    || CASE WHEN core % 4 = 0 THEN '?id=' || CAST(core AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 1
+       |            THEN CASE WHEN core % 4 = 0 THEN '&utm_source=g'
+       |                      ELSE '?utm_source=g' END
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id AS VARCHAR)
+       |            ELSE '' END AS url
+       |  FROM (
+       |    SELECT doc_id, core,
+       |      (CASE WHEN core % 2 = 0 THEN 'http' ELSE 'https' END) || '://'
+       |      || (CASE WHEN core % 3 = 0 THEN 'www.' ELSE '' END)
+       |      || 'site' || CAST(core % 7 AS VARCHAR) || '.'
+       |      || (CASE WHEN core % 5 = 0 THEN 'com' WHEN core % 5 = 1 THEN 'org'
+       |               WHEN core % 5 = 2 THEN 'co.uk' WHEN core % 5 = 3 THEN 'io'
+       |               ELSE 'net' END) AS sh
+       |    FROM u0)
+       |)""".stripMargin
+
+  private lazy val duckUrlNorm: String =
+    s"""n1 AS (
+       |  SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS t FROM built
+       |), n2 AS (
+       |  SELECT doc_id, t,
+       |    regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
+       |  FROM n1
+       |), n2b AS (
+       |  SELECT doc_id, t, pfx,
+       |    regexp_extract(pfx, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) AS sp
+       |  FROM n2
+       |), n2c AS (
+       |  SELECT doc_id, t, pfx, sp,
+       |    regexp_extract(substr(pfx, length(sp) + 1), '^([^/?#]*@)', 1) AS ui
+       |  FROM n2b
+       |), n3 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(pfx) > 0
+       |         THEN regexp_replace(regexp_replace(
+       |                translate(sp, '$asciiUpper', '$asciiLower') || ui ||
+       |                translate(substr(pfx, length(sp) + length(ui) + 1),
+       |                  '$asciiUpper', '$asciiLower'),
+       |                '^(http://[^/?#]*):80$$', '\\1'),
+       |                '^(https://[^/?#]*):443$$', '\\1')
+       |              || substr(t, length(pfx) + 1)
+       |         ELSE t END AS u
+       |  FROM n2c
+       |), n4 AS (
+       |  SELECT doc_id, u, instr(u, '?') AS qpos FROM n3
+       |), n5 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(CASE WHEN qpos > 0 THEN substr(u, 1, qpos - 1) ELSE u END,
+       |      '/$$', '') AS base,
+       |    list_filter(string_split(substr(u, qpos + 1), '&'),
+       |      p -> NOT regexp_matches(p, '${Web.TrackingParamRe}')) AS kept,
+       |    qpos
+       |  FROM n4
+       |), normd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN qpos > 0 AND len(kept) > 0
+       |         THEN base || '?' || array_to_string(kept, '&')
+       |         ELSE base END AS url_norm
+       |  FROM n5
+       |)""".stripMargin
+
+  private lazy val duckUrlDed: String =
+    """ded AS (
+      |  SELECT url_norm, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+      |  FROM normd GROUP BY url_norm
+      |)""".stripMargin
+
+  private lazy val duckUrlHostsDoms: String =
+    s"""hosts AS (
+       |  SELECT *,
+       |    translate(regexp_replace(regexp_replace(
+       |      regexp_extract(trim(url_norm), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+       |      '^[^@]*@', ''), ':[0-9]*$$', ''), '$asciiUpper', '$asciiLower') AS host
+       |  FROM ded
+       |), doms AS (
+       |  SELECT url_norm, canonical_id, dup_count,
+       |    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+       |         ELSE array_to_string(
+       |           string_split(host, '.')[
+       |             greatest(len(string_split(host, '.')) -
+       |               (CASE WHEN len(string_split(host, '.')) > 2
+       |                      AND list_contains(${Web.MultiPartSecond
+                                 .map(w => s"'$w'").mkString("[", ",", "]")},
+       |                        string_split(host, '.')[len(string_split(host, '.')) - 1])
+       |                      AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
+       |                 THEN 3 ELSE 2 END) + 1, 1) :
+       |             len(string_split(host, '.'))], '.')
+       |    END AS domain
+       |  FROM hosts
+       |)""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Sketch.histDistance]]'s exact TV
     * machinery over two bucket-count CTEs `(source, bucket, c)`:
     * emits CTEs j/t/f with suffix `p`; the final SELECT applies the
@@ -5100,114 +5270,40 @@ object PipelineQueries {
     // trailing-slash strip), hostOf, the registrable-domain heuristic,
     // the NOT-IN blocklist and the md5-ranked per-domain cap — pattern
     // constants interpolated from Web's Scala values
+    // NOTE: composed by string concatenation, NOT one outer
+    // s"""...""".stripMargin — the fragments contain `||` continuation
+    // lines whose leading pipe a second stripMargin would eat
     "t31_url_prep" ->
-      s"""WITH u0 AS (
-        |  SELECT doc_id, doc_id % 50 AS core FROM documents
-        |), built AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 1
-        |         THEN translate(sh, '$asciiLower', '$asciiUpper') ELSE sh END
-        |    || CASE WHEN doc_id % 4 = 0
-        |            THEN CASE WHEN core % 2 = 0 THEN ':80' ELSE ':443' END
-        |            ELSE '' END
-        |    || '/p/' || CAST(core % 11 AS VARCHAR)
-        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
-        |    || CASE WHEN core % 4 = 0 THEN '?id=' || CAST(core AS VARCHAR) ELSE '' END
-        |    || CASE WHEN doc_id % 3 = 1
-        |            THEN CASE WHEN core % 4 = 0 THEN '&utm_source=g'
-        |                      ELSE '?utm_source=g' END
-        |            ELSE '' END
-        |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id AS VARCHAR)
-        |            ELSE '' END AS url
-        |  FROM (
-        |    SELECT doc_id, core,
-        |      (CASE WHEN core % 2 = 0 THEN 'http' ELSE 'https' END) || '://'
-        |      || (CASE WHEN core % 3 = 0 THEN 'www.' ELSE '' END)
-        |      || 'site' || CAST(core % 7 AS VARCHAR) || '.'
-        |      || (CASE WHEN core % 5 = 0 THEN 'com' WHEN core % 5 = 1 THEN 'org'
-        |               WHEN core % 5 = 2 THEN 'co.uk' WHEN core % 5 = 3 THEN 'io'
-        |               ELSE 'net' END) AS sh
-        |    FROM u0)
-        |), n1 AS (
-        |  SELECT doc_id, regexp_replace(trim(url), '#.*', '', 'g') AS t FROM built
-        |), n2 AS (
-        |  SELECT doc_id, t,
-        |    regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS pfx
-        |  FROM n1
-        |), n2b AS (
-        |  SELECT doc_id, t, pfx,
-        |    regexp_extract(pfx, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) AS sp
-        |  FROM n2
-        |), n2c AS (
-        |  SELECT doc_id, t, pfx, sp,
-        |    regexp_extract(substr(pfx, length(sp) + 1), '^([^/?#]*@)', 1) AS ui
-        |  FROM n2b
-        |), n3 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(pfx) > 0
-        |         THEN regexp_replace(regexp_replace(
-        |                translate(sp, '$asciiUpper', '$asciiLower') || ui ||
-        |                translate(substr(pfx, length(sp) + length(ui) + 1),
-        |                  '$asciiUpper', '$asciiLower'),
-        |                '^(http://[^/?#]*):80$$', '\\1'),
-        |                '^(https://[^/?#]*):443$$', '\\1')
-        |              || substr(t, length(pfx) + 1)
-        |         ELSE t END AS u
-        |  FROM n2c
-        |), n4 AS (
-        |  SELECT doc_id, u, instr(u, '?') AS qpos FROM n3
-        |), n5 AS (
-        |  SELECT doc_id,
-        |    regexp_replace(CASE WHEN qpos > 0 THEN substr(u, 1, qpos - 1) ELSE u END,
-        |      '/$$', '') AS base,
-        |    list_filter(string_split(substr(u, qpos + 1), '&'),
-        |      p -> NOT regexp_matches(p, '${Web.TrackingParamRe}')) AS kept,
-        |    qpos
-        |  FROM n4
-        |), normd AS (
-        |  SELECT doc_id,
-        |    CASE WHEN qpos > 0 AND len(kept) > 0
-        |         THEN base || '?' || array_to_string(kept, '&')
-        |         ELSE base END AS url_norm
-        |  FROM n5
-        |), ded AS (
-        |  SELECT url_norm, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
-        |  FROM normd GROUP BY url_norm
-        |), hosts AS (
-        |  SELECT *,
-        |    translate(regexp_replace(regexp_replace(
-        |      regexp_extract(trim(url_norm), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-        |      '^[^@]*@', ''), ':[0-9]*$$', ''), '$asciiUpper', '$asciiLower') AS host
-        |  FROM ded
-        |), doms AS (
-        |  SELECT url_norm, canonical_id, dup_count,
-        |    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
-        |         ELSE array_to_string(
-        |           string_split(host, '.')[
-        |             greatest(len(string_split(host, '.')) -
-        |               (CASE WHEN len(string_split(host, '.')) > 2
-        |                      AND list_contains(${Web.MultiPartSecond
-                                 .map(w => s"'$w'").mkString("[", ",", "]")},
-        |                        string_split(host, '.')[len(string_split(host, '.')) - 1])
-        |                      AND length(string_split(host, '.')[len(string_split(host, '.'))]) = 2
-        |                 THEN 3 ELSE 2 END) + 1, 1) :
-        |             len(string_split(host, '.'))], '.')
-        |    END AS domain
-        |  FROM hosts
-        |), screened AS (
-        |  SELECT * FROM doms WHERE domain NOT IN ('site0.com', 'site3.co.uk')
-        |), capped AS (
-        |  SELECT domain, COUNT(*) AS n_kept FROM (
-        |    SELECT domain,
-        |      ROW_NUMBER() OVER (PARTITION BY domain
-        |        ORDER BY md5(url_norm), url_norm) AS rn
-        |    FROM screened) WHERE rn <= 1 GROUP BY domain
-        |)
-        |SELECT s.domain, COUNT(*) AS n_urls,
-        |  CAST(SUM(s.dup_count) AS BIGINT) AS n_docs,
-        |  MIN(s.url_norm) AS first_url, MAX(c.n_kept) AS n_kept
-        |FROM screened s JOIN capped c ON c.domain = s.domain
-        |GROUP BY s.domain ORDER BY s.domain""".stripMargin,
+      (s"WITH $duckUrlBuilt,\n$duckUrlNorm,\n$duckUrlDed,\n$duckUrlHostsDoms,\n" +
+        """screened AS (
+          |  SELECT * FROM doms WHERE domain NOT IN ('site0.com', 'site3.co.uk')
+          |), capped AS (
+          |  SELECT domain, COUNT(*) AS n_kept FROM (
+          |    SELECT domain,
+          |      ROW_NUMBER() OVER (PARTITION BY domain
+          |        ORDER BY md5(url_norm), url_norm) AS rn
+          |    FROM screened) WHERE rn <= 1 GROUP BY domain
+          |)
+          |SELECT s.domain, COUNT(*) AS n_urls,
+          |  CAST(SUM(s.dup_count) AS BIGINT) AS n_docs,
+          |  MIN(s.url_norm) AS first_url, MAX(c.n_kept) AS n_kept
+          |FROM screened s JOIN capped c ON c.domain = s.domain
+          |GROUP BY s.domain ORDER BY s.domain""".stripMargin),
+
+    // f04 replay: identical shared fragments driven to the per-domain
+    // report; the extract_len replay is the planted ground truth
+    // ('page ' || url_norm after tag-strip + collapse) per the mm04
+    // oracle pattern
+    "f04_sql_webprep" ->
+      (s"WITH $duckUrlBuilt,\n$duckUrlNorm,\n$duckUrlDed,\n$duckUrlHostsDoms,\n" +
+        """screened AS (
+          |  SELECT * FROM doms WHERE domain NOT IN ('site0.com', 'site3.co.uk')
+          |)
+          |SELECT domain, COUNT(*) AS n_urls,
+          |  CAST(SUM(dup_count) AS BIGINT) AS n_docs,
+          |  MIN(url_norm) AS first_url,
+          |  CAST(SUM(5 + length(url_norm)) AS BIGINT) AS sum_extract_len
+          |FROM screened GROUP BY domain ORDER BY domain""".stripMargin),
 
     // paragraph-dedup replay: same row-number pairing construction,
     // same d09 normalization as the dedup key, first occurrence by

@@ -11,6 +11,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DEEP conversion of a Column's node tree to a raw Catalyst
+    * Expression — [[expression]] returns a lazy `ColumnNodeExpression`
+    * wrapper that only resolves through the Dataset analyzer and fails
+    * inside a `FunctionRegistry` builder ("columnnodeexpression() of
+    * type VOID" — the round-5 lesson); this one runs the classic
+    * converter over the whole tree, so SQL function builders can
+    * compose the Column API (shared operator chains like
+    * `Web.normalizeUrl`) instead of hand-duplicating Catalyst trees. */
+  def expressionDeep(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register a session-scoped SQL function backed by an Expression
     * builder — the `FunctionRegistry` hook `SparkSessionExtensions`
     * uses, reached directly so the graft kernels are callable from

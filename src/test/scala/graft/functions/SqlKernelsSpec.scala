@@ -82,6 +82,35 @@ class SqlKernelsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT graft_hist_bucket(v, id) FROM bv").collect())
   }
 
+  test("graft_extract_text / graft_normalize_url / graft_host / graft_domain from SQL match the Column API bitwise") {
+    Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&q=1#frag",
+        "<html><head><script>var x=1;</script><title>T</title></head>" +
+          "<body><p>Hello &amp; welcome</p><!-- c --></body></html>"),
+      (2L, "http://sub.shop.co.uk:80/path/../p2?id=9&fbclid=z",
+        "plain text, no markup at all"),
+      (3L, "ftp://weird.example.org/x", "<div>nested <b>bold</b></div>"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "url", "html").createOrReplaceTempView("web_v")
+    val sql = spark.sql(
+      """SELECT id, graft_normalize_url(url) AS u, graft_host(url) AS h,
+        |  graft_domain(graft_host(url)) AS d, graft_extract_text(html) AS t
+        |FROM web_v ORDER BY id""".stripMargin).collect()
+    val viaColumns = spark.table("web_v").select(col("id"),
+        graft.ops.Web.normalizeUrl(col("url")).as("u"),
+        graft.ops.Web.hostOf(col("url")).as("h"),
+        graft.ops.Web.registrableDomain(graft.ops.Web.hostOf(col("url"))).as("d"),
+        graft.ops.TextAnalysis.extractText(col("html")).as("t"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == viaColumns.toSeq)
+    // sanity on the values themselves, not just parity
+    val r1 = sql.find(_.getLong(0) == 1L).get
+    assert(r1.getString(2) == "www.example.com", r1.toString)
+    assert(r1.getString(3) == "example.com", r1.toString)
+    assert(r1.getString(4).contains("Hello & welcome") &&
+      !r1.getString(4).contains("script"), r1.toString)
+  }
+
   test("structural args must be integer literals; arity is enforced") {
     spark.range(1).selectExpr("cast(array('a','b') as array<string>) AS sh")
       .createOrReplaceTempView("one")
