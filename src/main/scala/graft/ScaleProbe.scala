@@ -642,6 +642,61 @@ object ScaleProbe {
       assert(tgt.getDouble(2) > noise.getDouble(2),
         "target docs must out-score the pool per gram")
     }
+    // round-9: persisted-artifact SERVING paths at 6M docs — the t32
+    // (postings index) and t33 (LM filter) production shapes. The
+    // claim under test: serving cost is INDEX-bounded — a BM25 query
+    // touches only its terms' pruned postings (never the corpus text),
+    // and LM scoring is one batch explode + broadcast joins against a
+    // vocabulary-bounded model — so both stay flat as the corpus grows.
+    {
+      val did = col("l_orderkey") * 8 + col("l_linenumber")
+      val docs6m = l10.select(did.as("doc_id"),
+        concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
+          lit(" tok"), (col("l_suppkey") % 50).cast("string"),
+          lit(" common filler words here"),
+          when(did % 10 === 0, lit(" raretoken")).otherwise(lit("")))
+          .as("text")).localCheckpoint(eager = true)
+      val dirIdx = graft.Paths.scratchDir("graft-scale-postings-")
+      val pIdx = dirIdx.resolve("idx").toString
+      try {
+        t("postings index write 6M docs (once)")(
+          graft.ops.Ranking.writePostingsIndex(docs6m, "doc_id", "text", pIdx))
+        val terms = Seq("tok7", "tok13", "raretoken")
+        def digest(df: org.apache.spark.sql.DataFrame) = df
+          .agg(count(lit(1)), sum(round(col("bm25") * lit(1e6)).cast("long")))
+          .head()
+        val served = t("postings query served (3 terms)")(
+          digest(graft.ops.Ranking.queryPostingsIndex(spark, pIdx, terms,
+            logIdf = false)))
+        val scanned = t("bm25 corpus scan 6M docs (contrast)")(
+          digest(graft.ops.Ranking.bm25(docs6m, "doc_id", "text", terms,
+            logIdf = false)))
+        println(s"SCALE postings: served n=${served.getLong(0)} " +
+          s"chk=${served.getLong(1)} scanned n=${scanned.getLong(0)} " +
+          s"chk=${scanned.getLong(1)}")
+        assert(served == scanned, "index-served BM25 must equal the corpus scan")
+
+        val lmPath = dirIdx.resolve("lm").toString
+        t("LM index write 3M reference docs (once)")(
+          graft.ops.Lm.writeLmIndex(docs6m.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", lmPath))
+        val lmScored = t("LM scoring 3M candidate docs vs persisted model")(
+          graft.ops.Lm.scoreWithLm(spark, lmPath,
+              docs6m.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+            .agg(count(lit(1)), min(col("lm_score")), max(col("lm_score")))
+            .head())
+        println(f"SCALE lm: scored=${lmScored.getLong(0)} " +
+          f"min=${lmScored.getDouble(1)}%.4f max=${lmScored.getDouble(2)}%.4f")
+        assert(lmScored.getLong(0) > 2000000L, "every >=2-token candidate scores")
+        assert(lmScored.getDouble(1) >= 0.0 && lmScored.getDouble(2) <= 1.0,
+          "mean P(w2|w1) stays in [0,1]")
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(pIdx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dirIdx.toString), true)
+        ()
+      }
+    }
     spark.stop()
   }
 }
