@@ -100,14 +100,15 @@ object Bench {
     // overwrite it): feeds both the outlier re-rep below and the
     // calib-normalized delta report.
     val prevPath = java.nio.file.Paths.get("BENCH_LOCAL.json")
-    val (prevCalib, prevQ): (Option[Double], Map[String, Double]) =
+    val (prevCalib, prevQ, prevSf): (Option[Double], Map[String, Double], Option[String]) =
       try {
-        if (!java.nio.file.Files.exists(prevPath)) (None, Map.empty)
+        if (!java.nio.file.Files.exists(prevPath)) (None, Map.empty, None)
         else {
           val txt = java.nio.file.Files.readString(prevPath)
           val num = "-?[0-9][0-9.eE+-]*"
           val calibRe = ("\"calib\":(" + num + ")").r
           val pairRe = ("\"([A-Za-z0-9_]+)\":(" + num + ")").r
+          val sfRe = "\"sf\":\"([^\"]*)\"".r
           val pc = calibRe.findFirstMatchIn(txt).map(_.group(1).toDouble)
           val pq = txt.indexOf("\"queries\":") match {
             case -1 => Map.empty[String, Double]
@@ -115,9 +116,9 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble)
               .filter { case (k, _) => k != "sf" }.toMap
           }
-          (pc, pq)
+          (pc, pq, sfRe.findFirstMatchIn(txt).map(_.group(1)))
         }
-      } catch { case _: Throwable => (None, Map.empty) }
+      } catch { case _: Throwable => (None, Map.empty, None) }
 
     // PHANTOM-OUTLIER re-rep (round-8 verdict): a transient host churn
     // spike can inflate ONE in-suite query >10× (t33 in r8: 23.2 s in
@@ -130,9 +131,12 @@ object Bench {
     // artifact shows the adjudication instead of the phantom. Raw 4×
     // (no calib scaling) on purpose: a uniformly slow host re-runs
     // slow too and min ≈ orig, so false triggers only cost seconds.
+    // sf guard: a prev file recorded at a DIFFERENT scale factor would
+    // flag nearly every query as a 4× outlier and re-run the whole
+    // suite — only re-rep against a same-scale reference
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val finalResults =
-      if (only.isDefined) results
+      if (only.isDefined || !prevSf.contains(sfDir)) results
       else results.map { case (name, sec) =>
         prevQ.get(name) match {
           case Some(p) if sec > 0.5 && p > 0 && sec > 4.0 * p =>

@@ -186,9 +186,15 @@ object Dedup {
       .groupBy(col("digest"))
       .agg(max(col("v1")).as("in1"), max(col("v2")).as("in2"))
       .agg(
-        sum(when(col("in2") === 1 && col("in1") === 0, 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("in1") === 1 && col("in2") === 0, 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("in1") === 1 && col("in2") === 1, 1L).otherwise(0L)).as("n_retained"))
+        // coalesce: a global aggregate over two EMPTY indexes emits one
+        // row whose sums are NULL (the r8 empty-side class) — the diff
+        // of two empty snapshots is (0, 0, 0), not a row of nulls
+        coalesce(sum(when(col("in2") === 1 && col("in1") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_added"),
+        coalesce(sum(when(col("in1") === 1 && col("in2") === 0, 1L).otherwise(0L)),
+          lit(0L)).as("n_removed"),
+        coalesce(sum(when(col("in1") === 1 && col("in2") === 1, 1L).otherwise(0L)),
+          lit(0L)).as("n_retained"))
   }
 
   /** Evaluate `c` ONCE and pass the bound value to `f`. Higher-order

@@ -69,31 +69,49 @@ object Lm {
     * `(doc_id, n_bigrams, lm_score)` with lm_score = mean over the
     * doc's bigrams of P(w2|w1) under the REFERENCE counts (0 for
     * unseen). Docs with fewer than 2 tokens are dropped (no bigrams to
-    * judge). Two BROADCAST joins (explicit — the model is bounded by
-    * the reference's bigram vocabulary by construction, so the right
-    * side is always model-sized; matches
-    * [[Importance.scoreAgainst]]'s intent) — the reference corpus is
-    * never re-read and the batch never shuffles for the joins. */
+    * judge). The model joins BROADCAST explicitly when the artifact is
+    * broadcast-sized (footer row count ≤ [[BroadcastModelRows]] — the
+    * usual case: the model is bounded by the reference's observed
+    * bigram vocabulary, and a CCNet-style reference is curated, not
+    * open-ended), so the batch never shuffles for them; an
+    * outsize-vocabulary model falls back to plain equi-joins rather
+    * than risking the broadcast memory ceiling (unlike
+    * [[Importance.scoreAgainst]], whose table is bounded by a FIXED
+    * numBuckets parameter, the LM table has no structural bound). The
+    * reference corpus is never re-read either way. */
   def scoreWithLm(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
     val model = spark.read.parquet(path)
-    val bi = broadcast(model.filter(col("w2").isNotNull)
+    // parquet footer row count — no data scan
+    val small = model.count() <= BroadcastModelRows
+    def side(df: DataFrame) = if (small) broadcast(df) else df
+    val bi = side(model.filter(col("w2").isNotNull)
       .select(col("w1"), col("w2"), col("c").as("c12")))
-    val ctx = broadcast(model.filter(col("w2").isNull)
+    val ctx = side(model.filter(col("w2").isNull)
       .select(col("w1"), col("c").as("c1")))
     grams(batch, idCol, textCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       // round-to-integer stable conversion (meanPool recipe): exact
-      // long partials, summed exactly; p <= 1 so each partial <= 1e12
+      // long partials; p <= 1 so each partial <= 1e12. Summed as
+      // DECIMAL(38,0) (the DSIR accumulator recipe): a LONG sum would
+      // hit ANSI overflow at ~9.2M bigrams in one doc; the decimal sum
+      // is exact to 1e38, and both engines' wide-int → DOUBLE casts
+      // are correctly rounded, so the mean stays bitwise cross-engine
       .withColumn("ps", coalesce(
         round(col("c12").cast("double") / col("c1").cast("double") * lit(1e12))
           .cast("long"), lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ps")).as("psum"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ps").cast("decimal(38,0)")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("psum").cast("double") /
           (col("n_bigrams").cast("double") * lit(1e12))).as("lm_score"))
   }
+
+  /** Model-row ceiling below which [[scoreWithLm]] broadcasts the
+    * model sides (~50 B/row → ≤ ~500 MB, comfortably inside Spark's
+    * broadcast limit); above it the joins shuffle instead. */
+  val BroadcastModelRows: Long = 10000000L
 }

@@ -1606,7 +1606,8 @@ object PipelineQueries {
     // half is PERSISTED, then the odd-doc candidate half is scored
     // against the artifact (mean P(w2|w1) under reference counts,
     // unseen -> 0) without re-touching the reference. Rational
-    // probabilities + decimal sums: bitwise cross-engine
+    // probabilities through the round(p*1e12) scaled-long stable
+    // conversion, decimal-accumulated: bitwise cross-engine
     "t33_lm_filter" -> ((s, dir) => {
       val path = graft.Paths.scratchDir("graft-lm-").resolve("lm").toString
       val base = docs(s, dir)
@@ -1740,8 +1741,9 @@ object PipelineQueries {
     // the static artifact and docs with lm_score ≥ 0.0335 (the sf0.01
     // median — both arms exercised) land in the admitted feed. The
     // model is static so admission is batch-order independent; the
-    // oracle is t33's replay restricted to admitted docs — scores are
-    // rational doubles + decimal sums, bitwise across engines
+    // oracle is t33's replay restricted to admitted docs — scores via
+    // the round(p*1e12) scaled-long stable conversion, bitwise across
+    // engines
     "e19_stream_lm_screen" -> ((s, dir) => {
       val base = graft.Paths.scratchDir("graft-lmscr-")
       val lmP = base.resolve("lm").toString
@@ -3376,6 +3378,51 @@ object PipelineQueries {
     s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-(($e) + 1)")}) ELSE ${pos(e)} END"
   }
 
+  /** DuckDB near-dup replay fragments shared by the d04 / p04 / p18
+    * oracles: the planted-copy corpus, word-3-gram shingles and the
+    * exact all-pairs Jaccard pair list (`pairsj`), plus the recursive
+    * transitive closure (`sym`/`reach`/`compm`, consumes `pairsj`) —
+    * one text each so the replays cannot drift. Quadratic by design:
+    * these oracles are gated at sf0.01 (see CLAUDE.md round-2). */
+  private lazy val duckNearDupPairs: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    text || ' perturbed suffix token' AS text
+      |  FROM documents WHERE doc_id < 50
+      |), toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM corpus
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
+      |    END AS s
+      |  FROM toks
+      |), pairsj AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  ) WHERE jaccard >= 0.6
+      |)""".stripMargin
+
+  private lazy val duckClosure: String =
+    """sym AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairsj
+      |  UNION ALL
+      |  SELECT id_b AS a, id_a AS b FROM pairsj
+      |), reach(id, r) AS (
+      |  SELECT a, b FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+      |), compm AS (
+      |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
+      |)""".stripMargin
+
   /** DuckDB URL-prep replay fragments shared by the t31 and f04
     * oracles — ONE text each for the doc_id-derived URL construction,
     * the full normalizeUrl chain, and the host + registrable-domain
@@ -3760,29 +3807,8 @@ object PipelineQueries {
     // exact all-pairs Jaccard over the same word-3-gram shingles — the
     // LSH path must reproduce it exactly (see the d04 query comment)
     "d04_ngram_jaccard" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    text || ' perturbed suffix token' AS text
-        |  FROM documents WHERE doc_id < 50
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM corpus
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
-        |    END AS s
-        |  FROM toks
-        |)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+      (s"WITH $duckNearDupPairs\n" +
+        "SELECT id_a, id_b, jaccard FROM pairsj ORDER BY id_a, id_b"),
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
@@ -4906,100 +4932,36 @@ object PipelineQueries {
     // machinery) + per-component argmax on length with min-id tie-break;
     // docs in no pair are their own component
     "p04_cluster_best" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    text || ' perturbed suffix token' AS text
-        |  FROM documents WHERE doc_id < 50
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM corpus
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
-        |    END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  ) WHERE jaccard >= 0.6
-        |), sym AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT a, b FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
-        |), compm AS (
-        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
-        |), scored AS (
-        |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp, len(c.text) AS q
-        |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
-        |)
-        |SELECT doc_id FROM (
-        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
-        |    ORDER BY q DESC, doc_id) AS rn
-        |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      (s"WITH RECURSIVE $duckNearDupPairs,\n$duckClosure,\n" +
+        """scored AS (
+          |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp, len(c.text) AS q
+          |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
+          |)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+          |    ORDER BY q DESC, doc_id) AS rn
+          |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
     // soft-dedup replay: d04's exact closure → per-component sizes →
     // // weights → the p12 Lehmer priority draw over the weights
     "p18_soft_dedup" ->
-      """WITH RECURSIVE corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000 AS doc_id,
-        |    text || ' perturbed suffix token' AS text
-        |  FROM documents WHERE doc_id < 50
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM corpus
-        |), sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-        |         ELSE list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])
-        |    END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / greatest(len(list_distinct(a.s || b.s)), 1) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  ) WHERE jaccard >= 0.6
-        |), sym AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION ALL
-        |  SELECT id_b AS a, id_a AS b FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT a, b FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
-        |), compm AS (
-        |  SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
-        |), labeled AS (
-        |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp
-        |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
-        |), sized AS (
-        |  SELECT comp, CAST(count(*) AS BIGINT) AS csize FROM labeled GROUP BY comp
-        |), weighted AS (
-        |  SELECT l.doc_id, s.csize AS cluster_size, 1000 // s.csize AS weight
-        |  FROM labeled l JOIN sized s ON s.comp = l.comp
-        |)
-        |SELECT doc_id, cluster_size, weight, priority FROM (
-        |  SELECT doc_id, cluster_size, CAST(weight AS BIGINT) AS weight,
-        |    CAST(weight * 2147483647 AS DOUBLE) /
-        |      ((48271 * ((48271 * (doc_id % 2147483646 + 1)) % 2147483647)) % 2147483647) AS priority
-        |  FROM weighted WHERE weight > 0
-        |  ORDER BY priority DESC, doc_id LIMIT 150)
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH RECURSIVE $duckNearDupPairs,\n$duckClosure,\n" +
+        """labeled AS (
+          |  SELECT c.doc_id, coalesce(m.comp, c.doc_id) AS comp
+          |  FROM corpus c LEFT JOIN compm m ON m.id = c.doc_id
+          |), sized AS (
+          |  SELECT comp, CAST(count(*) AS BIGINT) AS csize FROM labeled GROUP BY comp
+          |), weighted AS (
+          |  SELECT l.doc_id, s.csize AS cluster_size, 1000 // s.csize AS weight
+          |  FROM labeled l JOIN sized s ON s.comp = l.comp
+          |)
+          |SELECT doc_id, cluster_size, weight, priority FROM (
+          |  SELECT doc_id, cluster_size, CAST(weight AS BIGINT) AS weight,
+          |    CAST(weight * 2147483647 AS DOUBLE) /
+          |      ((48271 * ((48271 * (doc_id % 2147483646 + 1)) % 2147483647)) % 2147483647) AS priority
+          |  FROM weighted WHERE weight > 0
+          |  ORDER BY priority DESC, doc_id LIMIT 150)
+          |ORDER BY doc_id""".stripMargin),
 
     // the corpus-as-LM oracle: same explode → bigram/unigram counts →
     // rational P(w2|w1) through the round(p·1e12)→BIGINT stable
@@ -5022,9 +4984,9 @@ object PipelineQueries {
         |uc AS (SELECT w1, count(*) AS c1 FROM grams
         |       WHERE doc_id % 2 = 0 GROUP BY w1)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(CAST(SUM(COALESCE(
+        |  CAST(SUM(COALESCE(
         |      CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |        * 1000000000000.0) AS BIGINT), 0)) AS BIGINT) AS DOUBLE)
+        |        * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
         |    / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
         |FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
         |WHERE g.doc_id % 2 = 1
@@ -5252,9 +5214,9 @@ object PipelineQueries {
         |       WHERE doc_id % 2 = 0 GROUP BY w1),
         |sc AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(CAST(SUM(COALESCE(
+        |    CAST(SUM(COALESCE(
         |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |          * 1000000000000.0) AS BIGINT), 0)) AS BIGINT) AS DOUBLE)
+        |          * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
         |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
         |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
         |  WHERE g.doc_id % 2 = 1

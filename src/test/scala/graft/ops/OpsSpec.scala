@@ -824,6 +824,16 @@ class OpsSpec extends SparkSpec {
     // reversed direction: the batch reads as removed
     val Array(rev) = Dedup.diffDigestIndexes(spark, p2, p1).collect()
     assert((rev.getLong(0), rev.getLong(1), rev.getLong(2)) == ((0L, 2L, nBase)))
+    // both snapshots empty: the diff is (0,0,0), never a row of nulls
+    // (global aggregates over zero groups sum to NULL without the
+    // coalesce — the r8 empty-side class)
+    val pe1 = dir.resolve("empty1").toString
+    val pe2 = dir.resolve("empty2").toString
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.writeDigestIndex(noDocs, "text", pe1)
+    Dedup.writeDigestIndex(noDocs, "text", pe2)
+    val Array(zero) = Dedup.diffDigestIndexes(spark, pe1, pe2).collect()
+    assert((zero.getLong(0), zero.getLong(1), zero.getLong(2)) == ((0L, 0L, 0L)))
   }
 
   test("persisted LM filter: reference counts score candidates; unseen language scores 0") {
