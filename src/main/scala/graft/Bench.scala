@@ -162,7 +162,11 @@ object Bench {
     // delta — the documented suite-noise band is wide (see CLAUDE.md).
     val deltaReport: Option[String] =
       try {
-        prevCalib.filter(_ > 0).map { pc =>
+        // same sf guard as the re-rep: normalized ratios against a
+        // different-scale reference are garbage, not signal
+        if (!prevSf.contains(sfDir))
+          prevSf.map(p => s"[bench] delta report skipped: prev run sf=$p, this run sf=$sfDir")
+        else prevCalib.filter(_ > 0).map { pc =>
           val rows = finalResults.flatMap { case (name, sec) =>
             prevQ.get(name).filter(p => p > 0 && sec > 0).map { p =>
               (name, sec, p, (sec / calib) / (p / pc))

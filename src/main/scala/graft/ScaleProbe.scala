@@ -615,19 +615,23 @@ object ScaleProbe {
     // broadcast join + doc aggregation. Target = rows whose synthetic
     // text carries the rare token; the probe checks the selector
     // separates the classes at full corpus scale
+    // 6M-doc synthetic corpus shared by the DSIR and serving-path
+    // probes (ONE localCheckpoint — a second copy would double block-
+    // manager residency for the rest of the run). Unique ids from the
+    // natural (l_orderkey, l_linenumber) key — l_orderkey alone
+    // repeats ~4x per order, which would merge texts per id and fan
+    // scores back out; a row_number would be a single-partition global
+    // window. The rare-token plant keys off the SAME id so the target
+    // class is exactly the planted class
+    val did6m = col("l_orderkey") * 8 + col("l_linenumber")
+    val docs6m = l10.select(did6m.as("doc_id"),
+      concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
+        lit(" tok"), (col("l_suppkey") % 50).cast("string"),
+        lit(" common filler words here"),
+        when(did6m % 10 === 0, lit(" raretoken")).otherwise(lit("")))
+        .as("text")).localCheckpoint(eager = true)
+
     {
-      // unique ids from the natural (l_orderkey, l_linenumber) key —
-      // l_orderkey alone repeats ~4x per order, which would merge texts
-      // per id and fan scores back out; a row_number would be a
-      // single-partition global window. The rare-token plant keys off
-      // the SAME id so the target class is exactly the planted class
-      val did = col("l_orderkey") * 8 + col("l_linenumber")
-      val docs6m = l10.select(did.as("doc_id"),
-        concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
-          lit(" tok"), (col("l_suppkey") % 50).cast("string"),
-          lit(" common filler words here"),
-          when(did % 10 === 0, lit(" raretoken")).otherwise(lit("")))
-          .as("text")).localCheckpoint(eager = true)
       val target = docs6m.filter(col("doc_id") % 10 === 0)
       val scored = t("DSIR importance 6M docs (model + score)")(
         graft.ops.Importance.ngramImportance(docs6m, target, "doc_id", "text")
@@ -649,13 +653,6 @@ object ScaleProbe {
     // and LM scoring is one batch explode + broadcast joins against a
     // vocabulary-bounded model — so both stay flat as the corpus grows.
     {
-      val did = col("l_orderkey") * 8 + col("l_linenumber")
-      val docs6m = l10.select(did.as("doc_id"),
-        concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
-          lit(" tok"), (col("l_suppkey") % 50).cast("string"),
-          lit(" common filler words here"),
-          when(did % 10 === 0, lit(" raretoken")).otherwise(lit("")))
-          .as("text")).localCheckpoint(eager = true)
       val dirIdx = graft.Paths.scratchDir("graft-scale-postings-")
       val pIdx = dirIdx.resolve("idx").toString
       try {

@@ -69,27 +69,37 @@ object Lm {
     * `(doc_id, n_bigrams, lm_score)` with lm_score = mean over the
     * doc's bigrams of P(w2|w1) under the REFERENCE counts (0 for
     * unseen). Docs with fewer than 2 tokens are dropped (no bigrams to
-    * judge). The model joins BROADCAST explicitly when the artifact is
-    * broadcast-sized (footer row count ≤ [[BroadcastModelRows]] — the
-    * usual case: the model is bounded by the reference's observed
-    * bigram vocabulary, and a CCNet-style reference is curated, not
-    * open-ended), so the batch never shuffles for them; an
-    * outsize-vocabulary model falls back to plain equi-joins rather
-    * than risking the broadcast memory ceiling (unlike
-    * [[Importance.scoreAgainst]], whose table is bounded by a FIXED
-    * numBuckets parameter, the LM table has no structural bound). The
-    * reference corpus is never re-read either way. */
+    * judge). Each model side joins BROADCAST when its row count is
+    * under [[BroadcastModelRows]] — the usual case: the model is
+    * bounded by the reference's observed bigram vocabulary, and a
+    * CCNet-style reference is curated, not open-ended. The decision is
+    * PER SIDE (an outsize bigram table must not demote the tiny
+    * unigram-context side to a shuffle) and an over-ceiling side falls
+    * back to a plain equi-join rather than risking the broadcast
+    * memory ceiling (unlike [[Importance.scoreAgainst]], whose table
+    * is bounded by a FIXED numBuckets parameter, the LM table has no
+    * structural bound). The side counts cost ONE aggregate job,
+    * memoized per model path for the life of the JVM — a streaming
+    * screen scoring every micro-batch pays it once, not per batch
+    * (staleness note: re-writing a DIFFERENT-sized model at the same
+    * path keeps the old plan choice until restart — a performance
+    * hint only, never a correctness input). The reference corpus is
+    * never re-read either way. */
   def scoreWithLm(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
     val model = spark.read.parquet(path)
-    // parquet footer row count — no data scan
-    val small = model.count() <= BroadcastModelRows
-    def side(df: DataFrame) = if (small) broadcast(df) else df
+    val (biSmall, ctxSmall) = broadcastChoice.computeIfAbsent(path, _ => {
+      val counts = model.groupBy(col("w2").isNull.as("is_ctx")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      (counts.getOrElse(false, 0L) <= BroadcastModelRows,
+        counts.getOrElse(true, 0L) <= BroadcastModelRows)
+    })
+    def side(df: DataFrame, small: Boolean) = if (small) broadcast(df) else df
     val bi = side(model.filter(col("w2").isNotNull)
-      .select(col("w1"), col("w2"), col("c").as("c12")))
+      .select(col("w1"), col("w2"), col("c").as("c12")), biSmall)
     val ctx = side(model.filter(col("w2").isNull)
-      .select(col("w1"), col("c").as("c1")))
+      .select(col("w1"), col("c").as("c1")), ctxSmall)
     grams(batch, idCol, textCol)
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -110,8 +120,16 @@ object Lm {
           (col("n_bigrams").cast("double") * lit(1e12))).as("lm_score"))
   }
 
-  /** Model-row ceiling below which [[scoreWithLm]] broadcasts the
-    * model sides (~50 B/row → ≤ ~500 MB, comfortably inside Spark's
-    * broadcast limit); above it the joins shuffle instead. */
-  val BroadcastModelRows: Long = 10000000L
+  /** Per-side model-row ceiling below which [[scoreWithLm]] broadcasts
+    * that side. Sized for the HASHED relation, not the raw bytes: a
+    * broadcast join builds UnsafeRow maps at ~3-4× the ~50 B raw row
+    * (observed rule of thumb), so 2M rows ≈ 100 MB raw ≈ 300-400 MB
+    * hashed on the driver and per executor — safely inside default
+    * memory configs; above it the join shuffles instead. */
+  val BroadcastModelRows: Long = 2000000L
+
+  /** Per-path memoized (biSmall, ctxSmall) broadcast decisions — see
+    * [[scoreWithLm]]'s staleness note. */
+  private val broadcastChoice =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Boolean)]()
 }

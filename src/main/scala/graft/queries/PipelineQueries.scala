@@ -4966,8 +4966,10 @@ object PipelineQueries {
     // the corpus-as-LM oracle: same explode → bigram/unigram counts →
     // rational P(w2|w1) through the round(p·1e12)→BIGINT stable
     // conversion (meanPool recipe — DECIMAL casts of arbitrary quotient
-    // doubles are not cross-engine stable), exact long sum, mean; docs
-    // with <2 tokens have no bigram rows and are absent in both engines
+    // doubles are not cross-engine stable), summed wide (HUGEINT here,
+    // DECIMAL(38,0) in Spark — both exact, both correctly rounded to
+    // DOUBLE), mean; docs with <2 tokens have no bigram rows and are
+    // absent in both engines
     "t33_lm_filter" ->
       """WITH toks AS (
         |  SELECT doc_id,
