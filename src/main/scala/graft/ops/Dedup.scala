@@ -484,6 +484,112 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // --------------------------------- persisted perceptual-hash index
+
+  /** Chunk rows for the pigeonhole bands of a (idName, ph) signature
+    * frame — the same maxDistance+1 × width split [[simhashPairs]]
+    * uses, shared by the phash index write/probe so the two sides can
+    * never band differently. */
+  private def phashChunks(sigs: DataFrame, idName: String,
+      maxDistance: Int): DataFrame = {
+    val chunks = maxDistance + 1
+    val width = 64 / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    sigs.withColumn("chunk", explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftrightunsigned(col("ph"), c * width).bitwiseAND(lit(mask)).as("cv"))
+      }: _*)))
+      .select(col("id").as(idName), col("ph").as(s"${idName}_ph"),
+        col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
+  }
+
+  /** Persist a media corpus's perceptual signatures
+    * ([[graft.functions.PerceptualHash.dhash]]) as a NEAR-dup
+    * membership index: one parquet of narrow `(id, ph)` rows plus a
+    * `_meta` sidecar holding `max_distance` (the banding parameter — a
+    * probe reads it back so it can never band differently than the
+    * writer intended). The payload decode+hash pass over the corpus is
+    * paid ONCE here; each incoming batch then hashes itself and joins
+    * 16-byte signature rows ([[probePhashIndex]]) — the media bytes
+    * are never re-read. ~16 B/item at any corpus size, the digest-
+    * index story (d12) extended from exact to perceptual membership.
+    * Two-phase [[FsOps]] swap; null/undecodable payloads (null hash)
+    * are excluded — they can never perceptually match anything. */
+  def writePhashIndex(corpus: DataFrame, idCol: String, payloadCol: String,
+      path: String, maxDistance: Int = 3): Unit = {
+    require(maxDistance >= 0 && maxDistance <= 63,
+      s"writePhashIndex: maxDistance $maxDistance not in [0, 63]")
+    val spark = corpus.sparkSession
+    val tmp = path + ".building"
+    corpus.select(col(idCol).as("id"),
+        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))
+      .filter(col("ph").isNotNull)
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq(maxDistance).toDF("max_distance")
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
+
+  /** Append signature rows for a (typically already-probed) batch.
+    * A replayed append lays down duplicate identical rows — probes
+    * `distinct()` the index first, so replays are inert (the same
+    * membership-idempotence argument as the digest index). */
+  def appendToPhashIndex(batch: DataFrame, idCol: String,
+      payloadCol: String, path: String): Unit =
+    appendPhashSignatures(
+      batch.select(col(idCol).as("id"),
+        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph")), path)
+
+  /** Signature-level append — for callers that already hashed (the
+    * streaming screen hashes once for probe + admit + append). */
+  def appendPhashSignatures(sigs: DataFrame, path: String): Unit = {
+    FsOps.healSwap(sigs.sparkSession, path + ".building", path)
+    sigs.select(col("id"), col("ph")).filter(col("ph").isNotNull)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Probe a batch of payloads against a [[writePhashIndex]] index:
+    * `(batch_id, index_id, hamming)` for every batch item within the
+    * index's `max_distance` of an index signature — re-encoded /
+    * slightly-corrupted copies of indexed media surface here where
+    * exact digests miss them. Candidates come from the pigeonhole band
+    * join (an over-distance pair never shares a chunk → never joins);
+    * `maxBucket` drops hot (ci, cv) buckets (boilerplate media all
+    * hashing alike) at a documented recall trade, same contract as
+    * [[simhashPairs]] — pass `Int.MaxValue` to forbid. Singleton
+    * buckets are KEPT (a probe can match a lone indexed item —
+    * contrast simhashPairs' in-corpus `between(2, …)`). */
+  def probePhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, payloadCol: String,
+      maxBucket: Int = 1000): DataFrame =
+    probePhashSignatures(spark, path,
+      batch.select(col(idCol).as("id"),
+        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph")),
+      maxBucket)
+
+  /** Signature-level probe behind [[probePhashIndex]]. */
+  def probePhashSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String, sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    FsOps.healSwap(spark, path + ".building", path)
+    val maxDistance =
+      spark.read.parquet(path + "/_meta").collect().head.getInt(0)
+    // distinct: replayed appends collapse (16-byte rows, one narrow
+    // shuffle over the index — the probe join shuffles them anyway)
+    val idx = phashChunks(spark.read.parquet(path).distinct(), "index_id",
+      maxDistance)
+    val sizes = idx.groupBy(col("ci"), col("cv"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket)
+    val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
+      maxDistance)
+    bc.join(idx.join(sizes, Seq("ci", "cv")).drop("__bn"), Seq("ci", "cv"))
+      .withColumn("hamming", hamming(col("batch_id_ph"), col("index_id_ph")))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("batch_id"), col("index_id"), col("hamming"))
+      .dropDuplicates("batch_id", "index_id")
+  }
+
   // ------------------------------------------------ persisted LSH index
 
   /** Banded signature rows (id, band, bh) for an (id, shingles) frame —

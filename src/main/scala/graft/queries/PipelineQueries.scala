@@ -1815,6 +1815,59 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- streaming: PERCEPTUAL MEDIA SCREEN — mm06's index composed
+    // with the crawl loop: the seed corpus (ids < 200) is hashed into
+    // the persisted phash index once; two forced micro-batches then
+    // arrive — feed 1 carries re-encodes of seeded media (rejected),
+    // novel slope-11 media (admitted) and ONE in-batch re-encode of a
+    // feed-mate (id 521 ~ novel 501: dominated, rejected); feed 2
+    // carries re-encodes of feed 1's ADMITTED novels (rejected — the
+    // index GREW, proving absorb) plus new slope-13 novels (admitted).
+    // Out-before-index append ordering (e18 class). The oracle replays
+    // hashes and the sequential admission cascade with the plain
+    // distance predicate (banding is exhaustive at ≤ max_distance and
+    // buckets sit far under the cap)
+    "e21_stream_media_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-mediascr-")
+      val idxP = base.resolve("idx").toString
+      val outP = base.resolve("out").toString
+      val d = col("doc_id")
+      val ids = docs(s, dir).select(d)
+      Dedup.writePhashIndex(
+        ids.filter(d < 150)
+          .select(d, sawtoothPayload(d, 7, lit(false)).as("content")),
+        "doc_id", "content", idxP)
+      // all ranges inside doc_id < 500 (the sf0.01 table size)
+      val feed1 = ids.filter(d >= 300 && d < 320)
+        .select(d, sawtoothPayload(d - 300, 7, lit(true)).as("content"))
+        .unionByName(ids.filter(d >= 350 && d < 370)
+          .select(d, sawtoothPayload(d, 11, lit(false)).as("content")))
+        .unionByName(ids.filter(d === 371)
+          .select(d, sawtoothPayload(lit(351L), 11, lit(true)).as("content")))
+      val feed2 = ids.filter(d >= 400 && d < 420)
+        .select(d, sawtoothPayload(d - 50, 11, lit(true)).as("content"))
+        .unionByName(ids.filter(d >= 450 && d < 470)
+          .select(d, sawtoothPayload(d, 13, lit(false)).as("content")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      withShufflePartitions(s, 4) {
+        Seq((1, feed1), (2, feed2)).foreach { case (r, f) =>
+          val p = base.resolve(s"feed$r")
+          f.coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingMediaScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "doc_id", "content", idxP, outP, base.resolve(s"ck$r").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).distinct()
+        .select(col("id").as("doc_id"), col("ph"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- web: URL PREP — the step before text ever loads in a web
     // pipeline. doc_id-derived URLs share a core identity (doc_id % 50)
     // under per-doc noise that canonicalization must erase (case,
@@ -1969,17 +2022,42 @@ object PipelineQueries {
     // ops — // ≡ Scala /), the banding and the verify filter.
     "mm05_media_neardup" -> ((s, dir) => {
       val d = col("doc_id")
-      val core = when(d < 400, d).otherwise(d - 400)
-      val pert = d >= 400
-      val n = lit(200) + pmod(core, lit(50))
-      val bytesHex = concat_ws("", transform(sequence(lit(0), n - 1), i =>
-        lpad(hex(least(lit(255), pmod(core * 31 + i * 7, lit(251)) +
-            when(pert && pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))),
-          2, "0")))
+      val payload = sawtoothPayload(when(d < 400, d).otherwise(d - 400), 7,
+        bump = d >= 400)
       val hashed = docs(s, dir).select(d).filter(d < 440)
-        .select(d, graft.functions.PerceptualHash.dhash(unhex(bytesHex)).as("phash"))
+        .select(d, graft.functions.PerceptualHash.dhash(payload).as("phash"))
       Dedup.simhashPairs(hashed, "doc_id", "phash", maxDistance = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- multimodal: PERSISTED perceptual-hash index — the digest
+    // index (d12) extended from exact to perceptual membership: the
+    // original corpus is hashed once into narrow (id, ph) rows, then a
+    // probe batch of RE-ENCODED copies (blocking-artifact bumps of
+    // ids 0..39) and genuinely NOVEL media (a different sawtooth
+    // slope — min distance ≥ 13 to every indexed item) joins 16-byte
+    // signatures: every copy surfaces with its hamming distance,
+    // no novel item does, and the media bytes are never re-read.
+    // Oracle: batch × index hamming ≤ max_distance directly — the
+    // pigeonhole banding is EXHAUSTIVE at ≤ maxDistance (any such
+    // pair shares a chunk) and all buckets sit far under the skew
+    // cap here, so the band join ≡ the distance predicate
+    "mm06_media_index" -> ((s, dir) => {
+      val d = col("doc_id")
+      val path = graft.Paths.scratchDir("graft-phash-idx").resolve("idx").toString
+      val ids = docs(s, dir).select(d)
+      Dedup.writePhashIndex(
+        ids.filter(d < 300)
+          .select(d, sawtoothPayload(d, 7, lit(false)).as("content")),
+        "doc_id", "content", path)
+      // the documents table holds 500 rows at the sf0.01 gate scale --
+      // every fixture range must sit inside doc_id < 500
+      val batch = ids.filter(d >= 300 && d < 340)
+        .select(d, sawtoothPayload(d - 300, 7, lit(true)).as("content"))
+        .unionByName(ids.filter(d >= 400 && d < 440)
+          .select(d, sawtoothPayload(d, 11, lit(false)).as("content")))
+      Dedup.probePhashIndex(s, path, batch, "doc_id", "content")
+        .orderBy(col("batch_id"), col("index_id"))
     }),
 
     // ---- events: tumbling-window stats (same code runs on streams)
@@ -3377,6 +3455,49 @@ object PipelineQueries {
         s"+ (($u) >> CAST(length(bin($u)) - 6 AS INTEGER)) - 32 END"
     s"CASE WHEN ($e) < 0 THEN -1 - (${pos(s"-(($e) + 1)")}) ELSE ${pos(e)} END"
   }
+
+  /** doc_id-derived synthetic media payload (a sawtooth byte "image"):
+    * bytes_i = (core·31 + i·slope) % 251 over n = 200 + core % 50
+    * bytes; with `bump`, +40 on every 8th 16-byte block (the blocking
+    * artifact a lossy re-encode leaves), clamped to 255. Shared by the
+    * mm05/mm06/e21 gates; [[duckSawBytes]] is its oracle twin. */
+  private def sawtoothPayload(core: Column, slope: Int, bump: Column): Column = {
+    val n = lit(200) + pmod(core, lit(50))
+    unhex(concat_ws("", transform(sequence(lit(0), n - 1), i =>
+      lpad(hex(least(lit(255),
+          pmod(core * lit(31) + i * lit(slope), lit(251)) +
+            when(bump && pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))),
+        2, "0"))))
+  }
+
+  /** DuckDB expression for [[sawtoothPayload]]'s BYTES as an integer
+    * list — the oracles never materialize blobs (the mm04 pattern). */
+  private def duckSawBytes(core: String, slope: Int, bump: Boolean): String = {
+    val bumpTerm = if (bump) " + CASE WHEN (i>>4)%8 = 0 THEN 40 ELSE 0 END" else ""
+    s"[ least(255, (($core)*31 + i*$slope) % 251$bumpTerm) " +
+      s"for i in range(0, 200 + ($core) % 50) ]"
+  }
+
+  /** CTE chain replaying [[graft.functions.PerceptualHashImpl.dhash63]]
+    * over a `(doc_id, bytes)` CTE `src` → `h$sfx(doc_id, ph)` — every
+    * step exact non-negative integer arithmetic shared with the kernel
+    * (mm05/mm06/e21 oracles). */
+  private def duckPhash(src: String, sfx: String): String =
+    s"""wn$sfx AS (
+       |  SELECT doc_id, bytes, len(bytes) AS n FROM $src
+       |), cl$sfx AS (
+       |  SELECT doc_id,
+       |    [ list_sum(bytes[(j*n//64)+1 : greatest((j*n//64)+1, (j+1)*n//64)])
+       |        // (greatest((j*n//64)+1, (j+1)*n//64) - (j*n//64))
+       |      for j in range(0, 64) ] AS cells
+       |  FROM wn$sfx
+       |), h$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum([ CASE WHEN cells[j+2] < cells[j+1]
+       |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+       |      for j in range(0, 63) ]) AS BIGINT) AS ph
+       |  FROM cl$sfx
+       |)""".stripMargin
 
   /** DuckDB near-dup replay fragments shared by the d04 / p04 / p18
     * oracles: the planted-copy corpus, word-3-gram shingles and the
@@ -5349,48 +5470,104 @@ object PipelineQueries {
     // guard → hamming verify — every step exact non-negative integer
     // arithmetic shared with the kernel
     "mm05_media_neardup" ->
-      """WITH img AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id < 400 THEN doc_id ELSE doc_id - 400 END AS core,
-        |    doc_id >= 400 AS pert
-        |  FROM documents WHERE doc_id < 440
-        |), b AS (
-        |  SELECT doc_id,
-        |    [ least(255, (core*31 + i*7) % 251
-        |        + CASE WHEN pert AND (i>>4)%8 = 0 THEN 40 ELSE 0 END)
-        |      for i in range(0, 200 + core % 50) ] AS bytes
-        |  FROM img
-        |), withn AS (
-        |  SELECT doc_id, bytes, len(bytes) AS n FROM b
-        |), cl AS (
-        |  SELECT doc_id,
-        |    [ list_sum(bytes[(j*n//64)+1 : greatest((j*n//64)+1, (j+1)*n//64)])
-        |        // (greatest((j*n//64)+1, (j+1)*n//64) - (j*n//64))
-        |      for j in range(0, 64) ] AS cells
-        |  FROM withn
-        |), h AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([ CASE WHEN cells[j+2] < cells[j+1]
-        |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
-        |      for j in range(0, 63) ]) AS BIGINT) AS ph
-        |  FROM cl
-        |), band AS (
-        |  SELECT doc_id, c, (ph >> CAST(16*c AS BIGINT)) & 65535 AS cv
-        |  FROM h, range(0,4) r(c)
-        |), bsz AS (
-        |  SELECT c, cv, count(*) AS bn FROM band GROUP BY c, cv
-        |), okband AS (
-        |  SELECT band.doc_id, band.c, band.cv
-        |  FROM band JOIN bsz USING (c, cv) WHERE bn BETWEEN 2 AND 1000
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM okband a JOIN okband b USING (c, cv)
-        |  WHERE a.doc_id < b.doc_id
-        |)
-        |SELECT id_a, id_b, CAST(bit_count(xor(ha.ph, hb.ph)) AS INTEGER) AS hamming
-        |FROM cand JOIN h ha ON ha.doc_id = cand.id_a JOIN h hb ON hb.doc_id = cand.id_b
-        |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      (s"""WITH img AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 400 THEN doc_id ELSE doc_id - 400 END AS core,
+         |    doc_id >= 400 AS pert
+         |  FROM documents WHERE doc_id < 440
+         |), b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN pert THEN ${duckSawBytes("core", 7, bump = true)}
+         |         ELSE ${duckSawBytes("core", 7, bump = false)} END AS bytes
+         |  FROM img
+         |),
+         |""".stripMargin + duckPhash("b", "p") + ",\n" +
+        """band AS (
+          |  SELECT doc_id, c, (ph >> CAST(16*c AS BIGINT)) & 65535 AS cv
+          |  FROM hp, range(0,4) r(c)
+          |), bsz AS (
+          |  SELECT c, cv, count(*) AS bn FROM band GROUP BY c, cv
+          |), okband AS (
+          |  SELECT band.doc_id, band.c, band.cv
+          |  FROM band JOIN bsz USING (c, cv) WHERE bn BETWEEN 2 AND 1000
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM okband a JOIN okband b USING (c, cv)
+          |  WHERE a.doc_id < b.doc_id
+          |)
+          |SELECT id_a, id_b, CAST(bit_count(xor(ha.ph, hb.ph)) AS INTEGER) AS hamming
+          |FROM cand JOIN hp ha ON ha.doc_id = cand.id_a JOIN hp hb ON hb.doc_id = cand.id_b
+          |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    // phash-index probe replay: batch x index hamming <= max_distance
+    // directly -- the pigeonhole banding is exhaustive at <= maxDistance
+    // and every bucket sits far under the skew cap in this corpus, so
+    // the band join is equivalent to the distance predicate
+    "mm06_media_index" ->
+      (s"""WITH bi AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id < 300
+         |), bb AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id - 300", 7, bump = true)} AS bytes
+         |  FROM documents WHERE doc_id >= 300 AND doc_id < 340
+         |  UNION ALL
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 11, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id >= 400 AND doc_id < 440
+         |),
+         |""".stripMargin + duckPhash("bi", "i") + ",\n" + duckPhash("bb", "b") + "\n" +
+        """SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+          |  CAST(bit_count(xor(b.ph, i.ph)) AS INTEGER) AS hamming
+          |FROM hb b JOIN hi i ON bit_count(xor(b.ph, i.ph)) <= 3
+          |ORDER BY batch_id, index_id""".stripMargin),
+
+    // streaming media screen replay: the sequential admission cascade
+    // (feed 1 vs seed index + in-batch dominance, feed 2 vs the GROWN
+    // index) with the plain distance predicate (same exhaustiveness
+    // argument as mm06); the in-batch rule is pairwise dominance over
+    // index-surviving rows, exactly the screen's documented semantics
+    "e21_stream_media_screen" ->
+      (s"""WITH bseed AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id < 150
+         |), bf1 AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id - 300", 7, bump = true)} AS bytes
+         |  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+         |  UNION ALL
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 11, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id >= 350 AND doc_id < 370
+         |  UNION ALL
+         |  SELECT doc_id, ${duckSawBytes("351", 11, bump = true)} AS bytes
+         |  FROM documents WHERE doc_id = 371
+         |), bf2 AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id - 50", 11, bump = true)} AS bytes
+         |  FROM documents WHERE doc_id >= 400 AND doc_id < 420
+         |  UNION ALL
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 13, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id >= 450 AND doc_id < 470
+         |),
+         |""".stripMargin + duckPhash("bseed", "s") + ",\n" +
+        duckPhash("bf1", "f1") + ",\n" + duckPhash("bf2", "f2") + ",\n" +
+        """i1 AS (
+          |  SELECT f.doc_id, f.ph FROM hf1 f WHERE NOT EXISTS (
+          |    SELECT 1 FROM hs s WHERE bit_count(xor(f.ph, s.ph)) <= 3)
+          |), adm1 AS (
+          |  SELECT a.doc_id, a.ph FROM i1 a WHERE NOT EXISTS (
+          |    SELECT 1 FROM i1 b WHERE b.doc_id < a.doc_id
+          |      AND bit_count(xor(a.ph, b.ph)) <= 3)
+          |), idx2 AS (
+          |  SELECT ph FROM hs UNION ALL SELECT ph FROM adm1
+          |), i2 AS (
+          |  SELECT f.doc_id, f.ph FROM hf2 f WHERE NOT EXISTS (
+          |    SELECT 1 FROM idx2 s WHERE bit_count(xor(f.ph, s.ph)) <= 3)
+          |), adm2 AS (
+          |  SELECT a.doc_id, a.ph FROM i2 a WHERE NOT EXISTS (
+          |    SELECT 1 FROM i2 b WHERE b.doc_id < a.doc_id
+          |      AND bit_count(xor(a.ph, b.ph)) <= 3)
+          |)
+          |SELECT doc_id, ph FROM adm1
+          |UNION ALL SELECT doc_id, ph FROM adm2
+          |ORDER BY doc_id""".stripMargin),
 
     "e01_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -280,6 +280,67 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous PERCEPTUAL media admission screen over a persisted
+    * phash index ([[graft.ops.Dedup.writePhashIndex]]) — the image-
+    * crawl dedup loop: each micro-batch's payloads are hashed ONCE,
+    * screened against the index (any band-match within the index's
+    * `max_distance` → a re-encode of already-ingested media →
+    * rejected), then screened IN-batch by pairwise dominance (a row is
+    * dropped iff a SMALLER-id batch-mate band-matches it within
+    * distance — deterministic and engine-replayable; note it is
+    * dominance, not transitive closure: in a chain a~b~c with a≁c,
+    * both b and c drop even though c's dominator b died — documented
+    * conservative bias, a screen may drop extra near-dups but must
+    * never admit a matched one). Survivors append `(id, ph)` to the
+    * admitted feed and THEN their signatures to the index
+    * (out-before-index, the e18 ordering: a crash between the two
+    * replays as at-least-once duplicate feed rows with identical
+    * content — downstream dedups by id — never as loss; signature
+    * re-append is inert because probes `distinct()` the index). Later
+    * batches screen against the GROWN index, so a re-encode of media
+    * admitted two batches ago is rejected. Null payloads / null
+    * hashes are dropped (nothing to perceive). */
+  def streamingMediaScreen(stream: DataFrame, idCol: String,
+      payloadCol: String, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.filter(col(payloadCol).isNotNull)
+          .select(col(idCol).as("id"),
+            graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))
+          .filter(col("ph").isNotNull)
+          .persist()
+        try {
+          val matchedIds = graft.ops.Dedup
+            .probePhashSignatures(spark, indexPath, hashed)
+            .select(col("batch_id").as("id")).distinct()
+          // persist, not localCheckpoint: afterIndex feeds both the
+          // dominance pairs and the admit anti-join (one probe, not
+          // two) and stays RECOMPUTABLE — a lineage cut before the
+          // two writes is the r4 executor-loss trap
+          val afterIndex = hashed.join(matchedIds, Seq("id"), "left_anti")
+            .persist()
+          try {
+            val maxDistance = spark.read.parquet(indexPath + "/_meta")
+              .collect().head.getInt(0)
+            // pairwise dominance via the band pair machinery: every
+            // (a < b) within-distance pair dominates b
+            val dominated = graft.ops.Dedup
+              .simhashPairs(afterIndex, "id", "ph", maxDistance)
+              .select(col("id_b").as("id")).distinct()
+            val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
+              .persist()
+            try {
+              admitted.write.mode("append").parquet(outPath)
+              graft.ops.Dedup.appendPhashSignatures(admitted, indexPath)
+            } finally admitted.unpersist()
+          } finally afterIndex.unpersist()
+        } finally hashed.unpersist()
+      }
+      .start()
+
   /** Continuous distribution-drift telemetry over a persisted histogram
     * index ([[graft.ops.Sketch.writeHistIndex]]): each micro-batch is
     * sketched with the index's OWN stored subBits, scored against the

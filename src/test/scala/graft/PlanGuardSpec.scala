@@ -57,9 +57,12 @@ class PlanGuardSpec extends SparkSpec {
       "e19_stream_lm_screen",  // executes an index write + two streaming
                                // queries when built; its scoring shape is
                                // t33's, guarded there
-      "e20_stream_dsir_screen") // executes an index write + two streaming
+      "e20_stream_dsir_screen", // executes an index write + two streaming
                                 // queries when built; its scoring shape is
                                 // t36's, guarded there
+      "e21_stream_media_screen") // executes an index write + two streaming
+                                 // queries when built; its probe shape is
+                                 // mm06's, guarded there
     // e12/e13 coverage note: their stateful operators (session_window,
     // stream-stream interval join) only exist in streaming plans, which
     // this guard cannot build without executing micro-batches; their

@@ -773,6 +773,41 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == (("epsilon five\n\nzeta six", 2L, 2L)))
   }
 
+  test("phash index: copies probe within distance, novels don't; append grows membership; heal") {
+    val dir = tmpDir("phash-idx")
+    val idx = dir.resolve("idx").toString
+    def saw(core: Int, slope: Int): Array[Byte] =
+      Array.tabulate(200 + core % 50)(i => ((core * 31 + i * slope) % 251).toByte)
+    def reenc(b: Array[Byte]): Array[Byte] = b.zipWithIndex.map { case (v, i) =>
+      if ((i >> 4) % 8 == 0) math.min(255, (v & 0xFF) + 40).toByte else v }
+    val corpus = (0 until 30).map(c => (c.toLong, saw(c, 7))).toDF("id", "payload")
+    Dedup.writePhashIndex(corpus, "id", "payload", idx)
+    val batch = Seq(
+      (100L, reenc(saw(3, 7))), // re-encode of indexed item 3
+      (101L, saw(200, 11)),     // genuinely novel (different slope)
+      (102L, null.asInstanceOf[Array[Byte]])) // undecodable: never matches
+      .toDF("id", "payload")
+    val m1 = Dedup.probePhashIndex(spark, idx, batch, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m1 == Set((100L, 3L)), s"$m1")
+    // append the novel (twice — a replayed append must be inert), then
+    // a re-encode of it matches against the grown index
+    val novel = Seq((101L, saw(200, 11))).toDF("id", "payload")
+    Dedup.appendToPhashIndex(novel, "id", "payload", idx)
+    Dedup.appendToPhashIndex(novel, "id", "payload", idx)
+    val m2 = Dedup.probePhashIndex(spark, idx,
+        Seq((200L, reenc(saw(200, 11)))).toDF("id", "payload"), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(m2 == Seq((200L, 101L, 0)), s"$m2")
+    // the delete→rename crash window heals at probe time
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + ".building"))
+    assert(Dedup.probePhashIndex(spark, idx,
+      Seq((201L, saw(3, 7))).toDF("id", "payload"), "id", "payload").count() >= 1)
+  }
+
   test("soft dedup: singletons weight scale, k-clique members scale/k; feeds prioritySample") {
     val rows = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")

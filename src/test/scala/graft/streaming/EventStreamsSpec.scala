@@ -242,6 +242,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(cleaned.collect().map(_.getLong(0)).toSeq == Seq(32L))
   }
 
+  test("streaming media screen: re-encodes rejected, novels absorbed, in-batch dominance, null dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("media-screen")
+    val idx = dir.resolve("idx").toString
+    val outP = dir.resolve("out").toString
+    def saw(core: Int, slope: Int): Array[Byte] =
+      Array.tabulate(200 + core % 50)(i => ((core * 31 + i * slope) % 251).toByte)
+    def reenc(b: Array[Byte]): Array[Byte] = b.zipWithIndex.map { case (v, i) =>
+      if ((i >> 4) % 8 == 0) math.min(255, (v & 0xFF) + 40).toByte else v }
+    graft.ops.Dedup.writePhashIndex(
+      (0 until 10).map(c => (c.toLong, saw(c, 7))).toDF("doc_id", "content"),
+      "doc_id", "content", idx)
+    val stream = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.streamingMediaScreen(
+      stream.toDF().toDF("doc_id", "content"),
+      "doc_id", "content", idx, outP, dir.resolve("ck").toString)
+    try {
+      // batch 1: a re-encode of seeded media is rejected; a novel is
+      // admitted; the novel's in-batch re-encode is dominated (higher
+      // id); a null payload is dropped
+      stream.addData((100L, reenc(saw(2, 7))), (101L, saw(50, 11)),
+        (102L, reenc(saw(50, 11))), (103L, null.asInstanceOf[Array[Byte]]))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out1 == Seq(101L), s"batch-1 admissions: $out1")
+      // batch 2: a re-encode of batch-1's ADMITTED novel is rejected
+      // (the index grew — absorb proven); a new novel is admitted
+      stream.addData((200L, reenc(saw(50, 11))), (201L, saw(60, 13)))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out2 == Seq(101L, 201L), s"after batch 2: $out2")
+    } finally q.stop()
+    // the persisted index absorbed both admissions: a fresh probe of
+    // their re-encodes matches without the stream running
+    val probe = Seq((300L, reenc(saw(50, 11))), (301L, reenc(saw(60, 13))))
+      .toDF("doc_id", "content")
+    val m = graft.ops.Dedup.probePhashIndex(spark, idx, probe, "doc_id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((300L, 101L), (301L, 201L)), s"$m")
+  }
+
   test("streaming LM screen: scores against the static reference; admission is batch-order independent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("lm-screen")
