@@ -114,6 +114,74 @@ object Graph {
     }
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) in scaled FIXED-POINT integer
+    * arithmetic: per iteration `auth'(v) = Σ_{u→v} hub(u)` then
+    * `hub'(u) = Σ_{u→v} auth'(v)`, each half-step max-normalized to
+    * `[0, scale]` by `q = raw·scale div max(raw)` — L∞ normalization
+    * instead of the textbook L2 (whose sqrt would leave the exact-
+    * integer envelope; the iteration converges to the same principal
+    * eigenvector direction under any norm, and max-normalization keeps
+    * every value an exact LONG, bit-identical under any partitioning
+    * AND across engines — the s16 gate has DuckDB reproduce every
+    * half-step). On a citation/link graph this separates DIRECTORY
+    * pages (high hub) from AUTHORITATIVE pages (high auth) — the
+    * curation prior PageRank's single score conflates.
+    *
+    * Shape at 100 TB: per iteration two narrow equi-joins + two hash
+    * aggregates over the augmented edge list (zero-weight self edges
+    * keep isolated-direction nodes alive at score 0), plus two 1-row
+    * global maxima broadcast back (a scalar-subquery cross join — the
+    * documented benign t08 shape). Overflow: raw ≤ maxdeg·scale and
+    * the normalize multiplies by `scale` again — `maxdeg·scale² < 2⁶³`
+    * is enforced with a typed raise at the normalize (default scale
+    * 1e5 → max degree ~9·10⁸; shrink `scale` for denser hubs).
+    *
+    * @return (node, hub_q, auth_q), each in units of 1/`scale` of that
+    *         iteration's maximum */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4, scale: Long = 100000L,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(scale > 0, "scale must be positive")
+    val g = prepGraph(edges, srcCol, dstCol)
+    var state = g.nodes.select(col("node"),
+      lit(scale).as("hub_q"), lit(scale).as("auth_q"))
+    var i = 0
+    while (i < iters) {
+      val auth = lInfNormalize(g.aug
+        .join(state.select(col("node").as("src"), col("hub_q")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("hub_q")).as("raw")), scale)
+      val hub = lInfNormalize(g.aug
+        .join(auth.select(col("node").as("dst"), col("q").as("a_q")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("a_q")).as("raw")), scale)
+      state = hub.select(col("node"), col("q").as("hub_q"))
+        .join(auth.select(col("node"), col("q").as("auth_q")), Seq("node"))
+      i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        state = Lineage.cut(state)
+    }
+    state.select(col("node"), col("hub_q"), col("auth_q"))
+  }
+
+  /** Exact L∞ normalization of a (node, raw) frame to `[0, scale]`:
+    * `raw·scale div max(raw)` — all-LONG, with a typed raise if the
+    * product would overflow (every raw ≤ the max, so guarding the max
+    * guards every row) and an all-zero frame passing through as zeros
+    * (an edgeless direction must not divide by zero). */
+  private def lInfNormalize(raw: DataFrame, scale: Long): DataFrame = {
+    val mx = broadcast(raw.agg(coalesce(max(col("raw")), lit(0L)).as("mx")))
+    raw.crossJoin(mx).select(col("node"),
+      when(col("mx") > lit(Long.MaxValue / scale),
+        raise_error(concat(lit("Graph.hitsInt: raw score x scale overflows "),
+          lit(s"long (scale=$scale, max raw > ${Long.MaxValue / scale}) - "),
+          lit("shrink scale"))).cast("long"))
+        .when(col("mx") <= 0L, lit(0L))
+        .otherwise(expr(s"(raw * ${scale}L) div mx")).as("q"))
+  }
+
   /** Shared damped-propagation loop: per iteration, contributions
     * `w · (rank div outdeg)` flow along the augmented edge list (zero-
     * weight self edges keep every node alive), are hash-aggregated per

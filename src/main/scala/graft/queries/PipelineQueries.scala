@@ -462,6 +462,23 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // ---- graph: HITS hubs & authorities over the kNN similarity
+    // graph — the curation prior PageRank's single score conflates:
+    // directory-like nodes (pointing at many authorities) score high
+    // hub, widely-referenced nodes high auth. Exact fixed-point with
+    // L-infinity normalization (raw·scale div max — no sqrt, so every
+    // half-step is an exact LONG both engines reproduce); 4 unrolled
+    // iterations replayed wave-for-wave by the oracle
+    "s16_hits" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id"), col("neighbor_id"))
+      graft.ops.Graph.hitsInt(edges, "query_id", "neighbor_id", iters = 4)
+        .orderBy(col("node"))
+    }),
+
     // ---- graph: exact TRIANGLE COUNTS over the kNN similarity graph
     // (clustering-coefficient numerator — community cohesion / link-farm
     // signal). Degree-ordered orientation: each triangle materializes
@@ -2914,6 +2931,45 @@ object PipelineQueries {
        |SELECT node, rank_q FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** HITS oracle: the s08 kNN edges, 4 unrolled iterations of
+    * auth-from-hubs / hubs-from-auths with exact L∞ normalization
+    * (raw·scale // max). MATERIALIZED throughout — an$i is referenced
+    * by BOTH hr$i and st$i, so the inlined chain would re-expand
+    * 2^k-fold (the r5 perceptron-oracle lesson). */
+  private def s16OracleSql: String = {
+    val scale = 100000L
+    def norm(src: String, out: String) =
+      s"""mx_$out AS MATERIALIZED (
+         |  SELECT greatest(coalesce(max(raw), 0), 0) AS mx FROM $src),
+         |$out AS MATERIALIZED (
+         |  SELECT node, CASE WHEN mx <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((raw * $scale) // mx AS BIGINT) END AS q
+         |  FROM $src, mx_$out)""".stripMargin
+    val chain = (1 to 4).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT a.dst AS node, SUM(a.w * h.hub_q) AS raw
+         |  FROM st${i - 1} h JOIN aug a ON a.src = h.node GROUP BY a.dst),
+         |${norm(s"ar$i", s"an$i")},
+         |hr$i AS MATERIALIZED (
+         |  SELECT a.src AS node, SUM(a.w * an.q) AS raw
+         |  FROM an$i an JOIN aug a ON a.dst = an.node GROUP BY a.src),
+         |${norm(s"hr$i", s"hn$i")},
+         |st$i AS MATERIALIZED (
+         |  SELECT h.node, h.q AS hub_q, a.q AS auth_q
+         |  FROM hn$i h JOIN an$i a ON a.node = h.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |  UNION SELECT DISTINCT dst FROM edges),
+       |aug AS MATERIALIZED (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM edges
+       |  UNION ALL SELECT node, node, CAST(0 AS BIGINT) FROM nodes),
+       |st0 AS (SELECT node, CAST($scale AS BIGINT) AS hub_q,
+       |  CAST($scale AS BIGINT) AS auth_q FROM nodes),
+       |$chain
+       |SELECT node, hub_q, auth_q FROM st4 ORDER BY node""".stripMargin
+  }
+
   /** Triangle-count oracle: the s08 kNN edges canonicalized to
     * undirected simple form, the same degree-ordered orientation
     * (lower (deg, id) endpoint first), wedges at each node's out-edges
@@ -4007,6 +4063,7 @@ object PipelineQueries {
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
+    "s16_hits" -> s16OracleSql,
     "s13_triangles" -> s13OracleSql,
     "s14_clustering_coeff" -> s14OracleSql,
     "s15_kcore" -> s15OracleSql,

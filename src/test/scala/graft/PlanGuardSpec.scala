@@ -27,6 +27,10 @@ class PlanGuardSpec extends SparkSpec {
                        // cross join — a per-row constant append, exactly
                        // how Spark executes scalar subqueries; linear at
                        // any corpus size
+      "s16_hits", // each L∞ normalize broadcasts ONE global-max row
+                  // under a cross join — the same benign scalar-subquery
+                  // shape as t08; the propagation joins are narrow
+                  // equi-joins checked by the s08 family
       "s06_filtered_ann", // bruteForceTopK over the FILTERED corpus —
                           // same intended exact-baseline plan as s01
                           // (scale path: the same predicate composes with

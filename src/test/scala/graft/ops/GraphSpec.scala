@@ -109,6 +109,47 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hitsInt: directory nodes score hub, referenced nodes score auth; exact arithmetic") {
+    // 1 and 2 point at every member of {10, 11, 12}; 3 points only at 10
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 10L)).toDF("src", "dst")
+    val r = Graph.hitsInt(edges, "src", "dst", iters = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val scale = 100000L
+    // pure hubs: max hub score for 1 and 2, zero authority
+    assert(r(1L) == ((scale, 0L)) && r(2L) == ((scale, 0L)), s"$r")
+    // 3 points at one authority only: positive but smaller hub
+    assert(r(3L)._1 > 0L && r(3L)._1 < scale && r(3L)._2 == 0L, s"${r(3L)}")
+    // 10 has three in-links (max authority), 11/12 two each, equal
+    assert(r(10L)._2 == scale && r(11L)._2 == r(12L)._2 &&
+      r(11L)._2 > 0L && r(11L)._2 < scale, s"$r")
+    // pure authorities never act as hubs
+    assert(Seq(10L, 11L, 12L).forall(n => r(n)._1 == 0L), s"$r")
+    // exact half-step check after one iteration: auth1 raw = in-hub
+    // sums (3,2,2) -> normalized (scale, 2*scale/3, 2*scale/3); hub1
+    // raw for node 3 = auth(10) = scale vs node 1/2 raw = scale +
+    // 2*(2*scale/3); replay the integer arithmetic literally
+    val one = Graph.hitsInt(edges, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val a11 = 2L * scale * scale / (3L * scale) // (2*scale)*scale div (3*scale)
+    assert(one(11L)._2 == a11, s"${one(11L)} vs $a11")
+    val h1raw = scale + 2L * a11
+    assert(one(3L)._1 == scale * scale / h1raw, s"${one(3L)}")
+    // determinism under partitioning + checkpoint cadence
+    val again = Graph.hitsInt(edges.repartition(7), "src", "dst", iters = 4,
+        checkpointEvery = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(again == r)
+    // overflow guard: a scale whose square can't fit raises loudly
+    val boom = intercept[org.apache.spark.SparkException] {
+      Graph.hitsInt(edges, "src", "dst", iters = 1, scale = 4000000000L)
+        .collect()
+    }
+    assert(boom.getMessage.contains("hitsInt"), boom.getMessage)
+  }
+
   test("personalizedPageRankInt: restart mass reaches only seeds; trust propagates by hops") {
     // 1→2→3, seed {1}; ids 99 in seeds but not in graph must be ignored
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
