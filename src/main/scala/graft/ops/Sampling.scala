@@ -219,6 +219,56 @@ object Sampling {
     substring(md5(key.cast("string")), 1, 12) < lit(hexThresholdLex(fraction))
   }
 
+  /** Temperature-scaled mixture caps — the T5 / multilingual-pretraining
+    * α = 0.5 rule: per-domain keep caps proportional to √(domain size),
+    * scaled so the caps total ≤ `budget` rows. Dominant domains are
+    * flattened (a 100× bigger domain gets only 10× the rows) while
+    * rare domains keep proportionally more — the standard compromise
+    * between proportional sampling (head domains drown the tail) and
+    * uniform (tail noise drowns the head).
+    *
+    * Exact cross-engine arithmetic: √n goes through the
+    * round(x·weightScale)→LONG stable conversion (IEEE sqrt is
+    * correctly rounded in both engines, and the quantized weights then
+    * SUM exactly — a raw double Σ√n would be summation-order
+    * dependent); cap = sw·budget div Σsw in pure integer arithmetic
+    * with a typed raise if sw·budget would overflow. Flooring loses at
+    * most one row per domain vs the real-valued allocation —
+    * Σ caps ≤ budget always holds. Selection inside a domain is the
+    * [[stratifiedByHash]] md5-rank (deterministic, engine-replayable);
+    * the rank limit is per-domain DATA, so this is one full window
+    * rank per domain (no constant-limit WindowGroupLimit rewrite), a
+    * domain-parallel sort of the corpus — the t31 cap family. The
+    * per-domain stats/caps frame is domain-bounded and broadcast. */
+  def temperatureCap(df: DataFrame, domainCol: String, key: Column,
+      budget: Long, weightScale: Long = 1000000L): DataFrame = {
+    require(budget >= 1L, s"temperatureCap: budget $budget must be >= 1")
+    require(weightScale >= 1L,
+      s"temperatureCap: weightScale $weightScale must be >= 1")
+    val weights = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__sw",
+        round(sqrt(col("__n").cast("double")) * lit(weightScale.toDouble))
+          .cast("long"))
+    // domain-bounded frame: the empty-partition window is over one row
+    // per domain, never the corpus
+    val caps = weights
+      .withColumn("__tw", sum(col("__sw")).over(Window.partitionBy()))
+      .select(col(domainCol),
+        when(col("__sw") > lit(Long.MaxValue / budget),
+          raise_error(concat(
+            lit("Sampling.temperatureCap: weight x budget overflows long "),
+            lit(s"(budget=$budget) - shrink weightScale"))).cast("long"))
+          .otherwise(org.apache.spark.sql.functions.call_function("div",
+            col("__sw") * lit(budget), col("__tw"))).as("__cap"))
+    val h = md5(key.cast("string"))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h, key)
+    df.join(broadcast(caps), Seq(domainCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__cap"))
+      .drop("__rn", "__cap")
+  }
+
   /** Token-budget mixture planning (deterministic integer waterfilling):
     * given per-domain token supplies, integer target weights, and a
     * total token budget, compute how many tokens to draw per domain so

@@ -1074,6 +1074,21 @@ object PipelineQueries {
           col("doc_id"), col("n_chars"), n = 100)
         .orderBy(col("doc_id"))),
 
+    // ---- sampling: TEMPERATURE-SCALED MIXTURE — the T5 α = 0.5 rule:
+    // per-domain caps ∝ √(domain size) under a total row budget, so
+    // dominant domains flatten and rare ones keep proportionally more.
+    // Domains are floor(√doc_id) — naturally skewed sizes 1, 3, 5, …
+    // so the flattening is visible; √ through the round(x·1e6) stable
+    // conversion, caps in pure integer arithmetic, md5-rank selection:
+    // every kept row replays bitwise
+    "p19_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        floor(sqrt(col("doc_id").cast("double"))).cast("long").as("dom"))
+      Sampling.temperatureCap(d, "dom", col("doc_id"), budget = 150L)
+        .select(col("doc_id"), col("dom"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling: SOFT DEDUP — near-dup cluster members are kept at
     // weight scale/cluster_size instead of dropped (d04's verified
     // pairs → components → integer weights), then the weights drive a
@@ -5119,6 +5134,28 @@ object PipelineQueries {
           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
           |    ORDER BY q DESC, doc_id) AS rn
           |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // temperature-mix replay: per-domain counts → quantized √ weights
+    // (round(sqrt·1e6) — IEEE sqrt is correctly rounded in both
+    // engines) → integer caps sw·budget // Σsw → md5-rank ≤ cap
+    "p19_temperature_mix" ->
+      """WITH doms AS (
+        |  SELECT doc_id, CAST(floor(sqrt(CAST(doc_id AS DOUBLE))) AS BIGINT) AS dom
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT dom, COUNT(*) AS n FROM doms GROUP BY dom
+        |), wt AS (
+        |  SELECT dom, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS sw
+        |  FROM cnt
+        |), tot AS (SELECT CAST(SUM(sw) AS BIGINT) AS tw FROM wt),
+        |caps AS (SELECT dom, (sw * 150) // tw AS cap FROM wt, tot),
+        |ranked AS (
+        |  SELECT d.doc_id, d.dom, c.cap,
+        |    ROW_NUMBER() OVER (PARTITION BY d.dom
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM doms d JOIN caps c ON c.dom = d.dom
+        |)
+        |SELECT doc_id, dom FROM ranked WHERE rn <= cap ORDER BY doc_id""".stripMargin,
 
     // soft-dedup replay: d04's exact closure → per-component sizes →
     // // weights → the p12 Lehmer priority draw over the weights

@@ -83,6 +83,36 @@ class PipelineOps5Spec extends SparkSpec {
     assert(empty.getAs[Boolean]("symbol_ok"))
   }
 
+  test("temperatureCap: sqrt flattening under a budget, deterministic, overflow raise") {
+    // skewed domains: "big" 400 rows, "mid" 100, "tiny" 4
+    val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "mid")) ++
+      (0 until 4).map(i => (2000L + i, "tiny"))).toDF("id", "dom")
+    val kept = Sampling.temperatureCap(rows, "dom", col("id"), budget = 100L)
+      .groupBy(col("dom")).agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact caps: sw = round(sqrt(n)*1e6) -> (20e6, 10e6, 2e6), tw = 32e6
+    // cap = sw*100 // tw -> (62, 31, 6)
+    assert(kept == Map("big" -> 62L, "mid" -> 31L, "tiny" -> 4L), s"$kept")
+    // tiny's cap (6) exceeds its size: the whole domain survives
+    // flattening: big is 100x tiny by size but only ~15x by kept rows;
+    // total within budget (flooring loses at most one row per domain)
+    assert(kept.values.sum <= 100L)
+    // deterministic under partitioning
+    val again = Sampling.temperatureCap(rows.repartition(13), "dom",
+        col("id"), budget = 100L)
+      .collect().map(_.getLong(1)).toSet
+    val first = Sampling.temperatureCap(rows, "dom", col("id"), budget = 100L)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == first)
+    // weight x budget past 2^63 raises loudly, not silently wraps
+    val boom = intercept[RuntimeException] {
+      Sampling.temperatureCap(rows, "dom", col("id"),
+        budget = Long.MaxValue / 1000L, weightScale = 1000000L).collect()
+    }
+    assert(boom.getMessage.contains("temperatureCap"), boom.getMessage)
+  }
+
   test("prioritySample: weight-biased, deterministic, partitioning-invariant") {
     // two weight classes: heavy rows (w=1000) must dominate a 50-sample
     // over light rows (w=1)
