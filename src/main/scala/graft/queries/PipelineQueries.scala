@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Ranking, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -1073,6 +1073,18 @@ object PipelineQueries {
       Sampling.prioritySample(docs(s, dir).select("doc_id", "n_chars"),
           col("doc_id"), col("n_chars"), n = 100)
         .orderBy(col("doc_id"))),
+
+    // ---- text: TABLE PROFILING REPORT — the ANALYZE-style snapshot a
+    // pipeline runs before trusting a corpus drop: per-column null
+    // rates, KMV cardinality estimates (exact arm on the small lang/
+    // source columns, estimator arm on doc_id/text — both exercised),
+    // byte-order min/max, mean length and the exact mode. One narrow
+    // unpivoted pipeline; the mode is aggregate-only (no per-column
+    // window sort)
+    "t37_table_profile" -> ((s, dir) =>
+      Profile.tableProfile(docs(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("column"))),
 
     // ---- sampling: TEMPERATURE-SCALED MIXTURE — the T5 α = 0.5 rule:
     // per-domain caps ∝ √(domain size) under a total row budget, so
@@ -5134,6 +5146,54 @@ object PipelineQueries {
           |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
           |    ORDER BY q DESC, doc_id) AS rn
           |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // profile replay: unpivot each column to (col, v-as-string), then
+    // the shared stats / KMV-estimate (t21 shape via duckHash60) /
+    // aggregate-only mode pipeline
+    "t37_table_profile" ->
+      raw"""WITH narrow AS (
+        |  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        |), stats AS (
+        |  SELECT col, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    MIN(v) AS min_v, MAX(v) AS max_v,
+        |    CASE WHEN COUNT(v) > 0 THEN
+        |      CAST(SUM(length(v)) AS DOUBLE) / CAST(COUNT(v) AS DOUBLE) END AS avg_len
+        |  FROM narrow GROUP BY col
+        |), hs AS (
+        |  SELECT DISTINCT col, $duckHash60 AS hv
+        |  FROM (SELECT col, md5(v) AS hh FROM narrow WHERE v IS NOT NULL)
+        |), ranked AS (
+        |  SELECT col, hv, ROW_NUMBER() OVER (PARTITION BY col ORDER BY hv) AS rn
+        |  FROM hs
+        |), sk AS (
+        |  SELECT col, COUNT(*) AS n_sketch, MAX(hv) AS hk
+        |  FROM ranked WHERE rn <= 64 GROUP BY col
+        |), dst AS (
+        |  SELECT col, CASE WHEN n_sketch < 64 THEN n_sketch
+        |    ELSE CAST(round(63.0 / (GREATEST(CAST(hk AS DOUBLE), 1.0)
+        |      / 1152921504606846976.0)) AS BIGINT) END AS n_distinct_est
+        |  FROM sk
+        |), vc AS (
+        |  SELECT col, v, COUNT(*) AS cnt FROM narrow
+        |  WHERE v IS NOT NULL GROUP BY col, v
+        |), mx AS (SELECT col, MAX(cnt) AS top_count FROM vc GROUP BY col),
+        |top AS (
+        |  SELECT vc.col, MIN(vc.v) AS top_value,
+        |    CAST(MAX(vc.cnt) AS BIGINT) AS top_count
+        |  FROM vc JOIN mx ON mx.col = vc.col AND vc.cnt = mx.top_count
+        |  GROUP BY vc.col
+        |)
+        |SELECT s.col AS "column", s.n_rows, s.n_null,
+        |  COALESCE(d.n_distinct_est, 0) AS n_distinct_est,
+        |  s.min_v, s.max_v, s.avg_len, t.top_value, t.top_count
+        |FROM stats s LEFT JOIN dst d ON d.col = s.col
+        |LEFT JOIN top t ON t.col = s.col
+        |ORDER BY s.col""".stripMargin,
 
     // temperature-mix replay: per-domain counts → quantized √ weights
     // (round(sqrt·1e6) — IEEE sqrt is correctly rounded in both

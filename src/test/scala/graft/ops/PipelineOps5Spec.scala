@@ -83,6 +83,44 @@ class PipelineOps5Spec extends SparkSpec {
     assert(empty.getAs[Boolean]("symbol_ok"))
   }
 
+  test("tableProfile: null counts, exact/estimator cardinality arms, byte min/max, mode ties") {
+    val df = Seq(
+      (1L, "b", "x"), (2L, "a", "x"), (3L, "a", null),
+      (4L, "c", "y"), (5L, "b", "y"))
+      .toDF("id", "cat", "opt")
+    val p = Profile.tableProfile(df, Seq("id", "cat", "opt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // cat: no nulls, 3 distinct (exact arm), byte min/max, mode tie
+    // a(2)/b(2) resolves to the smallest value
+    val cat = p("cat")
+    assert(cat.getLong(1) == 5 && cat.getLong(2) == 0 && cat.getLong(3) == 3)
+    assert(cat.getString(4) == "a" && cat.getString(5) == "c")
+    assert(cat.getDouble(6) == 1.0)
+    assert(cat.getString(7) == "a" && cat.getLong(8) == 2)
+    // opt: one null excluded everywhere but n_null; x(2)/y(2) tie -> x
+    val opt = p("opt")
+    assert(opt.getLong(2) == 1 && opt.getLong(3) == 2 &&
+      opt.getString(7) == "x" && opt.getLong(8) == 2)
+    // id: all-distinct -> every count 1, mode = smallest string value
+    val id = p("id")
+    assert(id.getLong(3) == 5 && id.getString(7) == "1" && id.getLong(8) == 1)
+    // all-null column: profiled, never crashes, estimate 0, null stats
+    val z = Profile.tableProfile(
+      Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+        .toDF("id", "z"), Seq("z")).collect()(0)
+    assert(z.getLong(1) == 2 && z.getLong(2) == 2 && z.getLong(3) == 0)
+    assert(z.isNullAt(4) && z.isNullAt(6) && z.isNullAt(7))
+    // the KMV estimator arm engages above k and lands in a sane band
+    val big = Profile.tableProfile(spark.range(500).toDF("id"), Seq("id"))
+      .collect()(0)
+    assert(big.getLong(3) > 250 && big.getLong(3) < 1000, big.getLong(3).toString)
+    // unknown columns rejected loudly
+    intercept[IllegalArgumentException] {
+      Profile.tableProfile(df, Seq("nope"))
+    }
+    ()
+  }
+
   test("temperatureCap: sqrt flattening under a budget, deterministic, overflow raise") {
     // skewed domains: "big" 400 rows, "mid" 100, "tiny" 4
     val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
