@@ -23,26 +23,30 @@ import graft.queries._
   *              INSTEAD OF view-directed DML)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
-  *   - s01–s15  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
+  *   - s01–s16  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means, triangle counts,
-  *              clustering coefficients, k-core)
+  *              clustering coefficients, k-core, HITS hubs/authorities)
   *   - t0*–t3*  text analysis (tokens, quality, langid, fingerprint, edit,
   *              BPE, classifier, markup strip, paragraph dedup, URL prep, n-gram decontam,
-  *              postings search, LM filter, DSIR importance selection) +
-  *              sketches (KMV, count-min,
+  *              postings search, LM filter, DSIR importance selection,
+  *              table profiling) + sketches (KMV, count-min,
   *              Bloom, quantile histogram, CM join-size estimation)
-  *   - mm0*     multimodal binary-column plumbing
-  *   - e0*–e20  event/time: windows, sessions, streaming (tumbling, dedup,
+  *   - mm0*     multimodal binary-column plumbing (real header decode,
+  *              exact + perceptual dedup, persisted phash index)
+  *   - e0*–e21  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index
   *              screen, drift screen, exact-dedup screen, LM quality
-  *              screen, DSIR importance screen), as-of/range join
-  *   - p0*–p17  composed pipelines (corpus prep, sampling, packing, splits,
+  *              screen, DSIR importance screen, perceptual media
+  *              screen), as-of/range join
+  *   - p0*–p19  composed pipelines (corpus prep, sampling, packing, splits,
   *              the seven-operator full-chain integration gate,
-  *              cluster-balanced coreset sampling)
+  *              cluster-balanced coreset sampling, soft dedup weights,
+  *              temperature-scaled mixture caps)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
-  *              ANN, sampling, sketch hashes — pure-SQL demos)
+  *              ANN, sampling, sketch hashes, web/text prep — pure-SQL
+  *              demos)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

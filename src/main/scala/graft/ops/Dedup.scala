@@ -457,16 +457,9 @@ object Dedup {
     * pass `maxBucket = Int.MaxValue` to forbid the tradeoff. */
   def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
       maxDistance: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val chunks = maxDistance + 1
-    require(chunks >= 1 && chunks <= 64, "maxDistance must be in [0, 63]")
-    val width = 64 / chunks
-    val mask = if (width >= 64) -1L else (1L << width) - 1
     val base = df.select(col(idCol).as("id"), col(simhashCol).as("sh"))
     val chunked = base
-      .withColumn("chunk", explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("ci"),
-          shiftrightunsigned(col("sh"), c * width).bitwiseAND(lit(mask)).as("cv"))
-      }: _*)))
+      .withColumn("chunk", explode(sigChunks(col("sh"), maxDistance)))
       .select(struct(col("id"), col("sh")).as("item"),
         col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
     // the signature is 8 bytes, so (id, sh) rides inside the bucket list
@@ -486,22 +479,27 @@ object Dedup {
 
   // --------------------------------- persisted perceptual-hash index
 
-  /** Chunk rows for the pigeonhole bands of a (idName, ph) signature
-    * frame — the same maxDistance+1 × width split [[simhashPairs]]
-    * uses, shared by the phash index write/probe so the two sides can
-    * never band differently. */
-  private def phashChunks(sigs: DataFrame, idName: String,
-      maxDistance: Int): DataFrame = {
+  /** The pigeonhole chunk array of a 64-bit signature: maxDistance+1
+    * chunks of 64/(maxDistance+1) bits as (ci, cv) structs — ONE
+    * definition behind [[simhashPairs]] AND the phash index probe, so
+    * no two banding consumers can ever split differently. */
+  private def sigChunks(sig: Column, maxDistance: Int): Column = {
     val chunks = maxDistance + 1
+    require(chunks >= 1 && chunks <= 64, s"maxDistance must be in [0, 63]")
     val width = 64 / chunks
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    sigs.withColumn("chunk", explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("ci"),
-          shiftrightunsigned(col("ph"), c * width).bitwiseAND(lit(mask)).as("cv"))
-      }: _*)))
+    array((0 until chunks).map { c =>
+      struct(lit(c).as("ci"),
+        shiftrightunsigned(sig, c * width).bitwiseAND(lit(mask)).as("cv"))
+    }: _*)
+  }
+
+  /** Chunk rows for a (id, ph) signature frame via [[sigChunks]]. */
+  private def phashChunks(sigs: DataFrame, idName: String,
+      maxDistance: Int): DataFrame =
+    sigs.withColumn("chunk", explode(sigChunks(col("ph"), maxDistance)))
       .select(col("id").as(idName), col("ph").as(s"${idName}_ph"),
         col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
-  }
 
   /** Persist a media corpus's perceptual signatures
     * ([[graft.functions.PerceptualHash.dhash]]) as a NEAR-dup
@@ -572,8 +570,19 @@ object Dedup {
   def probePhashSignatures(spark: org.apache.spark.sql.SparkSession,
       path: String, sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
-    val maxDistance =
-      spark.read.parquet(path + "/_meta").collect().head.getInt(0)
+    probePhashSignaturesAt(spark, path, sigs,
+      spark.read.parquet(path + "/_meta").collect().head.getInt(0), maxBucket)
+  }
+
+  /** Probe with the banding distance supplied by the caller — for
+    * callers that already read `_meta` (the streaming screen reads it
+    * once per batch and must band its in-batch dominance pass with the
+    * SAME distance the index probe used; two independent reads could
+    * straddle a concurrent index swap). */
+  private[graft] def probePhashSignaturesAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sigs: DataFrame, maxDistance: Int, maxBucket: Int): DataFrame = {
+    FsOps.healSwap(spark, path + ".building", path)
     // distinct: replayed appends collapse (16-byte rows, one narrow
     // shuffle over the index — the probe join shuffles them anyway)
     val idx = phashChunks(spark.read.parquet(path).distinct(), "index_id",

@@ -132,16 +132,21 @@ object Graph {
     * aggregates over the augmented edge list (zero-weight self edges
     * keep isolated-direction nodes alive at score 0), plus two 1-row
     * global maxima broadcast back (a scalar-subquery cross join — the
-    * documented benign t08 shape). Overflow: raw ≤ maxdeg·scale and
-    * the normalize multiplies by `scale` again — `maxdeg·scale² < 2⁶³`
-    * is enforced with a typed raise at the normalize (default scale
-    * 1e5 → max degree ~9·10⁸; shrink `scale` for denser hubs).
+    * documented benign t08 shape). Each normalized half-step is
+    * EAGERLY cut ([[Lineage.cut]]) — a normalize embeds its input in
+    * BOTH the max-aggregate branch and the value branch, and `auth`
+    * feeds both the hub step and the state join, so a lazy chain
+    * would re-expand the upstream plan ~6× PER ITERATION (the round-2
+    * lazy-max class; pageRankLoop stays lazy only because its state
+    * appears exactly once per level). Overflow: raw ≤ maxdeg·scale
+    * and the normalize multiplies by `scale` again — `maxdeg·scale² <
+    * 2⁶³` is enforced with a typed raise at the normalize (default
+    * scale 1e5 → max degree ~9·10⁸; shrink `scale` for denser hubs).
     *
     * @return (node, hub_q, auth_q), each in units of 1/`scale` of that
     *         iteration's maximum */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 4, scale: Long = 100000L,
-      checkpointEvery: Int = 0): DataFrame = {
+      iters: Int = 4, scale: Long = 100000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale > 0, "scale must be positive")
     val g = prepGraph(edges, srcCol, dstCol)
@@ -149,19 +154,17 @@ object Graph {
       lit(scale).as("hub_q"), lit(scale).as("auth_q"))
     var i = 0
     while (i < iters) {
-      val auth = lInfNormalize(g.aug
+      val auth = Lineage.cut(lInfNormalize(g.aug
         .join(state.select(col("node").as("src"), col("hub_q")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("hub_q")).as("raw")), scale)
-      val hub = lInfNormalize(g.aug
+        .agg(sum(col("w") * col("hub_q")).as("raw")), scale))
+      val hub = Lineage.cut(lInfNormalize(g.aug
         .join(auth.select(col("node").as("dst"), col("q").as("a_q")), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(col("w") * col("a_q")).as("raw")), scale)
+        .agg(sum(col("w") * col("a_q")).as("raw")), scale))
       state = hub.select(col("node"), col("q").as("hub_q"))
         .join(auth.select(col("node"), col("q").as("auth_q")), Seq("node"))
       i += 1
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        state = Lineage.cut(state)
     }
     state.select(col("node"), col("hub_q"), col("auth_q"))
   }

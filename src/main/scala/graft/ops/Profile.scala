@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   *     would sort each column's whole distinct-value set in one
   *     partition (the skew trap the two-stage aggregate avoids).
   *
-  * Scale shape: unpivot to (column, value) narrow rows = `cols` scans
-  * of the same table (column-pruned parquet reads — each scan reads
-  * ONE column), then hash aggregates with map-side combine; the only
-  * corpus-sized shuffle is the value-counts aggregate for the mode.
+  * Scale shape: unpivot to (column, value) narrow rows, then TWO
+  * aggregate passes over the union (each a column-pruned parquet scan
+  * per profiled column): one fused stats+KMV aggregate (the sketch is
+  * a [[Sketch.kmvAgg]] buffer riding in the same groupBy — nulls
+  * skipped by the aggregator), and the value-counts aggregate for the
+  * mode — the only corpus-cardinality shuffle.
   */
 object Profile {
 
@@ -45,20 +47,20 @@ object Profile {
       df.select(lit(c).as("column"), col(c).cast("string").as("v"))
     }.reduce(_ unionByName _)
 
+    // one fused pass: counting stats + the KMV sketch buffer; an
+    // all-null column yields an empty sketch -> estimate 0 via the
+    // exact (size < k) arm
     val stats = narrow.groupBy(col("column")).agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-      min(col("v")).as("min_v"),
-      max(col("v")).as("max_v"),
-      when(count(col("v")) > 0,
-        sum(length(col("v"))).cast("double") /
-          count(col("v")).cast("double")).as("avg_len"))
-
-    // distinct estimate: the f03/t21 KMV recipe keyed by column name;
-    // an all-null column has no sketch row -> estimate 0
-    val est = Sketch.kmvEstimate(
-        Sketch.kmvSketch(narrow, "column", "v", kmvK), kmvK)
-      .select(col("key").as("column"), col("est_distinct").as("n_distinct_est"))
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        when(count(col("v")) > 0,
+          sum(length(col("v"))).cast("double") /
+            count(col("v")).cast("double")).as("avg_len"),
+        Sketch.kmvAgg(Sketch.valueHash60(col("v")), kmvK).as("__hashes"))
+      .withColumn("n_distinct_est",
+        Sketch.kmvEstimateExpr(col("__hashes"), kmvK))
 
     // exact mode, aggregate-only (see scaladoc): counts -> max -> min
     // value at the max
@@ -72,11 +74,9 @@ object Profile {
       .agg(min(col("v")).as("top_value"), max(col("top_count")).as("top_count"))
 
     stats
-      .join(est, Seq("column"), "left")
       .join(top, Seq("column"), "left")
       .select(col("column"), col("n_rows"), col("n_null"),
-        coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
-        col("min_v"), col("max_v"), col("avg_len"),
+        col("n_distinct_est"), col("min_v"), col("max_v"), col("avg_len"),
         col("top_value"), col("top_count"))
   }
 }

@@ -263,10 +263,15 @@ object Sampling {
             col("__sw") * lit(budget), col("__tw"))).as("__cap"))
     val h = md5(key.cast("string"))
     val w = Window.partitionBy(col(domainCol)).orderBy(h, key)
-    df.join(broadcast(caps), Seq(domainCol))
+    // null-safe join (the round-6 null-key class): a NULL domain is a
+    // legal group — it was counted into the weight total, so a plain
+    // equi-join would silently DROP its rows while still shrinking
+    // every real domain's cap
+    df.join(broadcast(caps.withColumnRenamed(domainCol, "__cap_dom")),
+        col(domainCol) <=> col("__cap_dom"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__cap"))
-      .drop("__rn", "__cap")
+      .drop("__rn", "__cap", "__cap_dom")
   }
 
   /** Token-budget mixture planning (deterministic integer waterfilling):

@@ -133,6 +133,12 @@ object Sketch {
       .otherwise(round(lit((k - 1).toDouble) / u).cast("long"))
   }
 
+  /** The KMV estimator as a bare Column over a sketch ARRAY — for
+    * callers folding [[kmvAgg]] into a wider aggregate (e.g.
+    * [[graft.ops.Profile.tableProfile]]'s single-pass stats row)
+    * instead of carrying a separate sketch frame. */
+  def kmvEstimateExpr(hashes: Column, k: Int): Column = kmvEstExpr(hashes, k)
+
   /** Distinct-count estimates from a sketch frame: `(key, n_sketch,
     * est_distinct)`. Exact when the key had < k distinct values (the
     * sketch holds them all); otherwise the KMV estimator

@@ -1860,13 +1860,14 @@ object PipelineQueries {
     }),
 
     // ---- streaming: PERCEPTUAL MEDIA SCREEN — mm06's index composed
-    // with the crawl loop: the seed corpus (ids < 200) is hashed into
+    // with the crawl loop: the seed corpus (ids < 150) is hashed into
     // the persisted phash index once; two forced micro-batches then
-    // arrive — feed 1 carries re-encodes of seeded media (rejected),
-    // novel slope-11 media (admitted) and ONE in-batch re-encode of a
-    // feed-mate (id 521 ~ novel 501: dominated, rejected); feed 2
-    // carries re-encodes of feed 1's ADMITTED novels (rejected — the
-    // index GREW, proving absorb) plus new slope-13 novels (admitted).
+    // arrive — feed 1 carries re-encodes of seeded media (ids 300-319:
+    // rejected), novel slope-11 media (350-369: admitted) and ONE
+    // in-batch re-encode of a feed-mate (id 371 ~ novel 351:
+    // dominated, rejected); feed 2 carries re-encodes of feed 1's
+    // ADMITTED novels (400-419: rejected — the index GREW, proving
+    // absorb) plus new slope-13 novels (450-469: admitted).
     // Out-before-index append ordering (e18 class). The oracle replays
     // hashes and the sequential admission cascade with the plain
     // distance predicate (banding is exhaustive at ≤ max_distance and

@@ -313,8 +313,18 @@ object EventStreams {
           .filter(col("ph").isNotNull)
           .persist()
         try {
+          // ONE meta read per batch: the in-batch dominance pass below
+          // must band with the SAME distance the index probe used
+          val maxDistance = spark.read.parquet(indexPath + "/_meta")
+            .collect().head.getInt(0)
+          // maxBucket = unlimited on BOTH screens: an admission screen
+          // must never trade recall — a dropped hot bucket would ADMIT
+          // matched media, and each wrong admission grows that bucket
+          // further (self-reinforcing). The cost stays bounded by the
+          // micro-batch size on the probe side.
           val matchedIds = graft.ops.Dedup
-            .probePhashSignatures(spark, indexPath, hashed)
+            .probePhashSignaturesAt(spark, indexPath, hashed, maxDistance,
+              maxBucket = Int.MaxValue)
             .select(col("batch_id").as("id")).distinct()
           // persist, not localCheckpoint: afterIndex feeds both the
           // dominance pairs and the admit anti-join (one probe, not
@@ -323,12 +333,11 @@ object EventStreams {
           val afterIndex = hashed.join(matchedIds, Seq("id"), "left_anti")
             .persist()
           try {
-            val maxDistance = spark.read.parquet(indexPath + "/_meta")
-              .collect().head.getInt(0)
             // pairwise dominance via the band pair machinery: every
             // (a < b) within-distance pair dominates b
             val dominated = graft.ops.Dedup
-              .simhashPairs(afterIndex, "id", "ph", maxDistance)
+              .simhashPairs(afterIndex, "id", "ph", maxDistance,
+                maxBucket = Int.MaxValue)
               .select(col("id_b").as("id")).distinct()
             val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
               .persist()

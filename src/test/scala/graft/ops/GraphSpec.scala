@@ -137,13 +137,13 @@ class GraphSpec extends SparkSpec {
     assert(one(11L)._2 == a11, s"${one(11L)} vs $a11")
     val h1raw = scale + 2L * a11
     assert(one(3L)._1 == scale * scale / h1raw, s"${one(3L)}")
-    // determinism under partitioning + checkpoint cadence
-    val again = Graph.hitsInt(edges.repartition(7), "src", "dst", iters = 4,
-        checkpointEvery = 1)
+    // determinism under partitioning (half-steps are eagerly cut)
+    val again = Graph.hitsInt(edges.repartition(7), "src", "dst", iters = 4)
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(again == r)
     // overflow guard: a scale whose square can't fit raises loudly
-    val boom = intercept[org.apache.spark.SparkException] {
+    // the eager half-step cut surfaces the raise at call time
+    val boom = intercept[RuntimeException] {
       Graph.hitsInt(edges, "src", "dst", iters = 1, scale = 4000000000L)
         .collect()
     }

@@ -139,10 +139,21 @@ class PipelineOps5Spec extends SparkSpec {
     // deterministic under partitioning
     val again = Sampling.temperatureCap(rows.repartition(13), "dom",
         col("id"), budget = 100L)
-      .collect().map(_.getLong(1)).toSet
+      .collect().map(_.getAs[Long]("id")).toSet
     val first = Sampling.temperatureCap(rows, "dom", col("id"), budget = 100L)
-      .collect().map(_.getLong(1)).toSet
+      .collect().map(_.getAs[Long]("id")).toSet
     assert(again == first)
+    // a NULL domain is a legal group: capped like any other, never
+    // silently dropped (null-safe join — the r6 null-key class)
+    val withNull = rows.unionByName(
+      (0 until 9).map(i => (3000L + i, null.asInstanceOf[String])).toDF("id", "dom"))
+    val keptN = Sampling.temperatureCap(withNull, "dom", col("id"), budget = 100L)
+      .groupBy(col("dom")).agg(count(lit(1)).as("k"))
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>") -> r.getLong(1)).toMap
+    // sw: big 20e6, mid 10e6, tiny 2e6, null 3e6 -> tw 35e6
+    // caps: 57, 28, 5, 8 -> null capped at 8, tiny keeps all 4
+    assert(keptN == Map("big" -> 57L, "mid" -> 28L, "tiny" -> 4L, "<null>" -> 8L),
+      s"$keptN")
     // weight x budget past 2^63 raises loudly, not silently wraps
     val boom = intercept[RuntimeException] {
       Sampling.temperatureCap(rows, "dom", col("id"),
