@@ -138,7 +138,12 @@ object Graph {
     * feeds both the hub step and the state join, so a lazy chain
     * would re-expand the upstream plan ~6× PER ITERATION (the round-2
     * lazy-max class; pageRankLoop stays lazy only because its state
-    * appears exactly once per level). Overflow: raw ≤ maxdeg·scale
+    * appears exactly once per level). Two cut frames materialize per
+    * iteration; superseded ones are reclaimed by the documented
+    * [[Lineage]] mechanism (references drop each iteration, the
+    * ContextCleaner unpersists on GC — the same lifecycle as
+    * [[connectedComponentsStar]]'s two cuts per round).
+    * Overflow: raw ≤ maxdeg·scale
     * and the normalize multiplies by `scale` again — `maxdeg·scale² <
     * 2⁶³` is enforced with a typed raise at the normalize (default
     * scale 1e5 → max degree ~9·10⁸; shrink `scale` for denser hubs).

@@ -302,7 +302,8 @@ object EventStreams {
     * hashes are dropped (nothing to perceive). */
   def streamingMediaScreen(stream: DataFrame, idCol: String,
       payloadCol: String, indexPath: String, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      maxBucket: Int = Int.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -313,18 +314,28 @@ object EventStreams {
           .filter(col("ph").isNotNull)
           .persist()
         try {
-          // ONE meta read per batch: the in-batch dominance pass below
-          // must band with the SAME distance the index probe used
+          // heal FIRST: a writer crash inside the index swap
+          // (delete→rename window) leaves only `.building`, and this
+          // meta read would otherwise wedge every retry of the batch
+          // before any probe-side heal could run
+          graft.ops.FsOps.healSwap(spark, indexPath + ".building", indexPath)
+          // then ONE meta read per batch: the in-batch dominance pass
+          // below must band with the SAME distance the index probe used
           val maxDistance = spark.read.parquet(indexPath + "/_meta")
             .collect().head.getInt(0)
-          // maxBucket = unlimited on BOTH screens: an admission screen
-          // must never trade recall — a dropped hot bucket would ADMIT
-          // matched media, and each wrong admission grows that bucket
-          // further (self-reinforcing). The cost stays bounded by the
-          // micro-batch size on the probe side.
+          // `maxBucket` defaults to UNLIMITED: an admission screen must
+          // not trade recall silently — a dropped hot bucket would
+          // ADMIT matched media, and each wrong admission grows that
+          // bucket further (self-reinforcing). The cost of the default
+          // is per-batch probe work ∝ batch size × the HOTTEST index
+          // bucket, which grows with the ingested corpus under
+          // boilerplate-alike media: a long-lived screen facing that
+          // skew should pass a bound here (accepting the documented
+          // recall trade on those buckets) or route such media through
+          // exact dedup first.
           val matchedIds = graft.ops.Dedup
             .probePhashSignaturesAt(spark, indexPath, hashed, maxDistance,
-              maxBucket = Int.MaxValue)
+              maxBucket = maxBucket)
             .select(col("batch_id").as("id")).distinct()
           // persist, not localCheckpoint: afterIndex feeds both the
           // dominance pairs and the admit anti-join (one probe, not
@@ -334,10 +345,11 @@ object EventStreams {
             .persist()
           try {
             // pairwise dominance via the band pair machinery: every
-            // (a < b) within-distance pair dominates b
+            // (a < b) within-distance pair dominates b (same maxBucket
+            // policy as the index probe above)
             val dominated = graft.ops.Dedup
               .simhashPairs(afterIndex, "id", "ph", maxDistance,
-                maxBucket = Int.MaxValue)
+                maxBucket = maxBucket)
               .select(col("id_b").as("id")).distinct()
             val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
               .persist()
