@@ -694,6 +694,93 @@ object ScaleProbe {
         ()
       }
     }
+    // round-9: perceptual-hash index at 6M payloads — the mm06/e21
+    // serving path at scale: hash+write once, then a probe batch joins
+    // 16-byte signature rows (payload bytes never re-read). Payloads
+    // are tiny sawtooth signals derived from the 6M doc ids; the probe
+    // batch carries 5k re-encodes (must match) + 5k novel slope-11
+    // signals (must not).
+    {
+      val payload = {
+        val core = col("doc_id") % 100000L
+        val n = lit(64) + pmod(core, lit(32))
+        unhex(concat_ws("", transform(sequence(lit(0), n - 1), i =>
+          lpad(hex(pmod(core * 31 + i * 7, lit(251))), 2, "0"))))
+      }
+      def reenc(core: org.apache.spark.sql.Column) = {
+        val n = lit(64) + pmod(core, lit(32))
+        unhex(concat_ws("", transform(sequence(lit(0), n - 1), i =>
+          lpad(hex(least(lit(255), pmod(core * 31 + i * 7, lit(251)) +
+              when(pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))),
+            2, "0"))))
+      }
+      // novels must be STRUCTURALLY distinct, not just phase-shifted: at
+      // 100k-signature density a same-slope (or near-slope) signal lands
+      // within 3 bits of SOME indexed phase (probe-measured: slope-11
+      // "novels" matched 3.2k of 5k). A descending ramp inverts every
+      // comparison bit — min distance 53 to any indexed sawtooth.
+      def descRamp(core: org.apache.spark.sql.Column) = {
+        val n = lit(64) + pmod(core, lit(32))
+        unhex(concat_ws("", transform(sequence(lit(0), n - 1), i =>
+          lpad(hex(pmod(core * 31 - i * 7, lit(251))), 2, "0"))))
+      }
+      val media6m = docs6m.select(col("doc_id"), payload.as("content"))
+      val dirP = graft.Paths.scratchDir("graft-scale-phash-")
+      val pIdx = dirP.resolve("idx").toString
+      try {
+        t("phash index write 6M payloads (once)")(
+          graft.ops.Dedup.writePhashIndex(media6m, "doc_id", "content", pIdx))
+        // core identity repeats every 100k ids, so the index holds ~100k
+        // distinct signatures under heavy duplication — realistic media
+        val batch = spark.range(5000).select(
+            (col("id") + 100000000L).as("doc_id"),
+            reenc(col("id") % 100000L).as("content"))
+          .unionByName(spark.range(5000).select(
+            (col("id") + 200000000L).as("doc_id"),
+            descRamp(col("id") % 100000L).as("content")))
+        val probed = t("phash probe 10k batch vs 6M-payload index")(
+          graft.ops.Dedup.probePhashIndex(spark, pIdx, batch,
+              "doc_id", "content", maxBucket = Int.MaxValue)
+            .groupBy((col("batch_id") >= 200000000L).as("novel"))
+            .agg(countDistinct(col("batch_id")).as("n")).collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap)
+        println(s"SCALE phash: matched-copies=${probed.getOrElse(false, 0L)} " +
+          s"matched-novel=${probed.getOrElse(true, 0L)}")
+        assert(probed.getOrElse(false, 0L) == 5000L,
+          "every re-encode must surface against the index")
+        assert(probed.getOrElse(true, 0L) == 0L,
+          "no descending-ramp novel may match")
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(pIdx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dirP.toString), true)
+        ()
+      }
+    }
+
+    // round-9: HITS at 50k nodes / 1.2M edges (the clique fixture from
+    // the triangle probe): per-iteration cost is two narrow joins + two
+    // aggregates + two broadcast maxima; the eager half-step cuts keep
+    // the plan constant-size across iterations. Clique edges are
+    // ASCENDING-directed (src → src+off), so each clique's first node
+    // has no in-links (auth 0 — hence authMin 0) and its last is the
+    // strongest authority; the max-normalized top reads exactly scale
+    {
+      val c = 50
+      val nodes = spark.range(0L, 1000L * c)
+      val bound = lit(c - 1) - (col("id") % c).cast("int")
+      val edges = nodes.select(col("id").as("src"),
+          explode(when(bound >= 1, sequence(lit(1), bound))
+            .otherwise(array().cast("array<int>"))).as("off"))
+        .select(col("src"), (col("src") + col("off")).as("dst"))
+      val hits = t("HITS 50k nodes / 1.2M edges (4 iterations)")(
+        graft.ops.Graph.hitsInt(edges, "src", "dst", iters = 4)
+          .agg(count(lit(1)), min(col("auth_q")), max(col("auth_q"))).head())
+      println(s"SCALE hits: nodes=${hits.getLong(0)} " +
+        s"authMin=${hits.getLong(1)} authMax=${hits.getLong(2)}")
+      assert(hits.getLong(0) == 1000L * c)
+      assert(hits.getLong(2) == 100000L, "some node carries the max authority")
+    }
     spark.stop()
   }
 }

