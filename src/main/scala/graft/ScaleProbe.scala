@@ -698,8 +698,8 @@ object ScaleProbe {
     // serving path at scale: hash+write once, then a probe batch joins
     // 16-byte signature rows (payload bytes never re-read). Payloads
     // are tiny sawtooth signals derived from the 6M doc ids; the probe
-    // batch carries 5k re-encodes (must match) + 5k novel slope-11
-    // signals (must not).
+    // batch carries 5k re-encodes of INDEXED cores (must match) + 5k
+    // novel descending-ramp signals (must not).
     {
       val payload = {
         val core = col("doc_id") % 100000L
@@ -730,11 +730,21 @@ object ScaleProbe {
       try {
         t("phash index write 6M payloads (once)")(
           graft.ops.Dedup.writePhashIndex(media6m, "doc_id", "content", pIdx))
-        // core identity repeats every 100k ids, so the index holds ~100k
-        // distinct signatures under heavy duplication — realistic media
-        val batch = spark.range(5000).select(
-            (col("id") + 100000000L).as("doc_id"),
-            reenc(col("id") % 100000L).as("content"))
+        // core identity repeats every 100k ids, so the index holds ~87k
+        // distinct signatures under heavy duplication (doc_id =
+        // l_orderkey*8 + l_linenumber is never 0 mod 8, and orderkeys
+        // have gaps) — realistic media. Copy cores are sampled from
+        // cores ACTUALLY INDEXED: raw 0..4999 would include ~600
+        // never-indexed cores whose re-encodes only match by the
+        // density coincidence the novel comment below warns about
+        val idxCores = media6m
+          .select(pmod(col("doc_id"), lit(100000L)).as("core")).distinct()
+          .orderBy(col("core")).limit(5000)
+        // batch ids derive from the core (< 100k), staying under the
+        // 200000000 novel-classification threshold
+        val batch = idxCores.select(
+            (col("core") + 100000000L).as("doc_id"),
+            reenc(col("core")).as("content"))
           .unionByName(spark.range(5000).select(
             (col("id") + 200000000L).as("doc_id"),
             descRamp(col("id") % 100000L).as("content")))

@@ -561,9 +561,15 @@ object Dedup {
   def probePhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String, payloadCol: String,
       maxBucket: Int = 1000): DataFrame =
+    // cut: the signature frame feeds two probe subtrees (the broadcast
+    // chunk-key prune and the pair join) and Catalyst does not CSE
+    // across the exchange — without the cut every payload would be
+    // decoded+hashed twice, the exact cost the index exists to avoid
+    // (the 16-byte cut output is batch-sized; the streaming screen
+    // persists its own hashed frame for the same reason)
     probePhashSignatures(spark, path,
-      batch.select(col(idCol).as("id"),
-        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph")),
+      Lineage.cut(batch.select(col(idCol).as("id"),
+        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))),
       maxBucket)
 
   /** Signature-level probe behind [[probePhashIndex]]. */
@@ -585,20 +591,27 @@ object Dedup {
     * size aggregate and the pair join run over only the buckets this
     * batch touches — one narrow shuffle over the index (the distinct
     * that collapses replayed appends) instead of three (probe-side
-    * 6M-signature measurement: 80 s → ~25 s). Touched-bucket sizes
+    * 6M-signature measurement: 80 s → 39 s). Touched-bucket sizes
     * are still TRUE sizes (the semi keeps whole buckets), so the
-    * maxBucket cap semantics are unchanged. */
+    * maxBucket cap semantics are unchanged. The prune only engages
+    * for chunk widths ≤ 16 bits (maxDistance ≥ 3): at width 32/64
+    * (maxDistance ≤ 1) distinct chunk values scale with BATCH size,
+    * not the key space, and the explicit broadcast hint (which
+    * bypasses the size threshold) could OOM on a huge batch. */
   private[graft] def probePhashSignaturesAt(
       spark: org.apache.spark.sql.SparkSession, path: String,
       sigs: DataFrame, maxDistance: Int, maxBucket: Int): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
     val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
       maxDistance)
-    val bkeys = broadcast(bc.select(col("ci"), col("cv")).distinct())
     // distinct: replayed appends collapse (16-byte rows)
-    val idx = phashChunks(spark.read.parquet(path).distinct(), "index_id",
-        maxDistance)
-      .join(bkeys, Seq("ci", "cv"), "left_semi")
+    val idxAll = phashChunks(spark.read.parquet(path).distinct(), "index_id",
+      maxDistance)
+    val idx =
+      if (64 / (maxDistance + 1) <= 16)
+        idxAll.join(broadcast(bc.select(col("ci"), col("cv")).distinct()),
+          Seq("ci", "cv"), "left_semi")
+      else idxAll
     val sizes = idx.groupBy(col("ci"), col("cv"))
       .agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket)
