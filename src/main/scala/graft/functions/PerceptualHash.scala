@@ -16,12 +16,15 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * published dHash construction (box-downsample to a tiny grid,
   * hash = adjacent-cell brightness comparisons).
   *
-  * Decode stub, same contract as [[graft.ops.Multimodal.stubDecode]]:
-  * no media libraries exist in this container, so the "decoded
-  * grayscale signal" IS the payload's raw bytes (unsigned). A real
-  * deployment decodes pixels first and feeds the luma plane through
-  * the identical kernel — the hash arithmetic below is exactly the
-  * published dHash over whatever byte signal arrives.
+  * Byte signal contract: [[dhash63]] hashes whatever byte signal
+  * arrives — the hash arithmetic is exactly the published dHash.
+  * [[PngDecodeImpl]] supplies the REAL pixel signal for PNG payloads
+  * (zero-dep decode to the luma plane, fed through this unchanged
+  * kernel via [[PngDecode.dhashDecoded]] — what the phash ops use by
+  * default); every other payload keeps the documented bytes-as-luma
+  * behavior (same lenient contract as
+  * [[graft.ops.Multimodal.stubDecode]] — no media libraries exist in
+  * this container for JPEG's DCT path).
   *
   * Construction (all exact integer arithmetic, replayable by an
   * independent engine — every step is `%`/`//`-portable because all

@@ -502,7 +502,8 @@ object Dedup {
         col("chunk.ci").as("ci"), col("chunk.cv").as("cv"))
 
   /** Persist a media corpus's perceptual signatures
-    * ([[graft.functions.PerceptualHash.dhash]]) as a NEAR-dup
+    * ([[graft.functions.PngDecode.dhashDecoded]] — decoded luma for
+    * PNGs, bytes-as-luma otherwise) as a NEAR-dup
     * membership index: one parquet of narrow `(id, ph)` rows plus a
     * `_meta` sidecar holding `max_distance` (the banding parameter — a
     * probe reads it back so it can never band differently than the
@@ -520,7 +521,7 @@ object Dedup {
     val spark = corpus.sparkSession
     val tmp = path + ".building"
     corpus.select(col(idCol).as("id"),
-        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))
+        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph"))
       .filter(col("ph").isNotNull)
       .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
@@ -537,7 +538,7 @@ object Dedup {
       payloadCol: String, path: String): Unit =
     appendPhashSignatures(
       batch.select(col(idCol).as("id"),
-        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph")), path)
+        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph")), path)
 
   /** Signature-level append — for callers that already hashed (the
     * streaming screen hashes once for probe + admit + append). */
@@ -569,7 +570,7 @@ object Dedup {
     // persists its own hashed frame for the same reason)
     probePhashSignatures(spark, path,
       Lineage.cut(batch.select(col(idCol).as("id"),
-        graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))),
+        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph"))),
       maxBucket)
 
   /** Signature-level probe behind [[probePhashIndex]]. */

@@ -236,10 +236,16 @@ object Sampling {
     * most one row per domain vs the real-valued allocation —
     * Σ caps ≤ budget always holds. Selection inside a domain is the
     * [[stratifiedByHash]] md5-rank (deterministic, engine-replayable);
-    * the rank limit is per-domain DATA, so this is one full window
-    * rank per domain (no constant-limit WindowGroupLimit rewrite), a
-    * domain-parallel sort of the corpus — the t31 cap family. The
-    * per-domain stats/caps frame is domain-bounded and broadcast. */
+    * the rank limit is per-domain DATA, so Spark's constant-limit
+    * WindowGroupLimit rewrite can never fire — the skew guard is built
+    * in manually instead: a partial rank inside each (domain, input
+    * partition) filtered against the cap bounds what the final
+    * per-domain rank sees at cap × numPartitions (any row in the final
+    * top-cap is in its input partition's top-cap), so a hot domain
+    * ("en" at 90% of a 100 TB corpus) never funnels its whole row set
+    * into one sort task — the same two-stage contract as
+    * [[stratifiedByHash]]. The per-domain stats/caps frame is
+    * domain-bounded and broadcast. */
   def temperatureCap(df: DataFrame, domainCol: String, key: Column,
       budget: Long, weightScale: Long = 1000000L): DataFrame = {
     require(budget >= 1L, s"temperatureCap: budget $budget must be >= 1")
@@ -262,14 +268,18 @@ object Sampling {
           .otherwise(org.apache.spark.sql.functions.call_function("div",
             col("__sw") * lit(budget), col("__tw"))).as("__cap"))
     val h = md5(key.cast("string"))
-    val w = Window.partitionBy(col(domainCol)).orderBy(h, key)
+    val partial =
+      Window.partitionBy(col(domainCol), spark_partition_id()).orderBy(h, key)
+    val fin = Window.partitionBy(col(domainCol)).orderBy(h, key)
     // null-safe join (the round-6 null-key class): a NULL domain is a
     // legal group — it was counted into the weight total, so a plain
     // equi-join would silently DROP its rows while still shrinking
     // every real domain's cap
     df.join(broadcast(caps.withColumnRenamed(domainCol, "__cap_dom")),
         col(domainCol) <=> col("__cap_dom"))
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__pr", row_number().over(partial))
+      .filter(col("__pr") <= col("__cap")).drop("__pr")
+      .withColumn("__rn", row_number().over(fin))
       .filter(col("__rn") <= col("__cap"))
       .drop("__rn", "__cap", "__cap_dom")
   }

@@ -310,7 +310,7 @@ object EventStreams {
         val spark = batch.sparkSession
         val hashed = batch.filter(col(payloadCol).isNotNull)
           .select(col(idCol).as("id"),
-            graft.functions.PerceptualHash.dhash(col(payloadCol)).as("ph"))
+            graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph"))
           .filter(col("ph").isNotNull)
           .persist()
         try {

@@ -162,6 +162,27 @@ class PipelineOps5Spec extends SparkSpec {
     assert(boom.getMessage.contains("temperatureCap"), boom.getMessage)
   }
 
+  test("temperatureCap: two-stage rank — partial per-partition window before the final domain rank") {
+    // the cap is DATA (a per-domain column), so Spark's constant-limit
+    // WindowGroupLimit rewrite can never fire; the skew guard must be
+    // built in manually (the r9 verdict defect): a partial rank keyed
+    // (domain, SPARK_PARTITION_ID()) filtered against the cap bounds the
+    // final per-domain sort's input at cap x numPartitions — without it
+    // a hot domain funnels its whole row set into ONE sort task
+    val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 20).map(i => (1000L + i, "small"))).toDF("id", "dom")
+    val kept = Sampling.temperatureCap(rows.repartition(8), "dom",
+      col("id"), budget = 60L)
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(plan.contains("SPARK_PARTITION_ID"),
+      s"temperatureCap lost its partial per-partition rank stage:\n$plan")
+    val windows = "(?i)\\bwindow\\b".r.findAllIn(
+      kept.queryExecution.executedPlan.toString).size
+    assert(windows >= 2,
+      s"expected partial+final Window nodes, saw $windows:\n" +
+        kept.queryExecution.executedPlan.toString)
+  }
+
   test("prioritySample: weight-biased, deterministic, partitioning-invariant") {
     // two weight classes: heavy rows (w=1000) must dominate a 50-sample
     // over light rows (w=1)
