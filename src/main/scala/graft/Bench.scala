@@ -145,7 +145,15 @@ object Bench {
             val again =
               try Some(time(SparkEntry.queries(name)(spark, sfDir)
                 .write.format("noop").mode("overwrite").save()))
-              catch { case _: Throwable => None }
+              catch { case e: Throwable =>
+                // keep the original timing, but leave a trace: a query
+                // that got slower AND started failing intermittently
+                // must not vanish into "no outlier_reruns entry"
+                System.err.println(
+                  s"[bench] outlier re-run of $name failed (keeping " +
+                    s"original ${f"$sec%.3f"} s): $e")
+                None
+              }
             again.map { a => rerunLog += ((name, sec, a)); name -> math.min(sec, a) }
               .getOrElse(name -> sec)
           case _ => name -> sec

@@ -528,7 +528,37 @@ object Dedup {
     Seq(maxDistance).toDF("max_distance")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
     FsOps.swapDirs(spark, tmp, path)
+    // a rebuild may re-band: the next memoized read must see the new
+    // distance (same-JVM rewrite case; see phashIndexMaxDistance)
+    phashMeta.remove(path)
   }
+
+  /** Banding distance from a phash index's `_meta`, memoized per path
+    * for the life of the JVM — a streaming screen probing every
+    * micro-batch pays the sidecar read once, not per batch (the
+    * [[Lm.scoreWithLm]] memoization pattern). UNLIKE the LM case this
+    * value is a CORRECTNESS input (probes must band with the writer's
+    * distance), so [[writePhashIndex]] invalidates the entry when it
+    * rebuilds the same path in this JVM; a rebuild from a DIFFERENT
+    * JVM that changes the banding under a live long-running reader is
+    * not supported — restart the reader (appends, the normal growth
+    * path, never change the distance). Heals the swap crash window
+    * before the first read (the r9 heal-before-meta class). */
+  def phashIndexMaxDistance(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    phashMeta.computeIfAbsent(path, _ => {
+      FsOps.healSwap(spark, path + ".building", path)
+      phashMetaReads.computeIfAbsent(path,
+        _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
+      Int.box(spark.read.parquet(path + "/_meta").collect().head.getInt(0))
+    })
+
+  /** Per-path count of actual `_meta` sidecar loads — test hook
+    * pinning the once-per-path memoization contract. */
+  private[graft] val phashMetaReads = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val phashMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Append signature rows for a (typically already-probed) batch.
     * A replayed append lays down duplicate identical rows — probes
@@ -575,11 +605,9 @@ object Dedup {
 
   /** Signature-level probe behind [[probePhashIndex]]. */
   def probePhashSignatures(spark: org.apache.spark.sql.SparkSession,
-      path: String, sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    FsOps.healSwap(spark, path + ".building", path)
+      path: String, sigs: DataFrame, maxBucket: Int = 1000): DataFrame =
     probePhashSignaturesAt(spark, path, sigs,
-      spark.read.parquet(path + "/_meta").collect().head.getInt(0), maxBucket)
-  }
+      phashIndexMaxDistance(spark, path), maxBucket)
 
   /** Probe with the banding distance supplied by the caller — for
     * callers that already read `_meta` (the streaming screen reads it

@@ -62,6 +62,12 @@ object Lm {
       val tmp = path + ".building"
       rows.write.mode("overwrite").parquet(tmp)
       FsOps.swapDirs(spark, tmp, path)
+      // a same-JVM rebuild may change the model's size class: drop the
+      // memoized broadcast decision so a long-lived scorer re-counts —
+      // without this, a much LARGER rewrite at the same path would
+      // keep force-broadcasting past the BroadcastModelRows rationale
+      // (an availability risk, not a correctness one)
+      broadcastChoice.remove(path)
     } finally bc.unpersist()
   }
 
@@ -81,10 +87,12 @@ object Lm {
     * structural bound). The side counts cost ONE aggregate job,
     * memoized per model path for the life of the JVM — a streaming
     * screen scoring every micro-batch pays it once, not per batch
-    * (staleness note: re-writing a DIFFERENT-sized model at the same
-    * path keeps the old plan choice until restart — a performance
-    * hint only, never a correctness input). The reference corpus is
-    * never re-read either way. */
+    * (staleness note: [[writeLmIndex]] invalidates the entry on a
+    * same-JVM rebuild; a rewrite from ANOTHER JVM keeps the old plan
+    * choice until restart — if the model GREW past the ceiling that
+    * means force-broadcasting an over-ceiling side, an OOM/
+    * availability risk, though never a correctness input). The
+    * reference corpus is never re-read either way. */
   def scoreWithLm(spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)

@@ -43,6 +43,12 @@ object Profile {
     require(cols.nonEmpty, "tableProfile: at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"tableProfile: no such column(s): $missing")
+    // a duplicated name would union the same column twice under one
+    // label: n_rows/n_null/mode counts silently double while the
+    // distinct estimate doesn't — an inconsistent report, so reject
+    require(cols.distinct.size == cols.size,
+      s"tableProfile: duplicate column(s): ${
+        cols.diff(cols.distinct).distinct.mkString(", ")}")
     val narrow = cols.map { c =>
       df.select(lit(c).as("column"), col(c).cast("string").as("v"))
     }.reduce(_ unionByName _)

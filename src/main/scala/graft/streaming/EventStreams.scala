@@ -314,15 +314,13 @@ object EventStreams {
           .filter(col("ph").isNotNull)
           .persist()
         try {
-          // heal FIRST: a writer crash inside the index swap
-          // (delete→rename window) leaves only `.building`, and this
-          // meta read would otherwise wedge every retry of the batch
-          // before any probe-side heal could run
-          graft.ops.FsOps.healSwap(spark, indexPath + ".building", indexPath)
-          // then ONE meta read per batch: the in-batch dominance pass
-          // below must band with the SAME distance the index probe used
-          val maxDistance = spark.read.parquet(indexPath + "/_meta")
-            .collect().head.getInt(0)
+          // ONE meta value per screen (memoized per path — the
+          // sidecar read happens once per JVM, not per micro-batch;
+          // the getter heals the swap crash window before its first
+          // read): the in-batch dominance pass below must band with
+          // the SAME distance the index probe uses
+          val maxDistance =
+            graft.ops.Dedup.phashIndexMaxDistance(spark, indexPath)
           // `maxBucket` defaults to UNLIMITED: an admission screen must
           // not trade recall silently — a dropped hot bucket would
           // ADMIT matched media, and each wrong admission grows that

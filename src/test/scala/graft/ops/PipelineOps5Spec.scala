@@ -118,6 +118,12 @@ class PipelineOps5Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.tableProfile(df, Seq("nope"))
     }
+    // duplicated names rejected loudly: the unpivot would union the
+    // same column twice under one label, silently doubling
+    // n_rows/n_null/mode counts while the distinct estimate doesn't
+    intercept[IllegalArgumentException] {
+      Profile.tableProfile(df, Seq("cat", "cat"))
+    }
     ()
   }
 

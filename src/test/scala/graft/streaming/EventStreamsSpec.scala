@@ -274,6 +274,11 @@ class EventStreamsSpec extends SparkSpec {
       val out2 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
       assert(out2 == Seq(101L, 201L), s"after batch 2: $out2")
     } finally q.stop()
+    // the banding distance is memoized per path: two micro-batches
+    // (plus the fresh probe below) cost ONE _meta sidecar load, not
+    // one per batch — a long-lived screen stays off the metadata path
+    assert(graft.ops.Dedup.phashMetaReads.get(idx).get() == 1L,
+      s"expected one _meta load, saw ${graft.ops.Dedup.phashMetaReads.get(idx)}")
     // the persisted index absorbed both admissions: a fresh probe of
     // their re-encodes matches without the stream running
     val probe = Seq((300L, reenc(saw(50, 11))), (301L, reenc(saw(60, 13))))
