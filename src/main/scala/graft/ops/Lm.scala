@@ -128,6 +128,75 @@ object Lm {
           (col("n_bigrams").cast("double") * lit(1e12))).as("lm_score"))
   }
 
+  /** CCNet-style perplexity-bucket sampling — the canonical production
+    * quality-pipeline step this tier was built toward: score every doc
+    * against the persisted reference LM ([[scoreWithLm]]), cut the
+    * corpus into head / middle / tail by score quantiles, and keep
+    * each bucket at its own rate (head mostly kept, tail mostly
+    * dropped — CCNet's "keep what reads like Wikipedia" shape, with
+    * the orientation flipped to this repo's mean-probability score:
+    * HIGH score = reference-like = head).
+    *
+    * Deterministic, engine-replayable at every step (gate p20):
+    * quantile thresholds come from a [[Sketch.histSketch]] /
+    * [[Sketch.histQuantiles]] pass over `round(lm_score·scoreScale)`
+    * scaled longs (the stable double→integer conversion), bucket
+    * labels compare scaled scores against the two integer thresholds
+    * (strictly-above ⇒ upper bucket), and the per-bucket draw is
+    * [[Sampling.mixtureByHash]]'s md5-threshold filter keyed on the
+    * doc id — no RNG anywhere, identical under any partitioning.
+    *
+    * Scale shape: ONE scoring pass over the corpus (the scored frame
+    * is lineage-cut — narrow (id, n_bigrams, score) rows — because it
+    * feeds both the sketch and the labeling subtrees, and Catalyst
+    * would otherwise re-run the bigram explode + model joins twice);
+    * the histogram is bucket-rows-sized, the two thresholds ride a
+    * 1-row broadcast under a cross join (the benign t08 scalar-
+    * subquery shape), and the final keep is a pure per-row codegen
+    * filter. Docs with fewer than 2 tokens are dropped upstream by
+    * [[scoreWithLm]] (nothing to judge — CCNet buckets by LM signal,
+    * which they don't have).
+    *
+    * @param fractions keep-rate per bucket, keys exactly
+    *                  head/middle/tail
+    * @param cuts      integer percentiles (lowCut, highCut) splitting
+    *                  tail / middle / head, e.g. (33, 66)
+    * @return (doc_id, n_bigrams, lm_score, score_scaled, bucket) for
+    *         the kept rows */
+  def perplexityBucketSample(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, textCol: String,
+      fractions: Map[String, Double] =
+        Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1),
+      cuts: (Int, Int) = (33, 66),
+      scoreScale: Long = 1000000L): DataFrame = {
+    require(fractions.keySet == Set("head", "middle", "tail"),
+      s"perplexityBucketSample: fractions must map exactly head/middle/" +
+        s"tail, got ${fractions.keySet}")
+    require(cuts._1 >= 0 && cuts._2 <= 100 && cuts._1 < cuts._2,
+      s"perplexityBucketSample: cuts $cuts must be 0 <= low < high <= 100")
+    require(scoreScale >= 1L && scoreScale <= (1L << 50),
+      s"perplexityBucketSample: scoreScale $scoreScale out of range")
+    val subBits = 5 // the tier-wide histogram geometry (t25 family)
+    val scored = Lineage.cut(
+      scoreWithLm(spark, path, corpus, idCol, textCol)
+        .withColumn("score_scaled",
+          round(col("lm_score") * lit(scoreScale.toDouble)).cast("long")))
+    val sketch = Sketch.histSketch(scored.withColumn("__k", lit(0)),
+      "__k", "score_scaled", subBits)
+    val thresholds =
+      Sketch.histQuantiles(sketch, subBits, Seq(cuts._1, cuts._2))
+        .agg(
+          max(when(col("pct") === cuts._1, col("est_value"))).as("__t_lo"),
+          max(when(col("pct") === cuts._2, col("est_value"))).as("__t_hi"))
+    val labeled = scored.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col("score_scaled") > col("__t_hi"), "head")
+          .when(col("score_scaled") > col("__t_lo"), "middle")
+          .otherwise("tail"))
+      .drop("__t_lo", "__t_hi")
+    Sampling.mixtureByHash(labeled, "bucket", col("doc_id"), fractions)
+  }
+
   /** Per-side model-row ceiling below which [[scoreWithLm]] broadcasts
     * that side. Sized for the HASHED relation, not the raw bytes: a
     * broadcast join builds UnsafeRow maps at ~3-4× the ~50 B raw row

@@ -1101,6 +1101,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sampling: CCNET PERPLEXITY BUCKETS — the canonical quality
+    // pipeline: odd docs scored against the persisted even-doc LM
+    // (t33's artifact shape), cut into head/middle/tail at the 33rd/
+    // 66th score percentile via the histogram sketch (t25's geometry,
+    // thresholds interpolated at integer precision on the
+    // round(score·1e6) scaled longs), then kept per bucket at
+    // 1.0/0.5/0.1 through the md5 mixture filter (p05's machinery).
+    // Every stage already oracle-checked alone; this gate pins the
+    // composition
+    "p20_perplexity_buckets" -> ((s, dir) => {
+      val path = graft.Paths.scratchDir("graft-lm-ccnet").resolve("lm").toString
+      val base = docs(s, dir)
+      Lm.writeLmIndex(base.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      Lm.perplexityBucketSample(s, path, base.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling: SOFT DEDUP — near-dup cluster members are kept at
     // weight scale/cluster_size instead of dropped (d04's verified
     // pairs → components → integer weights), then the weights drive a
@@ -5217,6 +5235,84 @@ object PipelineQueries {
         |  FROM doms d JOIN caps c ON c.dom = d.dom
         |)
         |SELECT doc_id, dom FROM ranked WHERE rn <= cap ORDER BY doc_id""".stripMargin,
+
+    // CCNet-bucket replay: the t33 scoring chain → round(score·1e6)
+    // scaled longs → t25's bucket/cumulative/target/interpolation CTEs
+    // (positive-only: scores ≥ 0) → two thresholds → strictly-above
+    // bucket labels → the p05 md5 CASE keep filter, thresholds from
+    // the SAME fraction constants as the Spark op's defaults
+    "p20_perplexity_buckets" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+        |  FROM toks
+        |), grams AS (
+        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
+        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
+        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uc AS (SELECT w1, count(*) AS c1 FROM grams
+        |       WHERE doc_id % 2 = 0 GROUP BY w1),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(SUM(COALESCE(
+        |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |          * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
+        |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+        |  WHERE g.doc_id % 2 = 1
+        |  GROUP BY doc_id
+        |), sc AS (
+        |  SELECT doc_id, n_bigrams, lm_score,
+        |    CAST(round(lm_score * 1000000.0) AS BIGINT) AS v
+        |  FROM scored
+        |), bk AS (
+        |  SELECT ${duckBucket("v")} AS bucket FROM sc
+        |),
+        |hg AS (SELECT bucket, COUNT(*) AS cnt FROM bk GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        |  FROM hg
+        |),
+        |tq AS (
+        |  SELECT c.bucket, c.cnt, c.cum, p.pct,
+        |    CAST(floor(CAST(p.pct AS DOUBLE) / 100.0 * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target
+        |  FROM cum c, (SELECT unnest([33, 66]) AS pct) p
+        |),
+        |est AS (
+        |  SELECT pct,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE (32 + bucket % 32)
+        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+        |    + ((target - (cum - cnt) - 1) *
+        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+        |      ) // cnt AS est_value
+        |  FROM tq WHERE cum >= target AND cum - cnt < target
+        |),
+        |thr AS (
+        |  SELECT MAX(CASE WHEN pct = 33 THEN est_value END) AS t_lo,
+        |         MAX(CASE WHEN pct = 66 THEN est_value END) AS t_hi
+        |  FROM est
+        |),
+        |lab AS (
+        |  SELECT sc.doc_id, sc.n_bigrams, sc.lm_score, sc.v AS score_scaled,
+        |    CASE WHEN sc.v > thr.t_hi THEN 'head'
+        |         WHEN sc.v > thr.t_lo THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM sc, thr
+        |)
+        |SELECT doc_id, n_bigrams, lm_score, score_scaled, bucket FROM lab
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) <
+        |  CASE WHEN bucket = 'head' THEN '${graft.ops.Sampling.hexThresholdLex(1.0)}'
+        |       WHEN bucket = 'middle' THEN '${graft.ops.Sampling.hexThresholdLex(0.5)}'
+        |       ELSE '${graft.ops.Sampling.hexThresholdLex(0.1)}' END
+        |ORDER BY doc_id""".stripMargin,
 
     // soft-dedup replay: d04's exact closure → per-component sizes →
     // // weights → the p12 Lehmer priority draw over the weights

@@ -31,6 +31,10 @@ class PlanGuardSpec extends SparkSpec {
                   // under a cross join — the same benign scalar-subquery
                   // shape as t08; the propagation joins are narrow
                   // equi-joins checked by the s08 family
+      "p20_perplexity_buckets", // the two quantile thresholds ride ONE
+                                // broadcast row under a cross join — the
+                                // t08 scalar-subquery shape; the scoring
+                                // joins are t33's, guarded there
       "s06_filtered_ann", // bruteForceTopK over the FILTERED corpus —
                           // same intended exact-baseline plan as s01
                           // (scale path: the same predicate composes with

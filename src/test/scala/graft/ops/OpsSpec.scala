@@ -907,6 +907,53 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("perplexity buckets: planted reference-like docs land head, gibberish tail; deterministic") {
+    val dir = tmpDir("ccnet")
+    val path = dir.resolve("lm").toString
+    Lm.writeLmIndex(Seq((1L, ("the cat sat on the mat " * 10).trim))
+      .toDF("doc_id", "text"), "doc_id", "text", path)
+    // doc i = fixed reference-like prefix + (i−1) unseen-bigram pairs:
+    // scores strictly decrease with i, so bucket labels must be a
+    // monotone function of doc_id (head block, then middle, then tail)
+    val cands = (1 to 30).map { i =>
+      val good = "the cat sat on the mat the cat sat on the mat"
+      val bad = (1 until i).map(j => s"zz$j qq$j").mkString(" ")
+      (i.toLong, (good + " " + bad).trim)
+    }.toDF("doc_id", "text")
+    val keepAll = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)
+    val all = Lm.perplexityBucketSample(spark, path, cands, "doc_id", "text",
+        fractions = keepAll)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).sortBy(_._1)
+    assert(all.length == 30) // keep-everything fractions drop nothing
+    // planted extremes: the pure-reference doc is head, the most
+    // gibberish-laden doc is tail — the CCNet orientation (high mean
+    // probability = reference-like = head)
+    assert(all.head == (1L -> "head"), s"${all.head}")
+    assert(all.last == (30L -> "tail"), s"${all.last}")
+    assert(all.map(_._2).distinct.toSeq == Seq("head", "middle", "tail"),
+      s"labels must transition monotonically: ${all.map(_._2).mkString(",")}")
+    // deterministic under partitioning (hash selection + exact
+    // integer thresholds, no RNG)
+    val again = Lm.perplexityBucketSample(spark, path,
+        cands.repartition(7), "doc_id", "text", fractions = keepAll)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).sortBy(_._1)
+    assert(again.toSeq == all.toSeq)
+    // real fractions: a subset, with every head row kept (rate 1.0)
+    val sampled = Lm.perplexityBucketSample(spark, path, cands,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val allMap = all.toMap
+    assert(sampled.keySet.subsetOf(allMap.keySet) &&
+      sampled.forall { case (id, b) => allMap(id) == b })
+    assert(allMap.filter(_._2 == "head").keySet.subsetOf(sampled.keySet),
+      "head bucket is keep-everything at fraction 1.0")
+    // bucket keys are a fixed contract, rejected loudly otherwise
+    intercept[IllegalArgumentException] {
+      Lm.perplexityBucketSample(spark, path, cands, "doc_id", "text",
+        fractions = Map("hi" -> 1.0, "lo" -> 0.5))
+    }
+  }
+
   test("empty postings index: typed error on query, first real append recovers") {
     val dir = tmpDir("postings-empty")
     val idx = dir.resolve("idx").toString
