@@ -651,6 +651,74 @@ object Dedup {
       .dropDuplicates("batch_id", "index_id")
   }
 
+  /** NEAR-DUP-aware set diff of two persisted [[writePhashIndex]]
+    * snapshots: one row `(n_added, n_removed, n_retained)` where item
+    * identity is PERCEPTUAL — a v2 item counts as retained if ANY v1
+    * item sits within the banding distance, so a re-encoded /
+    * lightly-corrupted copy of an existing doc reports as retained
+    * where [[diffDigestIndexes]] (the exact-digest floor) would count
+    * it as one removal plus one addition. `n_added` = v2 items with no
+    * near-dup in v1; `n_removed` = v1 items with none in v2;
+    * `n_retained` counts on the v2 side. Ids never cross snapshots
+    * (a re-crawl mints new ids) — matching is by signature alone.
+    *
+    * Shape: both signature sets `distinct()` (replayed appends
+    * collapse), pigeonhole-chunked, ONE band equi-join on (ci, cv) +
+    * the hamming verify — exhaustive at ≤ maxDistance, never
+    * all-pairs. The narrow matched-id pair set is lineage-cut (16-byte
+    * rows; it feeds both per-side membership counts, and Catalyst
+    * would re-run the join per consumer — note the cut makes this call
+    * EAGER). Counts then run as the d13-style union-marker aggregate —
+    * (side, id) distinct → per-side counts → one pivot row — so there
+    * is no join on ids (null ids survive, the r6 class) and no 1-row
+    * cross joins. An item is its id: an id re-appended with a changed
+    * signature counts once, matched if ANY of its signatures matches.
+    * Unlike the batch probe there is no broadcast chunk prune: a
+    * corpus-scale diff touches nearly every bucket of the bounded
+    * (ci, cv) key space on both sides, so the prune would spend its
+    * aggregate without shrinking the shuffle (it wins when one side is
+    * a small batch — that case IS [[probePhashSignaturesAt]]).
+    *
+    * Both snapshots must band with the SAME distance (typed raise
+    * otherwise — a mixed-distance band join would silently miss
+    * pairs); `maxBucket` defaults to UNLIMITED because a churn REPORT
+    * must not silently bias toward "added" on hot buckets (the
+    * [[probePhashIndex]] recall contract), at the documented hot-
+    * bucket join cost. */
+  def diffPhashIndexes(spark: org.apache.spark.sql.SparkSession,
+      pathV1: String, pathV2: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val d1 = phashIndexMaxDistance(spark, pathV1)
+    val d2 = phashIndexMaxDistance(spark, pathV2)
+    require(d1 == d2, s"diffPhashIndexes: snapshots band at different " +
+      s"distances ($d1 vs $d2) — rebuild one with the other's maxDistance")
+    val v1 = spark.read.parquet(pathV1).distinct()
+    val v2 = spark.read.parquet(pathV2).distinct()
+    def capped(ch: DataFrame): DataFrame =
+      if (maxBucket == Int.MaxValue) ch
+      else ch.join(ch.groupBy(col("ci"), col("cv"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+          .drop("__bn"), Seq("ci", "cv"))
+    val pairs = capped(phashChunks(v1, "a", d1))
+      .join(capped(phashChunks(v2, "b", d1)), Seq("ci", "cv"))
+      .filter(hamming(col("a_ph"), col("b_ph")) <= d1)
+      .select(col("a"), col("b"))
+    val matched = Lineage.cut(pairs.distinct())
+    def side(df: DataFrame, idC: String, s: String) =
+      df.select(lit(s).as("side"), col(idC).as("id"))
+    val perSide = side(v1, "id", "v1").unionByName(side(v2, "id", "v2"))
+      .unionByName(side(matched, "a", "m1"))
+      .unionByName(side(matched, "b", "m2"))
+      .distinct()
+      .groupBy(col("side")).agg(count(lit(1)).as("n"))
+    def n(s: String) = // empty side → no row → NULL max (the r8 class)
+      coalesce(max(when(col("side") === s, col("n"))), lit(0L))
+    perSide.agg(
+      (n("v2") - n("m2")).as("n_added"),
+      (n("v1") - n("m1")).as("n_removed"),
+      n("m2").as("n_retained"))
+  }
+
   // ------------------------------------------------ persisted LSH index
 
   /** Banded signature rows (id, band, bh) for an (id, shingles) frame —

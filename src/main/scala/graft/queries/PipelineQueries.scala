@@ -324,6 +324,40 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // ---- dedup: NEAR-DUP-AWARE SNAPSHOT CHURN — d13's exact-digest
+    // diff counts a re-encoded doc as remove+add; this one diffs two
+    // PERCEPTUAL indexes (mm06's artifact) so identity is modulo
+    // near-dup: v2 carries RE-ENCODED copies (blocking-artifact bumps,
+    // fresh ids — a re-crawl mints new ids) of v1's first 200 items →
+    // retained; v1's last 100 have no v2 counterpart → removed; v2's
+    // slope-11 novels (min distance ≥ 13 from every sawtooth-7 item,
+    // the mm06 fixture) → added. Oracle replays both signature sets
+    // and the plain distance predicate (pigeonhole banding is
+    // exhaustive at ≤ maxDistance — the mm06 argument), then the same
+    // per-side membership counts.
+    "d14_neardup_churn" -> ((s, dir) => {
+      val d = col("doc_id")
+      val base = graft.Paths.scratchDir("graft-phash-diff")
+      val p1 = base.resolve("v1").toString
+      val p2 = base.resolve("v2").toString
+      val ids = docs(s, dir).select(d)
+      Dedup.writePhashIndex(ids.filter(d < 300)
+          .select(d, sawtoothPayload(d, 7, lit(false)).as("content")),
+        "doc_id", "content", p1)
+      // payload FIRST, id remap in a second select: Spark 4 resolves an
+      // unqualified col("doc_id") LATERALLY against an earlier
+      // `... AS doc_id` alias in the SAME projection, which would
+      // silently build the payload from core+1000 (bit this gate)
+      Dedup.writePhashIndex(
+        ids.filter(d < 200)
+          .select(d, sawtoothPayload(d, 7, lit(true)).as("content"))
+          .select((d + lit(1000L)).as("doc_id"), col("content"))
+          .unionByName(ids.filter(d >= 300 && d < 340)
+            .select(d, sawtoothPayload(d, 11, lit(false)).as("content"))),
+        "doc_id", "content", p2)
+      Dedup.diffPhashIndexes(s, p1, p2)
+    }),
+
     // ---- dedup: normalization-keyed exact dedup — copies that differ
     // only in case / punctuation / whitespace collapse into one group
     // (the CCNet/RefinedWeb hashing key). Planted noisy copies (ASCII
@@ -5750,6 +5784,32 @@ object PipelineQueries {
           |FROM cand JOIN hp ha ON ha.doc_id = cand.id_a JOIN hp hb ON hb.doc_id = cand.id_b
           |WHERE bit_count(xor(ha.ph, hb.ph)) <= 3
           |ORDER BY id_a, id_b""".stripMargin),
+
+    // near-dup churn replay: both snapshots' signatures via the shared
+    // dHash chain, matches by the plain distance predicate (pigeonhole
+    // banding is exhaustive at <= maxDistance -- the mm06 argument;
+    // maxBucket is unlimited here), then per-side membership counts
+    "d14_neardup_churn" ->
+      (s"""WITH b1 AS (
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id < 300
+         |), b2 AS (
+         |  SELECT doc_id + 1000 AS doc_id, bytes FROM (
+         |    SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = true)} AS bytes
+         |    FROM documents WHERE doc_id < 200)
+         |  UNION ALL
+         |  SELECT doc_id, ${duckSawBytes("doc_id", 11, bump = false)} AS bytes
+         |  FROM documents WHERE doc_id >= 300 AND doc_id < 340
+         |),
+         |""".stripMargin + duckPhash("b1", "1") + ",\n" + duckPhash("b2", "2") + ",\n" +
+        """m1 AS (SELECT DISTINCT a.doc_id AS id FROM h1 a JOIN h2 b
+          |       ON bit_count(xor(a.ph, b.ph)) <= 3),
+          |m2 AS (SELECT DISTINCT b.doc_id AS id FROM h1 a JOIN h2 b
+          |       ON bit_count(xor(a.ph, b.ph)) <= 3)
+          |SELECT
+          |  (SELECT count(*) FROM h2) - (SELECT count(*) FROM m2) AS n_added,
+          |  (SELECT count(*) FROM h1) - (SELECT count(*) FROM m1) AS n_removed,
+          |  (SELECT count(*) FROM m2) AS n_retained""".stripMargin),
 
     // phash-index probe replay: batch x index hamming <= max_distance
     // directly -- the pigeonhole banding is exhaustive at <= maxDistance

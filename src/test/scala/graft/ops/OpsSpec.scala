@@ -871,6 +871,51 @@ class OpsSpec extends SparkSpec {
     assert((zero.getLong(0), zero.getLong(1), zero.getLong(2)) == ((0L, 0L, 0L)))
   }
 
+  test("near-dup snapshot diff: re-encode retained, novel added, missing removed; distance contract") {
+    val dir = tmpDir("phash-diff")
+    val p1 = dir.resolve("v1").toString
+    val p2 = dir.resolve("v2").toString
+    def saw(core: Int, slope: Int): Array[Byte] =
+      Array.tabulate(200 + core % 50)(i => ((core * 31 + i * slope) % 251).toByte)
+    def reenc(b: Array[Byte]): Array[Byte] = b.zipWithIndex.map { case (v, i) =>
+      if ((i >> 4) % 8 == 0) math.min(255, (v & 0xFF) + 40).toByte else v }
+    // v1: three items; v2: a re-encode of item 0 under a FRESH id
+    // (re-crawl semantics), plus one structurally novel item — items
+    // 1 and 2 have no v2 counterpart
+    Dedup.writePhashIndex(
+      Seq((0L, saw(0, 7)), (1L, saw(20, 7)), (2L, saw(40, 7)))
+        .toDF("doc_id", "content"), "doc_id", "content", p1)
+    Dedup.writePhashIndex(
+      Seq((100L, reenc(saw(0, 7))), (101L, saw(33, 11)))
+        .toDF("doc_id", "content"), "doc_id", "content", p2)
+    val Array(r) = Dedup.diffPhashIndexes(spark, p1, p2).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 1L)),
+      s"(added, removed, retained) = $r")
+    // (an exact-digest diff of the same corpora would report the
+    // re-encode as remove+add — the perceptual identity is the point)
+    // replayed appends collapse: duplicate signature rows change nothing
+    Dedup.appendToPhashIndex(
+      Seq((100L, reenc(saw(0, 7)))).toDF("doc_id", "content"),
+      "doc_id", "content", p2)
+    val Array(r2) = Dedup.diffPhashIndexes(spark, p1, p2).collect()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1L, 2L, 1L)))
+    // mixed banding distances are a typed error, never a silent miss
+    val p3 = dir.resolve("v3").toString
+    Dedup.writePhashIndex(Seq((0L, saw(0, 7))).toDF("doc_id", "content"),
+      "doc_id", "content", p3, maxDistance = 7)
+    intercept[IllegalArgumentException] {
+      Dedup.diffPhashIndexes(spark, p1, p3)
+    }
+    // two empty snapshots diff to (0, 0, 0), never a row of nulls
+    val pe1 = dir.resolve("e1").toString
+    val pe2 = dir.resolve("e2").toString
+    val none = Seq.empty[(Long, Array[Byte])].toDF("doc_id", "content")
+    Dedup.writePhashIndex(none, "doc_id", "content", pe1)
+    Dedup.writePhashIndex(none, "doc_id", "content", pe2)
+    val Array(z) = Dedup.diffPhashIndexes(spark, pe1, pe2).collect()
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("persisted LM filter: reference counts score candidates; unseen language scores 0") {
     val dir = tmpDir("lm")
     val path = dir.resolve("lm").toString
