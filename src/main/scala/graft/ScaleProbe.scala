@@ -791,6 +791,58 @@ object ScaleProbe {
       assert(hits.getLong(0) == 1000L * c)
       assert(hits.getLong(2) == 100000L, "some node carries the max authority")
     }
+
+    // round-10: temperatureCap at 6M rows under the EXACT skew its r9
+    // defect was about — one domain ("en") holding 90% of the corpus.
+    // The partial (domain, input-partition) rank bounds what the final
+    // per-domain sort sees at cap × numPartitions; without it the hot
+    // domain funnels 5.4M rows into ONE sort task. Also asserts the
+    // two-stage plan is actually present at this scale.
+    {
+      val rows = spark.range(0L, 6000000L).select(col("id"),
+        when(col("id") % 10 < 9, lit("en"))
+          .otherwise(concat(lit("t"), (col("id") % 97).cast("string")))
+          .as("dom"))
+      val kept = graft.ops.Sampling.temperatureCap(rows, "dom", col("id"),
+        budget = 1000000L)
+      assert(kept.queryExecution.optimizedPlan.toString
+          .contains("SPARK_PARTITION_ID"),
+        "temperatureCap lost its partial-rank skew guard")
+      val byDom = t("temperatureCap 6M rows, 90%-hot domain, budget 1M")(
+        kept.groupBy((col("dom") === "en").as("hot"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getBoolean(0) -> r.getLong(1)).toMap)
+      val total = byDom.values.sum
+      println(s"SCALE temperatureCap: hot=${byDom.getOrElse(true, 0L)} " +
+        s"tail=${byDom.getOrElse(false, 0L)} total=$total")
+      assert(total <= 1000000L, "caps must respect the budget")
+      assert(byDom.getOrElse(true, 0L) < 5400000L / 2,
+        "the hot domain must be flattened, not kept proportionally")
+    }
+
+    // round-10: ANALYZE-style profile over the 6M-doc frame — two
+    // aggregate passes over the unpivoted (column, value) rows, no
+    // per-column windows, cost linear in rows × profiled columns
+    t("tableProfile 6M docs x 2 cols")(
+      noop(graft.ops.Profile.tableProfile(docs6m, Seq("doc_id", "text"))))
+
+    // round-10: soft dedup at the 50k-doc near-dup closure scale — the
+    // 10 replicas of each base doc differ only in their suffix token,
+    // so components are ~10-wide and weights land at scale/10; the
+    // component map is pairs-bounded, the join back broadcast-friendly
+    {
+      val pairs10 = Dedup.nearDupPairs(sh, "doc_id", "shingles", 0.6)
+      val w = t("softDedupWeights 50k docs (pairs + components + join)")(
+        graft.ops.Dedup.softDedupWeights(
+            d10.select(col("doc_id")), "doc_id", pairs10, scale = 1000L)
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n"))
+          .orderBy(col("cluster_size").desc).limit(3).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)))
+      println("SCALE softDedup top cluster sizes: " +
+        w.map { case (s2, n2) => s"$s2($n2)" }.mkString(", "))
+      assert(w.nonEmpty && w.head._1 >= 2L,
+        "replica clusters must surface as multi-member components")
+    }
     spark.stop()
   }
 }
