@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Web}
+import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Unigram, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -41,6 +41,8 @@ object PipelineQueries {
   private val mixDefault = 0.1
 
   /** Chunking-gate window/stride (t11), shared with the oracle SQL. */
+  private val unigramVocab = 64
+  private val unigramSeed = 200
   private val chunkWindow = 32
   private val chunkStride = 24
 
@@ -1119,6 +1121,38 @@ object PipelineQueries {
       Profile.tableProfile(docs(s, dir),
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy(col("column"))),
+
+    // ---- text: UNIGRAM-LM TOKENIZER LEARNING (SentencePiece's other
+    // half next to BPE): substring-seeded candidate vocabulary, two
+    // hard-EM rounds of min-integer-cost Viterbi segmentation over the
+    // word dictionary (costs = (T·Scale) div (c+1), the exact-integer
+    // −log p surrogate), unused multi pieces dropped, top pieces kept
+    // by (count, piece), alphabet never pruned. The oracle replays the
+    // ENTIRE trainer: seed counts, both EM rounds as 16 unrolled DP
+    // waves each (best/backpointer per position), the recursive
+    // backward walks that extract Viterbi piece uses, the prunes and
+    // the final integer costs
+    "t38_unigram_learn" -> ((s, dir) =>
+      Unigram.modelTable(s, Unigram.learn(docs(s, dir), "text",
+          vocabSize = unigramVocab, seedMulti = unigramSeed))
+        .orderBy(col("piece"))),
+
+    // ---- text: UNIGRAM ENCODING — the learned model segments the
+    // corpus (min-cost DP per word, model as array literals, pure
+    // per-row codegen); non-learnable tokens pass atomically. Oracle
+    // re-learns the model (same replay as t38) plus ONE more DP round
+    // for the final segmentation, reassembling per-token piece lists
+    // in token order
+    "t39_unigram_encode" -> ((s, dir) => {
+      val model = Unigram.learn(docs(s, dir), "text",
+        vocabSize = unigramVocab, seedMulti = unigramSeed)
+      Unigram.encodePieces(
+          docs(s, dir).filter(col("doc_id") < 60 && col("text").isNotNull),
+          "doc_id", "text", model)
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          array_join(col("pieces"), " ").as("encoded"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- sampling: TEMPERATURE-SCALED MIXTURE — the T5 α = 0.5 rule:
     // per-domain caps ∝ √(domain size) under a total row budget, so
@@ -3635,6 +3669,126 @@ object PipelineQueries {
        |  FROM cl$sfx
        |)""".stripMargin
 
+  /** One unrolled Viterbi-DP round of the unigram trainer replay
+    * (t38/t39): `maxWordLen` waves — wave i joins the prior state
+    * (all reachable positions < i) with the costed vocabulary on the
+    * candidate substring, takes MIN cost and the MAX-length
+    * backpointer among ties (exactly
+    * [[graft.functions.UnigramSegmentImpl]]'s tie-break), and extends
+    * the materialized state chain — then a RECURSIVE backward walk
+    * from each word's end extracts the chosen pieces (`used\$r`).
+    * All arithmetic non-negative BIGINT (`//` ≡ Scala `/`); composed
+    * by concatenation, never re-stripMargined (the r9 `||` lesson). */
+  private def duckUnigramDpRound(r: Int, vocab: String, maxPieceLen: Int,
+      maxWordLen: Int): String = {
+    val waves = (1 to maxWordLen).map { i =>
+      s"""c${r}_$i AS (
+         |  SELECT s.word, s.best + v.cost AS cand, l.l
+         |  FROM s${r}_${i - 1} s, range(1, ${maxPieceLen + 1}) l(l), $vocab v
+         |  WHERE s.pos = $i - l.l AND length(s.word) >= $i
+         |    AND v.piece = substr(s.word, CAST($i - l.l + 1 AS INTEGER), CAST(l.l AS INTEGER))
+         |), b${r}_$i AS (
+         |  SELECT word, MIN(cand) AS best FROM c${r}_$i GROUP BY word
+         |), n${r}_$i AS (
+         |  SELECT c.word, CAST($i AS BIGINT) AS pos, b.best, CAST(MAX(c.l) AS BIGINT) AS bl
+         |  FROM c${r}_$i c JOIN b${r}_$i b ON c.word = b.word AND c.cand = b.best
+         |  GROUP BY c.word, b.best
+         |), s${r}_$i AS MATERIALIZED (
+         |  SELECT word, pos, best FROM s${r}_${i - 1}
+         |  UNION ALL SELECT word, pos, best FROM n${r}_$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bp = (1 to maxWordLen)
+      .map(i => s"SELECT word, pos, bl FROM n${r}_$i").mkString(" UNION ALL ")
+    s"s${r}_0 AS (SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS best FROM words),\n" +
+      waves + ",\n" +
+      s"""bp$r AS MATERIALIZED ($bp),
+         |walk$r AS (
+         |  SELECT word, CAST(length(word) AS BIGINT) AS pos FROM words
+         |  UNION ALL
+         |  SELECT k.word, k.pos - b.bl FROM walk$r k
+         |  JOIN bp$r b ON b.word = k.word AND b.pos = k.pos
+         |  WHERE k.pos > 0
+         |),
+         |used$r AS (
+         |  SELECT k.word, k.pos,
+         |    substr(k.word, CAST(k.pos - b.bl + 1 AS INTEGER), CAST(b.bl AS INTEGER)) AS piece
+         |  FROM walk$r k JOIN bp$r b ON b.word = k.word AND b.pos = k.pos
+         |  WHERE k.pos > 0
+         |)""".stripMargin
+  }
+
+  /** Generated DuckDB replay of the ENTIRE [[graft.ops.Unigram.learn]]
+    * trainer: lowercased word dict → occurrence-weighted substring
+    * seed counts → char floor + top-`seedMulti` multi seeds → integer
+    * costs `(T·Scale) // (cnt+1)` → `iterations` hard-EM rounds (DP
+    * waves + walk + Viterbi counts + char-floor/top-K prune +
+    * re-cost). Round r's costed vocabulary lands in CTE `cv\$r`; the
+    * caller selects from `cv\$iterations` (and may append one extra
+    * [[duckUnigramDpRound]] against it for a final segmentation). */
+  private def duckUnigramModel(vocabSize: Int, seedMulti: Int,
+      maxPieceLen: Int = 8, maxWordLen: Int = 16, iterations: Int = 2): String = {
+    val s0 = graft.ops.Unigram.Scale
+    def em(r: Int, vocab: String): String =
+      duckUnigramDpRound(r, vocab, maxPieceLen, maxWordLen) + ",\n" +
+        s"""cnt$r AS MATERIALIZED (
+           |  SELECT u.piece, CAST(SUM(w.freq) AS BIGINT) AS cnt
+           |  FROM used$r u JOIN words w USING (word) GROUP BY u.piece
+           |),
+           |chars$r AS (
+           |  SELECT v.piece, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+           |  FROM $vocab v LEFT JOIN cnt$r c USING (piece)
+           |  WHERE length(v.piece) = 1
+           |),
+           |multi$r AS (
+           |  SELECT piece, cnt FROM (
+           |    SELECT c.piece, c.cnt,
+           |      ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.piece) AS rn
+           |    FROM cnt$r c JOIN $vocab v USING (piece)
+           |    WHERE length(c.piece) > 1)
+           |  WHERE rn <= greatest($vocabSize - (SELECT count(*) FROM chars$r), 0)
+           |),
+           |v$r AS MATERIALIZED (
+           |  SELECT piece, cnt FROM chars$r UNION ALL SELECT piece, cnt FROM multi$r
+           |),
+           |cv$r AS MATERIALIZED (
+           |  SELECT piece, cnt, (t.tt * $s0) // (cnt + 1) AS cost
+           |  FROM v$r, (SELECT CAST(SUM(cnt + 1) AS BIGINT) AS tt FROM v$r) t
+           |)""".stripMargin
+    val seed =
+      s"""toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM documents
+         |),
+         |words AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(tk) AS word FROM toks) w
+         |  WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= $maxWordLen
+         |  GROUP BY word
+         |),
+         |subs AS (
+         |  SELECT substr(w.word, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER)) AS piece, w.freq
+         |  FROM words w, range(1, ${maxWordLen + 1}) s(s), range(1, ${maxPieceLen + 1}) l(l)
+         |  WHERE s.s <= length(w.word) AND l.l <= length(w.word) - s.s + 1
+         |),
+         |sc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM subs GROUP BY piece),
+         |chars0 AS (SELECT piece, cnt FROM sc WHERE length(piece) = 1),
+         |multi0 AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM sc WHERE length(piece) > 1)
+         |  WHERE rn <= $seedMulti
+         |),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM chars0 UNION ALL SELECT piece, cnt FROM multi0),
+         |cv0 AS MATERIALIZED (
+         |  SELECT piece, cnt, (t.tt * $s0) // (cnt + 1) AS cost
+         |  FROM v0, (SELECT CAST(SUM(cnt + 1) AS BIGINT) AS tt FROM v0) t
+         |)""".stripMargin
+    seed + ",\n" +
+      (1 to iterations).map(r => em(r, s"cv${r - 1}")).mkString(",\n")
+  }
+
   /** DuckDB near-dup replay fragments shared by the d04 / p04 / p18
     * oracles: the planted-copy corpus, word-3-gram shingles and the
     * exact all-pairs Jaccard pair list (`pairsj`), plus the recursive
@@ -5247,6 +5401,45 @@ object PipelineQueries {
         |FROM stats s LEFT JOIN dst d ON d.col = s.col
         |LEFT JOIN top t ON t.col = s.col
         |ORDER BY s.col""".stripMargin,
+
+    // full unigram-trainer replay (generated: seed counts, two hard-EM
+    // rounds as 16 unrolled DP waves each + recursive Viterbi walks,
+    // char-floor/top-K prunes, integer re-costs) — final model = cv2
+    "t38_unigram_learn" ->
+      ("WITH RECURSIVE\n" + duckUnigramModel(unigramVocab, unigramSeed) +
+        "\nSELECT piece, cnt AS n_count, cost FROM cv2 ORDER BY piece"),
+
+    // t38's replay plus ONE segmentation-only DP round against the
+    // final model, per-word piece lists reassembled in token order
+    "t39_unigram_encode" ->
+      ("WITH RECURSIVE\n" + duckUnigramModel(unigramVocab, unigramSeed) +
+        ",\n" + duckUnigramDpRound(3, "cv2", maxPieceLen = 8, maxWordLen = 16) +
+        ",\n" +
+        """wp AS (SELECT word, list(piece ORDER BY pos ASC) AS pl
+          |       FROM used3 GROUP BY word),
+          |dt AS (
+          |  SELECT t.doc_id, u.i AS tpos, t.tk[CAST(u.i + 1 AS BIGINT)] AS word
+          |  FROM toks t, unnest(range(0, len(t.tk))) AS u(i)
+          |  WHERE t.doc_id < 60
+          |),
+          |per AS (
+          |  SELECT d.doc_id, d.tpos,
+          |    CASE WHEN wp.pl IS NULL THEN d.word
+          |         ELSE array_to_string(wp.pl, ' ') END AS ptxt,
+          |    CASE WHEN wp.pl IS NULL THEN 1 ELSE len(wp.pl) END AS np
+          |  FROM dt d LEFT JOIN wp ON wp.word = d.word
+          |),
+          |agg AS (
+          |  SELECT doc_id, CAST(SUM(np) AS INTEGER) AS n_pieces,
+          |    COALESCE(string_agg(ptxt, ' ' ORDER BY tpos), '') AS encoded
+          |  FROM per GROUP BY doc_id
+          |)
+          |SELECT b.doc_id, COALESCE(a.n_pieces, 0) AS n_pieces,
+          |  COALESCE(a.encoded, '') AS encoded
+          |FROM (SELECT doc_id FROM documents
+          |      WHERE doc_id < 60 AND text IS NOT NULL) b
+          |LEFT JOIN agg a USING (doc_id)
+          |ORDER BY b.doc_id""".stripMargin),
 
     // temperature-mix replay: per-domain counts → quantized √ weights
     // (round(sqrt·1e6) — IEEE sqrt is correctly rounded in both
