@@ -74,9 +74,15 @@ object UnigramSegmentImpl {
           val c = map.get(w.substring(i - l, i))
           if (c != null) {
             val cand = prev + c.longValue()
-            // min cost; ties prefer the LONGER piece (l ascending loop,
-            // so >= on equal cost keeps updating to the larger l)
-            if (cand < best(i) || (cand == best(i) && l > bl(i))) {
+            // cand < prev ⇔ the non-negative add wrapped: treat the
+            // path as unreachable-expensive rather than letting a
+            // negative cost win the min — [[graft.ops.Unigram]] sizes
+            // costs so learn-scope words can't get here, but this
+            // public surface accepts any (model, word) and must not
+            // return garbage for longer words (the r8 one-level-
+            // overflow class)
+            if (cand >= prev &&
+                (cand < best(i) || (cand == best(i) && l > bl(i)))) {
               best(i) = cand
               bl(i) = l
             }

@@ -527,10 +527,12 @@ object Dedup {
     import spark.implicits._
     Seq(maxDistance).toDF("max_distance")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
-    // a rebuild may re-band: the next memoized read must see the new
-    // distance (same-JVM rewrite case; see phashIndexMaxDistance)
+    // a rebuild may re-band: drop the memoized distance BEFORE the new
+    // index can become visible — invalidating only after a successful
+    // swap would leave a crashed swap (healed later by a reader) being
+    // probed with the OLD cached distance, silently missing pairs
     phashMeta.remove(path)
+    FsOps.swapDirs(spark, tmp, path)
   }
 
   /** Banding distance from a phash index's `_meta`, memoized per path
@@ -692,6 +694,11 @@ object Dedup {
     val d2 = phashIndexMaxDistance(spark, pathV2)
     require(d1 == d2, s"diffPhashIndexes: snapshots band at different " +
       s"distances ($d1 vs $d2) — rebuild one with the other's maxDistance")
+    // heal before the snapshot reads: the memoized getter only heals on
+    // a memo MISS, so with a hot memo a crashed swap would otherwise
+    // fail every diff until restart even though `.building` is complete
+    FsOps.healSwap(spark, pathV1 + ".building", pathV1)
+    FsOps.healSwap(spark, pathV2 + ".building", pathV2)
     val v1 = spark.read.parquet(pathV1).distinct()
     val v2 = spark.read.parquet(pathV2).distinct()
     def capped(ch: DataFrame): DataFrame =

@@ -107,6 +107,12 @@ object Unigram {
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         chars ++ multi
       } finally { seeds.unpersist(); () }
+    // a corpus with no learnable words must fail HERE with a corpus-
+    // level message, not deep in the EM loop with the kernel's
+    // empty-model require
+    require(vocab.nonEmpty,
+      "Unigram.learn: no learnable words in the corpus (lowercase-ASCII " +
+        s"words of length <= $maxWordLen)")
     val nChars = vocab.count(_._1.length == 1)
     var it = 0
     while (it < iterations) {

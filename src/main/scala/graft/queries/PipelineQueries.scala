@@ -3669,6 +3669,22 @@ object PipelineQueries {
        |  FROM cl$sfx
        |)""".stripMargin
 
+  /** The quantile-hit interpolation `lo + (rank-1)*width // cnt` over
+    * a positive-side subBits-5 bucket -- ONE fragment behind every
+    * sketch-quantile replay (the duckBucket pattern: the interpolation
+    * geometry cannot drift per-oracle). Expects the hit frame's
+    * `bucket`/`target`/`cum`/`cnt` columns in scope; embedded lines
+    * carry no margin pipe, so an outer stripMargin leaves them intact
+    * (the r9 composition rule). */
+  private val duckQuantileEst: String =
+    """CASE WHEN bucket < 32 THEN bucket
+      |     ELSE (32 + bucket % 32)
+      |          * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
+      |    + ((target - (cum - cnt) - 1) *
+      |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
+      |      ) // cnt""".stripMargin
+
   /** One unrolled Viterbi-DP round of the unigram trainer replay
     * (t38/t39): `maxWordLen` waves — wave i joins the prior state
     * (all reachable positions < i) with the costed vocabulary on the
@@ -4914,13 +4930,7 @@ object PipelineQueries {
         |),
         |est AS (
         |  SELECT source, pct,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |         ELSE (32 + bucket % 32)
-        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
-        |    + ((target - (cum - cnt) - 1) *
-        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
-        |      ) // cnt AS est_value
+        |    ${duckQuantileEst} AS est_value
         |  FROM tq WHERE cum >= target AND cum - cnt < target
         |),
         |eb AS (
@@ -4984,13 +4994,7 @@ object PipelineQueries {
         |),
         |est AS (
         |  SELECT source, pct,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |         ELSE (32 + bucket % 32)
-        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
-        |    + ((target - (cum - cnt) - 1) *
-        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
-        |      ) // cnt AS est_value
+        |    ${duckQuantileEst} AS est_value
         |  FROM hit
         |),
         |ranked AS (
@@ -5168,13 +5172,7 @@ object PipelineQueries {
         |),
         |med AS (
         |  SELECT source,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |         ELSE (32 + bucket % 32)
-        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
-        |    + ((target - (cum - cnt) - 1) *
-        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
-        |      ) // cnt AS med_chars
+        |    ${duckQuantileEst} AS med_chars
         |  FROM (SELECT *, CAST(floor(CAST(50 AS DOUBLE) / 100.0
         |          * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS target FROM hc)
         |  WHERE cum >= target AND cum - cnt < target
@@ -5513,13 +5511,7 @@ object PipelineQueries {
         |),
         |est AS (
         |  SELECT pct,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |         ELSE (32 + bucket % 32)
-        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
-        |    + ((target - (cum - cnt) - 1) *
-        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
-        |      ) // cnt AS est_value
+        |    ${duckQuantileEst} AS est_value
         |  FROM tq WHERE cum >= target AND cum - cnt < target
         |),
         |thr AS (
@@ -6137,13 +6129,7 @@ object PipelineQueries {
         |),
         |est AS (
         |  SELECT event_type, pct,
-        |    CASE WHEN bucket < 32 THEN bucket
-        |         ELSE (32 + bucket % 32)
-        |              * (CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER)) END
-        |    + ((target - (cum - cnt) - 1) *
-        |       CASE WHEN bucket < 32 THEN CAST(1 AS BIGINT)
-        |            ELSE CAST(1 AS BIGINT) << CAST(bucket // 32 - 1 AS INTEGER) END
-        |      ) // cnt AS est_value
+        |    ${duckQuantileEst} AS est_value
         |  FROM tq WHERE cum >= target AND cum - cnt < target
         |),
         |ranked AS (
