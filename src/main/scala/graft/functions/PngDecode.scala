@@ -103,7 +103,14 @@ object PngDecodeImpl {
         val compression = b(dataAt + 10) & 0xFF
         val filterMethod = b(dataAt + 11) & 0xFF
         val interlace = b(dataAt + 12) & 0xFF
-        if (width < 1 || height < 1 || width * height > MaxPixels ||
+        // per-dimension caps BEFORE the product: width/height are u32s
+        // up to 2³²−1, so a hostile IHDR could wrap width·height past
+        // 2⁶³ and sneak under the pixel cap into a giant allocation
+        // (OutOfMemoryError is not NonFatal — it would kill the task,
+        // not fall back)
+        if (width < 1 || height < 1 ||
+            width > MaxPixels || height > MaxPixels ||
+            width * height > MaxPixels ||
             bitDepth != 8 || compression != 0 || filterMethod != 0 ||
             interlace != 0 ||
             !(colorType == 0 || colorType == 2 || colorType == 3 ||

@@ -3669,6 +3669,39 @@ object PipelineQueries {
        |  FROM cl$sfx
        |)""".stripMargin
 
+  /** The t33 LM-scoring replay chain shared by the t33 / e19 / p20
+    * oracles: lowercased tokens -> bigram structs -> even-doc
+    * reference counts -> odd-doc scoring through the round(p*1e12)
+    * scaled-long stable conversion, landing in
+    * `scored(doc_id, n_bigrams, lm_score)` -- ONE fragment (the
+    * duckBucket pattern) so the scoring replay cannot drift
+    * per-oracle. Plain string: `\s+` stays literal. */
+  private val duckLmScored: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), g0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
+      |  FROM toks
+      |), grams AS (
+      |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
+      |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
+      |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM grams
+      |       WHERE doc_id % 2 = 0 GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(SUM(COALESCE(
+      |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
+      |          * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
+      |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
+      |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
+      |  WHERE g.doc_id % 2 = 1
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
   /** The quantile-hit interpolation `lo + (rank-1)*width // cnt` over
     * a positive-side subBits-5 bucket -- ONE fragment behind every
     * sketch-quantile replay (the duckBucket pattern: the interpolation
@@ -5467,30 +5500,8 @@ object PipelineQueries {
     // bucket labels → the p05 md5 CASE keep filter, thresholds from
     // the SAME fraction constants as the Spark op's defaults
     "p20_perplexity_buckets" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents
-        |), g0 AS (
-        |  SELECT doc_id,
-        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
-        |  FROM toks
-        |), grams AS (
-        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
-        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
-        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |uc AS (SELECT w1, count(*) AS c1 FROM grams
-        |       WHERE doc_id % 2 = 0 GROUP BY w1),
-        |scored AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(SUM(COALESCE(
-        |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |          * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
-        |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
-        |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
-        |  WHERE g.doc_id % 2 = 1
-        |  GROUP BY doc_id
-        |), sc AS (
+      ("WITH " + duckLmScored + ",\n" +
+      s"""sc AS (
         |  SELECT doc_id, n_bigrams, lm_score,
         |    CAST(round(lm_score * 1000000.0) AS BIGINT) AS v
         |  FROM scored
@@ -5531,7 +5542,7 @@ object PipelineQueries {
         |  CASE WHEN bucket = 'head' THEN '${graft.ops.Sampling.hexThresholdLex(1.0)}'
         |       WHEN bucket = 'middle' THEN '${graft.ops.Sampling.hexThresholdLex(0.5)}'
         |       ELSE '${graft.ops.Sampling.hexThresholdLex(0.1)}' END
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     // soft-dedup replay: d04's exact closure → per-component sizes →
     // // weights → the p12 Lehmer priority draw over the weights
@@ -5562,28 +5573,8 @@ object PipelineQueries {
     // DOUBLE), mean; docs with <2 tokens have no bigram rows and are
     // absent in both engines
     "t33_lm_filter" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents
-        |), g0 AS (
-        |  SELECT doc_id,
-        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
-        |  FROM toks
-        |), grams AS (
-        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
-        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
-        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |uc AS (SELECT w1, count(*) AS c1 FROM grams
-        |       WHERE doc_id % 2 = 0 GROUP BY w1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(SUM(COALESCE(
-        |      CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |        * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
-        |    / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
-        |FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
-        |WHERE g.doc_id % 2 = 1
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      ("WITH " + duckLmScored +
+        "\nSELECT doc_id, n_bigrams, lm_score FROM scored ORDER BY doc_id"),
 
     "t10_bigram_plaus" ->
       """WITH toks AS (
@@ -5791,33 +5782,9 @@ object PipelineQueries {
     // probabilities, decimal sums) restricted to admitted docs — the
     // static model makes batch boundaries invisible in the result
     "e19_stream_lm_screen" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents
-        |), g0 AS (
-        |  SELECT doc_id,
-        |    unnest([{'w1': tk[i], 'w2': tk[i+1]} for i in range(1, len(tk))]) AS g
-        |  FROM toks
-        |), grams AS (
-        |  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM g0
-        |), bc AS (SELECT w1, w2, count(*) AS c12 FROM grams
-        |          WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |uc AS (SELECT w1, count(*) AS c1 FROM grams
-        |       WHERE doc_id % 2 = 0 GROUP BY w1),
-        |sc AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(SUM(COALESCE(
-        |        CAST(round(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)
-        |          * 1000000000000.0) AS BIGINT), 0)) AS DOUBLE)
-        |      / (CAST(count(*) AS DOUBLE) * 1000000000000.0) AS lm_score
-        |  FROM grams g LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1)
-        |  WHERE g.doc_id % 2 = 1
-        |  GROUP BY doc_id
-        |)
-        |SELECT doc_id, n_bigrams, lm_score FROM sc
-        |WHERE lm_score >= CAST(0.0335 AS DOUBLE)
-        |ORDER BY doc_id""".stripMargin,
+      ("WITH " + duckLmScored +
+        "\nSELECT doc_id, n_bigrams, lm_score FROM scored" +
+        "\nWHERE lm_score >= CAST(0.0335 AS DOUBLE) ORDER BY doc_id"),
 
     // url-prep replay: same doc_id-derived construction, then the FULL
     // normalizeUrl chain (fragment strip → authority case-fold +

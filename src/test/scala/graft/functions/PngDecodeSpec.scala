@@ -168,6 +168,13 @@ class PngDecodeSpec extends SparkSpec {
     System.arraycopy(be32(1L << 30), 0, hostile, 16, 4)
     System.arraycopy(be32(1L << 30), 0, hostile, 20, 4)
     assert(PngDecodeImpl.pngLuma(hostile) == null)
+    // u32-max dims whose PRODUCT wraps past 2^63: the per-dimension cap
+    // must reject before the multiply (a wrapped product would sneak
+    // under the pixel cap into a giant allocation)
+    val wrap = good.clone()
+    System.arraycopy(be32(0xFFFFFFFFL), 0, wrap, 16, 4)
+    System.arraycopy(be32(0xC4653600L), 0, wrap, 20, 4)
+    assert(PngDecodeImpl.pngLuma(wrap) == null)
     // interlace flag / 16-bit depth: out of scope, fallback
     val inter = good.clone(); inter(28) = 1
     assert(PngDecodeImpl.pngLuma(inter) == null)
