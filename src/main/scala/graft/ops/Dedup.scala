@@ -527,19 +527,12 @@ object Dedup {
     import spark.implicits._
     Seq(maxDistance).toDF("max_distance")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    // a rebuild may re-band: drop the memoized distance BEFORE the new
-    // index can become visible — invalidating only after a successful
-    // swap would leave a crashed swap (healed later by a reader) being
-    // probed with the OLD cached distance, silently missing pairs —
-    // and AGAIN after it lands: a concurrent reader (a live streaming
-    // screen) could re-memoize the old value inside the swap window.
-    // The pair of removes closes both orderings for a rebuild that
-    // COMPLETES; a rebuild that crashes mid-swap while a reader races
-    // the window is not protected — don't re-band an index a live
-    // reader is probing (see phashIndexMaxDistance's contract)
-    phashMeta.remove(path)
-    FsOps.swapDirs(spark, tmp, path)
-    phashMeta.remove(path)
+    // a rebuild may re-band: the memoized distance invalidates around
+    // the swap (before AND after — see swapDirsInvalidating's contract
+    // for why both, and for the documented no-live-reader restriction)
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+      phashMeta.remove(path); ()
+    })
   }
 
   /** Banding distance from a phash index's `_meta`, memoized per path

@@ -42,4 +42,21 @@ object FsOps {
       throw new IllegalStateException(
         s"swap rename failed: new copy left at $tmpPath")
   }
+
+  /** [[swapDirs]] for datasets with a same-JVM memoized property (a
+    * phash index's banding distance, an LM model's broadcast size
+    * class): runs `invalidate` BEFORE the swap — a crashed swap healed
+    * later by a reader must not be consumed under the stale memo — and
+    * AGAIN after it lands, because a concurrent reader can re-memoize
+    * the old value inside the swap window. One helper so no future
+    * memoized artifact gets half the pattern (the round-10 Lm slip).
+    * The residual case — a swap that CRASHES while a reader races the
+    * window — is not protected: don't rebuild an index a live reader
+    * is consuming. */
+  def swapDirsInvalidating(spark: SparkSession, tmpPath: String,
+      dstPath: String)(invalidate: () => Unit): Unit = {
+    invalidate()
+    swapDirs(spark, tmpPath, dstPath)
+    invalidate()
+  }
 }

@@ -61,15 +61,15 @@ object Lm {
         .select(col("w1"), col("w2"), col("c")))
       val tmp = path + ".building"
       rows.write.mode("overwrite").parquet(tmp)
-      // a same-JVM rebuild may change the model's size class: drop the
-      // memoized broadcast decision so a long-lived scorer re-counts —
-      // without this, a much LARGER rewrite at the same path would
-      // keep force-broadcasting past the BroadcastModelRows rationale
-      // (an availability risk, not a correctness one). BEFORE the
-      // swap, like phashMeta: a crashed swap healed by a later scorer
-      // must not be scored under the stale decision
-      broadcastChoice.remove(path)
-      FsOps.swapDirs(spark, tmp, path)
+      // a same-JVM rebuild may change the model's size class: the
+      // memoized broadcast decision invalidates around the swap
+      // (before AND after — swapDirsInvalidating's contract) so a
+      // long-lived scorer re-counts instead of force-broadcasting a
+      // grown model past the BroadcastModelRows rationale (an
+      // availability risk, not a correctness one)
+      FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+        broadcastChoice.remove(path); ()
+      })
     } finally bc.unpersist()
   }
 
