@@ -612,10 +612,11 @@ object Dedup {
       phashIndexMaxDistance(spark, path), maxBucket)
 
   /** Probe with the banding distance supplied by the caller — for
-    * callers that already read `_meta` (the streaming screen reads it
-    * once per batch and must band its in-batch dominance pass with the
-    * SAME distance the index probe used; two independent reads could
-    * straddle a concurrent index swap).
+    * callers that already hold the distance (the streaming screen gets
+    * it once per JVM from the memoized [[phashIndexMaxDistance]] and
+    * must band its in-batch dominance pass with the SAME distance the
+    * index probe uses; two independent lookups could otherwise
+    * disagree across an index rebuild).
     *
     * Plan shape: the batch's DISTINCT (ci, cv) chunk values broadcast
     * as a semi-join over the index's chunk rows FIRST, so the bucket-
@@ -699,8 +700,12 @@ object Dedup {
     // fail every diff until restart even though `.building` is complete
     FsOps.healSwap(spark, pathV1 + ".building", pathV1)
     FsOps.healSwap(spark, pathV2 + ".building", pathV2)
-    val v1 = spark.read.parquet(pathV1).distinct()
-    val v2 = spark.read.parquet(pathV2).distinct()
+    // cut after the distinct: each side feeds the band join AND the
+    // membership-count union (and a third bucket-size self-join when
+    // maxBucket is finite) — Catalyst would re-run the scan + distinct
+    // per consumer; the cut output is 16-byte signature rows
+    val v1 = Lineage.cut(spark.read.parquet(pathV1).distinct())
+    val v2 = Lineage.cut(spark.read.parquet(pathV2).distinct())
     def capped(ch: DataFrame): DataFrame =
       if (maxBucket == Int.MaxValue) ch
       else ch.join(ch.groupBy(col("ci"), col("cv"))

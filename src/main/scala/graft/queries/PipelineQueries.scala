@@ -331,12 +331,15 @@ object PipelineQueries {
     // PERCEPTUAL indexes (mm06's artifact) so identity is modulo
     // near-dup: v2 carries RE-ENCODED copies (blocking-artifact bumps,
     // fresh ids — a re-crawl mints new ids) of v1's first 200 items →
-    // retained; v1's last 100 have no v2 counterpart → removed; v2's
-    // slope-11 novels (min distance ≥ 13 from every sawtooth-7 item,
-    // the mm06 fixture) → added. Oracle replays both signature sets
-    // and the plain distance predicate (pigeonhole banding is
-    // exhaustive at ≤ maxDistance — the mm06 argument), then the same
-    // per-side membership counts.
+    // all 200 retained; of v1's last 100 (no bumped counterpart) only
+    // 48 count removed — the other 52 cross-match bumped copies of
+    // OTHER cores at ≤ 3 bits (the r9 sawtooth-density effect, itself
+    // a realistic churn property); v2's 40 slope-11 novels (min
+    // distance ≥ 13 from every sawtooth-7 item, the mm06 fixture) →
+    // added. Expected row: (40, 48, 200), replayed independently.
+    // Oracle replays both signature sets and the plain distance
+    // predicate (pigeonhole banding is exhaustive at ≤ maxDistance —
+    // the mm06 argument), then the same per-side membership counts.
     "d14_neardup_churn" -> ((s, dir) => {
       val d = col("doc_id")
       val base = graft.Paths.scratchDir("graft-phash-diff")
