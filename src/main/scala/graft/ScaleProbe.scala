@@ -846,6 +846,28 @@ object ScaleProbe {
       assert(w.nonEmpty && w.head._1 >= 2L,
         "replica clusters must surface as multi-member components")
     }
+
+    // round-10: unigram tokenizer at 6M docs — the claim under test:
+    // learning is DICT-bounded (one corpus pass counts words; the seed
+    // pass and both hard-EM rounds run over the vocabulary-sized dict,
+    // every collect model-sized), and encoding is a pure per-row
+    // kernel whose cost is the corpus pass itself
+    {
+      val model = t("unigram learn 6M docs (dict-bounded, 2 EM rounds)")(
+        graft.ops.Unigram.learn(docs6m, "text", vocabSize = 64,
+          seedMulti = 200))
+      println(s"SCALE unigram: pieces=${model.size} " +
+        s"multi=${model.count(_.piece.length > 1)}")
+      assert(model.nonEmpty && model.exists(_.piece.length > 1),
+        "a 6M-doc corpus with a shared vocabulary must learn multi pieces")
+      val enc = t("unigram encode 6M docs (per-row DP kernel)")(
+        graft.ops.Unigram.encodePieces(docs6m, "doc_id", "text", model)
+          .agg(count(lit(1)).as("n"),
+            sum(size(col("pieces")).cast("long")).as("np")).head())
+      println(s"SCALE unigram encode: docs=${enc.getLong(0)} pieces=${enc.getLong(1)}")
+      assert(enc.getLong(1) > enc.getLong(0),
+        "encoded piece count must exceed doc count")
+    }
     spark.stop()
   }
 }
