@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Unigram, Web}
+import graft.ops.{Audio, Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Unigram, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -2194,6 +2194,52 @@ object PipelineQueries {
         .orderBy(col("batch_id"), col("index_id"))
     }),
 
+    // ---- multimodal: AUDIO decode + features — payloads are real PCM
+    // WAV containers built from doc_id-derived 16-bit samples (rate,
+    // leading-silence run and waveform all doc_id functions), decoded
+    // by the zero-dep RIFF/PCM kernel into typed metadata + loudness /
+    // silence features. The oracle never parses bytes: it replays the
+    // sample formula and the exact-integer feature arithmetic directly
+    // (the mm04 ground-truth-by-construction pattern), so a decode that
+    // read the header or samples wrong hash-mismatches immediately.
+    "mm07_audio_stats" -> ((s, dir) => {
+      val d = col("doc_id")
+      val rate = lit(8000) + pmod(d, lit(4)) * 2000
+      val frame = docs(s, dir).select(d).filter(d < 80)
+        .withColumn("content",
+          wavPayload(d, rate, pmod(d, lit(3)) * 32, lit(0), lit(false)))
+      Audio.audioStatColumns(frame)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("duration_ms"), col("mean_abs"),
+          col("peak_abs"), col("lead_silence"), col("trail_silence"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal: AUDIO perceptual near-dup — the mm05 story in
+    // the sample domain: ids ≥ 400 carry RE-RECORDED copies of ids
+    // 0..39 (+25 DC offset everywhere — the fingerprint is EXACTLY
+    // invariant to it, floor-division windows shift uniformly — and
+    // ids ≥ 420 add a +120 bump on every 4th 32-sample block, the
+    // clipping artifact of a hot re-record: measured hamming 0-3,
+    // so every copy pairs and the nonzero-distance arm is exercised
+    // while distinct waveforms sit ≥ 16 bits apart). Fingerprints ride the
+    // SAME pigeonhole banding as images. Oracle replays biased
+    // samples → truncating-div windows → comparison bits via the
+    // shared duckPhash chain (bias makes sums non-negative, where
+    // DuckDB's truncating `//` ≡ the kernel arithmetic) and pairs
+    // with the plain distance predicate — the banding is exhaustive
+    // at ≤ maxDistance and 440 items can never exceed the 1000
+    // bucket cap.
+    "mm08_audio_neardup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val core = when(d < 400, d).otherwise(d - 400)
+      val frame = docs(s, dir).select(d).filter(d < 440)
+        .withColumn("content", wavPayload(core, lit(8000), lit(0),
+          when(d >= 400, 25).otherwise(0), d >= 420))
+      Audio.audioNearDupPairs(frame, "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- events: tumbling-window stats (same code runs on streams)
     "e01_tumbling_stats" -> ((s, dir) =>
       EventStreams.tumblingStats(Tables.load(s, dir, "events"))
@@ -3643,12 +3689,62 @@ object PipelineQueries {
         2, "0"))))
   }
 
+  /** doc_id-derived synthetic PCM WAV payload (16-bit mono LE, a real
+    * RIFF container the [[graft.functions.WavDecodeImpl]] kernel
+    * parses): n = 400 + core % 97 samples,
+    * s_i = ((core+3)·(i² + 7i) + core·31) % 1601 − 800, zeroed for
+    * i < lead. The quadratic i² term decorrelates adjacent fingerprint
+    * windows (a slow sawtooth made every window average monotone →
+    * near-identical fingerprints for ALL cores, the e18 degenerate-
+    * fixture trap — measured: 18k cross-core pairs; this form measures
+    * min cross-core hamming 19, zero base pairs among 440). `dcOff` is
+    * added to EVERY sample (a re-record bias — the fingerprint is
+    * exactly invariant to it) and `bump` adds +120 on every 4th
+    * 32-sample block (a hot re-record's clipping artifact; measured
+    * hamming 0-3 against the original — inside maxDistance, never
+    * free). Shared by mm07/mm08; [[duckWavSamples]] is the oracle
+    * twin. */
+  private def wavPayload(core: Column, rate: Column, lead: Column,
+      dcOff: Column, bump: Column): Column = {
+    def leHex(v: Column, nb: Int): Column =
+      concat((0 until nb).map(k =>
+        lpad(hex(shiftright(v, 8 * k).bitwiseAND(lit(255))), 2, "0")): _*)
+    val n = lit(400) + pmod(core, lit(97))
+    val samplesHex = concat_ws("", transform(sequence(lit(0), n - 1), i => {
+      val sv = when(i < lead, lit(0))
+        .otherwise(pmod((core + 3) * (i * i + i * 7) + core * lit(31),
+          lit(1601)) - 800) +
+        dcOff +
+        when(bump && pmod(shiftright(i, 5), lit(4)) === 0, 120).otherwise(0)
+      // two's-complement 16-bit little-endian
+      leHex(pmod(sv, lit(65536)), 2)
+    }))
+    val dataSize = n * 2
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + 36, 4), lit("57415645"), // RIFF/WAVE
+      lit("666D7420" + "10000000" + "0100" + "0100"), // fmt , PCM, mono
+      leHex(rate, 4), leHex(rate * 2, 4), lit("0200" + "1000"), // 16-bit
+      lit("64617461"), leHex(dataSize, 4), samplesHex)) // data
+  }
+
   /** DuckDB expression for [[sawtoothPayload]]'s BYTES as an integer
     * list — the oracles never materialize blobs (the mm04 pattern). */
   private def duckSawBytes(core: String, slope: Int, bump: Boolean): String = {
     val bumpTerm = if (bump) " + CASE WHEN (i>>4)%8 = 0 THEN 40 ELSE 0 END" else ""
     s"[ least(255, (($core)*31 + i*$slope) % 251$bumpTerm) " +
       s"for i in range(0, 200 + ($core) % 50) ]"
+  }
+
+  /** DuckDB expression for [[wavPayload]]'s decoded SAMPLES as a signed
+    * integer list — the oracle twin (oracles never materialize WAV
+    * containers; the decode is ground-truthed by construction, the
+    * mm04 pattern). */
+  private def duckWavSamples(core: String, lead: String, dcOff: String,
+      bump: Boolean): String = {
+    val bumpTerm = if (bump) " + CASE WHEN (i>>5)%4 = 0 THEN 120 ELSE 0 END" else ""
+    s"[ CASE WHEN i < ($lead) THEN 0 " +
+      s"ELSE ((($core)+3)*(i*i + i*7) + ($core)*31) % 1601 - 800 END" +
+      s" + ($dcOff)$bumpTerm for i in range(0, 400 + ($core) % 97) ]"
   }
 
   /** CTE chain replaying [[graft.functions.PerceptualHashImpl.dhash63]]
@@ -5986,6 +6082,66 @@ object PipelineQueries {
           |  CAST(bit_count(xor(b.ph, i.ph)) AS INTEGER) AS hamming
           |FROM hb b JOIN hi i ON bit_count(xor(b.ph, i.ph)) <= 3
           |ORDER BY batch_id, index_id""".stripMargin),
+
+    // audio decode + features replay: the WAV container is never
+    // parsed — samples come straight from the doc_id formula (the
+    // mm04 ground-truth pattern) and every feature is exact integer
+    // arithmetic (// on non-negative operands ≡ the kernel's floor
+    // division); silence threshold 0, so silent ⇔ s = 0
+    "mm07_audio_stats" ->
+      (s"""WITH base AS (
+         |  SELECT doc_id, 8000 + (doc_id % 4) * 2000 AS rate
+         |  FROM documents WHERE doc_id < 80
+         |), smp AS (
+         |  SELECT doc_id, rate,
+         |    ${duckWavSamples("doc_id", "(doc_id % 3) * 32", "0", bump = false)} AS s
+         |  FROM base
+         |), feat AS (
+         |  SELECT doc_id, rate, len(s) AS n,
+         |    list_sum([abs(x) for x in s]) AS sum_abs,
+         |    list_max([abs(x) for x in s]) AS peak,
+         |    coalesce(list_min(list_filter(range(0, len(s)),
+         |      i -> s[i+1] != 0)), len(s)) AS lead_sil,
+         |    list_max(list_filter(range(0, len(s)), i -> s[i+1] != 0)) AS last_ns
+         |  FROM smp
+         |)
+         |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+         |  CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+         |  CAST(sum_abs // n AS BIGINT) AS mean_abs,
+         |  CAST(peak AS BIGINT) AS peak_abs,
+         |  CAST(lead_sil AS BIGINT) AS lead_silence,
+         |  CAST(CASE WHEN last_ns IS NULL THEN 0 ELSE n - 1 - last_ns END
+         |    AS BIGINT) AS trail_silence
+         |FROM feat ORDER BY doc_id""".stripMargin),
+
+    // audio perceptual near-dup replay: sample lists BIASED by +32768
+    // (the kernel's trick: biased window sums are non-negative, where
+    // DuckDB's truncating `//` ≡ floor division — probe-verified that
+    // `//` truncates on negatives, so signed sums would NOT replay)
+    // through the SHARED duckPhash window/bit chain, then the plain
+    // distance predicate (banding exhaustive at ≤ maxDistance; 440
+    // items can never exceed the 1000 bucket cap)
+    "mm08_audio_neardup" ->
+      (s"""WITH au AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 400 THEN doc_id ELSE doc_id - 400 END AS core,
+         |    doc_id >= 400 AS cp, doc_id >= 420 AS bp
+         |  FROM documents WHERE doc_id < 440
+         |), b AS (
+         |  SELECT doc_id, [x + 32768 for x in
+         |    CASE WHEN bp THEN ${duckWavSamples("core", "0", "25", bump = true)}
+         |         WHEN cp THEN ${duckWavSamples("core", "0", "25", bump = false)}
+         |         ELSE ${duckWavSamples("core", "0", "0", bump = false)} END] AS bytes
+         |  FROM au
+         |),
+         |""".stripMargin + duckPhash("b", "a") + "\n" +
+        """SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          |  CAST(bit_count(xor(x.ph, y.ph)) AS INTEGER) AS hamming
+          |FROM ha x JOIN ha y ON x.doc_id < y.doc_id
+          |WHERE bit_count(xor(x.ph, y.ph)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin),
 
     // streaming media screen replay: the sequential admission cascade
     // (feed 1 vs seed index + in-batch dominance, feed 2 vs the GROWN
