@@ -27,7 +27,7 @@ import graft.queries._
   *              int8) + graph analytics (PageRank, TrustRank, components,
   *              label-propagation communities, k-means, triangle counts,
   *              clustering coefficients, k-core, HITS hubs/authorities)
-  *   - t0*–t3*  text analysis (tokens, quality, langid, fingerprint, edit,
+  *   - t0*–t4*  text analysis (tokens, quality, langid, fingerprint, edit,
   *              BPE, classifier, markup strip, paragraph dedup, URL prep, n-gram decontam,
   *              postings search, LM filter, DSIR importance selection,
   *              table profiling) + sketches (KMV, count-min,

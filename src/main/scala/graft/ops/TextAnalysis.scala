@@ -520,6 +520,76 @@ object TextAnalysis {
         col("n_dup_grams"))
   }
 
+  /** Exact-substring EXCISION — the removal half of Lee et al. 2022's
+    * exact-substring dedup ([[maximalDupSpans]] is the detection
+    * half): every token covered by a cross-document-duplicated word
+    * n-gram is REMOVED from every document except the gram's keeper
+    * (the minimum doc id containing it — "all but one occurrence
+    * survives"), and the survivors are reassembled in order. Returns
+    * (idCol, clean_text, n_tokens_kept, n_tokens_removed); documents
+    * with nothing duplicated pass through with their tokens rejoined
+    * by single spaces (output lives in token space — the same
+    * whitespace normalization every consumer downstream of
+    * [[tokens]] already sees). Intra-document repeats are NOT excised
+    * (the duplication signal is distinct-document frequency, matching
+    * [[duplicatedSpans]]); a document shorter than n tokens carries no
+    * grams and is never cut.
+    *
+    * Shape at 100 TB: gram strings are md5'd to 16-byte keys
+    * immediately (the [[maximalDupSpans]] move — the document-
+    * frequency aggregate and the membership join shuffle narrow
+    * hashes, never gram text); the keeper rides the SAME aggregate as
+    * the frequency, so no second pass; coverage positions explode to
+    * at most n × (duplicated grams) narrow (id, int) rows; the final
+    * per-document reassembly groups by document, bounded by document
+    * length — no skew risk at any corpus size. */
+  def exciseDupSpans(df: DataFrame, idCol: String,
+      textCol: String = "text", n: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val posGrams = Dedup.bindOnce(tokens(col(textCol))) { tk =>
+      when(size(tk) < n, array().cast("array<struct<pos:int,gh:string>>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => struct(i.cast("int").as("pos"),
+            md5(concat_ws(" ", slice(tk, i + 1, lit(n)))).as("gh"))))
+    }
+    val grams = df.select(col(idCol).as("__id"), explode(posGrams).as("g"))
+      .select(col("__id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    // distinct-doc frequency + keeper in ONE aggregate over the
+    // distinct (gh, id) pairs (no countDistinct two-exchange expansion)
+    val dup = grams.select(col("gh"), col("__id")).distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"), min(col("__id")).as("__keeper"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"), col("__keeper"))
+    val marked = grams.join(dup, Seq("gh"))
+      .filter(col("__id") =!= col("__keeper"))
+    val covered = marked
+      .select(col("__id").as("__cid"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos"))
+      .distinct()
+    val toks = df
+      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "tok")
+    val kept = toks.join(covered,
+      toks("__id") === covered("__cid") && toks("pos") === covered("cpos"),
+      "left_anti")
+    val cleaned = kept.groupBy(col("__id"))
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    // fully-excised (or token-free) documents surface with empty text,
+    // not silently dropped — the left join + coalesce is load-bearing
+    df.select(col(idCol).as("__id"),
+        size(tokens(col(textCol))).cast("long").as("__nt"))
+      .join(cleaned, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__nt") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
+
   /** Top-`size` token vocabulary over the corpus: (token, n, id) with
     * ids 1..size assigned by (count desc, token asc) — id 0 is reserved
     * for OOV in [[encodeTokenIds]]. The global top-N is a distributed

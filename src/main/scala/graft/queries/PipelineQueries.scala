@@ -743,6 +743,17 @@ object PipelineQueries {
           "text", n = 8, minDocs = 2)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // ---- text: exact-substring EXCISION — the removal half of Lee
+    // et al. exact-substring dedup: every token covered by a cross-doc
+    // duplicated 8-gram is cut from every doc except the gram's keeper
+    // (min doc id), survivors reassembled in order. The planted copies
+    // (id + 1,000,000) lose their whole shared passage and keep only
+    // the perturbed suffix; the originals keep everything.
+    "t40_dup_span_excise" -> ((s, dir) =>
+      TextAnalysis.exciseDupSpans(docsWithNearDups(s, dir), "doc_id",
+          "text", n = 8, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // ---- tokenizer: BPE merge learning over the word-frequency dict —
     // 6 greedy merges; every pair weight is an exact integer sum and the
     // symbol-wrapped replace has identical left-to-right semantics in
@@ -4590,6 +4601,53 @@ object PipelineQueries {
         |  MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens, COUNT(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // excision replay: t16's positional-gram + distinct-doc-frequency
+    // chain, keeper = min doc id per duplicated gram, coverage =
+    // per-marked-gram position windows, survivors reassembled with an
+    // ordered string_agg (NULL on an empty set -> coalesce to '', the
+    // p09 rule); removed-count derives from the SAME token array
+    "t40_dup_span_excise" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    text || ' perturbed suffix token' AS text
+        |  FROM documents WHERE doc_id < 50
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
+        |), pg AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(array_to_string(tk[CAST(i + 1 AS BIGINT) : CAST(i + 8 AS BIGINT)], ' ')) AS gh
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS i FROM toks)
+        |), dup AS (
+        |  SELECT gh, MIN(doc_id) AS keeper
+        |  FROM (SELECT DISTINCT gh, doc_id FROM pg)
+        |  GROUP BY gh HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT p.doc_id, CAST(p.pos + j AS INTEGER) AS cpos
+        |  FROM pg p JOIN dup d USING (gh), range(0, 8) r(j)
+        |  WHERE p.doc_id != d.keeper
+        |), tt AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[CAST(i + 1 AS BIGINT)] AS tok
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toks)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM tt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+        |  WHERE c.cpos IS NULL
+        |), agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT k.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(len(k.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+        |FROM toks k LEFT JOIN agg a USING (doc_id)
+        |ORDER BY k.doc_id""".stripMargin,
 
     // BPE: the oracle replays the greedy merge loop — one (pN, mN, dN)
     // CTE triple per merge, generated by bpeMergeCtes so Spark and SQL

@@ -348,4 +348,52 @@ class PipelineOps5Spec extends SparkSpec {
     val exact = Map(10L -> 6L, 11L -> 0L, 12L -> 3L, 13L -> 0L)
     exact.foreach { case (id, e) => assert(out(id)._2 >= e, s"doc $id undercounts") }
   }
+
+  test("exciseDupSpans: keeper keeps everything, copies lose the shared passage") {
+    val shared10 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (5L, s"$shared10 keeper tail words"), // min id -> keeps all
+      (9L, s"prefix bits $shared10 suffix piece"),
+      (7L, "entirely unrelated text with no duplication at all right"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(5L) == ((s"$shared10 keeper tail words", 13L, 0L)))
+    assert(out(9L) == (("prefix bits suffix piece", 4L, 10L)))
+    assert(out(7L)._3 == 0L) // untouched
+    // partitioning-invariant
+    val repart = TextAnalysis.exciseDupSpans(docs.repartition(7), "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == out.map { case (k, (a, b, c)) => (k, a, b, c) }.toSet)
+  }
+
+  test("exciseDupSpans: full excision yields empty text; short docs carry no grams") {
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, shared), // keeper
+      (2L, shared), // fully excised
+      (3L, "a b c"), // under n tokens: never cut even if repeated
+      (4L, "a b c"),
+      (5L, "")) // token-free
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((shared, 8L, 0L)))
+    assert(out(2L) == (("", 0L, 8L)))
+    assert(out(3L) == (("a b c", 3L, 0L)) && out(4L) == (("a b c", 3L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("exciseDupSpans: intra-document repeats alone do not excise") {
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, s"$run filler middle $run"), // repeats only within itself
+      (2L, "totally different content here that is unique enough okay"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
 }
