@@ -23,10 +23,11 @@ import graft.queries._
   *              INSTEAD OF view-directed DML)
   *   - src_*    file sources/sinks round-trips (SURVEY §2.1 S1–S17 + JSONL)
   *   - d0*      dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding)
-  *   - s01–s16  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
-  *              int8) + graph analytics (PageRank, TrustRank, components,
-  *              label-propagation communities, k-means, triangle counts,
-  *              clustering coefficients, k-core, HITS hubs/authorities)
+  *   - s01–s17  similarity search (exact, LSH, IVF, IVF+PQ, filtered,
+  *              int8, JL sign-projection compression) + graph analytics
+  *              (PageRank, TrustRank, components, label-propagation
+  *              communities, k-means, triangle counts, clustering
+  *              coefficients, k-core, HITS hubs/authorities)
   *   - t0*–t4*  text analysis (tokens, quality, langid, fingerprint, edit,
   *              BPE, classifier, markup strip, paragraph dedup, URL prep, n-gram decontam,
   *              postings search, LM filter, DSIR importance selection,

@@ -200,6 +200,46 @@ object Similarity {
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss SIGN random projection — embedding
+    * compression for the 100 TB regime: a 64-float embedding column
+    * becomes `outDim` exact BIGINTs (e.g. 64×4 B → 16×8 B = half the
+    * bytes at outDim 16, and any downstream distance is pure integer
+    * arithmetic). Achlioptas 2001 ("Database-friendly random
+    * projections") shows ±1 sign matrices satisfy the JL lemma like
+    * Gaussians; signs come from the SAME integer-LCG family as
+    * [[gridPlanes]] (sign(j,d) = +1 iff LCG(j·dim+d) % 2001 ≥ 1000),
+    * so an independent engine reproduces the matrix exactly.
+    *
+    * Inputs go through the round(x·scale)→long stable conversion
+    * first (CLAUDE.md: DECIMAL casts of arbitrary doubles are NOT
+    * cross-engine stable; nearest-integer is), so every projected
+    * coordinate is an EXACT long: Σ_d ±round(x_d·scale). With
+    * unit-norm embeddings and the default scale, coordinates stay
+    * under dim·scale ≈ 2²⁶ — squared-distance sums over outDim
+    * coordinates fit comfortably in a long.
+    *
+    * The sum is UNROLLED at plan time (dim × outDim literal-sign
+    * terms, whole-stage-codegen-friendly — no HOF loop, no kernel
+    * needed); the scaled vector is bound once per the HOF-CSE rule.
+    * Vectors shorter than `dim` raise Spark's typed ANSI
+    * element_at error (filterable upstream; a silent zero-pad would
+    * mask corrupt embeddings). */
+  def randomProject(vec: Column, dim: Int, outDim: Int,
+      scale: Double = 1e6): Column = {
+    require(dim >= 1 && outDim >= 1, "dims must be >= 1")
+    Dedup.bindOnce(transform(vec.cast("array<double>"),
+        x => round(x * lit(scale)).cast("long"))) { sv =>
+      array((0 until outDim).map { j =>
+        (0 until dim).map { d =>
+          val sign =
+            if ((1103515245L * (j * dim + d) + 12345L) % 2001L >= 1000L) 1L
+            else -1L
+          element_at(sv, d + 1) * lit(sign)
+        }.reduce(_ + _)
+      }: _*)
+    }
+  }
+
   /** Deterministic INTEGER-component hyperplanes: an LCG over the flat
     * (plane, dim) index, values in [-1000, 1000]. Sign-bucket LSH only
     * needs a symmetric component distribution, so integer uniforms trade

@@ -502,6 +502,27 @@ object PipelineQueries {
     }),
 
     // ---- graph: HITS hubs & authorities over the kNN similarity
+    // ---- similarity: JL sign random projection — 64-float embeddings
+    // compressed to 16 exact BIGINTs (Achlioptas ±1 matrix from the
+    // gridPlanes integer-LCG family; inputs through the round(x·1e6)
+    // stable conversion), then exact top-3 by projected squared L2 —
+    // every coordinate, distance and rank is integer arithmetic both
+    // engines reproduce bit-for-bit
+    "s17_jl_project" -> ((s, dir) => {
+      val proj = embeds(s, dir).select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), 64, 16).as("p"))
+      val q = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("p").as("qp"))
+      val pairs = proj.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          aggregate(zip_with(col("p"), col("qp"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"))
+      Similarity.topKPerGroup(pairs, Seq(col("query_id")),
+          Seq(col("dist"), col("neighbor_id")), 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // graph — the curation prior PageRank's single score conflates:
     // directory-like nodes (pointing at many authorities) score high
     // hub, widely-referenced nodes high auth. Exact fixed-point with
@@ -4456,6 +4477,38 @@ object PipelineQueries {
     "p10_semdedup" -> p10OracleSql,
     "s05_knn_graph" -> s05OracleSql,
     "s08_pagerank" -> s08OracleSql,
+    // JL projection replay: nested comprehensions rebuild the ±1 LCG
+    // sign matrix and the scaled-long projection; distances and ranks
+    // are exact integers (row_number cast to Spark's INT)
+    "s17_jl_project" ->
+      """WITH sv AS (
+        |  SELECT vec_id,
+        |    [CAST(round(x * 1000000.0) AS BIGINT)
+        |     for x in CAST(embedding AS DOUBLE[])] AS s
+        |  FROM embeddings
+        |), proj AS (
+        |  SELECT vec_id,
+        |    [ CAST(list_sum([ CASE WHEN (CAST(1103515245 AS BIGINT)*(j*64 + d)
+        |                                 + 12345) % 2001 >= 1000
+        |                      THEN s[d+1] ELSE -s[d+1] END
+        |                      for d in range(0, 64) ]) AS BIGINT)
+        |      for j in range(0, 16) ] AS p
+        |  FROM sv
+        |), pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(list_sum([ (c.p[j+1] - q.p[j+1]) * (c.p[j+1] - q.p[j+1])
+        |                    for j in range(0, 16) ]) AS BIGINT) AS dist
+        |  FROM proj q, proj c WHERE q.vec_id < 10
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dist, neighbor_id) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, dist
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
     "s16_hits" -> s16OracleSql,
     "s13_triangles" -> s13OracleSql,
     "s14_clustering_coeff" -> s14OracleSql,

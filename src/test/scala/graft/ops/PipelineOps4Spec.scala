@@ -370,4 +370,71 @@ class PipelineOps4Spec extends SparkSpec {
     } finally q.stop()
     assert(dupsFound.toSet == Set((100L, 0L), (200L, 101L)))
   }
+
+  test("randomProject: exact scaled-sign sums, hand-checked") {
+    val df = Seq((1L, Seq(0.5f, -0.25f, 1.0f, 0.0f))).toDF("id", "v")
+    val out = df.select(Similarity.randomProject(col("v"), 4, 2, scale = 100.0))
+      .collect()(0).getSeq[Long](0)
+    val s = Seq(50L, -25L, 100L, 0L)
+    val expected = (0 until 2).map { j =>
+      (0 until 4).map { d =>
+        val sgn = if ((1103515245L * (j * 4 + d) + 12345L) % 2001L >= 1000L) 1L else -1L
+        s(d) * sgn
+      }.sum
+    }
+    assert(out == expected)
+  }
+
+  test("randomProject: planted clusters keep their neighborhoods (JL property)") {
+    // 5 well-separated 64-dim centers, 20 points each with tiny jitter;
+    // a 16-dim sign projection must keep same-cluster points nearest
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(64)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until 5; k <- 0 until 20) yield
+      (c * 100L + k,
+        centers(c).map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    val df = pts.toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+      Similarity.randomProject(col("embedding"), 64, 16).as("p"))
+    val q = proj.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("p").as("qp"))
+    val pairs = proj.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("p"), col("qp"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val top = Similarity.topKPerGroup(pairs, Seq(col("qid")),
+        Seq(col("dist"), col("vec_id")), 5)
+      .select(col("qid"), col("vec_id")).collect()
+    // every query's projected top-5 is entirely same-cluster
+    top.foreach { r =>
+      assert(r.getLong(0) / 100 == r.getLong(1) / 100,
+        s"cross-cluster neighbor in projected top-5: $r")
+    }
+    assert(top.length == 25)
+  }
+
+  test("randomProject: mean squared coordinate tracks true distance (unbiased-ish)") {
+    // E[(p_a - p_b)_j^2] = scale^2 |a-b|^2 for +-1 signs; sample ratio
+    // stays within a loose constant for random pairs
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(64)(rnd.nextGaussian()); val b = Array.fill(64)(rnd.nextGaussian())
+    val df = Seq((1L, a.map(_.toFloat).toSeq), (2L, b.map(_.toFloat).toSeq))
+      .toDF("id", "v")
+    val p = df.orderBy("id")
+      .select(Similarity.randomProject(col("v"), 64, 16))
+      .collect().map(_.getSeq[Long](0))
+    val meanSq = p(0).zip(p(1)).map { case (x, y) =>
+      val d = x - y; d.toDouble * d }.sum / 16
+    val trueSq = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum * 1e12
+    val ratio = meanSq / trueSq
+    assert(ratio > 0.2 && ratio < 5.0, s"distortion ratio $ratio")
+  }
+
+  test("randomProject: a vector shorter than dim raises, never zero-pads") {
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    intercept[Exception] {
+      df.select(Similarity.randomProject(col("v"), 64, 4)).collect()
+    }
+  }
 }
