@@ -615,21 +615,29 @@ object ScaleProbe {
     // broadcast join + doc aggregation. Target = rows whose synthetic
     // text carries the rare token; the probe checks the selector
     // separates the classes at full corpus scale
-    // 6M-doc synthetic corpus shared by the DSIR and serving-path
+    // ~5.5M-doc synthetic corpus shared by the DSIR and serving-path
     // probes (ONE localCheckpoint — a second copy would double block-
-    // manager residency for the rest of the run). Unique ids from the
-    // natural (l_orderkey, l_linenumber) key — l_orderkey alone
-    // repeats ~4x per order, which would merge texts per id and fan
-    // scores back out; a row_number would be a single-partition global
-    // window. The rare-token plant keys off the SAME id so the target
-    // class is exactly the planted class
+    // manager residency for the rest of the run). The natural
+    // (l_orderkey, l_linenumber) key is NOT unique in this synthetic
+    // lineitem (up to 6 rows per pair — the generator does not honor
+    // the TPC-H PK; measured round 10 when duplicate ids drove
+    // exciseDupSpans' removed-count NEGATIVE), so the frame is
+    // explicitly deduped by id: every id-grouped consumer below
+    // (DSIR, LM scoring, postings, excision) assumes row-unique ids.
+    // dropDuplicates keeps an arbitrary row per key, but the EAGER
+    // localCheckpoint materializes the choice once — stable for the
+    // whole run, no retry-nondeterminism. A row_number discriminator
+    // would be a single-partition global window; monotonically_
+    // increasing_id is not retry-safe as a key (round-6 rule).
+    // The rare-token plant keys off the SAME id so the target class
+    // is exactly the planted class
     val did6m = col("l_orderkey") * 8 + col("l_linenumber")
     val docs6m = l10.select(did6m.as("doc_id"),
       concat(lit("tok"), (col("l_partkey") % 50).cast("string"),
         lit(" tok"), (col("l_suppkey") % 50).cast("string"),
         lit(" common filler words here"),
         when(did6m % 10 === 0, lit(" raretoken")).otherwise(lit("")))
-        .as("text")).localCheckpoint(eager = true)
+        .as("text")).dropDuplicates("doc_id").localCheckpoint(eager = true)
 
     {
       val target = docs6m.filter(col("doc_id") % 10 === 0)
@@ -867,6 +875,128 @@ object ScaleProbe {
       println(s"SCALE unigram encode: docs=${enc.getLong(0)} pieces=${enc.getLong(1)}")
       assert(enc.getLong(1) > enc.getLong(0),
         "encoded piece count must exceed doc count")
+    }
+
+    // round-10 (cont.): audio tier at 2M WAV payloads — decode +
+    // features is one fused kernel pass; the fingerprint index is the
+    // phash serving story with the audio kernel (signatures written
+    // once, a 10k re-record batch joins 16-byte rows). Payloads are
+    // 8-bit mono PCM built as hex (construction cost dominates, like
+    // the phash fixture — real corpora arrive as bytes), so the frame
+    // is persisted and construction timed apart from the operators.
+    {
+      def wav8(core: org.apache.spark.sql.Column, dc: Int) = {
+        val n = lit(96) + pmod(core, lit(32))
+        val szHex = concat(lpad(hex(n), 2, "0"), lit("000000"))
+        val riffHex = concat(lpad(hex(n + 36), 2, "0"), lit("000000"))
+        unhex(concat(lit("52494646"), riffHex, lit("57415645"),
+          lit("666D7420" + "10000000" + "0100" + "0100" +
+            "401F0000" + "401F0000" + "0100" + "0800"),
+          lit("64617461"), szHex,
+          concat_ws("", transform(sequence(lit(0), n - 1), i =>
+            lpad(hex(pmod(core * 37 + i * 11, lit(247)) + dc), 2, "0")))))
+      }
+      val audio2m = spark.range(0L, 2000000L)
+        .select(col("id").as("doc_id"),
+          wav8(col("id") % 100000L, 0).as("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("audio fixture build 2M WAVs (hex construction, once)")(
+        audio2m.count())
+      val stats = t("audio decode+features 2M payloads (fused kernel)")(
+        graft.ops.Audio.audioStatColumns(audio2m)
+          .agg(count(lit(1)), min(col("sample_rate")), max(col("n_samples")),
+            max(col("peak_abs"))).head())
+      println(s"SCALE audio stats: n=${stats.getLong(0)} " +
+        s"rate=${stats.getLong(1)} maxN=${stats.getLong(2)} " +
+        s"peak=${stats.getLong(3)}")
+      assert(stats.getLong(0) == 2000000L && stats.getLong(1) == 8000L)
+      val dirA = graft.Paths.scratchDir("graft-scale-afp-")
+      val aIdx = dirA.resolve("idx").toString
+      try {
+        t("audio fingerprint index write 2M payloads (once)")(
+          graft.ops.Audio.writeFingerprintIndex(audio2m, "doc_id", aIdx))
+        // 10k DC(+4)-shifted re-records of INDEXED cores must all
+        // surface (the fingerprint is exactly DC-invariant); 5k
+        // descending-ramp novels must not (the phash structural-
+        // distinctness lesson)
+        val batch = spark.range(0L, 10000L)
+          .select((col("id") + 100000000L).as("doc_id"),
+            wav8(col("id") * 10L, 4).as("content"))
+          .unionByName(spark.range(0L, 5000L)
+            .select((col("id") + 200000000L).as("doc_id"), {
+              val n = lit(96) + pmod(col("id"), lit(32))
+              unhex(concat(lit("52494646"),
+                concat(lpad(hex(n + 36), 2, "0"), lit("000000")),
+                lit("57415645"),
+                lit("666D7420" + "10000000" + "0100" + "0100" +
+                  "401F0000" + "401F0000" + "0100" + "0800"),
+                lit("64617461"), concat(lpad(hex(n), 2, "0"), lit("000000")),
+                concat_ws("", transform(sequence(lit(0), n - 1), i =>
+                  lpad(hex(lit(246) - pmod(col("id") * 37 + i * 11, lit(247))),
+                    2, "0")))))
+            }.as("content")))
+        val probed = t("audio probe 15k batch vs 2M-payload index")(
+          graft.ops.Audio.probeFingerprintIndex(spark, aIdx, batch, "doc_id",
+              maxBucket = Int.MaxValue)
+            .groupBy((col("batch_id") >= 200000000L).as("novel"))
+            .agg(countDistinct(col("batch_id")).as("n")).collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap)
+        println(s"SCALE audio probe: matched-copies=${probed.getOrElse(false, 0L)} " +
+          s"matched-novel=${probed.getOrElse(true, 0L)}")
+        assert(probed.getOrElse(false, 0L) == 10000L,
+          "every DC-shifted re-record must surface against the index")
+        assert(probed.getOrElse(true, 0L) == 0L,
+          "no descending-ramp novel may match")
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(aIdx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dirA.toString), true)
+        ()
+      }
+      audio2m.unpersist()
+    }
+
+    // round-10 (cont.): exact-substring excision at 6M docs — the
+    // whole chain (positional md5 grams → distinct-doc frequency +
+    // keeper → coverage explode → anti-join → per-doc reassembly)
+    // over ~30M grams. The synthetic texts share their middle, so
+    // nearly every doc is cut and only per-gram keepers survive
+    // intact — the worst-case coverage volume, not the average one.
+    {
+      val exc = t("exciseDupSpans 6M docs (n=4, ~30M grams)")(
+        graft.ops.TextAnalysis.exciseDupSpans(docs6m, "doc_id", "text", n = 4)
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens_kept")).as("kept"),
+            sum(col("n_tokens_removed")).as("rm"),
+            min(col("n_tokens_removed")).as("minRm")).head())
+      println(s"SCALE excise: docs=${exc.getLong(0)} kept=${exc.getLong(1)} " +
+        s"removed=${exc.getLong(2)} minRemoved=${exc.getLong(3)}")
+      assert(exc.getLong(0) == docs6m.count(), "every doc must surface")
+      assert(exc.getLong(3) == 0L, "per-gram keepers must survive intact")
+      assert(exc.getLong(2) > exc.getLong(1),
+        "a middle-sharing corpus must lose most of its tokens")
+    }
+
+    // round-10 (cont.): JL sign projection at 6M 64-dim vectors — one
+    // tight-loop kernel per row, no shuffle; throughput here is the
+    // 100 TB per-partition cost. The vector frame is persisted so the
+    // fixture transform (64 pmod/divisions per row) is timed apart
+    // from the kernel: the first unrolled-expression cut hid inside
+    // that mix at ~69 s total; the kernel pass stands alone now.
+    {
+      val vecs = spark.range(0L, 6000000L).select(col("id"),
+        transform(sequence(lit(0), lit(63)),
+          d => pmod(col("id") * 31 + d * 7, lit(1000)).cast("double") / 500.0 - 1.0)
+          .as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("jl fixture build 6M x 64-dim vectors (once)")(vecs.count())
+      val p = t("randomProject 6M x (64 -> 16) vectors (kernel)")(
+        vecs.select(col("id"),
+            graft.ops.Similarity.randomProject(col("v"), 64, 16).as("p"))
+          .agg(count(lit(1)), min(element_at(col("p"), 1)),
+            max(element_at(col("p"), 1))).head())
+      println(s"SCALE jl: n=${p.getLong(0)} c1min=${p.getLong(1)} c1max=${p.getLong(2)}")
+      assert(p.getLong(0) == 6000000L && p.getLong(1) < p.getLong(2))
+      vecs.unpersist()
     }
     spark.stop()
   }

@@ -42,12 +42,14 @@ import graft.queries._
   *              screen, drift screen, exact-dedup screen, LM quality
   *              screen, DSIR importance screen, perceptual media
   *              screen), as-of/range join
-  *   - p0*–p19  composed pipelines (corpus prep, sampling, packing, splits,
+  *   - p0*–p21  composed pipelines (corpus prep, sampling, packing, splits,
   *              the seven-operator full-chain integration gate,
   *              cluster-balanced coreset sampling, soft dedup weights,
-  *              temperature-scaled mixture caps)
+  *              temperature-scaled mixture caps, CCNet perplexity
+  *              buckets, decontaminated train/eval splits)
   *   - f0*      SQL-text kernel surface (graft_* registered functions:
-  *              ANN, sampling, sketch hashes, web/text prep — pure-SQL
+  *              ANN, sampling, sketch hashes, web/text prep,
+  *              media/audio decode + fingerprints — pure-SQL
   *              demos)
   */
 object SparkEntry {

@@ -143,6 +143,23 @@ object SqlKernels {
       arity("graft_domain", args, 1)
       deep(graft.ops.Web.registrableDomain(ColumnBridge.column(args(0))))
     },
+    // media tier for SQL-only users: the perceptual image hash
+    // (decoded luma for PNGs, bytes-as-luma otherwise) and the audio
+    // kernels (PCM WAV decode + features, DC-invariant fingerprint) —
+    // raw StaticInvoke trees, identical to the Column surface's
+    "graft_phash" -> { args =>
+      arity("graft_phash", args, 1); PngDecode.dhashDecodedExpr(args(0))
+    },
+    "graft_audio_fingerprint" -> { args =>
+      arity("graft_audio_fingerprint", args, 1); WavDecode.afpExpr(args(0))
+    },
+    // graft_audio_stats(payload, silenceAbsMax) -> array<bigint> in
+    // WavDecodeImpl.StatNames order (null for non-WAV payloads)
+    "graft_audio_stats" -> { args =>
+      arity("graft_audio_stats", args, 2)
+      WavDecode.statsExpr(args(0),
+        Cast(args(1), org.apache.spark.sql.types.LongType))
+    },
     // graft_split(key, name1, w1, name2, w2, ...) — weights must sum
     // to 1 (same contract as splitByHash); returns the split label
     "graft_split" -> { args =>

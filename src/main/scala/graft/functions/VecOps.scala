@@ -98,11 +98,63 @@ object VecOpsImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Johnson–Lindenstrauss sign projection kernel — the tight-loop
+    * form of [[graft.ops.Similarity.randomProject]]'s arithmetic (a
+    * 1024-term unrolled Column expression measured ~11 µs/row at
+    * 64×16; this loop is the dot-kernel move that fixed the
+    * similarity family). EXACT contract, pinned by KernelParitySpec
+    * against the declarative form:
+    *   - scaled s_d = round(a_d · scale) with ties away from zero
+    *     (Spark `round` / DuckDB `round` semantics — `Math.round`'s
+    *     half-UP would diverge on negative .5 boundaries),
+    *   - sign(j,d) = +1 iff (1103515245·(j·dim+d) + 12345) % 2001 ≥
+    *     1000 (the gridPlanes LCG family),
+    *   - out_j = Σ_d sign(j,d) · s_d, exact longs.
+    * Vectors shorter than `dim` raise typed (never zero-pad — a
+    * silent pad would mask corrupt embeddings); extra trailing
+    * dimensions are ignored, matching element_at(1..dim). */
+  def jlProject(a: ArrayData, dim: Int, outDim: Int, scale: Double): ArrayData = {
+    if (a.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"jlProject: vector has ${a.numElements()} elements, needs $dim")
+    val s = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      if (a.isNullAt(d))
+        throw new IllegalArgumentException(s"jlProject: null element at index $d")
+      val v = a.getDouble(d) * scale
+      // round half away from zero = Spark round() = DuckDB round().
+      // Math.round is nearest-with-ties-up and boundary-correct (a
+      // hand-rolled floor(v+0.5) mis-rounds doubles just under a half
+      // integer); mirroring through -Math.round(-v) turns ties-up
+      // into ties-away-from-zero on the negative side
+      s(d) = if (v >= 0) Math.round(v) else -Math.round(-v)
+      d += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var sum = 0L
+      var i = 0
+      val base = j * dim
+      while (i < dim) {
+        val sgn = if ((1103515245L * (base + i) + 12345L) % 2001L >= 1000L) 1L else -1L
+        sum += sgn * s(i)
+        i += 1
+      }
+      out(j) = sum
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 object VecOps {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
   private val AD = ArrayType(DoubleType)
+  private val AL = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
   private def d(e: Expression): Expression = Cast(e, AD)
 
   /** Expression builders — shared by the Column API below and the
@@ -126,6 +178,16 @@ object VecOps {
       Seq(d(a)), Seq(AD),
       propagateNull = true, returnNullable = false)
 
+  private[functions] def jlProjectExpr(a: Expression, dim: Int, outDim: Int,
+      scale: Double): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType => DT, IntegerType => IT}
+    StaticInvoke(VecOpsImpl.getClass, AL, "jlProject",
+      Seq(d(a), Literal(dim), Literal(outDim), Literal(scale)),
+      Seq(AD, IT, IT, DT),
+      propagateNull = true, returnNullable = false)
+  }
+
   /** Column API: double dot product of two numeric array columns
     * (numeric inputs cast to `array<double>` — exact for floats). */
   def dot(a: Column, b: Column): Column =
@@ -141,4 +203,11 @@ object VecOps {
   /** Column API: L2-normalize a numeric array column (→ `array<double>`). */
   def normalize(a: Column): Column =
     ColumnBridge.column(normalizeExpr(ColumnBridge.expression(a)))
+
+  /** Column API: JL sign projection to `outDim` exact BIGINTs — see
+    * [[VecOpsImpl.jlProject]] and
+    * [[graft.ops.Similarity.randomProject]]. */
+  def jlProject(a: Column, dim: Int, outDim: Int, scale: Double): Column =
+    ColumnBridge.column(jlProjectExpr(ColumnBridge.expression(a),
+      dim, outDim, scale))
 }

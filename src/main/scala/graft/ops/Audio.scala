@@ -52,6 +52,31 @@ object Audio {
     * vocabulary. */
   def audioFingerprint(payload: Column): Column = WavDecode.fingerprint(payload)
 
+  /** Persist an audio-fingerprint membership index — the
+    * [[Dedup.writePhashIndex]] lifecycle (narrow (id, ph) rows +
+    * `_meta` banding sidecar, atomic swap, memoized distance) with the
+    * AUDIO kernel supplying signatures: a continuously-ingesting audio
+    * corpus is fingerprinted once, and each incoming batch joins
+    * 16-byte signature rows — the waveform bytes are never re-read. */
+  def writeFingerprintIndex(corpus: DataFrame, idCol: String,
+      path: String, payloadCol: String = "content",
+      maxDistance: Int = 3): Unit =
+    Dedup.writePhashSignatures(
+      corpus.select(col(idCol).as("id"),
+        audioFingerprint(col(payloadCol)).as("ph")), path, maxDistance)
+
+  /** Probe an audio batch against a [[writeFingerprintIndex]] index:
+    * (batch_id, index_id, hamming) for every batch item within the
+    * index's banding distance — re-recorded (DC-shifted, lightly
+    * clipped) copies of indexed audio surface here where exact digests
+    * miss them. Same banding/prune machinery as the image probe. */
+  def probeFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      payloadCol: String = "content", maxBucket: Int = 1000): DataFrame =
+    Dedup.probePhashSignatures(spark, path,
+      Lineage.cut(batch.select(col(idCol).as("id"),
+        audioFingerprint(col(payloadCol)).as("ph"))), maxBucket)
+
   /** Near-dup pairs among audio payloads: fingerprint + the pigeonhole
     * band pairer (maxDistance+1 chunks — any ≤maxDistance pair shares
     * an exact chunk, no-miss; `maxBucket` is the documented skew cap).

@@ -515,14 +515,25 @@ object Dedup {
     * Two-phase [[FsOps]] swap; null/undecodable payloads (null hash)
     * are excluded — they can never perceptually match anything. */
   def writePhashIndex(corpus: DataFrame, idCol: String, payloadCol: String,
-      path: String, maxDistance: Int = 3): Unit = {
+      path: String, maxDistance: Int = 3): Unit =
+    writePhashSignatures(
+      corpus.select(col(idCol).as("id"),
+        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph")),
+      path, maxDistance)
+
+  /** Signature-level index build behind [[writePhashIndex]] — for
+    * callers that hash with a DIFFERENT kernel sharing the 64-bit
+    * signature vocabulary (the audio fingerprint,
+    * [[graft.ops.Audio.writeFingerprintIndex]]). Expects `(id, ph)`;
+    * null signatures are excluded — they can never perceptually match
+    * anything. */
+  def writePhashSignatures(sigs: DataFrame, path: String,
+      maxDistance: Int = 3): Unit = {
     require(maxDistance >= 0 && maxDistance <= 63,
-      s"writePhashIndex: maxDistance $maxDistance not in [0, 63]")
-    val spark = corpus.sparkSession
+      s"writePhashSignatures: maxDistance $maxDistance not in [0, 63]")
+    val spark = sigs.sparkSession
     val tmp = path + ".building"
-    corpus.select(col(idCol).as("id"),
-        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph"))
-      .filter(col("ph").isNotNull)
+    sigs.select(col("id"), col("ph")).filter(col("ph").isNotNull)
       .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
     Seq(maxDistance).toDF("max_distance")

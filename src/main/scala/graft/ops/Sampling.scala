@@ -185,6 +185,53 @@ object Sampling {
       labelCol: String = "split"): DataFrame =
     df.withColumn(labelCol, splitLabel(key, splits))
 
+  /** Leakage-free train/eval split — [[splitByHash]] composed with the
+    * decontamination step every production pipeline runs between
+    * splitting and training (the GPT-3/Gopher appendix recipe, here at
+    * EXACT n-gram granularity — t35's Bloom screen is the probabilistic
+    * scale path): any non-eval document sharing at least one distinct
+    * word n-gram with any document of the `evalSplit` arm is relabeled
+    * `quarantineLabel` instead of entering training, and every row
+    * reports its shared-gram count. Eval rows keep their label with
+    * count 0 (sharing with themselves is not leakage). Documents
+    * shorter than n tokens carry their whole text as one pseudo-gram
+    * ([[Dedup.wordShingles]]' contract), so even short eval probes
+    * still quarantine verbatim train twins.
+    *
+    * Shape at 100 TB: gram strings are md5'd to 16-byte keys before
+    * the distinct/join (the maximalDupSpans move — only narrow hashes
+    * shuffle); the eval side is one distinct over the (small) eval
+    * arm's grams; the membership join is a narrow equi-join AQE can
+    * broadcast when eval is small. One corpus shingling pass feeds
+    * both sides. */
+  def decontaminatedSplit(df: DataFrame, idCol: String, textCol: String,
+      key: Column, splits: Seq[(String, Double)], evalSplit: String,
+      n: Int = 8, labelCol: String = "split",
+      quarantineLabel: String = "quarantine"): DataFrame = {
+    require(splits.exists(_._1 == evalSplit),
+      s"evalSplit '$evalSplit' is not one of ${splits.map(_._1)}")
+    require(!splits.exists(_._1 == quarantineLabel),
+      s"quarantineLabel '$quarantineLabel' collides with a split arm")
+    val labeled = splitByHash(df, key, splits, labelCol)
+    val grams = labeled.select(col(idCol).as("__gid"), col(labelCol).as("__lb"),
+        explode(Dedup.wordShingles(TextAnalysis.tokens(col(textCol)), n))
+          .as("g"))
+      .select(col("__gid"), col("__lb"), md5(col("g")).as("gh"))
+    val evalG = grams.filter(col("__lb") === evalSplit)
+      .select(col("gh")).distinct()
+    val shared = grams.filter(col("__lb") =!= evalSplit)
+      .join(evalG, Seq("gh"))
+      // wordShingles emits DISTINCT grams per doc, so this count is the
+      // number of distinct leaked grams, not occurrence-inflated
+      .groupBy(col("__gid")).agg(count(lit(1)).as("n_shared_grams"))
+    labeled.join(shared, labeled(idCol) === shared("__gid"), "left")
+      .withColumn(labelCol,
+        when(col(labelCol) =!= evalSplit && col("n_shared_grams").isNotNull,
+          lit(quarantineLabel)).otherwise(col(labelCol)))
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .drop("__gid")
+  }
+
   /** Validated CASE arms for a split spec: (name, cumulative-threshold
     * hex) pairs for every split but the last, plus the ELSE name — the
     * single source both [[splitLabel]] (Column) and the `graft_split`

@@ -218,15 +218,25 @@ object Similarity {
     * under dim·scale ≈ 2²⁶ — squared-distance sums over outDim
     * coordinates fit comfortably in a long.
     *
-    * The sum is UNROLLED at plan time (dim × outDim literal-sign
-    * terms, whole-stage-codegen-friendly — no HOF loop, no kernel
-    * needed); the scaled vector is bound once per the HOF-CSE rule.
-    * Vectors shorter than `dim` raise Spark's typed ANSI
-    * element_at error (filterable upstream; a silent zero-pad would
-    * mask corrupt embeddings). */
+    * Runs as ONE tight-loop codegen kernel
+    * ([[graft.functions.VecOpsImpl.jlProject]] — the first cut was a
+    * dim×outDim unrolled Column expression, measured ~11 µs/row at
+    * 64×16 over 6M rows; the kernel is the dot-product move that fixed
+    * the similarity family, and KernelParitySpec pins it bitwise-equal
+    * to the declarative form). Vectors shorter than `dim` raise typed
+    * (filterable upstream; a silent zero-pad would mask corrupt
+    * embeddings). */
   def randomProject(vec: Column, dim: Int, outDim: Int,
       scale: Double = 1e6): Column = {
     require(dim >= 1 && outDim >= 1, "dims must be >= 1")
+    graft.functions.VecOps.jlProject(vec, dim, outDim, scale)
+  }
+
+  /** The declarative (unrolled Column expression) form of
+    * [[randomProject]] — KernelParitySpec's reference implementation;
+    * never use on a hot path (plan-time unrolled dim×outDim terms). */
+  private[graft] def randomProjectDeclarative(vec: Column, dim: Int,
+      outDim: Int, scale: Double = 1e6): Column =
     Dedup.bindOnce(transform(vec.cast("array<double>"),
         x => round(x * lit(scale)).cast("long"))) { sv =>
       array((0 until outDim).map { j =>
@@ -238,7 +248,6 @@ object Similarity {
         }.reduce(_ + _)
       }: _*)
     }
-  }
 
   /** Deterministic INTEGER-component hyperplanes: an LCG over the flat
     * (plane, dim) index, values in [-1000, 1000]. Sign-bucket LSH only

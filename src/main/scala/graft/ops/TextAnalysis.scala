@@ -535,6 +535,14 @@ object TextAnalysis {
     * [[duplicatedSpans]]); a document shorter than n tokens carries no
     * grams and is never cut.
     *
+    * CONTRACT: `idCol` must uniquely identify rows (the
+    * [[Bpe.encodeViaDict]] contract — every grouping stage merges on
+    * it, so a duplicate id would interleave two documents' token
+    * positions and even drive `n_tokens_removed` negative). Duplicate
+    * ids raise a typed error at execution instead — caught by a
+    * ScaleProbe run whose synthetic corpus silently violated its own
+    * uniqueness claim.
+    *
     * Shape at 100 TB: gram strings are md5'd to 16-byte keys
     * immediately (the [[maximalDupSpans]] move — the document-
     * frequency aggregate and the membership join shuffle narrow
@@ -579,12 +587,22 @@ object TextAnalysis {
             s => s.getField("tok"))).as("clean_text"),
         count(lit(1)).as("n_tokens_kept"))
     // fully-excised (or token-free) documents surface with empty text,
-    // not silently dropped — the left join + coalesce is load-bearing
+    // not silently dropped — the left join + coalesce is load-bearing.
+    // The totals aggregate doubles as the duplicate-id detector (the
+    // Bpe.encodeViaDict lazy-raise pattern): its narrow (id, long)
+    // rows shuffle on the same key as `cleaned`, so the contract check
+    // costs no extra wide pass
     df.select(col(idCol).as("__id"),
         size(tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nrows"), max(col("__nt")).as("__nt"))
       .join(cleaned, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        when(col("__nrows") =!= 1L, raise_error(concat(
+          lit("TextAnalysis.exciseDupSpans: duplicate rows for doc id "),
+          col("__id").cast("string"),
+          lit(" - ids must uniquely identify documents"))))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
         (col("__nt") - coalesce(col("n_tokens_kept"), lit(0L)))
           .as("n_tokens_removed"))

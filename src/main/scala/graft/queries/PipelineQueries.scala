@@ -1485,6 +1485,46 @@ object PipelineQueries {
           |FROM screened GROUP BY domain ORDER BY domain""".stripMargin)
     }),
 
+    // ---- SQL-text media surface: a pure spark.sql pipeline builds
+    // REAL 16-bit PCM WAV containers (the mm07/mm08 sample formula),
+    // decodes them with graft_audio_stats and fingerprints them with
+    // graft_audio_fingerprint — the SQL-only user's audio path. The
+    // oracle replays samples from the formula (never parsing bytes)
+    // and the fingerprint through the shared biased duckPhash chain.
+    "f05_sql_audio" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        """WITH base AS (
+          |  SELECT doc_id, 400 + doc_id % 97 AS n
+          |  FROM graft_sql_docs WHERE doc_id < 60
+          |), wav AS (
+          |  SELECT doc_id, unhex(concat(
+          |    '52494646',
+          |    concat_ws('', transform(sequence(0, 3), k ->
+          |      lpad(hex(shiftright(36 + 2*n, 8*k) & 255), 2, '0'))),
+          |    '57415645', '666D7420', '10000000', '0100', '0100',
+          |    '401F0000', '803E0000', '0200', '1000', '64617461',
+          |    concat_ws('', transform(sequence(0, 3), k ->
+          |      lpad(hex(shiftright(2*n, 8*k) & 255), 2, '0'))),
+          |    concat_ws('', transform(sequence(0, n - 1), i ->
+          |      concat(
+          |        lpad(hex(pmod(pmod((doc_id+3)*(i*i + i*7) + doc_id*31, 1601)
+          |          - 800, 65536) & 255), 2, '0'),
+          |        lpad(hex(shiftright(pmod(pmod((doc_id+3)*(i*i + i*7)
+          |          + doc_id*31, 1601) - 800, 65536), 8)), 2, '0'))))
+          |  )) AS w
+          |  FROM base
+          |), st AS (
+          |  SELECT doc_id, graft_audio_stats(w, 0) AS a,
+          |    graft_audio_fingerprint(w) AS afp
+          |  FROM wav
+          |)
+          |SELECT doc_id, element_at(a, 1) AS sample_rate,
+          |  element_at(a, 4) AS n_samples, element_at(a, 6) AS mean_abs, afp
+          |FROM st ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
     // applies before scoring, so all k results satisfy it (post-filtering
     // a candidate list would under-fill)
@@ -1591,6 +1631,20 @@ object PipelineQueries {
     "p07_split" -> ((s, dir) =>
       Sampling.splitByHash(docs(s, dir).select("doc_id"), col("doc_id"),
           splitWeights)
+        .orderBy(col("doc_id"))),
+
+    // ---- split + decontamination — the step between p07 and training
+    // in every production pipeline: hash-split into train/eval, then
+    // QUARANTINE any train doc sharing a distinct 8-gram with the eval
+    // arm (exact-gram membership; t35's Bloom screen is the
+    // probabilistic scale path). The planted near-dup copies and the
+    // corpus's organic exact dups land across arms, so both the
+    // quarantine and pass-through paths do real work.
+    "p21_decontam_split" -> ((s, dir) =>
+      Sampling.decontaminatedSplit(docsWithNearDups(s, dir), "doc_id",
+          "text", col("doc_id"), Seq("train" -> 0.8, "eval" -> 0.2),
+          evalSplit = "eval", n = 8)
+        .select(col("doc_id"), col("split"), col("n_shared_grams"))
         .orderBy(col("doc_id"))),
 
     // ---- packing: chunk documents, then greedily concat-pack the
@@ -5521,6 +5575,49 @@ object PipelineQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // decontaminated-split replay: the p07 hash-CASE with a 0.8/0.2
+    // spec, distinct 8-grams per doc (whole-text pseudo-gram under 8
+    // tokens — the wordShingles contract), eval-gram membership join,
+    // quarantine relabel + per-doc shared counts
+    "p21_decontam_split" -> {
+      val thr = Sampling.hexThresholdLex(0.8)
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' perturbed suffix token' AS text
+         |  FROM documents WHERE doc_id < 50
+         |), labeled AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) < '$thr'
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM corpus
+         |), toks AS (
+         |  SELECT doc_id, split,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+         |  FROM labeled
+         |), tg AS (
+         |  SELECT doc_id, split,
+         |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_distinct([array_to_string(
+         |                tk[CAST(i + 1 AS BIGINT) : CAST(i + 8 AS BIGINT)], ' ')
+         |              for i in range(0, len(tk) - 7)]) END AS gs
+         |  FROM toks
+         |), eg AS (
+         |  SELECT DISTINCT unnest(gs) AS g FROM tg WHERE split = 'eval'
+         |), tr AS (
+         |  SELECT doc_id, unnest(gs) AS g FROM tg WHERE split != 'eval'
+         |), sh AS (
+         |  SELECT doc_id, count(*) AS nsg FROM tr JOIN eg USING (g) GROUP BY doc_id
+         |)
+         |SELECT l.doc_id,
+         |  CASE WHEN l.split != 'eval' AND sh.nsg IS NOT NULL THEN 'quarantine'
+         |       ELSE l.split END AS split,
+         |  CAST(coalesce(sh.nsg, 0) AS BIGINT) AS n_shared_grams
+         |FROM labeled l LEFT JOIN sh USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin
+    },
+
     // re-chunk (the t11 CTE), shard by doc_id mod, then the same
     // running-total window; DuckDB window SUM(INTEGER) → HUGEINT is cast
     // back to BIGINT before the subtraction and floor-divisions
@@ -6036,6 +6133,26 @@ object PipelineQueries {
           |  MIN(url_norm) AS first_url,
           |  CAST(SUM(5 + length(url_norm)) AS BIGINT) AS sum_extract_len
           |FROM screened GROUP BY domain ORDER BY domain""".stripMargin),
+
+    // SQL-audio replay: samples straight from the doc_id formula (the
+    // WAV container is never parsed — mm07's ground-truth pattern),
+    // features in exact integer arithmetic, fingerprint through the
+    // shared biased duckPhash chain
+    "f05_sql_audio" ->
+      (s"""WITH smp AS (
+         |  SELECT doc_id, ${duckWavSamples("doc_id", "0", "0", bump = false)} AS s
+         |  FROM documents WHERE doc_id < 60
+         |), b AS (
+         |  SELECT doc_id, [x + 32768 for x in s] AS bytes FROM smp
+         |),
+         |""".stripMargin + duckPhash("b", "f") + "\n" +
+        """SELECT smp.doc_id,
+          |  CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(len(s) AS BIGINT) AS n_samples,
+          |  CAST(list_sum([abs(x) for x in s]) // len(s) AS BIGINT) AS mean_abs,
+          |  hf.ph AS afp
+          |FROM smp JOIN hf ON smp.doc_id = hf.doc_id
+          |ORDER BY smp.doc_id""".stripMargin),
 
     // paragraph-dedup replay: same row-number pairing construction,
     // same d09 normalization as the dedup key, first occurrence by

@@ -158,4 +158,26 @@ class KernelParitySpec extends SparkSpec {
     out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
       s"word segmentation diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
   }
+
+  test("jlProject kernel == declarative unrolled sign-sum on 300 random vectors") {
+    // mixed magnitudes, negatives, and values planted NEAR the .5
+    // rounding boundary of round(x*1e4) — the kernel's away-from-zero
+    // Math.round mirror must agree with Spark round() everywhere
+    val rows = Seq.fill(300) {
+      val extra = rnd.nextInt(3) // trailing dims beyond `dim` are ignored
+      Array.fill(24 + extra)(rnd.nextInt(4) match {
+        case 0 => rnd.nextGaussian()
+        case 1 => -rnd.nextDouble() * 1000
+        case 2 => (rnd.nextInt(2001) - 1000) / 2.0 * 1e-4 // exact k/2 * 1e-4
+        case _ => rnd.nextDouble() * 1e-6
+      })
+    }.map(Tuple1(_))
+    val df = rows.toDF("v")
+    val out = df.select(
+      graft.ops.Similarity.randomProject(col("v"), 24, 7, scale = 1e4).as("k"),
+      graft.ops.Similarity.randomProjectDeclarative(col("v"), 24, 7,
+        scale = 1e4).as("d")).collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"jl projection diverged: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+  }
 }

@@ -160,6 +160,44 @@ class WavDecodeSpec extends SparkSpec {
     assert(fp(2).isNullAt(0))
   }
 
+  test("SQL surface parity: graft_audio_* plan the identical kernels") {
+    SqlKernels.registerAll(spark)
+    val df = Seq((1L, wav(8000, 1, 16, tone)),
+      (2L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "content")
+    df.createOrReplaceTempView("wav_parity")
+    val sqlOut = spark.sql(
+      """SELECT doc_id, graft_audio_stats(content, 2) AS st,
+        |  graft_audio_fingerprint(content) AS fp
+        |FROM wav_parity ORDER BY doc_id""".stripMargin).collect()
+    val colOut = df.select(col("doc_id"),
+      WavDecode.stats(col("content"), lit(2)).as("st"),
+      Audio.audioFingerprint(col("content")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(sqlOut.toSeq == colOut.toSeq)
+  }
+
+  test("ops: fingerprint index round trip — re-records match, novel audio does not") {
+    val path = graft.Paths.scratchDir("graft-afp-idx").resolve("idx").toString
+    val corpus = (0 until 30).map { c =>
+      (c.toLong, wav(8000, 1, 16,
+        Array.tabulate(450)(i => (((c + 3) * (i * i + 7 * i)) % 1601) - 800)))
+    }.toDF("doc_id", "content")
+    Audio.writeFingerprintIndex(corpus, "doc_id", path)
+    val batch = (0 until 10).map { c => // DC +40 re-records of cores 0..9
+      (100L + c, wav(8000, 1, 16,
+        Array.tabulate(450)(i => (((c + 3) * (i * i + 7 * i)) % 1601) - 760)))
+    }.toDF("doc_id", "content")
+      .unionByName(Seq((200L, wav(8000, 1, 16,
+        Array.tabulate(450)(i => 800 - (((7 * i) * i) % 1600))))) // novel shape
+        .toDF("doc_id", "content"))
+    val hits = Audio.probeFingerprintIndex(spark, path, batch, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every re-record matches exactly its core at hamming 0 (DC exact)
+    assert(hits.filter(_._1 < 200L).toSet ==
+      (0 until 10).map(c => (100L + c, c.toLong, 0)).toSet)
+    assert(!hits.exists(_._1 == 200L), "novel audio must not match")
+  }
+
   test("ops: DC-offset re-record pairs up, different waveform does not") {
     val copy = tone.map(_ + 25)
     val other = Array.tabulate(480)(i => ((i * i * 13) % 1601) - 800)

@@ -349,6 +349,40 @@ class PipelineOps5Spec extends SparkSpec {
     exact.foreach { case (id, e) => assert(out(id)._2 >= e, s"doc $id undercounts") }
   }
 
+  test("decontaminatedSplit: eval twins quarantined, clean train passes, eval intact") {
+    // arm assignment is hash-determined: discover ids per arm first
+    val labels = Sampling.splitByHash(spark.range(0, 60).toDF("id"),
+        col("id"), Seq("train" -> 0.5, "eval" -> 0.5)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalIds = labels.collect { case (k, "eval") => k }.toSeq.sorted
+    val trainIds = labels.collect { case (k, "train") => k }.toSeq.sorted
+    val tenTok = "the quick brown fox jumps over the lazy dog tail"
+    val docs = Seq(
+      (evalIds(0), tenTok), // eval doc
+      (trainIds(0), tenTok), // verbatim train twin -> quarantine
+      (trainIds(1), "completely unrelated training material with zero gram overlap present"),
+      (evalIds(1), "tiny doc"), // short eval: whole-text pseudo-gram
+      (trainIds(2), "tiny doc")) // short train twin -> quarantine
+      .toDF("doc_id", "text")
+    val out = Sampling.decontaminatedSplit(docs, "doc_id", "text",
+        col("doc_id"), Seq("train" -> 0.5, "eval" -> 0.5), "eval", n = 8)
+      .select("doc_id", "split", "n_shared_grams").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(evalIds(0)) == (("eval", 0L)))
+    assert(out(trainIds(0)) == (("quarantine", 3L))) // 10 tokens -> 3 shared 8-grams
+    assert(out(trainIds(1)) == (("train", 0L)))
+    assert(out(evalIds(1)) == (("eval", 0L)))
+    assert(out(trainIds(2)) == (("quarantine", 1L))) // pseudo-gram match
+    intercept[IllegalArgumentException] {
+      Sampling.decontaminatedSplit(docs, "doc_id", "text", col("doc_id"),
+        Seq("a" -> 1.0), "missing")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.decontaminatedSplit(docs, "doc_id", "text", col("doc_id"),
+        Seq("a" -> 0.5, "quarantine" -> 0.5), "a")
+    }
+  }
+
   test("exciseDupSpans: keeper keeps everything, copies lose the shared passage") {
     val shared10 = "one two three four five six seven eight nine ten"
     val docs = Seq(
@@ -384,6 +418,18 @@ class PipelineOps5Spec extends SparkSpec {
     assert(out(2L) == (("", 0L, 8L)))
     assert(out(3L) == (("a b c", 3L, 0L)) && out(4L) == (("a b c", 3L, 0L)))
     assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("exciseDupSpans: duplicate doc ids raise typed, never interleave") {
+    // caught live: a probe corpus with colliding ids drove
+    // n_tokens_removed NEGATIVE before the contract raise existed
+    val docs = Seq((1L, "a b c d e f g h"), (1L, "x y z"), (2L, "ok fine"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8).collect()
+    }
+    assert(e.getMessage.contains("duplicate rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate rows")))
   }
 
   test("exciseDupSpans: intra-document repeats alone do not excise") {
