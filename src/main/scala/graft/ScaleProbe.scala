@@ -885,7 +885,11 @@ object ScaleProbe {
     // the phash fixture — real corpora arrive as bytes), so the frame
     // is persisted and construction timed apart from the operators.
     {
-      def wav8(core: org.apache.spark.sql.Column, dc: Int) = {
+      // ONE container builder parameterized by the per-sample byte
+      // expression — the header/chunk scaffolding exists exactly once
+      // so fixture variants can never diverge on the RIFF layout
+      type C = org.apache.spark.sql.Column
+      def wav8(core: C, sample: (C, C) => C) = {
         val n = lit(96) + pmod(core, lit(32))
         val szHex = concat(lpad(hex(n), 2, "0"), lit("000000"))
         val riffHex = concat(lpad(hex(n + 36), 2, "0"), lit("000000"))
@@ -894,11 +898,12 @@ object ScaleProbe {
             "401F0000" + "401F0000" + "0100" + "0800"),
           lit("64617461"), szHex,
           concat_ws("", transform(sequence(lit(0), n - 1), i =>
-            lpad(hex(pmod(core * 37 + i * 11, lit(247)) + dc), 2, "0")))))
+            lpad(hex(sample(core, i)), 2, "0")))))
       }
+      def saw(c: C, i: C): C = pmod(c * 37 + i * 11, lit(247))
       val audio2m = spark.range(0L, 2000000L)
         .select(col("id").as("doc_id"),
-          wav8(col("id") % 100000L, 0).as("content"))
+          wav8(col("id") % 100000L, saw).as("content"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("audio fixture build 2M WAVs (hex construction, once)")(
         audio2m.count())
@@ -921,20 +926,10 @@ object ScaleProbe {
         // distinctness lesson)
         val batch = spark.range(0L, 10000L)
           .select((col("id") + 100000000L).as("doc_id"),
-            wav8(col("id") * 10L, 4).as("content"))
+            wav8(col("id") * 10L, (c, i) => saw(c, i) + 4).as("content"))
           .unionByName(spark.range(0L, 5000L)
-            .select((col("id") + 200000000L).as("doc_id"), {
-              val n = lit(96) + pmod(col("id"), lit(32))
-              unhex(concat(lit("52494646"),
-                concat(lpad(hex(n + 36), 2, "0"), lit("000000")),
-                lit("57415645"),
-                lit("666D7420" + "10000000" + "0100" + "0100" +
-                  "401F0000" + "401F0000" + "0100" + "0800"),
-                lit("64617461"), concat(lpad(hex(n), 2, "0"), lit("000000")),
-                concat_ws("", transform(sequence(lit(0), n - 1), i =>
-                  lpad(hex(lit(246) - pmod(col("id") * 37 + i * 11, lit(247))),
-                    2, "0")))))
-            }.as("content")))
+            .select((col("id") + 200000000L).as("doc_id"),
+              wav8(col("id"), (c, i) => lit(246) - saw(c, i)).as("content")))
         val probed = t("audio probe 15k batch vs 2M-payload index")(
           graft.ops.Audio.probeFingerprintIndex(spark, aIdx, batch, "doc_id",
               maxBucket = Int.MaxValue)

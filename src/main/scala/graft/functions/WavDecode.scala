@@ -108,13 +108,12 @@ object WavDecodeImpl {
   def afpWav63(b: Array[Byte]): Long = {
     val parsed = parse(b)
     if (parsed != null) afp63(parsed.samples)
-    else {
-      val n = b.length
-      val s = new Array[Long](n)
-      var i = 0
-      while (i < n) { s(i) = b(i) & 0xFF; i += 1 }
-      afp63(s)
-    }
+    // delegate, don't re-materialize: an Array[Long](b.length) staging
+    // copy would be an UNCAPPED 8× allocation on a hostile non-WAV
+    // blob (OutOfMemoryError is not NonFatal — the round-10 decoder
+    // rule), and the bit-for-bit coincidence is exactly dhash63's
+    // arithmetic anyway (spec-pinned)
+    else PerceptualHashImpl.dhash63(b)
   }
 
   /** Sample bias making every fingerprint window sum non-negative

@@ -32,12 +32,12 @@ object Audio {
     * projection items, the round-2/round-8 HOF rule). */
   def audioStatColumns(df: DataFrame, payloadCol: String = "content",
       silenceAbsMax: Long = 0L): DataFrame = {
-    val bound = element_at(
-      transform(array(WavDecode.stats(col(payloadCol), lit(silenceAbsMax))),
+    val bound =
+      Dedup.bindOnce(WavDecode.stats(col(payloadCol), lit(silenceAbsMax))) {
         st => struct(WavDecodeImpl.StatNames.zipWithIndex.map {
           case (n, i) => element_at(st, i + 1).as(n)
-        }: _*)),
-      1)
+        }: _*)
+      }
     val withS = df.withColumn("__astats", bound)
     WavDecodeImpl.StatNames.foldLeft(withS) { (d, n) =>
       d.withColumn(n, col("__astats").getField(n))

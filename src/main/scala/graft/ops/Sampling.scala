@@ -203,7 +203,16 @@ object Sampling {
     * shuffle); the eval side is one distinct over the (small) eval
     * arm's grams; the membership join is a narrow equi-join AQE can
     * broadcast when eval is small. One corpus shingling pass feeds
-    * both sides. */
+    * both sides.
+    *
+    * CONTRACT: `idCol` must uniquely identify rows (the
+    * [[graft.ops.Bpe.encodeViaDict]] contract — the shared-gram
+    * aggregate merges on it, so duplicates would blend two documents'
+    * counts and stamp a joint quarantine verdict on both). Duplicate
+    * ids raise a typed error at execution; the detector aggregates
+    * IDS ONLY (column-pruned scan, map-side combine) and is empty
+    * under the contract, so its guard join is broadcast-trivial —
+    * a full-corpus window here would have re-shuffled the text. */
   def decontaminatedSplit(df: DataFrame, idCol: String, textCol: String,
       key: Column, splits: Seq[(String, Double)], evalSplit: String,
       n: Int = 8, labelCol: String = "split",
@@ -224,12 +233,20 @@ object Sampling {
       // wordShingles emits DISTINCT grams per doc, so this count is the
       // number of distinct leaked grams, not occurrence-inflated
       .groupBy(col("__gid")).agg(count(lit(1)).as("n_shared_grams"))
+    val dupIds = df.groupBy(col(idCol).as("__did"))
+      .agg(count(lit(1)).as("__nrows")).filter(col("__nrows") > 1L)
     labeled.join(shared, labeled(idCol) === shared("__gid"), "left")
+      .join(dupIds, labeled(idCol) === dupIds("__did"), "left")
       .withColumn(labelCol,
-        when(col(labelCol) =!= evalSplit && col("n_shared_grams").isNotNull,
-          lit(quarantineLabel)).otherwise(col(labelCol)))
+        when(col("__nrows").isNotNull, raise_error(concat(
+          lit("Sampling.decontaminatedSplit: duplicate rows for id "),
+          col(idCol).cast("string"),
+          lit(" - ids must uniquely identify documents"))))
+          .when(col(labelCol) =!= evalSplit && col("n_shared_grams").isNotNull,
+            lit(quarantineLabel))
+          .otherwise(col(labelCol)))
       .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
-      .drop("__gid")
+      .drop("__gid", "__did", "__nrows")
   }
 
   /** Validated CASE arms for a split spec: (name, cumulative-threshold

@@ -19,6 +19,13 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** [[tokens]] WITHOUT the case fold — position-aligned with it
+    * (lowercasing changes neither whitespace nor emptiness), for
+    * operators that MATCH case-insensitively but must REASSEMBLE the
+    * original text ([[exciseDupSpans]]). */
+  def rawTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -527,10 +534,12 @@ object TextAnalysis {
     * (the minimum doc id containing it — "all but one occurrence
     * survives"), and the survivors are reassembled in order. Returns
     * (idCol, clean_text, n_tokens_kept, n_tokens_removed); documents
-    * with nothing duplicated pass through with their tokens rejoined
-    * by single spaces (output lives in token space — the same
-    * whitespace normalization every consumer downstream of
-    * [[tokens]] already sees). Intra-document repeats are NOT excised
+    * with nothing duplicated pass through with their ORIGINAL-case
+    * tokens rejoined by single spaces (matching is case-insensitive —
+    * [[tokens]] folds — but reassembly reads the position-aligned
+    * [[rawTokens]], so the only rewrite survivors see is whitespace
+    * normalization; a reviewer caught the first cut silently
+    * lowercasing every document). Intra-document repeats are NOT excised
     * (the duplication signal is distinct-document frequency, matching
     * [[duplicatedSpans]]); a document shorter than n tokens carries no
     * grams and is never cut.
@@ -575,8 +584,10 @@ object TextAnalysis {
       .select(col("__id").as("__cid"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("cpos"))
       .distinct()
+    // rawTokens: positions align with the (lowercased) gram side, but
+    // the reassembled text keeps its original case
     val toks = df
-      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))))
+      .select(col(idCol).as("__id"), posexplode(rawTokens(col(textCol))))
       .withColumnRenamed("col", "tok")
     val kept = toks.join(covered,
       toks("__id") === covered("__cid") && toks("pos") === covered("cpos"),

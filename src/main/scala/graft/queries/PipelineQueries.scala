@@ -4737,9 +4737,15 @@ object PipelineQueries {
         |  SELECT DISTINCT p.doc_id, CAST(p.pos + j AS INTEGER) AS cpos
         |  FROM pg p JOIN dup d USING (gh), range(0, 8) r(j)
         |  WHERE p.doc_id != d.keeper
+        |), rt AS (
+        |  -- raw-case tokens, position-aligned with the lowercased gram
+        |  -- side: reassembly preserves the original text's case
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS tk
+        |  FROM corpus
         |), tt AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[CAST(i + 1 AS BIGINT)] AS tok
-        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM toks)
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk))) AS i FROM rt)
         |), kept AS (
         |  SELECT t.doc_id, t.pos, t.tok
         |  FROM tt t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos

@@ -420,6 +420,33 @@ class PipelineOps5Spec extends SparkSpec {
     assert(out(5L) == (("", 0L, 0L)))
   }
 
+  test("exciseDupSpans: matching is case-insensitive, reassembly preserves case") {
+    val docs = Seq(
+      (1L, "One Two Three Four Five Six Seven Eight KEEP Me"),
+      (2L, "one two three four five six seven eight But Different Tail Here"),
+      (3L, "No Duplication Here At All In This Mixed Case Document"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 is the keeper: original case intact
+    assert(out(1L) == "One Two Three Four Five Six Seven Eight KEEP Me")
+    // doc 2 loses the case-insensitively shared 8 tokens, keeps ITS case
+    assert(out(2L) == "But Different Tail Here")
+    // untouched doc: no silent lowercasing (the review-pass catch)
+    assert(out(3L) == "No Duplication Here At All In This Mixed Case Document")
+  }
+
+  test("decontaminatedSplit: duplicate ids raise typed, never blend counts") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (1L, "k l m n o p q r"),
+      (2L, "clean other text")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Sampling.decontaminatedSplit(docs, "doc_id", "text", col("doc_id"),
+        Seq("train" -> 0.5, "eval" -> 0.5), "eval").collect()
+    }
+    assert(e.getMessage.contains("duplicate rows") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate rows")))
+  }
+
   test("exciseDupSpans: duplicate doc ids raise typed, never interleave") {
     // caught live: a probe corpus with colliding ids drove
     // n_tokens_removed NEGATIVE before the contract raise existed
