@@ -21,9 +21,9 @@ object Chunking {
 
   /** Original-case whitespace tokens, empties removed (chunking must
     * preserve the text verbatim — unlike [[TextAnalysis.tokens]], no
-    * lower-casing). */
-  def rawTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    * lower-casing). Delegates to the one canonical definition so chunk
+    * boundaries can never desynchronize from excision positions. */
+  def rawTokens(text: Column): Column = TextAnalysis.rawTokens(text)
 
   /** Explode each document into token windows.
     *

@@ -16,13 +16,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Lower-cased whitespace tokens, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  def tokens(text: Column): Column = rawTokens(lower(text))
 
-  /** [[tokens]] WITHOUT the case fold — position-aligned with it
-    * (lowercasing changes neither whitespace nor emptiness), for
-    * operators that MATCH case-insensitively but must REASSEMBLE the
-    * original text ([[exciseDupSpans]]). */
+  /** [[tokens]] WITHOUT the case fold — the ONE canonical whitespace
+    * tokenization ([[tokens]] is defined as rawTokens∘lower, so the
+    * position alignment the excision reassembly relies on is
+    * structural, not argued; [[Chunking.rawTokens]] delegates here
+    * too). For operators that MATCH case-insensitively but must
+    * REASSEMBLE the original text ([[exciseDupSpans]]). */
   def rawTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
@@ -547,10 +548,11 @@ object TextAnalysis {
     * CONTRACT: `idCol` must uniquely identify rows (the
     * [[Bpe.encodeViaDict]] contract — every grouping stage merges on
     * it, so a duplicate id would interleave two documents' token
-    * positions and even drive `n_tokens_removed` negative). Duplicate
-    * ids raise a typed error at execution instead — caught by a
-    * ScaleProbe run whose synthetic corpus silently violated its own
-    * uniqueness claim.
+    * positions and even drive `n_tokens_removed` negative, and a NULL id
+    * would silently vanish from every internal equi-join). Duplicate
+    * or null ids raise a typed error at execution instead — the
+    * duplicate case caught by a ScaleProbe run whose synthetic corpus
+    * silently violated its own uniqueness claim.
     *
     * Shape at 100 TB: gram strings are md5'd to 16-byte keys
     * immediately (the [[maximalDupSpans]] move — the document-
@@ -609,10 +611,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__nrows"), max(col("__nt")).as("__nt"))
       .join(cleaned, Seq("__id"), "left")
       .select(col("__id").as(idCol),
-        when(col("__nrows") =!= 1L, raise_error(concat(
-          lit("TextAnalysis.exciseDupSpans: duplicate rows for doc id "),
-          col("__id").cast("string"),
-          lit(" - ids must uniquely identify documents"))))
+        // null ids raise too (not just duplicates): every internal
+        // equi-join here drops a NULL key, which would silently report
+        // the document as fully excised — the round-6 null-key class
+        when(col("__nrows") =!= 1L || col("__id").isNull, raise_error(concat(
+          lit("TextAnalysis.exciseDupSpans: duplicate or null doc id "),
+          coalesce(col("__id").cast("string"), lit("NULL")),
+          lit(" - ids must be unique and non-null"))))
           .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
         coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
         (col("__nt") - coalesce(col("n_tokens_kept"), lit(0L)))

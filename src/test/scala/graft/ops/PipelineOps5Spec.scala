@@ -443,8 +443,17 @@ class PipelineOps5Spec extends SparkSpec {
       Sampling.decontaminatedSplit(docs, "doc_id", "text", col("doc_id"),
         Seq("train" -> 0.5, "eval" -> 0.5), "eval").collect()
     }
-    assert(e.getMessage.contains("duplicate rows") ||
-      Option(e.getCause).exists(_.getMessage.contains("duplicate rows")))
+    assert(e.getMessage.contains("duplicate or null") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate or null")))
+    // a single NULL id raises too (equi-joins drop null keys silently)
+    val nullDocs = Seq((java.lang.Long.valueOf(3L), "some text here"),
+      (null.asInstanceOf[java.lang.Long], "floating doc")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      Sampling.decontaminatedSplit(nullDocs, "doc_id", "text", col("doc_id"),
+        Seq("train" -> 0.5, "eval" -> 0.5), "eval").collect()
+    }
+    assert(e2.getMessage.contains("duplicate or null") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate or null")))
   }
 
   test("exciseDupSpans: duplicate doc ids raise typed, never interleave") {
@@ -455,8 +464,17 @@ class PipelineOps5Spec extends SparkSpec {
     val e = intercept[Exception] {
       TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8).collect()
     }
-    assert(e.getMessage.contains("duplicate rows") ||
-      Option(e.getCause).exists(_.getMessage.contains("duplicate rows")))
+    assert(e.getMessage.contains("duplicate or null") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate or null")))
+    // a single NULL id raises too, instead of reporting the document
+    // as fully excised after the null key drops from every join
+    val nullDocs = Seq((java.lang.Long.valueOf(3L), "some text here"),
+      (null.asInstanceOf[java.lang.Long], "hello world")).toDF("doc_id", "text")
+    val e2 = intercept[Exception] {
+      TextAnalysis.exciseDupSpans(nullDocs, "doc_id", "text", n = 8).collect()
+    }
+    assert(e2.getMessage.contains("duplicate or null") ||
+      Option(e2.getCause).exists(_.getMessage.contains("duplicate or null")))
   }
 
   test("exciseDupSpans: intra-document repeats alone do not excise") {
