@@ -205,12 +205,13 @@ object Sampling {
     * broadcast when eval is small. One corpus shingling pass feeds
     * both sides.
     *
-    * CONTRACT: `idCol` must uniquely identify rows (the
-    * [[graft.ops.Bpe.encodeViaDict]] contract — the shared-gram
-    * aggregate merges on it, so duplicates would blend two documents'
-    * counts and stamp a joint quarantine verdict on both, and NULL ids
-    * would slip every equi-join silently). Duplicate or null ids
-    * raise a typed error at execution; the detector aggregates
+    * CONTRACT: `idCol` must uniquely identify rows AND be non-null
+    * (stricter than [[graft.ops.Bpe.encodeViaDict]]'s unique-only
+    * contract: here the shared-gram aggregate merges on the id, so
+    * duplicates would blend two documents' counts and stamp a joint
+    * quarantine verdict on both, and NULL ids would slip every
+    * equi-join silently). Duplicate or null ids raise a typed error
+    * at execution; the detector aggregates
     * IDS ONLY (column-pruned scan, map-side combine) and is empty
     * under the contract, so its guard join is broadcast-trivial —
     * a full-corpus window here would have re-shuffled the text. */
@@ -236,12 +237,11 @@ object Sampling {
       .groupBy(col("__gid")).agg(count(lit(1)).as("n_shared_grams"))
     val dupIds = df.groupBy(col(idCol).as("__did"))
       .agg(count(lit(1)).as("__nrows")).filter(col("__nrows") > 1L)
-    // <=> on the guard join and an explicit isNull arm: a plain
-    // equi-join never matches a NULL id, which would let duplicate or
-    // single NULL-id rows slip past the contract with blended counts
-    // (the round-6 null-safe-join class)
+    // the isNull arm below carries ALL null-id detection (a plain
+    // equi-join never matches a NULL id, so __nrows stays null for
+    // null-id rows — which is fine: they raise on the id itself)
     labeled.join(shared, labeled(idCol) === shared("__gid"), "left")
-      .join(dupIds, labeled(idCol) <=> dupIds("__did"), "left")
+      .join(dupIds, labeled(idCol) === dupIds("__did"), "left")
       .withColumn(labelCol,
         when(col("__nrows").isNotNull || col(idCol).isNull, raise_error(concat(
           lit("Sampling.decontaminatedSplit: duplicate or null id "),

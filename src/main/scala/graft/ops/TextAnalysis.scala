@@ -545,14 +545,15 @@ object TextAnalysis {
     * [[duplicatedSpans]]); a document shorter than n tokens carries no
     * grams and is never cut.
     *
-    * CONTRACT: `idCol` must uniquely identify rows (the
-    * [[Bpe.encodeViaDict]] contract — every grouping stage merges on
-    * it, so a duplicate id would interleave two documents' token
-    * positions and even drive `n_tokens_removed` negative, and a NULL id
-    * would silently vanish from every internal equi-join). Duplicate
-    * or null ids raise a typed error at execution instead — the
-    * duplicate case caught by a ScaleProbe run whose synthetic corpus
-    * silently violated its own uniqueness claim.
+    * CONTRACT: `idCol` must uniquely identify rows AND be non-null
+    * (stricter than [[Bpe.encodeViaDict]]'s unique-only contract:
+    * every grouping stage here merges on the id, so a duplicate would
+    * interleave two documents' token positions and even drive
+    * `n_tokens_removed` negative, and a NULL id would silently vanish
+    * from every internal equi-join). Duplicate or null ids raise a
+    * typed error at execution instead — the duplicate case caught by
+    * a ScaleProbe run whose synthetic corpus silently violated its
+    * own uniqueness claim.
     *
     * Shape at 100 TB: gram strings are md5'd to 16-byte keys
     * immediately (the [[maximalDupSpans]] move — the document-
