@@ -19,12 +19,11 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * Byte signal contract: [[dhash63]] hashes whatever byte signal
   * arrives — the hash arithmetic is exactly the published dHash.
   * [[PngDecodeImpl]] supplies the REAL pixel signal for PNG payloads
-  * (zero-dep decode to the luma plane, fed through this unchanged
-  * kernel via [[PngDecode.dhashDecoded]] — what the phash ops use by
-  * default); every other payload keeps the documented bytes-as-luma
-  * behavior (same lenient contract as
-  * [[graft.ops.Multimodal.stubDecode]] — no media libraries exist in
-  * this container for JPEG's DCT path).
+  * and [[JpegDecodeImpl]] for baseline JPEGs (both zero-dep decodes to
+  * the luma plane, fed through this unchanged kernel via
+  * [[PngDecode.dhashDecoded]] — what the phash ops use by default);
+  * every other payload keeps the documented bytes-as-luma behavior
+  * (same lenient contract as [[graft.ops.Multimodal.stubDecode]]).
   *
   * Construction (all exact integer arithmetic, replayable by an
   * independent engine — every step is `%`/`//`-portable because all

@@ -45,18 +45,25 @@ object PngDecodeImpl {
   /** Decode cap: images over 2²⁴ pixels fall back to bytes-as-luma. */
   val MaxPixels: Long = 1L << 24
 
-  /** 63-bit dHash over the decoded PNG luma plane, or over the raw
-    * payload bytes when the payload is not a decodable PNG — the
-    * "real deployment" contract [[PerceptualHashImpl]]'s scaladoc
-    * promised, with the hash arithmetic itself UNCHANGED. */
+  /** 63-bit dHash over the decoded pixel luma plane (PNG via this
+    * decoder, baseline JPEG via [[JpegDecodeImpl]]), or over the raw
+    * payload bytes otherwise — the "real deployment" contract
+    * [[PerceptualHashImpl]]'s scaladoc promised, with the hash
+    * arithmetic itself UNCHANGED. */
   def dhashDecoded63(b: Array[Byte]): Long =
     PerceptualHashImpl.dhash63(lumaOrBytes(b))
 
-  /** Decoded luma plane for decodable PNGs; the payload itself
-    * otherwise (bytes-as-luma fallback). */
+  /** Decoded luma plane for decodable PNGs and baseline JPEGs; the
+    * payload itself otherwise (bytes-as-luma fallback). The format
+    * probes are ordered cheapest-reject first — each one bails on its
+    * magic bytes, so a non-media payload pays two integer compares. */
   def lumaOrBytes(b: Array[Byte]): Array[Byte] = {
     val l = pngLuma(b)
-    if (l == null) b else l
+    if (l != null) l
+    else {
+      val j = JpegDecodeImpl.jpegLuma(b)
+      if (j != null) j else b
+    }
   }
 
   /** Row-major 8-bit luma plane, or null when the payload is not a

@@ -42,6 +42,12 @@ class PlanGuardSpec extends SparkSpec {
       "s07_int8_ann", // exact quantized baseline: scores query × corpus
                       // by definition, like s01 — the win is 4× narrower
                       // rows in that join, not a smaller candidate set
+      "s17_jl_project", // exact top-k in the PROJECTED space: query ×
+                        // corpus by definition, like s01/s07 — the win
+                        // is 16 BIGINTs per row instead of 64 floats
+                        // (and integer distances), not a smaller
+                        // candidate set; the pruned path composes via
+                        // s02/s03 over projected vectors
       "f01_sql_ann", // the SQL-surface demo of the same exact baseline —
                      // query × corpus by definition, like s01
       "e03_streaming_tumbling", // executes a streaming query when built
