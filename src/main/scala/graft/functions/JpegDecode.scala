@@ -20,10 +20,11 @@ package graft.functions
   *     encoder emits), luma at the maximal sampling factor
   *     (4:4:4 / 4:2:2 / 4:2:0 all qualify),
   *   - restart markers (DRI) honored; 0xFF00 byte stuffing unstuffed,
-  *   - per-dimension caps BEFORE the product, product capped at 2²⁴
-  *     pixels — the [[PngDecodeImpl]] hostile-header rule (an
-  *     OutOfMemoryError is not NonFatal; it would kill the task
-  *     instead of falling back),
+  *   - pixel product capped at 2²⁴ — the [[PngDecodeImpl]]
+  *     hostile-header rule (an OutOfMemoryError is not NonFatal; it
+  *     would kill the task instead of falling back); SOF dims are u16,
+  *     so unlike PNG's u32 dims the product cannot wrap a long and
+  *     needs no per-dimension pre-checks,
   *   - truncated entropy data → null (the PNG truncated-stream
   *     contract), with one lenience: missing EOI after the final MCU
   *     is tolerated (cameras emit it, some proxies strip it).
@@ -210,15 +211,20 @@ object JpegDecodeImpl {
             val prec = b(at) & 0xFF
             h = u16(b, at + 1); w = u16(b, at + 3)
             val nc = b(at + 5) & 0xFF
-            // per-dimension caps BEFORE the product (hostile-header rule)
+            // pixel-product cap (hostile-header rule). Unlike PNG's u32
+            // dimensions, SOF dims are u16 (≤ 65535 each), so the
+            // product maxes at ~4.3e9 — it can neither wrap a long nor
+            // need per-dimension pre-checks; the single product compare
+            // is the whole guard
             if (prec != 8 || w < 1 || h < 1 ||
-                w > MaxPixels || h > MaxPixels ||
                 w.toLong * h > MaxPixels ||
                 !(nc == 1 || nc == 3)) return null
             comps = Array.tabulate(nc) { c =>
               val o = at + 6 + 3 * c
               val hv = b(o + 1) & 0xFF
-              new Comp((hv >> 4) & 0x0F, hv & 0x0F, b(o + 2) & 0x0F)
+              // Tq read UNMASKED so a nonconforming byte (0x13) fails
+              // the > 3 check below instead of silently aliasing table 3
+              new Comp((hv >> 4) & 0x0F, hv & 0x0F, b(o + 2) & 0xFF)
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 ||
                 c.tq > 3)) return null
@@ -249,11 +255,21 @@ object JpegDecodeImpl {
         i = end
       }
     }
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
+    // T.81 A.2: a ONE-component scan is NON-interleaved — the MCU is a
+    // single 8×8 data unit tiling in raster order and the SOF sampling
+    // factors do not shape the layout (a reviewer caught the first cut
+    // laying grayscale JPEGs with H=V=2 out in interleaved tiles:
+    // decode "succeeded" with a block-scrambled plane — silently wrong
+    // is worse than the null fallback). Effective factors: 1 for the
+    // single-component case, the declared ones otherwise.
+    val single = comps.length == 1
+    def eh(c: Comp): Int = if (single) 1 else c.h
+    def ev(c: Comp): Int = if (single) 1 else c.v
+    val hmax = comps.map(eh).max
+    val vmax = comps.map(ev).max
     val y0 = comps(0)
     // luma must carry the maximal factor so its blocks are 1:1 pixels
-    if (y0.h != hmax || y0.v != vmax) return null
+    if (eh(y0) != hmax || ev(y0) != vmax) return null
     if (comps.exists(c => c.dcTab > 3 || c.acTab > 3 ||
         dcH(c.dcTab) == null || acH(c.acTab) == null || qt(c.tq) == null))
       return null
@@ -263,6 +279,7 @@ object JpegDecodeImpl {
     val luma = new Array[Byte](w * h)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
+    val deq = new Array[Double](64)
     val r = new Reader(b, scanAt)
     val yq = qt(y0.tq)
     var mcu = 0
@@ -277,17 +294,20 @@ object JpegDecodeImpl {
       var c = 0
       while (c < comps.length) {
         val cc = comps(c)
+        val isLuma = c == 0
         val dc = dcH(cc.dcTab); val ac = acH(cc.acTab)
         var by = 0
-        while (by < cc.v) {
+        while (by < ev(cc)) {
           var bx = 0
-          while (bx < cc.h) {
-            // Huffman-decode one block; only luma is transformed
-            java.util.Arrays.fill(coef, 0)
+          while (bx < eh(cc)) {
+            // Huffman-decode one block; only luma keeps coefficients
+            // (chroma must still be decoded to advance the bitstream,
+            // but skips the fill/stores entirely)
+            if (isLuma) java.util.Arrays.fill(coef, 0)
             val t = r.decode(dc)
             if (t > 15) throw new IllegalArgumentException("bad dc size")
             cc.pred += extend(r.receive(t), t)
-            coef(0) = cc.pred
+            if (isLuma) coef(0) = cc.pred
             var k = 1
             var eob = false
             while (k < 64 && !eob) {
@@ -299,13 +319,14 @@ object JpegDecodeImpl {
               } else {
                 k += run
                 if (k > 63) throw new IllegalArgumentException("ac overflow")
-                coef(k) = extend(r.receive(sz), sz)
+                val v = extend(r.receive(sz), sz)
+                if (isLuma) coef(k) = v
                 k += 1
               }
             }
-            if (c == 0) {
-              idctInto(coef, yq, tmp, luma, w, h,
-                (mx * cc.h + bx) * 8, (my * cc.v + by) * 8)
+            if (isLuma) {
+              idctInto(coef, yq, tmp, deq, luma, w, h,
+                (mx * eh(cc) + bx) * 8, (my * ev(cc) + by) * 8)
             }
             bx += 1
           }
@@ -322,10 +343,11 @@ object JpegDecodeImpl {
     * separable 2-D IDCT, level-shift, clamp, and scatter the 8×8 block
     * into the luma plane (edge blocks clipped). */
   private def idctInto(coefZz: Array[Int], qtZz: Array[Int],
-      tmp: Array[Double], out: Array[Byte], w: Int, h: Int,
+      tmp: Array[Double], f: Array[Double], out: Array[Byte], w: Int, h: Int,
       ox: Int, oy: Int): Unit = {
-    // dequantize + de-zigzag into natural order
-    val f = new Array[Double](64)
+    // dequantize + de-zigzag into natural order (f is a hoisted
+    // scratch buffer — a cap-sized plane is 262k blocks, so per-block
+    // allocation would churn the hot path)
     var k = 0
     while (k < 64) {
       f(ZigZag(k)) = coefZz(k).toDouble * qtZz(k)

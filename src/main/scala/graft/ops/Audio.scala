@@ -63,7 +63,14 @@ object Audio {
       maxDistance: Int = 3): Unit =
     Dedup.writePhashSignatures(
       corpus.select(col(idCol).as("id"),
-        audioFingerprint(col(payloadCol)).as("ph")), path, maxDistance)
+        audioFingerprint(col(payloadCol)).as("ph")), path, maxDistance,
+      AfpHashKind)
+
+  /** Hash-space tag of the audio fingerprint kernel — persisted in the
+    * index `_meta` and checked by probes/appends, so an audio index
+    * can never be silently probed with image signatures (or vice
+    * versa): same 64-bit vocabulary, disjoint hash spaces. */
+  val AfpHashKind: String = "afp1"
 
   /** Probe an audio batch against a [[writeFingerprintIndex]] index:
     * (batch_id, index_id, hamming) for every batch item within the
@@ -75,7 +82,7 @@ object Audio {
       payloadCol: String = "content", maxBucket: Int = 1000): DataFrame =
     Dedup.probePhashSignatures(spark, path,
       Lineage.cut(batch.select(col(idCol).as("id"),
-        audioFingerprint(col(payloadCol)).as("ph"))), maxBucket)
+        audioFingerprint(col(payloadCol)).as("ph"))), AfpHashKind, maxBucket)
 
   /** Near-dup pairs among audio payloads: fingerprint + the pigeonhole
     * band pairer (maxDistance+1 chunks — any ≤maxDistance pair shares

@@ -519,7 +519,17 @@ object Dedup {
     writePhashSignatures(
       corpus.select(col(idCol).as("id"),
         graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph")),
-      path, maxDistance)
+      path, maxDistance, DhashHashKind)
+
+  /** Hash-space tag of the decoded-pixel dHash ("dhash2": PNG + JPEG
+    * pixel decode feeding dhash63; the pre-JPEG build was implicitly
+    * "dhash1"). Persisted in every index `_meta` and CHECKED by every
+    * probe/append: the hash kind is a correctness input exactly like
+    * the banding distance — a probe hashing with a different kernel
+    * (or kernel version) than the writer produces disjoint signatures
+    * and silently zero recall, the worst failure an admission screen
+    * can have. */
+  val DhashHashKind: String = "dhash2"
 
   /** Signature-level index build behind [[writePhashIndex]] — for
     * callers that hash with a DIFFERENT kernel sharing the 64-bit
@@ -528,15 +538,16 @@ object Dedup {
     * null signatures are excluded — they can never perceptually match
     * anything. */
   def writePhashSignatures(sigs: DataFrame, path: String,
-      maxDistance: Int = 3): Unit = {
+      maxDistance: Int, hashKind: String): Unit = {
     require(maxDistance >= 0 && maxDistance <= 63,
       s"writePhashSignatures: maxDistance $maxDistance not in [0, 63]")
+    require(hashKind.nonEmpty, "writePhashSignatures: hashKind required")
     val spark = sigs.sparkSession
     val tmp = path + ".building"
     sigs.select(col("id"), col("ph")).filter(col("ph").isNotNull)
       .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
-    Seq(maxDistance).toDF("max_distance")
+    Seq((maxDistance, hashKind)).toDF("max_distance", "hash_kind")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
     // a rebuild may re-band: the memoized distance invalidates around
     // the swap (before AND after — see swapDirsInvalidating's contract
@@ -558,20 +569,51 @@ object Dedup {
     * path, never change the distance). Heals the swap crash window
     * before the first read (the r9 heal-before-meta class). */
   def phashIndexMaxDistance(spark: org.apache.spark.sql.SparkSession,
-      path: String): Int =
+      path: String): Int = phashIndexMeta(spark, path).maxDistance
+
+  /** Persisted index parameters (banding distance + hash kind). */
+  private[graft] final case class PhashIndexMeta(maxDistance: Int,
+      hashKind: String)
+
+  /** Memoized `_meta` read behind [[phashIndexMaxDistance]] and the
+    * hash-kind checks. A sidecar written before hash kinds existed
+    * reads back as "dhash1" (the pre-JPEG decoded hash) — which then
+    * FAILS every current-kind check with the rebuild message, exactly
+    * the safe outcome for an index whose signatures a current probe
+    * could never match. */
+  private[graft] def phashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): PhashIndexMeta =
     phashMeta.computeIfAbsent(path, _ => {
       FsOps.healSwap(spark, path + ".building", path)
       phashMetaReads.computeIfAbsent(path,
         _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
-      Int.box(spark.read.parquet(path + "/_meta").collect().head.getInt(0))
+      val df = spark.read.parquet(path + "/_meta")
+      val row = df.collect().head
+      val kind =
+        if (df.schema.fieldNames.contains("hash_kind"))
+          row.getString(df.schema.fieldIndex("hash_kind"))
+        else "dhash1"
+      PhashIndexMeta(row.getInt(df.schema.fieldIndex("max_distance")), kind)
     })
+
+  /** Typed raise unless the index at `path` was written with
+    * `expected` signatures — probing or appending across hash kinds
+    * is silent zero recall, never a soft degrade. */
+  private def requireHashKind(spark: org.apache.spark.sql.SparkSession,
+      path: String, expected: String): Unit = {
+    val actual = phashIndexMeta(spark, path).hashKind
+    require(actual == expected,
+      s"phash index at $path holds '$actual' signatures but this caller " +
+        s"hashes '$expected' - probing/appending across hash kinds is " +
+        "silent zero recall; rebuild the index with the current kernel")
+  }
 
   /** Per-path count of actual `_meta` sidecar loads — test hook
     * pinning the once-per-path memoization contract. */
   private[graft] val phashMetaReads = new java.util.concurrent
     .ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
   private val phashMeta =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, PhashIndexMeta]()
 
   /** Append signature rows for a (typically already-probed) batch.
     * A replayed append lays down duplicate identical rows — probes
@@ -581,12 +623,17 @@ object Dedup {
       payloadCol: String, path: String): Unit =
     appendPhashSignatures(
       batch.select(col(idCol).as("id"),
-        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph")), path)
+        graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph")),
+      path, DhashHashKind)
 
   /** Signature-level append — for callers that already hashed (the
-    * streaming screen hashes once for probe + admit + append). */
-  def appendPhashSignatures(sigs: DataFrame, path: String): Unit = {
+    * streaming screen hashes once for probe + admit + append). The
+    * batch's hash kind must match the index's (memoized check — one
+    * sidecar read per JVM, not per batch). */
+  def appendPhashSignatures(sigs: DataFrame, path: String,
+      hashKind: String): Unit = {
     FsOps.healSwap(sigs.sparkSession, path + ".building", path)
+    requireHashKind(sigs.sparkSession, path, hashKind)
     sigs.select(col("id"), col("ph")).filter(col("ph").isNotNull)
       .write.mode("append").parquet(path)
   }
@@ -614,13 +661,16 @@ object Dedup {
     probePhashSignatures(spark, path,
       Lineage.cut(batch.select(col(idCol).as("id"),
         graft.functions.PngDecode.dhashDecoded(col(payloadCol)).as("ph"))),
-      maxBucket)
+      DhashHashKind, maxBucket)
 
-  /** Signature-level probe behind [[probePhashIndex]]. */
+  /** Signature-level probe behind [[probePhashIndex]]; `hashKind`
+    * names the kernel that produced `sigs` and must match the
+    * writer's. */
   def probePhashSignatures(spark: org.apache.spark.sql.SparkSession,
-      path: String, sigs: DataFrame, maxBucket: Int = 1000): DataFrame =
+      path: String, sigs: DataFrame, hashKind: String,
+      maxBucket: Int = 1000): DataFrame =
     probePhashSignaturesAt(spark, path, sigs,
-      phashIndexMaxDistance(spark, path), maxBucket)
+      phashIndexMaxDistance(spark, path), maxBucket, hashKind)
 
   /** Probe with the banding distance supplied by the caller — for
     * callers that already hold the distance (the streaming screen gets
@@ -643,8 +693,10 @@ object Dedup {
     * bypasses the size threshold) could OOM on a huge batch. */
   private[graft] def probePhashSignaturesAt(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      sigs: DataFrame, maxDistance: Int, maxBucket: Int): DataFrame = {
+      sigs: DataFrame, maxDistance: Int, maxBucket: Int,
+      hashKind: String): DataFrame = {
     FsOps.healSwap(spark, path + ".building", path)
+    requireHashKind(spark, path, hashKind) // memoized: one read per JVM
     val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
       maxDistance)
     // distinct: replayed appends collapse (16-byte rows)
@@ -702,6 +754,11 @@ object Dedup {
   def diffPhashIndexes(spark: org.apache.spark.sql.SparkSession,
       pathV1: String, pathV2: String,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val k1 = phashIndexMeta(spark, pathV1).hashKind
+    val k2 = phashIndexMeta(spark, pathV2).hashKind
+    require(k1 == k2, s"diffPhashIndexes: snapshots hold different hash " +
+      s"kinds ('$k1' vs '$k2') - their signatures are incomparable; " +
+      "rebuild one side with the other's kernel")
     val d1 = phashIndexMaxDistance(spark, pathV1)
     val d2 = phashIndexMaxDistance(spark, pathV2)
     require(d1 == d2, s"diffPhashIndexes: snapshots band at different " +

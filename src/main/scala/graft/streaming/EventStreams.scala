@@ -333,7 +333,7 @@ object EventStreams {
           // exact dedup first.
           val matchedIds = graft.ops.Dedup
             .probePhashSignaturesAt(spark, indexPath, hashed, maxDistance,
-              maxBucket = maxBucket)
+              maxBucket = maxBucket, hashKind = graft.ops.Dedup.DhashHashKind)
             .select(col("batch_id").as("id")).distinct()
           // persist, not localCheckpoint: afterIndex feeds both the
           // dominance pairs and the admit anti-join (one probe, not
@@ -353,7 +353,8 @@ object EventStreams {
               .persist()
             try {
               admitted.write.mode("append").parquet(outPath)
-              graft.ops.Dedup.appendPhashSignatures(admitted, indexPath)
+              graft.ops.Dedup.appendPhashSignatures(admitted, indexPath,
+                graft.ops.Dedup.DhashHashKind)
             } finally admitted.unpersist()
           } finally afterIndex.unpersist()
         } finally hashed.unpersist()

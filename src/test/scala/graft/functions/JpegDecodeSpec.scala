@@ -150,7 +150,8 @@ class JpegDecodeSpec extends SparkSpec {
     val evil = good.clone()
     evil(sofAt + 5) = 0xEA.toByte; evil(sofAt + 6) = 0x60.toByte // h = 60000
     evil(sofAt + 7) = 0xEA.toByte; evil(sofAt + 8) = 0x60.toByte // w = 60000
-    assert(JpegDecodeImpl.jpegLuma(evil) == null, "per-dimension cap must reject")
+    assert(JpegDecodeImpl.jpegLuma(evil) == null,
+      "pixel-product cap must reject (3.6e9 pixels > 2^24)")
   }
 
   test("ops: a JPEG re-encode surfaces against the phash index like a PNG would") {

@@ -198,6 +198,27 @@ class WavDecodeSpec extends SparkSpec {
     assert(!hits.exists(_._1 == 200L), "novel audio must not match")
   }
 
+  test("hash-kind guard: audio and image signature spaces never cross-probe") {
+    val path = graft.Paths.scratchDir("graft-kind-idx").resolve("idx").toString
+    val corpus = Seq((1L, wav(8000, 1, 16, tone))).toDF("doc_id", "content")
+    Audio.writeFingerprintIndex(corpus, "doc_id", path)
+    // the image probe hashes dhash2 — probing an afp1 index must raise,
+    // not silently return zero matches
+    val e = intercept[Exception] {
+      graft.ops.Dedup.probePhashIndex(spark, path, corpus, "doc_id", "content")
+        .collect()
+    }
+    assert(e.getMessage.contains("hash kinds"), e.getMessage)
+    // appending across kinds raises the same way
+    val e2 = intercept[Exception] {
+      graft.ops.Dedup.appendToPhashIndex(corpus, "doc_id", "content", path)
+    }
+    assert(e2.getMessage.contains("hash kinds"), e2.getMessage)
+    // the matching probe still works
+    assert(Audio.probeFingerprintIndex(spark, path, corpus, "doc_id")
+      .count() == 1L)
+  }
+
   test("ops: DC-offset re-record pairs up, different waveform does not") {
     val copy = tone.map(_ + 25)
     val other = Array.tabulate(480)(i => ((i * i * 13) % 1601) - 800)
