@@ -971,6 +971,54 @@ object ScaleProbe {
         "a middle-sharing corpus must lose most of its tokens")
     }
 
+    // round-10 (cont.): real-JPEG decode throughput — 200 distinct
+    // baseline JPEGs (encoded driver-side by the JDK's ImageIO codec:
+    // the fixture encoder, not the operator) replicated to 500k rows
+    // through a broadcast join, hashed by the fused decode path. The
+    // decode arm is pinned DIRECTLY (decoded hash != bytes hash on a
+    // fixture); the distinct count is a loose band, not 200 — the
+    // fixtures differ partly by DC brightness, which dHash ignores BY
+    // DESIGN, so a few collisions are the hash working (first cut
+    // asserted exactly 200 and failed at 191).
+    {
+      val jpegs = (0 until 200).map { k =>
+        val img = new java.awt.image.BufferedImage(128, 96,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val ras = img.getRaster
+        for (y <- 0 until 96; x <- 0 until 128)
+          ras.setSample(x, y, 0, (x * 3 + y * 2 + (x * y + k * 37) % 29 + k) % 256)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(0.85f)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.flush(); writer.dispose()
+        (k.toLong, bos.toByteArray)
+      }
+      assert(graft.functions.JpegDecodeImpl.jpegLuma(jpegs.head._2) != null,
+        "fixture JPEG must decode, not fall back")
+      assert(graft.functions.PngDecodeImpl.dhashDecoded63(jpegs.head._2) !=
+        graft.functions.PerceptualHashImpl.dhash63(jpegs.head._2),
+        "the hash must come from decoded pixels, not container bytes")
+      import spark.implicits._
+      val dict = broadcast(jpegs.toDF("k", "content"))
+      val media = spark.range(0L, 500000L)
+        .select(col("id"), pmod(col("id"), lit(200L)).as("k"))
+        .join(dict, "k")
+      val hashed = t("jpeg decode+dhash 500k payloads (200 distinct 128x96)")(
+        media.select(graft.functions.PngDecode.dhashDecoded(col("content"))
+            .as("ph"))
+          .agg(count(lit(1)), countDistinct(col("ph"))).head())
+      println(s"SCALE jpeg: rows=${hashed.getLong(0)} distinct=${hashed.getLong(1)}")
+      assert(hashed.getLong(0) == 500000L)
+      assert(hashed.getLong(1) >= 150L && hashed.getLong(1) <= 200L,
+        s"distinct hash band (measured 191 on this fixture): ${hashed.getLong(1)}")
+    }
+
     // round-10 (cont.): JL sign projection at 6M 64-dim vectors — one
     // tight-loop kernel per row, no shuffle; throughput here is the
     // 100 TB per-partition cost. The vector frame is persisted so the
