@@ -144,9 +144,10 @@ object SqlKernels {
       deep(graft.ops.Web.registrableDomain(ColumnBridge.column(args(0))))
     },
     // media tier for SQL-only users: the perceptual image hash
-    // (decoded luma for PNGs, bytes-as-luma otherwise) and the audio
-    // kernels (PCM WAV decode + features, DC-invariant fingerprint) —
-    // raw StaticInvoke trees, identical to the Column surface's
+    // (decoded luma for PNGs AND baseline JPEGs, bytes-as-luma
+    // otherwise) and the audio kernels (PCM WAV decode + features,
+    // DC-invariant fingerprint) — raw StaticInvoke trees, identical
+    // to the Column surface's
     "graft_phash" -> { args =>
       arity("graft_phash", args, 1); PngDecode.dhashDecodedExpr(args(0))
     },

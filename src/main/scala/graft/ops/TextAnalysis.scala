@@ -606,8 +606,14 @@ object TextAnalysis {
     // Bpe.encodeViaDict lazy-raise pattern): its narrow (id, long)
     // rows shuffle on the same key as `cleaned`, so the contract check
     // costs no extra wide pass
+    // null text counts as token-free (0 tokens), matching the empty
+    // string — size(tokens(null)) is NULL, which would leak a NULL
+    // n_tokens_removed past every coalesce and silently drop the row
+    // from downstream sums (the same silent-metric class the id
+    // contract raise exists for)
     df.select(col(idCol).as("__id"),
-        size(tokens(col(textCol))).cast("long").as("__nt"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(tokens(col(textCol))).cast("long")).as("__nt"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("__nrows"), max(col("__nt")).as("__nt"))
       .join(cleaned, Seq("__id"), "left")

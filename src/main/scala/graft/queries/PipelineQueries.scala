@@ -501,7 +501,6 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
-    // ---- graph: HITS hubs & authorities over the kNN similarity
     // ---- similarity: JL sign random projection — 64-float embeddings
     // compressed to 16 exact BIGINTs (Achlioptas ±1 matrix from the
     // gridPlanes integer-LCG family; inputs through the round(x·1e6)
@@ -523,6 +522,7 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- graph: HITS hubs & authorities over the kNN similarity
     // graph — the curation prior PageRank's single score conflates:
     // directory-like nodes (pointing at many authorities) score high
     // hub, widely-referenced nodes high auth. Exact fixed-point with

@@ -154,6 +154,41 @@ class JpegDecodeSpec extends SparkSpec {
       "pixel-product cap must reject (3.6e9 pixels > 2^24)")
   }
 
+  test("restart markers: DC predictors reset per interval (hand-built DRI stream)") {
+    // ImageIO never emits DRI, so this fixture is built byte-by-byte:
+    // 16x16 grayscale, 4 MCUs, DRI=2, minimal custom Huffman tables
+    // (DC: 00 -> cat 0, 01 -> cat 4; AC: 00 -> EOB), quant table all
+    // 16s. Blocks encode DC diffs (+8, 0, RST0, +8, 0): WITH the reset
+    // every block's DC value is 8 -> every pixel 8*16/8 + 128 = 144;
+    // a decoder that forgot the reset would read 16/16 for the second
+    // interval (pixels 160).
+    def seg(tag: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, tag.toByte,
+        (((body.length + 2) >> 8) & 0xFF).toByte,
+        ((body.length + 2) & 0xFF).toByte) ++ body
+    val dqt = seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(16.toByte))
+    val sof = seg(0xC0, Array[Byte](8, 0, 16, 0, 16, 1, 1, 0x11, 0))
+    val dhtDc = seg(0xC4, Array[Byte](0x00, 0, 2) ++ Array.fill(14)(0.toByte)
+      ++ Array[Byte](0, 4))
+    val dhtAc = seg(0xC4, Array[Byte](0x10, 0, 1) ++ Array.fill(14)(0.toByte)
+      ++ Array[Byte](0))
+    val dri = seg(0xDD, Array[Byte](0, 2))
+    val sos = seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // interval = block(+8): 01 1000, block(0): 00, EOB 00 each ->
+    // bits 01 1000 00 | 00 00 + pad 1111 -> 0x60 0x0F
+    val interval = Array(0x60.toByte, 0x0F.toByte)
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++ dqt ++ sof ++ dhtDc ++
+      dhtAc ++ dri ++ sos ++ interval ++
+      Array(0xFF.toByte, 0xD0.toByte) ++ interval ++
+      Array(0xFF.toByte, 0xD9.toByte)
+    val luma = JpegDecodeImpl.jpegLuma(jpeg)
+    assert(luma != null, "hand-built DRI stream must decode")
+    assert(luma.length == 256)
+    assert(luma.forall(b => (b & 0xFF) == 144),
+      s"DC predictor reset failed: distinct values " +
+        luma.map(_ & 0xFF).distinct.mkString(","))
+  }
+
   test("ops: a JPEG re-encode surfaces against the phash index like a PNG would") {
     val path = graft.Paths.scratchDir("graft-jpeg-idx").resolve("idx").toString
     val corpus = (0 until 8).map { k =>

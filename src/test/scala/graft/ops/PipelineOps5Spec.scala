@@ -409,7 +409,8 @@ class PipelineOps5Spec extends SparkSpec {
       (2L, shared), // fully excised
       (3L, "a b c"), // under n tokens: never cut even if repeated
       (4L, "a b c"),
-      (5L, "")) // token-free
+      (5L, ""), // token-free
+      (6L, null.asInstanceOf[String])) // null text = token-free, not NULL counts
       .toDF("doc_id", "text")
     val out = TextAnalysis.exciseDupSpans(docs, "doc_id", "text", n = 8)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
@@ -418,6 +419,9 @@ class PipelineOps5Spec extends SparkSpec {
     assert(out(2L) == (("", 0L, 8L)))
     assert(out(3L) == (("a b c", 3L, 0L)) && out(4L) == (("a b c", 3L, 0L)))
     assert(out(5L) == (("", 0L, 0L)))
+    // null text must match the empty-string row exactly — a NULL
+    // n_tokens_removed would silently vanish from downstream sums
+    assert(out(6L) == (("", 0L, 0L)))
   }
 
   test("exciseDupSpans: matching is case-insensitive, reassembly preserves case") {
