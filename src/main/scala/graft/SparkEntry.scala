@@ -35,7 +35,8 @@ import graft.queries._
   *              Bloom, quantile histogram, CM join-size estimation)
   *   - mm0*     multimodal binary-column plumbing (real header decode,
   *              exact + perceptual dedup, persisted phash index, audio
-  *              PCM decode + features + perceptual fingerprint)
+  *              PCM decode + features + perceptual fingerprint, video
+  *              near-dup via aligned frame-hash voting)
   *   - e0*–e21  event/time: windows, sessions, streaming (tumbling, dedup,
   *              stream-stream interval join, stream-static enrichment,
   *              streaming-state KMV + histogram quantiles, Bloom-index

@@ -104,6 +104,70 @@ object Multimodal {
       .withColumn("height", MediaHeaders.mediaHeight(col(payloadCol)))
   }
 
+  /** Per-frame perceptual hashes for video-like payloads: the
+    * [[sampleFrames]] slicing with each sampled frame fed through the
+    * decoded perceptual hash ([[graft.functions.PngDecode.dhashDecoded]]
+    * — so an MJPEG-style payload whose frames are real JPEGs/PNGs
+    * hashes DECODED pixels; opaque codecs keep the bytes-as-luma
+    * stand-in until a real frame decoder supplies luma planes to the
+    * identical kernel). Emits (idCol, frame_idx, fh) — one narrow
+    * 8-byte signature per sampled frame, the video analog of the
+    * image/audio signature rows. */
+  def videoFrameHashes(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "content", frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1, "frameBytes and stride must be >= 1")
+    val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("int")
+    val frameIdx = when(nFrames > 0,
+      filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(stride)) === 0))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), col(payloadCol), explode(frameIdx).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        graft.functions.PngDecode.dhashDecoded(
+          col(payloadCol).substr(col("frame_idx") * frameBytes + 1,
+            lit(frameBytes))).as("fh"))
+  }
+
+  /** Video NEAR-dup via aligned frame-hash voting — the canonical
+    * frame-signature video-dedup design: two videos are near-dups when
+    * at least `minMatched` of their POSITION-ALIGNED sampled frames
+    * sit within `maxDistance` bits (a re-encoded copy matches frame
+    * for frame; trimmed/retimed edits are out of scope by the aligned
+    * contract — document-level minhash over unaligned frame hashes is
+    * the relaxation, composable from [[videoFrameHashes]]). Emits
+    * (id_a, id_b, n_matched).
+    *
+    * Shape at 100 TB: frame pairs come from the SAME pigeonhole band
+    * machinery as every other signature ([[Dedup.simhashPairs]] over
+    * composite (video, frame) keys — never all-pairs), then one narrow
+    * aggregate per video pair. Ids must be non-negative and frame
+    * counts under 4096 (the composite key budget) — violations raise
+    * typed, never mis-pair. */
+  def videoNearDupPairs(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "content", frameBytes: Int = 256,
+      stride: Int = 4, maxDistance: Int = 3, minMatched: Long = 1L,
+      maxBucket: Int = 1000): DataFrame = {
+    val fh = videoFrameHashes(df, idCol, payloadCol, frameBytes, stride)
+    val maxId = Long.MaxValue / 4096L
+    val composite = fh.select(
+      when(col(idCol) < 0 || col(idCol) >= maxId || col("frame_idx") >= 4096,
+        raise_error(concat(
+          lit("Multimodal.videoNearDupPairs: id/frame out of composite "),
+          lit("key budget (id in [0, 2^51), frames < 4096) at id="),
+          col(idCol).cast("string"))))
+        .otherwise(col(idCol).cast("long") * 4096L + col("frame_idx"))
+        .as("cid"),
+      col("fh"))
+    Dedup.simhashPairs(composite, "cid", "fh", maxDistance, maxBucket)
+      // aligned positions only; composite ids are non-negative, so the
+      // shift/pmod decomposition is exact
+      .filter(pmod(col("id_a"), lit(4096L)) === pmod(col("id_b"), lit(4096L)))
+      .groupBy(shiftright(col("id_a"), 12).as("id_a"),
+        shiftright(col("id_b"), 12).as("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatched)
+  }
+
   /** Frame sampling for video-like payloads: slice the payload into
     * fixed-size chunks and keep every `stride`-th one — the row-per-frame
     * explode layout a real frame sampler produces. Pure Catalyst. */

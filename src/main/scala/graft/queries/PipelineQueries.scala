@@ -2280,6 +2280,44 @@ object PipelineQueries {
         .orderBy(col("batch_id"), col("index_id"))
     }),
 
+    // ---- multimodal: VIDEO near-dup via aligned frame-hash voting —
+    // payloads are 10-frame 128-byte "videos" (per-frame quadratic
+    // byte signals); ids ≥ 400 carry RE-ENCODED copies of ids 0..39
+    // (per-frame +40 blocking bump on every 8th 16-byte block, clamped
+    // at 255 — the lpad(hex) truncation trap — measured hamming 0-1
+    // per frame) and ids ≥ 420 additionally REPLACE frames 2/5/8 with
+    // a different scene (fcore + 500, measured ≥ 22 bits away): pure
+    // copies match 10/10 aligned frames, edited ones 7/10 — both
+    // survive minMatched = 7 with distinguishable counts. Base vids
+    // stay under 251: the byte formula is mod-251, so cores c and
+    // c+251 produce IDENTICAL videos (caught live — 189 organic exact
+    // pairs before the range cut). Oracle replays per-frame bytes from
+    // the formula (no slicing), the shared duckPhash chain keyed on
+    // the composite (video, frame) id, and the plain aligned-distance
+    // predicate.
+    "mm09_video_neardup" -> ((s, dir) => {
+      val d = col("doc_id")
+      val core = when(d < 400, d).otherwise(d - 400)
+      val bump = d >= 400
+      val repl = d >= 420
+      val payload = unhex(concat_ws("", transform(sequence(lit(0), lit(9)), f => {
+        val fc = when(repl && (f === 2 || f === 5 || f === 8), core + 500)
+          .otherwise(core)
+        concat_ws("", transform(sequence(lit(0), lit(127)), i => {
+          val v = least(lit(255),
+            pmod((fc * 10 + f + 3) * (i * i + i * 7) + fc * lit(31), lit(251)) +
+              when(bump && pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))
+          lpad(hex(v), 2, "0")
+        }))
+      })))
+      val vids = docs(s, dir).select(d).filter(d < 240 || (d >= 400 && d < 440))
+        .withColumn("content", payload)
+      Multimodal.videoNearDupPairs(vids, "doc_id", "content",
+          frameBytes = 128, stride = 1, maxDistance = 3, minMatched = 7L,
+          maxBucket = Int.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- multimodal: AUDIO decode + features — payloads are real PCM
     // WAV containers built from doc_id-derived 16-bit samples (rate,
     // leading-silence run and waveform all doc_id functions), decoded
@@ -6316,6 +6354,41 @@ object PipelineQueries {
           |  CAST(bit_count(xor(b.ph, i.ph)) AS INTEGER) AS hamming
           |FROM hb b JOIN hi i ON bit_count(xor(b.ph, i.ph)) <= 3
           |ORDER BY batch_id, index_id""".stripMargin),
+
+    // video near-dup replay: per-frame byte lists straight from the
+    // formula (the payload is just their concatenation, so no slicing
+    // replay is needed), the shared duckPhash chain over composite
+    // (video*4096 + frame) ids, then the plain ALIGNED distance
+    // predicate (banding exhaustive at <= maxDistance; the gate passes
+    // maxBucket unlimited so band-join == predicate, the d14 argument)
+    // and a per-video-pair vote
+    "mm09_video_neardup" ->
+      (s"""WITH vids AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 400 THEN doc_id ELSE doc_id - 400 END AS core,
+         |    doc_id >= 400 AS bp, doc_id >= 420 AS rp
+         |  FROM documents WHERE doc_id < 240 OR (doc_id >= 400 AND doc_id < 440)
+         |), fr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN rp AND f IN (2, 5, 8) THEN core + 500 ELSE core END AS fc,
+         |    bp, f
+         |  FROM vids, range(0, 10) r(f)
+         |), b AS (
+         |  SELECT doc_id * 4096 + f AS doc_id,
+         |    [ least(255, ((fc*10 + f + 3)*(i*i + i*7) + fc*31) % 251
+         |        + CASE WHEN bp AND (i>>4)%8 = 0 THEN 40 ELSE 0 END)
+         |      for i in range(0, 128) ] AS bytes
+         |  FROM fr
+         |),
+         |""".stripMargin + duckPhash("b", "v") + "\n" +
+        """SELECT a.doc_id // 4096 AS id_a, c.doc_id // 4096 AS id_b,
+          |  count(*) AS n_matched
+          |FROM hv a JOIN hv c
+          |  ON a.doc_id % 4096 = c.doc_id % 4096
+          | AND a.doc_id // 4096 < c.doc_id // 4096
+          | AND bit_count(xor(a.ph, c.ph)) <= 3
+          |GROUP BY 1, 2 HAVING count(*) >= 7
+          |ORDER BY id_a, id_b""".stripMargin),
 
     // audio decode + features replay: the WAV container is never
     // parsed — samples come straight from the doc_id formula (the

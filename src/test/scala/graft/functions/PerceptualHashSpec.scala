@@ -82,4 +82,32 @@ class PerceptualHashSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"$pairs")
   }
+
+  test("videoNearDupPairs: aligned frame voting finds edited copies, counts honest") {
+    // 4-frame "videos" of 64-byte frames; B = A with one frame swapped
+    // for a different scene, C = unrelated
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(64)(i => (((seed + 3) * (i * i + 7 * i)) % 251).toByte)
+    def video(seeds: Int*): Array[Byte] = seeds.flatMap(frame).toArray
+    val df = Seq(
+      (1L, video(10, 20, 30, 40)),
+      (2L, video(10, 20, 999, 40)), // frame 2 replaced
+      (3L, video(70, 80, 90, 95)))
+      .toDF("doc_id", "content")
+    val out = graft.ops.Multimodal.videoNearDupPairs(df, "doc_id", "content",
+        frameBytes = 64, stride = 1, maxDistance = 3, minMatched = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)), s"${out.toSeq}")
+    // raising the vote threshold to all-4 drops the edited copy
+    assert(graft.ops.Multimodal.videoNearDupPairs(df, "doc_id", "content",
+      frameBytes = 64, stride = 1, maxDistance = 3, minMatched = 4L).count() == 0L)
+    // composite-key contract: negative ids raise typed
+    val e = intercept[Exception] {
+      graft.ops.Multimodal.videoNearDupPairs(
+        Seq((-1L, video(10, 20, 30, 40))).toDF("doc_id", "content"),
+        "doc_id", "content", frameBytes = 64, stride = 1).count()
+    }
+    assert(e.getMessage.contains("composite") ||
+      Option(e.getCause).exists(_.getMessage.contains("composite")))
+  }
 }
