@@ -179,6 +179,12 @@ object JpegDecodeImpl {
               val tq2 = b(p) & 0x0F
               p += 1
               if (tq2 > 3 || pq > 1) return null
+              // a lying DQT length must not read the NEXT segment's bytes
+              // into the quant table (the post-loop p != end check or a
+              // caught AIOOBE would reject it eventually, but only by
+              // accident near the buffer end) — mirror the DHT path's
+              // explicit pre-checks
+              if (p + (if (pq == 0) 64 else 128) > end) return null
               val t = new Array[Int](64)
               var k = 0
               while (k < 64) {

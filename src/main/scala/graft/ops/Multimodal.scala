@@ -104,28 +104,29 @@ object Multimodal {
       .withColumn("height", MediaHeaders.mediaHeight(col(payloadCol)))
   }
 
-  /** Per-frame perceptual hashes for video-like payloads: the
-    * [[sampleFrames]] slicing with each sampled frame fed through the
-    * decoded perceptual hash ([[graft.functions.PngDecode.dhashDecoded]]
-    * — so an MJPEG-style payload whose frames are real JPEGs/PNGs
-    * hashes DECODED pixels; opaque codecs keep the bytes-as-luma
-    * stand-in until a real frame decoder supplies luma planes to the
-    * identical kernel). Emits (idCol, frame_idx, fh) — one narrow
-    * 8-byte signature per sampled frame, the video analog of the
-    * image/audio signature rows. */
+  /** Per-frame perceptual hashes for video payloads, via ONE fused
+    * [[graft.functions.AviDecodeImpl.videoHashes63]] kernel:
+    *   - AVI containers: REAL frames from the `LIST/movi` walk
+    *     (stream-0 `00dc`/`00db` chunks in file order), each through
+    *     the decoded perceptual hash — an MJPEG-style AVI whose frames
+    *     are baseline JPEGs hashes DECODED pixels,
+    *   - anything else: the byte-stride frame model (fixed
+    *     `frameBytes` slices, every `stride`-th) — bit-for-bit the
+    *     previous declarative `substr` + `dhashDecoded` form
+    *     (`KernelParitySpec` pins it), so non-AVI corpora and every
+    *     existing gate oracle replay unchanged.
+    * Emits (idCol, frame_idx, fh) — one narrow 8-byte signature per
+    * sampled frame, the video analog of the image/audio signature
+    * rows; `frame_idx = k * stride` for the k-th sampled frame in
+    * both arms (byte-slice index or container frame number). */
   def videoFrameHashes(df: DataFrame, idCol: String = "doc_id",
       payloadCol: String = "content", frameBytes: Int = 256,
       stride: Int = 4): DataFrame = {
     require(frameBytes >= 1 && stride >= 1, "frameBytes and stride must be >= 1")
-    val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("int")
-    val frameIdx = when(nFrames > 0,
-      filter(sequence(lit(0), nFrames - 1), i => pmod(i, lit(stride)) === 0))
-      .otherwise(array().cast("array<int>"))
-    df.select(col(idCol), col(payloadCol), explode(frameIdx).as("frame_idx"))
-      .select(col(idCol), col("frame_idx"),
-        graft.functions.PngDecode.dhashDecoded(
-          col(payloadCol).substr(col("frame_idx") * frameBytes + 1,
-            lit(frameBytes))).as("fh"))
+    df.select(col(idCol), posexplode(graft.functions.AviDecode.videoHashes(
+        col(payloadCol), lit(frameBytes), lit(stride))))
+      .select(col(idCol), (col("pos") * stride).as("frame_idx"),
+        col("col").as("fh"))
   }
 
   /** Video NEAR-dup via aligned frame-hash voting — the canonical

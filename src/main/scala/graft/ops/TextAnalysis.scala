@@ -170,6 +170,76 @@ object TextAnalysis {
   val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
   val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
+  /** Zero-width and direction-control codepoints an adversarial web
+    * corpus stuffs into text to defeat hash-keyed dedup: soft hyphen,
+    * ZWSP/ZWNJ/ZWJ, LRM/RLM, bidi embeddings/overrides/isolates, word
+    * joiner, BOM-as-ZWNBSP. Removed outright by [[foldConfusables]] —
+    * they carry no visible content. All BMP codepoints, written as a
+    * literal character class (identical bytes in java.util.regex and
+    * RE2-family engines — the t29 literal-pattern rule). */
+  val ZeroWidthChars: String =
+    "\u00AD\u200B\u200C\u200D\u200E\u200F" + // shy, ZWSP/ZWNJ/ZWJ, LRM/RLM
+      "\u202A\u202B\u202C\u202D\u202E" + // bidi embeddings/overrides + pop
+      "\u2060\u2066\u2067\u2068\u2069" + // word joiner, bidi isolates + pop
+      "\uFEFF" // BOM as ZWNBSP
+
+  /** Single-codepoint -> single-codepoint confusable fold table, applied
+    * by ONE `translate` (codepoint-aware in both Spark and DuckDB --
+    * probe-verified on full-width/NBSP/ideographic-space inputs):
+    * space-family codepoints -> ASCII space, the full-width ASCII block
+    * U+FF01-U+FF5E -> its ASCII originals, curly/angled quotes ->
+    * ASCII quotes, dash/minus family -> `-`, fraction slash -> `/`,
+    * ideographic full stop -> `.`. */
+  val ConfusableFrom: String =
+    "\u00A0\u1680" + (0x2000 to 0x200A).map(_.toChar).mkString +
+      "\u202F\u205F\u3000" + // space family (16 codepoints total)
+      (0xFF01 to 0xFF5E).map(_.toChar).mkString + // full-width ASCII block
+      "\u2018\u2019\u201A\u201B\u2032" + // single quotes / prime
+      "\u201C\u201D\u201E\u201F\u2033" + // double quotes / double prime
+      "\u2010\u2011\u2012\u2013\u2014\u2015\u2212" + // hyphen/dash/minus
+      "\u2044\u3002" // fraction slash, ideographic full stop
+  val ConfusableTo: String =
+    " " * 16 +
+      (0x21 to 0x7E).map(_.toChar).mkString +
+      "'''''" + "\"\"\"\"\"" + "-------" + "/."
+
+  /** Multi-codepoint compatibility expansions (a `translate` cannot grow
+    * a character): the Latin ligature block U+FB00-U+FB06 and horizontal
+    * ellipsis, decoded with LITERAL `replace` (cross-engine exact, the
+    * [[Entities]] precedent). */
+  val LigatureFolds: Seq[(String, String)] = Seq(
+    "\uFB00" -> "ff", "\uFB01" -> "fi", "\uFB02" -> "fl",
+    "\uFB03" -> "ffi", "\uFB04" -> "ffl", "\uFB05" -> "st",
+    "\uFB06" -> "st", "\u2026" -> "...")
+
+  /** Unicode confusable/zero-width folding for dedup keys — the layer
+    * BEFORE [[normalizeForDedup]] when the corpus is adversarial web
+    * text: `ﬁle` vs `file`, full-width `ｗｏｒｄ`, U+200B stuffing and
+    * NBSP substitution all defeat a byte-keyed normalization today
+    * (they are DIFFERENT bytes that render identically). Full NFKC is
+    * explicitly out of scope (not expressible as a cross-engine literal
+    * chain); this folds the high-frequency confusable classes:
+    *
+    *   1. [[ZeroWidthChars]] removed (one literal-class regex),
+    *   2. [[ConfusableFrom]] → [[ConfusableTo]] (one codepoint
+    *      `translate`: spaces, full-width block, quotes, dashes),
+    *   3. [[LigatureFolds]] expanded (literal `replace` chain).
+    *
+    * Order is load-bearing: zero-width removal first (a ZWSP between
+    * full-width letters must not survive as a word break), ligatures
+    * last (their expansions are plain ASCII the earlier steps never
+    * touch). Idempotent: every output codepoint is a fixed point of
+    * the chain (spec-pinned). Pure per-row codegen — no shuffle, scales
+    * like every other normalization. Cross-engine: the identical chain
+    * replays in DuckDB with literal interpolation of these constants
+    * (translate codepoint-awareness probe-verified; the d15 oracle). */
+  def foldConfusables(text: Column): Column = {
+    val deZeroed = regexp_replace(text, "[" + ZeroWidthChars + "]", "")
+    val mapped = translate(deZeroed, ConfusableFrom, ConfusableTo)
+    LigatureFolds.foldLeft(mapped) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+  }
+
   /** CCNet-style PARAGRAPH-level dedup — the granularity real web
     * pipelines dedup at (boilerplate repeats across pages even when no
     * two full documents match): split each document into paragraphs

@@ -23,13 +23,21 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     sdf = sdf.sort_values(by=list(sdf.columns)).reset_index(drop=True)
     return sdf
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def fresh_con(sf_dir):
+    """One connection PER ORACLE: DuckDB refuses SET temp_directory once
+    the current temp dir has been used (spilled) on a connection — the
+    heavy oracles' memory-robustness prologue must always run before any
+    spill, which only a fresh connection guarantees (probe-verified:
+    even a same-value re-SET after a spill raises)."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
@@ -42,7 +50,9 @@ def main():
             print(f"ROWS {name}: rows={len(got)} (no oracle)"); n_noracle += 1
             continue
         try:
+            con = fresh_con(sf_dir)
             exp = con.sql(oracle[name]).df()
+            con.close()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
