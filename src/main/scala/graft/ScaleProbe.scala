@@ -1039,7 +1039,107 @@ object ScaleProbe {
             max(element_at(col("p"), 1))).head())
       println(s"SCALE jl: n=${p.getLong(0)} c1min=${p.getLong(1)} c1max=${p.getLong(2)}")
       assert(p.getLong(0) == 6000000L && p.getLong(1) < p.getLong(2))
+
+      // round-11: the PERSISTED JL candidate index serving path (s18's
+      // machinery) at 6M vectors — write once, then a 10k-query batch
+      // candidate-generates from the narrow projected column inside
+      // partition-pruned sign buckets and exact-reranks candidates
+      // only. The fixture's vectors repeat with period 1000 (id·31
+      // mod 1000), so every query has exact copies in the index —
+      // top-1 must be an exact copy (cosine ≈ 1): a recall sentinel
+      // that cannot pass if pruning or candidate generation is broken.
+      // bucketBits MUST scale with the corpus (the first cut used the
+      // gate's 4 bits here: 375k-row buckets × 10k queries × 5 probes
+      // = 19 BILLION candidate pairs, whose window sort filled the
+      // disk and killed the job): candidate volume per query is
+      // ≈ (bits+1)·n/2^bits, so 12 bits at 6M rows ≈ 1.5k-row buckets
+      // and ~19k candidates per query — the phash-probe volume class
+      val jlDir = graft.Paths.scratchDir("graft-scale-jl-")
+      val jlPath = jlDir.resolve("idx").toString
+      t("jl index write 6M x 64-dim (once)")(
+        graft.ops.Similarity.writeJlIndex(vecs, "id", "v", jlPath,
+          dim = 64, outDim = 16, bucketBits = 12))
+      val queries = vecs.filter(col("id") % 600 === 7).limit(10000)
+        .localCheckpoint(true)
+      val top1 = t("jl index probe 10k queries (k=3, cand=32)")(
+        graft.ops.Similarity.jlTopKIndexed(spark, jlPath, queries, "id", "v",
+            k = 3, candidates = 32)
+          .filter(col("rank") === 1)
+          .agg(count(lit(1)), min(col("cosine_sim"))).head())
+      println(s"SCALE jl-index: top1=${top1.getLong(0)} " +
+        f"minCos=${top1.getDouble(1)}%.6f")
+      assert(top1.getLong(0) == 10000L, "every query must be served")
+      assert(top1.getDouble(1) >= 0.999999,
+        "top-1 must be the exact duplicate (period-1000 fixture)")
       vecs.unpersist()
+    }
+
+    // round-11: decontaminated split at corpus scale — the p21 shape
+    // over the shared 4.57M-doc frame. This fixture is a CONTAMINATION
+    // WORST CASE: the vocabulary is 2.5k distinct gram variants across
+    // millions of docs, so nearly every train doc shares a gram with
+    // the eval arm — the quarantine join fans out maximally while the
+    // gram shuffle still only carries 16-byte digests.
+    {
+      val out = t("decontaminatedSplit 4.57M docs (8-gram quarantine)")(
+        graft.ops.Sampling.decontaminatedSplit(docs6m, "doc_id", "text",
+            md5(col("doc_id").cast("string")),
+            Seq("train" -> 0.9, "eval" -> 0.1), "eval")
+          .groupBy(col("split")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      println(s"SCALE decontam split: $out")
+      assert(out.values.sum == docs6m.count(), "no rows lost or invented")
+      assert(out.getOrElse("quarantine", 0L) > 0L, "worst case must quarantine")
+      assert(out.getOrElse("eval", 0L) > 0L, "eval arm survives untouched")
+    }
+
+    // round-11: video near-dup banding volume at 100k multi-frame
+    // payloads (1M composite (video·4096+frame) signature rows through
+    // the shared pigeonhole banding). 10k planted re-encodes (+40 bump
+    // on every 8th 16-byte block) must ALL pair at minMatched=7;
+    // SIMULATED in python first (the mm08 tuning rule): the bump lands
+    // at hamming 0..1 per frame for all but 6 cores (1242, 4605, 5785,
+    // 6139, 8144, 8496), each of which has exactly ONE frame at
+    // hamming 4 > maxDistance — those six vote 9/10, so the full-10
+    // count is exactly 9994, and every planted pair still clears the
+    // vote threshold. Base signals carry a floordiv(core,251) term so
+    // the byte formula's mod-251 period cannot alias distinct cores.
+    {
+      val nVid = 100000L
+      val d = col("id")
+      val core = when(d < nVid, d).otherwise(d - nVid)
+      val bump = d >= nVid
+      val payload = unhex(concat_ws("", transform(sequence(lit(0), lit(9)), f =>
+        concat_ws("", transform(sequence(lit(0), lit(127)), i => {
+          val v = least(lit(255),
+            pmod((core * 10 + f + 3) * (i * i + i * 7) + core * lit(31) +
+              call_function("div", core, lit(251L)) * (i * 13 + 7), lit(251)) +
+              when(bump && pmod(shiftright(i, 4), lit(8)) === 0, 40).otherwise(0))
+          lpad(hex(v), 2, "0")
+        })))))
+      val vids = spark.range(0L, nVid + 10000L)
+        .select(d.as("doc_id"), payload.as("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("video fixture build 110k x 10-frame payloads (once)")(vids.count())
+      val pairs = t("videoNearDupPairs 110k videos (1.1M frame signatures)")(
+        graft.ops.Multimodal.videoNearDupPairs(vids, "doc_id", "content",
+            frameBytes = 128, stride = 1, maxDistance = 3, minMatched = 7L,
+            maxBucket = Int.MaxValue)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val planted = pairs.filter(col("id_b") === col("id_a") + nVid &&
+        col("id_a") < 10000L)
+      val stats = pairs.agg(count(lit(1)),
+        sum(when(col("n_matched") === 10L, 1L).otherwise(0L))).head()
+      val plantedStats = planted.agg(count(lit(1)),
+        sum(when(col("n_matched") === 10L, 1L).otherwise(0L))).head()
+      println(s"SCALE video: pairs=${stats.getLong(0)} " +
+        s"full10=${stats.getLong(1)} planted=${plantedStats.getLong(0)} " +
+        s"planted10=${plantedStats.getLong(1)}")
+      assert(plantedStats.getLong(0) == 10000L,
+        s"all 10k planted re-encodes must pair at >=7/10: ${plantedStats.getLong(0)}")
+      assert(plantedStats.getLong(1) == 9994L,
+        s"simulated full-10 planted count is exactly 9994: ${plantedStats.getLong(1)}")
+      pairs.unpersist(); vids.unpersist()
     }
     spark.stop()
   }

@@ -47,7 +47,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType, LongType}
   * container arm above; everything else takes the byte-stride arm
   * (ceil(len/frameBytes) fixed-size slices, every stride-th hashed) —
   * bit-for-bit the previous declarative `substr` + `dhashDecoded`
-  * form (pinned by `KernelParitySpec`), so every existing gate oracle
+  * form (pinned by `AviDecodeSpec`'s byte-arm parity test), so every existing gate oracle
   * replays unchanged. Fusing both arms into one `StaticInvoke` also
   * removes the per-frame substring materialization and sidesteps the
   * when-branch CSE trap an `isAvi ? containerArm : byteArm` Column
@@ -62,6 +62,13 @@ object AviDecodeImpl {
     * byte-stride slices otherwise (see object scaladoc). Empty payload
     * → empty array (no frames). Never throws on hostile bytes. */
   def videoHashes63(b: Array[Byte], frameBytes: Int, stride: Int): ArrayData = {
+    // caller-contract guard (the Column API has no build-time require —
+    // its args are Columns): stride=0 would divide by zero, a negative
+    // stride would allocate a negative-size array — surface the bug
+    // typed instead
+    if (frameBytes < 1 || stride < 1)
+      throw new IllegalArgumentException(
+        s"videoHashes63: frameBytes and stride must be >= 1 (got $frameBytes, $stride)")
     if (b == null) return null
     val spans = aviFrameSpans(b)
     if (spans != null) {

@@ -148,6 +148,35 @@ object VecOpsImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Σ (a_i − b_i)² over two equal-length LONG arrays — the projected-
+    * space candidate metric of [[graft.ops.Similarity.jlTopKIndexed]].
+    * Exact integer arithmetic (order-independent, so the declarative
+    * `aggregate(zip_with(…))` form is bit-equal in range — pinned in
+    * KernelParitySpec); the kernel exists because candidate scoring is
+    * the per-pair hot loop of the serving path (the dot-kernel class).
+    * Fails fast on ragged/null inputs, like [[dot]], and RAISES on
+    * ±2⁶³ overflow via exact arithmetic — the declarative form raised
+    * ARITHMETIC_OVERFLOW under Spark 4 ANSI, and a silent wrap (e.g. a
+    * caller-chosen scale of 1e9 on unit-range 64-dim inputs puts one
+    * squared difference past 2⁶³) would garbage every candidate rank
+    * with no error (the round-8 trace-the-whole-value-path class). */
+  def l2sqLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2sqLong: vector lengths differ (${n} vs ${b.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"l2sqLong: null element at index $i")
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      s = Math.addExact(s, Math.multiplyExact(d, d))
+      i += 1
+    }
+    s
+  }
 }
 
 object VecOps {
@@ -187,6 +216,22 @@ object VecOps {
       Seq(AD, IT, IT, DT),
       propagateNull = true, returnNullable = false)
   }
+
+  private[functions] def l2sqLongExpr(a: Expression, b: Expression): Expression = {
+    // cast target keeps nullable elements (parquet-read arrays are
+    // element-nullable even when written dense); the kernel's own
+    // isNullAt check raises typed on an actual null
+    val ALn = ArrayType(org.apache.spark.sql.types.LongType)
+    StaticInvoke(VecOpsImpl.getClass, org.apache.spark.sql.types.LongType,
+      "l2sqLong", Seq(Cast(a, ALn), Cast(b, ALn)), Seq(ALn, ALn),
+      propagateNull = true, returnNullable = false)
+  }
+
+  /** Column API: exact integer squared L2 distance of two
+    * `array<bigint>` columns — see [[VecOpsImpl.l2sqLong]]. */
+  def l2sqLong(a: Column, b: Column): Column =
+    ColumnBridge.column(l2sqLongExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API: double dot product of two numeric array columns
     * (numeric inputs cast to `array<double>` — exact for floats). */

@@ -113,7 +113,7 @@ object Multimodal {
     *   - anything else: the byte-stride frame model (fixed
     *     `frameBytes` slices, every `stride`-th) — bit-for-bit the
     *     previous declarative `substr` + `dhashDecoded` form
-    *     (`KernelParitySpec` pins it), so non-AVI corpora and every
+    *     (`AviDecodeSpec`'s byte-arm parity test pins it), so non-AVI corpora and every
     *     existing gate oracle replay unchanged.
     * Emits (idCol, frame_idx, fh) — one narrow 8-byte signature per
     * sampled frame, the video analog of the image/audio signature

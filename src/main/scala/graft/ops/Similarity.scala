@@ -575,6 +575,19 @@ object Similarity {
     * feature space than the index was built in (the round-8 config
     * sentinel rule; the phash `hash_kind` lesson). Built in a sibling
     * dir and swapped in with one rename: data and meta can never tear. */
+  /** A NULL vector would otherwise slip into bucket 0 with a null
+    * projection (propagateNull through the kernel, when().otherwise(0)
+    * sums in [[jlBucket]]) and its null distance sorts NULLS-FIRST at
+    * probe time — crowding real candidates out of every bucket-0 probe:
+    * the silent zero-recall failure. Typed raise instead (the round-6
+    * null-key rule: handle nulls FIRST on any sketch/index path). */
+  private def jlProjectChecked(id: Column, v: Column, dim: Int, outDim: Int,
+      scale: Double): Column =
+    when(v.isNull, raise_error(concat(
+      lit("JL index: null vector for id "),
+      coalesce(id.cast("string"), lit("NULL")))))
+      .otherwise(randomProject(v, dim, outDim, scale))
+
   def writeJlIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, outDim: Int, scale: Double = 1e6,
       bucketBits: Int = 4): Unit = {
@@ -583,7 +596,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val tmp = path + ".building"
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .withColumn("p", randomProject(col("v"), dim, outDim, scale))
+      .withColumn("p", jlProjectChecked(col("neighbor_id"), col("v"), dim, outDim, scale))
       .withColumn("jbucket", jlBucket(col("p"), bucketBits))
       .write.partitionBy("jbucket").mode("overwrite").parquet(tmp)
     import spark.implicits._
@@ -603,15 +616,19 @@ object Similarity {
   def readJlMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): JlMeta = {
     FsOps.healSwap(spark, path + ".building", path)
-    val rows =
-      try spark.read.parquet(path + "/_meta")
-        .select("dim", "out_dim", "scale", "bucket_bits").collect()
-      catch { case scala.util.control.NonFatal(e) =>
-        throw new IllegalStateException(
-          s"JL index at $path has no readable _meta sidecar — rebuild it " +
-            "with writeJlIndex (probing under guessed projection " +
-            "parameters would silently zero recall)", e)
-      }
+    // only a genuinely MISSING sidecar maps to the typed rebuild
+    // message — a transient FS error on a healthy index must surface
+    // as itself (an operator following "rebuild it" on a permission
+    // blip would pay a full re-projection, or overwrite a good index)
+    val metaPath = new org.apache.hadoop.fs.Path(path + "/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath))
+      throw new IllegalStateException(
+        s"JL index at $path has no _meta sidecar — rebuild it with " +
+          "writeJlIndex (probing under guessed projection parameters " +
+          "would silently zero recall)")
+    val rows = spark.read.parquet(path + "/_meta")
+      .select("dim", "out_dim", "scale", "bucket_bits").collect()
     require(rows.length == 1, s"JL index _meta at $path must be 1 row, got ${rows.length}")
     val r = rows.head
     JlMeta(r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3))
@@ -626,7 +643,8 @@ object Similarity {
       path: String): Unit = {
     val m = readJlMeta(batch.sparkSession, path)
     batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .withColumn("p", randomProject(col("v"), m.dim, m.outDim, m.scale))
+      .withColumn("p", jlProjectChecked(col("neighbor_id"), col("v"),
+        m.dim, m.outDim, m.scale))
       .withColumn("jbucket", jlBucket(col("p"), m.bucketBits))
       .write.partitionBy("jbucket").mode("append").parquet(path)
   }
@@ -648,14 +666,44 @@ object Similarity {
     * Returns (query_id, rank, neighbor_id, cosine_sim), rank 1..k.
     * At 100 TB the candidate pass reads ≈ (probed/2^bucketBits) of the
     * corpus at the narrow p width; full vectors move only for
-    * candidates. */
+    * candidates.
+    *
+    * SIZING (load-bearing — measured): candidate volume is
+    * ≈ queries × (bucketBits+1) × n/2^bucketBits pairs, so bucketBits
+    * must SCALE WITH THE CORPUS — pick bucket size n/2^bucketBits in
+    * the low thousands (bucketBits ≈ log2(n) − 11). The s18 gate's 4
+    * bits fit its 500-row corpus; 4 bits on a 6M-row ScaleProbe corpus
+    * put 375k rows in every bucket and a 10k-query batch generated 19
+    * BILLION candidate pairs — the window sort spilled the disk dry.
+    * 12 bits on the same corpus is the phash-probe volume class. */
   def jlTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       candidates: Int = 16): DataFrame = {
     val m = readJlMeta(spark, indexPath)
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qp", randomProject(col("qv"), m.dim, m.outDim, m.scale))
-      .withColumn("jb", jlBucket(col("qp"), m.bucketBits))
+    // duplicate/null query-id contract (the Bpe-style lazy typed raise,
+    // round-10-continuation rule for id-grouped operators): a NULL id
+    // would silently vanish through the rerank equi-joins, and two
+    // query rows sharing an id would interleave their candidates into
+    // one mixed rank list — well-formed but wrong. The dup detector is
+    // an ids-only aggregate (column-pruned, empty under the contract →
+    // broadcast-trivial guard join).
+    val qDup = queries.groupBy(col(idCol).as("__qid"))
+      .agg(count(lit(1)).as("__qn")).filter(col("__qn") > 1L)
+    // query frames are referenced by several downstream consumers
+    // (bucket collect, the probe broadcast, the rerank broadcast) —
+    // cut lineage once so the query projection kernel runs one pass,
+    // not once per consumer (the eager cut also fires the id raises)
+    val q0 = Lineage.cut(
+      queries.join(broadcast(qDup), queries(idCol) === qDup("__qid"), "left")
+        .select(
+          when(col(idCol).isNull || col("__qn").isNotNull, raise_error(concat(
+            lit("jlTopKIndexed: duplicate or null query id "),
+            coalesce(col(idCol).cast("string"), lit("NULL")))))
+            .otherwise(col(idCol)).as("query_id"),
+          col(vecCol).as("qv"))
+        .withColumn("qp", jlProjectChecked(col("query_id"), col("qv"),
+          m.dim, m.outDim, m.scale))
+        .withColumn("jb", jlBucket(col("qp"), m.bucketBits)))
     val probes = q0.select(col("query_id"), col("qp"), explode(array(
       col("jb") +: (0 until m.bucketBits).map(b =>
         col("jb").bitwiseXOR(lit(1 << b))): _*)).as("jbucket"))
@@ -669,16 +717,29 @@ object Similarity {
       .join(broadcast(probes), Seq("jbucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("p"), col("qp"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("jdist"))
-    val cands = topKPerGroup(cand0, Seq(col("query_id")),
-      Seq(col("jdist"), col("neighbor_id")), candidates)
+        graft.functions.VecOps.l2sqLong(col("p"), col("qp")).as("jdist"))
+    // cands is bounded (queries × candidates) but its plan holds the
+    // whole candidate pass; it feeds TWO broadcasts below — cut once
+    // so the pass executes once, not per broadcast collect
+    val cands = Lineage.cut(topKPerGroup(cand0, Seq(col("query_id")),
+      Seq(col("jdist"), col("neighbor_id")), candidates))
+    // REPLAY SAFETY (a crash-retried appendToJlIndex leaves duplicate
+    // index rows): collapse duplicates at the CANDIDATE tier, where
+    // everything is bounded — the vector fetch dedups by id after the
+    // broadcast semi-join, and the pair broadcast is distinct, so a
+    // duplicated neighbor can never occupy several output ranks. It may
+    // waste candidate slots in phase 1 (a duplicated id takes 2 of
+    // `candidates`) — a documented recall nick, not a correctness bug;
+    // a corpus-wide dropDuplicates in phase 1 would cost a full shuffle
+    // of the probed subset on EVERY probe to fix the rare replay case.
     val candVecs = index
       .filter(col("jbucket").isin(buckets: _*))
       .join(broadcast(cands.select("neighbor_id").distinct()), Seq("neighbor_id"))
+      .dropDuplicates("neighbor_id")
       .select(col("neighbor_id"), normalize(col("v")).as("cv"))
-    val scored = cands.select(col("query_id"), col("neighbor_id"))
-      .join(candVecs, Seq("neighbor_id"))
+    val scored = candVecs
+      .join(broadcast(cands.select(col("query_id"), col("neighbor_id")).distinct()),
+        Seq("neighbor_id"))
       .join(broadcast(q0.select(col("query_id"),
         normalize(col("qv")).as("qnv"))), Seq("query_id"))
       .withColumn("cosine_sim", dot(col("qnv"), col("cv")))

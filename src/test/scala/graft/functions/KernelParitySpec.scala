@@ -32,6 +32,29 @@ class KernelParitySpec extends SparkSpec {
     assert(out.forall(r => bits(r.getDouble(0)) == bits(r.getDouble(1))))
   }
 
+  test("l2sqLong kernel == aggregate(zip_with(...)) on 500 random long-vector pairs") {
+    val rows = Seq.fill(500) {
+      val dim = 1 + rnd.nextInt(48)
+      (Array.fill(dim)(rnd.nextLong() % 100000000L),
+        Array.fill(dim)(rnd.nextLong() % 100000000L))
+    }
+    val df = rows.toDF("a", "b")
+    def declarative(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+    val out = df.select(
+      graft.functions.VecOps.l2sqLong(col("a"), col("b")).as("k"),
+      declarative(col("a"), col("b")).as("d")).collect()
+    assert(out.forall(r => r.getLong(0) == r.getLong(1)))
+    // ragged lengths raise typed, like dot
+    val ragged = Seq((Array(1L, 2L), Array(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      ragged.select(graft.functions.VecOps.l2sqLong(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("l2sqLong") ||
+      Option(e.getCause).exists(_.getMessage.contains("l2sqLong")))
+  }
+
   test("dotOrNull: NULL on ragged/null-element vectors, bitwise == dot on well-formed ones") {
     val good = Seq.fill(100) {
       val dim = 1 + rnd.nextInt(32)

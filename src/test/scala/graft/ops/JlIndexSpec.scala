@@ -85,6 +85,48 @@ class JlIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("null vectors raise typed at write AND append (never bucket-0 null rows)") {
+    val withNull = corpus.limit(3).select(col("vec_id"),
+      when(col("vec_id") === 1L, lit(null).cast("array<float>"))
+        .otherwise(col("embedding")).as("embedding"))
+    val e = intercept[Exception] {
+      Similarity.writeJlIndex(withNull, "vec_id", "embedding",
+        tmpDir("jl-null").resolve("idx").toString, dim = dim, outDim = 16)
+    }
+    def msgChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgChain(e).exists(_.contains("null vector")), msgChain(e))
+    val good = tmpDir("jl-null-b").resolve("idx").toString
+    Similarity.writeJlIndex(corpus.limit(20), "vec_id", "embedding", good,
+      dim = dim, outDim = 16)
+    val e2 = intercept[Exception] {
+      Similarity.appendToJlIndex(withNull, "vec_id", "embedding", good)
+    }
+    assert(msgChain(e2).exists(_.contains("null vector")), msgChain(e2))
+  }
+
+  test("duplicate and null query ids raise typed (never a mixed rank list / silent drop)") {
+    val path = tmpDir("jl-qid").resolve("idx").toString
+    Similarity.writeJlIndex(corpus, "vec_id", "embedding", path,
+      dim = dim, outDim = 16)
+    def msgChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val dupQ = corpus.filter(col("vec_id") < 2)
+      .unionByName(corpus.filter(col("vec_id") === 1))
+    val e = intercept[Exception] {
+      Similarity.jlTopKIndexed(spark, path, dupQ, "vec_id", "embedding", k = 2).count()
+    }
+    assert(msgChain(e).exists(_.contains("duplicate or null query id")), msgChain(e))
+    val nullQ = corpus.limit(1).select(lit(null).cast("bigint").as("vec_id"),
+      col("embedding"))
+    val e2 = intercept[Exception] {
+      Similarity.jlTopKIndexed(spark, path, nullQ, "vec_id", "embedding", k = 2).count()
+    }
+    assert(msgChain(e2).exists(_.contains("duplicate or null query id")), msgChain(e2))
+  }
+
   test("contract guards: bucketBits bounds; short vectors raise through the projection") {
     intercept[IllegalArgumentException] {
       Similarity.writeJlIndex(corpus, "vec_id", "embedding", "/tmp/never",

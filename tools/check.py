@@ -51,8 +51,10 @@ def main():
             continue
         try:
             con = fresh_con(sf_dir)
-            exp = con.sql(oracle[name]).df()
-            con.close()
+            try:
+                exp = con.sql(oracle[name]).df()
+            finally:
+                con.close()  # a failing oracle must not leak its buffer pool
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
