@@ -1040,37 +1040,6 @@ object ScaleProbe {
       println(s"SCALE jl: n=${p.getLong(0)} c1min=${p.getLong(1)} c1max=${p.getLong(2)}")
       assert(p.getLong(0) == 6000000L && p.getLong(1) < p.getLong(2))
 
-      // round-11: the PERSISTED JL candidate index serving path (s18's
-      // machinery) at 6M vectors — write once, then a 10k-query batch
-      // candidate-generates from the narrow projected column inside
-      // partition-pruned sign buckets and exact-reranks candidates
-      // only. The fixture's vectors repeat with period 1000 (id·31
-      // mod 1000), so every query has exact copies in the index —
-      // top-1 must be an exact copy (cosine ≈ 1): a recall sentinel
-      // that cannot pass if pruning or candidate generation is broken.
-      // bucketBits MUST scale with the corpus (the first cut used the
-      // gate's 4 bits here: 375k-row buckets × 10k queries × 5 probes
-      // = 19 BILLION candidate pairs, whose window sort filled the
-      // disk and killed the job): candidate volume per query is
-      // ≈ (bits+1)·n/2^bits, so 12 bits at 6M rows ≈ 1.5k-row buckets
-      // and ~19k candidates per query — the phash-probe volume class
-      val jlDir = graft.Paths.scratchDir("graft-scale-jl-")
-      val jlPath = jlDir.resolve("idx").toString
-      t("jl index write 6M x 64-dim (once)")(
-        graft.ops.Similarity.writeJlIndex(vecs, "id", "v", jlPath,
-          dim = 64, outDim = 16, bucketBits = 12))
-      val queries = vecs.filter(col("id") % 600 === 7).limit(10000)
-        .localCheckpoint(true)
-      val top1 = t("jl index probe 10k queries (k=3, cand=32)")(
-        graft.ops.Similarity.jlTopKIndexed(spark, jlPath, queries, "id", "v",
-            k = 3, candidates = 32)
-          .filter(col("rank") === 1)
-          .agg(count(lit(1)), min(col("cosine_sim"))).head())
-      println(s"SCALE jl-index: top1=${top1.getLong(0)} " +
-        f"minCos=${top1.getDouble(1)}%.6f")
-      assert(top1.getLong(0) == 10000L, "every query must be served")
-      assert(top1.getDouble(1) >= 0.999999,
-        "top-1 must be the exact duplicate (period-1000 fixture)")
       vecs.unpersist()
     }
 
@@ -1141,6 +1110,54 @@ object ScaleProbe {
         s"simulated full-10 planted count is exactly 9994: ${plantedStats.getLong(1)}")
       pairs.unpersist(); vids.unpersist()
     }
+
+    // round-11: the PERSISTED JL candidate index serving path (s18's
+    // machinery) at 6M vectors. Fixture lessons compounded here:
+    //   - bucketBits MUST scale with the corpus (the first cut used
+    //     the gate's 4 bits: 375k-row buckets × 10k queries × 5
+    //     probes = 19 BILLION candidate pairs, whose window sort
+    //     filled the disk and killed the job) — 12 bits at 6M is the
+    //     phash-probe volume class;
+    //   - the kernel-timing lattice fixture above (period-1000
+    //     vectors) is DEGENERATE for bucketing (65 buckets of ~92k
+    //     rows → billions of pairs again), and even random vectors
+    //     skewed 160× under the pre-SRHT flat LCG signs — the
+    //     xxhash64-mixed vectors here are the high-entropy case the
+    //     SRHT projection keeps near-uniform (simulated: max bucket
+    //     ~3× uniform at 12 bits);
+    //   - copies are planted EXPLICITLY (ids 3M.. duplicate ids 0..3M)
+    //     so the top-1 sentinel (cosine ≈ 1) cannot pass if pruning
+    //     or candidate generation is broken.
+    {
+      val half = 3000000L
+      val base = spark.range(0L, half).select(col("id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          pmod(xxhash64(col("id"), d), lit(1000003L)).cast("double")
+            / 500001.5 - 1.0).as("v"))
+      val vecs2 = base.unionByName(
+          base.select((col("id") + half).as("id"), col("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("jl corpus build 6M x 64-dim hashed vectors (once)")(vecs2.count())
+      val jlDir = graft.Paths.scratchDir("graft-scale-jl-")
+      val jlPath = jlDir.resolve("idx").toString
+      t("jl index write 6M x 64-dim (once)")(
+        graft.ops.Similarity.writeJlIndex(vecs2, "id", "v", jlPath,
+          dim = 64, outDim = 16, bucketBits = 12))
+      val queries = vecs2.filter(col("id") < half && col("id") % 300 === 7)
+        .limit(10000).localCheckpoint(true)
+      val top1 = t("jl index probe 10k queries (k=3, cand=32)")(
+        graft.ops.Similarity.jlTopKIndexed(spark, jlPath, queries, "id", "v",
+            k = 3, candidates = 32)
+          .filter(col("rank") === 1)
+          .agg(count(lit(1)), min(col("cosine_sim"))).head())
+      println(s"SCALE jl-index: top1=${top1.getLong(0)} " +
+        f"minCos=${top1.getDouble(1)}%.6f")
+      assert(top1.getLong(0) == 10000L, "every query must be served")
+      assert(top1.getDouble(1) >= 0.999999,
+        "top-1 must be the planted exact duplicate at id+3M")
+      vecs2.unpersist()
+    }
+
     spark.stop()
   }
 }

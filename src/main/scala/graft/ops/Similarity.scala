@@ -204,11 +204,16 @@ object Similarity {
     * compression for the 100 TB regime: a 64-float embedding column
     * becomes `outDim` exact BIGINTs (e.g. 64×4 B → 16×8 B = half the
     * bytes at outDim 16, and any downstream distance is pure integer
-    * arithmetic). Achlioptas 2001 ("Database-friendly random
-    * projections") shows ±1 sign matrices satisfy the JL lemma like
-    * Gaussians; signs come from the SAME integer-LCG family as
-    * [[gridPlanes]] (sign(j,d) = +1 iff LCG(j·dim+d) % 2001 ≥ 1000),
-    * so an independent engine reproduces the matrix exactly.
+    * arithmetic). The sign matrix is a random-diagonal Hadamard —
+    * the SRHT shape of the Ailon–Chazelle FJLT family (Achlioptas
+    * 2001 established ±1 matrices satisfy the JL lemma; the Hadamard
+    * structure additionally makes the rows ORTHOGONAL, so projected
+    * coordinates decorrelate and the JL index's sign buckets stay
+    * near-uniform — a flat LCG sign per (j,d) measured 160× bucket
+    * skew): sign(j,d) = lcg(d)·had(j,d) with lcg(d) = +1 iff
+    * (1103515245·d + 12345) % 2001 ≥ 1000 ([[gridPlanes]]' LCG) and
+    * had(j,d) = +1 iff popcount(j & d) even — an independent engine
+    * reproduces the matrix exactly (integer LCG + bit_count).
     *
     * Inputs go through the round(x·scale)→long stable conversion
     * first (CLAUDE.md: DECIMAL casts of arbitrary doubles are NOT
@@ -241,10 +246,10 @@ object Similarity {
         x => round(x * lit(scale)).cast("long"))) { sv =>
       array((0 until outDim).map { j =>
         (0 until dim).map { d =>
-          val sign =
-            if ((1103515245L * (j * dim + d) + 12345L) % 2001L >= 1000L) 1L
-            else -1L
-          element_at(sv, d + 1) * lit(sign)
+          val lcg =
+            if ((1103515245L * d + 12345L) % 2001L >= 1000L) 1L else -1L
+          val had = if (Integer.bitCount(j & d) % 2 == 0) 1L else -1L
+          element_at(sv, d + 1) * lit(lcg * had)
         }.reduce(_ + _)
       }: _*)
     }
@@ -595,19 +600,48 @@ object Similarity {
       s"bucketBits must be in [1, min(outDim, 20)], got $bucketBits")
     val spark = corpus.sparkSession
     val tmp = path + ".building"
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    // v is stored as array<double> ALWAYS (exact for floats): a float
+    // build followed by a double append would otherwise leave the index
+    // with two irreconcilable parquet schemas for one column
+    corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("p", jlProjectChecked(col("neighbor_id"), col("v"), dim, outDim, scale))
       .withColumn("jbucket", jlBucket(col("p"), bucketBits))
+      // hash-repartition ON the bucket before the partitioned write:
+      // without it every writer task fans a file into every bucket dir
+      // (writers × 2^bucketBits small files — 131k at 12 bits / 32
+      // tasks, and the probe pays the listing). One corpus shuffle at
+      // write time = one file per bucket, the pay-once IVF economics
+      .repartition(col("jbucket"))
       .write.partitionBy("jbucket").mode("overwrite").parquet(tmp)
     import spark.implicits._
     Seq((dim, outDim, scale, bucketBits)).toDF(
         "dim", "out_dim", "scale", "bucket_bits")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
+    // the meta memo is a CORRECTNESS input (projection params): a
+    // rebuild must invalidate around the swap (remove → swap → remove,
+    // the round-10 rule — the phash banding-distance precedent; a
+    // cross-JVM rebuild under a live reader still requires a reader
+    // restart, same documented caveat)
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+      jlMetaCache.remove(path); ()
+    })
   }
 
   /** The projection parameters a [[writeJlIndex]] index was built with. */
   final case class JlMeta(dim: Int, outDim: Int, scale: Double, bucketBits: Int)
+
+  /** Per-path meta memo: immutable for the life of an index build, so a
+    * streaming screen pays ONE sidecar read per JVM, not per micro-batch
+    * (the phash `maxDistance` memo precedent). [[writeJlIndex]]
+    * invalidates around its swap. */
+  private val jlMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JlMeta]()
+
+  /** Memoized [[readJlMeta]] — see [[jlMetaCache]]. */
+  def readJlMetaCached(spark: org.apache.spark.sql.SparkSession,
+      path: String): JlMeta =
+    jlMetaCache.computeIfAbsent(path, _ => readJlMeta(spark, path))
 
   /** Load the `_meta` sidecar (heals the swap crash window first).
     * An index directory without one predates the meta contract —
@@ -641,8 +675,9 @@ object Similarity {
     * data-independent, so append ≡ rebuild for the projected codes.) */
   def appendToJlIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val m = readJlMeta(batch.sparkSession, path)
-    batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    val m = readJlMetaCached(batch.sparkSession, path)
+    batch.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v")) // one schema, see write
       .withColumn("p", jlProjectChecked(col("neighbor_id"), col("v"),
         m.dim, m.outDim, m.scale))
       .withColumn("jbucket", jlBucket(col("p"), m.bucketBits))
@@ -678,8 +713,57 @@ object Similarity {
     * 12 bits on the same corpus is the phash-probe volume class. */
   def jlTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      candidates: Int = 16): DataFrame = {
-    val m = readJlMeta(spark, indexPath)
+      candidates: Int = 16): DataFrame =
+    topKPerQuery(jlScoredCandidates(spark, indexPath, queries, idCol, vecCol,
+        candidates), "cosine_sim", k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+
+  /** Batch ids that have ANY index neighbor with cosine ≥ `threshold`
+    * among their JL candidates — the screen form of [[jlTopKIndexed]]
+    * (the e22 streaming embedding screen probes with this). Match scope
+    * is the CANDIDATE NEIGHBORHOOD (multi-probed buckets, top
+    * `candidates` by projected distance) — the SemDeDup-style scoped
+    * semantics, stated rather than silent: a true near-dup outside the
+    * probed buckets is not seen (contrast the phash screen, whose
+    * pigeonhole banding is exhaustive at ≤ maxDistance). Returns one
+    * `batch_id` column. */
+  def jlMatchedIds(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      candidates: Int = 16): DataFrame =
+    jlScoredCandidates(spark, indexPath, batch, idCol, vecCol, candidates)
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("query_id").as("batch_id")).distinct()
+
+  /** In-batch dominance for the streaming embedding screen: a batch
+    * row is dominated iff a SMALLER-id batch-mate in its SAME sign
+    * bucket has cosine ≥ `threshold`. Same-bucket scope (no bit flips)
+    * — the SemDeDup same-cluster pairing, stated in the screen's
+    * scaladoc. Pure batch×batch-within-bucket work: no index read; the
+    * join key is the narrow bucket int, so a micro-batch pays
+    * Σ bucket² pair scorings. Returns one `batch_id` column. */
+  def jlBatchDominatedIds(batch: DataFrame, idCol: String, vecCol: String,
+      meta: JlMeta, threshold: Double): DataFrame = {
+    val b0 = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__p", jlProjectChecked(col("__id"), col("__v"),
+        meta.dim, meta.outDim, meta.scale))
+      .select(col("__id"),
+        jlBucket(col("__p"), meta.bucketBits).as("__jb"),
+        normalize(col("__v")).as("__nv"))
+    val a = b0.select(col("__id").as("id_a"), col("__jb"), col("__nv").as("__nva"))
+    val b = b0.select(col("__id").as("id_b"), col("__jb"), col("__nv").as("__nvb"))
+    a.join(b, Seq("__jb"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__nva"), col("__nvb")) >= threshold)
+      .select(col("id_b").as("batch_id")).distinct()
+  }
+
+  /** Shared candidate machinery behind [[jlTopKIndexed]] and
+    * [[jlMatchedIds]]: (query_id, neighbor_id, cosine_sim), at most
+    * `candidates` rows per query. */
+  private def jlScoredCandidates(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, idCol: String, vecCol: String,
+      candidates: Int): DataFrame = {
+    val m = readJlMetaCached(spark, indexPath)
     // duplicate/null query-id contract (the Bpe-style lazy typed raise,
     // round-10-continuation rule for id-grouped operators): a NULL id
     // would silently vanish through the rerank equi-joins, and two
@@ -737,14 +821,12 @@ object Similarity {
       .join(broadcast(cands.select("neighbor_id").distinct()), Seq("neighbor_id"))
       .dropDuplicates("neighbor_id")
       .select(col("neighbor_id"), normalize(col("v")).as("cv"))
-    val scored = candVecs
+    candVecs
       .join(broadcast(cands.select(col("query_id"), col("neighbor_id")).distinct()),
         Seq("neighbor_id"))
       .join(broadcast(q0.select(col("query_id"),
         normalize(col("qv")).as("qnv"))), Seq("query_id"))
       .withColumn("cosine_sim", dot(col("qnv"), col("cv")))
-    topKPerQuery(scored, "cosine_sim", k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
   // ------------------------------------------------------------------ PQ

@@ -82,20 +82,28 @@ object PipelineQueries {
     TextAnalysis.LigatureFolds.foldLeft(e) {
       case (x, (f, t)) => s"replace($x, '$f', '$t')" }
 
-  /** Shared JL projection fragment (s17 + s18): the ±1 LCG sign matrix
+  /** The SRHT sign test shared by every JL replay (s17/s18/e22):
+    * sign(j,d) = lcg(d)·had(j,d) is +1 iff the LCG bit (0 when
+    * (1103515245·d+12345) % 2001 ≥ 1000) plus the Walsh parity
+    * bit_count(j & d) is EVEN — one CASE selecting s[d+1] vs
+    * -s[d+1], interpolated into each comprehension. */
+  private val duckJlSignCase: String =
+    "CASE WHEN ((CASE WHEN (CAST(1103515245 AS BIGINT)*d + 12345) % 2001 >= 1000 " +
+      "THEN 0 ELSE 1 END) + bit_count(CAST(j AS BIGINT) & CAST(d AS BIGINT))) % 2 = 0 " +
+      "THEN s[d+1] ELSE -s[d+1] END"
+
+  /** Shared JL projection fragment (s17 + s18): the SRHT sign matrix
     * over 64→16 dims, inputs through the round(x·1e6)→long stable
     * conversion — every projected coordinate an exact BIGINT. */
   private val duckJlProj: String =
-    """sv AS (
+    s"""sv AS (
       |  SELECT vec_id,
       |    [CAST(round(x * 1000000.0) AS BIGINT)
       |     for x in CAST(embedding AS DOUBLE[])] AS s
       |  FROM embeddings
       |), proj AS (
       |  SELECT vec_id,
-      |    [ CAST(list_sum([ CASE WHEN (CAST(1103515245 AS BIGINT)*(j*64 + d)
-      |                                 + 12345) % 2001 >= 1000
-      |                      THEN s[d+1] ELSE -s[d+1] END
+      |    [ CAST(list_sum([ $duckJlSignCase
       |                      for d in range(0, 64) ]) AS BIGINT)
       |      for j in range(0, 16) ] AS p
       |  FROM sv
@@ -106,6 +114,58 @@ object PipelineQueries {
   private val duckJlBucket: String =
     (0 until 4).map(b =>
       s"(CASE WHEN p[${b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+
+  /** Generates the three-CTE chain projecting an (id, v DOUBLE[]) CTE
+    * `src` to `name` = (id, v, p, jb) — the duckJlProj machinery
+    * parameterized over an arbitrary vector source (e22 replays the
+    * screen over feed CTEs, not the embeddings table). */
+  private def duckJlItems(name: String, src: String): String =
+    s"""${name}_sv AS (
+       |  SELECT id, v,
+       |    [CAST(round(x * 1000000.0) AS BIGINT) for x in v] AS sv
+       |  FROM $src
+       |), ${name}_pj AS (
+       |  SELECT id, v,
+       |    [ CAST(list_sum([ ${duckJlSignCase.replace("s[d+1]", "sv[d+1]")}
+       |                      for d in range(0, 64) ]) AS BIGINT)
+       |      for j in range(0, 16) ] AS p
+       |  FROM ${name}_sv
+       |), $name AS (
+       |  SELECT id, v, p, $duckJlBucket AS jb
+       |  FROM ${name}_pj
+       |)""".stripMargin
+
+  /** One screening wave of the e22 replay: `feed` (id, v, p, jb)
+    * against index `idx` → admitted CTE `adm` — multi-probe candidate
+    * join, top-16 by projected L2, cosine-threshold match, same-bucket
+    * in-batch dominance, anti-join survivors. */
+  private def duckJlScreenWave(feed: String, idx: String, adm: String): String =
+    s"""${adm}_cand AS (
+       |  SELECT f.id AS fid, i.id AS nid, f.v AS fv, i.v AS iv,
+       |    CAST(list_sum([ (f.p[j+1] - i.p[j+1]) * (f.p[j+1] - i.p[j+1])
+       |                    for j in range(0, 16) ]) AS BIGINT) AS jdist
+       |  FROM $feed f JOIN $idx i
+       |    ON i.jb IN (f.jb, xor(f.jb, 1), xor(f.jb, 2), xor(f.jb, 4), xor(f.jb, 8))
+       |   AND i.id <> f.id
+       |), ${adm}_top AS (
+       |  SELECT * FROM (
+       |    SELECT fid, fv, iv, jdist,
+       |      row_number() OVER (PARTITION BY fid ORDER BY jdist, nid) AS crn
+       |    FROM ${adm}_cand) WHERE crn <= 16
+       |), ${adm}_matched AS (
+       |  SELECT DISTINCT fid FROM ${adm}_top
+       |  WHERE list_cosine_similarity(fv, iv) >= 0.95
+       |), ${adm}_after AS (
+       |  SELECT f.* FROM $feed f LEFT JOIN ${adm}_matched m ON m.fid = f.id
+       |  WHERE m.fid IS NULL
+       |), ${adm}_dom AS (
+       |  SELECT DISTINCT b.id FROM ${adm}_after a JOIN ${adm}_after b
+       |    ON a.jb = b.jb AND a.id < b.id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+       |), $adm AS (
+       |  SELECT a.* FROM ${adm}_after a LEFT JOIN ${adm}_dom d ON d.id = a.id
+       |  WHERE d.id IS NULL
+       |)""".stripMargin
 
   /** Gate-query quantizer parameters, shared between the Spark queries
     * and the DuckDB oracle SQL below. The ANN gates (s02/s03/s04) run the
@@ -2180,6 +2240,60 @@ object PipelineQueries {
       s.read.parquet(outP).distinct()
         .select(col("id").as("doc_id"), col("ph"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- streaming: SEMANTIC embedding admission screen over the
+    // persisted JL candidate index — e21's loop in embedding space
+    // (SemDeDup-style scoped matching, stated in the screen scaladoc).
+    // Feed 1: ×1.25-scaled copies of INDEXED vectors (cosine ≈ 1 →
+    // rejected), novel vectors 350..369 (admitted), and id 371 = a
+    // scaled copy of batch-mate 351 (same sign bucket, dominated
+    // in-batch). Feed 2 (screens against the GROWN index): ×1.5-scaled
+    // copies of feed-1 admissions (rejected) + fresh novels (admitted).
+    // Scaling happens AFTER the double cast on BOTH engines (1.25/1.5
+    // are exact binary, double ops deterministic); the oracle replays
+    // projection, buckets, multi-probe, top-16 candidates, cosine
+    // threshold, same-bucket dominance and the index growth wave for
+    // wave.
+    "e22_stream_embed_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-embscr-")
+      val idxP = base.resolve("idx").toString
+      val outP = base.resolve("out").toString
+      val e = embeds(s, dir)
+      val vid = col("vec_id")
+      Similarity.writeJlIndex(e.filter(vid < 150), "vec_id", "embedding",
+        idxP, dim = 64, outDim = 16, scale = 1e6, bucketBits = 4)
+      def scaledBy(f: Double) =
+        transform(col("embedding").cast("array<double>"), x => x * lit(f))
+      val feed1 = e.filter(vid < 20).select((vid + 300L).as("vec_id"),
+          scaledBy(1.25).as("embedding"))
+        .unionByName(e.filter(vid >= 350 && vid < 370).select(vid.as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+        .unionByName(e.filter(vid === 351).select(lit(371L).as("vec_id"),
+          scaledBy(1.25).as("embedding")))
+      val feed2 = e.filter(vid >= 350 && vid < 370).select((vid + 50L).as("vec_id"),
+          scaledBy(1.5).as("embedding"))
+        .unionByName(e.filter(vid >= 450 && vid < 470).select(vid.as("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      withShufflePartitions(s, 4) {
+        Seq((1, feed1), (2, feed2)).foreach { case (r, f) =>
+          val p = base.resolve(s"feed$r")
+          f.coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingEmbeddingScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "vec_id", "embedding", idxP, outP,
+            base.resolve(s"ck$r").toString, threshold = 0.95)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).select(col("id").as("vec_id")).distinct()
+        .orderBy(col("vec_id"))
     }),
 
     // ---- web: URL PREP — the step before text ever loads in a web
@@ -6686,6 +6800,48 @@ object PipelineQueries {
           |SELECT doc_id, ph FROM adm1
           |UNION ALL SELECT doc_id, ph FROM adm2
           |ORDER BY doc_id""".stripMargin),
+
+    // the JL screen replayed wave for wave: shared duckJlItems chain
+    // for index + both feeds, duckJlScreenWave per batch (multi-probe
+    // candidates, top-16 by projected L2, cosine >= 0.95, same-bucket
+    // dominance), index growth = UNION ALL of wave-1 admissions
+    "e22_stream_embed_screen" ->
+      (s"""WITH idx0_raw AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 150
+         |), f1_raw AS (
+         |  SELECT vec_id + 300 AS id,
+         |    [x * 1.25 for x in CAST(embedding AS DOUBLE[])] AS v
+         |  FROM embeddings WHERE vec_id < 20
+         |  UNION ALL
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 350 AND vec_id < 370
+         |  UNION ALL
+         |  SELECT 371 AS id,
+         |    [x * 1.25 for x in CAST(embedding AS DOUBLE[])] AS v
+         |  FROM embeddings WHERE vec_id = 351
+         |), f2_raw AS (
+         |  SELECT vec_id + 50 AS id,
+         |    [x * 1.5 for x in CAST(embedding AS DOUBLE[])] AS v
+         |  FROM embeddings WHERE vec_id >= 350 AND vec_id < 370
+         |  UNION ALL
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id >= 450 AND vec_id < 470
+         |),
+         |""".stripMargin +
+        duckJlItems("jidx0", "idx0_raw") + ",\n" +
+        duckJlItems("jf1", "f1_raw") + ",\n" +
+        duckJlItems("jf2", "f2_raw") + ",\n" +
+        duckJlScreenWave("jf1", "jidx0", "adm1") + ",\n" +
+        """jidx1 AS (
+          |  SELECT id, v, p, jb FROM jidx0
+          |  UNION ALL SELECT id, v, p, jb FROM adm1
+          |),
+          |""".stripMargin +
+        duckJlScreenWave("jf2", "jidx1", "adm2") + "\n" +
+        """SELECT id AS vec_id FROM adm1
+          |UNION ALL SELECT id AS vec_id FROM adm2
+          |ORDER BY vec_id""".stripMargin),
 
     "e01_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

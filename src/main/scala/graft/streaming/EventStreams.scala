@@ -527,4 +527,68 @@ object EventStreams {
       .groupBy(col("user_id"))
       .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
+
+  /** Continuous SEMANTIC embedding admission screen over a persisted
+    * JL candidate index ([[graft.ops.Similarity.writeJlIndex]]) — the
+    * embedding-space sibling of [[streamingMediaScreen]] for the
+    * SemDeDup-style ingest loop: each micro-batch's vectors are
+    * screened against the index (any candidate neighbor with cosine ≥
+    * `threshold` → a semantic near-dup of already-ingested data →
+    * rejected), then screened IN-batch by same-bucket dominance (a row
+    * drops iff a SMALLER-id batch-mate in its sign bucket has cosine ≥
+    * threshold — deterministic, engine-replayable; dominance, not
+    * closure — the e21 conservative bias). Survivors append `(id, v)`
+    * to the admitted feed and THEN their vectors to the index
+    * (out-before-index, the e18 ordering: a crash between the two
+    * replays as at-least-once duplicate feed rows — downstream dedups
+    * by id — never as loss; vector re-append is inert because the
+    * probe collapses duplicate index rows).
+    *
+    * MATCH SCOPE IS STATED, NOT SILENT (the r9 screen-recall rule,
+    * honestly inverted): the index probe sees the multi-probed-bucket
+    * candidate neighborhood ([[graft.ops.Similarity.jlMatchedIds]])
+    * and in-batch pairs are same-bucket — the SemDeDup cluster-scoped
+    * semantics. A true near-dup outside that scope is ADMITTED; this
+    * is the documented JL trade (contrast the phash screen's
+    * exhaustive pigeonhole banding). Null ids / null vectors are
+    * dropped (nothing to identify), like the media screen's null
+    * payloads. */
+  def streamingEmbeddingScreen(stream: DataFrame, idCol: String,
+      vecCol: String, indexPath: String, outPath: String,
+      checkpoint: String, threshold: Double,
+      candidates: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val rows = batch
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          // one out-feed schema across batches (exact for floats),
+          // matching the index's own array<double> storage
+          .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+          .persist()
+        try {
+          val matched = graft.ops.Similarity.jlMatchedIds(spark, indexPath,
+            rows, "id", "v", threshold, candidates)
+          // persist, not localCheckpoint: afterIndex feeds both the
+          // dominance pass and the admit anti-join and must stay
+          // RECOMPUTABLE (the r4 executor-loss trap)
+          val afterIndex = rows
+            .join(matched.select(col("batch_id").as("id")), Seq("id"), "left_anti")
+            .persist()
+          try {
+            val m = graft.ops.Similarity.readJlMetaCached(spark, indexPath)
+            val dominated = graft.ops.Similarity.jlBatchDominatedIds(
+              afterIndex, "id", "v", m, threshold)
+            val admitted = afterIndex
+              .join(dominated.select(col("batch_id").as("id")), Seq("id"), "left_anti")
+              .persist()
+            try {
+              admitted.write.mode("append").parquet(outPath)
+              graft.ops.Similarity.appendToJlIndex(admitted, "id", "v", indexPath)
+            } finally admitted.unpersist()
+          } finally afterIndex.unpersist()
+        } finally rows.unpersist()
+      }
+      .start()
 }

@@ -378,8 +378,10 @@ class PipelineOps4Spec extends SparkSpec {
     val s = Seq(50L, -25L, 100L, 0L)
     val expected = (0 until 2).map { j =>
       (0 until 4).map { d =>
-        val sgn = if ((1103515245L * (j * 4 + d) + 12345L) % 2001L >= 1000L) 1L else -1L
-        s(d) * sgn
+        // SRHT: random-diagonal LCG sign × Walsh-Hadamard row parity
+        val lcg = if ((1103515245L * d + 12345L) % 2001L >= 1000L) 1L else -1L
+        val had = if (Integer.bitCount(j & d) % 2 == 0) 1L else -1L
+        s(d) * lcg * had
       }.sum
     }
     assert(out == expected)

@@ -292,6 +292,50 @@ class EventStreamsSpec extends SparkSpec {
     assert(metaLoads == 1L, s"post-probe: expected one _meta load, saw $metaLoads")
   }
 
+  test("streaming embedding screen: near-dups rejected, novels absorbed, in-batch dominance, null dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("embed-screen")
+    val idx = dir.resolve("idx").toString
+    val outP = dir.resolve("out").toString
+    def vec(seed: Int): Seq[Double] = {
+      val rnd = new scala.util.Random(seed * 6131 + 17)
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    }
+    def scaled(v: Seq[Double], f: Double): Seq[Double] = v.map(_ * f)
+    graft.ops.Similarity.writeJlIndex(
+      (0 until 30).map(c => (c.toLong, vec(c))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, dim = 64, outDim = 16, bucketBits = 4)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.streamingEmbeddingScreen(
+      stream.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, outP, dir.resolve("ck").toString,
+      threshold = 0.95)
+    try {
+      // batch 1: a scaled copy of an indexed vector is rejected; a
+      // novel is admitted; the novel's in-batch scaled copy is
+      // dominated (higher id); a null vector is dropped
+      stream.addData((100L, scaled(vec(3), 1.25)), (101L, vec(50)),
+        (102L, scaled(vec(50), 1.5)), (103L, null.asInstanceOf[Seq[Double]]))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out1 == Seq(101L), s"batch-1 admissions: $out1")
+      // batch 2: a scaled copy of batch-1's ADMITTED novel is rejected
+      // (the index grew — absorb proven); a new novel is admitted
+      stream.addData((200L, scaled(vec(50), 1.25)), (201L, vec(60)))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out2 == Seq(101L, 201L), s"after batch 2: $out2")
+    } finally q.stop()
+    // the persisted index absorbed both admissions: a fresh threshold
+    // probe of their copies matches without the stream running
+    val m = graft.ops.Similarity.jlMatchedIds(spark, idx,
+      Seq((300L, scaled(vec(50), 2.0)), (301L, scaled(vec(60), 0.5)),
+        (302L, vec(77))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(m == Set(300L, 301L), s"$m")
+  }
+
   test("streaming LM screen: scores against the static reference; admission is batch-order independent") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("lm-screen")
