@@ -127,6 +127,23 @@ object SqlKernels {
     // deep-converted to a raw Catalyst tree via
     // ColumnBridge.expressionDeep (the lazy `expression` wrapper does
     // not resolve inside a FunctionRegistry builder — round-5 lesson)
+    // JL sign projection for SQL-only users — the SAME StaticInvoke
+    // tree randomProject plans (SRHT sign matrix, round(x·scale)→long
+    // inputs); dims are literal ints, scale the default 1e6
+    "graft_jl_project" -> { args =>
+      arity("graft_jl_project", args, 3)
+      val dim = litInt(args(1), "graft_jl_project", 1)
+      val outDim = litInt(args(2), "graft_jl_project", 2)
+      require(dim >= 1 && outDim >= 1,
+        s"graft_jl_project: dims must be >= 1, got ($dim, $outDim)")
+      VecOps.jlProjectExpr(args(0), dim, outDim, 1e6)
+    },
+    // confusable/zero-width fold for SQL-only users — the SAME literal
+    // chain foldConfusables plans (shared constants, cannot drift)
+    "graft_fold_confusables" -> { args =>
+      arity("graft_fold_confusables", args, 1)
+      deep(graft.ops.TextAnalysis.foldConfusables(ColumnBridge.column(args(0))))
+    },
     "graft_extract_text" -> { args =>
       arity("graft_extract_text", args, 1)
       deep(graft.ops.TextAnalysis.extractText(ColumnBridge.column(args(0))))

@@ -1679,6 +1679,37 @@ object PipelineQueries {
           |FROM st ORDER BY doc_id""".stripMargin)
     }),
 
+    // ---- SQL-text surface for the round-11 operators: confusable
+    // folding and the SRHT JL projection from PURE SQL. Each doc's
+    // text is adversarially "confused" in-query (ZWSP prefix +
+    // full-width letter substitution); graft_fold_confusables must
+    // erase exactly the plant (confused_len = folded_len + 1 — the
+    // ZWSP removed; md5 replayed from the shared fold chain), and
+    // graft_jl_project's first/last coordinates replay through the
+    // shared SRHT fragment
+    "f06_sql_jl_fold" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      embeds(s, dir).createOrReplaceTempView("graft_sql_emb")
+      s.sql(
+        """WITH confused AS (
+          |  SELECT doc_id,
+          |    concat('​', translate(text, 'aeiost', 'ａｅｉｏｓｔ')) AS c
+          |  FROM graft_sql_docs WHERE doc_id < 30
+          |), folded AS (
+          |  SELECT doc_id, c, graft_fold_confusables(c) AS f FROM confused
+          |), proj AS (
+          |  SELECT vec_id, graft_jl_project(embedding, 64, 16) AS p
+          |  FROM graft_sql_emb WHERE vec_id < 30
+          |)
+          |SELECT d.doc_id, length(d.c) AS confused_len,
+          |  length(d.f) AS folded_len,
+          |  md5(cast(d.f AS binary)) AS folded_md5,
+          |  element_at(e.p, 1) AS p1, element_at(e.p, 16) AS p16
+          |FROM folded d JOIN proj e ON e.vec_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin)
+    }),
+
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
     // applies before scoring, so all k results satisfy it (post-filtering
     // a candidate list would under-fill)
@@ -6500,6 +6531,28 @@ object PipelineQueries {
           |  hf.ph AS afp
           |FROM smp JOIN hf ON smp.doc_id = hf.doc_id
           |ORDER BY smp.doc_id""".stripMargin),
+
+    // the SQL fold/JL surface replayed from the SHARED constants:
+    // chr(8203)=ZWSP plant, the d15 fold chain, md5 of the folded
+    // text, and the SRHT projection fragment's first/last coordinates
+    "f06_sql_jl_fold" ->
+      (s"""WITH confused AS (
+         |  SELECT doc_id,
+         |    chr(8203) || translate(text, 'aeiost', 'ａｅｉｏｓｔ') AS c
+         |  FROM documents WHERE doc_id < 30
+         |), folded AS (
+         |  SELECT doc_id, c, """.stripMargin +
+        duckLigFold(s"translate(regexp_replace(c, $duckZwClass, '', 'g'), $duckConfFrom, $duckConfTo)") +
+        s""" AS f
+         |  FROM confused
+         |), $duckJlProj
+         |SELECT d.doc_id, CAST(length(d.c) AS INTEGER) AS confused_len,
+         |  CAST(length(d.f) AS INTEGER) AS folded_len,
+         |  md5(d.f) AS folded_md5,
+         |  e.p[1] AS p1, e.p[16] AS p16
+         |FROM folded d JOIN proj e ON e.vec_id = d.doc_id
+         |WHERE d.doc_id < 30
+         |ORDER BY d.doc_id""".stripMargin),
 
     // paragraph-dedup replay: same row-number pairing construction,
     // same d09 normalization as the dedup key, first occurrence by
