@@ -615,8 +615,8 @@ object Similarity {
       .repartition(col("jbucket"))
       .write.partitionBy("jbucket").mode("overwrite").parquet(tmp)
     import spark.implicits._
-    Seq((dim, outDim, scale, bucketBits)).toDF(
-        "dim", "out_dim", "scale", "bucket_bits")
+    Seq((dim, outDim, scale, bucketBits, JlProjKind)).toDF(
+        "dim", "out_dim", "scale", "bucket_bits", "proj_kind")
       .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
     // the meta memo is a CORRECTNESS input (projection params): a
     // rebuild must invalidate around the swap (remove → swap → remove,
@@ -627,6 +627,15 @@ object Similarity {
       jlMetaCache.remove(path); ()
     })
   }
+
+  /** Projection-space version sentinel persisted in `_meta` (the phash
+    * `hash_kind` rule: changing what feeds a persisted signature index
+    * is a CORRECTNESS break for every existing index — the SRHT switch
+    * is exactly such a change). `srht1` = random-diagonal-Hadamard
+    * signs; a sidecar without the column predates the contract and a
+    * mismatched kind means stored p/jbucket and the probe's projection
+    * live in different spaces → typed raise, never silent zero recall. */
+  val JlProjKind: String = "srht1"
 
   /** The projection parameters a [[writeJlIndex]] index was built with. */
   final case class JlMeta(dim: Int, outDim: Int, scale: Double, bucketBits: Int)
@@ -661,10 +670,22 @@ object Similarity {
         s"JL index at $path has no _meta sidecar — rebuild it with " +
           "writeJlIndex (probing under guessed projection parameters " +
           "would silently zero recall)")
-    val rows = spark.read.parquet(path + "/_meta")
-      .select("dim", "out_dim", "scale", "bucket_bits").collect()
+    val metaDf = spark.read.parquet(path + "/_meta")
+    if (!metaDf.columns.contains("proj_kind"))
+      throw new IllegalStateException(
+        s"JL index at $path predates the projection-kind contract " +
+          s"(no proj_kind in _meta) — rebuild it with writeJlIndex " +
+          "(its stored projections were computed in a different sign " +
+          "space; probing them would silently zero recall)")
+    val rows = metaDf
+      .select("dim", "out_dim", "scale", "bucket_bits", "proj_kind").collect()
     require(rows.length == 1, s"JL index _meta at $path must be 1 row, got ${rows.length}")
     val r = rows.head
+    if (r.getString(4) != JlProjKind)
+      throw new IllegalStateException(
+        s"JL index at $path was built with projection kind " +
+          s"'${r.getString(4)}' but this build probes '$JlProjKind' — " +
+          "rebuild the index (mixed sign spaces silently zero recall)")
     JlMeta(r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3))
   }
 
@@ -734,28 +755,60 @@ object Similarity {
       .filter(col("cosine_sim") >= threshold)
       .select(col("query_id").as("batch_id")).distinct()
 
-  /** In-batch dominance for the streaming embedding screen: a batch
-    * row is dominated iff a SMALLER-id batch-mate in its SAME sign
-    * bucket has cosine ≥ `threshold`. Same-bucket scope (no bit flips)
-    * — the SemDeDup same-cluster pairing, stated in the screen's
-    * scaladoc. Pure batch×batch-within-bucket work: no index read; the
-    * join key is the narrow bucket int, so a micro-batch pays
-    * Σ bucket² pair scorings. Returns one `batch_id` column. */
-  def jlBatchDominatedIds(batch: DataFrame, idCol: String, vecCol: String,
-      meta: JlMeta, threshold: Double): DataFrame = {
-    val b0 = batch.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__p", jlProjectChecked(col("__id"), col("__v"),
+  /** One-pass batch projection under an index's stored meta:
+    * `(id, v, p, jb, nv)` — the streaming screen computes this ONCE
+    * per micro-batch and shares it across the index probe, the
+    * in-batch dominance pass and the index append (the first cut
+    * projected and normalized every surviving row twice per batch).
+    * Null vectors raise typed through [[jlProjectChecked]]; callers
+    * own id hygiene (the screen dedups, [[jlScoredCandidates]]
+    * raises). */
+  def jlProjected(batch: DataFrame, idCol: String, vecCol: String,
+      meta: JlMeta): DataFrame =
+    batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("p", jlProjectChecked(col("id"), col("v"),
         meta.dim, meta.outDim, meta.scale))
-      .select(col("__id"),
-        jlBucket(col("__p"), meta.bucketBits).as("__jb"),
-        normalize(col("__v")).as("__nv"))
-    val a = b0.select(col("__id").as("id_a"), col("__jb"), col("__nv").as("__nva"))
-    val b = b0.select(col("__id").as("id_b"), col("__jb"), col("__nv").as("__nvb"))
-    a.join(b, Seq("__jb"))
+      .withColumn("jb", jlBucket(col("p"), meta.bucketBits))
+      .withColumn("nv", normalize(col("v")))
+
+  /** In-batch dominance over a [[jlProjected]] frame: a row is
+    * dominated iff a SMALLER-id batch-mate in its SAME sign bucket has
+    * cosine ≥ `threshold`. Same-bucket scope (no bit flips) — the
+    * SemDeDup same-cluster pairing, stated in the screen's scaladoc.
+    * Pure batch×batch-within-bucket work: no index read; the join key
+    * is the narrow bucket int, so a micro-batch pays Σ bucket² pair
+    * scorings. Returns one `batch_id` column. */
+  def jlBatchDominatedIds(projected: DataFrame, threshold: Double): DataFrame = {
+    val a = projected.select(col("id").as("id_a"), col("jb"), col("nv").as("__nva"))
+    val b = projected.select(col("id").as("id_b"), col("jb"), col("nv").as("__nvb"))
+    a.join(b, Seq("jb"))
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("__nva"), col("__nvb")) >= threshold)
       .select(col("id_b").as("batch_id")).distinct()
   }
+
+  /** [[jlMatchedIds]] over an already-[[jlProjected]] frame — the
+    * screen's per-batch path (one projection, shared). */
+  private[graft] def jlMatchedIdsProjected(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      projected: DataFrame, threshold: Double, candidates: Int): DataFrame = {
+    val m = readJlMetaCached(spark, indexPath)
+    val q0 = projected.select(col("id").as("query_id"), col("p").as("qp"),
+      col("jb"), col("nv").as("qnv"))
+    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates)
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("query_id").as("batch_id")).distinct()
+  }
+
+  /** Append an already-[[jlProjected]] frame (projected under THIS
+    * index's meta — the screen's same-batch path) without a second
+    * projection pass. */
+  private[graft] def appendToJlIndexProjected(projected: DataFrame,
+      path: String): Unit =
+    projected.select(col("id").as("neighbor_id"), col("v"), col("p"),
+        col("jb").as("jbucket"))
+      .write.partitionBy("jbucket").mode("append").parquet(path)
 
   /** Shared candidate machinery behind [[jlTopKIndexed]] and
     * [[jlMatchedIds]]: (query_id, neighbor_id, cosine_sim), at most
@@ -787,9 +840,21 @@ object Similarity {
           col(vecCol).as("qv"))
         .withColumn("qp", jlProjectChecked(col("query_id"), col("qv"),
           m.dim, m.outDim, m.scale))
-        .withColumn("jb", jlBucket(col("qp"), m.bucketBits)))
+        .withColumn("jb", jlBucket(col("qp"), m.bucketBits))
+        .withColumn("qnv", normalize(col("qv"))))
+    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates)
+  }
+
+  /** The probe/candidate/rerank machinery over a prepared query frame
+    * `(query_id, qp, jb, qnv)` — shared by [[jlScoredCandidates]] and
+    * [[jlMatchedIdsProjected]]. The frame must be lineage-cut (or a
+    * persisted screen batch): it feeds the bucket collect, the probe
+    * broadcast and the rerank broadcast. */
+  private def jlCandidatesFrom(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, q0: DataFrame, bucketBits: Int,
+      candidates: Int): DataFrame = {
     val probes = q0.select(col("query_id"), col("qp"), explode(array(
-      col("jb") +: (0 until m.bucketBits).map(b =>
+      col("jb") +: (0 until bucketBits).map(b =>
         col("jb").bitwiseXOR(lit(1 << b))): _*)).as("jbucket"))
     val buckets = probes.select("jbucket").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ queries × (bits+1)
@@ -824,8 +889,7 @@ object Similarity {
     candVecs
       .join(broadcast(cands.select(col("query_id"), col("neighbor_id")).distinct()),
         Seq("neighbor_id"))
-      .join(broadcast(q0.select(col("query_id"),
-        normalize(col("qv")).as("qnv"))), Seq("query_id"))
+      .join(broadcast(q0.select(col("query_id"), col("qnv"))), Seq("query_id"))
       .withColumn("cosine_sim", dot(col("qnv"), col("cv")))
   }
 

@@ -92,22 +92,18 @@ object PipelineQueries {
       "THEN 0 ELSE 1 END) + bit_count(CAST(j AS BIGINT) & CAST(d AS BIGINT))) % 2 = 0 " +
       "THEN s[d+1] ELSE -s[d+1] END"
 
-  /** Shared JL projection fragment (s17 + s18): the SRHT sign matrix
-    * over 64→16 dims, inputs through the round(x·1e6)→long stable
-    * conversion — every projected coordinate an exact BIGINT. */
-  private val duckJlProj: String =
-    s"""sv AS (
-      |  SELECT vec_id,
-      |    [CAST(round(x * 1000000.0) AS BIGINT)
-      |     for x in CAST(embedding AS DOUBLE[])] AS s
-      |  FROM embeddings
-      |), proj AS (
-      |  SELECT vec_id,
-      |    [ CAST(list_sum([ $duckJlSignCase
-      |                      for d in range(0, 64) ]) AS BIGINT)
-      |      for j in range(0, 16) ] AS p
-      |  FROM sv
-      |)""".stripMargin
+  /** Shared JL projection fragment (s17 + s18 + f06): derived from the
+    * ONE parameterized [[duckJlItems]] chain over an embeddings-table
+    * CTE — a `proj(vec_id, p)` view of it, so the s17/s18/f06 oracles
+    * and the e22 feed replays can never drift apart. */
+  // lazy: duckJlItems interpolates duckJlBucket, a val defined further
+  // down — an eager init here would read it as null (the object-val
+  // init-order trap this round's CLAUDE.md documents)
+  private lazy val duckJlProj: String =
+    "emb_src AS (\n" +
+      "  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n" +
+      "), " + duckJlItems("jemb", "emb_src") + ",\n" +
+      "proj AS (\n  SELECT id AS vec_id, p FROM jemb\n)"
 
   /** Sign-bit bucket over the first 4 projected coordinates — the SQL
     * replay of Similarity's jlBucket at the s18 gate's bucketBits=4. */
@@ -122,11 +118,11 @@ object PipelineQueries {
   private def duckJlItems(name: String, src: String): String =
     s"""${name}_sv AS (
        |  SELECT id, v,
-       |    [CAST(round(x * 1000000.0) AS BIGINT) for x in v] AS sv
+       |    [CAST(round(x * 1000000.0) AS BIGINT) for x in v] AS s
        |  FROM $src
        |), ${name}_pj AS (
        |  SELECT id, v,
-       |    [ CAST(list_sum([ ${duckJlSignCase.replace("s[d+1]", "sv[d+1]")}
+       |    [ CAST(list_sum([ $duckJlSignCase
        |                      for d in range(0, 64) ]) AS BIGINT)
        |      for j in range(0, 16) ] AS p
        |  FROM ${name}_sv

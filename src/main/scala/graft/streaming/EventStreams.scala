@@ -561,15 +561,24 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val rows = batch
-          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-          // one out-feed schema across batches (exact for floats),
-          // matching the index's own array<double> storage
-          .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        val m = graft.ops.Similarity.readJlMetaCached(spark, indexPath)
+        // project ONCE per batch (id, v, p, jb, nv) and share it across
+        // the index probe, the dominance pass and the index append —
+        // the first cut re-ran the projection kernel per consumer.
+        // dropDuplicates on id, never a raise: an at-least-once source
+        // legitimately replays rows within a batch, and a checkpointed
+        // foreachBatch would replay a raising batch FOREVER (the screen
+        // decision is identical per id, so dedup loses nothing — the
+        // top-k mixed-rank rationale behind jlTopKIndexed's typed raise
+        // does not apply to a screen)
+        val rows = graft.ops.Similarity.jlProjected(
+            batch.filter(col(idCol).isNotNull && col(vecCol).isNotNull),
+            idCol, vecCol, m)
+          .dropDuplicates("id")
           .persist()
         try {
-          val matched = graft.ops.Similarity.jlMatchedIds(spark, indexPath,
-            rows, "id", "v", threshold, candidates)
+          val matched = graft.ops.Similarity.jlMatchedIdsProjected(
+            spark, indexPath, rows, threshold, candidates)
           // persist, not localCheckpoint: afterIndex feeds both the
           // dominance pass and the admit anti-join and must stay
           // RECOMPUTABLE (the r4 executor-loss trap)
@@ -577,15 +586,15 @@ object EventStreams {
             .join(matched.select(col("batch_id").as("id")), Seq("id"), "left_anti")
             .persist()
           try {
-            val m = graft.ops.Similarity.readJlMetaCached(spark, indexPath)
             val dominated = graft.ops.Similarity.jlBatchDominatedIds(
-              afterIndex, "id", "v", m, threshold)
+              afterIndex, threshold)
             val admitted = afterIndex
               .join(dominated.select(col("batch_id").as("id")), Seq("id"), "left_anti")
               .persist()
             try {
-              admitted.write.mode("append").parquet(outPath)
-              graft.ops.Similarity.appendToJlIndex(admitted, "id", "v", indexPath)
+              admitted.select(col("id"), col("v"))
+                .write.mode("append").parquet(outPath)
+              graft.ops.Similarity.appendToJlIndexProjected(admitted, indexPath)
             } finally admitted.unpersist()
           } finally afterIndex.unpersist()
         } finally rows.unpersist()

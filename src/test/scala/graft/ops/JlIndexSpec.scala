@@ -85,6 +85,36 @@ class JlIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("projection-kind sentinel: pre-SRHT or foreign sign spaces raise typed") {
+    import spark.implicits._
+    // a sidecar WITHOUT proj_kind = an index whose p/jbucket were
+    // computed in a different (pre-versioning) sign space
+    val legacy = tmpDir("jl-legacy").resolve("idx")
+    corpus.limit(5).write.parquet(legacy.toString)
+    Seq((64, 16, 1e6, 4)).toDF("dim", "out_dim", "scale", "bucket_bits")
+      .write.parquet(legacy.resolve("_meta").toString)
+    val e = intercept[IllegalStateException] {
+      Similarity.readJlMeta(spark, legacy.toString)
+    }
+    assert(e.getMessage.contains("projection-kind") && e.getMessage.contains("rebuild"))
+    // a sidecar with a DIFFERENT kind
+    val foreign = tmpDir("jl-foreign").resolve("idx")
+    corpus.limit(5).write.parquet(foreign.toString)
+    Seq((64, 16, 1e6, 4, "lcgflat0"))
+      .toDF("dim", "out_dim", "scale", "bucket_bits", "proj_kind")
+      .write.parquet(foreign.resolve("_meta").toString)
+    val e2 = intercept[IllegalStateException] {
+      Similarity.readJlMeta(spark, foreign.toString)
+    }
+    assert(e2.getMessage.contains("lcgflat0") && e2.getMessage.contains("rebuild"))
+    // the real thing reads back clean
+    val good = tmpDir("jl-kind-ok").resolve("idx").toString
+    Similarity.writeJlIndex(corpus.limit(20), "vec_id", "embedding", good,
+      dim = dim, outDim = 16)
+    assert(Similarity.readJlMeta(spark, good) ==
+      Similarity.JlMeta(64, 16, 1e6, 4))
+  }
+
   test("null vectors raise typed at write AND append (never bucket-0 null rows)") {
     val withNull = corpus.limit(3).select(col("vec_id"),
       when(col("vec_id") === 1L, lit(null).cast("array<float>"))

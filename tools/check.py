@@ -49,14 +49,31 @@ def main():
         if name not in oracle:
             print(f"ROWS {name}: rows={len(got)} (no oracle)"); n_noracle += 1
             continue
-        try:
-            con = fresh_con(sf_dir)
+        # the wandering-OOM host class (CLAUDE.md round-10/11): DuckDB's
+        # allocator can transiently fail tiny mallocs under external host
+        # pressure with 100+ GB "free" — the failure set wanders between
+        # identical runs and vanishes on retry. Retry OOM (and only OOM)
+        # twice with a pause; anything else fails immediately.
+        exp = err = None
+        for attempt in range(3):
             try:
-                exp = con.sql(oracle[name]).df()
-            finally:
-                con.close()  # a failing oracle must not leak its buffer pool
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+                con = fresh_con(sf_dir)
+                try:
+                    exp = con.sql(oracle[name]).df()
+                finally:
+                    con.close()  # a failing oracle must not leak its buffer pool
+                err = None
+                break
+            except Exception as e:
+                err = e
+                if "Out of Memory" not in str(e):
+                    break
+                if attempt < 2:
+                    print(f"  [retry] {name}: transient DuckDB OOM "
+                          f"(attempt {attempt + 1}), sleeping 10s")
+                    import time; time.sleep(10)
+        if err is not None:
+            print(f"FAIL {name}: oracle error: {err}"); n_fail += 1; continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
