@@ -4441,7 +4441,13 @@ object PipelineQueries {
        |      regexp_extract(trim(url_norm), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
        |      '^[^@]*@', ''), ':[0-9]*$$', ''), '$asciiUpper', '$asciiLower') AS host
        |  FROM ded
-       |), doms AS (
+       |), doms AS MATERIALIZED (
+       |  -- MATERIALIZED is load-bearing (round-11, measured): inlined,
+       |  -- the downstream filter+join consumers re-expand this
+       |  -- list-splitting tree and the t31 oracle peaked at 5.2 GB RSS
+       |  -- for 33 rows (the allocator-poisoning class that made later
+       |  -- heavy oracles fail tiny mallocs in a shared process);
+       |  -- materialized it reads 144 MB, 36x less
        |  SELECT url_norm, canonical_id, dup_count,
        |    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
        |         ELSE array_to_string(
