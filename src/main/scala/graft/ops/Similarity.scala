@@ -656,9 +656,21 @@ object Similarity {
     * An index directory without one predates the meta contract —
     * typed raise with a rebuild message rather than probing it under
     * guessed parameters (silent zero recall is the worst failure). */
+  /** Self-heal BOTH swap crash windows (build and compact) before any
+    * read or append — the r9 heal-before-read rule. Ordering matters for
+    * appends especially: an append into the delete→rename window would
+    * recreate `path` as a bare partial dir, after which heal sees the
+    * destination "exists" and the complete copy at the sibling is
+    * stranded while the index has silently lost its history. */
+  private def healJlIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    FsOps.healSwap(spark, path + ".building", path)
+    FsOps.healSwap(spark, path + ".compacting", path)
+  }
+
   def readJlMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): JlMeta = {
-    FsOps.healSwap(spark, path + ".building", path)
+    healJlIndex(spark, path)
     // only a genuinely MISSING sidecar maps to the typed rebuild
     // message — a transient FS error on a healthy index must surface
     // as itself (an operator following "rebuild it" on a permission
@@ -696,6 +708,7 @@ object Similarity {
     * data-independent, so append ≡ rebuild for the projected codes.) */
   def appendToJlIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
+    healJlIndex(batch.sparkSession, path) // never append into a swap window
     val m = readJlMetaCached(batch.sparkSession, path)
     batch.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("v")) // one schema, see write
@@ -736,7 +749,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       candidates: Int = 16): DataFrame =
     topKPerQuery(jlScoredCandidates(spark, indexPath, queries, idCol, vecCol,
-        candidates), "cosine_sim", k)
+        candidates, excludeSelf = true), "cosine_sim", k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
 
   /** Batch ids that have ANY index neighbor with cosine ≥ `threshold`
@@ -746,12 +759,18 @@ object Similarity {
     * `candidates` by projected distance) — the SemDeDup-style scoped
     * semantics, stated rather than silent: a true near-dup outside the
     * probed buckets is not seen (contrast the phash screen, whose
-    * pigeonhole banding is exhaustive at ≤ maxDistance). Returns one
-    * `batch_id` column. */
+    * pigeonhole banding is exhaustive at ≤ maxDistance). Unlike the kNN
+    * path (whose queries ARE corpus members, so a row must not rank as
+    * its own neighbor), screen probes MAY match an equal-id index row:
+    * a crash-after-append replay then re-screens its own appended rows
+    * and is rejected as a duplicate (cosine 1.0) instead of being
+    * re-admitted — batch and index share one id space by contract.
+    * Returns one `batch_id` column. */
   def jlMatchedIds(spark: org.apache.spark.sql.SparkSession, indexPath: String,
       batch: DataFrame, idCol: String, vecCol: String, threshold: Double,
       candidates: Int = 16): DataFrame =
-    jlScoredCandidates(spark, indexPath, batch, idCol, vecCol, candidates)
+    jlScoredCandidates(spark, indexPath, batch, idCol, vecCol, candidates,
+        excludeSelf = false)
       .filter(col("cosine_sim") >= threshold)
       .select(col("query_id").as("batch_id")).distinct()
 
@@ -796,7 +815,8 @@ object Similarity {
     val m = readJlMetaCached(spark, indexPath)
     val q0 = projected.select(col("id").as("query_id"), col("p").as("qp"),
       col("jb"), col("nv").as("qnv"))
-    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates)
+    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates,
+        excludeSelf = false)
       .filter(col("cosine_sim") >= threshold)
       .select(col("query_id").as("batch_id")).distinct()
   }
@@ -805,17 +825,52 @@ object Similarity {
     * index's meta — the screen's same-batch path) without a second
     * projection pass. */
   private[graft] def appendToJlIndexProjected(projected: DataFrame,
-      path: String): Unit =
+      path: String): Unit = {
+    healJlIndex(projected.sparkSession, path) // never append into a swap window
     projected.select(col("id").as("neighbor_id"), col("v"), col("p"),
         col("jb").as("jbucket"))
       .write.partitionBy("jbucket").mode("append").parquet(path)
+  }
+
+  /** Fold a JL index's per-batch appended segment files back to one file
+    * per bucket — the lifecycle companion every other persisted index
+    * family already has ([[graft.ops.Dedup.compactMinhashIndex]]
+    * pattern). Under a continuous streaming screen (e22's production
+    * shape) [[appendToJlIndexProjected]] lays one parquet file into every
+    * touched bucket per micro-batch, so file counts grow without bound
+    * and every probe pays the directory listing; compaction rewrites the
+    * index as one bucket-partitioned pass (the write-time
+    * hash-repartition = one file per bucket) and collapses exact
+    * duplicate rows from crash-replayed appends once, instead of at
+    * every probe's candidate tier. Projection parameters are unchanged
+    * (the `_meta` sidecar is rewritten verbatim), so the per-JVM meta
+    * memo stays valid and probe results are bitwise identical. Two-phase
+    * sibling-dir swap; the delete→rename crash window is healed at every
+    * read/append entry point ([[healJlIndex]]). */
+  def compactJlIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    healJlIndex(spark, path)
+    val m = readJlMetaCached(spark, path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .select(col("neighbor_id"), col("v"), col("p"),
+        col("jbucket").cast("int").as("jbucket"))
+      .distinct() // replay-duplicated rows are exact duplicates (id-space contract)
+      .repartition(col("jbucket"))
+      .write.partitionBy("jbucket").mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq((m.dim, m.outDim, m.scale, m.bucketBits, JlProjKind)).toDF(
+        "dim", "out_dim", "scale", "bucket_bits", "proj_kind")
+      .coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirs(spark, tmp, path)
+  }
 
   /** Shared candidate machinery behind [[jlTopKIndexed]] and
     * [[jlMatchedIds]]: (query_id, neighbor_id, cosine_sim), at most
     * `candidates` rows per query. */
   private def jlScoredCandidates(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, idCol: String, vecCol: String,
-      candidates: Int): DataFrame = {
+      candidates: Int, excludeSelf: Boolean): DataFrame = {
     val m = readJlMetaCached(spark, indexPath)
     // duplicate/null query-id contract (the Bpe-style lazy typed raise,
     // round-10-continuation rule for id-grouped operators): a NULL id
@@ -842,17 +897,25 @@ object Similarity {
           m.dim, m.outDim, m.scale))
         .withColumn("jb", jlBucket(col("qp"), m.bucketBits))
         .withColumn("qnv", normalize(col("qv"))))
-    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates)
+    jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates, excludeSelf)
   }
 
   /** The probe/candidate/rerank machinery over a prepared query frame
     * `(query_id, qp, jb, qnv)` — shared by [[jlScoredCandidates]] and
     * [[jlMatchedIdsProjected]]. The frame must be lineage-cut (or a
     * persisted screen batch): it feeds the bucket collect, the probe
-    * broadcast and the rerank broadcast. */
+    * broadcast and the rerank broadcast. `excludeSelf` drops equal-id
+    * (query, index) pairs — required on the kNN path where queries are
+    * corpus members; screen probes keep them so a replayed batch matches
+    * its own previously-appended rows (see [[jlMatchedIds]]). */
   private def jlCandidatesFrom(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, q0: DataFrame, bucketBits: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, excludeSelf: Boolean): DataFrame = {
+    // heal per probe, not only at the (memoized) meta read: a crashed
+    // compactJlIndex in the same JVM would otherwise wedge every later
+    // probe on a missing path (two FS existence checks — negligible
+    // against the probe itself)
+    healJlIndex(spark, indexPath)
     val probes = q0.select(col("query_id"), col("qp"), explode(array(
       col("jb") +: (0 until bucketBits).map(b =>
         col("jb").bitwiseXOR(lit(1 << b))): _*)).as("jbucket"))
@@ -864,7 +927,7 @@ object Similarity {
       .select(col("neighbor_id"), col("p"),
         col("jbucket").cast("int").as("jbucket"))
       .join(broadcast(probes), Seq("jbucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         graft.functions.VecOps.l2sqLong(col("p"), col("qp")).as("jdist"))
     // cands is bounded (queries × candidates) but its plan holds the

@@ -134,7 +134,10 @@ object PipelineQueries {
   /** One screening wave of the e22 replay: `feed` (id, v, p, jb)
     * against index `idx` → admitted CTE `adm` — multi-probe candidate
     * join, top-16 by projected L2, cosine-threshold match, same-bucket
-    * in-batch dominance, anti-join survivors. */
+    * in-batch dominance, anti-join survivors. NO equal-id exclusion:
+    * screen probes may match an equal-id index row (the replay-rejection
+    * semantics of Similarity.jlMatchedIds — only the kNN path
+    * self-excludes). */
   private def duckJlScreenWave(feed: String, idx: String, adm: String): String =
     s"""${adm}_cand AS (
        |  SELECT f.id AS fid, i.id AS nid, f.v AS fv, i.v AS iv,
@@ -142,7 +145,6 @@ object PipelineQueries {
        |                    for j in range(0, 16) ]) AS BIGINT) AS jdist
        |  FROM $feed f JOIN $idx i
        |    ON i.jb IN (f.jb, xor(f.jb, 1), xor(f.jb, 2), xor(f.jb, 4), xor(f.jb, 8))
-       |   AND i.id <> f.id
        |), ${adm}_top AS (
        |  SELECT * FROM (
        |    SELECT fid, fv, iv, jdist,
@@ -4621,7 +4623,18 @@ object PipelineQueries {
     * allocator failures into disk spills). `con.sql()` executes the
     * multi-statement prologue and returns the final SELECT's relation —
     * probe-verified on duckdb 1.0.0, including an actual spill run at
-    * memory_limit=500MB over 30M distinct keys. */
+    * memory_limit=500MB over 30M distinct keys.
+    *
+    * CONSUMER CONTRACT (per-oracle connections): DuckDB refuses ANY
+    * `SET temp_directory` — even to the same value — once the current temp
+    * dir has been used (spilled) on that connection, so on a SHARED
+    * long-lived connection one spill would turn every later heavy oracle
+    * into a deterministic "Cannot switch temporary directory" FAIL.
+    * tools/check.py (the gate replica) opens a fresh connection per oracle,
+    * which makes the prologue unconditionally safe; a shared-connection
+    * harness is still fine as long as nothing spilled earlier (the 24 GB
+    * limit is ~3× the whole sequence's historical peak, so in practice the
+    * SET always precedes any spill). */
   private val duckMemPrologue: String =
     "SET memory_limit='24GB'; SET temp_directory='/tmp/duck_spill'; " +
       "SET max_temp_directory_size='64GB';\n"

@@ -542,7 +542,12 @@ object EventStreams {
     * (out-before-index, the e18 ordering: a crash between the two
     * replays as at-least-once duplicate feed rows — downstream dedups
     * by id — never as loss; vector re-append is inert because the
-    * probe collapses duplicate index rows).
+    * probe collapses duplicate index rows). A crash AFTER the index
+    * append replays the batch against its own appended rows, which the
+    * probe now MATCHES (equal-id index rows are not excluded on the
+    * screen path — see [[graft.ops.Similarity.jlMatchedIds]]), so the
+    * replay is rejected as duplicate instead of re-admitted; batch and
+    * index ids share one id space by contract.
     *
     * MATCH SCOPE IS STATED, NOT SILENT (the r9 screen-recall rule,
     * honestly inverted): the index probe sees the multi-probed-bucket

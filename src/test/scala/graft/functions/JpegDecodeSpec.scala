@@ -189,6 +189,41 @@ class JpegDecodeSpec extends SparkSpec {
         luma.map(_ & 0xFF).distinct.mkString(","))
   }
 
+  test("lying DQT length: table bytes past the declared segment end -> null") {
+    // a DQT claiming Pq=0 (64-byte table) inside a segment whose declared
+    // length holds only 32 table bytes — the remaining 32 bytes it would
+    // read belong to the NEXT segment. The explicit pre-check
+    // (p + tableLen <= end, mirroring the DHT path) must reject it
+    // outright, never splice SOF header bytes into a quant table.
+    def seg(tag: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, tag.toByte,
+        (((body.length + 2) >> 8) & 0xFF).toByte,
+        ((body.length + 2) & 0xFF).toByte) ++ body
+    val dqtLying = seg(0xDB, Array(0x00.toByte) ++ Array.fill(32)(16.toByte))
+    val sof = seg(0xC0, Array[Byte](8, 0, 16, 0, 16, 1, 1, 0x11, 0))
+    val dhtDc = seg(0xC4, Array[Byte](0x00, 0, 2) ++ Array.fill(14)(0.toByte)
+      ++ Array[Byte](0, 4))
+    val dhtAc = seg(0xC4, Array[Byte](0x10, 0, 1) ++ Array.fill(14)(0.toByte)
+      ++ Array[Byte](0))
+    val dri = seg(0xDD, Array[Byte](0, 2))
+    val sos = seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // entropy data for the 4 MCUs of a 16x16 single-component image,
+    // exactly the DRI test's stream: two 2-block intervals around RST0
+    val interval = Array(0x60.toByte, 0x0F.toByte)
+    def stream(dqt: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, 0xD8.toByte) ++ dqt ++ sof ++ dhtDc ++
+        dhtAc ++ dri ++ sos ++ interval ++
+        Array(0xFF.toByte, 0xD0.toByte) ++ interval ++
+        Array(0xFF.toByte, 0xD9.toByte)
+    assert(JpegDecodeImpl.jpegLuma(stream(dqtLying)) == null,
+      "lying DQT length must reject, not read into the next segment")
+    // the same stream with an honest 64-byte table decodes (control arm:
+    // proves the rejection above is the LENGTH check, not a broken fixture)
+    val dqtHonest = seg(0xDB, Array(0x00.toByte) ++ Array.fill(64)(16.toByte))
+    assert(JpegDecodeImpl.jpegLuma(stream(dqtHonest)) != null,
+      "control stream must decode")
+  }
+
   test("ops: a JPEG re-encode surfaces against the phash index like a PNG would") {
     val path = graft.Paths.scratchDir("graft-jpeg-idx").resolve("idx").toString
     val corpus = (0 until 8).map { k =>

@@ -157,6 +157,76 @@ class JlIndexSpec extends SparkSpec {
     assert(msgChain(e2).exists(_.contains("duplicate or null query id")), msgChain(e2))
   }
 
+  test("compactJlIndex: multi-append probe identical, one file per bucket, replay rows collapse, crash heal") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("jl-compact").resolve("idx").toString
+    Similarity.writeJlIndex(corpus.filter(col("vec_id") < 100), "vec_id",
+      "embedding", path, dim = dim, outDim = 16, bucketBits = 4)
+    val b1 = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+    val b2 = corpus.filter(col("vec_id") >= 140 && col("vec_id") < 180)
+    Similarity.appendToJlIndex(b1, "vec_id", "embedding", path)
+    Similarity.appendToJlIndex(b2, "vec_id", "embedding", path)
+    val queries = corpus.filter(col("vec_id") < 8)
+    def serve() = Similarity.jlTopKIndexed(spark, path, queries, "vec_id",
+        "embedding", k = 4, candidates = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val clean = serve() // the never-duplicated index's answers
+    Similarity.appendToJlIndex(b2, "vec_id", "embedding", path) // crash replay
+    val rowsBefore = spark.read.parquet(path).count()
+    assert(rowsBefore == 220L) // the replay's duplicates are physically there
+    Similarity.compactJlIndex(spark, path)
+    // compaction must serve exactly the clean index's answers — it also
+    // UNDOES the replay's documented candidate-slot recall nick (the
+    // duplicated rows each consumed a top-16 slot before folding)
+    assert(serve() == clean, "compacted index must serve clean-index results")
+    val after = spark.read.parquet(path)
+    assert(after.count() == rowsBefore - b2.count(),
+      "compaction must collapse the replayed append's duplicate rows")
+    assert(after.count() == after.distinct().count())
+    // file-count contract: one data file per bucket dir
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("jbucket="))
+    assert(bucketDirs.nonEmpty)
+    for (d <- bucketDirs) {
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: $n files after compaction")
+    }
+    // meta params unchanged (memo stays valid by construction)
+    assert(Similarity.readJlMeta(spark, path) ==
+      Similarity.JlMeta(dim, 16, 1e6, 4))
+    // crash window: swap died between delete and rename — probe self-heals
+    Files.move(Paths.get(path), Paths.get(path + ".compacting"))
+    assert(serve() == clean, "probe must heal the compaction crash window")
+    assert(Files.exists(Paths.get(path)))
+    // append also heals first (never recreates a bare partial dir)
+    Files.move(Paths.get(path), Paths.get(path + ".compacting"))
+    Similarity.appendToJlIndex(
+      corpus.filter(col("vec_id") >= 180 && col("vec_id") < 190),
+      "vec_id", "embedding", path)
+    assert(spark.read.parquet(path).count() == 190L)
+  }
+
+  test("self-match scope: screen probes match equal-id index rows; the kNN path never ranks self") {
+    val path = tmpDir("jl-self").resolve("idx").toString
+    Similarity.writeJlIndex(corpus.filter(col("vec_id") < 50), "vec_id",
+      "embedding", path, dim = dim, outDim = 16, bucketBits = 4)
+    // a crash-after-append REPLAY re-probes ids the index already holds:
+    // the screen must reject them as duplicates (cosine 1.0 with their
+    // own index row), never re-admit them
+    val replay = corpus.filter(col("vec_id") === 7L || col("vec_id") === 9L)
+    val matched = Similarity.jlMatchedIds(spark, path, replay, "vec_id",
+        "embedding", threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(matched == Set(7L, 9L),
+      s"replayed ids must self-match through the screen: $matched")
+    // the kNN path's queries ARE corpus members — self must never rank
+    val knn = Similarity.jlTopKIndexed(spark, path,
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(knn.nonEmpty && knn.forall { case (q, n) => q != n },
+      s"kNN returned a self pair: ${knn.filter(p => p._1 == p._2).toSeq}")
+  }
+
   test("contract guards: bucketBits bounds; short vectors raise through the projection") {
     intercept[IllegalArgumentException] {
       Similarity.writeJlIndex(corpus, "vec_id", "embedding", "/tmp/never",

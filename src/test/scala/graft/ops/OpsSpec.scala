@@ -808,6 +808,52 @@ class OpsSpec extends SparkSpec {
       Seq((201L, saw(3, 7))).toDF("id", "payload"), "id", "payload").count() >= 1)
   }
 
+  test("compactPhashIndex: folds appended segments to one distinct set; probe identical; crash heal") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("phash-compact")
+    val idx = dir.resolve("idx").toString
+    def saw(core: Int, slope: Int): Array[Byte] =
+      Array.tabulate(200 + core % 50)(i => ((core * 31 + i * slope) % 251).toByte)
+    def reenc(b: Array[Byte]): Array[Byte] = b.zipWithIndex.map { case (v, i) =>
+      if ((i >> 4) % 8 == 0) math.min(255, (v & 0xFF) + 40).toByte else v }
+    Dedup.writePhashIndex((0 until 20).map(c => (c.toLong, saw(c, 7)))
+      .toDF("id", "payload"), "id", "payload", idx)
+    // three appended segments, one of them a crash replay
+    val novel = Seq((100L, saw(300, 11))).toDF("id", "payload")
+    Dedup.appendToPhashIndex(novel, "id", "payload", idx)
+    Dedup.appendToPhashIndex(novel, "id", "payload", idx) // replay
+    Dedup.appendToPhashIndex(Seq((101L, saw(400, 13))).toDF("id", "payload"),
+      "id", "payload", idx)
+    def fileCount() = new java.io.File(idx).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = fileCount()
+    def probe() = Dedup.probePhashIndex(spark, idx,
+        Seq((200L, reenc(saw(3, 7))), (201L, reenc(saw(300, 11))),
+          (202L, saw(500, 17))).toDF("id", "payload"), "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probe()
+    assert(before.map(p => (p._1, p._2)) == Set((200L, 3L), (201L, 100L)), s"$before")
+    Dedup.compactPhashIndex(spark, idx)
+    assert(probe() == before, "compaction must not change probe results")
+    assert(fileCount() < filesBefore,
+      s"compaction must reduce segment files ($filesBefore -> ${fileCount()})")
+    // the replayed append's duplicate signature collapsed physically
+    val rows = spark.read.parquet(idx)
+    assert(rows.count() == 22L && rows.count() == rows.distinct().count())
+    // meta preserved verbatim (banding distance + hash kind)
+    assert(Dedup.phashIndexMeta(spark, idx) ==
+      Dedup.PhashIndexMeta(3, Dedup.DhashHashKind))
+    // crash window between delete and rename: probe self-heals
+    Files.move(Paths.get(idx), Paths.get(idx + ".compacting"))
+    assert(probe() == before, "probe must heal the compaction crash window")
+    assert(Files.exists(Paths.get(idx)))
+    // append heals first too (never recreates a bare partial dir)
+    Files.move(Paths.get(idx), Paths.get(idx + ".compacting"))
+    Dedup.appendToPhashIndex(Seq((102L, saw(600, 19))).toDF("id", "payload"),
+      "id", "payload", idx)
+    assert(spark.read.parquet(idx).count() == 23L)
+  }
+
   test("soft dedup: singletons weight scale, k-clique members scale/k; feeds prioritySample") {
     val rows = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")

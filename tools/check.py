@@ -17,8 +17,11 @@ import multiprocessing as mp
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
-MAX_TASKS = 1  # fresh process per oracle: even 8-task workers
-               # reproduced the allocator poisoning (measured)
+# fresh process per oracle by default: even 8-task workers reproduced the
+# allocator poisoning (measured). The spawn-per-oracle fixed cost (pandas +
+# duckdb import, ~182 processes) is real, so iteration loops may raise it
+# via CHECK_MAX_TASKS (e.g. 50) on a healthy box; official runs keep 1.
+MAX_TASKS = int(os.environ.get("CHECK_MAX_TASKS", "1"))
 
 
 def norm(df):
