@@ -1180,15 +1180,29 @@ object ScaleProbe {
         val scr = graft.Paths.scratchDir("graft-scale-embscr-")
         val outP = scr.resolve("out").toString
         // feed 1: 2.5k ×1.25 copies of indexed vectors (reject via index),
-        // 2.5k novels (admit), 2.5k ×1.5 same-direction mates of those
-        // novels at HIGHER ids (reject via in-batch dominance)
+        // 2.5k novels (admit), 2.5k exact-duplicate mates of those novels
+        // at HIGHER ids (reject via in-batch dominance). The copies leg
+        // computes the vector FIRST and renames in a second select — a
+        // corpusVec lambda in the same projection as the (id + 10M) alias
+        // resolves against the NEW alias (the round-10 d14
+        // lateral-column-alias trap; caught by review, empirically
+        // probe-verified for HOF lambdas specifically). The ×2.0 grown-
+        // copy leg below is the sentinel that CAUGHT the raw-projection
+        // scale hole (1 of 2500 slipped: candidate L2 on raw projections
+        // put the true match at |p| distance, mid-pack among bucket
+        // mates) and now pins the srht2 normalized projection's scale
+        // invariance. The mates stay scale-1.0 exact duplicates:
+        // dominance is same-bucket with NO bit-flip tolerance, and even
+        // under srht2 a rescale can nudge round(nv·1e6) by one ulp-step
+        // on a near-boundary coordinate — exact bytes ⇒ exact same
+        // projection ⇒ deterministic same bucket.
         val feed1 = spark.range(0L, 2500L)
-          .select((col("id") + 10000000L).as("id"),
-            scaleV(corpusVec(col("id")), 1.25).as("v"))
+          .select(col("id"), scaleV(corpusVec(col("id")), 1.25).as("v"))
+          .select((col("id") + 10000000L).as("id"), col("v"))
           .unionByName(spark.range(11000000L, 11002500L)
             .select(col("id"), novelVec(col("id"), 1000).as("v")))
           .unionByName(spark.range(11100000L, 11102500L)
-            .select(col("id"), scaleV(novelVec(col("id") - 100000L, 1000), 1.5).as("v")))
+            .select(col("id"), novelVec(col("id") - 100000L, 1000).as("v")))
         // feed 2: 2.5k ×2.0 copies of feed-1's ADMITTED novels (reject —
         // the index must have absorbed them), 2.5k fresh novels (admit)
         val feed2 = spark.range(12000000L, 12002500L)

@@ -322,9 +322,17 @@ object Dedup {
     * component diameter, where the earlier min-label propagation needed
     * O(diameter) — a chain-shaped dup cluster (serial-numbered
     * boilerplate) made that unbounded. `maxIter` caps its rounds.
+    *
+    * `driverThreshold` sizing (VERDICT r11 scale-watch): 1M edge Rows ≈
+    * tens of MB of driver heap — comfortably inside any default
+    * `spark.driver.maxResultSize` (1 GB) with 100× margin; the earlier
+    * 5M default was multiple GB of Row overhead at the margins. The
+    * distributed star path costs O(log n) rounds, so crossing over
+    * earlier trades one driver job for a few bounded rounds — cheap
+    * insurance at cluster scale.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
-      driverThreshold: Long = 5000000L): DataFrame = {
+      driverThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = edges.count()
@@ -638,16 +646,10 @@ object Dedup {
       .write.mode("append").parquet(path)
   }
 
-  /** Self-heal BOTH swap crash windows (build and compact) before any
-    * phash-index read or append. Appends especially: appending into the
-    * delete->rename window would recreate `path` as a bare partial dir,
-    * stranding the complete copy at the sibling while the index silently
-    * loses its history. */
+  /** Self-heal both swap crash windows before any phash-index read or
+    * append — see [[FsOps.healSwaps]] for why appends must heal first. */
   private def healPhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    FsOps.healSwap(spark, path + ".building", path)
-    FsOps.healSwap(spark, path + ".compacting", path)
-  }
+      path: String): Unit = FsOps.healSwaps(spark, path)
 
   /** Fold a phash index's per-batch appended segment files back to one
     * distinct signature set — the digest-index compaction extended to
@@ -659,7 +661,14 @@ object Dedup {
     * compaction pays that distinct ONCE. `_meta` (banding distance +
     * hash kind) is rewritten verbatim, so the per-JVM meta memo stays
     * valid and probe results are identical. Two-phase sibling-dir
-    * swap; the crash window heals at every read/append entry point. */
+    * swap; the crash window heals at every read/append entry point.
+    *
+    * NOT concurrent-WRITER-safe (same contract as
+    * [[graft.ops.Similarity.compactJlIndex]]): an append landing between
+    * this compaction's read and its swap is deleted with the old
+    * directory — quiesce writers first (stop the stream, or compact from
+    * inside its own foreachBatch thread where batches serialize).
+    * Readers are safe throughout. */
   def compactPhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     healPhashIndex(spark, path)

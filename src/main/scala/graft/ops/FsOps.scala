@@ -10,12 +10,6 @@ import org.apache.spark.sql.SparkSession
   * the rewritten data as the only casualty. */
 object FsOps {
 
-  /** Replace `dst` with `tmp` (both directories). Aborts — with the
-    * complete new copy intact at `tmp` — if the old directory cannot be
-    * removed: HDFS rename into a still-existing directory would nest
-    * `tmp` INSIDE it and report success, silently serving stale data.
-    * Worst crash window (after delete, before rename) likewise leaves
-    * the complete copy at `tmp`, recoverable by renaming it. */
   /** Recover from [[swapDirs]]'s one crash window (after delete, before
     * rename): if `dst` is missing but the complete new copy sits at
     * `tmp`, rename it into place. Call before READING a swap-maintained
@@ -30,6 +24,26 @@ object FsOps {
         s"heal rename $tmpPath -> $dstPath failed")
   }
 
+  /** Heal BOTH standard sibling-swap windows of an index directory —
+    * the `.building` (write/rebuild) and `.compacting` (compaction)
+    * suffixes every swap-maintained index family uses. One helper so no
+    * future index family can reintroduce the half-pattern (heal one
+    * suffix but not the other — the round-10 swapDirsInvalidating
+    * lesson applied to healing). Call at every read AND append entry
+    * point: appending into a swap window would recreate `dst` as a bare
+    * partial dir, stranding the complete copy at the sibling while the
+    * index silently loses its history. */
+  def healSwaps(spark: SparkSession, path: String): Unit = {
+    healSwap(spark, path + ".building", path)
+    healSwap(spark, path + ".compacting", path)
+  }
+
+  /** Replace `dst` with `tmp` (both directories). Aborts — with the
+    * complete new copy intact at `tmp` — if the old directory cannot be
+    * removed: HDFS rename into a still-existing directory would nest
+    * `tmp` INSIDE it and report success, silently serving stale data.
+    * Worst crash window (after delete, before rename) likewise leaves
+    * the complete copy at `tmp`, recoverable by renaming it. */
   def swapDirs(spark: SparkSession, tmpPath: String, dstPath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val tmp = new org.apache.hadoop.fs.Path(tmpPath)

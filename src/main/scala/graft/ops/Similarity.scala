@@ -585,13 +585,30 @@ object Similarity {
     * sums in [[jlBucket]]) and its null distance sorts NULLS-FIRST at
     * probe time — crowding real candidates out of every bucket-0 probe:
     * the silent zero-recall failure. Typed raise instead (the round-6
-    * null-key rule: handle nulls FIRST on any sketch/index path). */
+    * null-key rule: handle nulls FIRST on any sketch/index path).
+    *
+    * The vector is NORMALIZED before projection (proj kind `srht2`,
+    * round-12): candidate ranking is exact integer L2 in the projected
+    * space, and projecting raw vectors makes that ranking scale-
+    * SENSITIVE while the rerank metric (cosine) is scale-invariant — a
+    * ×2-rescaled duplicate's projected distance to its own original is
+    * |p| (the full projection norm), which competes with ordinary
+    * bucket-mates and can push the true match out of the candidate cut
+    * (caught live by a ScaleProbe sentinel: 1 of 2500 ×2.0 copies
+    * slipped an admission screen). Projecting the unit vector makes
+    * projected L2 approximate ANGULAR distance — the metric the cosine
+    * rerank actually wants — at zero extra cost (the normalize kernel
+    * already runs for the rerank). Sign buckets are unchanged in
+    * exact arithmetic (positive scaling preserves projection signs up
+    * to rounding). All-zero vectors pass through normalize unchanged
+    * (the r3 kernel convention) → projection 0, bucket 0, both
+    * engines. */
   private def jlProjectChecked(id: Column, v: Column, dim: Int, outDim: Int,
       scale: Double): Column =
     when(v.isNull, raise_error(concat(
       lit("JL index: null vector for id "),
       coalesce(id.cast("string"), lit("NULL")))))
-      .otherwise(randomProject(v, dim, outDim, scale))
+      .otherwise(randomProject(normalize(v), dim, outDim, scale))
 
   def writeJlIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, outDim: Int, scale: Double = 1e6,
@@ -631,11 +648,15 @@ object Similarity {
   /** Projection-space version sentinel persisted in `_meta` (the phash
     * `hash_kind` rule: changing what feeds a persisted signature index
     * is a CORRECTNESS break for every existing index — the SRHT switch
-    * is exactly such a change). `srht1` = random-diagonal-Hadamard
-    * signs; a sidecar without the column predates the contract and a
-    * mismatched kind means stored p/jbucket and the probe's projection
-    * live in different spaces → typed raise, never silent zero recall. */
-  val JlProjKind: String = "srht1"
+    * was exactly such a change, and the round-12 normalize-before-
+    * project switch is another). `srht1` = random-diagonal-Hadamard
+    * signs over the RAW vector; `srht2` = the same signs over the
+    * NORMALIZED vector (scale-invariant candidate space — see
+    * [[jlProjectChecked]]). A sidecar without the column predates the
+    * contract and a mismatched kind means stored p/jbucket and the
+    * probe's projection live in different spaces → typed raise, never
+    * silent zero recall. */
+  val JlProjKind: String = "srht2"
 
   /** The projection parameters a [[writeJlIndex]] index was built with. */
   final case class JlMeta(dim: Int, outDim: Int, scale: Double, bucketBits: Int)
@@ -652,22 +673,15 @@ object Similarity {
       path: String): JlMeta =
     jlMetaCache.computeIfAbsent(path, _ => readJlMeta(spark, path))
 
-  /** Load the `_meta` sidecar (heals the swap crash window first).
+  /** Self-heal both swap crash windows before any read or append —
+    * see [[FsOps.healSwaps]] for why appends must heal first. */
+  private def healJlIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = FsOps.healSwaps(spark, path)
+
+  /** Load the `_meta` sidecar (heals the swap windows first).
     * An index directory without one predates the meta contract —
     * typed raise with a rebuild message rather than probing it under
     * guessed parameters (silent zero recall is the worst failure). */
-  /** Self-heal BOTH swap crash windows (build and compact) before any
-    * read or append — the r9 heal-before-read rule. Ordering matters for
-    * appends especially: an append into the delete→rename window would
-    * recreate `path` as a bare partial dir, after which heal sees the
-    * destination "exists" and the complete copy at the sibling is
-    * stranded while the index has silently lost its history. */
-  private def healJlIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    FsOps.healSwap(spark, path + ".building", path)
-    FsOps.healSwap(spark, path + ".compacting", path)
-  }
-
   def readJlMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): JlMeta = {
     healJlIndex(spark, path)
@@ -846,7 +860,16 @@ object Similarity {
     * (the `_meta` sidecar is rewritten verbatim), so the per-JVM meta
     * memo stays valid and probe results are bitwise identical. Two-phase
     * sibling-dir swap; the delete→rename crash window is healed at every
-    * read/append entry point ([[healJlIndex]]). */
+    * read/append entry point ([[healJlIndex]]).
+    *
+    * NOT concurrent-WRITER-safe (review finding, stated not silent): an
+    * append landing between this compaction's read of `path` and its
+    * swap is deleted with the old directory — the screen would then have
+    * zero recall for those absorbed items. Quiesce writers first: stop
+    * the stream, or run the compaction from inside the screen's own
+    * foreachBatch thread (batches are serialized, so nothing can append
+    * concurrently). Readers are safe throughout (old-or-new, never a
+    * mix). */
   def compactJlIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     healJlIndex(spark, path)

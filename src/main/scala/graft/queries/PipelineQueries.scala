@@ -92,18 +92,29 @@ object PipelineQueries {
       "THEN 0 ELSE 1 END) + bit_count(CAST(j AS BIGINT) & CAST(d AS BIGINT))) % 2 = 0 " +
       "THEN s[d+1] ELSE -s[d+1] END"
 
-  /** Shared JL projection fragment (s17 + s18 + f06): derived from the
-    * ONE parameterized [[duckJlItems]] chain over an embeddings-table
-    * CTE — a `proj(vec_id, p)` view of it, so the s17/s18/f06 oracles
-    * and the e22 feed replays can never drift apart. */
-  // lazy: duckJlItems interpolates duckJlBucket, a val defined further
-  // down — an eager init here would read it as null (the object-val
-  // init-order trap this round's CLAUDE.md documents)
+  /** Shared RAW JL projection fragment (s17 + f06 — the standalone
+    * `randomProject`/`graft_jl_project` surfaces, which project the
+    * vector as given): a `proj(vec_id, p)` view over the embeddings
+    * table, derived from the ONE parameterized [[duckJlItemsRaw]]
+    * chain. The INDEX machinery (s18 + e22) projects the NORMALIZED
+    * vector instead — [[duckJlItems]] / [[duckJlProjNv]]. */
+  // lazy: the items chains interpolate duckJlBucket, a val defined
+  // further down — an eager init here would read it as null (the
+  // object-val init-order trap the round-11 CLAUDE.md documents)
   private lazy val duckJlProj: String =
     "emb_src AS (\n" +
       "  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n" +
-      "), " + duckJlItems("jemb", "emb_src") + ",\n" +
+      "), " + duckJlItemsRaw("jemb", "emb_src") + ",\n" +
       "proj AS (\n  SELECT id AS vec_id, p FROM jemb\n)"
+
+  /** NORMALIZED-projection view of the embeddings table — the s18 index
+    * replay (proj kind `srht2`: Similarity's index machinery projects
+    * the unit vector so candidate L2 approximates angular distance). */
+  private lazy val duckJlProjNv: String =
+    "emb_src AS (\n" +
+      "  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n" +
+      "), " + duckJlItems("jemb", "emb_src") + ",\n" +
+      "proj_nv AS (\n  SELECT id AS vec_id, p FROM jemb\n)"
 
   /** Sign-bit bucket over the first 4 projected coordinates — the SQL
     * replay of Similarity's jlBucket at the s18 gate's bucketBits=4. */
@@ -112,13 +123,39 @@ object PipelineQueries {
       s"(CASE WHEN p[${b + 1}] >= 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
 
   /** Generates the three-CTE chain projecting an (id, v DOUBLE[]) CTE
-    * `src` to `name` = (id, v, p, jb) — the duckJlProj machinery
-    * parameterized over an arbitrary vector source (e22 replays the
-    * screen over feed CTEs, not the embeddings table). */
+    * `src` to `name` = (id, v, p, jb) from the RAW vector — the
+    * s17/f06 `randomProject` surface. */
+  private def duckJlItemsRaw(name: String, src: String): String =
+    duckJlItemsFrom(name, src,
+      "[CAST(round(x * 1000000.0) AS BIGINT) for x in v]")
+
+  /** The INDEX-machinery variant of [[duckJlItemsRaw]]: scaled longs
+    * come from the NORMALIZED vector (proj kind `srht2`). Normalization
+    * replays Similarity's kernel bit-for-bit: left-to-right Σx² (DuckDB
+    * list comprehension + list_sum fold the list in order), correctly-
+    * rounded IEEE sqrt and division in both engines, and the all-zero
+    * vector passes through unchanged (the r3 kernel convention). `v`
+    * stays the RAW vector — the cosine rerank normalizes its own copy,
+    * exactly like the Spark side. */
   private def duckJlItems(name: String, src: String): String =
+    s"""${name}_nm AS (
+       |  SELECT id, v, sqrt(list_sum([x * x for x in v])) AS nrm
+       |  FROM $src
+       |), ${name}_nv AS (
+       |  SELECT id, v,
+       |    [CASE WHEN nrm = 0 THEN x ELSE x / nrm END for x in v] AS nv
+       |  FROM ${name}_nm
+       |), """.stripMargin +
+      duckJlItemsFrom(name, s"${name}_nv",
+        "[CAST(round(x * 1000000.0) AS BIGINT) for x in nv]")
+
+  /** Common tail of the two items chains: scaled longs (caller-chosen
+    * source expression) → SRHT projection → sign bucket. */
+  private def duckJlItemsFrom(name: String, src: String,
+      scaledExpr: String): String =
     s"""${name}_sv AS (
        |  SELECT id, v,
-       |    [CAST(round(x * 1000000.0) AS BIGINT) for x in v] AS s
+       |    $scaledExpr AS s
        |  FROM $src
        |), ${name}_pj AS (
        |  SELECT id, v,
@@ -262,8 +299,16 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[String, () => String]
   private def jlIndexFor(s: SparkSession, dir: String): String =
     cachedTempIndex(jlIndexCache, dir, "graft-jl-index") { path =>
-      Similarity.writeJlIndex(embeds(s, dir), "vec_id", "embedding", path,
-        dim = 64, outDim = 16, scale = 1e6, bucketBits = 4)
+      // split write → append → compact so the gate's oracle (which knows
+      // only the LOGICAL index) also cross-checks the lifecycle's
+      // answer-invariance: append ≡ rebuild AND compaction folds the
+      // appended segment without changing any served rank
+      val e = embeds(s, dir)
+      Similarity.writeJlIndex(e.filter(col("vec_id") < 400), "vec_id",
+        "embedding", path, dim = 64, outDim = 16, scale = 1e6, bucketBits = 4)
+      Similarity.appendToJlIndex(e.filter(col("vec_id") >= 400), "vec_id",
+        "embedding", path)
+      Similarity.compactJlIndex(s, path)
     }
 
   /** Build (once per data dir) a persisted MinHash LSH index over the
@@ -2503,10 +2548,18 @@ object PipelineQueries {
       val d = col("doc_id")
       val path = graft.Paths.scratchDir("graft-phash-idx").resolve("idx").toString
       val ids = docs(s, dir).select(d)
+      // write → append → compact: the oracle replays only the LOGICAL
+      // index (all id < 300 signatures), so this cross-checks that the
+      // append and the segment-folding compaction are answer-invariant
       Dedup.writePhashIndex(
-        ids.filter(d < 300)
+        ids.filter(d < 200)
           .select(d, sawtoothPayload(d, 7, lit(false)).as("content")),
         "doc_id", "content", path)
+      Dedup.appendToPhashIndex(
+        ids.filter(d >= 200 && d < 300)
+          .select(d, sawtoothPayload(d, 7, lit(false)).as("content")),
+        "doc_id", "content", path)
+      Dedup.compactPhashIndex(s, path)
       // the documents table holds 500 rows at the sf0.01 gate scale --
       // every fixture range must sit inside doc_id < 500
       val batch = ids.filter(d >= 300 && d < 340)
@@ -4877,17 +4930,18 @@ object PipelineQueries {
         |FROM ranked WHERE rnk <= 3
         |ORDER BY query_id, rank""".stripMargin),
 
-    // JL candidate-index replay: the shared projection, the sign-bit
+    // JL candidate-index replay: the shared NORMALIZED projection
+    // (srht2 — the index machinery projects unit vectors), the sign-bit
     // bucket CASE sum, multi-probe = own bucket + every single-bit
     // xor flip, exact integer squared-L2 top-16 candidates, then the
     // s01-style cosine rerank on the raw embeddings
     "s18_jl_index" ->
-      (s"WITH $duckJlProj, " + s"""qb AS (
+      (s"WITH $duckJlProjNv, " + s"""qb AS (
         |  SELECT vec_id AS query_id, p, $duckJlBucket AS jb
-        |  FROM proj WHERE vec_id < 10
+        |  FROM proj_nv WHERE vec_id < 10
         |), cb AS (
         |  SELECT vec_id AS neighbor_id, p, $duckJlBucket AS jbucket
-        |  FROM proj
+        |  FROM proj_nv
         |), probes AS (
         |  SELECT query_id, p AS qp,
         |    unnest([jb, xor(jb, 1), xor(jb, 2), xor(jb, 4), xor(jb, 8)]) AS jbucket
