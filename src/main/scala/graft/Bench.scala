@@ -39,11 +39,14 @@ object Bench {
     *    in-suite reading was 117.6 s vs 9.4 s isolated, and the 4× rule
     *    can never fire without a baseline).
     * Raw thresholds (no calib scaling) on purpose: a uniformly slow host
-    * re-runs slow too, so min ≈ orig and false triggers only cost seconds. */
+    * re-runs slow too, so min ≈ orig and false triggers only cost seconds.
+    * A zero/negative prev entry (failed prior run, truncated-file parse
+    * artifact) is NO baseline — it degrades to the new-query arm rather
+    * than disabling both guards (review finding). */
   private[graft] def needsRerun(prev: Option[Double], sec: Double): Boolean =
     prev match {
-      case Some(p) => sec > 0.5 && p > 0 && sec > 4.0 * p
-      case None    => sec > 5.0
+      case Some(p) if p > 0 => sec > 0.5 && sec > 4.0 * p
+      case _                => sec > 5.0
     }
 
   def main(args: Array[String]): Unit = {

@@ -32,10 +32,33 @@ object FsOps {
     * lesson applied to healing). Call at every read AND append entry
     * point: appending into a swap window would recreate `dst` as a bare
     * partial dir, stranding the complete copy at the sibling while the
-    * index silently loses its history. */
+    * index silently loses its history.
+    *
+    * COMPLETENESS-GATED (review finding): only a sibling whose root
+    * holds Spark's `_SUCCESS` job-commit marker is a heal candidate — a
+    * PARTIAL `.building` left by a crashed write (its job never
+    * committed, so no marker) must never be resurrected over a complete
+    * `.compacting` copy; blind suffix-ordered healing would silently
+    * serve the partial dataset. When both siblings are complete (two
+    * crashed swaps from different epochs), the one with the NEWEST
+    * `_SUCCESS` wins — it was built from the other's era or later; the
+    * loser is left on disk for manual inspection, never deleted. */
   def healSwaps(spark: SparkSession, path: String): Unit = {
-    healSwap(spark, path + ".building", path)
-    healSwap(spark, path + ".compacting", path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst)) {
+      val candidates = Seq(".building", ".compacting")
+        .map(s => new org.apache.hadoop.fs.Path(path + s))
+        .flatMap { tmp =>
+          val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+          if (fs.exists(marker))
+            Some(tmp -> fs.getFileStatus(marker).getModificationTime)
+          else None
+        }
+      candidates.sortBy(-_._2).headOption.foreach { case (tmp, _) =>
+        healSwap(spark, tmp.toString, path)
+      }
+    }
   }
 
   /** Replace `dst` with `tmp` (both directories). Aborts — with the

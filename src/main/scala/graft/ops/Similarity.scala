@@ -597,24 +597,53 @@ object Similarity {
     * (caught live by a ScaleProbe sentinel: 1 of 2500 ×2.0 copies
     * slipped an admission screen). Projecting the unit vector makes
     * projected L2 approximate ANGULAR distance — the metric the cosine
-    * rerank actually wants — at zero extra cost (the normalize kernel
-    * already runs for the rerank). Sign buckets are unchanged in
-    * exact arithmetic (positive scaling preserves projection signs up
-    * to rounding). All-zero vectors pass through normalize unchanged
-    * (the r3 kernel convention) → projection 0, bucket 0, both
-    * engines. */
+    * rerank actually wants — at the cost of one cheap normalize pass
+    * (paths that also need `nv` compute it ONCE and project it via
+    * [[jlProjectFromNv]] — a normalize inside a when/otherwise arm is
+    * never CSE'd with one outside it, the round-8 class). Sign buckets
+    * are unchanged in exact arithmetic (positive scaling preserves
+    * projection signs up to rounding). All-zero vectors pass through
+    * normalize unchanged (the r3 kernel convention) → projection 0,
+    * bucket 0, both engines. */
   private def jlProjectChecked(id: Column, v: Column, dim: Int, outDim: Int,
       scale: Double): Column =
+    jlProjectFromNv(normalizeChecked(id, v), dim, outDim, scale)
+
+  /** The null-array raise shared by every JL projection path (the
+    * normalize kernel raises on null ELEMENTS; a null ARRAY propagates
+    * null through StaticInvoke and would land in bucket 0 — see
+    * [[jlProjectChecked]]'s scaladoc). */
+  private def normalizeChecked(id: Column, v: Column): Column =
     when(v.isNull, raise_error(concat(
       lit("JL index: null vector for id "),
       coalesce(id.cast("string"), lit("NULL")))))
-      .otherwise(randomProject(normalize(v), dim, outDim, scale))
+      .otherwise(normalize(v))
 
+  /** Project an ALREADY-normalized vector (srht2's stored space). */
+  private def jlProjectFromNv(nv: Column, dim: Int, outDim: Int,
+      scale: Double): Column =
+    randomProject(nv, dim, outDim, scale)
+
+  /** `scale` is in UNIT-VECTOR units since srht2 (the projection input
+    * is normalized, so every coordinate is ≤ 1 — typically ~1/√dim): it
+    * is the fixed-point resolution of the stored integer projection,
+    * NOT a raw-coordinate multiplier. A raw-era scale tuned to large
+    * coordinates (e.g. 1.0) would round every normalized coordinate to
+    * 0 — zero projections, everything in bucket 0, candidate ranking
+    * degraded to id order with no error anywhere: exactly the silent
+    * zero-recall class the `_meta` contract exists to prevent. Hence
+    * the floor below (default 1e6 gives ~±125k per coordinate at
+    * 64-dim). */
   def writeJlIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, dim: Int, outDim: Int, scale: Double = 1e6,
       bucketBits: Int = 4): Unit = {
     require(bucketBits >= 1 && bucketBits <= math.min(outDim, 20),
       s"bucketBits must be in [1, min(outDim, 20)], got $bucketBits")
+    require(scale >= 100.0,
+      s"writeJlIndex: scale $scale is below the unit-vector floor (100) " +
+        "— since proj kind srht2 the projection input is NORMALIZED, so " +
+        "scale is fixed-point resolution on coordinates <= 1; a raw-era " +
+        "scale would round every projection to zero (silent zero recall)")
     val spark = corpus.sparkSession
     val tmp = path + ".building"
     // v is stored as array<double> ALWAYS (exact for floats): a float
@@ -800,10 +829,12 @@ object Similarity {
       meta: JlMeta): DataFrame =
     batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("p", jlProjectChecked(col("id"), col("v"),
+      // nv once, projection FROM nv: a second normalize inside the
+      // projection's when/otherwise arm would not CSE with this one
+      .withColumn("nv", normalizeChecked(col("id"), col("v")))
+      .withColumn("p", jlProjectFromNv(col("nv"),
         meta.dim, meta.outDim, meta.scale))
       .withColumn("jb", jlBucket(col("p"), meta.bucketBits))
-      .withColumn("nv", normalize(col("v")))
 
   /** In-batch dominance over a [[jlProjected]] frame: a row is
     * dominated iff a SMALLER-id batch-mate in its SAME sign bucket has
@@ -916,10 +947,10 @@ object Similarity {
             coalesce(col(idCol).cast("string"), lit("NULL")))))
             .otherwise(col(idCol)).as("query_id"),
           col(vecCol).as("qv"))
-        .withColumn("qp", jlProjectChecked(col("query_id"), col("qv"),
+        .withColumn("qnv", normalizeChecked(col("query_id"), col("qv")))
+        .withColumn("qp", jlProjectFromNv(col("qnv"),
           m.dim, m.outDim, m.scale))
-        .withColumn("jb", jlBucket(col("qp"), m.bucketBits))
-        .withColumn("qnv", normalize(col("qv"))))
+        .withColumn("jb", jlBucket(col("qp"), m.bucketBits)))
     jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates, excludeSelf)
   }
 

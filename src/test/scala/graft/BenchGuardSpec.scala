@@ -14,7 +14,11 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.needsRerun(Some(0.1), 0.45),
       "sub-0.5s readings jitter 2x routinely and are too cheap to matter")
     assert(Bench.needsRerun(Some(0.1), 0.51))
-    assert(!Bench.needsRerun(Some(0.0), 9.9), "a zero/failed prev is no baseline")
+    // a zero/failed prev entry is NO baseline: it must degrade to the
+    // new-query >5s arm, never disable both guards (review finding —
+    // a truncated prev file could otherwise mute the phantom detector)
+    assert(Bench.needsRerun(Some(0.0), 9.9))
+    assert(!Bench.needsRerun(Some(0.0), 4.9))
     // the r8 phantom that motivated the rule
     assert(Bench.needsRerun(Some(1.855), 23.2))
   }
