@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Audio, Bpe, Chunking, Dedup, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Unigram, Web}
+import graft.ops.{Audio, Bpe, Chunking, Dedup, Funnel, FuzzyJoin, Lm, Multimodal, Pii, Profile, Ranking, Sampling, Similarity, TextAnalysis, Unigram, Web}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (extension tier, BASELINE.json north
@@ -68,6 +68,28 @@ object PipelineQueries {
     * [[TextAnalysis.normalizeForDedup]] folds with). */
   private val asciiLower = TextAnalysis.AsciiLower
   private val asciiUpper = TextAnalysis.AsciiUpper
+
+  /** d16 NFC fixture markers — three canonically-equivalent spellings of
+    * " café Å q̣̇" built from explicit codepoints (no invisible source
+    * characters; the round-11 bidi/escape-rendering lesson). All three
+    * NFC-normalize to [[nfcMarkerPre]]'s exact bytes in BOTH Java's
+    * Normalizer and DuckDB's nfc_normalize (utf8proc) — normalization is
+    * Unicode-stabilized, probed, and pinned in UnicodeNormSpec. */
+  private def cp(i: Int): String = new String(Character.toChars(i))
+  // precomposed é (U+00E9), Å (U+00C5); q + dot-below (U+0323, ccc 220)
+  // + dot-above (U+0307, ccc 230) already in canonical order — this IS
+  // the NFC normal form of all three markers
+  private[graft] val nfcMarkerPre: String =
+    " caf" + cp(0xE9) + " " + cp(0xC5) + " q" + cp(0x323) + cp(0x307)
+  // decomposed: e + combining acute (U+0301), A + combining ring
+  // (U+030A), marks in SWAPPED order (0307 before 0323 — canonical
+  // reordering must sort them back)
+  private[graft] val nfcMarkerDecomposed: String =
+    " cafe" + cp(0x301) + " A" + cp(0x30A) + " q" + cp(0x307) + cp(0x323)
+  // singleton decompositions: U+212B ANGSTROM SIGN → U+00C5; é spelled
+  // decomposed; marks in canonical order but uncomposed
+  private[graft] val nfcMarkerSingleton: String =
+    " cafe" + cp(0x301) + " " + cp(0x212B) + " q" + cp(0x323) + cp(0x307)
 
   /** Confusable-fold constants as DuckDB literals (shared verbatim with
     * [[TextAnalysis.foldConfusables]] — one source of truth; the d15
@@ -562,6 +584,56 @@ object PipelineQueries {
             TextAnalysis.foldConfusables(col("text"))).as("norm")),
         "norm", "doc_id")
         .orderBy(col("canonical_id"))
+    }),
+
+    // ---- dedup: UNICODE-NFC-folded dedup — the canonical-equivalence
+    // layer below even d15's confusable folds: precomposed é/Å, their
+    // decomposed base+combining-mark spellings, the U+212B ANGSTROM
+    // singleton and SWAPPED combining-mark order (ccc 230 before 220)
+    // are all byte-different, render identically, and NFC-normalize to
+    // one canonical byte string. Three planted suffix families per base
+    // doc fold to one group only through UnicodeNorm.nfc (Java
+    // Normalizer); the oracle replays with DuckDB's nfc_normalize —
+    // Unicode normalization is stabilized, so the two engines agree
+    // byte-for-byte (probed + spec-pinned).
+    "d16_nfc_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 60)
+      def fam(offset: Long, marker: String) = base.select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(marker)).as("text"))
+      Dedup.exactGroupsByHash(
+        fam(0L, nfcMarkerPre)
+          .unionByName(fam(8000000L, nfcMarkerDecomposed))
+          .unionByName(fam(9000000L, nfcMarkerSingleton))
+          .select(col("doc_id"),
+            graft.functions.UnicodeNorm.nfc(col("text")).as("norm")),
+        "norm", "doc_id")
+        .orderBy(col("canonical_id"))
+    }),
+
+    // ---- entity resolution: BLOCKED FUZZY JOIN — dirty part names (one
+    // deterministic mid-string character deletion each) matched back to
+    // the clean name table via the symmetric-delete neighborhood join:
+    // candidates come from an equi-join on xxhash64'd ≤1-deletion
+    // variants (exhaustive at Levenshtein ≤ 1 by the SymSpell
+    // pigeonhole), then exact Levenshtein verification. The oracle runs
+    // the PLAIN all-pairs distance predicate — blocking completeness is
+    // exactly what the hash-match proves (the mm06 oracle pattern).
+    "er01_fuzzy_join" -> ((s, dir) => {
+      val clean = Tables.load(s, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("clean_id"))
+        .select(col("clean_id"), col("p_name").as("name"))
+      // deletion position 2..len-1 (1-based): first and last chars stay,
+      // so the typo never degenerates to a prefix/suffix trim
+      val pos = (lit(2L) + col("clean_id") %
+        (length(col("name")).cast("long") - 2L)).cast("int")
+      val dirty = clean.select(
+        (col("clean_id") + 100000L).as("dirty_id"),
+        concat(col("name").substr(lit(1), pos - 1),
+          col("name").substr(pos + 1, length(col("name")))).as("dname"))
+      FuzzyJoin.fuzzyJoin(dirty, clean,
+          "dirty_id", "dname", "clean_id", "name", maxDist = 1)
+        .orderBy(col("dirty_id"), col("clean_id"))
     }),
 
     // ---- dedup: quality-aware cluster collapse — each near-dup cluster
@@ -2669,6 +2741,31 @@ object PipelineQueries {
     "e02_sessions" -> ((s, dir) =>
       EventStreams.sessionizeBatch(Tables.load(s, dir, "events"))
         .orderBy(col("user_id"))),
+
+    // ---- events: ORDERED CONVERSION FUNNEL view → click → purchase —
+    // each step must land strictly after the previous step's match and
+    // within 7 days of it; per-step reach + exact summed µs lag. k tiny
+    // user-key aggregates, no windows over whole histories. Oracle
+    // replays the step chain as three chained min-aggregates (prior ts
+    // carried as a per-user MIN since it is group-constant).
+    "e23_funnel" -> ((s, dir) =>
+      Funnel.funnel(Tables.load(s, dir, "events"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGapUs = 604800000000L)
+        .orderBy(col("step_idx"))),
+
+    // ---- events: WEEKLY RETENTION COHORTS — cohort = first-activity
+    // week (Monday-aligned integer weeks since 1970-01-05), cells =
+    // users active k weeks later. Events are thinned to event_id%29==3
+    // first: at full density every user is active from week 0 and the
+    // cohort dimension degenerates to one row (the e18 vacuous-fixture
+    // lesson — eyeballed: 4 cohorts × decaying offsets). (user, week)
+    // is de-duplicated before counting, so no count-distinct expansion.
+    "e24_retention" -> ((s, dir) =>
+      Funnel.retentionCohorts(
+          Tables.load(s, dir, "events").filter(col("event_id") % 29 === 3),
+          "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
 
     // ---- events: session_window operator (streaming-capable) — session
     // start = first event ts, events merged within the 30min gap
@@ -6109,6 +6206,45 @@ object PipelineQueries {
         |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
         |FROM norm GROUP BY n ORDER BY canonical_id""".stripMargin),
 
+    // NFC replay: the three marker families (constants interpolated from
+    // the Scala fixture — raw UTF-8 in the SQL text, one source of
+    // truth) fold to one group per base doc through nfc_normalize
+    "d16_nfc_dedup" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text || '$nfcMarkerPre' AS text
+        |  FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 8000000 AS doc_id, text || '$nfcMarkerDecomposed' AS text
+        |  FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 9000000 AS doc_id, text || '$nfcMarkerSingleton' AS text
+        |  FROM documents WHERE doc_id < 60
+        |)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM (SELECT doc_id, nfc_normalize(text) AS n FROM corpus)
+        |GROUP BY n ORDER BY canonical_id""".stripMargin,
+
+    // plain all-pairs Levenshtein predicate — the deletion-neighborhood
+    // blocking is EXHAUSTIVE at distance <= 1 (SymSpell pigeonhole), so
+    // the blocked Spark join must reproduce the unblocked answer (the
+    // mm06 exhaustive-banding oracle pattern). 64 distinct names: the
+    // quadratic oracle is trivial at gate scale.
+    "er01_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
+        |  FROM part GROUP BY p_name
+        |), dirty AS (
+        |  SELECT clean_id + 100000 AS dirty_id,
+        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
+        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS dname
+        |  FROM clean
+        |)
+        |SELECT d.dirty_id, d.dname, c.clean_id, c.name,
+        |  CAST(levenshtein(d.dname, c.name) AS INTEGER) AS dist
+        |FROM dirty d, clean c
+        |WHERE levenshtein(d.dname, c.name) <= 1
+        |ORDER BY dirty_id, clean_id""".stripMargin,
+
     // chunk i covers tokens [i·stride, i·stride+window) clipped at the
     // end; DuckDB list slicing is 1-based inclusive, the range table
     // bound (200) is far beyond any chunk count at gate scale
@@ -6970,6 +7106,57 @@ object PipelineQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // chained min-aggregates: each step's prior ts is group-constant per
+    // user, so carrying it as MIN() is exact; lag sums are exact integer
+    // µs (HUGEINT sum cast back to BIGINT; empty-set sums coalesce to 0
+    // — the r8 empty-aggregate class)
+    "e23_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t1, MIN(s0.t0) AS t0
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(s0.t0 AS TIMESTAMP)) <= 604800000000
+        |  GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(s1.t1 AS TIMESTAMP)) <= 604800000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+        |  (SELECT COUNT(*) FROM s0) AS users, CAST(0 AS BIGINT) AS total_lag_us
+        |UNION ALL
+        |SELECT CAST(1 AS INTEGER), 'click', (SELECT COUNT(*) FROM s1),
+        |  coalesce((SELECT CAST(SUM(epoch_us(CAST(t1 AS TIMESTAMP)) - epoch_us(CAST(t0 AS TIMESTAMP))) AS BIGINT) FROM s1), 0)
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), 'purchase', (SELECT COUNT(*) FROM s2),
+        |  coalesce((SELECT CAST(SUM(epoch_us(CAST(t2 AS TIMESTAMP)) - epoch_us(CAST(t1 AS TIMESTAMP))) AS BIGINT) FROM s2), 0)
+        |ORDER BY step_idx""".stripMargin,
+
+    // truncating integer week division matches Spark's div on the
+    // non-negative post-1970 day counts; (user, week) de-duplicated
+    // before the cell count
+    "e24_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_id % 29 = 3
+        |), a AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-05', d) // 7 AS w
+        |  FROM e
+        |), f AS (
+        |  SELECT user_id, MIN(w) AS cw FROM a GROUP BY user_id
+        |)
+        |SELECT CAST(f.cw AS BIGINT) AS cohort_week,
+        |  CAST(a.w - f.cw AS BIGINT) AS week_offset,
+        |  COUNT(*) AS users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e03_streaming_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
