@@ -108,4 +108,148 @@ object FuzzyJoin {
       .select(col("__lid").as(leftId), col("__lk").as(leftKey),
         col("__rid").as(rightId), col("__rk").as(rightKey), col("dist"))
   }
+
+  // ------------------- persisted deletion-variant index (entity serving)
+
+  /** The continuous-entity-matching shape: the entity catalog's deletion
+    * variants are exploded, hashed and persisted ONCE; each incoming
+    * batch explodes only ITS OWN variants and equi-joins the stored
+    * ones — the catalog is never re-exploded per batch. Index rows are
+    * `(h: long, id, name)` (the name rides along for the exact verify;
+    * parquet dictionary encoding collapses the per-variant repetition).
+    * `_meta` pins the build depth: a probe at `maxDist` needs BOTH
+    * sides' neighborhoods at depth ≥ maxDist for the pigeonhole
+    * guarantee, so probing deeper than the stored depth is a TYPED
+    * error — serving it anyway would silently zero recall on the
+    * far pairs (the hash-space-versioning lesson).
+    */
+  private def variantRows(df: DataFrame, idCol: String, keyCol: String,
+      depth: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(keyCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .select(col("id"), col("name"),
+        explode(deleteVariants(col("name"), depth)).as("__v"))
+      .select(xxhash64(col("__v")).as("h"), col("id"), col("name"))
+      .distinct()
+
+  /** Per-JVM memo of the stored depth — a probe-per-micro-batch loop
+    * must not pay a parquet sidecar read per batch (the JL/phash memo
+    * precedent). Depth is a CORRECTNESS input: [[writeFuzzyIndex]] and
+    * [[compactFuzzyIndex]] invalidate around their swaps; cross-JVM
+    * rebuilds under a live reader need a reader restart (same
+    * documented caveat as the phash banding distance). */
+  private val depthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Build the index at `path` (two-phase `.building` swap — readers
+    * see the old index or the new one, never a mix). */
+  def writeFuzzyIndex(entities: DataFrame, idCol: String, keyCol: String,
+      depth: Int, path: String): Unit = {
+    require(depth >= 1, s"writeFuzzyIndex depth must be >= 1, got $depth")
+    val spark = entities.sparkSession
+    FsOps.healSwaps(spark, path)
+    val tmp = path + ".building"
+    variantRows(entities, idCol, keyCol, depth)
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq(depth).toDF("depth").coalesce(1)
+      .write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+      depthCache.remove(path); ()
+    })
+  }
+
+  /** Stored build depth — heals both swap crash windows first (append
+    * into an un-healed window would recreate a bare dir and strand the
+    * complete copy; the round-12 heal-before-append rule). Missing
+    * sidecar = typed rebuild message, not a guessed depth. */
+  def readFuzzyMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    depthCache.computeIfAbsent(path, _ => readFuzzyMetaUncached(spark, path))
+
+  private def readFuzzyMetaUncached(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    FsOps.healSwaps(spark, path)
+    val metaPath = new org.apache.hadoop.fs.Path(path + "/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath))
+      throw new IllegalStateException(
+        s"fuzzy index at $path has no _meta sidecar — rebuild it with " +
+          "writeFuzzyIndex (probing under a guessed depth would silently " +
+          "zero recall past the true one)")
+    val rows = spark.read.parquet(path + "/_meta").select("depth").collect()
+    require(rows.length == 1,
+      s"fuzzy index _meta at $path must be 1 row, got ${rows.length}")
+    rows(0).getInt(0)
+  }
+
+  /** Match a batch against the stored catalog: all (batch, entity)
+    * pairs within Levenshtein `maxDist` — exhaustive, because the
+    * batch explodes at depth `maxDist` and the index was built at
+    * depth ≥ `maxDist` (enforced). Output: `<batchId>`, `<batchKey>`,
+    * `entity_id`, `entity_name`, `dist`.
+    *
+    * A small batch (the streaming-ingest norm) broadcasts its variant
+    * rows, so the index scan never shuffles — the r9 batch-chunk
+    * broadcast prune applied to entity matching. `broadcastBatch` is a
+    * caller contract rather than a measured threshold (a size-probe
+    * count job per probe dominates small-batch serving cost): keep the
+    * default for batches up to ~30k distinct names (≈ a few M narrow
+    * variant rows), pass false for bulk backfills — they fall back to
+    * a plain shuffled hash join on the 8-byte key.
+    */
+  def probeFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, batchId: String, batchKey: String,
+      maxDist: Int, broadcastBatch: Boolean = true): DataFrame = {
+    // heal EVERY entry, not just cache-miss meta reads — an append or
+    // probe inside another process's crashed swap window would recreate
+    // a bare dir and strand the complete copy (the round-12 rule); when
+    // the index dir exists this is one fs existence check
+    FsOps.healSwaps(spark, path)
+    val depth = readFuzzyMeta(spark, path)
+    require(maxDist <= depth,
+      s"probe maxDist=$maxDist exceeds the index build depth=$depth at " +
+        s"$path — matches past depth $depth would be silently missed; " +
+        "rebuild the index at the deeper setting")
+    val bv = variantRows(batch, batchId, batchKey, maxDist)
+      .withColumnRenamed("id", "__bid").withColumnRenamed("name", "__bname")
+    val idx = spark.read.parquet(path)
+    idx.join(if (broadcastBatch) broadcast(bv) else bv, Seq("h"))
+      .select(col("__bid"), col("__bname"), col("id"), col("name"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__bname"), col("name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("__bid").as(batchId), col("__bname").as(batchKey),
+        col("id").as("entity_id"), col("name").as("entity_name"), col("dist"))
+  }
+
+  /** Add new entities (typically a probe's unmatched remainder, admitted
+    * as novel) at the STORED depth. Appends may duplicate (h, id, name)
+    * rows across segments — probes de-duplicate pairs before the verify,
+    * so correctness is unaffected; [[compactFuzzyIndex]] re-distincts. */
+  def appendToFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, entities: DataFrame, idCol: String,
+      keyCol: String): Unit = {
+    FsOps.healSwaps(spark, path) // heal-before-append, every call
+    val depth = readFuzzyMeta(spark, path)
+    variantRows(entities, idCol, keyCol, depth)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Fold append segments back to one distinct variant set (two-phase
+    * `.compacting` swap; `_meta` rewritten verbatim). */
+  def compactFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    FsOps.healSwaps(spark, path)
+    val depth = readFuzzyMeta(spark, path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path).distinct()
+      .write.mode("overwrite").parquet(tmp)
+    import spark.implicits._
+    Seq(depth).toDF("depth").coalesce(1)
+      .write.mode("overwrite").parquet(tmp + "/_meta")
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+      depthCache.remove(path); ()
+    })
+  }
 }

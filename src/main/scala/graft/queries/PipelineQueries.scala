@@ -34,6 +34,23 @@ object PipelineQueries {
   private def embeds(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** er-gate entity catalog: the 64 distinct part names, keyed by the
+    * min partkey carrying each. */
+  private def cleanPartNames(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("clean_id"))
+      .select(col("clean_id"), col("p_name").as("name"))
+
+  /** Deterministic single-character deletion typo, shared by er01/er02
+    * and their oracles: 1-based position 2..len−1 (first and last chars
+    * stay, so the typo never degenerates to a prefix/suffix trim);
+    * requires len ≥ 3 and a non-negative seed. */
+  private def typoName(name: Column, seed: Column): Column = {
+    val pos = (lit(2L) + seed % (length(name).cast("long") - 2L)).cast("int")
+    concat(name.substr(lit(1), pos - 1),
+      name.substr(pos + 1, length(name)))
+  }
+
   /** Mixture-gate fractions (p05), shared with the oracle SQL so both
     * engines derive identical per-domain thresholds. */
   private val mixFractions: Seq[(String, Double)] =
@@ -620,20 +637,56 @@ object PipelineQueries {
     // the PLAIN all-pairs distance predicate — blocking completeness is
     // exactly what the hash-match proves (the mm06 oracle pattern).
     "er01_fuzzy_join" -> ((s, dir) => {
-      val clean = Tables.load(s, dir, "part")
-        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("clean_id"))
-        .select(col("clean_id"), col("p_name").as("name"))
-      // deletion position 2..len-1 (1-based): first and last chars stay,
-      // so the typo never degenerates to a prefix/suffix trim
-      val pos = (lit(2L) + col("clean_id") %
-        (length(col("name")).cast("long") - 2L)).cast("int")
+      val clean = cleanPartNames(s, dir)
       val dirty = clean.select(
         (col("clean_id") + 100000L).as("dirty_id"),
-        concat(col("name").substr(lit(1), pos - 1),
-          col("name").substr(pos + 1, length(col("name")))).as("dname"))
+        typoName(col("name"), col("clean_id")).as("dname"))
       FuzzyJoin.fuzzyJoin(dirty, clean,
           "dirty_id", "dname", "clean_id", "name", maxDist = 1)
         .orderBy(col("dirty_id"), col("clean_id"))
+    }),
+
+    // ---- entity resolution: PERSISTED DELETION-VARIANT INDEX — the
+    // continuous-matching lifecycle: the catalog's variants persist
+    // once (depth pinned in _meta; deeper probes raise typed), probe 1
+    // matches a typo'd batch + genuinely novel entities, the unmatched
+    // remainder is ADMITTED and appended, probe 2's typos of those
+    // novels then match the grown catalog. Oracle replays both probes
+    // as plain all-pairs predicates over the evolving entity set (the
+    // blocking-completeness argument of er01, now through the index).
+    "er02_fuzzy_index" -> ((s, dir) => withShufflePartitions(s, 4) {
+      // tiny-data lifecycle (catalog = 64 names): scoped partitions and
+      // an eager cache on p1 (it feeds the admit anti-join AND the
+      // output union) keep the gate overhead-, not data-, bound
+      val clean = cleanPartNames(s, dir)
+      val path = graft.Paths.scratchDir("graft-fuzzy-idx")
+        .resolve("idx").toString
+      FuzzyJoin.writeFuzzyIndex(clean, "clean_id", "name", depth = 1, path)
+      val dirty1 = clean.filter(col("clean_id") % 2 === 0).select(
+        (col("clean_id") + 100000L).as("bid"),
+        typoName(col("name"), col("clean_id")).as("bname"))
+      val novelName = concat(lit("zzqx-"), col("id").cast("string"),
+        lit("-novelentity"))
+      val novel = s.range(8).select(
+        (col("id") + 200000L).as("bid"), novelName.as("bname"))
+      val batch1 = dirty1.unionByName(novel)
+      // MATERIALIZE p1 before the append: a parquet append to a path
+      // auto-recaches/re-executes plans reading that path (caught live:
+      // a cached p1 re-materialized POST-append and matched the novels
+      // against themselves) — lineage cut is the only append-proof pin
+      val p1 = graft.ops.Lineage.cut(
+        FuzzyJoin.probeFuzzyIndex(s, path, batch1, "bid", "bname",
+          maxDist = 1))
+      val unmatched = batch1.join(
+        p1.select("bid").distinct(), Seq("bid"), "left_anti")
+      FuzzyJoin.appendToFuzzyIndex(s, path, unmatched, "bid", "bname")
+      val batch2 = s.range(8).select((col("id") + 300000L).as("bid"),
+        typoName(novelName, col("id")).as("bname"))
+      val p2 = FuzzyJoin.probeFuzzyIndex(s, path, batch2, "bid", "bname",
+        maxDist = 1)
+      p1.withColumn("probe", lit(1))
+        .unionByName(p2.withColumn("probe", lit(2)))
+        .orderBy(col("probe"), col("bid"), col("entity_id"))
     }),
 
     // ---- dedup: quality-aware cluster collapse — each near-dup cluster
@@ -6244,6 +6297,49 @@ object PipelineQueries {
         |FROM dirty d, clean c
         |WHERE levenshtein(d.dname, c.name) <= 1
         |ORDER BY dirty_id, clean_id""".stripMargin,
+
+    // probe 1 = all-pairs vs the original catalog; the admitted set is
+    // b1 minus p1's matched bids; probe 2 = all-pairs vs catalog ∪
+    // admitted — the evolving-entity-set replay of the index lifecycle
+    "er02_fuzzy_index" ->
+      """WITH clean AS (
+        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
+        |  FROM part GROUP BY p_name
+        |), dirty1 AS (
+        |  SELECT clean_id + 100000 AS bid,
+        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
+        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS bname
+        |  FROM clean WHERE clean_id % 2 = 0
+        |), novel AS (
+        |  SELECT 200000 + i AS bid,
+        |    'zzqx-' || CAST(i AS VARCHAR) || '-novelentity' AS bname
+        |  FROM range(0, 8) r(i)
+        |), b1 AS (
+        |  SELECT * FROM dirty1 UNION ALL SELECT * FROM novel
+        |), p1 AS (
+        |  SELECT CAST(1 AS INTEGER) AS probe, b.bid, b.bname,
+        |    c.clean_id AS entity_id, c.name AS entity_name,
+        |    CAST(levenshtein(b.bname, c.name) AS INTEGER) AS dist
+        |  FROM b1 b, clean c WHERE levenshtein(b.bname, c.name) <= 1
+        |), ents2 AS (
+        |  SELECT clean_id AS id, name FROM clean
+        |  UNION ALL
+        |  SELECT b.bid AS id, b.bname AS name FROM b1 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM p1 p WHERE p.bid = b.bid)
+        |), b2 AS (
+        |  SELECT 300000 + i AS bid,
+        |    substr(n, 1, CAST(2 + i % (length(n) - 2) AS INTEGER) - 1)
+        |      || substr(n, CAST(2 + i % (length(n) - 2) AS INTEGER) + 1) AS bname
+        |  FROM (SELECT i, 'zzqx-' || CAST(i AS VARCHAR) || '-novelentity' AS n
+        |        FROM range(0, 8) r(i))
+        |), p2 AS (
+        |  SELECT CAST(2 AS INTEGER) AS probe, b.bid, b.bname,
+        |    e.id AS entity_id, e.name AS entity_name,
+        |    CAST(levenshtein(b.bname, e.name) AS INTEGER) AS dist
+        |  FROM b2 b, ents2 e WHERE levenshtein(b.bname, e.name) <= 1
+        |)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |ORDER BY probe, bid, entity_id""".stripMargin,
 
     // chunk i covers tokens [i·stride, i·stride+window) clipped at the
     // end; DuckDB list slicing is 1-based inclusive, the range table

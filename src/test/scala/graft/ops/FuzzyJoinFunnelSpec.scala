@@ -77,6 +77,47 @@ class FuzzyJoinFunnelSpec extends SparkSpec {
       .count() === 5L)
   }
 
+  test("fuzzy index lifecycle: probe ≡ direct join, depth contract, append, compact") {
+    val path = tmpDir("fuzzy-idx-spec").resolve("idx").toString
+    val words = Seq("small ring", "red widget", "blue bolt", "hot gear")
+    val catalog = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("clean_id", "name")
+    FuzzyJoin.writeFuzzyIndex(catalog, "clean_id", "name", depth = 2, path)
+
+    val batch = Seq((100L, "smal ring"), (101L, "rd wdget"), (102L, "novel thing"))
+      .toDF("bid", "bname")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("bid", "entity_id", "dist").as[(Long, Long, Int)].collect().toSet
+    val probed = pairs(FuzzyJoin.probeFuzzyIndex(spark, path, batch, "bid", "bname", 2))
+    val direct = FuzzyJoin.fuzzyJoin(batch, catalog, "bid", "bname", "clean_id", "name", 2)
+      .select(col("bid"), col("clean_id").as("entity_id"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probed === direct)
+    assert(probed === Set((100L, 0L, 1), (101L, 1L, 2)))
+
+    // probing deeper than the stored depth is a typed error
+    val err = intercept[IllegalArgumentException] {
+      FuzzyJoin.probeFuzzyIndex(spark, path, batch, "bid", "bname", 3)
+    }
+    assert(err.getMessage.contains("build depth"))
+
+    // admit the novel, re-probe: a typo of it now matches; compaction
+    // (after a duplicate re-append) serves the identical answer
+    FuzzyJoin.appendToFuzzyIndex(spark, path,
+      Seq((102L, "novel thing")).toDF("bid", "bname"), "bid", "bname")
+    val b2 = Seq((200L, "novl thing")).toDF("bid", "bname")
+    val want2 = Set((200L, 102L, 1))
+    assert(pairs(FuzzyJoin.probeFuzzyIndex(spark, path, b2, "bid", "bname", 2)) === want2)
+    FuzzyJoin.appendToFuzzyIndex(spark, path, // crash-replay duplicate
+      Seq((102L, "novel thing")).toDF("bid", "bname"), "bid", "bname")
+    FuzzyJoin.compactFuzzyIndex(spark, path)
+    assert(FuzzyJoin.readFuzzyMeta(spark, path) === 2)
+    assert(pairs(FuzzyJoin.probeFuzzyIndex(spark, path, b2, "bid", "bname", 2)) === want2)
+    // compaction left exactly the distinct variant set
+    val idx = spark.read.parquet(path)
+    assert(idx.count() === idx.distinct().count())
+  }
+
   private def ev(rows: Seq[(Long, String, String)]) =
     rows.toDF("user_id", "tss", "event_type")
       .select(col("user_id"), to_timestamp(col("tss")).as("ts"), col("event_type"))
