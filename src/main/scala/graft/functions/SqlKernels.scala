@@ -83,6 +83,12 @@ object SqlKernels {
       arity("graft_minhash_sig", args, 2)
       MinHash.signatureExpr(args(0), litInt(args(1), "graft_minhash_sig", 1))
     },
+    "graft_nfc" -> { args =>
+      arity("graft_nfc", args, 1); UnicodeNorm.nfcExpr(args(0))
+    },
+    "graft_nfkc" -> { args =>
+      arity("graft_nfkc", args, 1); UnicodeNorm.nfkcExpr(args(0))
+    },
     // deterministic-sampling tier for SQL-only users: the builders
     // construct the SAME md5-threshold expression tree Sampling plans
     // (thresholds from the shared hexThresholdLex/splitArms helpers),

@@ -49,10 +49,14 @@ object UnicodeNorm {
   /** Column API: NFKC-normalize a string column (NULL → NULL; no DuckDB
     * oracle counterpart — see the object scaladoc). */
   def nfkc(c: Column): Column =
-    ColumnBridge.column(invoke("nfkc", ColumnBridge.expression(c)))
+    ColumnBridge.column(nfkcExpr(ColumnBridge.expression(c)))
 
-  /** Expression builder — shared with the SQL surface. */
+  /** Expression builders — shared with the SQL surface (`graft_nfc` /
+    * `graft_nfkc` in [[SqlKernels]]). */
   private[functions] def nfcExpr(s: Expression): Expression = invoke("nfc", s)
+
+  private[functions] def nfkcExpr(s: Expression): Expression =
+    invoke("nfkc", s)
 
   private def invoke(method: String, s: Expression): Expression =
     StaticInvoke(

@@ -34,7 +34,6 @@ object Funnel {
       typeCol: String, steps: Seq[String], maxGapUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(maxGapUs > 0, s"funnel maxGapUs must be > 0, got $maxGapUs")
-    val spark = events.sparkSession
     val ev = events
       .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
         col(typeCol).as("__t"))

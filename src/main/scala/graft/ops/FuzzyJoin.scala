@@ -53,10 +53,16 @@ object FuzzyJoin {
         transform(sequence(lit(0), length(v) - 1),
           i => concat(v.substr(lit(1), i), v.substr(i + lit(2), length(v)))))
         .otherwise(array().cast("array<string>"))
-    var acc = array(s)
+    // null input stays null through every level (transform/concat propagate)
+    var acc = when(s.isNotNull, array(s))
     var d = 0
     while (d < depth) {
-      acc = array_distinct(concat(acc, flatten(transform(acc, oneDelete(_)))))
+      // each level references the previous neighborhood TWICE (kept + the
+      // flatten source): bind it once per level or the O(len^d) array is
+      // re-evaluated 2^depth-fold (HOFs block CSE — the bindOnce class)
+      acc = Dedup.bindOnce(acc) { a =>
+        array_distinct(concat(a, flatten(transform(a, oneDelete(_)))))
+      }
       d += 1
     }
     acc
@@ -79,6 +85,11 @@ object FuzzyJoin {
       leftId: String, leftKey: String, rightId: String, rightKey: String,
       maxDist: Int, maxBucket: Long = Long.MaxValue): DataFrame = {
     require(maxDist >= 0, s"fuzzyJoin maxDist must be >= 0, got $maxDist")
+    val outNames = Seq(leftId, leftKey, rightId, rightKey, "dist")
+    require(outNames.distinct.size == outNames.size,
+      s"fuzzyJoin output columns $outNames must be distinct — rename a " +
+        "side's id/key (and avoid 'dist') before joining, or the result " +
+        "carries ambiguous duplicate columns")
     val lv = left.select(col(leftId).as("__lid"), col(leftKey).as("__lk"))
       .filter(col("__lk").isNotNull).distinct()
       .select(col("__lid"), col("__lk"),
@@ -232,8 +243,24 @@ object FuzzyJoin {
       keyCol: String): Unit = {
     FsOps.healSwaps(spark, path) // heal-before-append, every call
     val depth = readFuzzyMeta(spark, path)
-    variantRows(entities, idCol, keyCol, depth)
-      .write.mode("append").parquet(path)
+    val stored = spark.read.parquet(path).schema
+    val rows = variantRows(entities, idCol, keyCol, depth)
+    // align the appended id/name types to the STORED footer schema — mixed
+    // int32/int64 id footers in one index break the next vectorized read
+    // (the writeJlIndex cast-to-array<double> hazard); widening casts are
+    // applied, anything lossy (long id into an int index, non-string key)
+    // is a typed error telling the caller to rebuild wider
+    val aligned = rows.select(stored.fields.map { f =>
+      val from = rows.schema(f.name).dataType
+      if (from == f.dataType) col(f.name)
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(from, f.dataType)) col(f.name).cast(f.dataType)
+      else throw new IllegalStateException(
+        s"appendToFuzzyIndex: column '${f.name}' has type $from but the " +
+          s"index at $path stores ${f.dataType} and the cast is lossy — " +
+          "rebuild the index with writeFuzzyIndex at the wider type")
+    }.toIndexedSeq: _*)
+    aligned.write.mode("append").parquet(path)
   }
 
   /** Fold append segments back to one distinct variant set (two-phase

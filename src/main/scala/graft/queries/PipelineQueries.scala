@@ -684,9 +684,13 @@ object PipelineQueries {
         typoName(novelName, col("id")).as("bname"))
       val p2 = FuzzyJoin.probeFuzzyIndex(s, path, batch2, "bid", "bname",
         maxDist = 1)
-      p1.withColumn("probe", lit(1))
-        .unionByName(p2.withColumn("probe", lit(2)))
-        .orderBy(col("probe"), col("bid"), col("entity_id"))
+      // cut INSIDE the scope: the returned frame executes later (Verify's
+      // write), after the finally restores the session partition count —
+      // materializing here is what makes the partitions=4 scoping real
+      graft.ops.Lineage.cut(
+        p1.withColumn("probe", lit(1))
+          .unionByName(p2.withColumn("probe", lit(2)))
+          .orderBy(col("probe"), col("bid"), col("entity_id")))
     }),
 
     // ---- dedup: quality-aware cluster collapse — each near-dup cluster
@@ -1876,6 +1880,33 @@ object PipelineQueries {
           |  element_at(e.p, 1) AS p1, element_at(e.p, 16) AS p16
           |FROM folded d JOIN proj e ON e.vec_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin)
+    }),
+
+    // ---- SQL surface: Unicode NFC through the registered kernel — the
+    // d16 canonical-equivalence dedup expressed purely in SQL text via
+    // graft_nfc (FunctionRegistry → raw StaticInvoke tree, the f04
+    // registration path); oracle replays with DuckDB's nfc_normalize.
+    // graft_nfkc is registered too but spec-covered only (no DuckDB
+    // NFKC counterpart — the d16/UnicodeNorm scaladoc contract).
+    "f07_sql_nfc" -> ((s, dir) => {
+      graft.functions.SqlKernels.registerAll(s)
+      docs(s, dir).createOrReplaceTempView("graft_sql_docs")
+      s.sql(
+        s"""WITH corpus AS (
+          |  SELECT doc_id, concat(text, '$nfcMarkerPre') AS text
+          |  FROM graft_sql_docs WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT doc_id + 8000000 AS doc_id,
+          |    concat(text, '$nfcMarkerDecomposed') AS text
+          |  FROM graft_sql_docs WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT doc_id + 9000000 AS doc_id,
+          |    concat(text, '$nfcMarkerSingleton') AS text
+          |  FROM graft_sql_docs WHERE doc_id < 40
+          |)
+          |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+          |FROM (SELECT doc_id, graft_nfc(text) AS n FROM corpus)
+          |GROUP BY n ORDER BY canonical_id""".stripMargin)
     }),
 
     // ---- similarity: attribute-FILTERED exact top-k — the predicate
@@ -6854,6 +6885,24 @@ object PipelineQueries {
          |FROM folded d JOIN proj e ON e.vec_id = d.doc_id
          |WHERE d.doc_id < 30
          |ORDER BY d.doc_id""".stripMargin),
+
+    // the d16 oracle shape at the f07 fixture range: nfc_normalize is
+    // DuckDB's NFC (utf8proc) — byte-identical to Java's Normalizer on
+    // the stabilized algorithm (probed + UnicodeNormSpec-pinned)
+    "f07_sql_nfc" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text || '$nfcMarkerPre' AS text
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 8000000 AS doc_id, text || '$nfcMarkerDecomposed' AS text
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 9000000 AS doc_id, text || '$nfcMarkerSingleton' AS text
+        |  FROM documents WHERE doc_id < 40
+        |)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM (SELECT doc_id, nfc_normalize(text) AS n FROM corpus)
+        |GROUP BY n ORDER BY canonical_id""".stripMargin,
 
     // paragraph-dedup replay: same row-number pairing construction,
     // same d09 normalization as the dedup key, first occurrence by

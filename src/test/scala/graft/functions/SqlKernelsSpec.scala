@@ -46,6 +46,28 @@ class SqlKernelsSpec extends SparkSpec {
     assert(jac == e && jac > 0.5 && jac < 1.0)
   }
 
+  test("graft_nfc / graft_nfkc from SQL match the Column API bitwise") {
+    // decomposed e+acute (U+0301), fullwidth A (U+FF21), fi ligature
+    // (U+FB01) — explicit codepoints, no combining chars in source (the
+    // d16 fixture rule); NFC composes the e+acute but keeps the
+    // compatibility characters, NFKC folds those too
+    def cp(i: Int) = new String(Character.toChars(i))
+    val s = "cafe" + cp(0x301) + " " + cp(0xFF21) + " " + cp(0xFB01) + "n"
+    Seq((1L, s), (2L, null.asInstanceOf[String]))
+      .toDF("id", "t").createOrReplaceTempView("nfcv")
+    val sql = spark.sql(
+      "SELECT id, graft_nfc(t) AS c, graft_nfkc(t) AS k FROM nfcv ORDER BY id")
+      .collect()
+    val viaColumns = spark.table("nfcv").select(col("id"),
+        UnicodeNorm.nfc(col("t")).as("c"), UnicodeNorm.nfkc(col("t")).as("k"))
+      .orderBy("id").collect()
+    assert(sql.toSeq == viaColumns.toSeq)
+    assert(sql(0).getString(1) ==
+      "caf" + cp(0xE9) + " " + cp(0xFF21) + " " + cp(0xFB01) + "n")
+    assert(sql(0).getString(2) == "caf" + cp(0xE9) + " A fin")
+    assert(sql(1).isNullAt(1) && sql(1).isNullAt(2))
+  }
+
   test("graft_hash60 / graft_cm_bucket from SQL match the Sketch builders bitwise") {
     Seq((1L, "alpha"), (2L, "beta"), (3L, "42"), (4L, null.asInstanceOf[String]))
       .toDF("id", "v").createOrReplaceTempView("hv")
