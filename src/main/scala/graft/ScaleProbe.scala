@@ -13,6 +13,14 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // standalone-block fast path: `runMain graft.ScaleProbe fuzzy` runs
+    // only the named self-contained block (iteration must not pay the
+    // full probe's wall time); no args = the historical full sweep
+    if (args.nonEmpty) {
+      if (args.contains("fuzzy")) fuzzyIndexBlock(spark)
+      spark.stop()
+      return
+    }
     val dir = "/root/testdata/sf0.1"
     def t[A](label: String)(f: => A): A = { val t0 = System.nanoTime(); val r = f
       println(f"SCALE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
@@ -1264,6 +1272,108 @@ object ScaleProbe {
       vecs2.unpersist()
     }
 
+    fuzzyIndexBlock(spark)
+
     spark.stop()
+  }
+
+  /** round-12 continuation: the persisted fuzzy entity index (er02's
+    * lifecycle) at density — self-contained, also runnable alone via
+    * `runMain graft.ScaleProbe fuzzy` (iteration must not pay the full
+    * probe's half-hour). 1M-entity catalog, depth-1 deletion variants
+    * (~30 per name), a 12k mixed probe batch (10k typos + 2k
+    * structurally-novel names), novel admission + re-probe, compaction.
+    * Recall is the sentinel: every typo'd name MUST match its own
+    * entity (the pigeonhole guarantee made measurable), every novel
+    * must match nothing. */
+  private def fuzzyIndexBlock(spark: SparkSession): Unit = {
+    def t[A](label: String)(f: => A): A = { val t0 = System.nanoTime(); val r = f
+      println(f"SCALE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r }
+    println("== fuzzy entity index at density ==")
+    val scr = java.nio.file.Files.createTempDirectory("scale-fuzzy")
+    try {
+      val adjs = Seq("amber", "burnished", "cobalt", "dusty", "ember",
+        "frosted", "gilded", "hollow", "ivory", "jaded", "keen", "lunar",
+        "matte", "nickel", "olive", "pale", "quartz", "rustic", "slate")
+      val nouns = Seq("anchor", "bracket", "coupling", "dowel", "eyelet",
+        "flange", "gasket", "hinge", "insert", "joint", "knob", "lever",
+        "mount", "nozzle", "orifice", "piston", "quill", "rivet", "socket",
+        "tappet", "union", "valve", "washer")
+      val adjA = array(adjs.map(lit): _*)
+      val nounA = array(nouns.map(lit): _*)
+      def nameOf(id: org.apache.spark.sql.Column) = concat_ws(" ",
+        element_at(adjA, (pmod(id, lit(19L)) + 1L).cast("int")),
+        element_at(nounA, (pmod(floor(id / 19L).cast("long"), lit(23L)) + 1L).cast("int")),
+        concat(lit("#"), id.cast("string")))
+      // single mid-string deletion at a seeded position (the er-gate
+      // typo shape); names are always >= 10 chars here
+      def typoOf(n: org.apache.spark.sql.Column,
+          seed: org.apache.spark.sql.Column) = {
+        val pos = (lit(2L) + seed % (length(n).cast("long") - 2L)).cast("int")
+        concat(n.substr(lit(1), pos - 1), n.substr(pos + 1, length(n)))
+      }
+      val catalog = spark.range(1000000L)
+        .select(col("id"), nameOf(col("id")).as("name"))
+      val path = scr.resolve("idx").toString
+      t("fuzzy index write 1M entities depth 1")(
+        graft.ops.FuzzyJoin.writeFuzzyIndex(
+          catalog, "id", "name", depth = 1, path))
+      println("SCALE fuzzy index rows: " + spark.read.parquet(path).count())
+      // compute-then-rename in separate selects (the lateral-alias rule)
+      val known = spark.range(10000L).select((col("id") * 97L).as("eid"))
+        .select(col("eid"), nameOf(col("eid")).as("n"))
+        .select((col("eid") + 20000000L).as("bid"),
+          typoOf(col("n"), col("eid")).as("bname"))
+      val novels = spark.range(2000L)
+        .select((col("id") + 30000000L).as("bid"),
+          concat(lit("zzqx entity "), col("id").cast("string")).as("bname"))
+      val batch = known.unionByName(novels)
+      val p1 = graft.ops.Lineage.cut(graft.ops.FuzzyJoin.probeFuzzyIndex(
+        spark, path, batch, "bid", "bname", maxDist = 1))
+      val st1 = t("fuzzy probe 12k batch vs 1M-entity index")(
+        p1.agg(count(lit(1)),
+          countDistinct(when(col("entity_id") === col("bid") - 20000000L,
+            col("bid"))),
+          sum(when(col("bid") >= 30000000L, 1L).otherwise(0L))).head())
+      println(s"SCALE fuzzy probe: pairs=${st1.getLong(0)} " +
+        s"recall=${st1.getLong(1)}/10000 novelHits=${st1.getLong(2)}")
+      assert(st1.getLong(1) == 10000L,
+        "every typo'd name must match its own entity (pigeonhole recall)")
+      assert(st1.getLong(2) == 0L, "novel names must match nothing")
+      // admit the novels, re-probe their typos against the grown catalog
+      graft.ops.FuzzyJoin.appendToFuzzyIndex(
+        spark, path, novels, "bid", "bname")
+      val batch2 = spark.range(2000L)
+        .select(col("id"), concat(lit("zzqx entity "),
+          col("id").cast("string")).as("n"))
+        .select((col("id") + 40000000L).as("bid"),
+          typoOf(col("n"), col("id")).as("bname"))
+      val p2 = graft.ops.Lineage.cut(graft.ops.FuzzyJoin.probeFuzzyIndex(
+        spark, path, batch2, "bid", "bname", maxDist = 1))
+      val st2 = t("fuzzy re-probe 2k novel typos post-append")(
+        p2.agg(countDistinct(when(
+          col("entity_id") === col("bid") - 40000000L + 30000000L,
+          col("bid")))).head())
+      println(s"SCALE fuzzy re-probe: recall=${st2.getLong(0)}/2000")
+      assert(st2.getLong(0) == 2000L,
+        "admitted novels must be matchable by their own typos")
+      def dataFiles(): Long = {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try s.filter(p => p.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+      val before = dataFiles()
+      t("compactFuzzyIndex 1M+2k entities")(
+        graft.ops.FuzzyJoin.compactFuzzyIndex(spark, path))
+      println(s"SCALE fuzzy compact: files $before -> ${dataFiles()}")
+      val st3 = t("fuzzy re-probe post-compact")(
+        graft.ops.FuzzyJoin.probeFuzzyIndex(spark, path,
+          batch2, "bid", "bname", maxDist = 1)
+        .agg(countDistinct(when(
+          col("entity_id") === col("bid") - 40000000L + 30000000L,
+          col("bid")))).head())
+      assert(st3.getLong(0) == 2000L,
+        "compacted index must serve the identical recall")
+    } finally Paths.rmTree(scr.toFile)
   }
 }

@@ -264,13 +264,24 @@ object FuzzyJoin {
   }
 
   /** Fold append segments back to one distinct variant set (two-phase
-    * `.compacting` swap; `_meta` rewritten verbatim). */
+    * `.compacting` swap; `_meta` rewritten verbatim). Output file count
+    * targets ~96 MB per file but never drops below the cluster's scan
+    * parallelism while there are ≥ ~16 MB per task to scan: a compacted
+    * file's single large row group is the smallest possible split, so
+    * folding a 250 MB index to 2 files was MEASURED to collapse probe
+    * parallelism 5× — layout compaction must not cost scan concurrency. */
   def compactFuzzyIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     FsOps.healSwaps(spark, path)
     val depth = readFuzzyMeta(spark, path)
     val tmp = path + ".compacting"
-    spark.read.parquet(path).distinct()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(root).getLength
+    val par = spark.sparkContext.defaultParallelism.toLong
+    val nFiles = math.max(bytes / (96L << 20),
+      math.max(1L, math.min(par, bytes / (16L << 20)))).toInt
+    spark.read.parquet(path).distinct().repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
     import spark.implicits._
     Seq(depth).toDF("depth").coalesce(1)
