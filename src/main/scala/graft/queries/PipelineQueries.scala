@@ -1127,6 +1127,16 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode(col("subwords")).as(Seq("pos", "subword")))
         .orderBy(col("doc_id"), col("pos"))),
 
+    // ---- text: tokenizer FERTILITY report — subwords-per-100-words and
+    // chars-per-100-subwords for every document under the learned BPE
+    // merges, all exact integer arithmetic (truncating div ≡ DuckDB //
+    // on these non-negative counts). The oracle replays the t18 dict
+    // segmentation, then counts pieces instead of emitting them.
+    "t41_tokenizer_fertility" -> ((s, dir) =>
+      Bpe.fertilityReport(docs(s, dir), "doc_id", "text",
+          learnedBpeMerges(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ---- text: hashed-feature linear quality classifier — a fastText-
     // style filter trained IN Spark with exact fixed-point integer
     // arithmetic (Rocchio class-centroid trainer, one corpus pass, no
@@ -5926,6 +5936,37 @@ object PipelineQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos, j) - 1 AS INTEGER) AS pos,
          |  subword
          |FROM flat ORDER BY doc_id, pos""".stripMargin,
+
+    // the t18 dict segmentation counted instead of emitted: per-word
+    // piece counts from the merge dict (ELSE 1 = the non-[a-z]+ word
+    // fallback), summed per doc; SUM(BIGINT) is HUGEINT in DuckDB so
+    // the sums cast back before the // ratios (truncating, operands
+    // non-negative — identical to Spark's div)
+    "t41_tokenizer_fertility" ->
+      s"""${bpeMergeCtes(6)},
+         |tk AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS lst
+         |  FROM documents
+         |), pos_tok AS (
+         |  SELECT doc_id, lst[CAST(i + 1 AS BIGINT)] AS token
+         |  FROM (SELECT doc_id, lst, unnest(range(0, len(lst))) AS i FROM tk)
+         |), seg AS (
+         |  SELECT p.doc_id, len(p.token) AS tlen,
+         |    CASE WHEN d.word IS NOT NULL
+         |         THEN len(string_split(trim(d.repr), '  '))
+         |         ELSE 1 END AS nsubs
+         |  FROM pos_tok p LEFT JOIN d6 d ON p.token = d.word
+         |), per AS (
+         |  SELECT doc_id, COUNT(*) AS n_words,
+         |    CAST(SUM(tlen) AS BIGINT) AS n_chars,
+         |    CAST(SUM(nsubs) AS BIGINT) AS n_subwords
+         |  FROM seg GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_words, n_chars, n_subwords,
+         |  n_subwords * 100 // n_words AS fertility_centi,
+         |  n_chars * 100 // n_subwords AS cps_centi
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     // priority = w·M / v with v two Lehmer steps from the doc_id —
     // all-BIGINT modular arithmetic plus ONE double division of exact

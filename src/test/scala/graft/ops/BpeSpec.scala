@@ -108,6 +108,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("fertilityReport: counts match encodeViaDict, tokenless docs omitted, dup ids raise") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    val mixed = Seq(
+      (0L, "Lowest widest 42 x9 newest"),
+      (1L, ""),                               // no tokens -> omitted
+      (2L, "aaaa low low aaaa"),
+      (4L, null.asInstanceOf[String]))        // null text -> omitted
+      .toDF("doc_id", "text")
+    val rep = Bpe.fertilityReport(mixed, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rep.keySet === Set(0L, 2L))
+    // cross-check against the encode path + raw token stats
+    val enc = Bpe.encodeViaDict(mixed.filter(col("doc_id").isin(0L, 2L)),
+        "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, (nw, nc, ns, fert, cps)) <- rep) {
+      val toks = mixed.filter(col("doc_id") === id)
+        .select(explode(TextAnalysis.tokens(col("text")))).as[String].collect()
+      assert(nw === toks.length.toLong, s"doc $id n_words")
+      assert(nc === toks.map(_.length.toLong).sum, s"doc $id n_chars")
+      assert(ns === enc(id).length.toLong, s"doc $id n_subwords")
+      assert(fert === ns * 100L / nw && cps === nc * 100L / ns, s"doc $id ratios")
+    }
+    val dup = mixed.unionByName(mixed.filter(col("doc_id") === 2L))
+    val err = intercept[Exception] {
+      Bpe.fertilityReport(dup, "doc_id", "text", merges).collect()
+    }
+    assert(err.getMessage.contains("duplicate") ||
+      err.getCause != null && err.getCause.getMessage.contains("duplicate"))
+  }
+
   test("encodeViaDict handles a production-sized merge chain (512 merges)") {
     // a deep synthetic chain over {a,b}: the literal-replace fold at this
     // depth is a 512-deep nested expression (codegen fallback territory);
