@@ -2482,6 +2482,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- streaming: ENTITY-RESOLUTION admission screen over the
+    // persisted deletion-variant index — er02's lifecycle under
+    // Structured Streaming (the e21 loop in name space). Feed 1: typos
+    // of catalog names (rejected via the index), 8 repeated-digit
+    // novels (admitted; repeat-3 digits keep any two novels at
+    // Levenshtein 3, outside the depth-1 dominance radius), and 2
+    // typos of batch-mate novels (dominated in-batch by the smaller
+    // id). Feed 2 screens against the GROWN catalog: typos of feed-1
+    // admissions (rejected) + 8 fresh novels (admitted). The oracle
+    // replays both waves as all-pairs Levenshtein screens with the
+    // identical dominance rule over the evolving entity set.
+    "e25_stream_entity_screen" -> ((s, dir) => {
+      val base = graft.Paths.scratchDir("graft-entscr-")
+      val idxP = base.resolve("idx").toString
+      val outP = base.resolve("out").toString
+      val clean = cleanPartNames(s, dir)
+      FuzzyJoin.writeFuzzyIndex(clean, "clean_id", "name", depth = 1, idxP)
+      def novelName(i: Column) = concat(lit("zzqx-"),
+        repeat(i.cast("string"), 3), lit("-novelentity"))
+      def freshName(i: Column) = concat(lit("qqzv-"),
+        repeat(i.cast("string"), 3), lit("-freshentity"))
+      val knownTypos = clean.filter(col("clean_id") % 2 === 0).select(
+        (col("clean_id") + 100000L).as("id"),
+        typoName(col("name"), col("clean_id")).as("name"))
+      // compute-then-rename in separate selects (the lateral-alias rule)
+      val novels = s.range(8).select(col("id").as("i"))
+        .select((col("i") + 200000L).as("id"), novelName(col("i")).as("name"))
+      val doms = s.range(2).select(col("id").as("i"))
+        .select((col("i") + 250000L).as("id"),
+          typoName(novelName(col("i")), col("i")).as("name"))
+      val feed1 = knownTypos.unionByName(novels).unionByName(doms)
+      val feed2 = s.range(8).select(col("id").as("i"))
+        .select((col("i") + 300000L).as("id"),
+          typoName(novelName(col("i")), col("i") + 1L).as("name"))
+        .unionByName(s.range(8).select(col("id").as("i"))
+          .select((col("i") + 400000L).as("id"), freshName(col("i")).as("name")))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType)))
+      withShufflePartitions(s, 4) {
+        Seq((1, feed1), (2, feed2)).foreach { case (r, f) =>
+          val p = base.resolve(s"feed$r")
+          f.coalesce(1).write.parquet(p.toString)
+          val q = EventStreams.streamingEntityScreen(
+            s.readStream.schema(schema).parquet(p.toString),
+            "id", "name", idxP, outP, base.resolve(s"ck$r").toString)
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      s.read.parquet(outP).distinct().orderBy(col("id"))
+    }),
+
     // ---- streaming: SEMANTIC embedding admission screen over the
     // persisted JL candidate index — e21's loop in embedding space
     // (SemDeDup-style scoped matching, stated in the screen scaladoc).
@@ -7202,6 +7256,68 @@ object PipelineQueries {
     // index) with the plain distance predicate (same exhaustiveness
     // argument as mm06); the in-batch rule is pairwise dominance over
     // index-surviving rows, exactly the screen's documented semantics
+    // two screen waves as all-pairs Levenshtein over the evolving
+    // entity set: wave 1 rejects vs the catalog then drops smaller-id
+    // dominated batch-mates; wave 2 rejects vs catalog ∪ wave-1
+    // admissions (the er02 evolving-set replay with the e21 dominance
+    // rule added); ids are never null so NOT IN is safe here
+    "e25_stream_entity_screen" ->
+      """WITH clean AS (
+        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
+        |  FROM part GROUP BY p_name
+        |), b1 AS (
+        |  SELECT clean_id + 100000 AS id,
+        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
+        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS name
+        |  FROM clean WHERE clean_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 200000 + i AS id,
+        |    'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS name
+        |  FROM range(0, 8) r(i)
+        |  UNION ALL
+        |  SELECT 250000 + i AS id,
+        |    substr(n, 1, CAST(2 + i % (length(n) - 2) AS INTEGER) - 1)
+        |      || substr(n, CAST(2 + i % (length(n) - 2) AS INTEGER) + 1) AS name
+        |  FROM (SELECT i, 'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS n
+        |        FROM range(0, 2) r(i))
+        |), m1 AS (
+        |  SELECT DISTINCT b.id FROM b1 b JOIN clean c
+        |    ON levenshtein(b.name, c.name) <= 1
+        |), a1 AS (
+        |  SELECT * FROM b1 WHERE id NOT IN (SELECT id FROM m1)
+        |), dom1 AS (
+        |  SELECT DISTINCT b.id FROM a1 b JOIN a1 a
+        |    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        |), adm1 AS (
+        |  SELECT * FROM a1 WHERE id NOT IN (SELECT id FROM dom1)
+        |), ents2 AS (
+        |  SELECT clean_id AS id, name FROM clean
+        |  UNION ALL SELECT id, name FROM adm1
+        |), b2 AS (
+        |  SELECT 300000 + i AS id,
+        |    substr(n, 1, CAST(2 + (i + 1) % (length(n) - 2) AS INTEGER) - 1)
+        |      || substr(n, CAST(2 + (i + 1) % (length(n) - 2) AS INTEGER) + 1) AS name
+        |  FROM (SELECT i, 'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS n
+        |        FROM range(0, 8) r(i))
+        |  UNION ALL
+        |  SELECT 400000 + i AS id,
+        |    'qqzv-' || repeat(CAST(i AS VARCHAR), 3) || '-freshentity' AS name
+        |  FROM range(0, 8) r(i)
+        |), m2 AS (
+        |  SELECT DISTINCT b.id FROM b2 b JOIN ents2 e
+        |    ON levenshtein(b.name, e.name) <= 1
+        |), a2 AS (
+        |  SELECT * FROM b2 WHERE id NOT IN (SELECT id FROM m2)
+        |), dom2 AS (
+        |  SELECT DISTINCT b.id FROM a2 b JOIN a2 a
+        |    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+        |), adm2 AS (
+        |  SELECT * FROM a2 WHERE id NOT IN (SELECT id FROM dom2)
+        |)
+        |SELECT id, name FROM adm1
+        |UNION ALL SELECT id, name FROM adm2
+        |ORDER BY id""".stripMargin,
+
     "e21_stream_media_screen" ->
       (s"""WITH bseed AS (
          |  SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = false)} AS bytes

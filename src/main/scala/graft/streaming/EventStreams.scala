@@ -361,6 +361,64 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous ENTITY-RESOLUTION admission screen over a persisted
+    * deletion-variant index ([[graft.ops.FuzzyJoin.writeFuzzyIndex]]) —
+    * the master-data ingest loop: each micro-batch's names probe the
+    * index at the STORED depth (any match within Levenshtein ≤ depth →
+    * a spelling of an already-known entity → rejected), then screen
+    * IN-batch by pairwise dominance (a row drops iff a SMALLER-id
+    * batch-mate is within depth — deterministic, engine-replayable;
+    * dominance not transitive closure, the e21 conservative-bias
+    * contract). Survivors append `(id, name)` to the admitted feed and
+    * THEN their deletion variants to the index (out-before-index, the
+    * e18 ordering: a crash between the two replays as at-least-once
+    * duplicate feed rows — probes match the survivors' own appended
+    * rows on replay and reject them, the r12 screen self-match
+    * semantics; never loss). Later batches screen against the GROWN
+    * catalog, so a typo of an entity admitted two batches ago is
+    * rejected. Null names are dropped (nothing to resolve). */
+  def streamingEntityScreen(stream: DataFrame, idCol: String,
+      nameCol: String, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val named = batch.filter(col(nameCol).isNotNull)
+          .select(col(idCol).as("id"), col(nameCol).as("name"))
+          .persist()
+        try {
+          // stored depth is memoized per JVM (one sidecar read per
+          // screen, not per micro-batch) and the getter heals the swap
+          // crash windows before its first read
+          val depth = graft.ops.FuzzyJoin.readFuzzyMeta(spark, indexPath)
+          val matched = graft.ops.FuzzyJoin
+            .probeFuzzyIndex(spark, indexPath, named, "id", "name", depth)
+            .select(col("id")).distinct()
+          // persist, not localCheckpoint: afterIndex feeds the
+          // dominance pairs AND the admit anti-join and must stay
+          // recomputable (the r4 executor-loss trap)
+          val afterIndex = named.join(matched, Seq("id"), "left_anti")
+            .persist()
+          try {
+            val dominated = graft.ops.FuzzyJoin.fuzzyJoin(
+                afterIndex.select(col("id").as("__ida"), col("name").as("__na")),
+                afterIndex.select(col("id").as("__idb"), col("name").as("__nb")),
+                "__ida", "__na", "__idb", "__nb", maxDist = depth)
+              .filter(col("__ida") < col("__idb"))
+              .select(col("__idb").as("id")).distinct()
+            val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
+              .persist()
+            try {
+              admitted.write.mode("append").parquet(outPath)
+              graft.ops.FuzzyJoin.appendToFuzzyIndex(spark, indexPath,
+                admitted, "id", "name")
+            } finally admitted.unpersist()
+          } finally afterIndex.unpersist()
+        } finally named.unpersist()
+      }
+      .start()
+
   /** Continuous distribution-drift telemetry over a persisted histogram
     * index ([[graft.ops.Sketch.writeHistIndex]]): each micro-batch is
     * sketched with the index's OWN stored subBits, scored against the

@@ -292,6 +292,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(metaLoads == 1L, s"post-probe: expected one _meta load, saw $metaLoads")
   }
 
+  test("streaming entity screen: known spellings rejected, novels absorbed, in-batch dominance, null dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("entity-screen")
+    val idx = dir.resolve("idx").toString
+    val outP = dir.resolve("out").toString
+    val catalog = Seq((0L, "small ring"), (1L, "red widget"), (2L, "blue bolt"))
+      .toDF("clean_id", "name")
+    graft.ops.FuzzyJoin.writeFuzzyIndex(catalog, "clean_id", "name", depth = 1, idx)
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingEntityScreen(
+      stream.toDF().toDF("id", "name"),
+      "id", "name", idx, outP, dir.resolve("ck").toString)
+    try {
+      // batch 1: a typo of a catalog name is rejected; a novel is
+      // admitted; the novel's in-batch typo is dominated (higher id);
+      // a null name is dropped
+      stream.addData((100L, "smal ring"), (101L, "grey flange"),
+        (102L, "gry flange"), (103L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out1 == Seq(101L), s"batch-1 admissions: $out1")
+      // batch 2: a typo of batch-1's ADMITTED novel is rejected (the
+      // catalog grew — absorb proven); a new novel is admitted
+      stream.addData((200L, "grey flang"), (201L, "teal gasket"))
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(outP).collect().map(_.getLong(0)).sorted.toSeq
+      assert(out2 == Seq(101L, 201L), s"after batch 2: $out2")
+    } finally q.stop()
+    // the persisted index absorbed the admissions: a fresh batch probe
+    // matches them without the stream running (insertion typo — the
+    // symmetric-delete neighborhood covers inserts too)
+    val m = graft.ops.FuzzyJoin.probeFuzzyIndex(spark, idx,
+        Seq((300L, "grey flanges")).toDF("id", "name"), "id", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(m == Set((300L, 101L)), s"$m")
+  }
+
   test("streaming embedding screen: near-dups rejected, novels absorbed, in-batch dominance, null dropped") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("embed-screen")
