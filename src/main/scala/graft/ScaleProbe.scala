@@ -17,7 +17,15 @@ object ScaleProbe {
     // only the named self-contained block (iteration must not pay the
     // full probe's wall time); no args = the historical full sweep
     if (args.nonEmpty) {
-      if (args.contains("fuzzy")) fuzzyIndexBlock(spark)
+      val known = Map("fuzzy" -> (() => fuzzyIndexBlock(spark)))
+      val unknown = args.filterNot(known.contains)
+      if (unknown.nonEmpty) {
+        spark.stop()
+        sys.error(s"unknown ScaleProbe block(s): ${unknown.mkString(",")} " +
+          s"(known: ${known.keys.mkString(",")}) — a typo must not read " +
+          "as a clean run")
+      }
+      args.foreach(a => known(a)())
       spark.stop()
       return
     }
@@ -1334,7 +1342,11 @@ object ScaleProbe {
         p1.agg(count(lit(1)),
           countDistinct(when(col("entity_id") === col("bid") - 20000000L,
             col("bid"))),
-          sum(when(col("bid") >= 30000000L, 1L).otherwise(0L))).head())
+          // coalesce: an EMPTY probe result (the regression this block
+          // exists to catch) leaves the global SUM null — the assert
+          // must fire, not an NPE in the println (the r8 class)
+          coalesce(sum(when(col("bid") >= 30000000L, 1L).otherwise(0L)),
+            lit(0L))).head())
       println(s"SCALE fuzzy probe: pairs=${st1.getLong(0)} " +
         s"recall=${st1.getLong(1)}/10000 novelHits=${st1.getLong(2)}")
       assert(st1.getLong(1) == 10000L,

@@ -192,73 +192,12 @@ object Bpe {
     * interleaving two documents' tokens; a duplicate-id corpus belongs
     * on [[encode]] (per-row, no grouping). [[encodeToIds]] inherits the
     * same contract. */
-  /** Per-document tokenizer-fertility report — the "how well does this
-    * tokenizer fit this corpus" health check run before committing a
-    * vocabulary to a training run: `n_words` (whitespace tokens),
-    * `n_chars` (codepoints across those tokens), `n_subwords` (pieces
-    * after the learned merges; non-[a-z]+ words fall back to one piece,
-    * the [[encodeViaDict]] contract), `fertility_centi` (subwords per
-    * 100 words) and `cps_centi` (chars per 100 subwords) — all exact
-    * integer arithmetic (truncating division), so the report is
-    * bit-reproducible at any parallelism and DuckDB replays it.
-    *
-    * Same dict-join plan as [[encodeViaDict]]: the per-WORD segment
-    * count is computed once on the (tiny, broadcast) distinct-word dict
-    * and joined back, so the corpus pays one scan + one narrow
-    * aggregate — no per-document re-segmentation. Documents with no
-    * tokens (null/empty text) are omitted; duplicate ids raise typed
-    * (two documents' stats silently summing is the id-grouped-operator
-    * hazard). */
-  def fertilityReport(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
-    val reserved = Seq("__pos", "__word", "__nsubs", "__cnt", "__maxp",
-      "__chars", "__subs")
-    require(!reserved.contains(idCol),
-      s"fertilityReport: idCol $idCol collides with an internal column name")
-    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val dict = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("__word"))
-      .filter(col("__word").rlike(AsciiWord))
-      .distinct()
-      .withColumn("__nsubs",
-        size(graft.functions.BpeSegment.segment(col("__word"), pairs)))
-    val dictSide = if (broadcastDict) broadcast(dict) else dict
-    docs
-      .select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__word")))
-      .join(dictSide, Seq("__word"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__cnt"), max(col("__pos")).as("__maxp"),
-        sum(length(col("__word")).cast("long")).as("__chars"),
-        sum(coalesce(col("__nsubs").cast("long"), lit(1L))).as("__subs"))
-      .select(col(idCol),
-        // the encodeViaDict duplicate-id detector: one doc contributes
-        // positions 0..n-1, so count(*) == max(pos)+1 iff the group is
-        // a single document
-        when(col("__cnt") =!= col("__maxp").cast("long") + 1L,
-          raise_error(concat(
-            lit(s"Bpe.fertilityReport: duplicate rows for $idCol="),
-            col(idCol).cast("string"), lit(" - ids must be unique"))))
-          .otherwise(col("__cnt")).as("n_words"),
-        col("__chars").as("n_chars"), col("__subs").as("n_subwords"),
-        call_function("div", col("__subs") * 100L, col("__cnt"))
-          .as("fertility_centi"),
-        call_function("div", col("__chars") * 100L, col("__subs"))
-          .as("cps_centi"))
-  }
-
   def encodeViaDict(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
     val reserved = Seq("__notext", "__pos", "__word", "__subs", "__cnt", "__maxp", "__items")
     require(!reserved.contains(idCol),
       s"encodeViaDict: idCol $idCol collides with an internal column name")
-    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val dict = docs
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("__word"))
-      .filter(col("__word").rlike(AsciiWord))
-      .distinct()
-      .withColumn("__subs",
-        graft.functions.BpeSegment.segment(col("__word"), pairs))
+    val dict = segmentedDict(docs, textCol, merges)
     val dictSide = if (broadcastDict) broadcast(dict) else dict
     docs
       .select(col(idCol), col(textCol).isNull.as("__notext"),
@@ -295,4 +234,70 @@ object Bpe {
           .otherwise(flatten(transform(array_sort(col("__items")),
             s => s.getField("subs"))))).as("subwords"))
   }
+
+  /** The ONE distinct-word segmented dictionary both [[encodeViaDict]]
+    * and [[fertilityReport]] join against: learnable ([a-z]+) words
+    * segmented once through the merge chain via the
+    * [[graft.functions.BpeSegment]] kernel — `(__word, __subs)`. */
+  private def segmentedDict(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("__word"))
+      .filter(col("__word").rlike(AsciiWord))
+      .distinct()
+      .withColumn("__subs",
+        graft.functions.BpeSegment.segment(col("__word"), pairs))
+  }
+
+  /** Per-document tokenizer-fertility report — the "how well does this
+    * tokenizer fit this corpus" health check run before committing a
+    * vocabulary to a training run: `n_words` (whitespace tokens),
+    * `n_chars` (codepoints across those tokens), `n_subwords` (pieces
+    * after the learned merges; non-[a-z]+ words fall back to one piece,
+    * the [[encodeViaDict]] contract), `fertility_centi` (subwords per
+    * 100 words) and `cps_centi` (chars per 100 subwords) — all exact
+    * integer arithmetic (truncating division), so the report is
+    * bit-reproducible at any parallelism and DuckDB replays it.
+    *
+    * Same dict-join plan as [[encodeViaDict]]: the per-WORD segment
+    * count is computed once on the (tiny, broadcast) distinct-word dict
+    * and joined back, so the corpus pays one scan + one narrow
+    * aggregate — no per-document re-segmentation. Documents with no
+    * tokens (null/empty text) are omitted; duplicate ids raise typed
+    * (two documents' stats silently summing is the id-grouped-operator
+    * hazard). */
+  def fertilityReport(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], broadcastDict: Boolean = true): DataFrame = {
+    val reserved = Seq("__pos", "__word", "__nsubs", "__cnt", "__maxp",
+      "__chars", "__subs")
+    require(!reserved.contains(idCol),
+      s"fertilityReport: idCol $idCol collides with an internal column name")
+    val dict = segmentedDict(docs, textCol, merges)
+      .select(col("__word"), size(col("__subs")).as("__nsubs"))
+    val dictSide = if (broadcastDict) broadcast(dict) else dict
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__pos", "__word")))
+      .join(dictSide, Seq("__word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__cnt"), max(col("__pos")).as("__maxp"),
+        sum(length(col("__word")).cast("long")).as("__chars"),
+        sum(coalesce(col("__nsubs").cast("long"), lit(1L))).as("__subs"))
+      .select(col(idCol),
+        // the encodeViaDict duplicate-id detector: one doc contributes
+        // positions 0..n-1, so count(*) == max(pos)+1 iff the group is
+        // a single document
+        when(col("__cnt") =!= col("__maxp").cast("long") + 1L,
+          raise_error(concat(
+            lit(s"Bpe.fertilityReport: duplicate rows for $idCol="),
+            col(idCol).cast("string"), lit(" - ids must be unique"))))
+          .otherwise(col("__cnt")).as("n_words"),
+        col("__chars").as("n_chars"), col("__subs").as("n_subwords"),
+        call_function("div", col("__subs") * 100L, col("__cnt"))
+          .as("fertility_centi"),
+        call_function("div", col("__chars") * 100L, col("__subs"))
+          .as("cps_centi"))
+  }
+
 }

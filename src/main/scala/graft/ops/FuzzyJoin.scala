@@ -152,6 +152,19 @@ object FuzzyJoin {
   private val depthCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Per-JVM memo of the stored data schema (footer read lists the whole
+    * index dir — a per-micro-batch append must not pay a listing that
+    * grows with every batch it appends). Invariant between swaps;
+    * invalidated together with [[depthCache]]. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def invalidate(path: String): Unit = {
+    depthCache.remove(path)
+    schemaCache.remove(path)
+    ()
+  }
+
   /** Build the index at `path` (two-phase `.building` swap — readers
     * see the old index or the new one, never a mix). */
   def writeFuzzyIndex(entities: DataFrame, idCol: String, keyCol: String,
@@ -165,9 +178,7 @@ object FuzzyJoin {
     import spark.implicits._
     Seq(depth).toDF("depth").coalesce(1)
       .write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
-      depthCache.remove(path); ()
-    })
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => invalidate(path))
   }
 
   /** Stored build depth — heals both swap crash windows first (append
@@ -243,7 +254,8 @@ object FuzzyJoin {
       keyCol: String): Unit = {
     FsOps.healSwaps(spark, path) // heal-before-append, every call
     val depth = readFuzzyMeta(spark, path)
-    val stored = spark.read.parquet(path).schema
+    val stored = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
     val rows = variantRows(entities, idCol, keyCol, depth)
     // align the appended id/name types to the STORED footer schema — mixed
     // int32/int64 id footers in one index break the next vectorized read
@@ -286,8 +298,6 @@ object FuzzyJoin {
     import spark.implicits._
     Seq(depth).toDF("depth").coalesce(1)
       .write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
-      depthCache.remove(path); ()
-    })
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => invalidate(path))
   }
 }

@@ -7251,16 +7251,14 @@ object PipelineQueries {
           |WHERE bit_count(xor(x.ph, y.ph)) <= 3
           |ORDER BY id_a, id_b""".stripMargin),
 
-    // streaming media screen replay: the sequential admission cascade
-    // (feed 1 vs seed index + in-batch dominance, feed 2 vs the GROWN
-    // index) with the plain distance predicate (same exhaustiveness
-    // argument as mm06); the in-batch rule is pairwise dominance over
-    // index-surviving rows, exactly the screen's documented semantics
     // two screen waves as all-pairs Levenshtein over the evolving
     // entity set: wave 1 rejects vs the catalog then drops smaller-id
     // dominated batch-mates; wave 2 rejects vs catalog ∪ wave-1
     // admissions (the er02 evolving-set replay with the e21 dominance
-    // rule added); ids are never null so NOT IN is safe here
+    // rule added); ids are never null so NOT IN is safe here, and the
+    // dirty arm filters null catalog names to match the screen's
+    // null-name drop (levenshtein(NULL, x) never matches NOR dominates,
+    // so an unfiltered null typo would flow into adm1)
     "e25_stream_entity_screen" ->
       """WITH clean AS (
         |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
@@ -7269,7 +7267,7 @@ object PipelineQueries {
         |  SELECT clean_id + 100000 AS id,
         |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
         |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS name
-        |  FROM clean WHERE clean_id % 2 = 0
+        |  FROM clean WHERE clean_id % 2 = 0 AND name IS NOT NULL
         |  UNION ALL
         |  SELECT 200000 + i AS id,
         |    'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS name
@@ -7318,6 +7316,11 @@ object PipelineQueries {
         |UNION ALL SELECT id, name FROM adm2
         |ORDER BY id""".stripMargin,
 
+    // streaming media screen replay: the sequential admission cascade
+    // (feed 1 vs seed index + in-batch dominance, feed 2 vs the GROWN
+    // index) with the plain distance predicate (same exhaustiveness
+    // argument as mm06); the in-batch rule is pairwise dominance over
+    // index-surviving rows, exactly the screen's documented semantics
     "e21_stream_media_screen" ->
       (s"""WITH bseed AS (
          |  SELECT doc_id, ${duckSawBytes("doc_id", 7, bump = false)} AS bytes
