@@ -693,6 +693,40 @@ object PipelineQueries {
           .orderBy(col("probe"), col("bid"), col("entity_id")))
     }),
 
+    // ---- entity resolution: CANONICALIZATION — the step after matching:
+    // pool = catalog + two planted variant families (A on even ids, B on
+    // ids % 3 == 0, different typo seeds), fuzzy pairs at distance 1,
+    // TRANSITIVE closure (variants A and B of one entity sit at distance
+    // 2 from each other — only closure, not pairwise dominance, unions
+    // them), canonical = component min id, singletons canonical to
+    // themselves. Oracle: all-pairs predicate + the shared duckClosure
+    // recursive-CTE fragment (the d04/p04/p18 closure, reused verbatim).
+    "er03_entity_canonical" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val clean = cleanPartNames(s, dir)
+      val va = clean.filter(col("clean_id") % 2 === 0).select(
+        (col("clean_id") + 100000L).as("id"),
+        typoName(col("name"), col("clean_id")).as("name"))
+      val vb = clean.filter(col("clean_id") % 3 === 0).select(
+        (col("clean_id") + 500000L).as("id"),
+        typoName(col("name"), col("clean_id") * 7L + 1L).as("name"))
+      val pool = clean.select(col("clean_id").as("id"), col("name"))
+        .unionByName(va).unionByName(vb)
+      val pairs = FuzzyJoin.fuzzyJoin(
+          pool.select(col("id").as("ida"), col("name").as("na")),
+          pool.select(col("id").as("idb"), col("name").as("nb")),
+          "ida", "na", "idb", "nb", maxDist = 1)
+        .filter(col("ida") < col("idb"))
+        .select(col("ida").as("id_a"), col("idb").as("id_b"))
+      val comp = Dedup.connectedComponents(pairs)
+      // cut inside the scope (the er02 lesson: the returned lazy frame
+      // executes after the partition scope is restored)
+      graft.ops.Lineage.cut(
+        pool.join(comp, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("label"), col("id")).as("canonical_id"), col("name"))
+          .orderBy(col("id")))
+    }),
+
     // ---- dedup: quality-aware cluster collapse — each near-dup cluster
     // keeps its LONGEST member. The planted copies carry an extra suffix,
     // so the representative is the high-id copy, not the min id: the gate
@@ -6466,6 +6500,35 @@ object PipelineQueries {
         |)
         |SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |ORDER BY probe, bid, entity_id""".stripMargin,
+
+    // pool + all-pairs distance-1 predicate named `pairsj` so the shared
+    // duckClosure fragment (the d04/p04/p18 transitive closure) replays
+    // the componentization verbatim; canonical = least(id, min(reach))
+    "er03_entity_canonical" ->
+      ("WITH RECURSIVE clean AS (\n" +
+        """  SELECT MIN(p_partkey) AS clean_id, p_name AS name
+          |  FROM part GROUP BY p_name
+          |), pool AS (
+          |  SELECT clean_id AS id, name FROM clean
+          |  UNION ALL
+          |  SELECT clean_id + 100000 AS id,
+          |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
+          |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS name
+          |  FROM clean WHERE clean_id % 2 = 0
+          |  UNION ALL
+          |  SELECT clean_id + 500000 AS id,
+          |    substr(name, 1, CAST(2 + (clean_id * 7 + 1) % (length(name) - 2) AS INTEGER) - 1)
+          |      || substr(name, CAST(2 + (clean_id * 7 + 1) % (length(name) - 2) AS INTEGER) + 1) AS name
+          |  FROM clean WHERE clean_id % 3 = 0
+          |), pairsj AS (
+          |  SELECT a.id AS id_a, b.id AS id_b
+          |  FROM pool a JOIN pool b
+          |    ON a.id < b.id AND levenshtein(a.name, b.name) <= 1
+          |),
+          |""".stripMargin + duckClosure + "\n" +
+        """SELECT p.id, coalesce(c.comp, p.id) AS canonical_id, p.name
+          |FROM pool p LEFT JOIN compm c ON c.id = p.id
+          |ORDER BY p.id""".stripMargin),
 
     // chunk i covers tokens [i·stride, i·stride+window) clipped at the
     // end; DuckDB list slicing is 1-based inclusive, the range table
