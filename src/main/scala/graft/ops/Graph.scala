@@ -300,6 +300,50 @@ object Graph {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Multi-source BFS hop distance over an undirected edge list: for
+    * every node reachable from `seeds` within `maxHops`, the MINIMUM
+    * hop count to any seed (`(id, hops)`; unreached nodes are omitted,
+    * seeds are hop 0). The influence-radius / contamination-spread /
+    * quality-propagation primitive the kNN similarity graph serves.
+    *
+    * Runs EXACTLY synchronous waves with an empty-frontier early stop —
+    * idempotent at the fixed point, so an oracle unrolling exactly
+    * `maxHops` MATERIALIZED waves matches the early-stop loop (the
+    * s15/waterfilling fixed-wave contract). Each wave is one narrow
+    * join + anti-join on 8-byte ids; frontiers and the distance table
+    * are lineage-cut per wave so the plan stays constant-size (the r2
+    * lazy-chain class). Expanding from the FRONTIER (not the whole
+    * distance table) keeps wave cost proportional to the wave, not the
+    * history — at 100 TB the per-wave shuffle is bounded by the
+    * frontier's edge neighborhood. */
+  def bfsHops(edges: DataFrame, idA: String, idB: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops maxHops must be >= 0, got $maxHops")
+    val sym = Lineage.cut(edges
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .union(edges
+        .select(col(idB).cast("long").as("a"), col(idA).cast("long").as("b")))
+      .filter(col("a") =!= col("b")).distinct())
+    var dist = Lineage.cut(seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("hops", lit(0)))
+    var frontier = dist.select("id")
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val nxt = Lineage.cut(frontier.join(sym, frontier("id") === sym("a"))
+        .select(col("b").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h)))
+      if (nxt.isEmpty) done = true
+      else {
+        dist = Lineage.cut(dist.unionByName(nxt))
+        frontier = nxt.select("id")
+        h += 1
+      }
+    }
+    dist
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007,
     * deterministic variant): every node starts labeled with its own id;
     * each iteration EVERY node simultaneously adopts the most frequent

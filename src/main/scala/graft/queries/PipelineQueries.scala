@@ -979,6 +979,24 @@ object PipelineQueries {
     // ---- graph: O(log n) large-star/small-star connected components
     // over the kNN graph — the distributed closure path behind every
     // dedup family, verified against DuckDB's exact recursive reach
+    // ---- graph: multi-source BFS hop distance from seed vectors over
+    // the kNN similarity graph — the influence-radius / contamination-
+    // spread primitive. Exactly-4-wave contract: the oracle unrolls 4
+    // MATERIALIZED waves (empty frontiers are idempotent, the s15
+    // fixed-wave recipe); unreached nodes are omitted by both engines.
+    "s19_bfs_hops" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val e = embeds(s, dir)
+      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          maxCell = Int.MaxValue,
+          centroids = Some(gateCentroidsN(e, semGateNList)))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      graft.ops.Lineage.cut(
+        graft.ops.Graph.bfsHops(edges, "id_a", "id_b",
+            e.filter(col("vec_id") < 3).select("vec_id"), "vec_id",
+            maxHops = 4)
+          .orderBy(col("id")))
+    }),
+
     "s09_components" -> ((s, dir) => {
       // the star loop runs EAGERLY here (checkpoints + convergence
       // checks): scope the shuffle width down for this narrow 25k-edge
@@ -3763,6 +3781,32 @@ object PipelineQueries {
        |SELECT query_id, rank, neighbor_id FROM knn_ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** BFS-hops oracle: the shared kNN edges, then EXACTLY 4 unrolled
+    * waves — each d_i is referenced three times (carry + expand +
+    * NOT IN), so every level is AS MATERIALIZED (the r5 2^k-inlining
+    * rule). Expanding from the whole distance table (not the frontier)
+    * is wave-equivalent: neighbors of older layers were absorbed in
+    * earlier waves. */
+  private def s19OracleSql: String = {
+    val waves = (1 to 4).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT id, hops FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT id, CAST($i AS INTEGER) AS hops FROM (
+         |    SELECT DISTINCT b.dst AS id
+         |    FROM bi b JOIN d${i - 1} p ON p.id = b.src)
+         |  WHERE id NOT IN (SELECT id FROM d${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn_ranked WHERE rank <= 5),
+       |bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |d0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(0 AS INTEGER) AS hops
+       |  FROM embeddings WHERE vec_id < 3),
+       |$waves
+       |SELECT id, hops FROM d4 ORDER BY id""".stripMargin
+  }
+
   /** PageRank oracle: the same kNN edges, then 5 unrolled fixed-point
     * iterations (DuckDB's recursive CTEs are avoided so the aggregate
     * per iteration needs no recursion caveats) — every `//` floor
@@ -5259,6 +5303,7 @@ object PipelineQueries {
     "e20_stream_dsir_screen" -> e20OracleSql,
     "p17_cluster_sample" -> p17OracleSql,
     "s09_components" -> s09OracleSql,
+    "s19_bfs_hops" -> s19OracleSql,
     "s12_label_prop" -> s12OracleSql,
     "s10_kmeans" -> s10OracleSql,
     "s11_trustrank" -> s11OracleSql,

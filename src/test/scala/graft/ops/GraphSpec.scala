@@ -179,6 +179,24 @@ class GraphSpec extends SparkSpec {
     assert(r(1L) == 0L)                          // base quantized away, ok
   }
 
+  test("bfsHops: multi-source minimum, hop cap, unreached omitted, early stop idempotent") {
+    // path 1-2-3-4-5, plus disconnected 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    def run(seeds: Seq[Long], k: Int) =
+      Graph.bfsHops(edges, "id_a", "id_b", seeds.toDF("s"), "s", k)
+        .as[(Long, Int)].collect().toMap
+    assert(run(Seq(1L), 4) === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    assert(run(Seq(1L), 2) === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source takes the MINIMUM hop distance
+    assert(run(Seq(1L, 5L), 4) === Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // maxHops beyond the fixed point: early stop, identical answer
+    assert(run(Seq(1L), 30) === run(Seq(1L), 4))
+    // a seed outside the graph reaches nothing but reports itself
+    assert(run(Seq(99L), 3) === Map(99L -> 0))
+    assert(run(Seq(10L), 4) === Map(10L -> 0, 11L -> 1))
+  }
+
   test("connectedComponentsStar: matches union-find on adversarial shapes") {
     // chain of 120 (diameter stress: label propagation would need 120
     // rounds, star converges in O(log)), two cliques, a star, isolated
