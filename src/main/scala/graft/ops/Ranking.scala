@@ -252,4 +252,35 @@ object Ranking {
       .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_dec"))
       .select(col("doc_id"), col("score_dec").cast("double").as("bm25"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of several
+    * rankers' TOP-N lists — the hybrid-retrieval merge (BM25 ∪ vector
+    * cosine is the canonical pair): fused score =
+    * Σ_rankers `scale div (k + rank)`, all exact LONG arithmetic
+    * (truncating division ≡ DuckDB `//` on these positive operands), so
+    * the fusion is bit-reproducible at any parallelism and across
+    * engines — no float score normalization, which is RRF's whole
+    * appeal. Items on only some lists get only those terms (standard
+    * RRF).
+    *
+    * Scale shape: inputs are top-N lists (each produced by
+    * `orderBy().limit(N)` = TakeOrderedAndProject — per-partition
+    * top-k, never a global sort), so the fusion aggregates ≤ Σ N rows —
+    * driver-trivial regardless of corpus size.
+    *
+    * @param rankings each `(idCol, rank)` with rank 1-based and unique
+    *                 per frame
+    * @return (idCol, rrf_score long, n_rankers int) */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60,
+      scale: Long = 1000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0 && scale > 0, s"rrfFuse k=$k scale=$scale out of range")
+    rankings.map(_.select(col(idCol),
+        call_function("div", lit(scale),
+          lit(k.toLong) + col("rank").cast("long")).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"),
+        count(lit(1)).cast("int").as("n_rankers"))
+  }
 }

@@ -1189,6 +1189,41 @@ object PipelineQueries {
           learnedBpeMerges(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- search: HYBRID retrieval — BM25 top-50 and embedding-cosine
+    // top-50 (query = corpus vector 0, the vectorsByIds convention)
+    // fused by reciprocal-rank fusion: scale // (60 + rank) summed in
+    // exact longs, no float score normalization. Both rankers' scores
+    // are bitwise cross-engine (the t08 DECIMAL-sum recipe; the s05
+    // normalize/inner-product kernel), so ranks, fusion scores and the
+    // final top-20 hash-match. Top-50 via orderBy().limit() =
+    // TakeOrderedAndProject; the rank window runs on the 50-row frame.
+    "t42_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = Ranking.bm25(docs(s, dir), "doc_id", "text",
+          bm25GateTerms, logIdf = false)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      val lex = lexTop.withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      val e = embeds(s, dir)
+      // the query vector is model-sized: one 64-double collect
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(Similarity.normalize(col("embedding").cast("array<double>"))
+          .as("v"))
+        .head().getSeq[Double](0)
+      val semTop = e.filter(col("vec_id") < 500)
+        .select(col("vec_id").as("doc_id"),
+          Similarity.dot(
+            Similarity.normalize(col("embedding").cast("array<double>")),
+            typedLit(q0)).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+      val sem = semTop.withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      Ranking.rrfFuse(Seq(lex, sem), "doc_id")
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+    }),
+
     // ---- text: hashed-feature linear quality classifier — a fastText-
     // style filter trained IN Spark with exact fixed-point integer
     // arithmetic (Rocchio class-centroid trainer, one corpus pass, no
@@ -4167,9 +4202,12 @@ object PipelineQueries {
     * per-doc sum cast back to double. Constants appear as the same
     * decimal literals ("1.2 + 1.0", not "2.2") so both engines fold them
     * with identical IEEE ops. */
-  private def bm25OracleSql: String = {
+  /** Shared BM25 CTE chain ending in `bm(doc_id, bm25)` — the t08
+    * scoring replay, reused by t42's hybrid fusion (the shared-fragment
+    * rule). */
+  private def duckBm25Cte: String = {
     val termList = bm25GateTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH toks AS (SELECT doc_id,
+    s"""toks AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
        |  FROM documents WHERE text IS NOT NULL),
        |lens AS (SELECT doc_id, len(tk) AS dl FROM toks),
@@ -4177,16 +4215,22 @@ object PipelineQueries {
        |terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
        |  WHERE term IN ($termList) GROUP BY doc_id, term),
-       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-       |SELECT doc_id, CAST(SUM(CAST(
-       |    (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)
-       |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-       |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
-       |        / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-       |  AS DECIMAL(18,12))) AS DOUBLE) AS bm25
-       |FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN totals
-       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |bm AS (
+       |  SELECT doc_id, CAST(SUM(CAST(
+       |      (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)
+       |      * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+       |      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+       |          / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+       |    AS DECIMAL(18,12))) AS DOUBLE) AS bm25
+       |  FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN totals
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  private def bm25OracleSql: String =
+    s"""WITH $duckBm25Cte
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   /** DuckDB oracle for t09: the same RE2-safe patterns (embedded from
     * [[Pii.Rules]] so the two can never drift), counts + md5 of the
@@ -6100,6 +6144,34 @@ object PipelineQueries {
          |  n_subwords * 100 // n_words AS fertility_centi,
          |  n_chars * 100 // n_subwords AS cps_centi
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // the shared bm25 chain + the s05 normalize/inner-product replay,
+    // ranks over each top-50 (ROW_NUMBER is BIGINT — the // keeps
+    // everything BIGINT), fusion summed exactly; q0 joined in via a
+    // CROSS JOIN of the 1-row query-vector CTE (no subquery inside a
+    // lambda — the r3 DuckDB limitation)
+    "t42_hybrid_rrf" ->
+      s"""WITH $duckBm25Cte,
+         |lex AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |nv AS (SELECT vec_id, [x / sqrt(list_inner_product(emb, emb)) for x in emb] AS v FROM e),
+         |q0 AS (SELECT v AS qv FROM nv WHERE vec_id = 0),
+         |cosv AS (
+         |  SELECT vec_id AS doc_id, list_inner_product(v, qv) AS c
+         |  FROM nv CROSS JOIN q0 WHERE vec_id < 500),
+         |sem AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+         |  FROM (SELECT * FROM cosv ORDER BY c DESC, doc_id LIMIT 50)),
+         |contrib AS (
+         |  SELECT doc_id, 1000000000 // (60 + r) AS c FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000 // (60 + r) AS c FROM sem)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+         |  CAST(COUNT(*) AS INTEGER) AS n_rankers
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // priority = w·M / v with v two Lehmer steps from the doc_id —
     // all-BIGINT modular arithmetic plus ONE double division of exact

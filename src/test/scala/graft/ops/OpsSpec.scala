@@ -1098,6 +1098,23 @@ class OpsSpec extends SparkSpec {
     assert(Ranking.queryPostingsIndex(spark, idx, Seq("sphinx")).count() > 0)
   }
 
+  test("rrfFuse: exact integer fusion, single-list items, k/scale contract") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Ranking.rrfFuse(Seq(a, b), "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    def c(r: Int) = 1000000000L / (60L + r)
+    assert(out === Map(
+      1L -> (c(1), 1), 2L -> (c(2) + c(1), 2), 3L -> (c(3), 1), 4L -> (c(2), 1)))
+    // doc 2 (rank 2 + rank 1) out-fuses doc 1 (rank 1 alone) — the
+    // consensus property RRF exists for
+    assert(out(2L)._1 > out(1L)._1)
+    val custom = Ranking.rrfFuse(Seq(a), "doc_id", k = 0, scale = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(custom === Map(1L -> 100L, 2L -> 50L, 3L -> 33L))
+    intercept[IllegalArgumentException](Ranking.rrfFuse(Nil, "doc_id"))
+  }
+
   test("postings index lifecycle: append ≡ rebuild, compact restores layout, meta heals") {
     val dir = tmpDir("postings-life")
     val idx = dir.resolve("idx").toString
