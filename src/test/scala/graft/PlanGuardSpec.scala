@@ -27,6 +27,10 @@ class PlanGuardSpec extends SparkSpec {
                        // cross join — a per-row constant append, exactly
                        // how Spark executes scalar subqueries; linear at
                        // any corpus size
+      "t42_hybrid_rrf", // the lexical ranker IS Ranking.bm25 — it
+                        // inherits t08's benign 1-row corpus-stats
+                        // shape; the fusion itself is a ≤100-row union
+                        // + aggregate over TakeOrderedAndProject tops
       "s16_hits", // each L∞ normalize broadcasts ONE global-max row
                   // under a cross join — the same benign scalar-subquery
                   // shape as t08; the propagation joins are narrow
