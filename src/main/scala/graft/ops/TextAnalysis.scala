@@ -342,14 +342,18 @@ object TextAnalysis {
     * doubles summed as DECIMAL(18,12), so the score is order-independent
     * and cross-engine reproducible. Returns (doc_id, n_bigrams, plaus).
     */
-  def bigramPlausibility(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // bigram array bound once (HOF-CSE trap: see repetitionMetrics)
-    val bigramsArr = Dedup.bindOnce(tokens(col(textCol))) { tk =>
+  /** Adjacent-bigram struct array of `textCol`'s tokens — bound once
+    * (the HOF-CSE trap); shared by [[bigramPlausibility]] and
+    * [[collocations]] so the two gram definitions cannot drift. */
+  private def bigramStructs(textCol: String): Column =
+    Dedup.bindOnce(tokens(col(textCol))) { tk =>
       when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
         .otherwise(transform(sequence(lit(0), size(tk) - 2),
           i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2"))))
     }
-    val grams = df.select(col(idCol).as("doc_id"), explode(bigramsArr).as("g"))
+
+  def bigramPlausibility(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"), explode(bigramStructs(textCol)).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
     val bigramCnt = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val unigramCnt = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -360,6 +364,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("psum").cast("double") / col("n_bigrams").cast("double")).as("plaus"))
+  }
+
+  /** Collocation mining: adjacent bigrams ranked by integer-scaled
+    * LIFT — `lift_ppm = round(c12·Nu²·10⁶ / (Nb·c1·c2))`, the
+    * log-free PMI surrogate (same ordering as PMI; transcendental-free,
+    * so DuckDB replays it bitwise via the round(x·scale) stable
+    * conversion on a rational of exact longs with a PINNED evaluation
+    * tree — the r3 shape rule). `c12` = bigram count, `c1`/`c2` =
+    * unigram counts, `Nu`/`Nb` = unigram/bigram totals.
+    *
+    * Shape: two narrow hash aggregates (grams, unigrams), two
+    * broadcast-able joins of the ≥`minCount` bigram table against the
+    * unigram counts, totals as TWO 1-row broadcast rows (the benign t08
+    * scalar-subquery shape). `minCount` is the noise floor — lift on a
+    * hapax bigram is meaningless and the filter keeps the joined frame
+    * vocabulary-sized, not corpus-sized.
+    *
+    * @return (w1, w2, c12, lift_ppm) */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"collocations minCount must be >= 1, got $minCount")
+    val grams = df.select(explode(bigramStructs(textCol)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val c12 = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    c12.filter(col("c12") >= minCount)
+      .join(cu.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(cu.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(uni.agg(count(lit(1)).as("nu"))))
+      .crossJoin(broadcast(grams.agg(count(lit(1)).as("nb"))))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("c12").cast("double") * col("nu") * col("nu") * lit(1000000.0)
+          / (col("nb").cast("double") * col("c1") * col("c2")))
+          .cast("long").as("lift_ppm"))
   }
 
   /** Exact-substring decontamination (train/test overlap): documents

@@ -1224,6 +1224,15 @@ object PipelineQueries {
         .orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
     }),
 
+    // ---- text: COLLOCATION mining — adjacent bigrams ranked by
+    // integer-scaled lift (the log-free PMI surrogate: same ordering,
+    // transcendental-free, so DuckDB replays the round(x·1e6) stable
+    // conversion bitwise under the pinned evaluation tree). minCount 30
+    // keeps the lift table above the noise floor at gate scale.
+    "t43_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), "text", minCount = 30L)
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(40)),
+
     // ---- text: hashed-feature linear quality classifier — a fastText-
     // style filter trained IN Spark with exact fixed-point integer
     // arithmetic (Rocchio class-centroid trainer, one corpus pass, no
@@ -6172,6 +6181,34 @@ object PipelineQueries {
          |  CAST(COUNT(*) AS INTEGER) AS n_rankers
          |FROM contrib GROUP BY doc_id
          |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bigrams via 1-based list indexing over range(1, len) (tk[i],
+    // tk[i+1] ≡ Spark's element_at i+1/i+2 over sequence(0, size-2));
+    // counts are exact longs, the lift expression keeps the SAME
+    // left-assoc multiply chain as the Column tree (the r3 shape rule)
+    "t43_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i + 1 AS BIGINT)] AS w2
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)
+        |), uni AS (
+        |  SELECT unnest(tk) AS w FROM toks
+        |), cu AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT count(*) FROM uni) AS nu,
+        |               (SELECT count(*) FROM grams) AS nb)
+        |SELECT b.w1, b.w2, b.c12,
+        |  CAST(round(CAST(b.c12 AS DOUBLE) * nu * nu * 1000000.0
+        |    / (CAST(nb AS DOUBLE) * u1.c * u2.c)) AS BIGINT) AS lift_ppm
+        |FROM c12 b
+        |JOIN cu u1 ON u1.w = b.w1
+        |JOIN cu u2 ON u2.w = b.w2
+        |CROSS JOIN tot
+        |WHERE b.c12 >= 30
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 40""".stripMargin,
 
     // priority = w·M / v with v two Lehmer steps from the doc_id —
     // all-BIGINT modular arithmetic plus ONE double division of exact

@@ -31,6 +31,10 @@ class PlanGuardSpec extends SparkSpec {
                         // inherits t08's benign 1-row corpus-stats
                         // shape; the fusion itself is a ≤100-row union
                         // + aggregate over TakeOrderedAndProject tops
+      "t43_collocations", // the unigram/bigram TOTALS ride as TWO
+                          // 1-row broadcast rows under cross joins —
+                          // the t08 scalar-subquery shape; the count
+                          // joins are narrow equi-joins on words
       "s16_hits", // each L∞ normalize broadcasts ONE global-max row
                   // under a cross join — the same benign scalar-subquery
                   // shape as t08; the propagation joins are narrow

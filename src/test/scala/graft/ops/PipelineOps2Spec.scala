@@ -125,6 +125,26 @@ class PipelineOps2Spec extends SparkSpec {
     assert(r == rep) // decimal sums: parallelism-independent
   }
 
+  test("collocations: hand-computed lift, minCount floor, repartition-invariant") {
+    val df = Seq((0L, "a b a b"), (1L, "c c c c")).toDF("doc_id", "text")
+    // Nu=8 Nb=6; c(a)=c(b)=2, c(c)=4; c12: (a,b)=2 (b,a)=1 (c,c)=3
+    val r = TextAnalysis.collocations(df, "text", minCount = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r === Map(
+      ("a", "b") -> (2L, math.round(2.0 * 8 * 8 * 1e6 / (6.0 * 2 * 2))),
+      ("b", "a") -> (1L, math.round(1.0 * 8 * 8 * 1e6 / (6.0 * 2 * 2))),
+      ("c", "c") -> (3L, math.round(3.0 * 8 * 8 * 1e6 / (6.0 * 4 * 4)))))
+    // the floor drops singleton bigrams
+    val floored = TextAnalysis.collocations(df, "text", minCount = 2L)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(floored === Set(("a", "b"), ("c", "c")))
+    val rep = TextAnalysis.collocations(df.repartition(5), "text", minCount = 1L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r === rep)
+  }
+
   test("incrementalExact: corpus dups dropped, in-batch dup keeps min id") {
     val corpus = Seq((0L, "old news"), (1L, "stale copy")).toDF("id", "txt")
     val batch = Seq(
