@@ -85,4 +85,56 @@ object Profile {
         col("n_distinct_est"), col("min_v"), col("max_v"), col("avg_len"),
         col("top_value"), col("top_count"))
   }
+
+  /** Windowed COUNT-anomaly detection — the "did this event type spike
+    * today" observability check, entirely in exact integer arithmetic:
+    * daily counts per `typeCol`, a trailing baseline of the previous
+    * `trailing` OBSERVED windows (ROWS frame — sparse days are treated
+    * as adjacent, documented), and the z²-test rewritten
+    * transcendental-free: flag iff `(n·x − s)² > k²·(n·q − s²)` where
+    * `n`/`s`/`q` are the baseline's count / sum / sum-of-squares — the
+    * σ-denominator cleared, so no sqrt, no doubles, and DuckDB replays
+    * the flags bitwise. Zero-variance baselines flag ANY deviation
+    * (lhs > 0 = rhs 0). Rows with fewer than `trailing` baseline
+    * windows report `anomaly = 0` (insufficient history, never a
+    * false alarm). The squares run in DECIMAL(38,0) (HUGEINT on the
+    * oracle side) — a LONG square overflows at ~3e9 counts/window.
+    *
+    * Shape at 100 TB: one hash aggregate (map-side combinable) down to
+    * (type, day) rows — the window functions then run on the
+    * AGGREGATED frame (days × types, not events), partitioned by type.
+    *
+    * @return (typeCol, day timestamp, cnt, n, s, anomaly int) */
+  def countAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      trailing: Int = 7, k: Int = 3): DataFrame = {
+    require(trailing >= 1 && k >= 1,
+      s"countAnomalies trailing=$trailing k=$k out of range")
+    val cnts = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(typeCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    countAnomaliesFromCounts(cnts, typeCol, trailing, k)
+  }
+
+  /** [[countAnomalies]] over PRE-AGGREGATED `(typeCol, day, cnt)` rows —
+    * the entry the gate's planted-spike fixture and any externally
+    * aggregated feed use. */
+  def countAnomaliesFromCounts(cnts: DataFrame, typeCol: String,
+      trailing: Int = 7, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    cnts
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("q", coalesce(sum(dec(col("cnt")) * dec(col("cnt"))).over(w),
+        dec(lit(0L))))
+      .select(col(typeCol), col("day"), col("cnt"), col("n"), col("s"),
+        when(col("n") === trailing.toLong,
+          (dec(col("n") * col("cnt") - col("s"))
+            * dec(col("n") * col("cnt") - col("s"))
+            > lit(k.toLong * k) * (dec(col("n")) * col("q")
+              - dec(col("s")) * dec(col("s")))).cast("int"))
+          .otherwise(lit(0)).as("anomaly"))
+  }
 }

@@ -1233,6 +1233,31 @@ object PipelineQueries {
       TextAnalysis.collocations(docs(s, dir), "text", minCount = 30L)
         .orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(40)),
 
+    // ---- observability: windowed COUNT-anomaly flags — daily counts
+    // per event type, trailing-7 baseline, the z²-test cleared of its
+    // σ denominator so everything is exact integer arithmetic (flags
+    // replay bitwise; k=3). A planted type (stable ~100/day, one
+    // 5000 spike on day 11) pins the anomaly arm: real traffic may or
+    // may not flag, the plant always does.
+    "t44_count_anomaly" -> ((s, dir) => {
+      val planted = s.range(12).select(col("id").as("i"))
+        .select(lit("zz_planted").as("event_type"),
+          expr("timestampadd(DAY, CAST(i AS INT), timestamp'2020-01-01 00:00:00')")
+            .as("ts"),
+          when(col("i") === 11, lit(5000L))
+            .otherwise(lit(100L) + col("i") % 3L).as("cnt"))
+        .select(col("event_type"), col("ts"),
+          explode(sequence(lit(1L), col("cnt"))).as("__x"))
+        .select("event_type", "ts")
+      val ev = Tables.load(s, dir, "events").select(col("event_type"), col("ts"))
+      graft.ops.Profile.countAnomalies(ev.unionByName(planted),
+          "event_type", "ts")
+        .select(col("event_type"),
+          col("day").cast("date").cast("string").as("day"),
+          col("cnt"), col("n"), col("s"), col("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // ---- text: hashed-feature linear quality classifier — a fastText-
     // style filter trained IN Spark with exact fixed-point integer
     // arithmetic (Rocchio class-centroid trainer, one corpus pass, no
@@ -6209,6 +6234,39 @@ object PipelineQueries {
         |CROSS JOIN tot
         |WHERE b.c12 >= 30
         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // window SUM is HUGEINT in DuckDB (cast s back to BIGINT, keep q
+    // HUGEINT = Spark's DECIMAL(38,0)); the flag comparison is pure
+    // integer so it replays bitwise; COALESCE matches the empty-frame
+    // NULL handling
+    "t44_count_anomaly" ->
+      """WITH real_cnts AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        |), planted AS (
+        |  SELECT 'zz_planted' AS event_type,
+        |    TIMESTAMP '2020-01-01' + i * INTERVAL 1 DAY AS day,
+        |    CAST(CASE WHEN i = 11 THEN 5000 ELSE 100 + i % 3 END AS BIGINT) AS cnt
+        |  FROM range(0, 12) r(i)
+        |), cnts AS (
+        |  SELECT * FROM real_cnts UNION ALL SELECT * FROM planted
+        |), st AS (
+        |  SELECT event_type, day, cnt,
+        |    COUNT(cnt) OVER w AS n,
+        |    COALESCE(CAST(SUM(cnt) OVER w AS BIGINT), 0) AS s,
+        |    COALESCE(SUM(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) OVER w,
+        |      0) AS q
+        |  FROM cnts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, CAST(CAST(day AS DATE) AS VARCHAR) AS day, cnt, n, s,
+        |  CASE WHEN n = 7 THEN CAST(
+        |    CAST(n * cnt - s AS HUGEINT) * CAST(n * cnt - s AS HUGEINT)
+        |      > 9 * (CAST(n AS HUGEINT) * q
+        |             - CAST(s AS HUGEINT) * CAST(s AS HUGEINT))
+        |    AS INTEGER) ELSE 0 END AS anomaly
+        |FROM st ORDER BY event_type, day""".stripMargin,
 
     // priority = w·M / v with v two Lehmer steps from the doc_id —
     // all-BIGINT modular arithmetic plus ONE double division of exact

@@ -127,6 +127,35 @@ class PipelineOps5Spec extends SparkSpec {
     ()
   }
 
+  test("countAnomalies: spike flags, stable traffic does not, short history reports 0") {
+    // pre-aggregated counts: 8 stable days (100..102 cycling) then a
+    // spike; a second type with IDENTICAL counts and no spike
+    def day(i: Int) = f"2021-03-${i + 1}%02d 00:00:00"
+    val rows =
+      (0 until 8).map(i => ("spiky", day(i), 100L + i % 3)) ++
+        Seq(("spiky", day(8), 900L)) ++
+        (0 until 9).map(i => ("calm", day(i), 100L + i % 3))
+    val cnts = rows.toDF("event_type", "ds", "cnt")
+      .select(col("event_type"), to_timestamp(col("ds")).as("day"), col("cnt"))
+    val out = Profile.countAnomaliesFromCounts(cnts, "event_type")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        (r.getLong(3), r.getInt(5))).toMap
+    // day 9 of spiky: full 7-window baseline, spike flagged
+    assert(out(("spiky", "2021-03-09")) === (7L, 1))
+    // same position in calm traffic: no flag
+    assert(out(("calm", "2021-03-09")) === (7L, 0))
+    // early days: insufficient history -> 0, never a false alarm
+    assert(out(("spiky", "2021-03-03"))._2 === 0)
+    // zero-variance baseline: any deviation flags
+    val flat = (0 until 8).map(i => ("f", day(i), 50L)) :+ (("f", day(8), 51L))
+    val f2 = Profile.countAnomaliesFromCounts(
+      flat.toDF("event_type", "ds", "cnt")
+        .select(col("event_type"), to_timestamp(col("ds")).as("day"), col("cnt")),
+      "event_type")
+      .collect().map(r => r.getTimestamp(1).toString.take(10) -> r.getInt(5)).toMap
+    assert(f2("2021-03-09") === 1)
+  }
+
   test("temperatureCap: sqrt flattening under a budget, deterministic, overflow raise") {
     // skewed domains: "big" 400 rows, "mid" 100, "tiny" 4
     val rows = ((0 until 400).map(i => (i.toLong, "big")) ++
