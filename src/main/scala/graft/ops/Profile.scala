@@ -120,6 +120,10 @@ object Profile {
     * aggregated feed use. */
   def countAnomaliesFromCounts(cnts: DataFrame, typeCol: String,
       trailing: Int = 7, k: Int = 3): DataFrame = {
+    val reserved = Seq("day", "cnt", "n", "s", "q", "anomaly")
+    require(!reserved.contains(typeCol),
+      s"countAnomalies: typeCol $typeCol collides with an internal/output " +
+        "column name")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
       .rowsBetween(-trailing, -1)

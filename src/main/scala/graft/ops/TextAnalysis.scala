@@ -328,6 +328,16 @@ object TextAnalysis {
     lineStats.join(gramStats, Seq("doc_id"))
   }
 
+  /** Adjacent-bigram struct array of `textCol`'s tokens — bound once
+    * (the HOF-CSE trap); shared by [[bigramPlausibility]] and
+    * [[collocations]] so the two gram definitions cannot drift. */
+  private def bigramStructs(textCol: String): Column =
+    Dedup.bindOnce(tokens(col(textCol))) { tk =>
+      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - 2),
+          i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2"))))
+    }
+
   /** Corpus-LM plausibility score (CCNet-style quality signal without an
     * external model): the corpus itself is the language model — per-doc
     * mean conditional bigram probability P(w2|w1) = C(w1 w2) / C(w1·),
@@ -342,16 +352,6 @@ object TextAnalysis {
     * doubles summed as DECIMAL(18,12), so the score is order-independent
     * and cross-engine reproducible. Returns (doc_id, n_bigrams, plaus).
     */
-  /** Adjacent-bigram struct array of `textCol`'s tokens — bound once
-    * (the HOF-CSE trap); shared by [[bigramPlausibility]] and
-    * [[collocations]] so the two gram definitions cannot drift. */
-  private def bigramStructs(textCol: String): Column =
-    Dedup.bindOnce(tokens(col(textCol))) { tk =>
-      when(size(tk) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), size(tk) - 2),
-          i => struct(element_at(tk, i + 1).as("w1"), element_at(tk, i + 2).as("w2"))))
-    }
-
   def bigramPlausibility(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"), explode(bigramStructs(textCol)).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
@@ -388,13 +388,19 @@ object TextAnalysis {
     val grams = df.select(explode(bigramStructs(textCol)).as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val uni = df.select(explode(tokens(col(textCol))).as("w"))
-    val cu = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val c12 = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // cut: each count table feeds BOTH a join side and its total —
+    // materializing the vocabulary-sized aggregates pins the corpus
+    // tokenization at exactly two passes (grams + unigrams)
+    val cu = Lineage.cut(uni.groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val c12 = Lineage.cut(
+      grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     c12.filter(col("c12") >= minCount)
       .join(cu.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
       .join(cu.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(uni.agg(count(lit(1)).as("nu"))))
-      .crossJoin(broadcast(grams.agg(count(lit(1)).as("nb"))))
+      // totals derived from the ALREADY-AGGREGATED count tables — the
+      // corpus is tokenized twice (grams + unigrams), not four times
+      .crossJoin(broadcast(cu.agg(sum(col("c")).as("nu"))))
+      .crossJoin(broadcast(c12.agg(sum(col("c12")).as("nb"))))
       .select(col("w1"), col("w2"), col("c12"),
         round(col("c12").cast("double") * col("nu") * col("nu") * lit(1000000.0)
           / (col("nb").cast("double") * col("c1") * col("c2")))

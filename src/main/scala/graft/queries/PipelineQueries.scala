@@ -41,15 +41,28 @@ object PipelineQueries {
       .groupBy(col("p_name")).agg(min(col("p_partkey")).as("clean_id"))
       .select(col("clean_id"), col("p_name").as("name"))
 
-  /** Deterministic single-character deletion typo, shared by er01/er02
-    * and their oracles: 1-based position 2..len−1 (first and last chars
-    * stay, so the typo never degenerates to a prefix/suffix trim);
-    * requires len ≥ 3 and a non-negative seed. */
+  /** Deterministic single-character deletion typo, shared by the
+    * er-gates/e25 and their oracles: 1-based position 2..len−1 (first
+    * and last chars stay, so the typo never degenerates to a
+    * prefix/suffix trim); requires len ≥ 3 and a non-negative seed. */
   private def typoName(name: Column, seed: Column): Column = {
     val pos = (lit(2L) + seed % (length(name).cast("long") - 2L)).cast("int")
     concat(name.substr(lit(1), pos - 1),
       name.substr(pos + 1, length(name)))
   }
+
+  /** DuckDB fragments shared by every er-gate + e25 oracle — ONE source
+    * of truth (a fix once landed in one inline copy and not its three
+    * siblings; the shared-fragment rule). Both are single-line on
+    * purpose: a multi-line fragment whose continuation starts with `||`
+    * loses a pipe to an outer stripMargin (the r9 trap). */
+  private val duckCleanSel: String =
+    "SELECT MIN(p_partkey) AS clean_id, p_name AS name FROM part GROUP BY p_name"
+
+  /** Renders [[typoName]] for SQL exprs `n` (name) and `seed`. */
+  private def duckTypoExpr(n: String, seed: String): String =
+    s"substr($n, 1, CAST(2 + $seed % (length($n) - 2) AS INTEGER) - 1) || " +
+      s"substr($n, CAST(2 + $seed % (length($n) - 2) AS INTEGER) + 1)"
 
   /** Mixture-gate fractions (p05), shared with the oracle SQL so both
     * engines derive identical per-domain thresholds. */
@@ -976,9 +989,6 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
-    // ---- graph: O(log n) large-star/small-star connected components
-    // over the kNN graph — the distributed closure path behind every
-    // dedup family, verified against DuckDB's exact recursive reach
     // ---- graph: multi-source BFS hop distance from seed vectors over
     // the kNN similarity graph — the influence-radius / contamination-
     // spread primitive. Exactly-4-wave contract: the oracle unrolls 4
@@ -997,6 +1007,9 @@ object PipelineQueries {
           .orderBy(col("id")))
     }),
 
+    // ---- graph: O(log n) large-star/small-star connected components
+    // over the kNN graph — the distributed closure path behind every
+    // dedup family, verified against DuckDB's exact recursive reach
     "s09_components" -> ((s, dir) => {
       // the star loop runs EAGERLY here (checkpoints + convergence
       // checks): scope the shuffle width down for this narrow 25k-edge
@@ -6655,13 +6668,11 @@ object PipelineQueries {
     // mm06 exhaustive-banding oracle pattern). 64 distinct names: the
     // quadratic oracle is trivial at gate scale.
     "er01_fuzzy_join" ->
-      """WITH clean AS (
-        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
-        |  FROM part GROUP BY p_name
+      s"""WITH clean AS (
+        |  $duckCleanSel
         |), dirty AS (
         |  SELECT clean_id + 100000 AS dirty_id,
-        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
-        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS dname
+        |    ${duckTypoExpr("name", "clean_id")} AS dname
         |  FROM clean
         |)
         |SELECT d.dirty_id, d.dname, c.clean_id, c.name,
@@ -6674,13 +6685,11 @@ object PipelineQueries {
     // b1 minus p1's matched bids; probe 2 = all-pairs vs catalog ∪
     // admitted — the evolving-entity-set replay of the index lifecycle
     "er02_fuzzy_index" ->
-      """WITH clean AS (
-        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
-        |  FROM part GROUP BY p_name
+      s"""WITH clean AS (
+        |  $duckCleanSel
         |), dirty1 AS (
         |  SELECT clean_id + 100000 AS bid,
-        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
-        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS bname
+        |    ${duckTypoExpr("name", "clean_id")} AS bname
         |  FROM clean WHERE clean_id % 2 = 0
         |), novel AS (
         |  SELECT 200000 + i AS bid,
@@ -6700,8 +6709,7 @@ object PipelineQueries {
         |  WHERE NOT EXISTS (SELECT 1 FROM p1 p WHERE p.bid = b.bid)
         |), b2 AS (
         |  SELECT 300000 + i AS bid,
-        |    substr(n, 1, CAST(2 + i % (length(n) - 2) AS INTEGER) - 1)
-        |      || substr(n, CAST(2 + i % (length(n) - 2) AS INTEGER) + 1) AS bname
+        |    ${duckTypoExpr("n", "i")} AS bname
         |  FROM (SELECT i, 'zzqx-' || CAST(i AS VARCHAR) || '-novelentity' AS n
         |        FROM range(0, 8) r(i))
         |), p2 AS (
@@ -6717,20 +6725,16 @@ object PipelineQueries {
     // duckClosure fragment (the d04/p04/p18 transitive closure) replays
     // the componentization verbatim; canonical = least(id, min(reach))
     "er03_entity_canonical" ->
-      ("WITH RECURSIVE clean AS (\n" +
-        """  SELECT MIN(p_partkey) AS clean_id, p_name AS name
-          |  FROM part GROUP BY p_name
-          |), pool AS (
+      (s"WITH RECURSIVE clean AS (\n  $duckCleanSel\n" +
+        s"""), pool AS (
           |  SELECT clean_id AS id, name FROM clean
           |  UNION ALL
           |  SELECT clean_id + 100000 AS id,
-          |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
-          |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS name
+          |    ${duckTypoExpr("name", "clean_id")} AS name
           |  FROM clean WHERE clean_id % 2 = 0
           |  UNION ALL
           |  SELECT clean_id + 500000 AS id,
-          |    substr(name, 1, CAST(2 + (clean_id * 7 + 1) % (length(name) - 2) AS INTEGER) - 1)
-          |      || substr(name, CAST(2 + (clean_id * 7 + 1) % (length(name) - 2) AS INTEGER) + 1) AS name
+          |    ${duckTypoExpr("name", "(clean_id * 7 + 1)")} AS name
           |  FROM clean WHERE clean_id % 3 = 0
           |), pairsj AS (
           |  SELECT a.id AS id_a, b.id AS id_b
@@ -7535,13 +7539,11 @@ object PipelineQueries {
     // null-name drop (levenshtein(NULL, x) never matches NOR dominates,
     // so an unfiltered null typo would flow into adm1)
     "e25_stream_entity_screen" ->
-      """WITH clean AS (
-        |  SELECT MIN(p_partkey) AS clean_id, p_name AS name
-        |  FROM part GROUP BY p_name
+      s"""WITH clean AS (
+        |  $duckCleanSel
         |), b1 AS (
         |  SELECT clean_id + 100000 AS id,
-        |    substr(name, 1, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) - 1)
-        |      || substr(name, CAST(2 + clean_id % (length(name) - 2) AS INTEGER) + 1) AS name
+        |    ${duckTypoExpr("name", "clean_id")} AS name
         |  FROM clean WHERE clean_id % 2 = 0 AND name IS NOT NULL
         |  UNION ALL
         |  SELECT 200000 + i AS id,
@@ -7549,8 +7551,7 @@ object PipelineQueries {
         |  FROM range(0, 8) r(i)
         |  UNION ALL
         |  SELECT 250000 + i AS id,
-        |    substr(n, 1, CAST(2 + i % (length(n) - 2) AS INTEGER) - 1)
-        |      || substr(n, CAST(2 + i % (length(n) - 2) AS INTEGER) + 1) AS name
+        |    ${duckTypoExpr("n", "i")} AS name
         |  FROM (SELECT i, 'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS n
         |        FROM range(0, 2) r(i))
         |), m1 AS (
@@ -7568,8 +7569,7 @@ object PipelineQueries {
         |  UNION ALL SELECT id, name FROM adm1
         |), b2 AS (
         |  SELECT 300000 + i AS id,
-        |    substr(n, 1, CAST(2 + (i + 1) % (length(n) - 2) AS INTEGER) - 1)
-        |      || substr(n, CAST(2 + (i + 1) % (length(n) - 2) AS INTEGER) + 1) AS name
+        |    ${duckTypoExpr("n", "(i + 1)")} AS name
         |  FROM (SELECT i, 'zzqx-' || repeat(CAST(i AS VARCHAR), 3) || '-novelentity' AS n
         |        FROM range(0, 8) r(i))
         |  UNION ALL
