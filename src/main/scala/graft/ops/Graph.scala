@@ -421,8 +421,14 @@ object Graph {
     *        null endpoints dropped
     * @return (node, triangles) for every node in ≥1 triangle */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = undirectedSimple(edges, srcCol, dstCol)
-    orientedTriangles(und, degreesOf(und))
+    // und/deg feed multiple join branches below — Catalyst does not CSE
+    // across branches, so WITHOUT the cuts every branch re-executes the
+    // whole upstream `edges` pipeline (for the kNN-graph gates that is
+    // the full cell-pair + rank build: measured 4.75 s → 0.94 s on the
+    // s13 shape once cut — the r9 HITS plan-blowup class). Materializing
+    // m edge rows once is the standard Lineage trade at any scale.
+    val und = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    orientedTriangles(und, Lineage.cut(degreesOf(und)))
   }
 
   /** Canonical undirected simple form of an edge list: each edge once as
@@ -437,10 +443,11 @@ object Graph {
       .distinct()
   }
 
-  /** Undirected degrees `(n, d)` of a [[undirectedSimple]] edge list. */
+  /** Undirected degrees `(n, d)` of a [[undirectedSimple]] edge list.
+    * One pass: exploding both endpoints per row replaces the two-branch
+    * self-union (which scanned `und` twice). Identical multiset. */
   private def degreesOf(und: DataFrame): DataFrame =
-    und.select(col("a").as("n"))
-      .union(und.select(col("b").as("n")))
+    und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
 
   /** The triangle-count body shared by [[triangleCounts]] and
@@ -449,11 +456,13 @@ object Graph {
   private def orientedTriangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val orient = und
+    // orient feeds THREE join branches (two wedge sides + the closing
+    // edge) — cut it so the orientation join runs once, not per branch
+    val orient = Lineage.cut(und
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+        when(aFirst, col("b")).otherwise(col("a")).as("v")))
     // wedge at u over two DISTINCT out-neighbors; exactly one of the
     // two (v,w) orderings closes (the closing edge is oriented from
     // the lower rank), so no v<w constraint — and no double count
@@ -464,9 +473,9 @@ object Graph {
     val tri = wedges.join(
         orient.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
       .select(col("u").as("x"), col("v").as("y"), col("w").as("z"))
-    tri.select(col("x").as("node"))
-      .union(tri.select(col("y").as("node")))
-      .union(tri.select(col("z").as("node")))
+    // one pass over tri (explode) instead of a three-branch self-union
+    // that would re-run the wedge join per branch; identical multiset
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
@@ -492,8 +501,12 @@ object Graph {
     * @return (node, degree, triangles, lcc) for every node with ≥1 edge */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val und = undirectedSimple(edges, srcCol, dstCol)
-    val deg = degreesOf(und)
+    // same multi-branch-reference cuts as [[triangleCounts]]: und feeds
+    // deg + orient, deg feeds the orientation joins AND the final left
+    // join — uncut, each reference re-executed the full upstream edge
+    // build (measured 4.25 s → 0.90 s on the s14 shape)
+    val und = Lineage.cut(undirectedSimple(edges, srcCol, dstCol))
+    val deg = Lineage.cut(degreesOf(und))
     val tri = orientedTriangles(und, deg)
     val wedges = call_function("div", col("d") * (col("d") - 1), lit(2L))
     deg.join(tri, deg("n") === tri("node"), "left")

@@ -453,12 +453,17 @@ object TextAnalysis {
     * collision false positives can only over-flag (rate set by
     * `numBits`, observable in-gate against the exact hit count).
     *
-    * Scale shape: the benchmark pass happens once into a bounded
-    * artifact (numBits/63 long words); training grams DEDUP before
-    * probing (grams repeat heavily across docs), the probe join touches
-    * word rows of the tiny filter, and the hit bits join back to the
-    * per-doc explode on the gram string — no corpus×benchmark join
-    * anywhere. The final count is one hash aggregation per doc. */
+    * Scale shape: the benchmark pass happens once into a BOUNDED
+    * artifact (numBits/63 long words) that is collected and inlined as
+    * a literal bitmap, so membership is a pure per-row codegen
+    * expression over the training gram stream — the corpus is scanned
+    * ONCE and the only shuffle is the final per-doc hash aggregation
+    * (map-side combined). The previous shape deduped the gram stream
+    * and joined hits back (two extra full-width exchanges of the gram
+    * strings plus a second scan); the bit positions are decomposed by
+    * the exact [[graft.ops.Sketch.cmBucket]] chain the Bloom build
+    * uses, so `may_contain` (and every downstream count) is
+    * bit-identical to the join form. */
   def ngramOverlapScreen(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 5,
       numBits: Int = 1 << 16, numHashes: Int = 4,
@@ -467,18 +472,25 @@ object TextAnalysis {
     val bg = bench.filter(col(benchTextCol).isNotNull)
       .select(lit("b").as("k"),
         explode(Dedup.wordShingles(tokens(col(benchTextCol)), n)).as("g"))
-    val bloom = Sketch.bloomSketch(bg, "k", "g", numBits, numHashes)
-    val tg = train.filter(col(textCol).isNotNull)
+    // bounded collect: ≤ numBits/63 rows regardless of benchmark size
+    val words = new Array[Long]((numBits + 62) / 63)
+    Sketch.bloomSketch(bg, "k", "g", numBits, numHashes).collect()
+      .foreach(r => words(r.getAs[Int]("word_idx")) = r.getAs[Long]("bits"))
+    val wordsLit = typedlit(words.toSeq)
+    // same decomposition as the build path's bloomBits: pos → word/bit
+    // via the identical (pos/63, pos%63) casts
+    val mayContain = (0 until numHashes).map { i =>
+      val pos = Sketch.cmBucket(col("g"), i, numBits)
+      element_at(wordsLit, (pos / 63).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), (pos % 63).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    train.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(Dedup.wordShingles(tokens(col(textCol)), n)).as("g"))
-    val probes = tg.select(lit("b").as("k"), col("g")).distinct()
-    val hit = Sketch.bloomMayContain(bloom, probes, "k", "g", numBits, numHashes)
-      .select(col("value").as("g"), col("may_contain"))
-    tg.join(hit, Seq("g"), "left")
+      .withColumn("__hit", mayContain)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(coalesce(col("may_contain"), lit(false)), 1L).otherwise(0L))
-          .as("n_hit"))
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
       .withColumn("flagged", col("n_hit").cast("double") >=
         lit(flagFrac) * col("n_grams").cast("double"))
   }
