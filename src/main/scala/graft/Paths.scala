@@ -11,13 +11,35 @@ object Paths {
     ()
   }
 
+  /** Root under which [[scratchDir]] allocates: `SPARK_GRAFT_SCRATCH`
+    * when set; else `/dev/shm` when present and writable; else
+    * `java.io.tmpdir`. Scratch state here is ephemeral per-process
+    * (streaming checkpoints/WALs, gate index builds, stream feeds) —
+    * exactly what a RAM-backed tmp is for, and the streaming gates'
+    * checkpoint+state-store I/O measured ~10% of their wall on ext4
+    * /tmp (r12 one-JVM A/B: e09/e12/e14/e15 each 0.3–0.5 s faster on
+    * tmpfs). Parameterised so a deployment with big scratch artifacts
+    * or small RAM pins it back to disk. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val pick = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) &&
+          java.nio.file.Files.isWritable(shm)) Some(shm) else None
+      }
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    java.nio.file.Files.createDirectories(pick)
+    pick
+  }
+
   /** Temp directory removed RECURSIVELY at JVM exit. The common
     * `deleteOnExit()` idiom silently leaks non-empty directories
     * (`File.delete` only removes empty ones) — every scratch dir that
     * accumulates written data (parquet indexes, exports, stream feeds)
-    * must use this instead. */
+    * must use this instead. Allocated under [[scratchRoot]]. */
   def scratchDir(prefix: String): java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val dir = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir.toFile)))
     dir
   }

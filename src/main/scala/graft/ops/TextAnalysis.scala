@@ -353,15 +353,33 @@ object TextAnalysis {
     * and cross-engine reproducible. Returns (doc_id, n_bigrams, plaus).
     */
   def bigramPlausibility(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = df.select(col(idCol).as("doc_id"), explode(bigramStructs(textCol)).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-    val bigramCnt = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val unigramCnt = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    grams.join(bigramCnt, Seq("w1", "w2")).join(unigramCnt, Seq("w1"))
+    // ONE corpus tokenization: the per-(doc, bigram) multiplicity table
+    // is cut (it feeds the corpus-count derivation AND the scoring
+    // join), corpus counts derive from it, and the leading-word counts
+    // derive from the bigram counts (c1 = Σ_w2 c12 — identical to
+    // counting w1 occurrences among grams). The previous shape
+    // referenced the raw gram explode from three branches, so the
+    // tokenize+explode pass executed three times. Scoring weights each
+    // distinct (doc, bigram) row by its multiplicity n — a DECIMAL
+    // p·n is exactly p summed n times, so psum (and the output double)
+    // is bit-identical to the per-instance sum.
+    val tgd = Lineage.cut(
+      df.select(col(idCol).as("doc_id"), explode(bigramStructs(textCol)).as("g"))
+        .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("n")))
+    val bigramCnt = Lineage.cut(
+      tgd.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12")))
+    val unigramCnt = bigramCnt.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    tgd.join(bigramCnt, Seq("w1", "w2")).join(unigramCnt, Seq("w1"))
       .withColumn("p", (col("c12").cast("double") / col("c1").cast("double"))
         .cast("decimal(18,12)"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("psum"))
+      // n as DECIMAL(18,0): a raw LONG multiplicand makes the product
+      // decimal(39,12), which Spark trims to precision 38 by CUTTING
+      // SCALE (rounds p·n at the 11th dp — caught live by the oracle);
+      // (18,12)×(18,0) stays at (37,12), exact
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("p") * col("n").cast("decimal(18,0)")).as("psum"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("psum").cast("double") / col("n_bigrams").cast("double")).as("plaus"))
   }

@@ -2321,8 +2321,11 @@ object PipelineQueries {
             .otherwise(col("text")).as("text"))
       val q = TextAnalysis.gopherQuality(planted, minStopHits = 1)
         .filter(col("gopher_pass")).select("doc_id", "text")
-      val en = TextAnalysis.languageId(q)
-        .filter(col("lang_pred") === "en").select("doc_id", "text")
+      // en feeds BOTH the exact-dedup group build and the join back —
+      // uncut, the gopher+langid regex chain executes twice (the graph
+      // multi-branch-reference class); cut once, survivors-sized
+      val en = graft.ops.Lineage.cut(TextAnalysis.languageId(q)
+        .filter(col("lang_pred") === "en").select("doc_id", "text"))
       val canon = Dedup.exactGroupsByHash(
         en.select(col("doc_id"),
           TextAnalysis.normalizeForDedup(col("text")).as("norm")),
