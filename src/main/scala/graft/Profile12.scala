@@ -83,6 +83,10 @@ object Profile12 {
       System.setProperty("java.io.tmpdir", "/tmp")
     }
 
+    if (names.contains("ccrounds")) {
+      noop(SparkEntry.queries("s09_components")(spark, sfDir))
+    }
+
     if (names.isEmpty || names.contains("suite")) {
       for (q <- Seq("s13_triangles", "s14_clustering_coeff", "s09_components",
         "s16_hits", "s11_trustrank", "t35_ngram_decontam", "t24_heavy_hitters",

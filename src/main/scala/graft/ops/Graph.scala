@@ -239,11 +239,17 @@ object Graph {
     *         smallest id in the component */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
-    val nodes = Lineage.cut(pairs.select(col(idA).cast("long").as("id"))
-      .union(pairs.select(col(idB).cast("long").as("id"))).distinct())
+    // one cut of the raw pair list first: nodes AND the canonical edge
+    // list both derive from it — uncut, the whole upstream `pairs`
+    // pipeline (a full kNN-graph build for the s09 gate) executed twice
+    // (the multi-branch-reference class)
+    val p0 = Lineage.cut(pairs.select(col(idA).cast("long").as("a"),
+      col(idB).cast("long").as("b")))
+    val nodes = Lineage.cut(p0.select(explode(array(col("a"), col("b"))).as("id"))
+      .distinct())
     // canonical undirected edges: s < g, deduped, self loops dropped
-    var e = Lineage.cut(pairs.select(least(col(idA), col(idB)).cast("long").as("s"),
-        greatest(col(idA), col(idB)).cast("long").as("g"))
+    var e = Lineage.cut(p0.select(least(col("a"), col("b")).as("s"),
+        greatest(col("a"), col("b")).as("g"))
       .filter(col("s") =!= col("g")).distinct())
     var round = 0
     var eCount = e.count()

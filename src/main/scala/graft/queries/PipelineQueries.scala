@@ -903,13 +903,19 @@ object PipelineQueries {
     // half-step is an exact LONG both engines reproduce); 4 unrolled
     // iterations replayed wave-for-wave by the oracle
     "s16_hits" -> ((s, dir) => {
-      val e = embeds(s, dir)
-      val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
-          maxCell = Int.MaxValue,
-          centroids = Some(gateCentroidsN(e, semGateNList)))
-        .select(col("query_id"), col("neighbor_id"))
-      graft.ops.Graph.hitsInt(edges, "query_id", "neighbor_id", iters = 4)
-        .orderBy(col("node"))
+      // hitsInt's half-step cuts run EAGERLY here: scope the shuffle
+      // width down for this narrow gate graph (the s09/s15 precedent) —
+      // ranks are exact longs, partition-count independent (measured
+      // ~15% off the gate wall in a one-JVM interleaved A/B)
+      withShufflePartitions(s, 8) {
+        val e = embeds(s, dir)
+        val edges = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+            maxCell = Int.MaxValue,
+            centroids = Some(gateCentroidsN(e, semGateNList)))
+          .select(col("query_id"), col("neighbor_id"))
+        graft.ops.Graph.hitsInt(edges, "query_id", "neighbor_id", iters = 4)
+          .orderBy(col("node"))
+      }
     }),
 
     // ---- graph: exact TRIANGLE COUNTS over the kNN similarity graph
