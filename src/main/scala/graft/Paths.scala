@@ -20,9 +20,14 @@ object Paths {
     * /tmp (r12 one-JVM A/B: e09/e12/e14/e15 each 0.3–0.5 s faster on
     * tmpfs). Parameterised so a deployment with big scratch artifacts
     * or small RAM pins it back to disk. */
-  private lazy val scratchRoot: java.nio.file.Path = {
-    val pick = sys.env.get("SPARK_GRAFT_SCRATCH")
-      .map(java.nio.file.Paths.get(_))
+  /** Test/profiler seam: forces the [[scratchDir]] root, bypassing the
+    * env/shm policy (used by the Profile12 tmpfs-vs-disk A/B, which the
+    * shm-preferring policy would otherwise make a null comparison). */
+  @volatile private[graft] var scratchRootOverride: Option[java.nio.file.Path] = None
+
+  private def scratchRoot: java.nio.file.Path = {
+    val pick = scratchRootOverride
+      .orElse(sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)))
       .orElse {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isDirectory(shm) &&
@@ -40,6 +45,17 @@ object Paths {
     * must use this instead. Allocated under [[scratchRoot]]. */
   def scratchDir(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir.toFile)))
+    dir
+  }
+
+  /** [[scratchDir]] pinned to `java.io.tmpdir` (disk) regardless of the
+    * shm policy — for GB-scale artifacts (ScaleProbe's 6M-row index
+    * builds) where a RAM-backed root would compete with the JVM for
+    * memory and an OOM-killed run would strand gigabytes in tmpfs. */
+  def diskScratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")), prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir.toFile)))
     dir
   }

@@ -73,14 +73,17 @@ object Profile12 {
     }
 
     if (names.contains("tmpab")) {
+      // scratch-root A/B via the Paths override seam (the shm-preferring
+      // default policy would otherwise make both arms tmpfs)
       val streamQs = Seq("e12_streaming_sessions", "e14_stream_kmv",
         "e15_streaming_bloom_screen", "e09_stream_interval_join")
-      for (q <- streamQs) bench(s"$q tmp=/tmp")(SparkEntry.queries(q)(spark, sfDir))
-      val shm = "/dev/shm/graft-prof"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(shm))
-      System.setProperty("java.io.tmpdir", shm)
-      for (q <- streamQs) bench(s"$q tmp=shm")(SparkEntry.queries(q)(spark, sfDir))
-      System.setProperty("java.io.tmpdir", "/tmp")
+      val saved = Paths.scratchRootOverride
+      try {
+        Paths.scratchRootOverride = Some(java.nio.file.Paths.get("/tmp"))
+        for (q <- streamQs) bench(s"$q tmp=/tmp")(SparkEntry.queries(q)(spark, sfDir))
+        Paths.scratchRootOverride = Some(java.nio.file.Paths.get("/dev/shm"))
+        for (q <- streamQs) bench(s"$q tmp=shm")(SparkEntry.queries(q)(spark, sfDir))
+      } finally Paths.scratchRootOverride = saved
     }
 
     if (names.contains("ccrounds")) {

@@ -509,7 +509,7 @@ object ScaleProbe {
     // the layout identical across two writes (the determinism the
     // sampled path cannot give)
     {
-      val zBase = Paths.scratchDir("graft-scale-zplan-")
+      val zBase = Paths.diskScratchDir("graft-scale-zplan-")
       try {
         val keyed = l10.select("l_partkey", "l_suppkey", "l_quantity")
         val zcol = graft.ops.Layout.zValue(col("l_partkey"), col("l_suppkey"))
@@ -677,7 +677,7 @@ object ScaleProbe {
     // and LM scoring is one batch explode + broadcast joins against a
     // vocabulary-bounded model — so both stay flat as the corpus grows.
     {
-      val dirIdx = graft.Paths.scratchDir("graft-scale-postings-")
+      val dirIdx = graft.Paths.diskScratchDir("graft-scale-postings-")
       val pIdx = dirIdx.resolve("idx").toString
       try {
         t("postings index write 6M docs (once)")(
@@ -749,7 +749,7 @@ object ScaleProbe {
           lpad(hex(pmod(core * 31 - i * 7, lit(251))), 2, "0"))))
       }
       val media6m = docs6m.select(col("doc_id"), payload.as("content"))
-      val dirP = graft.Paths.scratchDir("graft-scale-phash-")
+      val dirP = graft.Paths.diskScratchDir("graft-scale-phash-")
       val pIdx = dirP.resolve("idx").toString
       try {
         t("phash index write 6M payloads (once)")(
@@ -931,7 +931,7 @@ object ScaleProbe {
         s"rate=${stats.getLong(1)} maxN=${stats.getLong(2)} " +
         s"peak=${stats.getLong(3)}")
       assert(stats.getLong(0) == 2000000L && stats.getLong(1) == 8000L)
-      val dirA = graft.Paths.scratchDir("graft-scale-afp-")
+      val dirA = graft.Paths.diskScratchDir("graft-scale-afp-")
       val aIdx = dirA.resolve("idx").toString
       try {
         t("audio fingerprint index write 2M payloads (once)")(
@@ -1156,7 +1156,7 @@ object ScaleProbe {
           base.select((col("id") + half).as("id"), col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("jl corpus build 6M x 64-dim hashed vectors (once)")(vecs2.count())
-      val jlDir = graft.Paths.scratchDir("graft-scale-jl-")
+      val jlDir = graft.Paths.diskScratchDir("graft-scale-jl-")
       val jlPath = jlDir.resolve("idx").toString
       t("jl index write 6M x 64-dim (once)")(
         graft.ops.Similarity.writeJlIndex(vecs2, "id", "v", jlPath,
@@ -1193,7 +1193,7 @@ object ScaleProbe {
               / 500001.5 - 1.0)
         def scaleV(v: org.apache.spark.sql.Column, f: Double) =
           transform(v, x => x * lit(f))
-        val scr = graft.Paths.scratchDir("graft-scale-embscr-")
+        val scr = graft.Paths.diskScratchDir("graft-scale-embscr-")
         val outP = scr.resolve("out").toString
         // feed 1: 2.5k ×1.25 copies of indexed vectors (reject via index),
         // 2.5k novels (admit), 2.5k exact-duplicate mates of those novels

@@ -913,9 +913,12 @@ object PipelineQueries {
             maxCell = Int.MaxValue,
             centroids = Some(gateCentroidsN(e, semGateNList)))
           .select(col("query_id"), col("neighbor_id"))
-        graft.ops.Graph.hitsInt(edges, "query_id", "neighbor_id", iters = 4)
-          .orderBy(col("node"))
-      }
+        // cut INSIDE the scope (the er02 lesson): the returned lazy frame
+        // runs later at the restored session width — only the trivial
+        // ≤n-row orderBy escapes
+        graft.ops.Lineage.cut(
+          graft.ops.Graph.hitsInt(edges, "query_id", "neighbor_id", iters = 4))
+      }.orderBy(col("node"))
     }),
 
     // ---- graph: exact TRIANGLE COUNTS over the kNN similarity graph
@@ -1026,9 +1029,10 @@ object PipelineQueries {
             maxCell = Int.MaxValue,
             centroids = Some(gateCentroidsN(e, semGateNList)))
           .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-        graft.ops.Graph.connectedComponentsStar(edges)
-          .orderBy(col("id"))
-      }
+        // cut INSIDE the scope (the er02 lesson): the final label join
+        // otherwise runs later at the restored session width
+        graft.ops.Lineage.cut(graft.ops.Graph.connectedComponentsStar(edges))
+      }.orderBy(col("id"))
     }),
 
     // ---- clustering: distributed Lloyd k-means with quantized-mean
