@@ -11,6 +11,11 @@ object Paths {
     ()
   }
 
+  /** Test/profiler seam: forces the [[scratchDir]] root, bypassing the
+    * env/shm policy (used by the Profile12 tmpfs-vs-disk A/B, which the
+    * shm-preferring policy would otherwise make a null comparison). */
+  @volatile private[graft] var scratchRootOverride: Option[java.nio.file.Path] = None
+
   /** Root under which [[scratchDir]] allocates: `SPARK_GRAFT_SCRATCH`
     * when set; else `/dev/shm` when present and writable; else
     * `java.io.tmpdir`. Scratch state here is ephemeral per-process
@@ -20,11 +25,6 @@ object Paths {
     * /tmp (r12 one-JVM A/B: e09/e12/e14/e15 each 0.3–0.5 s faster on
     * tmpfs). Parameterised so a deployment with big scratch artifacts
     * or small RAM pins it back to disk. */
-  /** Test/profiler seam: forces the [[scratchDir]] root, bypassing the
-    * env/shm policy (used by the Profile12 tmpfs-vs-disk A/B, which the
-    * shm-preferring policy would otherwise make a null comparison). */
-  @volatile private[graft] var scratchRootOverride: Option[java.nio.file.Path] = None
-
   private def scratchRoot: java.nio.file.Path = {
     val pick = scratchRootOverride
       .orElse(sys.env.get("SPARK_GRAFT_SCRATCH").map(java.nio.file.Paths.get(_)))

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** TEMPORARY round-12 optimization profiler — phase breakdowns inside one
   * JVM so host jitter divides out. Not part of any gate; delete at round
@@ -21,8 +21,23 @@ object Profile12 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val tasks = new AtomicInteger(0)
+    val taskMs = new AtomicLong(0L)   // sum of task run times
+    val deserMs = new AtomicLong(0L)  // sum of task deserialization times
+    val gcMs = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        Option(te.taskMetrics).foreach { m =>
+          taskMs.addAndGet(m.executorRunTime)
+          deserMs.addAndGet(m.executorDeserializeTime)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
+        ()
+      }
     })
 
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
@@ -42,10 +57,17 @@ object Profile12 {
         (t, j1 - j0)
       }
       val med = times.map(_._1).sorted.apply(times.size / 2)
-      println(f"[prof] $name%-40s med=$med%7.3fs jobs=${times.head._2}%3d  all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+      println(f"[prof] $name%-40s med=$med%7.3fs jobs=${times.map(_._2).mkString("/")}  all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
     }
 
+    // fail fast on unknown block names — a typo would otherwise run only
+    // the two calib probes and exit looking successful (the same
+    // silent-unknown-arg class ScaleProbe was fixed for in r12)
+    val knownBlocks = Set("graph", "tmpab", "ccrounds", "suite", "stream", "streamw", "aqeab", "jobtrace", "cheap")
     val names = if (args.nonEmpty) args.toSeq else Seq()
+    val unknown = names.filterNot(knownBlocks)
+    require(unknown.isEmpty,
+      s"Profile12: unknown block(s) ${unknown.mkString(", ")}; known: ${knownBlocks.toSeq.sorted.mkString(", ")}")
     val calib = time(spark.range(50000000L).selectExpr("bit_xor(xxhash64(id))").collect())
     println(f"[prof] calib=$calib%.3f")
 
@@ -88,6 +110,81 @@ object Profile12 {
 
     if (names.contains("ccrounds")) {
       noop(SparkEntry.queries("s09_components")(spark, sfDir))
+    }
+
+    // round-13: streaming-gate anatomy — wall vs summed task time vs
+    // scheduler machinery, to find where the e-gates' fixed cost sits at
+    // high core counts (BENCH_r12 showed them 2-5x slower at cpus=32 than
+    // cpus=8 on the driver's scaling run).
+    def anatomy(name: String, reps: Int = 2)(mk: => DataFrame): Unit = {
+      noop(mk) // warm
+      for (i <- 1 to reps) {
+        spark.catalog.clearCache(); System.gc()
+        val (j0, s0, t0, tm0, d0, g0) =
+          (jobs.get, stages.get, tasks.get, taskMs.get, deserMs.get, gcMs.get)
+        val w = time(noop(mk))
+        println(f"[prof] $name%-28s rep$i wall=$w%7.3fs jobs=${jobs.get - j0}%4d stages=${stages.get - s0}%4d tasks=${tasks.get - t0}%5d " +
+          f"taskSum=${(taskMs.get - tm0) / 1e3}%7.2fs deser=${(deserMs.get - d0) / 1e3}%6.2fs gc=${(gcMs.get - g0) / 1e3}%5.2fs")
+      }
+    }
+    if (names.contains("stream")) {
+      for (q <- Seq("e09_stream_interval_join", "e12_streaming_sessions",
+        "e15_streaming_bloom_screen", "e19_stream_lm_screen",
+        "e13_stream_outer_join", "e03_streaming_tumbling",
+        "e22_stream_embed_screen", "e11_streaming_cdc",
+        "e21_stream_media_screen", "e25_stream_entity_screen"))
+        anatomy(q)(SparkEntry.queries(q)(spark, sfDir))
+    }
+    if (names.contains("aqeab")) {
+      // A/B: AQE on (ambient default) vs off for the job-count-dominated
+      // screen gates — AQE materializes every exchange as its own
+      // stage-job, which on tiny per-batch frames is pure driver latency
+      val qs = Seq("e25_stream_entity_screen", "e21_stream_media_screen",
+        "e15_streaming_bloom_screen", "e22_stream_embed_screen")
+      for (q <- qs) {
+        anatomy(s"$q aqe=on")(SparkEntry.queries(q)(spark, sfDir))
+        // off arm ALSO narrows the ambient width: without AQE the gates'
+        // setup writes (index builds at ambient shuffle partitions) lose
+        // AQE coalescing, which is what ballooned the first off-arm A/B
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try anatomy(s"$q aqe=off+p8")(SparkEntry.queries(q)(spark, sfDir))
+        finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+      }
+    }
+    if (names.contains("jobtrace")) {
+      // one execution of a gate with every job's callsite printed —
+      // finds WHERE a job-count-dominated gate's driver round trips live
+      val traced = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val names = js.stageInfos.map(si => s"${si.name}(${si.numTasks})").mkString(" | ")
+          traced.add(f"[prof] job ${js.jobId}%4d stages=${js.stageInfos.size}%2d $names")
+          ()
+        }
+      })
+      val q = sys.env.getOrElse("SPARK_GRAFT_TRACE_QUERY", "e21_stream_media_screen")
+      noop(SparkEntry.queries(q)(spark, sfDir)) // warm
+      traced.clear()
+      val w = time(noop(SparkEntry.queries(q)(spark, sfDir)))
+      println(f"[prof] $q traced wall=$w%.3f")
+      traced.forEach(l => println(l))
+    }
+    if (names.contains("cheap")) {
+      for (q <- Seq("q01_pricing_agg", "q10_topk_offset", "t01_token_counts",
+        "d07_simhash_bands", "p02_stratified_sample", "src_csv_roundtrip",
+        "q03_join_revenue", "m01_insert", "s01_ann_topk", "t21_kmv_sketch"))
+        anatomy(q)(SparkEntry.queries(q)(spark, sfDir))
+    }
+    if (names.contains("streamw")) {
+      // batch-query anatomy at ambient width (anti-scaling suspects)
+      for (q <- Seq("p20_perplexity_buckets", "t40_dup_span_excise",
+        "t16_dup_span_merge", "s09_components", "t24_heavy_hitters"))
+        anatomy(q)(SparkEntry.queries(q)(spark, sfDir))
     }
 
     if (names.isEmpty || names.contains("suite")) {

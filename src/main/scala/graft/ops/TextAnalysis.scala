@@ -487,6 +487,15 @@ object TextAnalysis {
       numBits: Int = 1 << 16, numHashes: Int = 4,
       flagFrac: Double = 0.5): DataFrame = {
     require(n >= 1 && flagFrac >= 0.0, s"ngramOverlapScreen: n=$n flagFrac=$flagFrac")
+    // The inlined-literal path holds numBits/63 longs in the driver AND in
+    // every task's serialized plan — fine at the default 2^16 bits (~8 KB),
+    // unbounded at caller-controlled sizes (2^30 would be a ~17M-element
+    // per-task literal). Cap it where the literal stays plan-cheap (2^24 ≈
+    // 2 MB); a benchmark set needing more bits should go through
+    // [[Sketch.writeBloomIndex]] + the join form instead.
+    require(numBits >= 1 && numBits <= (1 << 24),
+      s"ngramOverlapScreen: numBits=$numBits exceeds the inlined-bitmap bound 2^24; " +
+        "use Sketch.writeBloomIndex + a join for larger filters")
     val bg = bench.filter(col(benchTextCol).isNotNull)
       .select(lit("b").as("k"),
         explode(Dedup.wordShingles(tokens(col(benchTextCol)), n)).as("g"))

@@ -3083,14 +3083,24 @@ object PipelineQueries {
       withShufflePartitions(s, 4) {
         val q = EventStreams.sessionWindowStats(stream)
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final agg/sort + materialization stay INSIDE the scoped width:
+        // the memory-sink table is a local relation that would otherwise
+        // fan out to defaultParallelism-wide tiny stages (r13 anatomy:
+        // 3x the tasks at cpus=32), and the cache().count() here is what
+        // the later noop/parquet write reads (the er02 scope lesson)
+        val out = s.table(sink).orderBy(col("user_id"), col("session_start"))
+        out.cache().count()
+        out
       }
-      val out = s.table(sink).orderBy(col("user_id"), col("session_start"))
-      out.cache().count()
-      out
     }),
 
     // ---- events × sketch: STREAMING KMV — per-event-type distinct-user
@@ -3111,20 +3121,27 @@ object PipelineQueries {
           .groupBy(col("event_type"))
           .agg(graft.ops.Sketch.kmvAgg(col("h"), 64).as("hashes"))
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final join/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        val out = graft.ops.Sketch.kmvEstimate(
+            s.table(sink).select(col("event_type").as("key"), col("hashes")), 64)
+          .select(col("key").as("event_type"), col("n_sketch"), col("est_distinct"))
+          .join(exact, Seq("event_type"))
+          .orderBy(col("event_type"))
+        out.cache().count()
+        out
       }
-      val exact = ev.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_distinct"))
-      val out = graft.ops.Sketch.kmvEstimate(
-          s.table(sink).select(col("event_type").as("key"), col("hashes")), 64)
-        .select(col("key").as("event_type"), col("n_sketch"), col("est_distinct"))
-        .join(exact, Seq("event_type"))
-        .orderBy(col("event_type"))
-      out.cache().count()
-      out
     }),
 
     // ---- events × sketch: STREAMING quantile telemetry — the
@@ -3153,23 +3170,30 @@ object PipelineQueries {
               .filter(col("cents").isNull || col("cents") >= 0L),
             "event_type", "cents", subBits)
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final join/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            round(col("value") * lit(100.0)).cast("long").as("cents"))
+          .filter(col("cents").isNotNull && col("cents") >= 0L)
+        val exact = exactRankValues(ev, "event_type", "cents", pcts)
+        val out = graft.ops.Sketch.histQuantiles(
+            s.table(sink), subBits, pcts)
+          .select(col("key").as("event_type"), col("pct"), col("est_value"))
+          .join(exact, Seq("event_type", "pct"))
+          .orderBy(col("event_type"), col("pct"))
+        out.cache().count()
+        out
       }
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_type"),
-          round(col("value") * lit(100.0)).cast("long").as("cents"))
-        .filter(col("cents").isNotNull && col("cents") >= 0L)
-      val exact = exactRankValues(ev, "event_type", "cents", pcts)
-      val out = graft.ops.Sketch.histQuantiles(
-          s.table(sink), subBits, pcts)
-        .select(col("key").as("event_type"), col("pct"), col("est_value"))
-        .join(exact, Seq("event_type", "pct"))
-        .orderBy(col("event_type"), col("pct"))
-      out.cache().count()
-      out
     }),
 
     // ---- events × sketch: STREAMING DRIFT SCREEN — the t28 distance
@@ -3244,27 +3268,34 @@ object PipelineQueries {
         val q = EventStreams.intervalJoinLeftOuter(purchases, clicks, "user_id",
             "p_ts", "c_ts", "1 HOUR", watermark = "1 HOUR")
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final agg/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val bounds = Tables.load(s, dir, "events").agg(
+          max(when(col("event_type") === "purchase", col("ts"))).as("mp"),
+          max(when(col("event_type") === "click", col("ts"))).as("mc")).head()
+        val minMax = Seq(bounds.getTimestamp(0), bounds.getTimestamp(1)).min(
+          Ordering.by((t: java.sql.Timestamp) => t.getTime))
+        val cutoff = java.sql.Timestamp.from(
+          minMax.toInstant.minusSeconds(3600 + 60))
+        val out = s.table(sink)
+          .filter(col("p_ts") < lit(cutoff))
+          .groupBy(col("p_id"), col("user_id"))
+          .agg(count(col("c_id")).as("n_clicks"),
+            sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("click_total"))
+          .orderBy(col("p_id"))
+        out.cache().count()
+        out
       }
-      val bounds = Tables.load(s, dir, "events").agg(
-        max(when(col("event_type") === "purchase", col("ts"))).as("mp"),
-        max(when(col("event_type") === "click", col("ts"))).as("mc")).head()
-      val minMax = Seq(bounds.getTimestamp(0), bounds.getTimestamp(1)).min(
-        Ordering.by((t: java.sql.Timestamp) => t.getTime))
-      val cutoff = java.sql.Timestamp.from(
-        minMax.toInstant.minusSeconds(3600 + 60))
-      val out = s.table(sink)
-        .filter(col("p_ts") < lit(cutoff))
-        .groupBy(col("p_id"), col("user_id"))
-        .agg(count(col("c_id")).as("n_clicks"),
-          sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("click_total"))
-        .orderBy(col("p_id"))
-      out.cache().count()
-      out
     }),
 
     // ---- events: as-of join — each purchase matched to the user's most
@@ -3297,16 +3328,23 @@ object PipelineQueries {
       withShufflePartitions(s, 4) {
         val q = EventStreams.streamingDedup(stream, watermark = "87600 hours")
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final agg/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val out = s.table(sink)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+        out.cache().count()
+        out
       }
-      val out = s.table(sink)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
-      out.cache().count()
-      out
     }),
 
     // ---- events: STREAM-STREAM interval join — purchases joined to the
@@ -3330,19 +3368,26 @@ object PipelineQueries {
         val q = EventStreams.intervalJoin(purchases, clicks, "user_id",
             "p_ts", "c_ts", "1 HOUR", watermark = Some("87600 hours"))
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final agg/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val out = s.table(sink)
+          .groupBy(col("p_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("click_total"))
+          .orderBy(col("p_id"))
+        out.cache().count()
+        out
       }
-      val out = s.table(sink)
-        .groupBy(col("p_id"), col("user_id"))
-        .agg(count(lit(1)).as("n_clicks"),
-          sum(col("c_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("click_total"))
-        .orderBy(col("p_id"))
-      out.cache().count()
-      out
     }),
 
     // ---- events: STREAM-STATIC enrichment — each micro-batch broadcast-
@@ -3359,20 +3404,27 @@ object PipelineQueries {
       withShufflePartitions(s, 4) {
         val q = EventStreams.staticEnrich(stream, static, "user_id")
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // final agg/sort + materialization inside the scoped width
+        // (the e12 rationale)
+        val out = s.table(sink)
+          .filter(col("user_total") >= 20)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .orderBy(col("event_type"))
+        out.cache().count()
+        out
       }
-      val out = s.table(sink)
-        .filter(col("user_total") >= 20)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("total"))
-        .orderBy(col("event_type"))
-      out.cache().count()
-      out
     }),
 
     // ---- events: streaming CDC MATERIALIZATION — a change feed (I/U/D +
@@ -3490,16 +3542,22 @@ object PipelineQueries {
       withShufflePartitions(s, 4) {
         val q = EventStreams.streamingTumblingStats(stream)
           .writeStream.format("memory").queryName(sink)
+          // explicit per-execution checkpoint under the tmpfs scratch root:
+          // without it Spark allocates a temp checkpoint under ext4 /tmp
+          // (the one streaming-I/O path the r12 scratch move missed)
+          .option("checkpointLocation",
+            graft.Paths.scratchDir("graft-ckpt-").toString)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        // materialize: the memory sink table is mutable session state;
+        // inside the scoped width (the e12 rationale)
+        val out = s.table(sink)
+          .orderBy(col("window_start"), col("event_type"))
+        out.cache().count()
+        out
       }
-      // materialize: the memory sink table is mutable session state
-      val out = s.table(sink)
-        .orderBy(col("window_start"), col("event_type"))
-      out.cache().count()
-      out
     })
   )
 

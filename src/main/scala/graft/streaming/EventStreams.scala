@@ -331,10 +331,13 @@ object EventStreams {
           // skew should pass a bound here (accepting the documented
           // recall trade on those buckets) or route such media through
           // exact dedup first.
+          // no distinct: left_anti ignores build-side duplicates, and the
+          // probe's per-id fan-out is banding-bounded — the dedup was one
+          // whole exchange+aggregate per micro-batch for nothing (r13)
           val matchedIds = graft.ops.Dedup
             .probePhashSignaturesAt(spark, indexPath, hashed, maxDistance,
               maxBucket = maxBucket, hashKind = graft.ops.Dedup.DhashHashKind)
-            .select(col("batch_id").as("id")).distinct()
+            .select(col("batch_id").as("id"))
           // persist, not localCheckpoint: afterIndex feeds both the
           // dominance pairs and the admit anti-join (one probe, not
           // two) and stays RECOMPUTABLE — a lineage cut before the
@@ -348,7 +351,7 @@ object EventStreams {
             val dominated = graft.ops.Dedup
               .simhashPairs(afterIndex, "id", "ph", maxDistance,
                 maxBucket = maxBucket)
-              .select(col("id_b").as("id")).distinct()
+              .select(col("id_b").as("id"))
             val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
               .persist()
             try {
@@ -392,9 +395,11 @@ object EventStreams {
           // screen, not per micro-batch) and the getter heals the swap
           // crash windows before its first read
           val depth = graft.ops.FuzzyJoin.readFuzzyMeta(spark, indexPath)
+          // no distinct: left_anti ignores build-side duplicates (the
+          // media-screen rationale — one fewer exchange per micro-batch)
           val matched = graft.ops.FuzzyJoin
             .probeFuzzyIndex(spark, indexPath, named, "id", "name", depth)
-            .select(col("id")).distinct()
+            .select(col("id"))
           // persist, not localCheckpoint: afterIndex feeds the
           // dominance pairs AND the admit anti-join and must stay
           // recomputable (the r4 executor-loss trap)
@@ -406,7 +411,7 @@ object EventStreams {
                 afterIndex.select(col("id").as("__idb"), col("name").as("__nb")),
                 "__ida", "__na", "__idb", "__nb", maxDist = depth)
               .filter(col("__ida") < col("__idb"))
-              .select(col("__idb").as("id")).distinct()
+              .select(col("__idb").as("id"))
             val admitted = afterIndex.join(dominated, Seq("id"), "left_anti")
               .persist()
             try {
