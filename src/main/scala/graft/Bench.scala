@@ -58,6 +58,15 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE re-partition CACHED plans (default false in Spark 4.1 for
+      // partitioning-compat only): without it every .persist()/.cache()
+      // in a query path materializes its exchanges at the RAW shuffle
+      // width — at cpus=32 that was 32 near-empty tasks per cached
+      // exchange (e19: 231 tasks/36 s summed task time → 32 tasks/3 s;
+      // t20: 121 → 24 tasks — r13 one-JVM A/B). Scale-neutral: results
+      // are partition-count independent and a cluster deployment wants
+      // coalesced cached plans for the same reason.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

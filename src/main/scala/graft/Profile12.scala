@@ -16,6 +16,7 @@ object Profile12 {
       .master(s"local[$cpus]")
       .appName("graft-profile12")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,7 +64,7 @@ object Profile12 {
     // fail fast on unknown block names — a typo would otherwise run only
     // the two calib probes and exit looking successful (the same
     // silent-unknown-arg class ScaleProbe was fixed for in r12)
-    val knownBlocks = Set("graph", "tmpab", "ccrounds", "suite", "stream", "streamw", "aqeab", "jobtrace", "cheap")
+    val knownBlocks = Set("graph", "tmpab", "ccrounds", "suite", "stream", "streamw", "aqeab", "jobtrace", "cheap", "cacheaqe")
     val names = if (args.nonEmpty) args.toSeq else Seq()
     val unknown = names.filterNot(knownBlocks)
     require(unknown.isEmpty,
@@ -139,8 +140,8 @@ object Profile12 {
       // A/B: AQE on (ambient default) vs off for the job-count-dominated
       // screen gates — AQE materializes every exchange as its own
       // stage-job, which on tiny per-batch frames is pure driver latency
-      val qs = Seq("e25_stream_entity_screen", "e21_stream_media_screen",
-        "e15_streaming_bloom_screen", "e22_stream_embed_screen")
+      val qs = Seq("s09_components", "s12_label_prop", "s16_hits",
+        "e17_stream_drift", "e25_stream_entity_screen", "e21_stream_media_screen")
       for (q <- qs) {
         anatomy(s"$q aqe=on")(SparkEntry.queries(q)(spark, sfDir))
         // off arm ALSO narrows the ambient width: without AQE the gates'
@@ -154,6 +155,23 @@ object Profile12 {
           spark.conf.set("spark.sql.adaptive.enabled", "true")
           spark.conf.set("spark.sql.shuffle.partitions", prev)
         }
+      }
+    }
+    if (names.contains("cacheaqe")) {
+      // A/B: allow AQE to re-partition cached plans — default false means
+      // every .persist() materializes exchanges at the RAW shuffle width
+      // (32 tiny tasks per cached exchange at cpus=32, no coalescing)
+      println("[prof] canChangeCachedPlanOutputPartitioning default = " +
+        scala.util.Try(spark.conf.get(
+          "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning")).getOrElse("<unset>"))
+      val qs = Seq("e19_stream_lm_screen", "e21_stream_media_screen",
+        "e25_stream_entity_screen", "e22_stream_embed_screen",
+        "e15_streaming_bloom_screen", "t20_classifier_eval")
+      for (q <- qs) {
+        anatomy(s"$q cachedAqe=off")(SparkEntry.queries(q)(spark, sfDir))
+        spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        try anatomy(s"$q cachedAqe=on")(SparkEntry.queries(q)(spark, sfDir))
+        finally spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       }
     }
     if (names.contains("jobtrace")) {
@@ -183,7 +201,9 @@ object Profile12 {
     if (names.contains("streamw")) {
       // batch-query anatomy at ambient width (anti-scaling suspects)
       for (q <- Seq("p20_perplexity_buckets", "t40_dup_span_excise",
-        "t16_dup_span_merge", "s09_components", "t24_heavy_hitters"))
+        "t16_dup_span_merge", "s09_components", "t24_heavy_hitters",
+        "s12_label_prop", "s16_hits", "e17_stream_drift",
+        "e20_stream_dsir_screen", "t32_postings_search", "s04_ann_ivfpq"))
         anatomy(q)(SparkEntry.queries(q)(spark, sfDir))
     }
 

@@ -849,7 +849,10 @@ object Similarity {
     a.join(b, Seq("jb"))
       .filter(col("id_a") < col("id_b"))
       .filter(dot(col("__nva"), col("__nvb")) >= threshold)
-      .select(col("id_b").as("batch_id")).distinct()
+      // may repeat a batch_id (several dominators): the only consumer is
+      // the screen's left_anti join, which ignores build-side duplicates
+      // — deduping here was one exchange+aggregate per micro-batch (r13)
+      .select(col("id_b").as("batch_id"))
   }
 
   /** [[jlMatchedIds]] over an already-[[jlProjected]] frame — the
@@ -863,7 +866,9 @@ object Similarity {
     jlCandidatesFrom(spark, indexPath, q0, m.bucketBits, candidates,
         excludeSelf = false)
       .filter(col("cosine_sim") >= threshold)
-      .select(col("query_id").as("batch_id")).distinct()
+      // may repeat a batch_id (several matching candidates, bounded by
+      // `candidates`): the screen's left_anti consumer ignores duplicates
+      .select(col("query_id").as("batch_id"))
   }
 
   /** Append an already-[[jlProjected]] frame (projected under THIS
