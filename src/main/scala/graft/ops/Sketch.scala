@@ -480,12 +480,24 @@ object Sketch {
     * sees only the rows), built in a `.building` sibling and swapped in
     * two-phase; the delete→rename crash window heals at the next
     * metadata read. */
+  /** Per-path `_meta` memo for the bloom/hist index families whose
+    * readers sit in per-micro-batch screen loops (e15/e17): the sidecar
+    * collect is paid once per JVM, not per batch — the JL/Lm/phash memo
+    * precedent. Meta is a CORRECTNESS input (bucket geometry / bit
+    * space), so [[writeIndexDir]] invalidates around its swap via
+    * [[FsOps.swapDirsInvalidating]] (remove → swap → remove, the
+    * round-10 rule); appends/compactions keep parameters verbatim. */
+  private val indexMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
+
   private def writeIndexDir(spark: org.apache.spark.sql.SparkSession,
       rows: DataFrame, metaDf: DataFrame, path: String): Unit = {
     val tmp = path + ".building"
     rows.write.mode("overwrite").parquet(tmp)
     metaDf.coalesce(1).write.mode("overwrite").parquet(tmp + "/_meta")
-    FsOps.swapDirs(spark, tmp, path)
+    FsOps.swapDirsInvalidating(spark, tmp, path)(() => {
+      indexMetaCache.remove(path); ()
+    })
   }
 
   private def healIndex(spark: org.apache.spark.sql.SparkSession,
@@ -504,12 +516,16 @@ object Sketch {
       Seq((numBits, numHashes)).toDF("num_bits", "num_hashes"), path)
   }
 
-  /** Index parameters from the `_meta` sidecar (heals first). */
+  /** Index parameters from the `_meta` sidecar (heals first; value
+    * memoized per path — see [[indexMetaCache]]). */
   def readBloomMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    healIndex(spark, path)
-    val r = spark.read.parquet(path + "/_meta").collect().head
-    (r.getInt(0), r.getInt(1))
+    healIndex(spark, path) // heal EVERY entry, memoize only the value
+    val v = indexMetaCache.computeIfAbsent(path, _ => {
+      val r = spark.read.parquet(path + "/_meta").collect().head
+      Seq(r.getInt(0), r.getInt(1))
+    })
+    (v(0).asInstanceOf[Int], v(1).asInstanceOf[Int])
   }
 
   /** Append a batch to a [[writeBloomIndex]] index with the index's OWN
@@ -658,8 +674,10 @@ object Sketch {
 
   /** Sketch parameter subBits from the `_meta` sidecar (heals first). */
   def readHistMeta(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
-    healIndex(spark, path)
-    spark.read.parquet(path + "/_meta").collect().head.getInt(0)
+    healIndex(spark, path) // heal EVERY entry, memoize only the value
+    indexMetaCache.computeIfAbsent(path, _ =>
+      Seq(spark.read.parquet(path + "/_meta").collect().head.getInt(0)))
+      .head.asInstanceOf[Int]
   }
 
   /** Append a batch with the index's OWN stored subBits. */
