@@ -167,12 +167,19 @@ object Profile12 {
       val qs = Seq("e19_stream_lm_screen", "e21_stream_media_screen",
         "e25_stream_entity_screen", "e22_stream_embed_screen",
         "e15_streaming_bloom_screen", "t20_classifier_eval")
-      for (q <- qs) {
-        anatomy(s"$q cachedAqe=off")(SparkEntry.queries(q)(spark, sfDir))
-        spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-        try anatomy(s"$q cachedAqe=on")(SparkEntry.queries(q)(spark, sfDir))
-        finally spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
-      }
+      // the session builder now sets the conf TRUE: the off arm must set
+      // false explicitly, and the block restores true afterwards so later
+      // blocks in the same invocation measure under the builder default
+      // (review finding: the first A/B's "off" arm ran with it on, and
+      // the finally leaked "false" into subsequent blocks)
+      try {
+        for (q <- qs) {
+          spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
+          anatomy(s"$q cachedAqe=off")(SparkEntry.queries(q)(spark, sfDir))
+          spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+          anatomy(s"$q cachedAqe=on")(SparkEntry.queries(q)(spark, sfDir))
+        }
+      } finally spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     }
     if (names.contains("jobtrace")) {
       // one execution of a gate with every job's callsite printed —

@@ -474,12 +474,6 @@ object Sketch {
   // probe against the stored rows, compact to one row per word when
   // append traffic accumulates. All dirs swap two-phase; readers heal.
 
-  /** Shared persisted-index plumbing for the whole sketch tier: sketch
-    * rows at the dir root plus a `_meta` parquet sidecar (underscore
-    * dirs are invisible to Spark's file index, so `read.parquet(path)`
-    * sees only the rows), built in a `.building` sibling and swapped in
-    * two-phase; the delete→rename crash window heals at the next
-    * metadata read. */
   /** Per-path `_meta` memo for the bloom/hist index families whose
     * readers sit in per-micro-batch screen loops (e15/e17): the sidecar
     * collect is paid once per JVM, not per batch — the JL/Lm/phash memo
@@ -490,6 +484,12 @@ object Sketch {
   private val indexMetaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
 
+  /** Shared persisted-index plumbing for the whole sketch tier: sketch
+    * rows at the dir root plus a `_meta` parquet sidecar (underscore
+    * dirs are invisible to Spark's file index, so `read.parquet(path)`
+    * sees only the rows), built in a `.building` sibling and swapped in
+    * two-phase; the delete→rename crash window heals at the next
+    * metadata read. */
   private def writeIndexDir(spark: org.apache.spark.sql.SparkSession,
       rows: DataFrame, metaDf: DataFrame, path: String): Unit = {
     val tmp = path + ".building"

@@ -380,6 +380,29 @@ object PipelineQueries {
         "doc_id", "shingles", path, numHashes = 64, numBands = 32)
     }
 
+  /** Run a memory-sink stream to completion (AvailableNow trigger) on a
+    * FRESH tmpfs-backed checkpoint, stopping the query and DELETING the
+    * checkpoint afterwards. Fresh per run: a reused checkpoint would
+    * resume committed offsets and replay ZERO batches (empty sink =
+    * silently wrong gate); deleted at stop: the result lives in the
+    * in-memory sink table, so the checkpoint is dead weight the moment
+    * the query stops — without the delete every bench rep leaked one
+    * state-store+WAL tree into RAM-backed scratch for the JVM lifetime
+    * (review finding). One definition so the checkpoint policy cannot
+    * drift per gate (the withShufflePartitions precedent). */
+  private def runMemoryStream(df: DataFrame, sink: String, mode: String): Unit = {
+    val ckpt = graft.Paths.scratchDir("graft-ckpt-")
+    val q = df.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally {
+      q.stop()
+      graft.Paths.rmTree(ckpt.toFile)
+    }
+  }
+
   /** Run `f` with a reduced shuffle-partition count, restoring after.
     * Structured Streaming creates one state-store instance per shuffle
     * partition and commits each of them every micro-batch — at gate/bench
@@ -3081,17 +3104,7 @@ object PipelineQueries {
       val stream = EventStreams.readStreamNanos(s, streamDir,
         maxFilesPerTrigger = Some(1))
       withShufflePartitions(s, 4) {
-        val q = EventStreams.sessionWindowStats(stream)
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.sessionWindowStats(stream), sink, "complete")
         // final agg/sort + materialization stay INSIDE the scoped width:
         // the memory-sink table is a local relation that would otherwise
         // fan out to defaultParallelism-wide tiny stages (r13 anatomy:
@@ -3116,20 +3129,10 @@ object PipelineQueries {
       val stream = EventStreams.readStreamNanos(s, streamDir,
         maxFilesPerTrigger = Some(1))
       withShufflePartitions(s, 4) {
-        val q = stream
+        runMemoryStream(stream
           .select(col("event_type"), graft.ops.Sketch.valueHash60(col("user_id")).as("h"))
           .groupBy(col("event_type"))
-          .agg(graft.ops.Sketch.kmvAgg(col("h"), 64).as("hashes"))
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+          .agg(graft.ops.Sketch.kmvAgg(col("h"), 64).as("hashes")), sink, "complete")
         // final join/sort + materialization inside the scoped width
         // (the e12 rationale)
         val exact = ev.groupBy(col("event_type"))
@@ -3164,21 +3167,11 @@ object PipelineQueries {
         // filter/select/groupBy/sum is streaming-legal), so the stream
         // build shares the batch operator's exact logic — including the
         // null-value filter
-        val q = graft.ops.Sketch.histSketch(
+        runMemoryStream(graft.ops.Sketch.histSketch(
             stream.withColumn("cents",
               round(col("value") * lit(100.0)).cast("long"))
               .filter(col("cents").isNull || col("cents") >= 0L),
-            "event_type", "cents", subBits)
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+            "event_type", "cents", subBits), sink, "complete")
         // final join/sort + materialization inside the scoped width
         // (the e12 rationale)
         val ev = Tables.load(s, dir, "events")
@@ -3265,18 +3258,8 @@ object PipelineQueries {
         .select(col("event_id").as("c_id"), col("user_id"),
           col("ts").as("c_ts"), col("value").as("c_value"))
       withShufflePartitions(s, 4) {
-        val q = EventStreams.intervalJoinLeftOuter(purchases, clicks, "user_id",
-            "p_ts", "c_ts", "1 HOUR", watermark = "1 HOUR")
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.intervalJoinLeftOuter(purchases, clicks, "user_id",
+            "p_ts", "c_ts", "1 HOUR", watermark = "1 HOUR"), sink, "append")
         // final agg/sort + materialization inside the scoped width
         // (the e12 rationale)
         val bounds = Tables.load(s, dir, "events").agg(
@@ -3326,17 +3309,7 @@ object PipelineQueries {
         streamDir.resolve("events_b.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)
       withShufflePartitions(s, 4) {
-        val q = EventStreams.streamingDedup(stream, watermark = "87600 hours")
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.streamingDedup(stream, watermark = "87600 hours"), sink, "append")
         // final agg/sort + materialization inside the scoped width
         // (the e12 rationale)
         val out = s.table(sink)
@@ -3365,18 +3338,8 @@ object PipelineQueries {
         .select(col("event_id").as("c_id"), col("user_id"),
           col("ts").as("c_ts"), col("value").as("c_value"))
       withShufflePartitions(s, 4) {
-        val q = EventStreams.intervalJoin(purchases, clicks, "user_id",
-            "p_ts", "c_ts", "1 HOUR", watermark = Some("87600 hours"))
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.intervalJoin(purchases, clicks, "user_id",
+            "p_ts", "c_ts", "1 HOUR", watermark = Some("87600 hours")), sink, "append")
         // final agg/sort + materialization inside the scoped width
         // (the e12 rationale)
         val out = s.table(sink)
@@ -3402,17 +3365,7 @@ object PipelineQueries {
         .groupBy(col("user_id")).agg(count(lit(1)).as("user_total"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)
       withShufflePartitions(s, 4) {
-        val q = EventStreams.staticEnrich(stream, static, "user_id")
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.staticEnrich(stream, static, "user_id"), sink, "append")
         // final agg/sort + materialization inside the scoped width
         // (the e12 rationale)
         val out = s.table(sink)
@@ -3540,17 +3493,7 @@ object PipelineQueries {
         streamDir.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = EventStreams.readStreamNanos(s, streamDir.toString)
       withShufflePartitions(s, 4) {
-        val q = EventStreams.streamingTumblingStats(stream)
-          .writeStream.format("memory").queryName(sink)
-          // explicit per-execution checkpoint under the tmpfs scratch root:
-          // without it Spark allocates a temp checkpoint under ext4 /tmp
-          // (the one streaming-I/O path the r12 scratch move missed)
-          .option("checkpointLocation",
-            graft.Paths.scratchDir("graft-ckpt-").toString)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
+        runMemoryStream(EventStreams.streamingTumblingStats(stream), sink, "complete")
         // materialize: the memory sink table is mutable session state;
         // inside the scoped width (the e12 rationale)
         val out = s.table(sink)
